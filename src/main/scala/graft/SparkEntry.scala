@@ -1,13 +1,459 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{Relational, TextAnalysis, Upsert}
+import graft.functions.Normalize
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory.
+  *
+  * Every query key has an equivalent DuckDB oracle in [[oracleSql]]
+  * (column names aliased identically on both sides; derived integer
+  * columns cast to BIGINT on both sides; double aggregates rounded for
+  * cross-engine float parity).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    itemInfoView(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  /** The publish "update batch" used by the upsert queries: existing open
+    * orders get a new priority; a synthetic key range simulates brand-new
+    * records (mirrors an Alma incremental publish: updates + inserts).
+    */
+  private def updateBatch(t: Tables): DataFrame = {
+    val o = t.orders
+    o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"),
+              lit("0-UPDATED").as("o_orderpriority"))
+      .unionByName(
+        o.filter(col("o_orderstatus") === "F")
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_custkey"),
+                  lit("9-NEW").as("o_orderpriority")))
+  }
+
+  private def ordersBase(t: Tables): DataFrame =
+    t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .withColumn("version", lit(0L))
+
+  private def itemInfoView(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    // item_info wide view (ddl/data_sync_db.sql): fact-fact join on the
+    // record key + broadcast dimensions — the only shuffles are the two
+    // key-aligned fact joins.
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_returnflag").as("status_code"), col("o_orderstatus"),
+              col("o_orderpriority"), col("c_name"),
+              col("n_name").as("location_code"), col("r_name").as("library_code"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // C1: ON CONFLICT DO UPDATE w/ version bump (database_insert.py:11-31)
+    "upsert_latest_wins" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Upsert.merge(ordersBase(t), updateBatch(t), Seq("o_orderkey"))
+    }),
+
+    // C2: ON CONFLICT DO NOTHING (database_insert.py:34-49)
+    "insert_only" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Upsert.insertOnly(ordersBase(t), updateBatch(t).withColumn("version", lit(0L)),
+                        Seq("o_orderkey"))
+    }),
+
+    // C3: orphan cleanup (alma_publish_to_database.py:139-143, 236-241)
+    "delete_orphan_holdings" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val publish = t.lineitem
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select(col("l_orderkey"), col("l_linenumber"))
+      Relational.orphans(t.lineitem.select(col("l_orderkey"), col("l_linenumber")),
+                         publish, Seq("l_orderkey"), Seq("l_linenumber"))
+    }),
+
+    // C4: broadcast surrogate-key lookup (alma_publish_to_database.py:130-137)
+    "dim_lookup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val withNation = Relational.dimLookup(t.customer, t.nation,
+        Seq("c_nationkey" -> "n_nationkey"))
+      Relational.dimLookup(withNation, t.region, Seq("n_regionkey" -> "r_regionkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name").as("location_code"),
+                col("r_name").as("region_name"))
+    }),
+
+    // C5: item_info wide view (ddl/data_sync_db.sql)
+    "item_info_view" -> ((s, dir) => itemInfoView(s, dir)),
+
+    // C6: external-id index w/ set semantics (alma_publish_to_database.py:223-233)
+    "external_id_explode" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.explodeExternalIds(t.part, col("p_partkey"), "part", "name_word",
+                                    split(col("p_name"), " "))
+    }),
+
+    // C7: first-record-wins dedup sets (alma_publish_parser.py:172-183)
+    "dedup_first_by_key" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.firstPerKey(
+        t.lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+        Seq("l_orderkey"), Seq(col("l_linenumber"), col("l_partkey")))
+    }),
+
+    // C8: guarded status upsert → latest per key (alma_publish_to_database.py:124-125)
+    "conditional_status_upsert" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.latestPerKey(
+        t.events.select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts_ns")),
+        Seq("user_id"), Seq(col("ts_ns"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // C9: analytics TSV import semantics (alma_analytics_to_item_status.py)
+    "analytics_status_import" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val active = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"))
+      Relational.lastOfConsecutiveRuns(active, "user_id", "event_id")
+        .withColumn("status_code", lit("0"))
+    }),
+
+    // C10: delete files → deleted_record history (alma_publish_parser.py:341-380)
+    "deleted_record_history" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val deletedBibs = t.orders.filter(col("o_orderstatus") === "F")
+      val bibRows = deletedBibs
+        .select(lit("bib").as("record_type"), col("o_orderkey").as("record_id"))
+      val holdingRows = t.lineitem
+        .join(deletedBibs.select(col("o_orderkey")),
+              col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .filter(col("l_returnflag") === "R")
+        .select(lit("holding").as("record_type"),
+                (col("l_orderkey") * 10 + col("l_linenumber")).as("record_id"))
+      bibRows.unionByName(holdingRows)
+    }),
+
+    // C11: 774$w bound-with links w/ prefix+suffix filter (alma_publish_to_database.py:216-221)
+    "bib_part_links" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pk = col("l_partkey").cast("string")
+      t.lineitem.filter(pk.startsWith("1") && pk.endsWith("3"))
+        .select(col("l_orderkey").as("mms_id"), col("l_partkey").as("part_mms_id"))
+        .distinct()
+    }),
+
+    // C12: N-records-per-chunk split (split_jsonl.py)
+    "split_n_per_file" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.chunkIndex(t.documents.select(col("doc_id")), "doc_id", 100)
+    }),
+
+    // C13: id dumps (ids_from_files.py / ids_from_database.py)
+    "ids_projection" -> ((s, dir) =>
+      Tables(s, dir).orders.select(col("o_custkey").as("record_id")).distinct()),
+
+    // C14: run metrics (alma_publish_parser.py:302-308)
+    "run_metrics" -> ((s, dir) => {
+      Tables(s, dir).events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("total_value"))
+    }),
+
+    // C15: config dimension ingest (alma_config_to_database.py)
+    "config_dims" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.nation.join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("location_id"), col("n_name").as("code"),
+                col("r_name").as("library_code"),
+                when(col("n_nationkey") % 5 === 0, lit("Y")).otherwise(lit("N")).as("suppress"))
+    }),
+
+    // C16: publish-file batch grouping (alma_publish_parser.py:310-328)
+    "file_group_batches" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .groupBy(regexp_replace(col("source"), "[0-9]+$", "").as("file_prefix"))
+        .agg(count(lit(1)).as("n_files"), countDistinct(col("lang")).as("n_langs"))
+    }),
+
+    // B2: OCLC formatting (alma_publish_to_database.py:200-208)
+    "format_oclc" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ks = col("c_custkey").cast("string")
+      val raw = concat(lit("(OCoLC)"),
+        when(col("c_custkey") % 3 === 0, ks)
+          .when(col("c_custkey") % 3 === 1, concat(ks, ks, ks))
+          .otherwise(concat(ks, ks, ks, ks, ks)))
+      t.customer.select(col("c_custkey"), Normalize.formatOclc(raw).as("oclc"))
+    }),
+
+    // B3: digit/dash normalization (alma_publish_to_database.py:210-213)
+    "format_number_dashes" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val raw = concat(col("c_name"), lit("-"), col("c_nationkey").cast("string"), lit("-x9"))
+      t.customer.select(col("c_custkey"), Normalize.formatNumberDashes(raw).as("clean"))
+    }),
+
+    // B7: whitespace collapse + suppress flag (alma_publish_to_database.py:145,270-272)
+    "norm_ws" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val padded = regexp_replace(col("p_name"), " ", "   ")
+      t.part.select(col("p_partkey"), Normalize.normWs(padded).as("cleaned"),
+        when(col("p_size") > 25, lit("Y")).otherwise(lit("N")).as("suppress"))
+    }),
+
+    // E1: exact dedup
+    "dedup_exact" -> ((s, dir) => {
+      TextAnalysis.exactDupGroups(Tables(s, dir).documents, "text", "doc_id")
+    }),
+
+    // E9: quality scoring
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables(s, dir).documents, "text", "doc_id")),
+
+    // E10: token counting
+    "token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables(s, dir).documents, "text", "doc_id")),
+
+    // E4: n-gram (word-set) Jaccard on candidate pairs
+    "ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val a = docs.select(col("doc_id").as("left_id"), col("text").as("__ta"))
+      val b = docs.select((col("doc_id") - 1).as("left_id"),
+                          col("doc_id").as("right_id"), col("text").as("__tb"))
+      a.join(b, "left_id")
+        .select(col("left_id"), col("right_id"),
+                TextAnalysis.wordJaccard(col("__ta"), col("__tb")).as("jaccard"))
+    }),
+
+    // item_data JSON field access (README example queries: data::json#>'{...}')
+    "json_props_extract" -> ((s, dir) => {
+      Tables(s, dir).events.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
+
+    // D2 batch twin: windowed event metrics
+    "stream_windowed_events" -> ((s, dir) => {
+      // hour bucket computed on the exact ns long: ns div 3.6e12 → hour
+      // index → epoch seconds (matches date_trunc('hour') on a ns engine)
+      Tables(s, dir).events
+        .groupBy((expr("ts_ns div 3600000000000") * 3600).as("hour_epoch"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("total_value"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity),2) AS sum_qty,
+           round(sum(l_extendedprice),2) AS sum_base_price,
+           round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+           round(avg(l_discount),6) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "upsert_latest_wins" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderpriority, CAST(0 AS BIGINT) AS version FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey, '0-UPDATED' AS o_orderpriority FROM orders WHERE o_orderstatus='O'
+           UNION ALL
+           SELECT o_orderkey+10000000, o_custkey, '9-NEW' FROM orders WHERE o_orderstatus='F')
+         SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+                CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE b.o_custkey END AS o_custkey,
+                CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority,
+                CAST(CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL THEN b.version+1
+                          WHEN u.o_orderkey IS NOT NULL THEN 0
+                          ELSE b.version END AS BIGINT) AS version
+         FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey""",
+
+    "insert_only" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderpriority, CAST(0 AS BIGINT) AS version FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey, '0-UPDATED' AS o_orderpriority FROM orders WHERE o_orderstatus='O'
+           UNION ALL
+           SELECT o_orderkey+10000000, o_custkey, '9-NEW' FROM orders WHERE o_orderstatus='F')
+         SELECT * FROM base
+         UNION ALL
+         SELECT u.o_orderkey, u.o_custkey, u.o_orderpriority, CAST(0 AS BIGINT) AS version
+         FROM upd u WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.o_orderkey = u.o_orderkey)""",
+
+    "delete_orphan_holdings" ->
+      """WITH pub AS (
+           SELECT l_orderkey, l_linenumber FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+         SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+         WHERE EXISTS (SELECT 1 FROM pub p WHERE p.l_orderkey = l.l_orderkey)
+           AND NOT EXISTS (SELECT 1 FROM pub p
+                           WHERE p.l_orderkey = l.l_orderkey
+                             AND p.l_linenumber = l.l_linenumber)""",
+
+    "dim_lookup" ->
+      """SELECT c_custkey, c_name, n_name AS location_code, r_name AS region_name
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey""",
+
+    "item_info_view" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                l_returnflag AS status_code, o_orderstatus, o_orderpriority,
+                c_name, n_name AS location_code, r_name AS library_code
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey""",
+
+    "external_id_explode" ->
+      """SELECT DISTINCT * FROM (
+           SELECT p_partkey AS record_id, 'part' AS record_type,
+                  'name_word' AS id_type,
+                  unnest(string_split(p_name, ' ')) AS external_value
+           FROM part)""",
+
+    "dedup_first_by_key" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+         QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) = 1""",
+
+    "conditional_status_upsert" ->
+      """SELECT user_id, event_id, event_type, value FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+
+    "analytics_status_import" ->
+      """SELECT user_id, event_id, value, '0' AS status_code FROM (
+           SELECT user_id, event_id, value,
+                  lead(user_id) OVER (ORDER BY event_id) AS nu
+           FROM events WHERE event_type = 'purchase')
+         WHERE nu IS NULL OR nu <> user_id""",
+
+    "deleted_record_history" ->
+      """SELECT 'bib' AS record_type, o_orderkey AS record_id
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT 'holding' AS record_type, l_orderkey*10 + l_linenumber AS record_id
+         FROM lineitem l
+         WHERE l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')""",
+
+    "bib_part_links" ->
+      """SELECT DISTINCT l_orderkey AS mms_id, l_partkey AS part_mms_id
+         FROM lineitem
+         WHERE CAST(l_partkey AS VARCHAR) LIKE '1%' AND CAST(l_partkey AS VARCHAR) LIKE '%3'""",
+
+    "split_n_per_file" ->
+      """SELECT doc_id,
+                CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 100) AS BIGINT) AS file_ix
+         FROM documents""",
+
+    "ids_projection" ->
+      """SELECT DISTINCT o_custkey AS record_id FROM orders""",
+
+    "run_metrics" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),3) AS total_value
+         FROM events GROUP BY event_type""",
+
+    "config_dims" ->
+      """SELECT n_nationkey AS location_id, n_name AS code, r_name AS library_code,
+                CASE WHEN n_nationkey % 5 = 0 THEN 'Y' ELSE 'N' END AS suppress
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+    "file_group_batches" ->
+      """SELECT regexp_replace(source, '[0-9]+$', '') AS file_prefix,
+                count(*) AS n_files, count(DISTINCT lang) AS n_langs
+         FROM documents GROUP BY 1""",
+
+    "format_oclc" ->
+      """WITH r AS (
+           SELECT c_custkey, '(OCoLC)' ||
+             CASE WHEN c_custkey % 3 = 0 THEN CAST(c_custkey AS VARCHAR)
+                  WHEN c_custkey % 3 = 1 THEN repeat(CAST(c_custkey AS VARCHAR), 3)
+                  ELSE repeat(CAST(c_custkey AS VARCHAR), 5) END AS raw
+           FROM customer),
+         d AS (SELECT c_custkey, regexp_replace(raw, '\D', '', 'g') AS ds FROM r)
+         SELECT c_custkey,
+                CASE WHEN length(ds) <= 8 THEN 'ocm' || ds
+                     WHEN length(ds) = 9 THEN 'ocn' || ds
+                     ELSE 'on' || ds END AS oclc
+         FROM d""",
+
+    "format_number_dashes" ->
+      """SELECT c_custkey,
+                regexp_replace(c_name || '-' || CAST(c_nationkey AS VARCHAR) || '-x9',
+                               '[^0-9-]', '', 'g') AS clean
+         FROM customer""",
+
+    "norm_ws" ->
+      """SELECT p_partkey,
+                regexp_replace(replace(p_name, ' ', '   '), ' +', ' ', 'g') AS cleaned,
+                CASE WHEN p_size > 25 THEN 'Y' ELSE 'N' END AS suppress
+         FROM part""",
+
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+                min(doc_id) AS keep_id, count(*) AS n_docs
+         FROM documents GROUP BY 1""",
+
+    "text_quality" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+                round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text), 6) AS space_ratio,
+                round(CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 6) AS stopword_ratio,
+                round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                      / len(string_split(text, ' ')), 6) AS avg_token_len
+         FROM documents""",
+
+    "token_count" ->
+      """SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+         FROM documents""",
+
+    "ngram_jaccard" ->
+      """SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                round(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                              list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+                      / len(list_distinct(list_concat(string_split(a.text, ' '),
+                                                      string_split(b.text, ' ')))), 6) AS jaccard
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""",
+
+    "json_props_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events""",
+
+    "stream_windowed_events" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                event_type, count(*) AS n, round(sum(value),3) AS total_value
+         FROM events GROUP BY 1, 2"""
+  )
 }

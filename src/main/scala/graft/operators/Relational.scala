@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks for the ingest pipeline.
+  *
+  * Each method re-expresses a driver-side loop or SQL statement from the
+  * reference as one declarative plan, so Catalyst handles pushdown and
+  * AQE handles skew at scale.
+  */
+object Relational {
+
+  /** Orphan cleanup: rows in `db` that belong to a parent present in the
+    * current publish but whose own key is absent from it.
+    *
+    * Reference: alma_publish_to_database.py:139-143 (holdings of a
+    * published bib not in its current holding list are deleted) and
+    * :236-241 (items of a holding not in its current pid list).
+    *
+    * One semi join (parent present) + one anti join (own key absent);
+    * both shuffle on their keys, no driver iteration.
+    */
+  def orphans(db: DataFrame, publish: DataFrame,
+              parentKeys: Seq[String], childKeys: Seq[String]): DataFrame =
+    db.join(publish.selectExpr(parentKeys: _*).distinct(), parentKeys, "left_semi")
+      .join(publish.selectExpr((parentKeys ++ childKeys).distinct: _*).distinct(),
+            parentKeys ++ childKeys, "left_anti")
+
+  /** Surrogate-key dimension lookup. The reference loads the whole
+    * `location` table into a driver dict (alma_publish_to_database.py:
+    * 130-137); here the dimension is broadcast so the lookup is map-side
+    * with zero shuffle on the fact table.
+    */
+  def dimLookup(fact: DataFrame, dim: DataFrame, joinKeys: Seq[(String, String)],
+                how: String = "left"): DataFrame = {
+    val cond = joinKeys.map { case (f, d) => fact(f) === dim(d) }.reduce(_ && _)
+    fact.join(broadcast(dim), cond, how)
+  }
+
+  /** First record wins per key — the reference's in-memory
+    * `bib_ids`/`holding_ids` dedup sets (alma_publish_parser.py:172-183),
+    * made deterministic by an explicit tiebreak ordering.
+    */
+  def firstPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    keepRank1(df, keys, order)
+
+  /** Latest record wins per key — the `item_base_status` guarded upsert
+    * (`where update_date_time < $new`, alma_publish_to_database.py:124-125).
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    keepRank1(df, keys, order.map(_.desc))
+
+  private def keepRank1(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Last row of each consecutive run of equal `runCol` values in
+    * `orderCol` order — the analytics importer's prior-row buffering
+    * (alma_analytics_to_item_status.py:35-49).
+    *
+    * The reference reads one file sequentially, so the window is global;
+    * at scale partition this per input file (the run semantics only hold
+    * within a file anyway).
+    */
+  def lastOfConsecutiveRuns(df: DataFrame, runCol: String, orderCol: String): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+    df.withColumn("__next_run", lead(col(runCol), 1).over(w))
+      .filter(col("__next_run").isNull || col("__next_run") =!= col(runCol))
+      .drop("__next_run")
+  }
+
+  /** Chunk assignment for N-records-per-file output (split_jsonl.py).
+    * For actual writes use `option("maxRecordsPerFile", n)`; this returns
+    * the deterministic chunk index for verification.
+    */
+  def chunkIndex(df: DataFrame, orderCol: String, n: Int,
+                 ixCol: String = "file_ix"): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+    df.withColumn(ixCol, floor((row_number().over(w) - 1) / n))
+  }
+
+  /** Multi-valued external ids exploded to an indexed lookup table with
+    * set semantics (alma_publish_to_database.py:223-233 inserts
+    * `set(external_ids)` rows into `external_id`).
+    */
+  def explodeExternalIds(df: DataFrame, recordId: Column, recordType: String,
+                         idType: String, values: Column): DataFrame =
+    df.select(recordId.as("record_id"), explode(values).as("external_value"))
+      .distinct()
+      .select(col("record_id"), lit(recordType).as("record_type"),
+              lit(idType).as("id_type"), col("external_value"))
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All map-side (per-document) except the dedup groupBy; everything
+  * stays in whole-stage codegen (built-in functions only).
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapse + lowercase normalization used as the exact-dedup key. */
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Deterministic content hash for exact dedup. */
+  def contentHash(c: Column): Column = md5(normalizeText(c))
+
+  /** Exact duplicate groups: hash → representative (min id) + group size.
+    * One shuffle on the 128-bit hash; partial aggregation map-side.
+    */
+  def exactDupGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(contentHash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document quality metrics: char/alpha/space/stopword ratios and
+    * token stats. Ratios rounded to 6 places for cross-engine parity.
+    */
+  def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val nChars = length(t)
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val spaces = length(t) - length(regexp_replace(t, " ", ""))
+    val stops = size(filter(toks, w => w.isin(StopWords: _*)))
+    docs.select(
+      col(idCol),
+      nChars.cast("long").as("n_chars"),
+      round(alpha.cast("double") / nChars, 6).as("alpha_ratio"),
+      round(spaces.cast("double") / nChars, 6).as("space_ratio"),
+      round(stops.cast("double") / size(toks), 6).as("stopword_ratio"),
+      round((nChars.cast("double") - spaces) / size(toks), 6).as("avg_token_len"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish lexer count
+    * (letter runs | digit runs | single other non-space).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      size(split(trim(t), "\\s+")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+  }
+
+  /** Word-set Jaccard similarity between two text columns (candidate-pair
+    * verification for near-dedup). Pure column expression.
+    */
+  def wordJaccard(a: Column, b: Column): Column = {
+    val ta = array_distinct(split(a, " "))
+    val tb = array_distinct(split(b, " "))
+    round(size(array_intersect(ta, tb)).cast("double") /
+          size(array_union(ta, tb)), 6)
+  }
+}

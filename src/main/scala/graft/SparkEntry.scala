@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Relational, TextAnalysis, Upsert}
+import graft.operators.{Dedup, LangId, Relational, Similarity, TextAnalysis, Upsert}
 import graft.functions.Normalize
+import graft.marc.TrimPunctuation
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   *
@@ -40,6 +41,37 @@ object SparkEntry {
   private def ordersBase(t: Tables): DataFrame =
     t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
       .withColumn("version", lit(0L))
+
+  /** Near-dup test corpus: documents plus two planted duplicate kinds —
+    * exact copies (doc_id+2000000) and one-word-appended near-copies
+    * (doc_id+1000000). The dedup operators must recover exactly these
+    * pairs (the base corpus is random word soup with no near-dups).
+    */
+  private def plantedDocs(t: Tables): DataFrame = {
+    val d = t.documents.select(col("doc_id"), col("text"))
+    d.unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+                  concat(col("text"), lit(" appended")).as("text")))
+      .unionByName(
+        d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+  }
+
+  /** Embedding corpus with planted near-duplicates: every 10th vector
+    * gets a deterministically perturbed copy at vec_id+1000000 with
+    * cosine ≈ 0.9997 to its original (base corpus max pairwise cosine
+    * is ~0.48, so threshold 0.99 isolates exactly the planted pairs).
+    */
+  private def plantedEmbeddings(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding"))
+    val noise = transform(col("embedding"), (x, i) =>
+      x + (pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("float") / 100000.0f
+           - 0.005f))
+    e.unionByName(
+      e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), noise.as("embedding")))
+  }
 
   private def itemInfoView(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -253,6 +285,58 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
     }),
 
+    // E2: MinHash+LSH near-dedup — recovers the planted near/exact copies
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(plantedDocs(Tables(s, dir)), "doc_id", "text",
+                         shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+    }),
+
+    // E3: SimHash near-dedup — recovers the planted exact copies
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(plantedDocs(Tables(s, dir)), "doc_id", "text",
+                         maxHamming = 3)
+    }),
+
+    // E5: embedding cosine near-dup via hyperplane LSH buckets
+    "embedding_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDup(plantedEmbeddings(Tables(s, dir)),
+        "vec_id", "embedding", dim = 64, threshold = 0.99)
+    }),
+
+    // E6: exact top-k cosine neighbors (brute force baseline)
+    "ann_bruteforce" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.annBruteForce(e, e.filter(col("vec_id") % 100 === 0),
+                               "vec_id", "embedding", k = 5)
+    }),
+
+    // E7: hyperplane-LSH ANN — each planted original finds its twin
+    "ann_lsh" -> ((s, dir) => {
+      val corpus = plantedEmbeddings(Tables(s, dir))
+      val queries = corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000L)
+      Similarity.annLsh(corpus, queries, "vec_id", "embedding",
+                        dim = 64, k = 1, tables = 8, bits = 8)
+    }),
+
+    // E8: naive-Bayes language ID from token profiles
+    "lang_id" -> ((s, dir) => {
+      LangId.selfLabelled(Tables(s, dir).documents, "doc_id", "text", "lang")
+    }),
+
+    // E11: polynomial rolling-hash document fingerprint
+    "doc_fingerprint" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // B1: fixpoint trailing-punctuation trim (custom Catalyst Expression)
+    "trim_punctuation" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.part.select(col("p_partkey"),
+        TrimPunctuation(concat(lit("["), col("p_name"), lit("],"))).as("unbracketed"),
+        TrimPunctuation(concat(col("p_name"), lit(".;"))).as("unpunctuated"))
+    }),
+
     // D2 batch twin: windowed event metrics
     "stream_windowed_events" -> ((s, dir) => {
       // hour bucket computed on the exact ns long: ns div 3.6e12 → hour
@@ -454,6 +538,101 @@ object SparkEntry {
     "stream_windowed_events" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                 event_type, count(*) AS n, round(sum(value),3) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    // Hash-free twin: on this corpus the LSH candidate set provably
+    // covers every pair with jaccard >= 0.7 (planted pairs have
+    // j in {0.92, 1.0}; base random pairs stay < 0.2), so the engine
+    // output equals the exhaustive pair scan.
+    "dedup_minhash" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' appended' FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0),
+         toks AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM corpus),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks)
+         SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""",
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text) + 1),
+                                   i -> CAST(ascii(text[i]) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1000000007) AS fp
+         FROM documents""",
+
+    "lang_id" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+           FROM documents),
+         toks2 AS (SELECT * FROM toks WHERE length(word) > 0),
+         counts AS (SELECT lang, word, count(*) AS n FROM toks2 GROUP BY 1, 2),
+         vocab AS (SELECT DISTINCT word FROM counts),
+         vs AS (SELECT count(*) AS v FROM vocab),
+         lt AS (SELECT lang, sum(n) AS lang_total FROM counts GROUP BY 1),
+         grid AS (
+           SELECT lt.lang, vocab.word,
+                  ln(CAST(COALESCE(c.n, 0) + 1 AS DOUBLE) / (lt.lang_total + vs.v)) AS logp
+           FROM lt CROSS JOIN vocab CROSS JOIN vs
+           LEFT JOIN counts c ON c.lang = lt.lang AND c.word = vocab.word),
+         priors AS (
+           SELECT lang, ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents)) AS logprior
+           FROM documents GROUP BY 1),
+         scored AS (
+           SELECT t.doc_id, g.lang,
+                  round(sum(g.logp) + any_value(p.logprior), 4) AS score
+           FROM toks2 t JOIN grid g ON g.word = t.word
+           JOIN priors p ON p.lang = g.lang
+           GROUP BY 1, 2)
+         SELECT doc_id, lang AS lang_pred FROM scored
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1""",
+
+    "trim_punctuation" ->
+      """WITH s AS (
+           SELECT p_partkey, '[' || p_name || '],' AS r1, p_name || '.;' AS r2 FROM part),
+         p1 AS (
+           SELECT p_partkey,
+             regexp_replace(regexp_replace(regexp_replace(r1,
+               ' *[,\\/;:] *$', ''), ' *[,\\/;:] *$', ''), ' *[,\\/;:] *$', '') AS a1,
+             regexp_replace(regexp_replace(regexp_replace(r2,
+               ' *[,\\/;:] *$', ''), ' *[,\\/;:] *$', ''), ' *[,\\/;:] *$', '') AS a2
+           FROM s),
+         p2 AS (
+           SELECT p_partkey,
+             regexp_replace(regexp_replace(a1, '( *[^\W\d]{3,})\.$', '\1'), '( *[^\W\d]{3,})\.$', '\1') AS b1,
+             regexp_replace(regexp_replace(a2, '( *[^\W\d]{3,})\.$', '\1'), '( *[^\W\d]{3,})\.$', '\1') AS b2
+           FROM p1),
+         p3 AS (
+           SELECT p_partkey,
+             trim(regexp_replace(b1, '^\[?([^\[\]]+)\]?$', '\1')) AS c1,
+             trim(regexp_replace(b2, '^\[?([^\[\]]+)\]?$', '\1')) AS c2
+           FROM p2)
+         SELECT p_partkey,
+                CASE WHEN c1 = '.' THEN '' ELSE c1 END AS unbracketed,
+                CASE WHEN c2 = '.' THEN '' ELSE c2 END AS unpunctuated
+         FROM p3"""
   )
+
+  /** Queries intentionally without a DuckDB oracle (hash-seed-dependent
+    * outputs) — driver records a rows-only check; each has a ScalaTest
+    * spec asserting exact recovery of the planted duplicates instead.
+    */
+  val rowsOnlyQueries: Set[String] =
+    Set("dedup_simhash", "embedding_neardup", "ann_bruteforce", "ann_lsh")
 }

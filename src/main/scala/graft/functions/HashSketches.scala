@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup sketches.
+  *
+  * Why native and not HOF compositions: Spark's higher-order functions
+  * (transform/aggregate/zip_with) are interpreted (no whole-stage
+  * codegen), and CollapseProject inlines a referenced column expression
+  * into every lambda reference — a k-seed minhash over shingles written
+  * as nested HOFs re-evaluates the shingle array O(k·bands) times per
+  * row. These expressions make one pass over the input array with
+  * primitive arrays, generate a single static call in codegen, and keep
+  * the projection inside WholeStageCodegen. Map-side, zero shuffle.
+  */
+object HashSketches {
+  private final val HashSeed = 42L
+
+  /** One pass over `shingles`: k min-hashes (h_i = xxh64(i, xxh64(s)))
+    * folded into `bands` bucket keys (xxh64 over each band's r mins).
+    */
+  def minHashBands(shingles: ArrayData, k: Int, bands: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var e = 0
+    while (e < n) {
+      val s = shingles.getUTF8String(e)
+      if (s != null) {
+        val base = XXH64.hashUTF8String(s, HashSeed)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashLong(i, base)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      e += 1
+    }
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = HashSeed + b
+      var j = b * r
+      while (j < (b + 1) * r) {
+        acc = XXH64.hashLong(mins(j), acc)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One pass 64-bit SimHash over the token array: per-bit ±1 votes of
+    * each token's xxh64, packed sign bits.
+    */
+  def simHash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var e = 0
+    while (e < n) {
+      val t = tokens.getUTF8String(e)
+      if (t != null) {
+        val h = XXH64.hashUTF8String(t, HashSeed)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      e += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+}
+
+/** `array<string>` shingles → `array<long>` of `bands` LSH bucket keys
+  * from a k-seed minhash signature.
+  */
+case class MinHashBandsExpr(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression {
+  require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    require(child.dataType == ArrayType(StringType, true) ||
+            child.dataType == ArrayType(StringType, false),
+      s"expected array<string>, got ${child.dataType}")
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashSketches.minHashBands(v.asInstanceOf[ArrayData], k, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashSketches.minHashBands($c, $k, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpr =
+    copy(child = newChild)
+}
+
+/** `array<string>` tokens → 64-bit SimHash long. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashSketches.simHash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashSketches.simHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object MinHashBandsExpr {
+  def apply(c: Column, k: Int, bands: Int): Column =
+    ColumnBridge.column(MinHashBandsExpr(ColumnBridge.expression(c), k, bands))
+}
+
+object SimHash64Expr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c)))
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for large-scale training-data pipelines:
+  * MinHash+LSH, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: signatures are pure per-row Column expressions
+  * (built-in HOFs — stays in whole-stage codegen, embarrassingly
+  * parallel). The ONLY shuffle is the band-bucket self-join; pair
+  * verification happens inside buckets, never via cross join. At 100 TB
+  * the band hash is high-cardinality, so buckets stay small and AQE
+  * handles stragglers.
+  */
+object Dedup {
+
+  /** shiftright/shiftleft with a Column shift amount (the `functions._`
+    * overloads only take Int).
+    */
+  private[operators] def shr(c: Column, n: Column): Column =
+    call_function("shiftright", c, n)
+  private[operators] def shl(c: Column, n: Column): Column =
+    call_function("shiftleft", c, n)
+
+  /** Distinct word n-gram shingles of the whitespace-normalized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(TextAnalysis.normalizeText(text), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(grams)
+  }
+
+  /** MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * Plan shape: map-side signature → posexplode to (band, bucket) →
+    * self-join on the bucket key (the one shuffle) → distinct candidate
+    * pairs → join texts back → shingle-set Jaccard filter.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7): DataFrame = {
+    val withSig = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+              shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("bands",
+        graft.functions.MinHashBandsExpr(col("sh"), k, bands))
+
+    val buckets = withSig.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_ix", "band_hash")))
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    val candidates = a.join(b,
+        col("a.band_ix") === col("b.band_ix") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .distinct()
+
+    val sh = withSig.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("left_id"), col("sh").as("sh_l")), "left_id")
+      .join(sh.select(col("doc_id").as("right_id"), col("sh").as("sh_r")), "right_id")
+      .select(col("left_id"), col("right_id"),
+        round(size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+              size(array_union(col("sh_l"), col("sh_r"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over the token multiset: per-bit vote of each
+    * token's xxh64, sign → bit. Native one-pass expression
+    * ([[graft.functions.SimHash64Expr]]).
+    */
+  def simhash64(text: Column): Column =
+    graft.functions.SimHash64Expr(split(TextAnalysis.normalizeText(text), " "))
+
+  /** SimHash candidate pairs within `maxHamming` bit flips.
+    *
+    * Pigeonhole blocking: split the 64-bit hash into `maxHamming+1`
+    * blocks — any pair within the distance budget agrees on ≥1 whole
+    * block, so equal-block join finds all of them without a cross join.
+    * Final filter is an exact popcount on XOR.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks
+    val sigs = docs.select(col(idCol).as("doc_id"),
+                           simhash64(col(textCol)).as("sig"))
+    val blocks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
+        b => shr(col("sig"), b * width)
+               .bitwiseAND((1L << width) - 1))).as(Seq("block_ix", "block_val")))
+    val a = blocks.alias("a")
+    val b = blocks.alias("b")
+    a.join(b,
+        col("a.block_ix") === col("b.block_ix") &&
+        col("a.block_val") === col("b.block_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
+              bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard between two text columns (pair verification). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = shingles(a, n)
+    val sb = shingles(b, n)
+    round(size(array_intersect(sa, sb)).cast("double") /
+          size(array_union(sa, sb)), 6)
+  }
+}

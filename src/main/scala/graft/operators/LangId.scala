@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Heuristic language identification: a multinomial naive-Bayes token
+  * classifier fit and applied entirely as DataFrame plans.
+  *
+  * Fit: per-language token log-probabilities with add-one smoothing on
+  * a dense (lang × vocab) grid, plus log class priors. The model is a
+  * small DataFrame (|langs| × |vocab| rows) — broadcast at scoring
+  * time, so classification is a map-side join + one aggregation on
+  * doc_id. No driver-side state, no collect.
+  */
+object LangId {
+
+  /** Token frequency profiles: (lang, word, logp) densified over the
+    * full vocabulary (unseen (lang,word) pairs get the smoothing floor),
+    * and (lang, logprior).
+    */
+  def fitProfiles(train: DataFrame, textCol: String, langCol: String)
+      : (DataFrame, DataFrame) = {
+    val toks = train.select(col(langCol).as("lang"),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val counts = toks.groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    val vocab = counts.select("word").distinct()
+    val langTotals = counts.groupBy("lang").agg(sum("n").as("lang_total"))
+    val vocabSize = vocab.count() // tiny scalar; computed once at fit time
+    val grid = langTotals.crossJoin(vocab) // |langs| × |vocab| — model-sized
+      .join(counts, Seq("lang", "word"), "left")
+      .select(col("lang"), col("word"),
+        log((coalesce(col("n"), lit(0L)) + 1).cast("double") /
+            (col("lang_total") + vocabSize)).as("logp"))
+    val priors = train.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("nd"))
+      .withColumn("logprior", log(col("nd") / sum(col("nd")).over(Window.partitionBy())))
+      .select("lang", "logprior")
+    (grid, priors)
+  }
+
+  /** Classify each document: argmax over languages of
+    * logprior + Σ logp(token|lang). OOV tokens are ignored (dropped by
+    * the inner vocab join) — deterministic and order-free.
+    */
+  def predict(docs: DataFrame, idCol: String, textCol: String,
+              profiles: DataFrame, priors: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val scored = toks.join(broadcast(profiles), "word")
+      .groupBy("doc_id", "lang").agg(sum("logp").as("loglik"))
+      .join(broadcast(priors), "lang")
+      // rounded so the argmax ordering is reproducible across engines
+      // (fp sum order differs; language-score gaps are O(1))
+      .withColumn("score", round(col("loglik") + col("logprior"), 4))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(col("doc_id"), col("lang").as("lang_pred"))
+  }
+
+  /** Fit on the full labeled set, predict every document. */
+  def selfLabelled(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String): DataFrame = {
+    val (grid, priors) = fitProfiles(docs, textCol, langCol)
+    predict(docs, idCol, textCol, grid, priors)
+  }
+}

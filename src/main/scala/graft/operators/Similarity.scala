@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: cosine math is pure HOF Column expressions (codegen,
+  * map-side). Brute-force broadcasts the (small) query set against the
+  * vector scan — zero shuffle. The LSH path buckets BOTH sides with
+  * deterministic random-hyperplane signatures so the candidate join is
+  * co-partitioned on the bucket key; at 100 TB only bucket-mates meet.
+  */
+object Similarity {
+
+  /** Dot product of two numeric arrays (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0d), (acc, v) => acc + v)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Deterministic random hyperplanes (splitmix64 stream), generated
+    * once driver-side and shipped as a literal — no per-row hashing,
+    * no RNG state on executors, identical across runs and engines.
+    * Shape: (tables*bits) hyperplanes × dim components in [-1, 1).
+    */
+  def hyperplanes(dim: Int, tables: Int, bits: Int): Seq[Seq[Double]] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(tables * bits)(Seq.fill(dim)(next().toDouble / Long.MaxValue))
+  }
+
+  /** All (table, bucket) keys for `v` — one per LSH table: `bits`
+    * sign-bits of hyperplane dot products packed into a long. The
+    * hyperplane tensor is a foldable literal, so per row this is one
+    * (tables*bits × dim) mat-vec inside codegen.
+    */
+  def lshBuckets(v: Column, dim: Int, tables: Int, bits: Int): Column = {
+    val hp = typedlit(hyperplanes(dim, tables, bits))
+    transform(sequence(lit(0), lit(tables - 1)),
+      t => aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+        (acc, b) => acc + when(
+          dot(v, element_at(hp, t * bits + b + 1)) > 0,
+          Dedup.shl(lit(1L), b)).otherwise(0L)))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (baseline).
+    * Queries are broadcast; the corpus is scanned once; per-query top-k
+    * is a key-partitioned window.
+    */
+  def annBruteForce(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("__rk").cast("long").as("rank"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: both sides bucketed,
+    * equal-bucket join on any of `tables` signatures → candidates →
+    * exact cosine → per-query top-k. The scale path: the corpus scan
+    * shuffles once on the bucket key instead of meeting every query.
+    */
+  def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, k: Int,
+             tables: Int = 8, bits: Int = 8): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+              posexplode(lshBuckets(col(vecCol), dim, tables, bits)).as(Seq("t", "bucket")))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+              posexplode(lshBuckets(col(vecCol), dim, tables, bits)).as(Seq("t", "bucket")))
+    val candidates = c.join(q.withColumnRenamed("t", "qt").withColumnRenamed("bucket", "qbucket"),
+        col("t") === col("qt") && col("bucket") === col("qbucket") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("__rk").cast("long").as("rank"))
+  }
+
+  /** Cosine near-duplicate pairs: LSH-bucket both rows, equal-bucket
+    * self-join, exact-cosine verify at `threshold`. Same shape as
+    * [[Dedup.minhashPairs]] — the bucket join is the only shuffle.
+    */
+  def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, threshold: Double,
+                       tables: Int = 6, bits: Int = 10): DataFrame = {
+    val b = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
+      posexplode(lshBuckets(col(vecCol), dim, tables, bits)).as(Seq("t", "bucket")))
+    val l = b.alias("l")
+    val r = b.alias("r")
+    l.join(r,
+        col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("left_id"), col("r.vec_id").as("right_id"),
+              col("l.__v").as("__vl"), col("r.__v").as("__vr"))
+      .dropDuplicates("left_id", "right_id")
+      .select(col("left_id"), col("right_id"),
+              round(cosine(col("__vl"), col("__vr")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -56,6 +56,20 @@ object TextAnalysis {
         .cast("long").as("bpe_tokens"))
   }
 
+  /** Polynomial rolling-hash fingerprint of the full text:
+    * h = Σ h*base + code(char) (mod `mod`). Pure HOF aggregation over
+    * the character sequence — map-side, codegen, deterministic, and
+    * exactly reproducible in any engine with a fold (DuckDB
+    * list_reduce oracle).
+    */
+  def fingerprint(text: Column, base: Long = 31L, mod: Long = 1000000007L): Column =
+    // empty-text guard: sequence(1, 0) would generate a DESCENDING range
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
+        lit(0L),
+        (acc, c) => (acc * base + c) % mod))
+
   /** Word-set Jaccard similarity between two text columns (candidate-pair
     * verification for near-dedup). Pure column expression.
     */

@@ -24,8 +24,9 @@ class CoreOperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("every query key has an oracle") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  test("every query key has an oracle or a declared rows-only waiver") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      SparkEntry.rowsOnlyQueries
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphan.isEmpty, s"oracles without query: $orphan")

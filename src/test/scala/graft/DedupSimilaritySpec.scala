@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, LangId, Similarity, TextAnalysis}
+
+/** Planted-duplicate recovery specs for the hash-seeded operators that
+  * have no SQL oracle (SURVEY.md §2 E-group).
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH recovers planted near- and exact duplicates") {
+    val out = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    val planted =
+      ids.filter(_ % 7 == 0).map(i => (i, i + 1000000L)) ++
+      ids.filter(_ % 11 == 0).map(i => (i, i + 2000000L)) ++
+      ids.filter(i => i % 7 == 0 && i % 11 == 0).map(i => (i + 1000000L, i + 2000000L))
+    // the base corpus contains some genuine near-dups (verified against
+    // the exhaustive DuckDB pair scan) — require recall of the planted
+    // set, not exact equality
+    assert(planted.subsetOf(out),
+      s"missed planted pairs: ${planted -- out}")
+  }
+
+  test("simhash finds planted exact copies at hamming 0") {
+    val out = SparkEntry.queries("dedup_simhash")(spark, sf)
+    val exact = out.filter($"hamming" === 0)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    val planted = ids.filter(_ % 11 == 0).map(i => (i, i + 2000000L))
+    assert(planted.subsetOf(exact))
+    // everything reported respects the hamming budget
+    assert(out.filter($"hamming" > 3).count() == 0)
+  }
+
+  test("embedding near-dup finds exactly the planted perturbed pairs") {
+    val out = SparkEntry.queries("embedding_neardup")(spark, sf)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val ids = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    val expected = ids.filter(_ % 10 == 0).map(i => (i, i + 1000000L))
+    assert(out == expected)
+  }
+
+  test("ann_lsh returns the planted twin as the top neighbor for every query") {
+    val out = SparkEntry.queries("ann_lsh")(spark, sf)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ids = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    val queries = ids.filter(_ % 10 == 0)
+    assert(out.keySet == queries)
+    assert(queries.forall(q => out(q) == q + 1000000L))
+  }
+
+  test("ann_bruteforce: k neighbors per query, correctly ranked") {
+    val out = SparkEntry.queries("ann_bruteforce")(spark, sf)
+    val byQuery = out.select("query_id", "rank", "cos")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
+  // sf0.001 has 500 docs of ~25 tokens — the per-lang multinomial gap is
+  // small, so naive Bayes tops out near 0.44 here; chance is 0.2.
+  test("lang_id recovers the word-distribution signal (accuracy > 0.35)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pred = LangId.selfLabelled(docs, "doc_id", "text", "lang")
+    val joined = pred.join(docs.select($"doc_id", $"lang"), "doc_id")
+    val acc = joined.filter($"lang_pred" === $"lang").count().toDouble /
+      joined.count()
+    assert(acc > 0.35, s"lang_id accuracy $acc")
+  }
+
+  test("fingerprint matches a reference fold implementation") {
+    val fp = Seq(("ab", 0L)).toDF("text", "ignore")
+      .select(TextAnalysis.fingerprint($"text").as("fp")).as[Long].head()
+    // ((0*31 + 97) % p)*31 + 98) % p
+    assert(fp == (97L * 31 + 98) % 1000000007L)
+    val empty = Seq(("", 0L)).toDF("text", "ignore")
+      .select(TextAnalysis.fingerprint($"text").as("fp")).as[Long].head()
+    assert(empty == 0L)
+  }
+
+  test("trim punctuation expression matches reference fixpoint semantics") {
+    import graft.marc.TrimPunctuation
+    val cases = Seq(
+      "Title of work ;"   -> "Title of work",
+      "Title, ,;:"        -> "Title",
+      "[Some place]"      -> "Some place",
+      "by Author."        -> "by Author",
+      "A.B."              -> "A.B.",   // <3 word chars before '.' kept
+      "."                 -> "",
+      "plain"             -> "plain")
+    cases.foreach { case (in, want) =>
+      assert(TrimPunctuation.trim(in) == want, s"input '$in'")
+    }
+  }
+}

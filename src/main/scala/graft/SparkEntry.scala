@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Dedup, LangId, Relational, Similarity, TextAnalysis, Upsert}
 import graft.functions.Normalize
-import graft.marc.TrimPunctuation
+import graft.marc.{Extract, Iso2709, MarcCorpus, MarcXml, PublishSplit, TrimPunctuation}
+import graft.marc.PublishSplit.PublishRow
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   *
@@ -72,6 +73,10 @@ object SparkEntry {
       e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), noise.as("embedding")))
   }
+
+  /** Split publish corpus (bib/holding/item union) for the A-group ops. */
+  private def splitCorpus(s: SparkSession, dir: String): DataFrame =
+    PublishSplit.split(MarcCorpus.publishRecords(Tables(s, dir))).toDF()
 
   private def itemInfoView(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -335,6 +340,111 @@ object SparkEntry {
       t.part.select(col("p_partkey"),
         TrimPunctuation(concat(lit("["), col("p_name"), lit("],"))).as("unbracketed"),
         TrimPunctuation(concat(col("p_name"), lit(".;"))).as("unpunctuated"))
+    }),
+
+    // A1: deterministic MARC publish corpus shape
+    "marc_build" -> ((s, dir) => {
+      MarcCorpus.publishRecords(Tables(s, dir)).select(
+        col("mms_id"), col("leader"),
+        size(col("fields")).cast("long").as("n_fields"),
+        size(filter(col("fields"), f => f("tag") === "852")).cast("long").as("n_852"),
+        size(filter(col("fields"), f => f("tag") === "ITM")).cast("long").as("n_itm"))
+    }),
+
+    // A4/A5/B5: publish split — bib side (001 reordered first, holding
+    // control groups + routed fields removed), title/author extraction
+    "publish_split_bib" -> ((s, dir) => {
+      splitCorpus(s, dir).filter(col("kind") === "bib").select(
+        col("mms_id"),
+        col("fields")(0)("tag").as("first_tag"),
+        size(col("fields")).cast("long").as("n_fields"),
+        col("leader"),
+        Extract.title(col("fields")).as("title"),
+        Extract.author(col("fields")).as("author"))
+    }),
+
+    // A4/A5: holding synthesis (001/004/035/005/007/008 + routed 852/HLD/ITM)
+    // + holding_brief extraction (call number, codes, dates, suppress)
+    "publish_split_holding" -> ((s, dir) => {
+      splitCorpus(s, dir).filter(col("kind") === "holding").select(
+        col("holding_id"), col("mms_id"), col("leader"),
+        array_join(transform(col("fields"), f => f("tag")), ",").as("field_tags"),
+        Extract.callNumber(col("fields")).as("display_call_number"),
+        Extract.libraryCode(col("fields")).as("library_code"),
+        Extract.locationCode(col("fields")).as("location_code"),
+        Extract.fixedField(col("fields"), "008").as("field008"),
+        Extract.voyagerId(col("fields")).as("voyager_holding_id"),
+        Extract.suppress(col("fields"), "HLD").as("suppress"),
+        size(col("item_pids")).cast("long").as("n_items"),
+        Extract.systemDates(col("fields"), "HLD")("update").cast("long").as("update_epoch"))
+    }),
+
+    // A4: item JSON fill from the ITM field + template (store_item_json view)
+    "publish_split_item" -> ((s, dir) => {
+      val items = splitCorpus(s, dir).filter(col("kind") === "item")
+      def j(path: String) = get_json_object(col("item_json"), path)
+      items.select(
+        col("pid"), col("holding_id"), col("mms_id"),
+        j("$.item_data.barcode").as("barcode"),
+        j("$.item_data.library.value").as("perm_library"),
+        j("$.item_data.location.value").as("perm_location"),
+        j("$.holding_data.temp_library.value").as("temp_library"),
+        j("$.holding_data.in_temp_location").as("in_temp_location"),
+        j("$.item_data.base_status.value").as("status_code"),
+        Normalize.normWs(j("$.item_data.description")).as("description"),
+        j("$.item_data.enumeration_a").as("item_enum"),
+        j("$.item_data.pieces").as("pieces"),
+        j("$.holding_data.copy_id").as("copy_id"))
+    }),
+
+    // B5/B6: the full bib_brief build (store_bib_marc param extraction)
+    "bib_brief" -> ((s, dir) => {
+      splitCorpus(s, dir).filter(col("kind") === "bib").select(
+        col("mms_id"),
+        Extract.title(col("fields")).as("title"),
+        Extract.author(col("fields")).as("author"),
+        Extract.publicationDate(col("fields")).as("publication_date"),
+        Extract.publicationPlace(col("fields")).as("publication_place"),
+        Extract.publisher(col("fields")).as("publisher"),
+        Extract.fixedField(col("fields"), "008").as("field008"),
+        Extract.extent(col("fields")).as("extent"),
+        Extract.material(col("fields")).as("material"),
+        col("leader"),
+        Extract.issn(col("fields")).as("issn"),
+        Extract.isbn(col("fields")).as("isbn"),
+        Extract.oclcNumber(col("fields")).as("oclc_number"),
+        Extract.voyagerId(col("fields")).as("voyager_bib_id"),
+        Extract.suppress(col("fields"), "BIB").as("suppress"),
+        Extract.systemDates(col("fields"), "BIB")("create").cast("long").as("create_epoch"),
+        Extract.systemDates(col("fields"), "BIB")("update").cast("long").as("update_epoch"))
+    }),
+
+    // A2: MARC-XML serialize → parse → re-extract (roundtrip identity
+    // verified against the independent SQL derivation of the title)
+    "marc_xml_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val bibs = splitCorpus(s, dir).filter(col("kind") === "bib")
+        .select("mms_id", "leader", "fields").as[PublishRow]
+      bibs.map(r => MarcXml.toXml(r.leader, r.fields))
+        .flatMap(MarcXml.parseRecords(_))
+        .toDF()
+        .select(col("mms_id"),
+          size(col("fields")).cast("long").as("n_fields"),
+          Extract.title(col("fields")).as("title"))
+    }),
+
+    // A3: ISO-2709 binary encode (99999-byte cap w/ BIB-drop fallback)
+    // → decode → re-extract
+    "marc_binary_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val bibs = splitCorpus(s, dir).filter(col("kind") === "bib")
+        .select("mms_id", "leader", "fields").as[PublishRow]
+      bibs.flatMap(r => Iso2709.encodeCapped(r.leader, r.fields, "BIB"))
+        .flatMap(b => Iso2709.decodeAll(b))
+        .toDF()
+        .select(col("mms_id"),
+          size(col("fields")).cast("long").as("n_fields"),
+          Extract.title(col("fields")).as("title"))
     }),
 
     // D2 batch twin: windowed event metrics
@@ -601,7 +711,8 @@ object SparkEntry {
            JOIN priors p ON p.lang = g.lang
            GROUP BY 1, 2)
          SELECT doc_id, lang AS lang_pred FROM scored
-         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1""",
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1""") ++
+    MarcOracles ++ Map(
 
     "trim_punctuation" ->
       """WITH s AS (
@@ -627,6 +738,115 @@ object SparkEntry {
                 CASE WHEN c1 = '.' THEN '' ELSE c1 END AS unbracketed,
                 CASE WHEN c2 = '.' THEN '' ELSE c2 END AS unpunctuated
          FROM p3"""
+  )
+
+  /** Shared oracle fragments for the MARC corpus derivations: the
+    * DuckDB side recomputes expected values straight from the TPC-H
+    * columns, fully independent of the MARC build→split→extract path.
+    */
+  private val TitleSql =
+    "'Order '||o_orderkey||' '||c_mktsegment||' annals ; no. '||(o_orderkey%7)"
+  private val AuthorSql = "c_name||' b. 19'||(o_custkey%100)"
+  private val BibFieldCountSql =
+    "CAST(16 + CASE WHEN o_orderkey%5=0 THEN 1 ELSE 0 END AS BIGINT)"
+  private val RoundtripSql =
+    s"""SELECT '99'||o_orderkey||'8651' AS mms_id,
+          $BibFieldCountSql AS n_fields,
+          $TitleSql AS title
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"""
+
+  private val MarcOracles: Map[String, String] = Map(
+    "marc_build" ->
+      """WITH li AS (SELECT * FROM lineitem
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice) = 1),
+         h AS (SELECT l_orderkey, count(*) AS nh FROM li GROUP BY 1)
+         SELECT '99'||o_orderkey||'8651' AS mms_id,
+                '00000cam a2200000 a 4500' AS leader,
+                CAST(16 + 8*h.nh + CASE WHEN o_orderkey%5=0 THEN 1 ELSE 0 END AS BIGINT) AS n_fields,
+                CAST(h.nh AS BIGINT) AS n_852,
+                CAST(h.nh AS BIGINT) AS n_itm
+         FROM orders JOIN h ON h.l_orderkey = o_orderkey""",
+
+    "publish_split_bib" ->
+      s"""SELECT '99'||o_orderkey||'8651' AS mms_id,
+            '001' AS first_tag,
+            $BibFieldCountSql AS n_fields,
+            '00000cam a2200000 a 4500' AS leader,
+            $TitleSql AS title,
+            $AuthorSql AS author
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""",
+
+    "publish_split_holding" ->
+      """WITH li AS (SELECT * FROM lineitem
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice) = 1)
+         SELECT '22'||(l_orderkey*100+l_linenumber)||'8651' AS holding_id,
+                '99'||l_orderkey||'8651' AS mms_id,
+                '00000nx  a2200000zn 4500' AS leader,
+                '001,004,035,005,007,008,852,HLD,ITM' AS field_tags,
+                'QA'||l_partkey||' .B'||l_suppkey AS display_call_number,
+                r_name AS library_code,
+                n_name AS location_code,
+                strftime(l_shipdate, '%y%m%d')||'0u    8   4001uu   0901128' AS field008,
+                CAST((l_orderkey*100+l_linenumber)%10000000 AS VARCHAR) AS voyager_holding_id,
+                CASE WHEN l_linenumber%2=0 THEN 'N' ELSE 'Y' END AS suppress,
+                CAST(1 AS BIGINT) AS n_items,
+                CAST(epoch(l_shipdate) AS BIGINT) AS update_epoch
+         FROM li
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey""",
+
+    "publish_split_item" ->
+      """WITH li AS (SELECT * FROM lineitem
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice) = 1)
+         SELECT '23'||(l_orderkey*100+l_linenumber)||'8651' AS pid,
+                '22'||(l_orderkey*100+l_linenumber)||'8651' AS holding_id,
+                '99'||l_orderkey||'8651' AS mms_id,
+                '39002'||'23'||(l_orderkey*100+l_linenumber)||'8651' AS barcode,
+                r_name AS perm_library,
+                n_name AS perm_location,
+                CASE WHEN l_returnflag='R' THEN 'TEMPLIB' ELSE r_name END AS temp_library,
+                CASE WHEN l_returnflag='R' THEN 'true' ELSE 'false' END AS in_temp_location,
+                CASE WHEN l_linestatus='F' THEN '1' ELSE '0' END AS status_code,
+                'copy '||CAST(l_quantity AS BIGINT)||' desc' AS description,
+                'v.'||l_linenumber AS item_enum,
+                CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS pieces,
+                CAST(l_linenumber%3 AS VARCHAR) AS copy_id
+         FROM li
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey""",
+
+    "bib_brief" ->
+      s"""SELECT '99'||o_orderkey||'8651' AS mms_id,
+            $TitleSql AS title,
+            $AuthorSql AS author,
+            year(o_orderdate)||'. ['||year(o_orderdate)||']' AS publication_date,
+            cust_nation||' : '||c_mktsegment||' City United States '||c_mktsegment||' County' AS publication_place,
+            'Publisher '||o_custkey||', Distributor & Co.' AS publisher,
+            strftime(o_orderdate, '%y%m%d')||'s'||year(o_orderdate)||'    xxu           000 0 eng d' AS field008,
+            'xii, '||(o_orderkey%900)||' p. 24 cm.' AS extent,
+            'ill. ; '||o_orderpriority AS material,
+            '00000cam a2200000 a 4500' AS leader,
+            lpad(CAST(o_orderkey%10000 AS VARCHAR),4,'0')||'-'||lpad(CAST(o_custkey%10000 AS VARCHAR),4,'0') AS issn,
+            '978-0-'||lpad(CAST(o_custkey AS VARCHAR),5,'0')||'-'||(o_orderkey%10) AS isbn,
+            '(OCoLC)'||(o_orderkey+1000000) AS oclc_number,
+            CAST(o_orderkey AS VARCHAR) AS voyager_bib_id,
+            CASE WHEN o_orderkey%3=0 THEN 'N' ELSE 'Y' END AS suppress,
+            CAST(epoch(timezone('America/New_York', o_orderdate)) AS BIGINT) AS create_epoch,
+            CAST(epoch(o_orderdate) AS BIGINT) AS update_epoch
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN (SELECT n_nationkey AS cnk, n_name AS cust_nation FROM nation) ON c_nationkey = cnk
+          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""",
+
+    "marc_xml_roundtrip" -> RoundtripSql,
+    "marc_binary_roundtrip" -> RoundtripSql
   )
 
   /** Queries intentionally without a DuckDB oracle (hash-seed-dependent

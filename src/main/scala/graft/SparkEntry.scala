@@ -447,6 +447,21 @@ object SparkEntry {
           Extract.title(col("fields")).as("title"))
     }),
 
+    // D1 batch twin: per-key latest state with the strictly-newer guard
+    // (Streams.latestStatusUpdates final state; ties keep the first
+    // event processed in (ts, status) order)
+    "stream_latest_status" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // µs granularity: the DuckDB oracle reads TIMESTAMP_NS parquet at
+      // µs precision, so order and output on the µs value both sides
+      val ev = Tables(s, dir).events.select(
+        col("user_id").as("key"), expr("ts_ns div 1000").as("ts"),
+        col("event_type").as("status"))
+      val w = Window.partitionBy("key").orderBy(col("ts").desc, col("status").asc)
+      ev.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn")
+    }),
+
     // D2 batch twin: windowed event metrics
     "stream_windowed_events" -> ((s, dir) => {
       // hour bucket computed on the exact ns long: ns div 3.6e12 → hour
@@ -846,7 +861,14 @@ object SparkEntry {
           WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""",
 
     "marc_xml_roundtrip" -> RoundtripSql,
-    "marc_binary_roundtrip" -> RoundtripSql
+    "marc_binary_roundtrip" -> RoundtripSql,
+
+    "stream_latest_status" ->
+      """SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ts,
+                event_type AS status
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts) DESC, event_type ASC) = 1"""
   )
 
   /** Queries intentionally without a DuckDB oracle (hash-seed-dependent

@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.marc.{Iso2709, MarcXml}
+import graft.marc.PublishSplit.PublishRow
+
+/** Publish-file sources: MARC-XML, tar.gz'd MARC-XML, and binary
+  * ISO-2709 files → a Dataset of publish records.
+  *
+  * Re-expresses parse_file / process_publish_marc
+  * (alma_publish_parser.py:197-238, 280-308): the reference fans files
+  * out over a ThreadPoolExecutor on one box; here each FILE is one row
+  * of a `binaryFile` scan and record parsing is a flatMap — parallel
+  * across the cluster with no driver involvement, which is the shape
+  * that survives 100 TB of publish files. Works identically under
+  * `spark.readStream` (FileStreamSource + maxFilesPerTrigger) for the
+  * staged-ingest path.
+  */
+object PublishFiles {
+
+  /** (record, source file) rows decoded from one publish file's bytes. */
+  def decodeFile(path: String, bytes: Array[Byte]): Seq[PublishRow] = {
+    if (path.endsWith(".gz")) {
+      val tar = new TarArchiveInputStream(
+        new GZIPInputStream(new BufferedInputStream(
+          new ByteArrayInputStream(bytes))))
+      val out = Seq.newBuilder[PublishRow]
+      var entry = tar.getNextEntry
+      var last: Array[Byte] = null
+      while (entry != null) {
+        if (!entry.isDirectory) {
+          val buf = new ByteArrayOutputStream()
+          val tmp = new Array[Byte](64 * 1024)
+          var n = tar.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = tar.read(tmp) }
+          last = buf.toByteArray // reference keeps the LAST member (parser:210-213)
+        }
+        entry = tar.getNextEntry
+      }
+      if (last != null) out ++= MarcXml.parseRecords(new String(last, "UTF-8"))
+      out.result()
+    } else if (path.endsWith(".xml")) {
+      MarcXml.parseRecords(new String(bytes, "UTF-8"))
+    } else {
+      Iso2709.decodeAll(bytes)
+    }
+  }
+
+  /** Batch read of a directory/glob of publish files. */
+  def readPublishFiles(spark: org.apache.spark.sql.SparkSession,
+                       pathGlob: String): Dataset[PublishRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) => decodeFile(p, b) }
+  }
+
+  /** Streaming read: same decode, driven by the file-stream source
+    * (one trigger per arriving stable file set).
+    */
+  def streamPublishFiles(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, maxFilesPerTrigger: Int = 8): Dataset[PublishRow] = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) => decodeFile(p, b) }
+  }
+
+  /** Publish-file batch prefix — file_prefix (alma_publish_parser.py:
+    * 310-312): strip `_[a-z]+_\d+.tar.gz` then `_[a-z]+.tar.gz`.
+    */
+  def filePrefix(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(path, "_[a-z]+_\\d+\\.tar\\.gz$", ""),
+      "_[a-z]+.tar\\.gz$", "")
+
+  /** Group files into consecutive same-prefix batches — group_files
+    * (alma_publish_parser.py:314-328). Returns (path, file_prefix,
+    * batch_ix) where batch_ix increments whenever the prefix changes in
+    * sorted-path order (consecutive-run semantics, same machinery as
+    * the analytics importer's run detection).
+    */
+  def groupFileBatches(files: DataFrame, pathCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(pathCol))
+    files
+      .withColumn("file_prefix", filePrefix(col(pathCol)))
+      .withColumn("__chg",
+        when(lag(col("file_prefix"), 1).over(w).isNull ||
+             lag(col("file_prefix"), 1).over(w) =!= col("file_prefix"), 1)
+          .otherwise(0))
+      .withColumn("batch_ix", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("__chg")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming re-expressions of the reference's webhook-fed
+  * tables (README "webhook" tables; ddl/data_sync_db.sql record_update,
+  * item_base_status, request_event).
+  *
+  * The reference receives row-at-a-time webhook updates guarded by
+  * `update_date_time < $new` (database_insert.py:124-126 via
+  * alma_publish_to_database.py:124). On a stream that guard is per-key
+  * monotonic state — flatMapGroupsWithState keeps the latest event per
+  * key and emits only strictly-newer arrivals, so the sink applies
+  * exactly the rows the reference would have upserted.
+  */
+object Streams {
+
+  case class StatusEvent(key: Long, ts: Long, status: String)
+
+  /** Per-key latest-state stream: emits an event iff it is strictly
+    * newer than the held state (ties and stragglers dropped — the
+    * conditional-upsert guard). Use on a stream grouped by key.
+    */
+  def latestStatusUpdates(events: Dataset[StatusEvent]): Dataset[StatusEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[StatusEvent, StatusEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[StatusEvent], state: GroupState[StatusEvent]) =>
+          var current = state.getOption
+          val out = Seq.newBuilder[StatusEvent]
+          // within a batch, process in ts order for deterministic output
+          rows.toSeq.sortBy(e => (e.ts, e.status)).foreach { e =>
+            if (current.forall(_.ts < e.ts)) { current = Some(e); out += e }
+          }
+          current.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Tumbling-window event metrics with a watermark — the
+    * request_event rate counters. `tsCol` must be a TimestampType
+    * event-time column.
+    */
+  def windowedEventCounts(events: DataFrame, tsCol: String, typeCol: String,
+                          valueCol: String, windowDuration: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration), col(typeCol))
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 3).as("total_value"))
+      .select(col("window.start").as("window_start"), col(typeCol),
+              col("n"), col("total_value"))
+
+  /** Stable-file detection: the sftp_wait_for_stable semantics
+    * (sftp_wait_for_stable.py) as a relational op over two manifest
+    * snapshots (path, size) — a file is stable when its size is
+    * unchanged between snapshots. Runs as an anti-join, no driver loop.
+    */
+  def stableFiles(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("path"), col("size").as("prev_size"))
+    cur.join(p, "path").filter(col("size") === col("prev_size"))
+      .select(col("path"), col("size"))
+  }
+}

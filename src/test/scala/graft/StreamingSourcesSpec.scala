@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.marc.{Iso2709, MarcCorpus, MarcXml}
+import graft.marc.PublishSplit.PublishRow
+import graft.operators.Multimodal
+import graft.sources.{PublishFiles, Tables}
+import graft.streaming.Streams
+import graft.streaming.Streams.StatusEvent
+
+/** D-group (streaming, file staging) and F-group (sources) specs. */
+class StreamingSourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------- D1 / D2
+
+  test("latest-status stream equals the batch twin after all batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatusEvent]
+    val out = Streams.latestStatusUpdates(input.toDS())
+    val q = out.writeStream.format("memory").queryName("latest_t")
+      .outputMode("append").start()
+    try {
+      input.addData(StatusEvent(1, 10, "a"), StatusEvent(2, 5, "x"))
+      q.processAllAvailable()
+      // batch 2: key 1 gets older + equal + newer events
+      input.addData(StatusEvent(1, 9, "stale"), StatusEvent(1, 10, "dup"),
+                    StatusEvent(1, 12, "b"), StatusEvent(2, 6, "y"))
+      q.processAllAvailable()
+      val emitted = spark.table("latest_t").as[StatusEvent].collect().toSet
+      // stale (9 < 10) and dup (10 == 10) are dropped by the
+      // update_date_time guard; b and y are strictly newer
+      assert(emitted == Set(
+        StatusEvent(1, 10, "a"), StatusEvent(2, 5, "x"),
+        StatusEvent(1, 12, "b"), StatusEvent(2, 6, "y")))
+      // final state per key == batch latest-wins
+      val finalState = emitted.groupBy(_.key).map { case (k, es) => k -> es.maxBy(_.ts) }
+      assert(finalState == Map(1L -> StatusEvent(1, 12, "b"),
+                               2L -> StatusEvent(2, 6, "y")))
+    } finally q.stop()
+  }
+
+  test("windowed event stream matches the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val out = Streams.windowedEventCounts(df, "ts", "event_type", "value")
+    val q = out.writeStream.format("memory").queryName("win_t")
+      .outputMode("complete").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 10:05:00"), "click", 1.0),
+        (t("2024-01-01 10:55:00"), "click", 2.0),
+        (t("2024-01-01 11:05:00"), "click", 4.0),
+        (t("2024-01-01 10:20:00"), "view", 8.0))
+      q.processAllAvailable()
+      val got = spark.table("win_t")
+        .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n", $"total_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got == Set(("10:00", "click", 2L, 3.0), ("11:00", "click", 1L, 4.0),
+                        ("10:00", "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("stable-file manifest join flags only size-stable files") {
+    val prev = Seq(("a", 10L), ("b", 5L)).toDF("path", "size")
+    val cur = Seq(("a", 10L), ("b", 9L), ("c", 4L)).toDF("path", "size")
+    val stable = Streams.stableFiles(prev, cur).as[(String, Long)].collect().toSeq
+    assert(stable == Seq(("a", 10L))) // b grew, c is new
+  }
+
+  // ------------------------------------------------------------- F sources
+
+  private def writePublishFiles(): (String, Long) = {
+    val dir = Files.createTempDirectory("graft_pub").toFile
+    val corpus = MarcCorpus.publishRecords(Tables(spark, sf))
+      .limit(30).select("mms_id", "leader", "fields").as[PublishRow].collect()
+    val (aXml, bXml, cBin) = (corpus.take(10), corpus.slice(10, 20), corpus.drop(20))
+    // plain .xml collection file
+    val xml = "<collection>" + aXml.map(r => MarcXml.toXml(r.leader, r.fields)).mkString + "</collection>"
+    Files.write(new java.io.File(dir, "pub_new_1.xml").toPath, xml.getBytes("UTF-8"))
+    // tar.gz with one xml member
+    val xml2 = "<collection>" + bXml.map(r => MarcXml.toXml(r.leader, r.fields)).mkString + "</collection>"
+    val tgz = new java.io.File(dir, "pub_new_2.tar.gz")
+    val tarOut = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+      new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(tgz)))
+    val entry = new org.apache.commons.compress.archivers.tar.TarArchiveEntry("member.xml")
+    val bytes = xml2.getBytes("UTF-8")
+    entry.setSize(bytes.length)
+    tarOut.putArchiveEntry(entry); tarOut.write(bytes); tarOut.closeArchiveEntry(); tarOut.close()
+    // binary iso-2709 file
+    val bin = cBin.flatMap(r => Iso2709.encode(r.leader, r.fields)).toArray
+    Files.write(new java.io.File(dir, "pub_3.mrc").toPath, bin)
+    (dir.getAbsolutePath, corpus.length.toLong)
+  }
+
+  test("publish files read back across xml / tar.gz / binary formats") {
+    val (dir, n) = writePublishFiles()
+    val recs = PublishFiles.readPublishFiles(spark, dir + "/*")
+    assert(recs.count() == n)
+    // mms ids survive every container format
+    assert(recs.map(_.mms_id).filter(_ != null).distinct().count() == n)
+  }
+
+  test("streaming publish-file source decodes the same records") {
+    val (dir, n) = writePublishFiles()
+    val q = PublishFiles.streamPublishFiles(spark, dir, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("pub_t").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("pub_t").count() == n)
+    } finally q.stop()
+  }
+
+  test("file batch grouping follows the reference prefix regex") {
+    val files = Seq(
+      "/in/setA_new_1.tar.gz", "/in/setA_new_2.tar.gz", "/in/setA_delete.tar.gz",
+      "/in/setB_new_1.tar.gz").toDF("path")
+    val out = PublishFiles.groupFileBatches(files, "path")
+      .select("path", "file_prefix", "batch_ix")
+      .as[(String, String, Long)].collect().sortBy(_._1).toSeq
+    // sorted order: setA_delete, setA_new_1, setA_new_2, setB_new_1
+    assert(out.map(_._2).distinct == Seq("/in/setA", "/in/setB"))
+    assert(out.map(_._3) == Seq(0L, 0L, 0L, 1L))
+  }
+
+  test("utf-16 tsv import (the analytics feed encoding)") {
+    val dir = Files.createTempDirectory("graft_tsv").toFile
+    val content = "pid\tstatus\tflag\n231\tItem not in place\tActive\n232\tItem in place\tActive\n"
+    Files.write(new java.io.File(dir, "report.tsv").toPath,
+                content.getBytes("UTF-16"))
+    val df = spark.read
+      .option("sep", "\t").option("header", "true").option("encoding", "UTF-16")
+      .csv(dir.getAbsolutePath)
+    assert(df.count() == 2)
+    assert(df.filter($"status" === "Item not in place").select("pid")
+      .as[String].collect().toSeq == Seq("231"))
+  }
+
+  test("maxRecordsPerFile chunked write (split_jsonl semantics)") {
+    val dir = Files.createTempDirectory("graft_chunk").toFile.getAbsolutePath + "/out"
+    spark.range(250).selectExpr("id", "concat('doc', id) AS body")
+      .coalesce(1).write.option("maxRecordsPerFile", 100).json(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json"))
+    assert(files.length == 3) // 100 + 100 + 50
+    assert(spark.read.json(dir).count() == 250)
+  }
+
+  // ------------------------------------------------------------- E12
+
+  test("multimodal featurize batches per partition and preserves rows") {
+    val assets = Multimodal.assetsFromDocuments(
+      spark.read.parquet(s"$sf/documents.parquet")).repartition(4)
+    val out = Multimodal.featurize(assets)
+    assert(out.count() == 500)
+    assert(out.select("features").head().getSeq[Float](0).length == 8)
+    // every partition decoded a batch, not single rows
+    val batchSizes = out.select("decoded_in_partition").distinct()
+      .as[Int].collect()
+    assert(batchSizes.forall(_ > 1))
+    // deterministic: same payload → same features
+    val f1 = out.orderBy("asset_id").select("features").head().getSeq[Float](0)
+    val f2 = Multimodal.featurize(assets).orderBy("asset_id")
+      .select("features").head().getSeq[Float](0)
+    assert(f1 == f2)
+  }
+
+  test("resize plan caps the longest side; frame sampling strides") {
+    val assets = Multimodal.assetsFromDocuments(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val rs = Multimodal.resizePlan(assets, 256)
+    assert(rs.filter($"target_width" > 256 || $"target_height" > 256).count() == 0)
+    val frames = Multimodal.sampleFrames(assets, 30)
+    assert(frames.count() > 0)
+    assert(frames.filter($"frame_ix" % 30 =!= 0).count() == 0)
+  }
+}

@@ -59,6 +59,50 @@ object HashSketches {
     new GenericArrayData(out)
   }
 
+  /** Distinct word n-gram shingles in one pass (insertion order), no
+    * per-gram Column machinery. Tokens joined with a single space —
+    * same output as the HOF slice/concat_ws composition.
+    */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val last = math.max(m - n, 0)
+    var i = 0
+    while (i <= last && m > 0) {
+      val end = math.min(i + n, m)
+      var j = i
+      val parts = new Array[UTF8String]((end - i) * 2 - 1)
+      var p = 0
+      while (j < end) {
+        if (j > i) { parts(p) = Space; p += 1 }
+        val t = tokens.getUTF8String(j)
+        parts(p) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        p += 1
+        j += 1
+      }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
+  }
+  private val Space = UTF8String.fromString(" ")
+
+  /** Polynomial rolling hash over the string's characters:
+    * h = (h*base + codepoint) mod m — one pass, matches the DuckDB
+    * list_reduce oracle exactly for BMP text.
+    */
+  def rollingHash(s: UTF8String, base: Long, mod: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * base + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** One pass 64-bit SimHash over the token array: per-bit ±1 votes of
     * each token's xxh64, packed sign bits.
     */
@@ -121,9 +165,43 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `array<string>` tokens → `array<string>` distinct n-gram shingles. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashSketches.shingles(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashSketches.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+/** `string` → polynomial rolling-hash long. */
+case class RollingHashExpr(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashSketches.rollingHash(v.asInstanceOf[UTF8String], base, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashSketches.rollingHash($c, ${base}L, ${mod}L)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
 object MinHashBandsExpr {
   def apply(c: Column, k: Int, bands: Int): Column =
     ColumnBridge.column(MinHashBandsExpr(ColumnBridge.expression(c), k, bands))
+}
+
+object ShinglesExpr {
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(c), n))
+}
+
+object RollingHashExpr {
+  def apply(c: Column, base: Long, mod: Long): Column =
+    ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(c), base, mod))
 }
 
 object SimHash64Expr {

@@ -40,15 +40,24 @@ object ItemTemplate {
     sb.toString
   }
 
+  private val AnyPlaceholder =
+    "\"<in_temp_location>\"|<mms_id>|<\\$([^>]{1,2})>".r
+
+  /** Single-pass fill (same output as the reference's sequential
+    * replaces: first subfield per code wins the placeholder, last
+    * subfield per code wins the temp-location comparison, unfilled
+    * placeholders stripped).
+    */
   def fill(template: String, mmsId: String, field: MarcField): String = {
-    var out = template.replace("<mms_id>", mmsId)
+    val subs = Option(field.subfields).getOrElse(Seq.empty)
+    val firstByCode = collection.mutable.HashMap.empty[String, String]
     var permLibrary: String = null
     var permLocation: String = null
     var currentLibrary: String = null
     var currentLocation: String = null
-    Option(field.subfields).getOrElse(Seq.empty).foreach { s =>
+    subs.foreach { s =>
       val v = jsonEscape(Option(s.value).getOrElse(""))
-      out = out.replace(s"<$$${s.code}>", v)
+      if (!firstByCode.contains(s.code)) firstByCode(s.code) = v
       s.code match {
         case "s" => permLocation = v
         case "t" => currentLocation = v
@@ -60,7 +69,11 @@ object ItemTemplate {
     val inTemp =
       if (permLocation == currentLocation && permLibrary == currentLibrary) "false"
       else "true"
-    out = out.replace("\"<in_temp_location>\"", inTemp)
-    LeftoverPlaceholder.replaceAllIn(out, "")
+    AnyPlaceholder.replaceAllIn(template, m =>
+      scala.util.matching.Regex.quoteReplacement(m.matched match {
+        case "\"<in_temp_location>\"" => inTemp
+        case "<mms_id>"               => mmsId
+        case _                        => firstByCode.getOrElse(m.group(1), "")
+      }))
   }
 }

@@ -23,14 +23,12 @@ object Dedup {
   private[operators] def shl(c: Column, n: Column): Column =
     call_function("shiftleft", c, n)
 
-  /** Distinct word n-gram shingles of the whitespace-normalized text. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(TextAnalysis.normalizeText(text), " ")
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    array_distinct(grams)
-  }
+  /** Distinct word n-gram shingles of the whitespace-normalized text
+    * (native one-pass expression — the HOF slice/concat_ws composition
+    * is interpreted and re-inlined per reference by CollapseProject).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShinglesExpr(split(TextAnalysis.normalizeText(text), " "), n)
 
   /** MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
     *

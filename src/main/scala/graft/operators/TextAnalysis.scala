@@ -63,12 +63,7 @@ object TextAnalysis {
     * list_reduce oracle).
     */
   def fingerprint(text: Column, base: Long = 31L, mod: Long = 1000000007L): Column =
-    // empty-text guard: sequence(1, 0) would generate a DESCENDING range
-    when(length(text) === 0, lit(0L)).otherwise(
-      aggregate(
-        transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
-        lit(0L),
-        (acc, c) => (acc * base + c) % mod))
+    graft.functions.RollingHashExpr(text, base, mod)
 
   /** Word-set Jaccard similarity between two text columns (candidate-pair
     * verification for near-dedup). Pure column expression.

@@ -235,11 +235,16 @@ object SparkEntry {
                 when(col("n_nationkey") % 5 === 0, lit("Y")).otherwise(lit("N")).as("suppress"))
     }),
 
-    // C16: publish-file batch grouping (alma_publish_parser.py:310-328)
+    // C16: publish-file batch grouping with the reference's prefix
+    // regexes and consecutive-run batch assignment
+    // (alma_publish_parser.py:310-328)
     "file_group_batches" -> ((s, dir) => {
-      Tables(s, dir).documents
-        .groupBy(regexp_replace(col("source"), "[0-9]+$", "").as("file_prefix"))
-        .agg(count(lit(1)).as("n_files"), countDistinct(col("lang")).as("n_langs"))
+      val files = Tables(s, dir).documents.select(
+        concat(lit("/in/"), col("source"), lit("_new_"),
+               pmod(col("doc_id"), lit(4)).cast("string"),
+               lit(".tar.gz")).as("path")).distinct()
+      graft.sources.PublishFiles.groupFileBatches(files, "path")
+        .select(col("path"), col("file_prefix"), col("batch_ix").cast("long").as("batch_ix"))
     }),
 
     // B2: OCLC formatting (alma_publish_to_database.py:200-208)
@@ -251,6 +256,19 @@ object SparkEntry {
           .when(col("c_custkey") % 3 === 1, concat(ks, ks, ks))
           .otherwise(concat(ks, ks, ks, ks, ks)))
       t.customer.select(col("c_custkey"), Normalize.formatOclc(raw).as("oclc"))
+    }),
+
+    // B4: lenient date parse incl. US/Eastern→America/New_York
+    // (marc/helper.py:161-166)
+    "parse_date_str" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+      t.orders.select(
+        col("o_orderkey"),
+        Extract.parseDateStr(base).cast("long").as("naive_epoch"),
+        Extract.parseDateStr(concat(base, lit(" US/Eastern")))
+          .cast("long").as("eastern_epoch"),
+        Extract.parseDateStr(lit(null).cast("string")).cast("long").as("null_epoch"))
     }),
 
     // B3: digit/dash normalization (alma_publish_to_database.py:210-213)
@@ -310,10 +328,13 @@ object SparkEntry {
                          maxHamming = 3)
     }),
 
-    // E5: embedding cosine near-dup via hyperplane LSH buckets
+    // E5: embedding cosine near-dup via hyperplane LSH buckets. The
+    // cos value itself is hash-noise-dependent, so the driver-checked
+    // output is the pair set (SQL-derivable: exactly the planted pairs).
     "embedding_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDup(plantedEmbeddings(Tables(s, dir)),
         "vec_id", "embedding", dim = 64, threshold = 0.99)
+        .select(col("left_id"), col("right_id"))
     }),
 
     // E6: exact top-k cosine neighbors (brute force baseline)
@@ -324,11 +345,13 @@ object SparkEntry {
     }),
 
     // E7: hyperplane-LSH ANN — each planted original finds its twin
+    // (cos dropped: hash-noise-dependent; pair+rank are SQL-derivable)
     "ann_lsh" -> ((s, dir) => {
       val corpus = plantedEmbeddings(Tables(s, dir))
       val queries = corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000L)
       Similarity.annLsh(corpus, queries, "vec_id", "embedding",
                         dim = 64, k = 1, tables = 8, bits = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
     // E8: naive-Bayes language ID from token profiles
@@ -610,9 +633,24 @@ object SparkEntry {
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
 
     "file_group_batches" ->
-      """SELECT regexp_replace(source, '[0-9]+$', '') AS file_prefix,
-                count(*) AS n_files, count(DISTINCT lang) AS n_langs
-         FROM documents GROUP BY 1""",
+      """WITH files AS (
+           SELECT DISTINCT '/in/'||source||'_new_'||(doc_id%4)||'.tar.gz' AS path
+           FROM documents),
+         pfx AS (
+           SELECT path,
+                  regexp_replace(regexp_replace(path,
+                    '_[a-z]+_\d+\.tar\.gz$', ''), '_[a-z]+.tar\.gz$', '') AS file_prefix
+           FROM files),
+         flags AS (
+           SELECT path, file_prefix,
+                  CASE WHEN lag(file_prefix) OVER (ORDER BY path) IS NULL
+                         OR lag(file_prefix) OVER (ORDER BY path) <> file_prefix
+                       THEN 1 ELSE 0 END AS chg
+           FROM pfx)
+         SELECT path, file_prefix,
+                CAST(sum(chg) OVER (ORDER BY path
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS batch_ix
+         FROM flags""",
 
     "format_oclc" ->
       """WITH r AS (
@@ -627,6 +665,13 @@ object SparkEntry {
                      WHEN length(ds) = 9 THEN 'ocn' || ds
                      ELSE 'on' || ds END AS oclc
          FROM d""",
+
+    "parse_date_str" ->
+      """SELECT o_orderkey,
+                CAST(epoch(o_orderdate) AS BIGINT) AS naive_epoch,
+                CAST(epoch(timezone('America/New_York', o_orderdate)) AS BIGINT) AS eastern_epoch,
+                CAST(NULL AS BIGINT) AS null_epoch
+         FROM orders""",
 
     "format_number_dashes" ->
       """SELECT c_custkey,
@@ -878,6 +923,29 @@ object SparkEntry {
     "marc_xml_roundtrip" -> RoundtripSql,
     "marc_binary_roundtrip" -> RoundtripSql,
 
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  round(list_cosine_similarity(qv, cv), 6) AS cos
+           FROM q JOIN c ON neighbor_id != query_id)
+         SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+         WHERE rk <= 5""",
+
+    "ann_lsh" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                CAST(1 AS BIGINT) AS rank
+         FROM embeddings WHERE vec_id % 10 = 0""",
+
+    "embedding_neardup" ->
+      """SELECT vec_id AS left_id, vec_id + 1000000 AS right_id
+         FROM embeddings WHERE vec_id % 10 = 0""",
+
     "stream_latest_status" ->
       """SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ts,
                 event_type AS status
@@ -890,6 +958,5 @@ object SparkEntry {
     * outputs) — driver records a rows-only check; each has a ScalaTest
     * spec asserting exact recovery of the planted duplicates instead.
     */
-  val rowsOnlyQueries: Set[String] =
-    Set("dedup_simhash", "embedding_neardup", "ann_bruteforce", "ann_lsh")
+  val rowsOnlyQueries: Set[String] = Set("dedup_simhash")
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Plan-shape assertions (SURVEY.md §5): pushdown, pruning, broadcast
+  * choices, and codegen coverage are part of the engine's contract —
+  * a plan that scans every column or shuffles a dimension would still
+  * pass value checks but die at 100 TB.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val sf = "/root/testdata/sf0.001"
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filters and projections reach the parquet scan") {
+    val t = Tables(spark, sf)
+    val plan = formatted(
+      t.lineitem.filter(col("l_quantity") > 10).select("l_orderkey", "l_quantity"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]"),
+      s"pushdown missing:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning missing:\n$plan")
+  }
+
+  test("item_info_view: dimensions broadcast, no dimension shuffle") {
+    val plan = formatted(SparkEntry.queries("item_info_view")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // nation + region joins must be broadcast, not shuffled
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast dims, got $broadcasts\n$plan")
+  }
+
+  private def codegenPlan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+  private def scanCount(plan: String): Int =
+    "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+
+  test("q1_agg is one scan + partial agg inside whole-stage codegen") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    val plan = formatted(df)
+    assert(scanCount(plan) == 1, plan)
+    // partial (map-side) + final aggregate around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(codegenPlan(df).contains("WholeStageCodegen"), "no codegen span")
+  }
+
+  test("dedup_minhash: equi-join on band buckets, never a cartesian product") {
+    val plan = formatted(SparkEntry.queries("dedup_minhash")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("ann_bruteforce broadcasts the query side") {
+    val plan = formatted(SparkEntry.queries("ann_bruteforce")(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("upsert merge reads each side once (no plan explosion)") {
+    val plan = formatted(SparkEntry.queries("upsert_latest_wins")(spark, sf))
+    // base orders + update batch (open + closed branches) = 3 scans max
+    assert(scanCount(plan) <= 3, plan)
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val t = Tables(spark, sf)
+    val df = t.documents.select(
+      graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"),
+      graft.operators.Dedup.simhash64(col("text")).as("sh"))
+    val gen = codegenPlan(df)
+    assert(gen.contains("WholeStageCodegen"), "no codegen span")
+    // the native expressions compile to static calls INSIDE the
+    // generated projection (not CodegenFallback)
+    assert(gen.contains("graft.functions.HashSketches"), "sketches fell out of codegen")
+  }
+}

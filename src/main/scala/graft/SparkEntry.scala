@@ -235,6 +235,43 @@ object SparkEntry {
                 when(col("n_nationkey") % 5 === 0, lit("Y")).otherwise(lit("N")).as("suppress"))
     }),
 
+    // C15b: full config ingest — JSON API payloads → circ-desk dim +
+    // location_circ_desk link via broadcast surrogate-key join
+    // (alma_config_to_database.py:96-127)
+    "config_circ_desk_links" -> ((s, dir) => {
+      import graft.operators.ConfigIngest
+      val t = Tables(s, dir)
+      val nr = t.nation.join(broadcast(t.region),
+        col("n_regionkey") === col("r_regionkey"))
+      val locDocs = nr.groupBy(col("r_name").as("library_code"))
+        .agg(to_json(struct(sort_array(collect_list(struct(
+            col("n_nationkey").as("id"), col("n_name").as("code"),
+            col("n_name").as("external_name"), col("n_name").as("name"),
+            when(col("n_nationkey") % 2 === 0, lit("false")).otherwise(lit("true"))
+              .as("suppress_from_publishing")))).as("location"))).as("payload"))
+      val deskDocs = nr.groupBy(col("r_regionkey"), col("r_name"))
+        .agg(sort_array(collect_list(struct(
+            col("n_nationkey").as("nk"), col("n_name").as("nn")))).as("ns"))
+        .select(col("r_name").as("library_code"),
+          to_json(struct(array(
+            struct((col("r_regionkey") * 10).cast("long").as("id"),
+              concat(lit("DESK0_"), col("r_name")).as("code"),
+              lit("Main desk").as("name"), lit("true").as("primary"),
+              lit("false").as("reading_room_desk"),
+              transform(filter(col("ns"), n => n("nk") % 2 === 0),
+                n => struct(n("nn").as("location_code"))).as("location")),
+            struct((col("r_regionkey") * 10 + 1).cast("long").as("id"),
+              concat(lit("DESK1_"), col("r_name")).as("code"),
+              lit("Reserve desk").as("name"), lit("false").as("primary"),
+              lit("true").as("reading_room_desk"),
+              transform(filter(col("ns"), n => n("nk") % 2 === 1),
+                n => struct(n("nn").as("location_code"))).as("location"))
+          ).as("circ_desk"))).as("payload"))
+      val locDim = ConfigIngest.locations(locDocs)
+      val desks = ConfigIngest.circDesks(deskDocs)
+      ConfigIngest.locationCircDeskLinks(desks, locDim)
+    }),
+
     // C16: publish-file batch grouping with the reference's prefix
     // regexes and consecutive-run batch assignment
     // (alma_publish_parser.py:310-328)
@@ -299,7 +336,8 @@ object SparkEntry {
     "token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables(s, dir).documents, "text", "doc_id")),
 
-    // E4: n-gram (word-set) Jaccard on candidate pairs
+    // E4: word-bigram Jaccard on candidate pairs (plus the word-set
+    // variant as a second column)
     "ngram_jaccard" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val a = docs.select(col("doc_id").as("left_id"), col("text").as("__ta"))
@@ -307,6 +345,7 @@ object SparkEntry {
                           col("doc_id").as("right_id"), col("text").as("__tb"))
       a.join(b, "left_id")
         .select(col("left_id"), col("right_id"),
+                Dedup.ngramJaccard(col("__ta"), col("__tb"), 2).as("bigram_jaccard"),
                 TextAnalysis.wordJaccard(col("__ta"), col("__tb")).as("jaccard"))
     }),
 
@@ -632,6 +671,11 @@ object SparkEntry {
                 CASE WHEN n_nationkey % 5 = 0 THEN 'Y' ELSE 'N' END AS suppress
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
 
+    "config_circ_desk_links" ->
+      """SELECT CAST(r_regionkey*10 + (n_nationkey%2) AS BIGINT) AS circ_desk_id,
+                n_nationkey AS location_id
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
     "file_group_batches" ->
       """WITH files AS (
            SELECT DISTINCT '/in/'||source||'_new_'||(doc_id%4)||'.tar.gz' AS path
@@ -709,12 +753,24 @@ object SparkEntry {
          FROM documents""",
 
     "ngram_jaccard" ->
-      """SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+      """WITH toks AS (
+           SELECT doc_id, text,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         sh AS (
+           SELECT doc_id, text,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 1, 1) + 1),
+                    i -> array_to_string(w[i:i+1], ' '))) AS s
+           FROM toks)
+         SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))), 6) AS bigram_jaccard,
                 round(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
                                               list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
                       / len(list_distinct(list_concat(string_split(a.text, ' '),
                                                       string_split(b.text, ' ')))), 6) AS jaccard
-         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""",
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
 
     "json_props_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

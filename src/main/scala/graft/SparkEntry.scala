@@ -393,6 +393,30 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // E7b: IVF ANN (cell-probe scale path) — same planted-twin recovery
+    "ann_ivf" -> ((s, dir) => {
+      val corpus = plantedEmbeddings(Tables(s, dir))
+      val queries = corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000L)
+      Similarity.annIvf(corpus, queries, "vec_id", "embedding",
+                        k = 1, nlist = 32, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // C10b: delete-file actions — first 852-with-$8 → holding delete,
+    // 001 → bib delete (alma_publish_parser.py:341-380)
+    "delete_file_actions" -> ((s, dir) => {
+      import s.implicits._
+      // corpus stand-in: F-status orders' publish records are the
+      // delete file's contents
+      val t = Tables(s, dir)
+      val fOrders = t.orders.filter(col("o_orderstatus") === "F")
+        .select(MarcCorpus.mmsId(col("o_orderkey")).as("mms_id"))
+      val recs = MarcCorpus.publishRecords(t)
+        .join(fOrders, "mms_id")
+        .select("mms_id", "leader", "fields").as[PublishRow]
+      graft.marc.DeleteFiles.deleteActions(recs)
+    }),
+
     // E8: naive-Bayes language ID from token profiles
     "lang_id" -> ((s, dir) => {
       LangId.selfLabelled(Tables(s, dir).documents, "doc_id", "text", "lang")
@@ -997,6 +1021,24 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                 CAST(1 AS BIGINT) AS rank
          FROM embeddings WHERE vec_id % 10 = 0""",
+
+    "ann_ivf" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                CAST(1 AS BIGINT) AS rank
+         FROM embeddings WHERE vec_id % 10 = 0""",
+
+    "delete_file_actions" ->
+      """WITH f AS (
+           SELECT o_orderkey FROM orders
+           WHERE o_orderstatus = 'F'
+             AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)),
+         h AS (SELECT l_orderkey, min(l_linenumber) AS ln FROM lineitem GROUP BY 1)
+         SELECT 'holding' AS record_type,
+                '22'||(o_orderkey*100+ln)||'8651' AS record_id
+         FROM f JOIN h ON l_orderkey = o_orderkey
+         UNION ALL
+         SELECT 'bib' AS record_type, '99'||o_orderkey||'8651' AS record_id
+         FROM f""",
 
     "embedding_neardup" ->
       """SELECT vec_id AS left_id, vec_id + 1000000 AS right_id

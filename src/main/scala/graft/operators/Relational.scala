@@ -82,6 +82,23 @@ object Relational {
     df.withColumn(ixCol, floor((row_number().over(w) - 1) / n))
   }
 
+  /** Skew-resistant equi-join: the big (skewed) side gets a
+    * deterministic per-row salt, the small-but-too-big-to-broadcast
+    * side is replicated `saltFactor` times, and the join runs on
+    * (keys, salt) — a hot key spreads over `saltFactor` reducers
+    * instead of melting one. AQE's skew-join handles most cases at
+    * runtime; this is the explicit tool for when it can't (e.g.
+    * pre-AQE stages or deliberate layout control).
+    */
+  def saltedJoin(big: DataFrame, other: DataFrame, keys: Seq[String],
+                 saltFactor: Int, how: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, keys :+ "__salt", how).drop("__salt")
+  }
+
   /** Multi-valued external ids exploded to an indexed lookup table with
     * set semantics (alma_publish_to_database.py:223-233 inserts
     * `set(external_ids)` rows into `external_id`).

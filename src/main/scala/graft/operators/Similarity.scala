@@ -101,6 +101,52 @@ object Similarity {
               col("__rk").cast("long").as("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the other scale path: a coarse
+    * quantizer assigns every corpus vector to one of `nlist` cells;
+    * queries probe their `nprobe` nearest cells and rank only those
+    * candidates. The cell join is co-partitioned on the cell id, so at
+    * 100 TB each query meets ~nprobe/nlist of the corpus instead of
+    * all of it.
+    *
+    * The quantizer here is deterministic seed-vector sampling (first
+    * `nlist` corpus vectors by id, a model-sized driver collect like
+    * any ML fit); swap in a trained KMeans for production without
+    * touching the probe/join shape.
+    */
+  def annIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nlist: Int = 32,
+             nprobe: Int = 4): DataFrame = {
+    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val cLit = typedlit(centroids)
+    def dists(v: Column) = transform(sequence(lit(0), lit(centroids.size - 1)),
+      i => -cosine(v, element_at(cLit, i + 1)))
+    def cellOf(v: Column) = {
+      val d = dists(v)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    def probeCells(v: Column) = {
+      val d = dists(v)
+      val sorted = slice(array_sort(d), 1, nprobe)
+      transform(sorted, x => (array_position(d, x) - 1).cast("int"))
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+                          cellOf(col(vecCol)).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+                           explode(probeCells(col(vecCol))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("__rk").cast("long").as("rank"))
+  }
+
   /** Cosine near-duplicate pairs: LSH-bucket both rows, equal-bucket
     * self-join, exact-cosine verify at `threshold`. Same shape as
     * [[Dedup.minhashPairs]] — the bucket join is the only shuffle.

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, RunMetrics, Similarity}
+
+/** Specs for the round-1 additions: IVF ANN, salted join, observe
+  * metrics.
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("ann_ivf recovers every planted twin at rank 1") {
+    val out = SparkEntry.queries("ann_ivf")(spark, sf)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ids = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").as[Long].collect().toSet.filter(_ % 10 == 0)
+    assert(out.keySet == ids)
+    assert(ids.forall(q => out(q) == q + 1000000L))
+  }
+
+  test("ann_ivf probes a fraction of the corpus (candidate bound)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = e.filter($"vec_id" % 100 === 0)
+    val full = Similarity.annIvf(e, queries, "vec_id", "embedding",
+      k = 1000000, nlist = 32, nprobe = 4) // k unbounded → all candidates
+    val corpusN = e.count()
+    val perQuery = full.groupBy("query_id").count().agg(max("count")).as[Long].head()
+    // 4 of 32 cells probed → well under half the corpus per query
+    assert(perQuery < corpusN / 2, s"probed $perQuery of $corpusN")
+  }
+
+  test("saltedJoin equals the plain join") {
+    val big = spark.range(1000).select(
+      (col("id") % 7).as("k"), col("id").as("v"))
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"),
+                  (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k")).select("k", "v", "name")
+      .as[(Long, Long, String)].collect().toSet
+    val salted = Relational.saltedJoin(big, dim, Seq("k"), saltFactor = 8)
+      .select("k", "v", "name").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("observe metrics ride the action (no extra pass)") {
+    val split = graft.marc.PublishSplit.split(
+      graft.marc.MarcCorpus.publishRecords(graft.sources.Tables(spark, sf))).toDF()
+    val (observed, obs) = RunMetrics.observeSplit(split)
+    observed.write.mode("overwrite").format("noop").save()
+    val m = obs.get
+    val byKind = split.groupBy("kind").count().as[(String, Long)].collect().toMap
+    assert(m("records") == byKind.values.sum)
+    assert(m("bibs") == byKind.getOrElse("bib", 0L))
+    assert(m("holdings") == byKind.getOrElse("holding", 0L))
+    assert(m("items") == byKind.getOrElse("item", 0L))
+    assert(m("errors") == byKind.getOrElse("error", 0L))
+  }
+
+  test("delete actions: one holding (first 852) + one bib per record") {
+    val out = SparkEntry.queries("delete_file_actions")(spark, sf)
+    val counts = out.groupBy("record_type").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("bib") == counts("holding")) // every corpus record has 852s
+    assert(out.filter($"record_type" === "bib" && !$"record_id".startsWith("99")).count() == 0)
+    assert(out.filter($"record_type" === "holding" && !$"record_id".startsWith("22")).count() == 0)
+  }
+}

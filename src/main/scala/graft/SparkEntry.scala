@@ -177,13 +177,20 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
     }),
 
-    // C9: analytics TSV import semantics (alma_analytics_to_item_status.py)
+    // C9: analytics TSV import semantics — the 'Item not in place'
+    // filter applies BEFORE the consecutive-run selection, the 'Active'
+    // filter only to the selected last-of-run row
+    // (alma_analytics_to_item_status.py:16-29 vs :39-48)
     "analytics_status_import" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val active = t.events.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("value"))
-      Relational.lastOfConsecutiveRuns(active, "user_id", "event_id")
-        .withColumn("status_code", lit("0"))
+      val notInPlace = t.events.filter(col("value") > 1) // stand-in predicate
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      Relational.lastOfConsecutiveRuns(notInPlace, "user_id", "event_id")
+        .filter(col("event_type") === "purchase") // 'Active' post-filter
+        .select(col("user_id").as("pid"), col("event_id"),
+                upper(col("event_type")).as("process_type"),
+                lit("0").as("status_code"),
+                round(col("value"), 3).as("value"))
     }),
 
     // C10: delete files → deleted_record history (alma_publish_parser.py:341-380)
@@ -657,11 +664,14 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
 
     "analytics_status_import" ->
-      """SELECT user_id, event_id, value, '0' AS status_code FROM (
-           SELECT user_id, event_id, value,
-                  lead(user_id) OVER (ORDER BY event_id) AS nu
-           FROM events WHERE event_type = 'purchase')
-         WHERE nu IS NULL OR nu <> user_id""",
+      """WITH p1 AS (
+           SELECT user_id, event_id, event_type, value FROM events WHERE value > 1),
+         runs AS (
+           SELECT *, lead(user_id) OVER (ORDER BY event_id) AS nu FROM p1),
+         last AS (SELECT * FROM runs WHERE nu IS NULL OR nu <> user_id)
+         SELECT user_id AS pid, event_id, upper(event_type) AS process_type,
+                '0' AS status_code, round(value, 3) AS value
+         FROM last WHERE event_type = 'purchase'""",
 
     "deleted_record_history" ->
       """SELECT 'bib' AS record_type, o_orderkey AS record_id

@@ -79,11 +79,21 @@ object SparkEntry {
     * splits a publish file once and fans out, so the seven A/B queries
     * share one parse instead of re-running corpus build + split each.
     */
+  private val corpusCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  /** Publish corpus, built once per (session, sf dir) and persisted —
+    * shared by marc_build, the splitter, and delete-file processing.
+    */
+  private def publishCorpus(s: SparkSession, dir: String): DataFrame =
+    corpusCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      MarcCorpus.publishRecords(Tables(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private val splitCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private def splitCorpus(s: SparkSession, dir: String): DataFrame =
     splitCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      PublishSplit.split(MarcCorpus.publishRecords(Tables(s, dir))).toDF()
+      PublishSplit.split(publishCorpus(s, dir)).toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def itemInfoView(s: SparkSession, dir: String): DataFrame = {
@@ -418,7 +428,7 @@ object SparkEntry {
       val t = Tables(s, dir)
       val fOrders = t.orders.filter(col("o_orderstatus") === "F")
         .select(MarcCorpus.mmsId(col("o_orderkey")).as("mms_id"))
-      val recs = MarcCorpus.publishRecords(t)
+      val recs = publishCorpus(s, dir)
         .join(fOrders, "mms_id")
         .select("mms_id", "leader", "fields").as[PublishRow]
       graft.marc.DeleteFiles.deleteActions(recs)
@@ -445,7 +455,7 @@ object SparkEntry {
 
     // A1: deterministic MARC publish corpus shape
     "marc_build" -> ((s, dir) => {
-      MarcCorpus.publishRecords(Tables(s, dir)).select(
+      publishCorpus(s, dir).select(
         col("mms_id"), col("leader"),
         size(col("fields")).cast("long").as("n_fields"),
         size(filter(col("fields"), f => f("tag") === "852")).cast("long").as("n_852"),

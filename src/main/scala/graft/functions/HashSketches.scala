@@ -189,9 +189,97 @@ case class RollingHashExpr(child: Expression, base: Long, mod: Long)
     copy(child = newChild)
 }
 
+/** `array<float|double>` vector → the `nprobe` nearest centroid ids by
+  * cosine, as `array<int>`. One pass over a centroid matrix carried as
+  * a reference object — the IVF coarse quantizer without interpreted
+  * per-centroid HOF cosines.
+  */
+case class NearestCellsExpr(child: Expression, centroids: Seq[Seq[Double]],
+                            nprobe: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    NearestCellsExpr.normalized(centroids.map(_.toArray).toArray)
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCellsExpr.nearest(v.asInstanceOf[ArrayData], matrix, nprobe, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidMatrix", matrix, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NearestCellsExpr.nearest($c, $ref, $nprobe, $elemIsFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
+    copy(child = newChild)
+}
+
+object NearestCellsExpr {
+  def normalized(m: Array[Array[Double]]): Array[Array[Double]] =
+    m.map { row =>
+      var s = 0.0
+      var i = 0
+      while (i < row.length) { s += row(i) * row(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) row else row.map(_ / n)
+    }
+
+  /** nprobe nearest (by cosine) centroid indices, best first; ties by
+    * lower index.
+    */
+  def nearest(vec: ArrayData, centroids: Array[Array[Double]],
+              nprobe: Int, isFloat: Boolean): ArrayData = {
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val sims = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val row = centroids(c)
+      var s = 0.0
+      val n = math.min(dim, row.length)
+      var j = 0
+      while (j < n) { s += v(j) * row(j); j += 1 }
+      sims(c) = s // query norm is constant per row — rank-invariant
+      c += 1
+    }
+    val k = math.min(nprobe, centroids.length)
+    val picked = new Array[Int](k)
+    val used = new Array[Boolean](centroids.length)
+    var p = 0
+    while (p < k) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var idx = 0
+      while (idx < centroids.length) {
+        if (!used(idx) && sims(idx) > bestSim) { best = idx; bestSim = sims(idx) }
+        idx += 1
+      }
+      used(best) = true
+      picked(p) = best
+      p += 1
+    }
+    new GenericArrayData(picked)
+  }
+}
+
 object MinHashBandsExpr {
   def apply(c: Column, k: Int, bands: Int): Column =
     ColumnBridge.column(MinHashBandsExpr(ColumnBridge.expression(c), k, bands))
+}
+
+object NearestCells {
+  def apply(c: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(c), centroids, nprobe))
 }
 
 object ShinglesExpr {

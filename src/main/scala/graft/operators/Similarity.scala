@@ -119,22 +119,15 @@ object Similarity {
     val centroids = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
-    val cLit = typedlit(centroids)
-    def dists(v: Column) = transform(sequence(lit(0), lit(centroids.size - 1)),
-      i => -cosine(v, element_at(cLit, i + 1)))
-    def cellOf(v: Column) = {
-      val d = dists(v)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
-    def probeCells(v: Column) = {
-      val d = dists(v)
-      val sorted = slice(array_sort(d), 1, nprobe)
-      transform(sorted, x => (array_position(d, x) - 1).cast("int"))
-    }
+    // native one-pass quantizer (graft.functions.NearestCellsExpr):
+    // the centroid mat-vec runs inside codegen, not as per-centroid
+    // interpreted HOF cosines
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-                          cellOf(col(vecCol)).as("cell"))
+      element_at(graft.functions.NearestCells(col(vecCol), centroids, 1), 1)
+        .as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-                           explode(probeCells(col(vecCol))).as("cell"))
+      explode(graft.functions.NearestCells(col(vecCol), centroids, nprobe))
+        .as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(q, Seq("cell"))

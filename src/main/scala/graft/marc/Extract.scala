@@ -34,13 +34,13 @@ object Extract {
                         joinWith: String = " "): Column = {
     val candidates = transform(fieldsWithTag(fields, tag),
       f => subfieldValues(f, codes))
-    val first = element_at(filter(candidates, a => size(a) > 0), 1)
+    val first = get(filter(candidates, a => size(a) > 0), lit(0))
     when(first.isNotNull, array_join(first, joinWith))
   }
 
   /** Data of the first field with `tag` — extract_fixed_field (:86-90). */
   def fixedField(fields: Column, tag: String): Column =
-    element_at(fieldsWithTag(fields, tag), 1)("data")
+    get(fieldsWithTag(fields, tag), lit(0))("data")
 
   // ------------------------------------------------------------ bib fields
 
@@ -111,13 +111,13 @@ object Extract {
   def libraryCode(fields: Column): Column = first852bc(fields)("b")
   def locationCode(fields: Column): Column = first852bc(fields)("c")
   private def first852bc(fields: Column): Column =
-    element_at(
+    get(
       transform(
         filter(fieldsWithTag(fields, "852"),
           f => size(subfieldValues(f, "b")) > 0 && size(subfieldValues(f, "c")) > 0),
-        f => struct(element_at(subfieldValues(f, "b"), 1).as("b"),
-                    element_at(subfieldValues(f, "c"), 1).as("c"))),
-      1)
+        f => struct(get(subfieldValues(f, "b"), lit(0)).as("b"),
+                    get(subfieldValues(f, "c"), lit(0)).as("c"))),
+      lit(0))
 
   // ------------------------------------------------------------ identifiers
 
@@ -126,26 +126,26 @@ object Extract {
     * such candidate doesn't exist.
     */
   def extractValues(fields: Column, tag: String, skipCodes: String): Column =
-    element_at(
+    get(
       transform(
         filter(fieldsWithTag(fields, tag),
           f => size(filter(sfs(f),
                  s => s("code").isin(skipCodes.map(_.toString): _*))) === 0 &&
                size(subfieldValues(f, "a")) > 0),
         f => subfieldValues(f, "a")),
-      1)
+      lit(0))
 
   /** Best ISBN: $a of first 020 without $z, values ≥13 chars preferred —
     * extract_isbns (:116-127) head.
     */
   def isbn(fields: Column): Column = {
     val vals = extractValues(fields, "020", "z")
-    val long13 = element_at(filter(vals, v => length(v) >= 13), 1)
-    coalesce(long13, element_at(vals, 1))
+    val long13 = get(filter(vals, v => length(v) >= 13), lit(0))
+    coalesce(long13, get(vals, lit(0)))
   }
 
   /** First ISSN: $a of first 022 without $y/$z — extract_issns (:129-130). */
-  def issn(fields: Column): Column = element_at(extractValues(fields, "022", "yz"), 1)
+  def issn(fields: Column): Column = get(extractValues(fields, "022", "yz"), lit(0))
 
   /** First OCLC: 035/079 fields (record order) without $z whose joined
     * $a starts with '(ocolc)' or 'oc' (case-insensitive) —
@@ -157,10 +157,10 @@ object Extract {
         f => size(subfieldValues(f, "z")) === 0 &&
              size(subfieldValues(f, "a")) > 0),
       f => array_join(subfieldValues(f, "a"), " "))
-    element_at(
+    get(
       filter(candidates, v =>
         lower(v).startsWith("(ocolc)") || lower(v).startsWith("oc")),
-      1)
+      lit(0))
   }
 
   /** Voyager/Sierra id from 035$a — extract_voyager_or_sierra_id
@@ -171,12 +171,12 @@ object Extract {
   def voyagerId(fields: Column): Column = {
     val firstAs = transform(
       filter(fieldsWithTag(fields, "035"), f => size(subfieldValues(f, "a")) > 0),
-      f => element_at(subfieldValues(f, "a"), 1))
-    val hit = element_at(
+      f => get(subfieldValues(f, "a"), lit(0)))
+    val hit = get(
       filter(firstAs, v =>
         v.startsWith("(CtY-L)b") ||
         (v.startsWith("(CtY)") && v.endsWith("-yaledb-Voyager"))),
-      1)
+      lit(0))
     // '(CtY-L)' = 7 chars, trailing check digit dropped;
     // '(CtY)' = 5 chars, '-yaledb-Voyager' = 15 chars
     when(hit.startsWith("(CtY-L)b"), hit.substr(lit(8), length(hit) - 8))
@@ -195,15 +195,15 @@ object Extract {
     * — extract_system_dates (:153-159).
     */
   def systemDates(fields: Column, tag: String): Column =
-    element_at(
+    get(
       transform(
         filter(fieldsWithTag(fields, tag),
           f => size(subfieldValues(f, "1")) > 0),
         f => struct(
-          parseDateStr(element_at(subfieldValues(f, "1"), 1)).as("create"),
-          parseDateStr(coalesce(element_at(subfieldValues(f, "2"), 1),
-                                element_at(subfieldValues(f, "1"), 1))).as("update"))),
-      1)
+          parseDateStr(get(subfieldValues(f, "1"), lit(0))).as("create"),
+          parseDateStr(coalesce(get(subfieldValues(f, "2"), lit(0)),
+                                get(subfieldValues(f, "1"), lit(0)))).as("update"))),
+      lit(0))
 
   /** Lenient date parse with 'US/Eastern' → America/New_York —
     * parse_date_str (:161-166). Handles the corpus formats

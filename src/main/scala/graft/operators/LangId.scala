@@ -25,6 +25,10 @@ object LangId {
         explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("word"))
       .filter(length(col("word")) > 0)
     val counts = toks.groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    // NOTE the deliberate cross join below: it builds the |langs|×|vocab|
+    // MODEL grid (thousands of rows at most — both sides are aggregates,
+    // never corpus-sized). Scoring never cross-joins; it broadcasts this
+    // grid against the token stream.
     val vocab = counts.select("word").distinct()
     val langTotals = counts.groupBy("lang").agg(sum("n").as("lang_total"))
     val vocabSize = vocab.count() // tiny scalar; computed once at fit time

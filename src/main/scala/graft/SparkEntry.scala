@@ -378,6 +378,15 @@ object SparkEntry {
                          shingleN = 3, k = 64, bands = 16, threshold = 0.7)
     }),
 
+    // E2b: near-dup clusters — connected components over the verified
+    // minhash pairs, canonical keep_id = min of each cluster
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(plantedDocs(Tables(s, dir)), "doc_id", "text",
+                                     shingleN = 3, k = 64, bands = 16,
+                                     threshold = 0.7)
+      Dedup.connectedComponents(pairs)
+    }),
+
     // E3: SimHash near-dedup — recovers the planted exact copies
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(plantedDocs(Tables(s, dir)), "doc_id", "text",
@@ -886,6 +895,42 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""",
+
+    // transitive closure of the exhaustive >=0.7-jaccard pair graph →
+    // min reachable id per node (same cluster semantics, independent
+    // algorithm: recursive CTE vs iterative label propagation)
+    "dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' appended' FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0),
+         toks AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM corpus),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS left_id, b.doc_id AS right_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7),
+         edges AS (
+           SELECT left_id AS src, right_id AS dst FROM pairs
+           UNION
+           SELECT right_id, left_id FROM pairs),
+         reach(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         SELECT a AS doc_id, least(a, min(b)) AS keep_id
+         FROM reach GROUP BY a""",
 
     "doc_fingerprint" ->
       """SELECT doc_id,

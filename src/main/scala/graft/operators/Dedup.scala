@@ -104,6 +104,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-duplicate pairs: every document
+    * gets the MIN doc id of its duplicate cluster as canonical label
+    * (keep_id) — the step that turns pairwise dedup output into
+    * "keep one per cluster".
+    *
+    * Iterative min-label propagation; each round is one join + one
+    * aggregation, driver-coordinated like any Spark iterative algorithm
+    * (converges in ≤ graph diameter rounds; dup clusters are
+    * near-stars, so 2-3 in practice). Early-stops when no label moves.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("left_id").as("src"), col("right_id").as("dst"))
+      .unionByName(pairs.select(col("right_id").as("src"), col("left_id").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val candidate = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(candidate, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      val moved = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = moved == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("keep_id"))
+  }
+
   /** Exact n-gram Jaccard between two text columns (pair verification). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
     val sa = shingles(a, n)

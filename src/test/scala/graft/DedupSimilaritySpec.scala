@@ -30,6 +30,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"missed planted pairs: ${planted -- out}")
   }
 
+  test("dedup clusters: planted stars collapse to the original doc id") {
+    val out = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    // every planted copy resolves to its base doc (or lower, if the
+    // base itself is a genuine near-dup of an earlier doc)
+    ids.filter(_ % 7 == 0).foreach(i => assert(out(i + 1000000L) <= i))
+    ids.filter(_ % 11 == 0).foreach(i => assert(out(i + 2000000L) <= i))
+    // a doc with no planted or genuine dup is absent (singleton) or
+    // labeled by itself
+    assert(out.forall { case (id, keep) => keep <= id })
+  }
+
   test("simhash finds planted exact copies at hamming 0") {
     val out = SparkEntry.queries("dedup_simhash")(spark, sf)
     val exact = out.filter($"hamming" === 0)

@@ -349,6 +349,21 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables(s, dir).documents, "text", "doc_id")),
 
+    // E9b: PII redaction over planted emails/urls/ids
+    "redact_pii" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("https://docs.example/x?id="), col("doc_id"),
+        lit(" ref 9912345"), col("doc_id"))
+      d.select(col("doc_id"), TextAnalysis.redactPii(withPii).as("clean"))
+    }),
+
+    // E-extra: corpus vocabulary statistics (vocab pruning input)
+    "vocab_stats" -> ((s, dir) => {
+      TextAnalysis.vocabStats(Tables(s, dir).documents, "text", "doc_id")
+    }),
+
     // E10: token counting
     "token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables(s, dir).documents, "text", "doc_id")),
@@ -832,6 +847,33 @@ object SparkEntry {
                 round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                       / len(string_split(text, ' ')), 6) AS avg_token_len
          FROM documents""",
+
+    "redact_pii" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  text || ' contact user' || doc_id || '@example.com or ' ||
+                  'https://docs.example/x?id=' || doc_id ||
+                  ' ref 9912345' || doc_id AS raw
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  'https?://[^\s]+', '<URL>', 'g'),
+                  '\d{7,}', '<NUM>', 'g') AS clean
+         FROM t""",
+
+    "vocab_stats" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+           FROM documents),
+         toks2 AS (SELECT * FROM toks WHERE length(word) > 0),
+         agg AS (
+           SELECT word, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+           FROM toks2 GROUP BY 1)
+         SELECT word, n, doc_freq,
+                round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
+         FROM agg""",
 
     "token_count" ->
       """SELECT doc_id,

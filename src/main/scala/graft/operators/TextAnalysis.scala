@@ -65,6 +65,32 @@ object TextAnalysis {
   def fingerprint(text: Column, base: Long = 31L, mod: Long = 1000000007L): Column =
     graft.functions.RollingHashExpr(text, base, mod)
 
+  /** PII redaction for training corpora: emails, bare URLs and
+    * long digit runs (phone/ID-ish) replaced with typed sentinels.
+    * Pure regexp_replace chain — codegen'd, map-side, order matters
+    * (emails before digit runs so the local part survives as a unit).
+    */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "\\d{7,}", "<NUM>")
+  }
+
+  /** Corpus vocabulary statistics: per-token document frequency, total
+    * count, and share of the token stream — the input to vocab pruning
+    * and contamination checks. One explode + one aggregation.
+    */
+  def vocabStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    toks.groupBy("word")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("doc_freq"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+  }
+
   /** Word-set Jaccard similarity between two text columns (candidate-pair
     * verification for near-dedup). Pure column expression.
     */

@@ -289,6 +289,22 @@ object SparkEntry {
       ConfigIngest.locationCircDeskLinks(desks, locDim)
     }),
 
+    // C17: record_set ingest (ddl/data_sync_db.sql record_set) — named
+    // id-sets stored as JSON, exploded to membership rows
+    "record_set_members" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val sets = t.nation.groupBy(col("n_regionkey"))
+        .agg(to_json(struct(sort_array(collect_list(col("n_nationkey"))).as("members")))
+          .as("set_json"))
+        .select((col("n_regionkey") + 1).as("id"),
+                concat(lit("alma-set-"), col("n_regionkey")).as("alma_id"),
+                concat(lit("region "), col("n_regionkey")).as("name"),
+                col("set_json"))
+      sets.select(col("id"), col("alma_id"), col("name"),
+        explode(from_json(col("set_json"), "STRUCT<members: ARRAY<BIGINT>>",
+          Map.empty[String, String])("members")).as("member_id"))
+    }),
+
     // C16: publish-file batch grouping with the reference's prefix
     // regexes and consecutive-run batch assignment
     // (alma_publish_parser.py:310-328)
@@ -772,6 +788,13 @@ object SparkEntry {
       """SELECT n_nationkey AS location_id, n_name AS code, r_name AS library_code,
                 CASE WHEN n_nationkey % 5 = 0 THEN 'Y' ELSE 'N' END AS suppress
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+    "record_set_members" ->
+      """SELECT n_regionkey + 1 AS id,
+                'alma-set-'||n_regionkey AS alma_id,
+                'region '||n_regionkey AS name,
+                n_nationkey AS member_id
+         FROM nation""",
 
     "config_circ_desk_links" ->
       """SELECT CAST(r_regionkey*10 + (n_nationkey%2) AS BIGINT) AS circ_desk_id,

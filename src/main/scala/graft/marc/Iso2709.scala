@@ -44,10 +44,13 @@ object Iso2709 {
   }
 
   /** Serialize one record. The 24-char leader gets its length/base
-    * fields recomputed (as pymarc does on as_marc).
+    * fields recomputed (as pymarc does on as_marc). The leader is
+    * 24 ASCII POSITIONS by the MARC spec — non-ASCII characters would
+    * shift every byte offset after it, so they are replaced with ' '.
     */
   def encode(leader: String, fields: Seq[MarcField]): Array[Byte] = {
-    val ldr = (Option(leader).getOrElse("") + (" " * 24)).take(24).toCharArray
+    val ldr = (Option(leader).getOrElse("") + (" " * 24)).take(24)
+      .map(c => if (c < 0x20 || c > 0x7e) ' ' else c).toCharArray
     val dir = new java.io.ByteArrayOutputStream()
     val data = new java.io.ByteArrayOutputStream()
     fields.foreach { f =>
@@ -73,6 +76,14 @@ object Iso2709 {
   /** Encode with the reference's size-cap fallback: if over 99999
     * bytes, drop `dropTag` fields and retry; None if still too big
     * (alma_publish_to_database.py:175-184).
+    *
+    * Note a reference divergence, deliberately: line 178 reads
+    * `params['raw_marc'] == record.as_marc()` — a comparison where an
+    * assignment was intended — so the reference's BIB-drop retry can
+    * never actually succeed for bib records (the unchanged original
+    * bytes are re-checked and the record is skipped). The holding path
+    * (line 258) assigns correctly. This engine implements the evident
+    * intent for both.
     */
   def encodeCapped(leader: String, fields: Seq[MarcField],
                    dropTag: String): Option[Array[Byte]] = {

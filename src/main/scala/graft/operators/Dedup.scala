@@ -126,15 +126,18 @@ object Dedup {
       val candidate = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(candidate, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val next = labels.withColumnRenamed("label", "__old")
+        .join(candidate, Seq("id"), "left")
+        .select(col("id"), col("__old"),
+          least(col("__old"), coalesce(col("nbr_label"), col("__old"))).as("label"))
         .persist()
-      val moved = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      // convergence check rides the same materialization (one action,
+      // no separate re-join job); iteration 0 always moves, skip it
+      val moved =
+        if (iter == 0) { next.count(); 1L }
+        else next.filter(col("label") =!= col("__old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("__old")
       converged = moved == 0
       iter += 1
     }

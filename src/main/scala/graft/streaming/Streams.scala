@@ -54,6 +54,25 @@ object Streams {
       .select(col("window.start").as("window_start"), col(typeCol),
               col("n"), col("total_value"))
 
+  /** Continuous publish ingest: a stream of publish records (e.g. from
+    * [[graft.sources.PublishFiles.streamPublishFiles]]) driven through
+    * the full [[graft.AlmaPipeline]] batch flow per micro-batch — the
+    * streaming twin of the reference's per-file processing loop, with
+    * the store's atomic-swap publishes as the transaction boundary.
+    */
+  def ingestStream(records: Dataset[graft.marc.PublishSplit.PublishRow],
+                   store: graft.sources.DataSyncStore,
+                   locationDim: DataFrame,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[graft.marc.PublishSplit.PublishRow], _: Long) =>
+        if (!batch.isEmpty)
+          graft.AlmaPipeline.ingestPublish(batch, store, locationDim)
+        ()
+      }
+      .start()
+
   /** Stable-file detection: the sftp_wait_for_stable semantics
     * (sftp_wait_for_stable.py) as a relational op over two manifest
     * snapshots (path, size) — a file is stable when its size is

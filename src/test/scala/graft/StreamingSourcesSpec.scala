@@ -121,6 +121,29 @@ class StreamingSourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest: file stream → pipeline → store, per micro-batch") {
+    val (dir, n) = writePublishFiles()
+    val store = new graft.sources.DataSyncStore(spark,
+      Files.createTempDirectory("graft_stream_store").toFile.getAbsolutePath)
+    val locDim = {
+      val t = Tables(spark, sf)
+      t.nation.join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("id"), col("r_name").as("library_code"),
+                col("n_name").as("code"))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
+    // one micro-batch covering all files: the per-batch pipeline is a
+    // full ~15-table publish round, so triggering per-file makes a
+    // slow spec without testing anything extra
+    val q = Streams.ingestStream(
+      PublishFiles.streamPublishFiles(spark, dir, maxFilesPerTrigger = 8),
+      store, locDim, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(store.read("bib_brief").count() == n)
+    assert(store.read("bib_marc_xml").count() == n)
+    assert(store.read("holding_brief").count() > 0)
+  }
+
   test("file batch grouping follows the reference prefix regex") {
     val files = Seq(
       "/in/setA_new_1.tar.gz", "/in/setA_new_2.tar.gz", "/in/setA_delete.tar.gz",

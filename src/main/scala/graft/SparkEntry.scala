@@ -639,6 +639,24 @@ object SparkEntry {
           Extract.title(col("fields")).as("title"))
     }),
 
+    // C22: as-of join — each purchase picks up the user's latest
+    // prior-or-equal view (union + window, single key shuffle; DuckDB's
+    // native ASOF JOIN is the oracle)
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts_ns div 1000").as("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      // unique per (user, ts): equal-ts duplicates make ASOF ambiguous
+      val views = Relational.latestPerKey(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"),
+                  col("value").as("view_value")),
+        Seq("user_id", "ts"), Seq(col("view_event_id")))
+      Relational.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+                          Seq("view_event_id", "view_value"))
+    }),
+
     // D1 batch twin: per-key latest state with the strictly-newer guard
     // (Streams.latestStatusUpdates final state; ties keep the first
     // event processed in (ts, status) order)
@@ -1227,6 +1245,23 @@ object SparkEntry {
     "embedding_neardup" ->
       """SELECT vec_id AS left_id, vec_id + 1000000 AS right_id
          FROM embeddings WHERE vec_id % 10 = 0""",
+
+    "asof_join" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts, value
+           FROM events),
+         p AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase'),
+         v AS (
+           SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+           FROM ev WHERE event_type = 'view'
+           QUALIFY row_number() OVER (PARTITION BY user_id, ts
+             ORDER BY event_id DESC) = 1)
+         SELECT p.user_id, p.event_id, p.ts,
+                v.view_event_id AS asof_view_event_id,
+                v.view_value AS asof_view_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
 
     "stream_latest_status" ->
       """SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ts,

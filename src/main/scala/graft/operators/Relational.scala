@@ -82,6 +82,43 @@ object Relational {
     df.withColumn(ixCol, floor((row_number().over(w) - 1) / n))
   }
 
+  /** As-of join: each left row picks up the LATEST right row with
+    * right.ts <= left.ts for its key (temporal lookup — price-as-of,
+    * status-as-of). Spark has no native ASOF; the scalable shape is
+    * union + one key-partitioned window: a single shuffle on the key,
+    * never a range-condition join (which Catalyst would plan as a
+    * broadcast-nested-loop). Ties (equal ts) take the right row, like
+    * SQL ASOF's `>=`.
+    *
+    * `rightCols` are the value columns carried over (nulled when no
+    * right row precedes the left row).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lvType = left.schema
+    val rvType = right.select(rightCols.map(col): _*).schema
+    val l = left.select(
+      keys.map(col) ++
+      Seq(col(leftTs).as("__ts"), lit(1).as("__tag"),
+          struct(leftCols.map(col): _*).as("__lv"),
+          lit(null).cast(rvType).as("__rv")): _*)
+    val r = right.select(
+      keys.map(col) ++
+      Seq(col(rightTs).as("__ts"), lit(0).as("__tag"),
+          lit(null).cast(lvType).as("__lv"),
+          struct(rightCols.map(col): _*).as("__rv")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__last_rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(c => col("__lv")(c).as(c)) ++
+              rightCols.map(c => col("__last_rv")(c).as(s"asof_$c")): _*)
+  }
+
   /** Skew-resistant equi-join: the big (skewed) side gets a
     * deterministic per-row salt, the small-but-too-big-to-broadcast
     * side is replicated `saltFactor` times, and the join runs on

@@ -35,6 +35,19 @@ class OpsSpec extends AnyFunSuite {
     assert(perQuery < corpusN / 2, s"probed $perQuery of $corpusN")
   }
 
+  test("asofJoin: latest prior-or-equal right row per key; unmatched → null") {
+    val left = Seq((1L, "p1", 10L), (1L, "p2", 20L), (2L, "p3", 5L))
+      .toDF("k", "name", "ts")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (2L, 9L, "r@9"))
+      .toDF("k", "ts", "v")
+    val out = Relational.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("name", "asof_v").as[(String, Option[String])].collect().toMap
+    assert(out == Map(
+      "p1" -> Some("r@10"),  // equal ts matches (>= semantics)
+      "p2" -> Some("r@15"),  // latest preceding
+      "p3" -> None))         // right row is later → no match
+  }
+
   test("saltedJoin equals the plain join") {
     val big = spark.range(1000).select(
       (col("id") % 7).as("k"), col("id").as("v"))

@@ -639,6 +639,20 @@ object SparkEntry {
           Extract.title(col("fields")).as("title"))
     }),
 
+    // C23: bucketed range join — orders matched to overlapping price
+    // bands by interval containment, as an equi-join on bucket ids
+    "range_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val bands = t.nation.select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 8000).cast("double").as("lo"),
+        (col("n_nationkey") * 8000 + 15999).cast("double").as("hi"))
+      Relational.bucketedRangeJoin(
+          t.orders.select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", bands, "lo", "hi", bucketSize = 4000L)
+        .select(col("o_orderkey"), col("band_id"))
+    }),
+
     // C22: as-of join — each purchase picks up the user's latest
     // prior-or-equal view (union + window, single key shuffle; DuckDB's
     // native ASOF JOIN is the oracle)
@@ -1245,6 +1259,12 @@ object SparkEntry {
     "embedding_neardup" ->
       """SELECT vec_id AS left_id, vec_id + 1000000 AS right_id
          FROM embeddings WHERE vec_id % 10 = 0""",
+
+    "range_join" ->
+      """SELECT o_orderkey, n_nationkey AS band_id
+         FROM orders JOIN nation
+           ON o_totalprice >= n_nationkey * 8000
+          AND o_totalprice <= n_nationkey * 8000 + 15999""",
 
     "asof_join" ->
       """WITH ev AS (

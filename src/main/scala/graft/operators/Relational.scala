@@ -119,6 +119,27 @@ object Relational {
               rightCols.map(c => col("__last_rv")(c).as(s"asof_$c")): _*)
   }
 
+  /** Range (interval-containment) join without a nested loop: Catalyst
+    * plans `point BETWEEN lo AND hi` as BroadcastNestedLoopJoin, which
+    * dies when neither side broadcasts. Bucketize instead: intervals
+    * explode into the fixed-width buckets they cover, points hash to
+    * their own bucket, and the join is a plain equi-join on the bucket
+    * id + a residual filter. Shuffle cost scales with interval width /
+    * bucketSize — pick bucketSize near the median interval width.
+    */
+  def bucketedRangeJoin(points: DataFrame, pointCol: String,
+                        intervals: DataFrame, loCol: String, hiCol: String,
+                        bucketSize: Long): DataFrame = {
+    val p = points.withColumn("__b",
+      floor(col(pointCol) / bucketSize).cast("long"))
+    val i = intervals.withColumn("__b",
+      explode(sequence(floor(col(loCol) / bucketSize).cast("long"),
+                       floor(col(hiCol) / bucketSize).cast("long"))))
+    p.join(i, "__b")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__b")
+  }
+
   /** Skew-resistant equi-join: the big (skewed) side gets a
     * deterministic per-row salt, the small-but-too-big-to-broadcast
     * side is replicated `saltFactor` times, and the join runs on

@@ -237,6 +237,19 @@ object SparkEntry {
     "ids_projection" -> ((s, dir) =>
       Tables(s, dir).orders.select(col("o_custkey").as("record_id")).distinct()),
 
+    // analytics: exact interpolated percentiles per group (price
+    // distribution profiling — the kind of stats the run dashboards
+    // aggregate)
+    "quantile_stats" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+    }),
+
     // C14: run metrics (alma_publish_parser.py:302-308)
     "run_metrics" -> ((s, dir) => {
       Tables(s, dir).events.groupBy(col("event_type"))
@@ -815,6 +828,14 @@ object SparkEntry {
     "run_metrics" ->
       """SELECT event_type, count(*) AS n, round(sum(value),3) AS total_value
          FROM events GROUP BY event_type""",
+
+    "quantile_stats" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
 
     "config_dims" ->
       """SELECT n_nationkey AS location_id, n_name AS code, r_name AS library_code,

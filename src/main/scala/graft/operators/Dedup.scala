@@ -109,12 +109,14 @@ object Dedup {
     * (keep_id) — the step that turns pairwise dedup output into
     * "keep one per cluster".
     *
-    * Iterative min-label propagation; each round is one join + one
-    * aggregation, driver-coordinated like any Spark iterative algorithm
-    * (converges in ≤ graph diameter rounds; dup clusters are
-    * near-stars, so 2-3 in practice). Early-stops when no label moves.
+    * Iterative min-label propagation with pointer jumping: each round
+    * propagates neighbor minima (one hop) and then compresses through
+    * the label mapping itself (label := label-of-label), doubling the
+    * effective distance per round — O(log n) rounds even for chain
+    * graphs, not O(diameter). Driver-coordinated like any Spark
+    * iterative algorithm; early-stops when no label moves.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
     val edges = pairs.select(col("left_id").as("src"), col("right_id").as("dst"))
       .unionByName(pairs.select(col("right_id").as("src"), col("left_id").as("dst")))
       .distinct().persist()
@@ -126,15 +128,23 @@ object Dedup {
       val candidate = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.withColumnRenamed("label", "__old")
+      val propagated = labels.withColumnRenamed("label", "__old")
         .join(candidate, Seq("id"), "left")
         .select(col("id"), col("__old"),
           least(col("__old"), coalesce(col("nbr_label"), col("__old"))).as("label"))
-        .persist()
-      // convergence check rides the same materialization (one action,
-      // no separate re-join job); iteration 0 always moves, skip it
+      // pointer jumping: follow the label one more step through the
+      // current mapping (label-of-label), compressing paths
+      val mapping = propagated.select(col("id").as("label"),
+        col("label").as("__parent"))
+      // localCheckpoint: iterative self-joins grow the logical plan
+      // geometrically — truncate lineage every round (tiny label frame,
+      // eager materialization doubles as the convergence action)
+      val next = propagated.join(mapping, Seq("label"), "left")
+        .select(col("id"), col("__old"),
+          least(col("label"), coalesce(col("__parent"), col("label"))).as("label"))
+        .localCheckpoint(true)
       val moved =
-        if (iter == 0) { next.count(); 1L }
+        if (iter == 0) 1L
         else next.filter(col("label") =!= col("__old")).count()
       labels.unpersist()
       labels = next.drop("__old")

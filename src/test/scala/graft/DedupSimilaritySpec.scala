@@ -44,6 +44,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.forall { case (id, keep) => keep <= id })
   }
 
+  test("connectedComponents converges on long chains (pointer jumping)") {
+    // a 60-node path graph: diameter 59, must converge in O(log n)
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("left_id", "right_id")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 60)
+    assert(out.values.forall(_ == 0L), s"unconverged labels: ${out.filter(_._2 != 0L)}")
+  }
+
   test("simhash finds planted exact copies at hamming 0") {
     val out = SparkEntry.queries("dedup_simhash")(spark, sf)
     val exact = out.filter($"hamming" === 0)

@@ -65,8 +65,14 @@ object Relational {
     * at scale partition this per input file (the run semantics only hold
     * within a file anyway).
     */
-  def lastOfConsecutiveRuns(df: DataFrame, runCol: String, orderCol: String): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
+  def lastOfConsecutiveRuns(df: DataFrame, runCol: String, orderCol: String,
+                            partitionCols: Seq[String] = Nil): DataFrame = {
+    // empty partitionCols = the reference's one-file global scan; at
+    // scale pass the input-file column (run semantics only hold within
+    // a file anyway) and the window stops being single-partition
+    val w =
+      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
     df.withColumn("__next_run", lead(col(runCol), 1).over(w))
       .filter(col("__next_run").isNull || col("__next_run") =!= col(runCol))
       .drop("__next_run")

@@ -15,17 +15,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/JIT/IO so the first measured query isn't charged
     // for it: the encoder + split + json paths JIT-compile on first use
-    // (measured: identical work runs 6× faster once warm), so exercise
-    // them on the smallest sf before timing anything
+    // (measured: identical work runs ~6× faster once warm, and C2
+    // compilation needs ~10k invocations — sf0.001's ~150 records are
+    // not enough, so warm on sf0.01's ~15k)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = "/root/testdata/sf0.01"
     if (new java.io.File(warmDir).isDirectory) {
-      try {
-        SparkEntry.queries("publish_split_item")(spark, warmDir).count()
-        SparkEntry.queries("bib_brief")(spark, warmDir).count()
-        SparkEntry.queries("dedup_minhash")(spark, warmDir).count()
-      } catch { case _: Throwable => () }
+      Seq("publish_split_item", "publish_split_holding", "bib_brief",
+          "marc_xml_roundtrip", "marc_binary_roundtrip", "marc_build",
+          "delete_file_actions", "item_row", "dedup_minhash").foreach { q =>
+        try SparkEntry.queries(q)(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Scratch diagnostics main (not part of the driver contract). */
@@ -13,17 +12,15 @@ object Debug {
       println(f"[dbg] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2fs"); r
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // JIT warm-up on the small sf, as Bench does
+    SparkEntry.queries("publish_split_item")(spark, "/root/testdata/sf0.001").count()
     (1 to 2).foreach { round =>
-      val corpus = graft.marc.MarcCorpus.publishRecords(t)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      time(s"r$round corpus materialize")(corpus.count())
-      val split = graft.marc.PublishSplit.split(corpus).toDF()
-      time(s"r$round split count")(split.count())
-      val p = split.persist(StorageLevel.MEMORY_AND_DISK)
-      time(s"r$round split persist")(p.count())
-      time(s"r$round item from_json")(
-        SparkEntry.queries("publish_split_item")(spark, "/root/testdata/sf0.1").count())
-      p.unpersist(); corpus.unpersist()
+      val fused = graft.marc.MarcCorpus.splitRecords(t)
+      println(s"[dbg] fused partitions = ${fused.rdd.getNumPartitions}")
+      time(s"r$round fused split count")(fused.count())
+      val p = fused.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+      time(s"r$round fused split persist")(p.count())
+      p.unpersist()
     }
     spark.stop()
   }

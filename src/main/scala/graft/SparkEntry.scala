@@ -81,20 +81,78 @@ object SparkEntry {
     */
   private val corpusCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  /** Publish corpus, built once per (session, sf dir) and persisted —
-    * shared by marc_build, the splitter, and delete-file processing.
+  /** Publish corpus plan, shared by marc_build and delete-file
+    * processing. Deliberately NOT persisted: caching the deep-nested
+    * `Seq[MarcField]` rows costs more (columnar encode + heap pressure
+    * + spill at scale) than recomputing the narrow joins + assembly for
+    * the two consumers that want whole records.
     */
   private def publishCorpus(s: SparkSession, dir: String): DataFrame =
     corpusCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      MarcCorpus.publishRecords(Tables(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      MarcCorpus.publishRecords(Tables(s, dir)))
 
   private val splitCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  /** Split corpus, fused end-to-end (inputs → assemble → split, no
+    * intermediate nested materialization) and persisted ONCE, mostly
+    * flat: holding rows are reduced to their extracted columns and item
+    * rows to their parsed-JSON columns at materialization time, so the
+    * cache stores nested `fields` arrays only for bib rows (the four
+    * bib consumers genuinely need the whole record — XML/ISO-2709
+    * serialization and field-level extraction). At 100 TB the cache
+    * footprint is what decides whether the persist spills and thrashes;
+    * flat strings columnar-compress, deep nested arrays don't.
+    */
   private def splitCorpus(s: SparkSession, dir: String): DataFrame =
-    splitCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      PublishSplit.split(publishCorpus(s, dir)).toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    splitCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val raw = MarcCorpus.splitRecords(Tables(s, dir)).toDF()
+      // one from_json parse per item row (get_json_object would re-parse
+      // the document once per extracted path)
+      val schema = "STRUCT<holding_data: STRUCT<in_temp_location: BOOLEAN," +
+        " temp_library: STRUCT<value: STRING>, copy_id: STRING>," +
+        " item_data: STRUCT<barcode: STRING, library: STRUCT<value: STRING>," +
+        " location: STRUCT<value: STRING>, base_status: STRUCT<value: STRING>," +
+        " description: STRING, enumeration_a: STRING, pieces: STRING>>"
+      val isB = col("kind") === "bib"
+      val isH = col("kind") === "holding"
+      raw
+        .withColumn("__j", from_json(col("item_json"), schema, Map.empty[String, String]))
+        .select(
+          col("kind"), col("mms_id"), col("holding_id"), col("pid"),
+          col("leader"), col("item_pids"), col("error"),
+          when(isB, col("fields")).as("fields"),
+          // holding extracts (B5 semantics, computed once at split time)
+          when(isH, array_join(transform(col("fields"), f => f("tag")), ","))
+            .as("field_tags"),
+          when(isH, Extract.callNumber(col("fields"))).as("display_call_number"),
+          when(isH, Extract.libraryCode(col("fields"))).as("library_code"),
+          when(isH, Extract.locationCode(col("fields"))).as("location_code"),
+          when(isH, Extract.fixedField(col("fields"), "008")).as("field008"),
+          when(isH, Extract.voyagerId(col("fields"))).as("voyager_holding_id"),
+          when(isH, Extract.suppress(col("fields"), "HLD")).as("suppress"),
+          when(isH, Extract.systemDates(col("fields"), "HLD")("update").cast("long"))
+            .as("update_epoch"),
+          // item-JSON parse (store_item_json view columns)
+          col("__j")("item_data")("barcode").as("barcode"),
+          col("__j")("item_data")("library")("value").as("perm_library"),
+          col("__j")("item_data")("location")("value").as("perm_location"),
+          col("__j")("holding_data")("temp_library")("value").as("temp_library"),
+          col("__j")("holding_data")("in_temp_location").cast("string").as("in_temp_location"),
+          col("__j")("item_data")("base_status")("value").as("status_code"),
+          Normalize.normWs(col("__j")("item_data")("description")).as("description"),
+          col("__j")("item_data")("enumeration_a").as("item_enum"),
+          col("__j")("item_data")("pieces").as("pieces"),
+          col("__j")("holding_data")("copy_id").as("copy_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Parsed item rows — a narrow flat view over the split cache. */
+  private def splitItemsParsed(s: SparkSession, dir: String): DataFrame =
+    splitCorpus(s, dir).filter(col("kind") === "item").select(
+      col("pid"), col("holding_id"), col("mms_id"), col("barcode"),
+      col("perm_library"), col("perm_location"), col("temp_library"),
+      col("in_temp_location"), col("status_code"), col("description"),
+      col("item_enum"), col("pieces"), col("copy_id"))
 
   private def itemInfoView(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -532,41 +590,16 @@ object SparkEntry {
     "publish_split_holding" -> ((s, dir) => {
       splitCorpus(s, dir).filter(col("kind") === "holding").select(
         col("holding_id"), col("mms_id"), col("leader"),
-        array_join(transform(col("fields"), f => f("tag")), ",").as("field_tags"),
-        Extract.callNumber(col("fields")).as("display_call_number"),
-        Extract.libraryCode(col("fields")).as("library_code"),
-        Extract.locationCode(col("fields")).as("location_code"),
-        Extract.fixedField(col("fields"), "008").as("field008"),
-        Extract.voyagerId(col("fields")).as("voyager_holding_id"),
-        Extract.suppress(col("fields"), "HLD").as("suppress"),
+        col("field_tags"), col("display_call_number"), col("library_code"),
+        col("location_code"), col("field008"), col("voyager_holding_id"),
+        col("suppress"),
         size(col("item_pids")).cast("long").as("n_items"),
-        Extract.systemDates(col("fields"), "HLD")("update").cast("long").as("update_epoch"))
+        col("update_epoch"))
     }),
 
-    // A4: item JSON fill from the ITM field + template (store_item_json view)
-    "publish_split_item" -> ((s, dir) => {
-      val items = splitCorpus(s, dir).filter(col("kind") === "item")
-      // one from_json parse per row (get_json_object would re-parse the
-      // document once per extracted path)
-      val schema = "STRUCT<holding_data: STRUCT<in_temp_location: BOOLEAN," +
-        " temp_library: STRUCT<value: STRING>, copy_id: STRING>," +
-        " item_data: STRUCT<barcode: STRING, library: STRUCT<value: STRING>," +
-        " location: STRUCT<value: STRING>, base_status: STRUCT<value: STRING>," +
-        " description: STRING, enumeration_a: STRING, pieces: STRING>>"
-      val j = from_json(col("item_json"), schema, Map.empty[String, String])
-      items.withColumn("__j", j).select(
-        col("pid"), col("holding_id"), col("mms_id"),
-        col("__j")("item_data")("barcode").as("barcode"),
-        col("__j")("item_data")("library")("value").as("perm_library"),
-        col("__j")("item_data")("location")("value").as("perm_location"),
-        col("__j")("holding_data")("temp_library")("value").as("temp_library"),
-        col("__j")("holding_data")("in_temp_location").cast("string").as("in_temp_location"),
-        col("__j")("item_data")("base_status")("value").as("status_code"),
-        Normalize.normWs(col("__j")("item_data")("description")).as("description"),
-        col("__j")("item_data")("enumeration_a").as("item_enum"),
-        col("__j")("item_data")("pieces").as("pieces"),
-        col("__j")("holding_data")("copy_id").as("copy_id"))
-    }),
+    // A4: item JSON fill from the ITM field + template (store_item_json
+    // view) — the shared parsed-items frame, parsed once, persisted flat
+    "publish_split_item" -> ((s, dir) => splitItemsParsed(s, dir)),
 
     // A4+C4+B4 integration: item JSON → the `item` table row
     // (store_item_json, alma_publish_to_database.py:278-312): location
@@ -574,7 +607,7 @@ object SparkEntry {
     // location only when in_temp, dates parsed, description rm_ws'd
     "item_row" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val items = SparkEntry.queries("publish_split_item")(s, dir)
+      val items = splitItemsParsed(s, dir)
       // location dim: (library_code=r_name, code=n_name) → id=n_nationkey
       val loc = t.nation.join(broadcast(t.region),
           col("n_regionkey") === col("r_regionkey"))

@@ -257,4 +257,21 @@ object MarcCorpus {
     import spark.implicits._
     corpusInputs(t).map(assemble).toDF()
   }
+
+  /** Fused corpus-build → split: one typed chain (narrow input →
+    * assemble → splitRecord) with NO materialization of the deep-nested
+    * publish records in between. Catalyst's `EliminateSerialization`
+    * removes the serialize/deserialize pair between the adjacent typed
+    * ops, so each record goes input-row → objects → split rows in one
+    * pass — the nested `Seq[MarcField]` never round-trips through a
+    * cache. At scale this is the difference between caching N deep
+    * records twice and caching only the split output once.
+    */
+  def splitRecords(t: Tables): Dataset[PublishSplit.SplitOut] = {
+    val spark = t.spark
+    import spark.implicits._
+    val template = ItemTemplate.Template
+    corpusInputs(t).map(assemble)
+      .flatMap(r => PublishSplit.splitRecord(r, template))
+  }
 }

@@ -203,8 +203,10 @@ object AlmaPipeline {
       store.deleteKeys("holding_brief",
         actions.filter(col("record_type") === "holding")
           .select(col("record_id").as("holding_id")), Seq("holding_id"))
+      // record_id leads: it is the store's bucket key (record_type has
+      // cardinality 2 — bucketing on it would put the table in 2 buckets)
       store.insertOnly("deleted_record", actions,
-        Seq("record_type", "record_id"))
+        Seq("record_id", "record_type"))
     } finally actions.unpersist()
   }
 }

@@ -56,6 +56,58 @@ class DataSyncStoreSpec extends AnyFunSuite {
       Seq((1L, "x"), (3L, "z")))
   }
 
+  // ---- incremental (dirty-bucket) behavior ---------------------------
+
+  /** (bucket dir name → sorted (file name, byte checksum) list). */
+  private def bucketState(root: String, table: String): Map[String, Seq[(String, Long)]] = {
+    val dir = new java.io.File(s"$root/$table")
+    dir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map { b =>
+        b.getName -> b.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+          .map(f => f.getName ->
+            java.util.Arrays.hashCode(Files.readAllBytes(f.toPath)).toLong)
+          .sortBy(_._1)
+      }.toMap
+  }
+
+  test("incremental upsert rewrites only dirty buckets; untouched buckets byte-identical") {
+    val root = Files.createTempDirectory("graft_store").toFile.getAbsolutePath
+    val store = new DataSyncStore(spark, root, numBuckets = 8)
+    store.upsert("bib_brief",
+      (1L to 200L).map(i => (i, s"t$i")).toDF("mms_id", "title"), Seq("mms_id"))
+    val before = bucketState(root, "bib_brief")
+    assert(before.size > 4, s"200 keys should spread over >4 of 8 buckets, got ${before.size}")
+
+    // second publish: 2 keys → at most 2 dirty buckets
+    store.upsert("bib_brief", Seq((7L, "t7-v2"), (8L, "t8-v2")).toDF("mms_id", "title"),
+                 Seq("mms_id"))
+    val after = bucketState(root, "bib_brief")
+    val changed = after.keySet.filter(k => before.get(k) != after.get(k))
+    assert(changed.size <= 2, s"2 updated keys must dirty <=2 buckets, got $changed")
+    assert((before.keySet -- changed).forall(k => before(k) == after(k)),
+      "untouched buckets must be byte-identical")
+    // and the merge is still correct
+    assert(store.read("bib_brief").count() == 200)
+    assert(store.read("bib_brief").filter($"version" === 1L).count() == 2)
+    assert(store.read("bib_brief").filter($"mms_id" === 7L)
+      .select("title").as[String].head() == "t7-v2")
+  }
+
+  test("deleteKeys prunes to dirty buckets and drops emptied bucket dirs") {
+    val root = Files.createTempDirectory("graft_store").toFile.getAbsolutePath
+    val store = new DataSyncStore(spark, root, numBuckets = 4)
+    // one lonely key: deleting it must empty (and remove) its bucket dir
+    store.insertOnly("item", Seq((42L, "x")).toDF("pid", "v"), Seq("pid"))
+    val only = bucketState(root, "item").keySet
+    assert(only.size == 1)
+    store.insertOnly("item", (100L to 120L).map(i => (i, s"v$i")).toDF("pid", "v"),
+                     Seq("pid"))
+    store.deleteKeys("item",
+      Seq(42L).toDF("pid").filter($"pid" === 42L), Seq("pid"))
+    assert(store.read("item").filter($"pid" === 42L).count() == 0)
+    assert(store.read("item").count() == 21)
+  }
+
   test("end-to-end: split corpus briefs land in the store and re-publish is idempotent") {
     val store = newStore()
     val bibs = SparkEntry.queries("bib_brief")(spark, "/root/testdata/sf0.001")

@@ -251,11 +251,18 @@ object SparkEntry {
     // (alma_analytics_to_item_status.py:16-29 vs :39-48)
     "analytics_status_import" -> ((s, dir) => {
       val t = Tables(s, dir)
+      // the reference reads one analytics export file at a time and the
+      // consecutive-run semantics only hold within a file; contiguous
+      // event_id blocks stand in for the per-file boundary, so the
+      // window partitions per file instead of moving everything to one
+      // partition (the number of "files" scales with the data)
       val notInPlace = t.events.filter(col("value") > 1) // stand-in predicate
-        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
-      Relational.lastOfConsecutiveRuns(notInPlace, "user_id", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+                expr("event_id div 4096").as("file_id"))
+      Relational.lastOfConsecutiveRuns(notInPlace, "user_id", "event_id",
+                                       Seq("file_id"))
         .filter(col("event_type") === "purchase") // 'Active' post-filter
-        .select(col("user_id").as("pid"), col("event_id"),
+        .select(col("file_id"), col("user_id").as("pid"), col("event_id"),
                 upper(col("event_type")).as("process_type"),
                 lit("0").as("status_code"),
                 round(col("value"), 3).as("value"))
@@ -827,11 +834,14 @@ object SparkEntry {
 
     "analytics_status_import" ->
       """WITH p1 AS (
-           SELECT user_id, event_id, event_type, value FROM events WHERE value > 1),
+           SELECT user_id, event_id, event_type, value,
+                  event_id // 4096 AS file_id
+           FROM events WHERE value > 1),
          runs AS (
-           SELECT *, lead(user_id) OVER (ORDER BY event_id) AS nu FROM p1),
+           SELECT *, lead(user_id) OVER (PARTITION BY file_id ORDER BY event_id) AS nu
+           FROM p1),
          last AS (SELECT * FROM runs WHERE nu IS NULL OR nu <> user_id)
-         SELECT user_id AS pid, event_id, upper(event_type) AS process_type,
+         SELECT file_id, user_id AS pid, event_id, upper(event_type) AS process_type,
                 '0' AS status_code, round(value, 3) AS value
          FROM last WHERE event_type = 'purchase'""",
 

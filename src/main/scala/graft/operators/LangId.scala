@@ -37,9 +37,13 @@ object LangId {
       .select(col("lang"), col("word"),
         log((coalesce(col("n"), lit(0L)) + 1).cast("double") /
             (col("lang_total") + vocabSize)).as("logp"))
-    val priors = train.groupBy(col(langCol).as("lang"))
+    val ndPerLang = train.groupBy(col(langCol).as("lang"))
       .agg(count(lit(1)).as("nd"))
-      .withColumn("logprior", log(col("nd") / sum(col("nd")).over(Window.partitionBy())))
+    // |langs| rows — a 1-row total cross-joined back (same answer as an
+    // empty-window sum without the move-everything-to-one-partition plan)
+    val priors = ndPerLang
+      .crossJoin(broadcast(ndPerLang.agg(sum(col("nd")).as("__total"))))
+      .withColumn("logprior", log(col("nd") / col("__total")))
       .select("lang", "logprior")
     (grid, priors)
   }

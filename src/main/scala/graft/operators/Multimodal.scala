@@ -67,29 +67,31 @@ object Multimodal {
   private val FeaturizedSchema = StructType(
     AssetSchema.fields.filterNot(_.name == "payload") ++ Seq(
       StructField("features", ArrayType(FloatType, containsNull = false)),
-      StructField("decoded_in_partition", IntegerType, nullable = false)))
+      StructField("decoded_in_batch", IntegerType, nullable = false)))
 
   /** Decode + featurize via mapPartitions: one (stub) decoder
-    * initialization per PARTITION — the pattern that matters when the
-    * real codec costs seconds to init. Emits how many assets the
-    * partition's decoder instance served, so tests (and ops dashboards)
-    * can verify batching actually happened.
+    * initialization per PARTITION (the pattern that matters when the
+    * real codec costs seconds to init), with decode fed in BOUNDED
+    * batches — never `rows.toArray`: a partition of real image/video
+    * payloads does not fit on one executor's heap. Each row records its
+    * batch size so tests (and ops dashboards) can verify both that
+    * batching happened and that memory stayed bounded.
     */
-  def featurize(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
+  def featurize(assets: DataFrame, batchSize: Int = 64): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(FeaturizedSchema)
     assets.select("asset_id", "kind", "payload", "meta").mapPartitions { rows =>
       // per-partition decoder "init" (the stub's init is just a seed)
       val decoderSeed = 42L
-      val buffered = rows.toArray // batch the partition for vectorized decode
-      val n = buffered.length
-      buffered.iterator.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val feats = fakeDecode(if (payload == null) Array.empty else payload,
-                               decoderSeed)
-        Row(r.getAs[Long]("asset_id"), r.getAs[String]("kind"),
-            r.getAs[Row]("meta"), feats.toSeq, n)
+      rows.grouped(batchSize).flatMap { batch =>
+        val n = batch.length // ≤ batchSize payloads in memory at once
+        batch.iterator.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val feats = fakeDecode(if (payload == null) Array.empty else payload,
+                                 decoderSeed)
+          Row(r.getAs[Long]("asset_id"), r.getAs[String]("kind"),
+              r.getAs[Row]("meta"), feats.toSeq, n)
+        }
       }
     }(enc)
   }

@@ -81,11 +81,29 @@ object Relational {
   /** Chunk assignment for N-records-per-file output (split_jsonl.py).
     * For actual writes use `option("maxRecordsPerFile", n)`; this returns
     * the deterministic chunk index for verification.
+    *
+    * Scale shape: a global `row_number` window would move everything to
+    * one partition. Instead: range-repartition on the order column +
+    * per-partition sort (total order across partitions), then the
+    * zipWithIndex pattern — per-partition counts (one tiny job, a
+    * driver array of numPartitions longs) become cumulative offsets,
+    * and the global index is offset + local position, assigned
+    * map-side. Both jobs recompute the same deterministic range
+    * partitioning (sampled with fixed seeds), so counts and rows align.
     */
   def chunkIndex(df: DataFrame, orderCol: String, n: Int,
                  ixCol: String = "file_ix"): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
-    df.withColumn(ixCol, floor((row_number().over(w) - 1) / n))
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        ixCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = ranged.rdd.zipWithIndex().map { case (row, ix) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ ix / n)
+    }
+    spark.createDataFrame(indexed, schema)
   }
 
   /** As-of join: each left row picks up the LATEST right row with

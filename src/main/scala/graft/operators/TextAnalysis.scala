@@ -85,10 +85,14 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(normalizeText(col(textCol)), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    toks.groupBy("word")
+    val counts = toks.groupBy("word")
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("doc_freq"))
-      .withColumn("share", round(col("n").cast("double") /
-        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+    // stream total as a 1-row aggregate broadcast back — an empty-window
+    // sum would drag the whole vocabulary to a single partition
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n").cast("double") / col("__total"), 6))
+      .drop("__total")
   }
 
   /** Word-set Jaccard similarity between two text columns (candidate-pair

@@ -90,18 +90,28 @@ object PublishFiles {
     * batch_ix) where batch_ix increments whenever the prefix changes in
     * sorted-path order (consecutive-run semantics, same machinery as
     * the analytics importer's run detection).
+    *
+    * Scale shape (gaps-and-islands, no global window): a manifest is
+    * metadata-sized, but the same code serves corpus-sized run
+    * detection, so: global path ordinal via the zipWithIndex pattern
+    * ([[graft.operators.Relational.chunkIndex]] with n=1), island key =
+    * ordinal − rank-within-prefix (a PARTITIONED window), island rank
+    * by first ordinal — every stage distributed.
     */
   def groupFileBatches(files: DataFrame, pathCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(pathCol))
-    files
-      .withColumn("file_prefix", filePrefix(col(pathCol)))
-      .withColumn("__chg",
-        when(lag(col("file_prefix"), 1).over(w).isNull ||
-             lag(col("file_prefix"), 1).over(w) =!= col("file_prefix"), 1)
-          .otherwise(0))
-      .withColumn("batch_ix", sum(col("__chg")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
-      .drop("__chg")
+    val ord = graft.operators.Relational.chunkIndex(
+      files.withColumn("file_prefix", filePrefix(col(pathCol))),
+      pathCol, 1, "__ord")
+    val wp = Window.partitionBy("file_prefix").orderBy("__ord")
+    val islands = ord.withColumn("__island",
+      col("__ord") - row_number().over(wp))
+    val batches = islands.groupBy("file_prefix", "__island")
+      .agg(min(col("__ord")).as("__b0"))
+    val ranked = graft.operators.Relational
+      .chunkIndex(batches, "__b0", 1, "batch_ix")
+      .select("file_prefix", "__island", "batch_ix")
+    islands.join(ranked, Seq("file_prefix", "__island"))
+      .drop("__ord", "__island")
   }
 }

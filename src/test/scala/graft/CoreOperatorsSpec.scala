@@ -74,6 +74,25 @@ class CoreOperatorsSpec extends AnyFunSuite {
     assert(out == Seq((2, "a"), (3, "b"), (4, "a")))
   }
 
+  test("lastOfConsecutiveRuns with partitions: runs never span partition values") {
+    val df = Seq((1, "a", 0), (2, "a", 0), (3, "a", 1), (4, "a", 1))
+      .toDF("ord", "run", "file")
+    val out = Relational.lastOfConsecutiveRuns(df, "run", "ord", Seq("file"))
+      .orderBy("ord").as[(Int, String, Int)].collect().toSeq
+    // the 'a' run restarts at the file boundary: last-of-run per file
+    assert(out == Seq((2, "a", 0), (4, "a", 1)))
+  }
+
+  test("chunkIndex assigns global-order chunks without a global window") {
+    // scrambled partition layout in: the index must still follow total
+    // doc order (equivalent to a global row_number, computed map-side)
+    val df = spark.range(0, 1000).toDF("id").repartition(7)
+    val out = Relational.chunkIndex(df, "id", 100)
+      .as[(Long, Long)].collect()
+    assert(out.length == 1000)
+    out.foreach { case (id, ix) => assert(ix == id / 100, s"id=$id ix=$ix") }
+  }
+
   test("formatOclc prefixes by digit count") {
     val df = Seq("(OCoLC)12345678", "(OCoLC)123456789", "(OCoLC)1234567890")
       .toDF("raw").select(Normalize.formatOclc($"raw").as("o"))

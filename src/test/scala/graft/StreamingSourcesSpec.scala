@@ -183,16 +183,19 @@ class StreamingSourcesSpec extends AnyFunSuite {
   test("multimodal featurize batches per partition and preserves rows") {
     val assets = Multimodal.assetsFromDocuments(
       spark.read.parquet(s"$sf/documents.parquet")).repartition(4)
-    val out = Multimodal.featurize(assets)
+    val out = Multimodal.featurize(assets, batchSize = 32)
     assert(out.count() == 500)
     assert(out.select("features").head().getSeq[Float](0).length == 8)
-    // every partition decoded a batch, not single rows
-    val batchSizes = out.select("decoded_in_partition").distinct()
+    // decode ran in real batches (not row-at-a-time) AND memory stayed
+    // bounded (never a whole partition buffered: 500 rows / 4 partitions
+    // would exceed the 32-row cap if toArray'd)
+    val batchSizes = out.select("decoded_in_batch").distinct()
       .as[Int].collect()
     assert(batchSizes.forall(_ > 1))
+    assert(batchSizes.forall(_ <= 32), s"batch exceeded cap: ${batchSizes.toSeq}")
     // deterministic: same payload → same features
     val f1 = out.orderBy("asset_id").select("features").head().getSeq[Float](0)
-    val f2 = Multimodal.featurize(assets).orderBy("asset_id")
+    val f2 = Multimodal.featurize(assets, batchSize = 32).orderBy("asset_id")
       .select("features").head().getSeq[Float](0)
     assert(f1 == f2)
   }

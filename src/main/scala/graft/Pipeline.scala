@@ -7,11 +7,11 @@ import graft.functions.Normalize
 import graft.marc.{DeleteFiles, Extract, Iso2709, MarcXml, PublishSplit}
 import graft.marc.PublishSplit.PublishRow
 import graft.operators.{Relational, RunMetrics}
-import graft.sources.DataSyncStore
+import graft.sources.{DataSyncStore, SyncSink}
 
 /** The end-to-end ingest pipeline — what `alma_publish_to_marc.py` +
   * `alma_publish_to_database.py` do per publish run, as one
-  * distributed flow into a [[DataSyncStore]]:
+  * distributed flow into a [[graft.sources.SyncSink]] (parquet store or JDBC):
   *
   *   parse → split → first-record-wins dedup → brief extraction →
   *   marc blobs → upserts → external-id refresh → bound-with links →
@@ -32,7 +32,7 @@ object AlmaPipeline {
     * location dimension (id, library_code, code) for surrogate-key
     * resolution; pass an empty frame to leave location ids null.
     */
-  def ingestPublish(records: Dataset[PublishRow], store: DataSyncStore,
+  def ingestPublish(records: Dataset[PublishRow], store: SyncSink,
                     locationDim: DataFrame): IngestCounts = {
     val spark = records.sparkSession
     import spark.implicits._
@@ -194,7 +194,7 @@ object AlmaPipeline {
   /** Process a delete file: remove bibs/holdings, append history rows
     * (alma_publish_parser.py:341-380; deleted_record table).
     */
-  def processDeletes(records: Dataset[PublishRow], store: DataSyncStore): Unit = {
+  def processDeletes(records: Dataset[PublishRow], store: SyncSink): Unit = {
     val actions = DeleteFiles.deleteActions(records).persist()
     try {
       store.deleteKeys("bib_brief",

@@ -34,7 +34,7 @@ import graft.operators.Upsert
   *     mid-run crash also leaves earlier records committed.)
   */
 final class DataSyncStore(spark: SparkSession, root: String,
-                          val numBuckets: Int = 64) {
+                          val numBuckets: Int = 64) extends SyncSink {
 
   private val BucketCol = "__bucket"
 

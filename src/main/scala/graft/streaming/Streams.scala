@@ -61,7 +61,7 @@ object Streams {
     * the store's atomic-swap publishes as the transaction boundary.
     */
   def ingestStream(records: Dataset[graft.marc.PublishSplit.PublishRow],
-                   store: graft.sources.DataSyncStore,
+                   store: graft.sources.SyncSink,
                    locationDim: DataFrame,
                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     records.writeStream

@@ -367,6 +367,41 @@ object SparkEntry {
       ConfigIngest.locationCircDeskLinks(desks, locDim)
     }),
 
+    // C19b: library dimension ingest from `{"library":[...]}` payloads
+    // (alma_config_to_database.py store_libraries)
+    "config_libraries" -> ((s, dir) => {
+      import graft.operators.ConfigIngest
+      val t = Tables(s, dir)
+      val nr = t.nation.join(broadcast(t.region),
+        col("n_regionkey") === col("r_regionkey"))
+      val docs = nr.groupBy(col("r_regionkey"), col("r_name"))
+        .agg(to_json(struct(sort_array(collect_list(struct(
+            concat(lit("LIB"), col("n_nationkey")).as("id"),
+            col("n_name").as("code"),
+            concat(lit("Library of "), col("n_name")).as("name"),
+            concat(lit("/libs/"), col("n_name")).as("path"),
+            concat(lit("Serves nation "), col("n_nationkey")).as("description"),
+            struct(col("r_name").as("value"),
+                   concat(lit("Campus "), col("r_name")).as("description"))
+              .as("campus")))).as("library"))).as("payload"))
+      ConfigIngest.libraries(docs)
+    }),
+
+    // C19c: code_table_value ingest from `{"row":[...]}` payloads
+    // (alma_config_to_database.py store_code_tables)
+    "config_code_tables" -> ((s, dir) => {
+      import graft.operators.ConfigIngest
+      val t = Tables(s, dir)
+      val nr = t.nation.join(broadcast(t.region),
+        col("n_regionkey") === col("r_regionkey"))
+      val docs = nr.groupBy(concat(lit("ct_"), col("r_name")).as("code_table"))
+        .agg(to_json(struct(sort_array(collect_list(struct(
+            col("n_name").as("code"),
+            concat(lit("desc "), col("n_nationkey")).as("description"))))
+          .as("row"))).as("payload"))
+      ConfigIngest.codeTables(docs)
+    }),
+
     // C17: record_set ingest (ddl/data_sync_db.sql record_set) — named
     // id-sets stored as JSON, exploded to membership rows
     "record_set_members" -> ((s, dir) => {
@@ -692,6 +727,23 @@ object SparkEntry {
           Extract.title(col("fields")).as("title"))
     }),
 
+    // C13b: file-mode id dump (ids_from_files.py) — MARC-XML "files"
+    // from the split corpus, 'delete'-named files skipped, 001 per record
+    "ids_from_files" -> ((s, dir) => {
+      import s.implicits._
+      val bibs = splitCorpus(s, dir).filter(col("kind") === "bib")
+        .select("mms_id", "leader", "fields").as[PublishRow]
+      val files = bibs.map { r =>
+        // mms_id = "99" + orderkey + "8651"; every 7th order's file is a
+        // delete file (name rule the oracle re-derives from o_orderkey)
+        val orderkey = r.mms_id.drop(2).dropRight(4).toLong
+        val name = if (orderkey % 7 == 0) s"pub_delete_$orderkey.xml"
+                   else s"pub_new_$orderkey.xml"
+        (name, MarcXml.toXml(r.leader, r.fields))
+      }.toDF("path", "content")
+      graft.marc.IdsFromFiles.ids(files)
+    }),
+
     // C23: bucketed range join — orders matched to overlapping price
     // bands by interval containment, as an equi-join on bucket ids
     "range_join" -> ((s, dir) => {
@@ -895,6 +947,24 @@ object SparkEntry {
     "config_circ_desk_links" ->
       """SELECT CAST(r_regionkey*10 + (n_nationkey%2) AS BIGINT) AS circ_desk_id,
                 n_nationkey AS location_id
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+    "ids_from_files" ->
+      """SELECT '99'||o_orderkey||'8651' AS record_id
+         FROM orders
+         WHERE o_orderkey % 7 <> 0
+           AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""",
+
+    "config_libraries" ->
+      """SELECT n_name AS code, 'Library of '||n_name AS name,
+                'LIB'||n_nationkey AS alma_id, '/libs/'||n_name AS path,
+                'Serves nation '||n_nationkey AS description,
+                r_name AS campus, 'Campus '||r_name AS campus_description
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+    "config_code_tables" ->
+      """SELECT 'ct_'||r_name AS code_table, n_name AS code,
+                'desc '||n_nationkey AS description
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
 
     "file_group_batches" ->

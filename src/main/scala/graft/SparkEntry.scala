@@ -568,7 +568,7 @@ object SparkEntry {
       val corpus = plantedEmbeddings(Tables(s, dir))
       val queries = corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000L)
       Similarity.annIvf(corpus, queries, "vec_id", "embedding",
-                        k = 1, nlist = 32, nprobe = 4)
+                        k = 1, nlist = 32, nprobe = 4, lloydIters = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 

@@ -35,6 +35,44 @@ class OpsSpec extends AnyFunSuite {
     assert(perQuery < corpusN / 2, s"probed $perQuery of $corpusN")
   }
 
+  test("trained (Lloyd) IVF: recall@k vs brute force, non-degrading with training") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = e.filter($"vec_id" % 25 === 0)
+    val k = 5
+    val truth = Similarity.annBruteForce(e, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(lloydIters: Int, nprobe: Int): Double = {
+      val got = Similarity.annIvf(e, queries, "vec_id", "embedding", k,
+          nlist = 16, nprobe = nprobe, lloydIters = lloydIters)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = truth.map { case (q, t) =>
+        (t intersect got.getOrElse(q, Set.empty)).size.toDouble / t.size }
+      hits.sum / truth.size
+    }
+    // recall@5 curve over nprobe, trained vs seed quantizer
+    val seedR = Seq(1, 2, 4).map(recall(0, _))
+    val trainedR = Seq(1, 2, 4).map(recall(3, _))
+    // more probes → recall can only grow (same quantizer)
+    assert(seedR == seedR.sorted, s"seed curve not monotone: $seedR")
+    assert(trainedR == trainedR.sorted, s"trained curve not monotone: $trainedR")
+    // training must not degrade recall at full probe depth, and must
+    // beat the scanned-fraction baseline (nprobe/nlist = 0.25 of the
+    // corpus → random cells would land ~0.25 recall; this corpus is
+    // random soup, so beating the fraction is what training can buy)
+    assert(trainedR.last >= seedR.last - 0.05,
+      s"trained ${trainedR.last} < seed ${seedR.last}")
+    assert(trainedR.last >= 0.4, s"trained recall@5 under baseline: ${trainedR.last}")
+  }
+
+  test("Lloyd training is deterministic across invocations") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val c1 = Similarity.trainCentroidsLloyd(e, "vec_id", "embedding", 16, 2)
+    val c2 = Similarity.trainCentroidsLloyd(e, "vec_id", "embedding", 16, 2)
+    assert(c1 == c2)
+  }
+
   test("asofJoin: latest prior-or-equal right row per key; unmatched → null") {
     val left = Seq((1L, "p1", 10L), (1L, "p2", 20L), (2L, "p3", 5L))
       .toDF("k", "name", "ts")

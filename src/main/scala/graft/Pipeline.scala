@@ -20,36 +20,55 @@ import graft.sources.{DataSyncStore, SyncSink}
   * A user of the reference switches by pointing this at their publish
   * files and a store root; every table written here matches a
   * ddl/data_sync_db.sql table (bib_brief, bib_marc, bib_marc_xml,
-  * holding_brief, holding_marc, item, item_data, external_id,
-  * bib_part, deleted_record).
+  * holding_brief, holding_marc, item, item_data, item_base_status,
+  * external_id, bib_part, deleted_record).
   */
 object AlmaPipeline {
 
   case class IngestCounts(records: Long, bibs: Long, holdings: Long,
                           items: Long, errors: Long)
 
-  /** Ingest one batch of publish records. `locationDim` is the config
-    * location dimension (id, library_code, code) for surrogate-key
-    * resolution; pass an empty frame to leave location ids null.
+  /** Ingest one batch of publish records (no source ordering
+    * available — intra-batch duplicate keys dedup on a content
+    * tiebreak). Prefer [[ingestPublishOrdered]] fed by
+    * [[graft.sources.PublishFiles.readPublishFilesOrdered]] for the
+    * reference's exact first-in-sorted-file-order semantics.
     */
   def ingestPublish(records: Dataset[PublishRow], store: SyncSink,
-                    locationDim: DataFrame): IngestCounts = {
+                    locationDim: DataFrame): IngestCounts =
+    ingestPublishOrdered(records.toDF().withColumn("ordinal", lit("")),
+      store, locationDim)
+
+  /** Ingest one batch of publish records carrying an `ordinal` column
+    * (source path + in-file record index — see
+    * [[graft.sources.PublishFiles.readPublishFilesOrdered]]).
+    * `locationDim` is the config location dimension
+    * (id, library_code, code) for surrogate-key resolution; pass an
+    * empty frame to leave location ids null.
+    */
+  def ingestPublishOrdered(records: DataFrame, store: SyncSink,
+                           locationDim: DataFrame): IngestCounts = {
     val spark = records.sparkSession
     import spark.implicits._
 
     val (split, obs) = RunMetrics.observeSplit(
-      PublishSplit.split(records.toDF()).toDF())
+      PublishSplit.splitOrdered(records))
     val cached = split.persist()
     try {
       // first-record-wins within the batch — the parser's bib_ids /
       // holding_ids sets (alma_publish_parser.py:172-183), distributed
+      // and deterministic: sorted-file record order leads the tiebreak
       val bibs = Relational.firstPerKey(
         cached.filter(col("kind") === "bib"),
-        Seq("mms_id"), Seq(col("holding_id")))
+        Seq("mms_id"), Seq(col("ordinal"), col("holding_id")))
       val holdings = Relational.firstPerKey(
         cached.filter(col("kind") === "holding"),
-        Seq("holding_id"), Seq(col("mms_id")))
-      val items = cached.filter(col("kind") === "item")
+        Seq("holding_id"), Seq(col("ordinal"), col("mms_id")))
+      // items: the reference executes ON CONFLICT DO UPDATE per
+      // occurrence in file order → the LAST occurrence per pid wins
+      val items = Relational.latestPerKey(
+        cached.filter(col("kind") === "item"),
+        Seq("pid"), Seq(col("ordinal")))
 
       // ---- bib tables
       val f = col("fields")
@@ -87,19 +106,33 @@ object AlmaPipeline {
         }.toDF("mms_id", "raw_marc"),
         Seq("mms_id"))
 
-      // ---- external ids: delete-then-insert refresh per record
-      // (alma_publish_to_database.py:186-194, 223-233)
-      val extIds = bibs.select(col("mms_id"), explode(array(
-          struct(lit("oclc").as("t"), Normalize.formatOclc(Extract.oclcNumber(f)).as("v")),
-          struct(lit("issn").as("t"), Normalize.formatNumberDashes(Extract.issn(f)).as("v")),
-          struct(lit("isbn").as("t"), Normalize.formatNumberDashes(Extract.isbn(f)).as("v"))))
-          .as("e"))
-        .select(col("mms_id").as("record_id"), lit("bib").as("record_type"),
-                col("e")("t").as("external_id_type"), col("e")("v").as("external_value"))
+      // ---- external ids: delete-then-insert refresh per (record, type)
+      // (alma_publish_to_database.py:186-194, 223-233): ALL extracted
+      // values insert (every qualifying 035/079 OCLC, every $a of the
+      // first qualifying 020/022), and the delete is scoped to the
+      // (record_id, external_id_type) pairs whose NEW raw list is
+      // non-empty — a type whose values disappeared is retained, exactly
+      // like the reference's `if oclcs:` guard around insert_external_ids
+      val rawLists = bibs.select(col("mms_id").as("record_id"), explode(array(
+          struct(lit("oclc").as("t"), Extract.oclcs(f).as("vals")),
+          struct(lit("issn").as("t"), Extract.issns(f).as("vals")),
+          struct(lit("isbn").as("t"), Extract.isbns(f).as("vals")))).as("e"))
+        .select(col("record_id"), col("e")("t").as("external_id_type"),
+                col("e")("vals").as("vals"))
+        .filter(col("vals").isNotNull && size(col("vals")) > 0)
+      val extIds = rawLists
+        .select(col("record_id"), lit("bib").as("record_type"),
+          col("external_id_type"),
+          explode(col("vals")).as("raw"))
+        .withColumn("external_value",
+          when(col("external_id_type") === "oclc", Normalize.formatOclc(col("raw")))
+            .otherwise(Normalize.formatNumberDashes(col("raw"))))
         .filter(col("external_value").isNotNull && col("external_value") =!= "")
+        .select("record_id", "record_type", "external_id_type", "external_value")
         .distinct()
-      store.deleteKeys("external_id", bibs.select(col("mms_id").as("record_id")),
-                       Seq("record_id"))
+      store.deleteKeys("external_id",
+        rawLists.select("record_id", "external_id_type").distinct(),
+        Seq("record_id", "external_id_type"))
       store.insertOnly("external_id", extIds,
                        Seq("record_id", "external_id_type", "external_value"))
 
@@ -140,30 +173,74 @@ object AlmaPipeline {
         }.toDF("holding_id", "raw_marc"),
         Seq("holding_id"))
 
-      // ---- items (store_item_json, alma_publish_to_database.py:278-312)
+      // ---- items (store_item_json, alma_publish_to_database.py:278-326):
+      // the full ddl `item` row — temp location resolved only when
+      // in_temp_location, '' → null presence semantics, parse_date_str
+      // dates, inventory_number → voyager_item_id, sequence_number 1 —
+      // plus the update_date_time-guarded item_base_status upsert
       val itemSchema = "STRUCT<holding_data: STRUCT<in_temp_location: BOOLEAN," +
-        " temp_library: STRUCT<value: STRING>, copy_id: STRING>," +
+        " temp_library: STRUCT<value: STRING>, temp_location: STRUCT<value: STRING>," +
+        " copy_id: STRING>," +
         " item_data: STRUCT<barcode: STRING, library: STRUCT<value: STRING>," +
         " location: STRUCT<value: STRING>, base_status: STRUCT<value: STRING>," +
-        " description: STRING, enumeration_a: STRING, pieces: STRING>>"
+        " description: STRING, enumeration_a: STRING, chronology_i: STRING," +
+        " pieces: STRING, creation_date: STRING, modification_date: STRING," +
+        " inventory_date: STRING, physical_material_type: STRUCT<value: STRING>," +
+        " policy: STRUCT<value: STRING>, process_type: STRUCT<value: STRING>," +
+        " inventory_number: STRING>>"
+      def presence(c: org.apache.spark.sql.Column) = nullif(c, lit(""))
       val j = from_json(col("item_json"), itemSchema, Map.empty[String, String])
-      store.upsert("item", items.withColumn("__j", j)
+      val inTemp = coalesce(col("__j")("holding_data")("in_temp_location"), lit(false))
+      val parsed = items.withColumn("__j", j)
+        .withColumn("__temp_lib",
+          when(inTemp, col("__j")("holding_data")("temp_library")("value")))
+        .withColumn("__temp_loc",
+          when(inTemp, col("__j")("holding_data")("temp_location")("value")))
+      val tempDim = broadcast(locationDim.select(
+        col("id").as("temp_location_id"), col("library_code").as("__tlib"),
+        col("code").as("__tloc")))
+      val itemFull = parsed
         .join(locDim,
           col("__j")("item_data")("library")("value") === col("__lib") &&
           col("__j")("item_data")("location")("value") === col("__loc"), "left")
+        .join(tempDim,
+          col("__temp_lib") === col("__tlib") &&
+          col("__temp_loc") === col("__tloc"), "left")
         .select(
           col("pid"), col("holding_id"),
           col("location_id").as("perm_location_id"),
-          col("__j")("item_data")("enumeration_a").as("item_enum"),
-          col("__j")("item_data")("barcode").as("barcode"),
+          col("temp_location_id"),
+          lit(1L).as("sequence_number"),
+          presence(col("__j")("item_data")("enumeration_a")).as("item_enum"),
+          presence(col("__j")("item_data")("chronology_i")).as("chron"),
+          presence(col("__j")("item_data")("barcode")).as("barcode"),
+          Extract.parseDateStr(col("__j")("item_data")("creation_date"))
+            .as("system_create_date_time"),
+          Extract.parseDateStr(col("__j")("item_data")("modification_date"))
+            .as("system_update_date_time"),
+          presence(col("__j")("item_data")("physical_material_type")("value"))
+            .as("material_type"),
+          presence(col("__j")("item_data")("pieces")).as("pieces"),
+          presence(col("__j")("holding_data")("copy_id")).as("copy_id"),
+          presence(col("__j")("item_data")("policy")("value")).as("policy"),
+          Normalize.normWs(presence(col("__j")("item_data")("description")))
+            .as("description"),
+          Extract.parseDateStr(col("__j")("item_data")("inventory_date"))
+            .as("inventory_date_time"),
+          presence(col("__j")("item_data")("inventory_number")).as("voyager_item_id"),
           coalesce(col("__j")("item_data")("base_status")("value"), lit("1"))
-            .as("status_code"),
-          Normalize.normWs(col("__j")("item_data")("description")).as("description"),
-          col("__j")("item_data")("pieces").as("pieces"),
-          col("__j")("holding_data")("copy_id").as("copy_id")),
+            .as("__status_code"),
+          presence(col("__j")("item_data")("process_type")("value"))
+            .as("__process_type"))
+      store.upsert("item", itemFull.drop("__status_code", "__process_type"),
         Seq("pid"))
       store.upsert("item_data",
         items.select(col("pid"), col("item_json").as("data")), Seq("pid"))
+      store.guardedUpsert("item_base_status",
+        itemFull.select(col("pid"), col("__status_code").as("status_code"),
+          col("__process_type").as("process_type"),
+          col("system_update_date_time").as("update_date_time")),
+        Seq("pid"), "update_date_time")
 
       // ---- orphan cleanup (alma_publish_to_database.py:139-143, 236-241)
       if (store.exists("holding_brief")) {

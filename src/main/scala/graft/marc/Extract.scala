@@ -135,33 +135,44 @@ object Extract {
         f => subfieldValues(f, "a")),
       lit(0))
 
-  /** Best ISBN: $a of first 020 without $z, values ≥13 chars preferred —
-    * extract_isbns (:116-127) head.
+  /** ALL ISBNs: $a list of the first 020 without $z, with the first
+    * ≥13-char value moved to the front — extract_isbns (:116-127).
     */
-  def isbn(fields: Column): Column = {
+  def isbns(fields: Column): Column = {
     val vals = extractValues(fields, "020", "z")
-    val long13 = get(filter(vals, v => length(v) >= 13), lit(0))
-    coalesce(long13, get(vals, lit(0)))
+    val best = get(filter(vals, v => length(v) >= 13), lit(0))
+    val bestPos = array_position(vals, best) // 1-based; 0 if absent
+    when(best.isNull, vals)
+      .otherwise(concat(array(best),
+        filter(vals, (_, i) => i =!= (bestPos - 1).cast("int"))))
   }
 
-  /** First ISSN: $a of first 022 without $y/$z — extract_issns (:129-130). */
-  def issn(fields: Column): Column = get(extractValues(fields, "022", "yz"), lit(0))
+  /** Best ISBN — extract_isbns head (store_bib_marc line 164). */
+  def isbn(fields: Column): Column = get(isbns(fields), lit(0))
 
-  /** First OCLC: 035/079 fields (record order) without $z whose joined
-    * $a starts with '(ocolc)' or 'oc' (case-insensitive) —
-    * extract_oclcs (:132-142) head.
+  /** ALL ISSNs: $a of first 022 without $y/$z — extract_issns (:129-130). */
+  def issns(fields: Column): Column = extractValues(fields, "022", "yz")
+
+  /** First ISSN — extract_issns head (store_bib_marc line 162). */
+  def issn(fields: Column): Column = get(issns(fields), lit(0))
+
+  /** ALL OCLC numbers: every 035/079 field (record order) without $z
+    * whose joined $a starts with '(ocolc)' or 'oc' (case-insensitive) —
+    * extract_oclcs (:132-142). Empty array when none (the reference's
+    * falsy `[]`).
     */
-  def oclcNumber(fields: Column): Column = {
+  def oclcs(fields: Column): Column = {
     val candidates = transform(
       filter(fieldsWithTag(fields, "035", "079"),
         f => size(subfieldValues(f, "z")) === 0 &&
              size(subfieldValues(f, "a")) > 0),
       f => array_join(subfieldValues(f, "a"), " "))
-    get(
-      filter(candidates, v =>
-        lower(v).startsWith("(ocolc)") || lower(v).startsWith("oc")),
-      lit(0))
+    filter(candidates, v =>
+      lower(v).startsWith("(ocolc)") || lower(v).startsWith("oc"))
   }
+
+  /** First OCLC — extract_oclcs head (store_bib_marc line 163). */
+  def oclcNumber(fields: Column): Column = get(oclcs(fields), lit(0))
 
   /** Voyager/Sierra id from 035$a — extract_voyager_or_sierra_id
     * (:93-102): `(CtY-L)b…` → strip prefix and last char;

@@ -135,14 +135,32 @@ object Iso2709 {
     (PublishRow(mms, leader, fs), offset + total)
   }
 
-  /** Decode a concatenated stream of records (a binary publish file). */
+  /** Decode a concatenated stream of records (a binary publish file).
+    *
+    * Malformed/truncated chunks are SKIPPED, not thrown: the
+    * reference's MARCReader yields None for a bad chunk, logs, and
+    * continues (and a thrown exception here would fail the whole Spark
+    * task and poison the file's batch). Recovery scans forward to the
+    * next record terminator; if the bad chunk's declared length is
+    * unparsable, the rest of the stream after the terminator is
+    * re-attempted.
+    */
   def decodeAll(bytes: Array[Byte]): Seq[PublishRow] = {
     val out = Seq.newBuilder[PublishRow]
     var off = 0
     while (off < bytes.length && bytes.length - off > 5) {
-      val (rec, next) = decodeOne(bytes, off)
-      out += rec
-      off = next
+      try {
+        val (rec, next) = decodeOne(bytes, off)
+        if (next <= off) throw new IllegalStateException("no progress")
+        out += rec
+        off = next
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          // skip to just past the next record terminator (0x1D)
+          var k = off
+          while (k < bytes.length && bytes(k) != RecordTerminator) k += 1
+          off = k + 1
+      }
     }
     out.result()
   }

@@ -22,7 +22,12 @@ object ItemTemplate {
   private val LeftoverPlaceholder = "<\\$.*?>".r
 
   /** JSON-string-escape a value without the surrounding quotes
-    * (json.dumps then strip quotes, parser line 258).
+    * (json.dumps then strip quotes, parser line 258). json.dumps runs
+    * with ensure_ascii=True, so every char above 0x7E escapes to
+    * \\uXXXX too — astral chars as their surrogate pair (Scala's Char
+    * iteration already yields UTF-16 surrogates one by one), keeping
+    * item_json byte-identical to the reference's output for non-ASCII
+    * subfield values.
     */
   def jsonEscape(v: String): String = {
     val sb = new StringBuilder
@@ -34,7 +39,7 @@ object ItemTemplate {
       case '\t' => sb.append("\\t")
       case '\b' => sb.append("\\b")
       case '\f' => sb.append("\\f")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c if c < ' ' || c > '~' => sb.append(f"\\u${c.toInt}%04x")
       case c => sb.append(c)
     }
     sb.toString

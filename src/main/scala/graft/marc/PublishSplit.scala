@@ -228,4 +228,23 @@ object PublishSplit {
     publish.select("mms_id", "leader", "fields").as[PublishRow]
       .flatMap(r => splitRecord(r, template))
   }
+
+  /** Split carrying a caller-supplied `ordinal` column through to every
+    * output row — the record's position in sorted-file order
+    * (source path + in-file index). Downstream first/last-record-wins
+    * dedup orders on it, reproducing the reference's sequential
+    * `bib_ids`/`holding_ids` sets deterministically on a cluster.
+    */
+  def splitOrdered(publish: DataFrame): DataFrame = {
+    val spark = publish.sparkSession
+    import spark.implicits._
+    val template = ItemTemplate.Template
+    publish
+      .select(org.apache.spark.sql.functions.col("ordinal"),
+        org.apache.spark.sql.functions.struct("mms_id", "leader", "fields").as("r"))
+      .as[(String, PublishRow)]
+      .flatMap { case (ord, r) => splitRecord(r, template).map(o => (ord, o)) }
+      .toDF("ordinal", "o")
+      .select("o.*", "ordinal")
+  }
 }

@@ -54,4 +54,32 @@ object Upsert {
     val freshKeys = incoming.join(base.selectExpr(keys: _*).distinct(), keys, "left_anti")
     base.unionByName(freshKeys)
   }
+
+  /** Guarded merge — the item_base_status shape
+    * (`… do update set … where item_base_status.update_date_time < $new`,
+    * alma_publish_to_database.py:124): a matched update replaces the
+    * base row only when its `guardCol` is strictly newer (null guards
+    * never win, like SQL's null comparison); unmatched updates insert;
+    * everything else passes through untouched.
+    */
+  def mergeGuarded(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                   guardCol: String, versionCol: String = "version"): DataFrame = {
+    val dataCols = base.columns.toSeq.filterNot(keys.contains).filterNot(_ == versionCol)
+    require(updates.columns.toSet == (keys ++ dataCols).toSet,
+      s"updates must have columns ${keys ++ dataCols}, got ${updates.columns.toSeq}")
+    require(dataCols.contains(guardCol), s"guard column $guardCol must be a data column")
+    val b = base.withColumn("__in_base", lit(1)).alias("b")
+    val u = updates.withColumn("__in_upd", lit(1)).alias("u")
+    val cond = keys.map(k => col(s"b.$k") === col(s"u.$k")).reduce(_ && _)
+    val matched = col("u.__in_upd").isNotNull
+    val inBase = col("b.__in_base").isNotNull
+    val wins = matched && (!inBase || col(s"b.$guardCol").isNull ||
+      col(s"u.$guardCol") > col(s"b.$guardCol"))
+    b.join(u, cond, "full_outer").select(
+      keys.map(k => coalesce(col(s"u.$k"), col(s"b.$k")).as(k)) ++
+      dataCols.map(c => when(wins, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)) :+
+      when(wins && inBase, col(s"b.$versionCol") + 1)
+        .when(wins, lit(0L))
+        .otherwise(col(s"b.$versionCol")).as(versionCol): _*)
+  }
 }

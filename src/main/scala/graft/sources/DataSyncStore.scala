@@ -123,6 +123,21 @@ final class DataSyncStore(spark: SparkSession, root: String,
     }
   }
 
+  /** Guarded upsert (item_base_status): conflicting rows replaced only
+    * when strictly older than the update's `guardCol`. Same dirty-bucket
+    * flow as [[upsert]].
+    */
+  def guardedUpsert(name: String, updates: DataFrame, keys: Seq[String],
+                    guardCol: String): Unit = {
+    if (!exists(name)) {
+      overwrite(name, updates.withColumn("version", lit(0L)), keys)
+    } else {
+      val dirty = dirtyBuckets(updates, keys.head)
+      val base = readBuckets(name, dirty)
+      writeDirty(name, Upsert.mergeGuarded(base, updates, keys, guardCol), keys.head)
+    }
+  }
+
   /** `INSERT … ON CONFLICT DO NOTHING` (the --no-updates path). */
   def insertOnly(name: String, incoming: DataFrame, keys: Seq[String]): Unit = {
     if (!exists(name)) overwrite(name, incoming, keys)

@@ -168,14 +168,22 @@ final class JdbcSyncSink(
     executeBatched(df, stmt)
   }
 
-  /** Guarded upsert — the item_base_status shape: update only when the
-    * stored row is older (`where $name.update_date_time < ?`).
+  /** Guarded upsert — the item_base_status shape
+    * (alma_publish_to_database.py:124): `guardCol` is NOT an inserted
+    * field (the table stamps its own update_date_time via now()); it
+    * binds only the guard parameter in
+    * `where $name.update_date_time < ?`.
     */
   def guardedUpsert(name: String, updates: DataFrame, keys: Seq[String],
-                    where: String, whereParams: Seq[String]): Unit = {
-    val (df, fields) = keysFirst(updates, keys)
-    executeBatched(df, JdbcStatements.upsert(name, fields,
-      conflictFieldCount = keys.size, where = where, whereParams = whereParams))
+                    guardCol: String): Unit = {
+    val fields = (keys ++ updates.columns.filterNot(keys.contains))
+      .filterNot(_ == guardCol)
+    val stmt = JdbcStatements.upsert(name, fields,
+      conflictFieldCount = keys.size,
+      where = s"where $name.update_date_time < ?",
+      whereParams = Seq(guardCol))
+    executeBatched(updates.select((fields :+ guardCol)
+      .map(org.apache.spark.sql.functions.col): _*), stmt)
   }
 
   def insertOnly(name: String, incoming: DataFrame, keys: Seq[String]): Unit = {

@@ -62,6 +62,29 @@ object PublishFiles {
       .flatMap { case (p, b) => decodeFile(p, b) }
   }
 
+  /** Batch read carrying each record's position as an `ordinal` column
+    * (`<path>#<zero-padded in-file index>`, lexically ordered =
+    * sorted-file record order) — the deterministic dedup order for
+    * [[graft.AlmaPipeline.ingestPublish]] (the reference processes
+    * files sorted and keeps first occurrence,
+    * alma_publish_parser.py:172-183).
+    */
+  def readPublishFilesOrdered(spark: org.apache.spark.sql.SparkSession,
+                              pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) =>
+        decodeFile(p, b).zipWithIndex.map { case (r, ix) =>
+          (f"$p#$ix%09d", r)
+        }
+      }
+      .toDF("ordinal", "r")
+      .select(col("r")("mms_id").as("mms_id"), col("r")("leader").as("leader"),
+              col("r")("fields").as("fields"), col("ordinal"))
+  }
+
   /** Streaming read: same decode, driven by the file-stream source
     * (one trigger per arriving stable file set).
     */

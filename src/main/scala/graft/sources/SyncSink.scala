@@ -19,6 +19,13 @@ trait SyncSink {
   /** `INSERT … ON CONFLICT DO NOTHING`. */
   def insertOnly(name: String, incoming: DataFrame, keys: Seq[String]): Unit
 
+  /** Guarded upsert — the item_base_status shape: a conflicting row is
+    * replaced only when the stored row is older than the update's
+    * `guardCol` (alma_publish_to_database.py:124).
+    */
+  def guardedUpsert(name: String, updates: DataFrame, keys: Seq[String],
+                    guardCol: String): Unit
+
   /** Delete every row matching a key in `keys` (projected to `keyCols`). */
   def deleteKeys(name: String, keys: DataFrame, keyCols: Seq[String]): Unit
 }

@@ -744,6 +744,23 @@ object SparkEntry {
       graft.marc.IdsFromFiles.ids(files)
     }),
 
+    // C24: skew-resistant salted join — 90% of the fact rows collapse
+    // onto one hot key; the salt spreads the hot key over saltFactor
+    // reducers. Decimal sums for exact cross-engine aggregation.
+    "skew_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val facts = t.lineitem.select(
+        when(col("l_orderkey") % 10 =!= 0, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(25))).as("k"),
+        // exact integer cents: double sums diverge across engines at
+        // this row count, bigint sums cannot
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      val dim = t.nation.select(col("n_nationkey").as("k"), col("n_name"))
+      Relational.saltedJoin(facts, dim, Seq("k"), saltFactor = 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+    }),
+
     // C23: bucketed range join — orders matched to overlapping price
     // bands by interval containment, as an equi-join on bucket ids
     "range_join" -> ((s, dir) => {
@@ -948,6 +965,16 @@ object SparkEntry {
       """SELECT CAST(r_regionkey*10 + (n_nationkey%2) AS BIGINT) AS circ_desk_id,
                 n_nationkey AS location_id
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+    "skew_join" ->
+      """WITH facts AS (
+           SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+                       ELSE l_orderkey % 25 END AS k,
+                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+           FROM lineitem)
+         SELECT n_name, count(*) AS n, sum(cents) AS total_cents
+         FROM facts JOIN nation ON k = n_nationkey
+         GROUP BY n_name""",
 
     "ids_from_files" ->
       """SELECT '99'||o_orderkey||'8651' AS record_id

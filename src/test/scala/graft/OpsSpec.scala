@@ -86,6 +86,18 @@ class OpsSpec extends AnyFunSuite {
       "p3" -> None))         // right row is later → no match
   }
 
+  test("saltedJoin plan: salt in the join keys, dim replicated via explode") {
+    val big = spark.range(1000).select((col("id") % 7).as("k"), col("id").as("v"))
+    val dim = Seq((0L, "a"), (1L, "b")).toDF("k", "name")
+    val plan = graft.operators.Relational
+      .saltedJoin(big, dim, Seq("k"), saltFactor = 8)
+      .queryExecution.optimizedPlan.toString
+    // the join condition must include the salt column (hot key spread
+    // over saltFactor reducers) and the dim side must be exploded
+    assert(plan.contains("__salt"), plan)
+    assert(plan.toLowerCase.contains("explode"), plan)
+  }
+
   test("saltedJoin equals the plain join") {
     val big = spark.range(1000).select(
       (col("id") % 7).as("k"), col("id").as("v"))

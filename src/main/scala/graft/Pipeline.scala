@@ -35,9 +35,11 @@ object AlmaPipeline {
     * reference's exact first-in-sorted-file-order semantics.
     */
   def ingestPublish(records: Dataset[PublishRow], store: SyncSink,
-                    locationDim: DataFrame): IngestCounts =
+                    locationDim: DataFrame,
+                    metrics: RunMetrics.MetricsSink = RunMetrics.LogMetricsSink)
+      : IngestCounts =
     ingestPublishOrdered(records.toDF().withColumn("ordinal", lit("")),
-      store, locationDim)
+      store, locationDim, metrics)
 
   /** Ingest one batch of publish records carrying an `ordinal` column
     * (source path + in-file record index — see
@@ -47,7 +49,9 @@ object AlmaPipeline {
     * empty frame to leave location ids null.
     */
   def ingestPublishOrdered(records: DataFrame, store: SyncSink,
-                           locationDim: DataFrame): IngestCounts = {
+                           locationDim: DataFrame,
+                           metrics: RunMetrics.MetricsSink = RunMetrics.LogMetricsSink)
+      : IngestCounts = {
     val spark = records.sparkSession
     import spark.implicits._
 
@@ -262,9 +266,16 @@ object AlmaPipeline {
       }
 
       val m = obs.get
-      IngestCounts(m("records").asInstanceOf[Long],
+      val counts = IngestCounts(m("records").asInstanceOf[Long],
         m("bibs").asInstanceOf[Long], m("holdings").asInstanceOf[Long],
         m("items").asInstanceOf[Long], m("errors").asInstanceOf[Long])
+      // the reference pushes these to CloudWatch after each run
+      // (alma_publish_parser.py:302-308, metrics/aws_metrics.py)
+      RunMetrics.sendCounts(metrics, "datasync", Map(
+        "records" -> counts.records, "bibs" -> counts.bibs,
+        "holdings" -> counts.holdings, "items" -> counts.items,
+        "errors" -> counts.errors))
+      counts
     } finally cached.unpersist()
   }
 

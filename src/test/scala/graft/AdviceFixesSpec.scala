@@ -106,9 +106,18 @@ class AdviceFixesSpec extends AnyFunSuite {
       Files.createTempDirectory("graft_ord").toFile.getAbsolutePath, 4)
     val emptyDim = Seq.empty[(Long, String, String)]
       .toDF("id", "library_code", "code")
-    AlmaPipeline.ingestPublishOrdered(records, store, emptyDim)
+    val captured = collection.mutable.ArrayBuffer.empty[graft.operators.RunMetrics.MetricDatum]
+    val sink = new graft.operators.RunMetrics.MetricsSink {
+      def send(data: Seq[graft.operators.RunMetrics.MetricDatum]): Unit =
+        captured.synchronized { captured ++= data }
+    }
+    AlmaPipeline.ingestPublishOrdered(records, store, emptyDim, sink)
     val titles = store.read("bib_brief").select("title").as[String].collect()
     assert(titles.toSeq == Seq("FIRST"))
+    // metrics emitted through the pluggable sink (aws_metrics.py shape)
+    val byName = captured.map(d => d.name -> d.value).toMap
+    assert(captured.forall(_.namespace == "datasync"))
+    assert(byName("records") == 2.0 && byName("bibs") == 2.0)
   }
 
   // ---------------------------------------------- scoped external-id refresh

@@ -29,6 +29,14 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // the corpus-build/split path has data-size-dependent JIT tails the
+    // small-sf warm-up doesn't reach (measured: first sf0.1 run 20-44s,
+    // warm 4s). Run the raw fused pipeline once at the bench SF — this
+    // does NOT populate any query cache, so the measured query still
+    // pays its full (warm) materialization + persist.
+    try graft.marc.MarcCorpus.splitRecords(
+      graft.sources.Tables(spark, sfDir)).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -109,7 +109,8 @@ object SparkEntry {
       // one from_json parse per item row (get_json_object would re-parse
       // the document once per extracted path)
       val schema = "STRUCT<holding_data: STRUCT<in_temp_location: BOOLEAN," +
-        " temp_library: STRUCT<value: STRING>, copy_id: STRING>," +
+        " temp_library: STRUCT<value: STRING>, temp_location: STRUCT<value: STRING>," +
+        " copy_id: STRING>," +
         " item_data: STRUCT<barcode: STRING, library: STRUCT<value: STRING>," +
         " location: STRUCT<value: STRING>, base_status: STRUCT<value: STRING>," +
         " description: STRING, enumeration_a: STRING, pieces: STRING>>"
@@ -137,6 +138,7 @@ object SparkEntry {
           col("__j")("item_data")("library")("value").as("perm_library"),
           col("__j")("item_data")("location")("value").as("perm_location"),
           col("__j")("holding_data")("temp_library")("value").as("temp_library"),
+          col("__j")("holding_data")("temp_location")("value").as("temp_location"),
           col("__j")("holding_data")("in_temp_location").cast("string").as("in_temp_location"),
           col("__j")("item_data")("base_status")("value").as("status_code"),
           Normalize.normWs(col("__j")("item_data")("description")).as("description"),
@@ -151,8 +153,8 @@ object SparkEntry {
     splitCorpus(s, dir).filter(col("kind") === "item").select(
       col("pid"), col("holding_id"), col("mms_id"), col("barcode"),
       col("perm_library"), col("perm_location"), col("temp_library"),
-      col("in_temp_location"), col("status_code"), col("description"),
-      col("item_enum"), col("pieces"), col("copy_id"))
+      col("temp_location"), col("in_temp_location"), col("status_code"),
+      col("description"), col("item_enum"), col("pieces"), col("copy_id"))
 
   private def itemInfoView(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -646,15 +648,21 @@ object SparkEntry {
     // A4+C4+B4 integration: item JSON → the `item` table row
     // (store_item_json, alma_publish_to_database.py:278-312): location
     // codes resolved to surrogate ids via broadcast dim lookup, temp
-    // location only when in_temp, dates parsed, description rm_ws'd
+    // lookup keyed on the TEMP (library, location) codes like the
+    // reference's lookup_location((temp_library_code,
+    // temp_location_code)) and only when in_temp (codes are None
+    // otherwise, :285-290), dates parsed, description rm_ws'd
     "item_row" -> ((s, dir) => {
       val t = Tables(s, dir)
       val items = splitItemsParsed(s, dir)
-      // location dim: (library_code=r_name, code=n_name) → id=n_nationkey
+      // location dim: (library_code=r_name, code=n_name) → id=n_nationkey,
+      // plus the temp-stack location the in-temp corpus items point at
       val loc = t.nation.join(broadcast(t.region),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey").as("id"), col("r_name").as("lib"),
                 col("n_name").as("code"))
+        .unionByName(s.createDataFrame(Seq((999L, "TEMPLIB", "TEMPLOC")))
+          .toDF("id", "lib", "code"))
       val inTemp = col("in_temp_location") === "true"
       items
         .join(broadcast(loc.select(col("id").as("perm_location_id"),
@@ -663,13 +671,10 @@ object SparkEntry {
         .join(broadcast(loc.select(col("id").as("__temp_id"),
             col("lib").as("temp_library_join"), col("code").as("temp_location_join"))),
           col("temp_library") === col("temp_library_join") &&
-            col("perm_location") === col("temp_location_join"), "left")
+            col("temp_location") === col("temp_location_join"), "left")
         .select(
           col("pid"), col("holding_id"), col("mms_id"),
           col("perm_location_id"),
-          // temp codes resolve only for in-temp items; the corpus's
-          // TEMPLIB isn't in the dim → null id, matching the
-          // reference's lookup-miss behavior (store_item_json:285-290)
           when(inTemp, col("__temp_id")).otherwise(lit(null).cast("long"))
             .as("temp_location_id"),
           col("item_enum"), col("barcode"),
@@ -1323,6 +1328,7 @@ object SparkEntry {
                 r_name AS perm_library,
                 n_name AS perm_location,
                 CASE WHEN l_returnflag='R' THEN 'TEMPLIB' ELSE r_name END AS temp_library,
+                CASE WHEN l_returnflag='R' THEN 'TEMPLOC' ELSE n_name END AS temp_location,
                 CASE WHEN l_returnflag='R' THEN 'true' ELSE 'false' END AS in_temp_location,
                 CASE WHEN l_linestatus='F' THEN '1' ELSE '0' END AS status_code,
                 'copy '||CAST(l_quantity AS BIGINT)||' desc' AS description,
@@ -1342,7 +1348,7 @@ object SparkEntry {
                 '22'||(l_orderkey*100+l_linenumber)||'8651' AS holding_id,
                 '99'||l_orderkey||'8651' AS mms_id,
                 n_nationkey AS perm_location_id,
-                CAST(NULL AS BIGINT) AS temp_location_id,
+                CASE WHEN l_returnflag='R' THEN 999 ELSE NULL END AS temp_location_id,
                 'v.'||l_linenumber AS item_enum,
                 '39002'||'23'||(l_orderkey*100+l_linenumber)||'8651' AS barcode,
                 CASE WHEN l_linestatus='F' THEN '1' ELSE '0' END AS status_code,

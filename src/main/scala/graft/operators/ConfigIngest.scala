@@ -85,6 +85,18 @@ object ConfigIngest {
       .select(col("circ_desk_id"), col("location_id"))
   }
 
+  private val SetsSchema =
+    "STRUCT<total_record_count: BIGINT," +
+    " set: ARRAY<STRUCT<id: STRING, name: STRING>>>"
+
+  /** `/conf/sets` page payloads → (alma_id, name) index rows
+    * (alma_client.py load_sets pages; ddl record_set).
+    */
+  def setsIndex(docs: DataFrame, payloadCol: String = "payload"): DataFrame =
+    docs.select(explode(
+        from_json(col(payloadCol), SetsSchema, Map.empty[String, String])("set")).as("s"))
+      .select(col("s")("id").as("alma_id"), col("s")("name").as("name"))
+
   /** Code-table payloads → code_table_value rows (store_code_tables). */
   def codeTables(docs: DataFrame, tableNameCol: String = "code_table",
                  payloadCol: String = "payload"): DataFrame =

@@ -103,10 +103,30 @@ object AlmaConfigRefresh {
     val codeTables = ConfigIngest.codeTables(client.loadCodeTables(CodeTables))
     store.upsert("code_table_value", codeTables, Seq("code_table", "code"))
 
+    refreshSets(client, store)
+
     Map(
       "libraries" -> libraryCodes.size.toLong,
       "locations" -> store.read("location").count(),
       "circ_desks" -> store.read("circ_desk").count(),
-      "code_table_values" -> store.read("code_table_value").count())
+      "code_table_values" -> store.read("code_table_value").count(),
+      "record_sets" -> store.read("record_set").count())
+  }
+
+  /** UI-origin sets → the `record_set` table (ddl: alma_id, name,
+    * set_json): the paginated index (alma_client.py:25-27) plus one
+    * `/conf/sets/{id}` detail fetch per set for set_json, keyed on
+    * alma_id (ddl's indexed lookup column).
+    */
+  def refreshSets(client: AlmaConfigClient, store: SyncSink,
+                  limit: Int = 100): Long = {
+    val index = ConfigIngest.setsIndex(client.loadSets(limit))
+    val ids = index.select("alma_id").collect().map(_.getString(0)).toSeq
+    val spark = index.sparkSession
+    import spark.implicits._
+    val detail = ids.map(id => (id, client.loadSet(id))).toDF("alma_id", "set_json")
+    store.upsert("record_set", index.join(detail, Seq("alma_id"))
+      .select("alma_id", "name", "set_json"), Seq("alma_id"))
+    ids.size.toLong
   }
 }

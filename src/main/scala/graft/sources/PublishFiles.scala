@@ -72,10 +72,18 @@ object PublishFiles {
   def readPublishFilesOrdered(spark: org.apache.spark.sql.SparkSession,
                               pathGlob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
+    decodeOrdered(spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, b) =>
+      .as[(String, Array[Byte])])
+  }
+
+  /** (path, bytes) rows → (mms_id, leader, fields, ordinal) records —
+    * the shared decode for the batch and streaming ordered readers.
+    */
+  def decodeOrdered(files: Dataset[(String, Array[Byte])]): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.flatMap { case (p, b) =>
         decodeFile(p, b).zipWithIndex.map { case (r, ix) =>
           (f"$p#$ix%09d", r)
         }

@@ -73,6 +73,35 @@ object Streams {
       }
       .start()
 
+  /** Ordered continuous publish ingest: the file stream decoded WITH
+    * per-record ordinals, so each micro-batch's intra-batch dedup uses
+    * the reference's sorted-file record order (first wins) instead of a
+    * content tiebreak.
+    */
+  def ingestFileStreamOrdered(spark: SparkSession, dir: String,
+                              store: graft.sources.SyncSink,
+                              locationDim: DataFrame,
+                              checkpointDir: String,
+                              maxFilesPerTrigger: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("binaryFile")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val records = graft.sources.PublishFiles.decodeOrdered(
+          batch.as[(String, Array[Byte])])
+        if (!records.isEmpty)
+          graft.AlmaPipeline.ingestPublishOrdered(records, store, locationDim)
+        ()
+      }
+      .start()
+
   /** Stable-file detection: the sftp_wait_for_stable semantics
     * (sftp_wait_for_stable.py) as a relational op over two manifest
     * snapshots (path, size) — a file is stable when its size is

@@ -36,9 +36,9 @@ object FakeAlma {
     """{"row":[{"code":"0","description":"Item not in place"},
                {"code":"1","description":"Item in place"}]}"""
 
-  // 5 sets, page size 2 → 3 pages
-  private def setsPage(offset: Int) = {
-    val members = (offset until math.min(offset + 2, 5))
+  // 5 sets total, paged by the requested limit
+  private def setsPage(offset: Int, limit: Int) = {
+    val members = (offset until math.min(offset + limit, 5))
       .map(i => s"""{"id":"S$i","name":"set $i"}""").mkString(",")
     s"""{"total_record_count": 5, "set":[$members]}"""
   }
@@ -55,7 +55,10 @@ object FakeAlma {
         case p if p.startsWith("/conf/code-tables/") => codeTable
         case p if p.startsWith("/conf/sets?") =>
           val off = "offset=(\\d+)".r.findFirstMatchIn(p).get.group(1).toInt
-          setsPage(off)
+          val lim = "limit=(\\d+)".r.findFirstMatchIn(p).get.group(1).toInt
+          setsPage(off, lim)
+        case p if p.startsWith("/conf/sets/") =>
+          s"""{"id":"${p.split("/").last}","content":{"value":"BIB_MMS"}}"""
         case p => throw new IllegalArgumentException(s"unexpected path $p")
       }
     }
@@ -76,6 +79,9 @@ class AlmaConfigSpec extends AnyFunSuite {
     assert(counts("locations") == 4)
     assert(counts("circ_desks") == 2)
     assert(counts("code_table_values") == 4) // 2 tables × 2 rows
+    assert(counts("record_sets") == 5) // paginated index + per-set detail
+    assert(store.read("record_set").filter($"set_json".contains("BIB_MMS"))
+      .count() == 5)
 
     // endpoint paths exactly as alma_client.py builds them
     val paths = FakeAlma.requested.toArray.map(_.toString).toSet

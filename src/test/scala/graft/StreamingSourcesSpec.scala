@@ -144,6 +144,56 @@ class StreamingSourcesSpec extends AnyFunSuite {
     assert(store.read("holding_brief").count() > 0)
   }
 
+  test("ordered streaming ingest: ordinals flow through micro-batches") {
+    val (dir, n) = writePublishFiles()
+    val store = new graft.sources.DataSyncStore(spark,
+      Files.createTempDirectory("graft_stream_ord").toFile.getAbsolutePath)
+    val locDim = {
+      val t = Tables(spark, sf)
+      t.nation.join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("id"), col("r_name").as("library_code"),
+                col("n_name").as("code"))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_ord").toFile.getAbsolutePath
+    val q = Streams.ingestFileStreamOrdered(spark, dir, store, locDim, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(store.read("bib_brief").count() == n)
+    assert(store.read("item_base_status").count() > 0)
+  }
+
+  test("watermark: in-window late data aggregates, too-late data drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val out = Streams.windowedEventCounts(df, "ts", "event_type", "value")
+    // append mode: a window emits once the watermark passes its end —
+    // the mode that actually exercises late-data semantics
+    val q = out.writeStream.format("memory").queryName("wm_t")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 10:05:00"), "click", 1.0),
+                    (t("2024-01-01 11:05:00"), "click", 2.0))
+      q.processAllAvailable() // watermark → 09:05, nothing closed
+      // 10:40 is LATE (before max event time) but within the 2h
+      // watermark → must still count into the 10:00 window
+      input.addData((t("2024-01-01 10:40:00"), "click", 4.0),
+                    (t("2024-01-01 13:30:00"), "click", 0.0))
+      q.processAllAvailable() // watermark → 11:30, closes 10:00 window
+      // 10:50 is TOO LATE (10:00 window closed at watermark 11:30) →
+      // dropped; 14:30 advances the watermark to 12:30, closing 11:00
+      input.addData((t("2024-01-01 10:50:00"), "click", 8.0),
+                    (t("2024-01-01 14:30:00"), "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("wm_t")
+        .select(date_format($"window_start", "HH:mm").as("w"), $"n", $"total_value")
+        .as[(String, Long, Double)].collect().toSet
+      // 10:00 window: on-time 10:05 + late-but-in-watermark 10:40 (not
+      // the dropped 10:50); 11:00 window: just the 11:05 event
+      assert(got == Set(("10:00", 2L, 5.0), ("11:00", 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("file batch grouping follows the reference prefix regex") {
     val files = Seq(
       "/in/setA_new_1.tar.gz", "/in/setA_new_2.tar.gz", "/in/setA_delete.tar.gz",

@@ -66,16 +66,32 @@ object Multimodal {
 
   private val FeaturizedSchema = StructType(
     AssetSchema.fields.filterNot(_.name == "payload") ++ Seq(
-      StructField("features", ArrayType(FloatType, containsNull = false)),
-      StructField("decoded_in_batch", IntegerType, nullable = false)))
+      StructField("features", ArrayType(FloatType, containsNull = true)),
+      StructField("decoded_in_batch", IntegerType, nullable = false),
+      StructField("decode_error", StringType, nullable = true)))
+
+  /** Per-kind decode batch sizing: video/audio payloads are orders of
+    * magnitude larger than images, so their batches are smaller for the
+    * same memory bound.
+    */
+  def batchSizeFor(kind: String, base: Int): Int = kind match {
+    case "video" => math.max(1, base / 8)
+    case "audio" => math.max(1, base / 4)
+    case _       => base
+  }
 
   /** Decode + featurize via mapPartitions: one (stub) decoder
     * initialization per PARTITION (the pattern that matters when the
     * real codec costs seconds to init), with decode fed in BOUNDED
-    * batches — never `rows.toArray`: a partition of real image/video
-    * payloads does not fit on one executor's heap. Each row records its
-    * batch size so tests (and ops dashboards) can verify both that
-    * batching happened and that memory stayed bounded.
+    * per-kind batches — never `rows.toArray`: a partition of real
+    * image/video payloads does not fit on one executor's heap. Each row
+    * records its batch size so tests (and ops dashboards) can verify
+    * both that batching happened and that memory stayed bounded.
+    *
+    * A failing decode produces an error ROW (null features +
+    * decode_error message), never a failed task — one poison asset in a
+    * 100 TB scan must not kill the partition (same contract as the
+    * ISO-2709 reader's per-record recovery).
     */
   def featurize(assets: DataFrame, batchSize: Int = 64): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -83,14 +99,26 @@ object Multimodal {
     assets.select("asset_id", "kind", "payload", "meta").mapPartitions { rows =>
       // per-partition decoder "init" (the stub's init is just a seed)
       val decoderSeed = 42L
+      // outer grouped() bounds memory even when kinds interleave; the
+      // per-kind regroup inside shrinks video/audio batches further
       rows.grouped(batchSize).flatMap { batch =>
-        val n = batch.length // ≤ batchSize payloads in memory at once
-        batch.iterator.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val feats = fakeDecode(if (payload == null) Array.empty else payload,
-                                 decoderSeed)
-          Row(r.getAs[Long]("asset_id"), r.getAs[String]("kind"),
-              r.getAs[Row]("meta"), feats.toSeq, n)
+        batch.groupBy(_.getAs[String]("kind")).iterator.flatMap { case (kind, ofKind) =>
+          ofKind.grouped(batchSizeFor(kind, batchSize)).flatMap { kindBatch =>
+            val n = kindBatch.length // ≤ per-kind cap payloads at once
+            kindBatch.iterator.map { r =>
+              val payload = r.getAs[Array[Byte]]("payload")
+              try {
+                val feats = fakeDecode(
+                  if (payload == null) Array.empty else payload, decoderSeed)
+                Row(r.getAs[Long]("asset_id"), r.getAs[String]("kind"),
+                    r.getAs[Row]("meta"), feats.toSeq, n, null)
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  Row(r.getAs[Long]("asset_id"), r.getAs[String]("kind"),
+                      r.getAs[Row]("meta"), null, n, String.valueOf(e.getMessage))
+              }
+            }
+          }
         }
       }
     }(enc)
@@ -117,4 +145,29 @@ object Multimodal {
       .select(col("asset_id"),
         explode(sequence(lit(0), col("meta")("n_frames") - 1,
                          lit(stride))).as("frame_ix"))
+
+  /** Frame-sample → featurize chaining: sampled frame indices become
+    * frame "assets" (payload sliced deterministically per frame in the
+    * stub; a real decoder would seek), featurized with the same bounded
+    * per-kind batching. Output: one feature row per (asset, frame).
+    */
+  def featurizeSampledFrames(assets: DataFrame, stride: Int,
+                             batchSize: Int = 64): DataFrame = {
+    val frames = sampleFrames(assets, stride)
+      .join(assets.select(col("asset_id"), col("payload"), col("meta")), "asset_id")
+      .select(
+        // frame pseudo-asset id: asset_id * 2^16 + frame_ix (ids are
+        // doc-sized, frame counts < 240 — no collision)
+        (col("asset_id") * 65536 + col("frame_ix")).as("asset_id"),
+        lit("image").as("kind"), // a decoded frame featurizes as an image
+        // the stub "seeks" by slicing the payload per frame — distinct
+        // frames produce distinct features deterministically
+        substring(col("payload"), (pmod(col("frame_ix"), lit(16)) + 1).cast("int"),
+                  lit(1 << 20)).as("payload"),
+        col("meta"))
+    featurize(frames, batchSize)
+      .select(expr("asset_id div 65536").as("asset_id"),
+              pmod(col("asset_id"), lit(65536)).cast("int").as("frame_ix"),
+              col("features"), col("decode_error"))
+  }
 }

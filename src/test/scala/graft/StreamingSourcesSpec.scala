@@ -236,18 +236,39 @@ class StreamingSourcesSpec extends AnyFunSuite {
     val out = Multimodal.featurize(assets, batchSize = 32)
     assert(out.count() == 500)
     assert(out.select("features").head().getSeq[Float](0).length == 8)
-    // decode ran in real batches (not row-at-a-time) AND memory stayed
-    // bounded (never a whole partition buffered: 500 rows / 4 partitions
-    // would exceed the 32-row cap if toArray'd)
+    // decode ran in real batches (not row-at-a-time; per-kind regroup
+    // tails may be small) AND memory stayed bounded (never a whole
+    // partition buffered: 500 rows / 4 partitions would exceed the
+    // 32-row cap if toArray'd)
     val batchSizes = out.select("decoded_in_batch").distinct()
       .as[Int].collect()
-    assert(batchSizes.forall(_ > 1))
+    assert(batchSizes.max > 1, s"row-at-a-time decode: ${batchSizes.toSeq}")
     assert(batchSizes.forall(_ <= 32), s"batch exceeded cap: ${batchSizes.toSeq}")
     // deterministic: same payload → same features
     val f1 = out.orderBy("asset_id").select("features").head().getSeq[Float](0)
     val f2 = Multimodal.featurize(assets, batchSize = 32).orderBy("asset_id")
       .select("features").head().getSeq[Float](0)
     assert(f1 == f2)
+  }
+
+  test("frame-sample → featurize chaining; per-kind batch caps") {
+    val assets = Multimodal.assetsFromDocuments(
+      spark.read.parquet(s"$sf/documents.parquet")).repartition(4)
+    val stride = 30
+    val frames = Multimodal.featurizeSampledFrames(assets, stride, batchSize = 32)
+    // every video asset contributes ceil(n_frames/stride) frame rows
+    val expected = Multimodal.sampleFrames(assets, stride).count()
+    assert(frames.count() == expected)
+    assert(frames.filter($"decode_error".isNotNull).count() == 0)
+    // distinct frames of one asset get distinct features (stub "seeks")
+    val one = frames.filter($"asset_id" === frames.select("asset_id")
+        .as[Long].head())
+      .select("features").as[Seq[Float]].collect()
+    if (one.length > 1) assert(one.distinct.length > 1)
+    // per-kind sizing: video batches are 8× smaller for the same bound
+    assert(Multimodal.batchSizeFor("video", 64) == 8)
+    assert(Multimodal.batchSizeFor("audio", 64) == 16)
+    assert(Multimodal.batchSizeFor("image", 64) == 64)
   }
 
   test("resize plan caps the longest side; frame sampling strides") {

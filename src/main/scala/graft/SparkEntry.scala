@@ -148,6 +148,18 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Drop this session's corpus/split caches (benchmark hygiene: lets a
+    * second measurement pass pay the real materialization again).
+    */
+  private[graft] def resetCaches(s: SparkSession): Unit = {
+    val key = System.identityHashCode(s)
+    splitCache.filterInPlace { case ((k, _), df) =>
+      if (k == key) df.unpersist(true)
+      k != key
+    }
+    corpusCache.filterInPlace { case ((k, _), _) => k != key }
+  }
+
   /** Parsed item rows — a narrow flat view over the split cache. */
   private def splitItemsParsed(s: SparkSession, dir: String): DataFrame =
     splitCorpus(s, dir).filter(col("kind") === "item").select(

@@ -61,18 +61,23 @@ object AlmaPipeline {
     try {
       // first-record-wins within the batch — the parser's bib_ids /
       // holding_ids sets (alma_publish_parser.py:172-183), distributed
-      // and deterministic: sorted-file record order leads the tiebreak
+      // and deterministic: sorted-file record order leads the tiebreak;
+      // a content hash breaks remaining ties (the unordered entry point
+      // has empty ordinals — the pick is then arbitrary-but-reproducible,
+      // and ties between identical contents are harmless by definition)
       val bibs = Relational.firstPerKey(
         cached.filter(col("kind") === "bib"),
-        Seq("mms_id"), Seq(col("ordinal"), col("holding_id")))
+        Seq("mms_id"),
+        Seq(col("ordinal"), xxhash64(col("leader"), col("fields"))))
       val holdings = Relational.firstPerKey(
         cached.filter(col("kind") === "holding"),
-        Seq("holding_id"), Seq(col("ordinal"), col("mms_id")))
+        Seq("holding_id"),
+        Seq(col("ordinal"), xxhash64(col("leader"), col("fields"))))
       // items: the reference executes ON CONFLICT DO UPDATE per
       // occurrence in file order → the LAST occurrence per pid wins
       val items = Relational.latestPerKey(
         cached.filter(col("kind") === "item"),
-        Seq("pid"), Seq(col("ordinal")))
+        Seq("pid"), Seq(col("ordinal"), xxhash64(col("item_json"))))
 
       // ---- bib tables
       val f = col("fields")

@@ -87,4 +87,32 @@ class CodecPropertySpec extends AnyFunSuite {
       assert(back.map(_.fields) == recs.map(_._2))
     }
   }
+
+  test("iso-2709 decodeAll NEVER throws on corrupted streams") {
+    // arbitrary garbage injected between (and truncating) valid
+    // records: decode must skip bad chunks and keep going — a poison
+    // byte sequence in a 100 TB file scan must not fail the task
+    val genGarbage: Gen[Array[Byte]] =
+      Gen.chooseNum(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    val genCase: Gen[(Array[Byte], Array[Byte], (String, Seq[MarcField]), Int)] =
+      for {
+        g1 <- genGarbage
+        g2 <- genGarbage
+        r <- genRecord
+        cut <- Gen.chooseNum(0, 100)
+      } yield (g1, g2, r, cut)
+    forAll(genCase) { case (g1, g2, (l, f), cutPct) =>
+      val rec = Iso2709.encode(l, f)
+      val truncated = rec.take(rec.length * cutPct / 100)
+      // garbage + valid + garbage + truncated-tail: must not throw and
+      // must still surface the intact record when the garbage doesn't
+      // happen to parse as a record prefix that swallows it
+      val out = Iso2709.decodeAll(g1 ++ rec ++ g2 ++ truncated)
+      assert(out.size <= 4) // bounded output, no runaway
+      // clean leading record always survives
+      val cleanFirst = Iso2709.decodeAll(rec ++ g2)
+      assert(cleanFirst.headOption.map(_.fields).contains(f))
+    }
+  }
 }

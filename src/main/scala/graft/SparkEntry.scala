@@ -606,6 +606,20 @@ object SparkEntry {
       LangId.selfLabelled(Tables(s, dir).documents, "doc_id", "text", "lang")
     }),
 
+    // E15: benchmark decontamination — planted near/exact copies of the
+    // "evaluation set" (base docs with doc_id%7==0) must be flagged by
+    // shingle overlap; random word-soup pairs stay under the threshold
+    "decontaminate" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val corpus = plantedDocs(t).filter(col("doc_id") >= 1000000L)
+      val benchmark = t.documents.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.contamination(corpus, benchmark, "doc_id", "text",
+          shingleN = 3, minShared = 10)
+        .select(col("doc_id"), col("benchmark_id"),
+                col("shared_shingles").cast("long").as("shared_shingles"))
+    }),
+
     // E11: polynomial rolling-hash document fingerprint
     "doc_fingerprint" -> ((s, dir) => {
       Tables(s, dir).documents
@@ -1094,6 +1108,31 @@ object SparkEntry {
                   'https?://[^\s]+', '<URL>', 'g'),
                   '\d{7,}', '<NUM>', 'g') AS clean
          FROM t""",
+
+    "decontaminate" ->
+      """WITH corpus AS (
+           SELECT doc_id + 1000000 AS doc_id, text || ' appended' AS text
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+         bench AS (
+           SELECT doc_id AS benchmark_id, text FROM documents WHERE doc_id % 7 = 0),
+         ctoks AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM corpus),
+         btoks AS (
+           SELECT benchmark_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM bench),
+         csh AS (
+           SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1),
+             i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM ctoks),
+         bsh AS (
+           SELECT DISTINCT benchmark_id, unnest(list_transform(range(1, len(ws)-1),
+             i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM btoks)
+         SELECT doc_id, benchmark_id, count(*) AS shared_shingles
+         FROM csh JOIN bsh USING (shingle)
+         GROUP BY doc_id, benchmark_id
+         HAVING count(*) >= 10""",
 
     "vocab_stats" ->
       """WITH toks AS (

@@ -95,6 +95,29 @@ object TextAnalysis {
       .drop("__total")
   }
 
+  /** Benchmark decontamination — the training-data step that finds
+    * corpus documents overlapping an evaluation set: distinct n-gram
+    * shingles per document on both sides, equi-join on the shingle
+    * (benchmark side broadcast — eval sets are model-sized), count of
+    * shared shingles per (corpus doc, benchmark doc) pair, thresholded.
+    *
+    * Scale shape: the corpus is touched by one map-side shingle explode
+    * + broadcast join; the only shuffle is the pair aggregation, whose
+    * size is bounded by actual overlaps, never corpus × benchmark.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 3,
+                    minShared: Int = 10): DataFrame = {
+    def sh(df: DataFrame, outId: String) = df.select(col(idCol).as(outId),
+      explode(Dedup.shingles(col(textCol), shingleN)).as("shingle"))
+    sh(corpus, "doc_id")
+      .join(broadcast(sh(benchmark, "benchmark_id")), "shingle")
+      .groupBy("doc_id", "benchmark_id")
+      // shingles are distinct per doc on each side → plain count
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   /** Word-set Jaccard similarity between two text columns (candidate-pair
     * verification for near-dedup). Pure column expression.
     */

@@ -29,6 +29,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"column pruning missing:\n$plan")
   }
 
+  test("NO verified query plans a partition-less window (single-partition killer)") {
+    // typed check on the physical plan — every WindowExec must have a
+    // non-empty partition spec (global windows move everything to one
+    // partition; all were eliminated in round 2)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan
+      val bad = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans a partition-less window:\n${bad.headOption.getOrElse("")}")
+    }
+  }
+
   test("item_info_view: dimensions broadcast, no dimension shuffle") {
     val plan = formatted(SparkEntry.queries("item_info_view")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)

@@ -94,6 +94,7 @@ final class DataSyncStore(spark: SparkSession, root: String,
   def overwrite(name: String, df: DataFrame, keys: Seq[String]): Unit = {
     df.withColumn(BucketCol, bucketOf(keys.head))
       .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd") // ~2× denser than snappy at rest
       .partitionBy(BucketCol)
       .parquet(tableDir(name))
     Files.writeString(schemaPath(name), df.schema.json)
@@ -106,6 +107,7 @@ final class DataSyncStore(spark: SparkSession, root: String,
     df.withColumn(BucketCol, bucketOf(idCol))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
       .partitionBy(BucketCol)
       .parquet(tableDir(name))
 
@@ -164,6 +166,7 @@ final class DataSyncStore(spark: SparkSession, root: String,
         .collect().map(_.getLong(0)).toSet
       remaining.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd")
         .partitionBy(BucketCol)
         .parquet(tableDir(name))
       val conf = spark.sessionState.newHadoopConf()

@@ -123,7 +123,13 @@ final class JdbcSyncSink(
     spark.read.jdbc(url, name, p)
   }
 
-  /** Bind + batch + execute a statement for every row of `df`. */
+  /** Bind + batch + execute a statement for every row of `df`.
+    *
+    * Failure contract: autoCommit is off and the single commit is the
+    * partition's last step, so a mid-partition failure rolls the whole
+    * partition back on close and Spark's task retry re-runs it cleanly —
+    * at-most-once per attempt, idempotent under ON CONFLICT on success.
+    */
   private def executeBatched(df: DataFrame, stmt: JdbcStatements.Statement): Unit = {
     val f = factory
     val bs = batchSize

@@ -40,6 +40,33 @@ object Streams {
       }
   }
 
+  case class Doc(doc_id: Long, text: String)
+
+  /** Streaming exact dedup over a document stream: per content-hash
+    * state marks hashes already emitted, so duplicates are dropped both
+    * within a micro-batch (min doc_id wins, deterministic) and across
+    * the stream's lifetime. The streaming twin of
+    * [[graft.operators.TextAnalysis.exactDupGroups]] — state size is
+    * one boolean per DISTINCT document, the minimum any exact-dedup
+    * must remember.
+    */
+  def streamDedupExact(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(d =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.text.trim.toLowerCase.replaceAll("\\s+", " ")
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.doc_id))
+          }
+      }
+  }
+
   /** Tumbling-window event metrics with a watermark — the
     * request_event rate counters. `tsCol` must be a TimestampType
     * event-time column.

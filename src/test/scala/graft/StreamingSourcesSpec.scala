@@ -71,6 +71,26 @@ class StreamingSourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicates drop within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Doc]
+    val q = Streams.streamDedupExact(input.toDS())
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      // batch 1: intra-batch dup (1,2 same text; min id wins) + unique
+      input.addData(Streams.Doc(2, "same  text"), Streams.Doc(1, "same text"),
+                    Streams.Doc(3, "other"))
+      q.processAllAvailable()
+      // batch 2: cross-batch dup (4 repeats batch-1 text) + unique
+      input.addData(Streams.Doc(4, "SAME TEXT"), Streams.Doc(5, "fresh"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_t").as[Streams.Doc].collect().map(_.doc_id).toSet
+      // normalization folds case/whitespace → 1 survives for "same text"
+      assert(got == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("stable-file manifest join flags only size-stable files") {
     val prev = Seq(("a", 10L), ("b", 5L)).toDF("path", "size")
     val cur = Seq(("a", 10L), ("b", 9L), ("c", 4L)).toDF("path", "size")

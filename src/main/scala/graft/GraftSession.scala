@@ -18,6 +18,9 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      // engine extensions: naive range joins auto-rewrite to the
+      // bucketed equi-join shape (graft.plans.RewriteRangeJoin)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -214,6 +214,25 @@ class StreamingSourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("publish-to-marc job: files in, bib/holding MARC + item JSONL out, round-trips") {
+    val (dir, n) = writePublishFiles()
+    val out = Files.createTempDirectory("graft_p2m").toFile.getAbsolutePath
+    val res = graft.marc.PublishToMarc.run(spark, dir + "/*",
+      s"$out/bib", s"$out/holding", s"$out/items")
+    assert(res.bibs == n)
+    assert(res.holdings > 0 && res.items > 0)
+    // the .mrc parts decode back to exactly the published bib set
+    val bibBytes = new java.io.File(s"$out/bib").listFiles()
+      .filter(_.getName.endsWith(".mrc")).sortBy(_.getName)
+      .flatMap(f => Files.readAllBytes(f.toPath))
+    val decoded = Iso2709.decodeAll(bibBytes)
+    assert(decoded.size == n)
+    // item JSONL is valid JSON with the item pids
+    val items = spark.read.json(s"$out/items")
+    assert(items.count() == res.items)
+    assert(items.select("item_data.pid").distinct().count() == res.items)
+  }
+
   test("file batch grouping follows the reference prefix regex") {
     val files = Seq(
       "/in/setA_new_1.tar.gz", "/in/setA_new_2.tar.gz", "/in/setA_delete.tar.gz",

@@ -989,12 +989,12 @@ object SparkEntry {
       """SELECT n_regionkey + 1 AS id,
                 'alma-set-'||n_regionkey AS alma_id,
                 'region '||n_regionkey AS name,
-                n_nationkey AS member_id
+                CAST(n_nationkey AS BIGINT) AS member_id
          FROM nation""",
 
     "config_circ_desk_links" ->
       """SELECT CAST(r_regionkey*10 + (n_nationkey%2) AS BIGINT) AS circ_desk_id,
-                n_nationkey AS location_id
+                CAST(n_nationkey AS BIGINT) AS location_id
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
 
     "skew_join" ->
@@ -1003,7 +1003,7 @@ object SparkEntry {
                        ELSE l_orderkey % 25 END AS k,
                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
            FROM lineitem)
-         SELECT n_name, count(*) AS n, sum(cents) AS total_cents
+         SELECT n_name, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
          FROM facts JOIN nation ON k = n_nationkey
          GROUP BY n_name""",
 
@@ -1398,7 +1398,7 @@ object SparkEntry {
          SELECT '23'||(l_orderkey*100+l_linenumber)||'8651' AS pid,
                 '22'||(l_orderkey*100+l_linenumber)||'8651' AS holding_id,
                 '99'||l_orderkey||'8651' AS mms_id,
-                n_nationkey AS perm_location_id,
+                CAST(n_nationkey AS BIGINT) AS perm_location_id,
                 CASE WHEN l_returnflag='R' THEN 999 ELSE NULL END AS temp_location_id,
                 'v.'||l_linenumber AS item_enum,
                 '39002'||'23'||(l_orderkey*100+l_linenumber)||'8651' AS barcode,

@@ -25,21 +25,39 @@ object PublishToMarc {
 
   /** Write each partition's concatenated ISO-2709 records as one
     * `part-NNNNN.mrc` (Hadoop FS API — works on object stores).
+    *
+    * Overwrite semantics match `mode("overwrite")`: the target directory
+    * is cleared first, so a re-run with fewer partitions can't leave
+    * stale parts from a prior run mixed into the output. Each task
+    * writes to an attempt-unique `.tmp` path and renames into place on
+    * success, so a speculative or zombie attempt never interleaves
+    * bytes with the winner's file.
     */
   private def writeMarcParts(records: Dataset[Array[Byte]], dir: String): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       records.sparkSession.sessionState.newHadoopConf())
     val base = new Path(dir)
     val fs0 = base.getFileSystem(conf.value)
+    if (fs0.exists(base)) fs0.delete(base, true)
     fs0.mkdirs(base)
     records.foreachPartition { (it: Iterator[Array[Byte]]) =>
       if (it.hasNext) {
-        val part = f"part-${TaskContext.getPartitionId()}%05d.mrc"
+        val tc = TaskContext.get()
+        val part = f"part-${tc.partitionId()}%05d.mrc"
+        val tmp = new Path(s"$dir/.$part.attempt-${tc.taskAttemptId()}.tmp")
         val out = new Path(s"$dir/$part")
         val fs = out.getFileSystem(conf.value)
-        val stream = fs.create(out, true)
+        val stream = fs.create(tmp, true)
         try it.foreach(stream.write) finally stream.close()
+        // first attempt to finish wins; losers leave only a .tmp we ignore
+        if (!fs.rename(tmp, out)) fs.delete(tmp, false)
+        ()
       }
+    }
+    // clear any leftover attempt temp files from lost speculative tasks
+    fs0.globStatus(new Path(s"$dir/.part-*.tmp")) match {
+      case null => ()
+      case stale => stale.foreach(s => fs0.delete(s.getPath, false))
     }
   }
 

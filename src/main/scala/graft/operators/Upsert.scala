@@ -58,9 +58,12 @@ object Upsert {
   /** Guarded merge — the item_base_status shape
     * (`… do update set … where item_base_status.update_date_time < $new`,
     * alma_publish_to_database.py:124): a matched update replaces the
-    * base row only when its `guardCol` is strictly newer (null guards
-    * never win, like SQL's null comparison); unmatched updates insert;
-    * everything else passes through untouched.
+    * base row only when its `guardCol` is strictly newer. Null guards
+    * follow SQL comparison semantics exactly, matching
+    * [[graft.sources.JdbcSyncSink.guardedUpsert]]'s `stored < ?`
+    * predicate: a null on EITHER side makes the comparison unknown, so
+    * the stored row is kept. Unmatched updates insert; everything else
+    * passes through untouched.
     */
   def mergeGuarded(base: DataFrame, updates: DataFrame, keys: Seq[String],
                    guardCol: String, versionCol: String = "version"): DataFrame = {
@@ -73,7 +76,7 @@ object Upsert {
     val cond = keys.map(k => col(s"b.$k") === col(s"u.$k")).reduce(_ && _)
     val matched = col("u.__in_upd").isNotNull
     val inBase = col("b.__in_base").isNotNull
-    val wins = matched && (!inBase || col(s"b.$guardCol").isNull ||
+    val wins = matched && (!inBase ||
       col(s"u.$guardCol") > col(s"b.$guardCol"))
     b.join(u, cond, "full_outer").select(
       keys.map(k => coalesce(col(s"u.$k"), col(s"b.$k")).as(k)) ++

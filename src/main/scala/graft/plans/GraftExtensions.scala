@@ -102,6 +102,11 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     val pointBucket = Alias(bucketOf(point, size), "__graft_pb")()
     val pointProj = Project(pointSide.output :+ pointBucket, pointSide)
 
+    // Sequence(lo, hi, step=1) throws at runtime when lo > hi; an inverted
+    // (dirty) interval must match nothing — as it does in the pre-rewrite
+    // nested-loop plan — not fail the job. A null lo/hi also compares to
+    // null here and is dropped, matching the null-safe range predicate.
+    val validInterval = Filter(LessThanOrEqual(lo, hi), intervalSide)
     val gen = Explode(Sequence(
       Cast(bucketOf(lo, size), LongType), Cast(bucketOf(hi, size), LongType),
       Some(Literal(1L)),
@@ -110,7 +115,7 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       Some(conf.sessionLocalTimeZone)))
     val genOut = AttributeReference("__graft_ib", LongType, nullable = false)()
     val genNode = Generate(gen, Nil, outer = false, None, Seq(genOut),
-                           intervalSide)
+                           validInterval)
 
     val equi = EqualTo(Cast(pointBucket.toAttribute, LongType), genOut)
     val range = And(GreaterThanOrEqual(point, lo), LessThanOrEqual(point, hi))

@@ -108,14 +108,18 @@ final class JdbcSyncSink(
     if (connectionFactory != null) connectionFactory
     else JdbcSyncSink.driverManager(url, connectionProperties)
 
-  def exists(name: String): Boolean =
-    scala.util.Try {
-      val c = factory()
-      try {
-        val rs = c.getMetaData.getTables(null, null, name, null)
-        try rs.next() finally rs.close()
-      } finally c.close()
-    }.getOrElse(false)
+  /** True iff the metadata lookup SUCCEEDS and finds no table. A
+    * connection/SQL failure propagates instead of reading as "absent":
+    * AlmaPipeline gates orphan cleanup on `exists`, and a transient DB
+    * hiccup must fail the run, not silently skip cleanup.
+    */
+  def exists(name: String): Boolean = {
+    val c = factory()
+    try {
+      val rs = c.getMetaData.getTables(null, null, name, null)
+      try rs.next() finally rs.close()
+    } finally c.close()
+  }
 
   def read(name: String): DataFrame = {
     val p = new java.util.Properties()

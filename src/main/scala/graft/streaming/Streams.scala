@@ -52,9 +52,14 @@ object Streams {
     */
   def streamDedupExact(docs: Dataset[Doc]): Dataset[Doc] = {
     import docs.sparkSession.implicits._
+    // mirrors TextAnalysis.normalizeText exactly — collapse, then trim,
+    // then locale-independent lowercase — so streaming and batch dedup
+    // produce identical content hashes for the same text (a default
+    // Turkish locale would otherwise lowercase 'I' differently)
     docs.groupByKey(d =>
         java.security.MessageDigest.getInstance("MD5")
-          .digest(d.text.trim.toLowerCase.replaceAll("\\s+", " ")
+          .digest(d.text.replaceAll("\\s+", " ").trim
+            .toLowerCase(java.util.Locale.ROOT)
             .getBytes("UTF-8")).map("%02x".format(_)).mkString)
       .flatMapGroupsWithState[Boolean, Doc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

@@ -90,6 +90,23 @@ class AdviceFixesSpec extends AnyFunSuite {
       (3L, "ins", 5L, 0L)))   // fresh key → inserted at version 0
   }
 
+  test("mergeGuarded: null guards follow SQL `stored < new` semantics (JDBC-sink parity)") {
+    // PostgreSQL's `where stored < ?` is UNKNOWN when either side is
+    // null → no update. The parquet store must behave identically so
+    // item_base_status doesn't diverge between the two sinks.
+    val base = Seq((1L, "a", Option(10L), 0L), (2L, "b", Option.empty[Long], 0L),
+                   (3L, "c", Option.empty[Long], 0L))
+      .toDF("pid", "status_code", "update_date_time", "version")
+    val updates = Seq((1L, "A", Option.empty[Long]), // null update guard → loses
+                      (2L, "B", Option(5L)),         // null STORED guard → loses
+                      (3L, "C", Option.empty[Long])) // null both → loses
+      .toDF("pid", "status_code", "update_date_time")
+    val out = Upsert.mergeGuarded(base, updates, Seq("pid"), "update_date_time")
+      .orderBy("pid").select("pid", "status_code", "version")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)))
+  }
+
   // ---------------------------------------------- ordinal determinism
 
   test("ordered ingest: first-in-file-order record wins for duplicate keys") {

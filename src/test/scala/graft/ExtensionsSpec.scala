@@ -69,4 +69,33 @@ class ExtensionsSpec extends AnyFunSuite {
         .extraOptimizations.filterNot(_ eq graft.plans.RewriteRangeJoin)
     }
   }
+
+  test("RewriteRangeJoin: inverted (lo > hi) and null intervals match nothing, never crash") {
+    // pre-rewrite nested-loop semantics: a dirty interval with lo > hi
+    // (or a null bound) simply matches no points; the rewrite's
+    // Sequence(loBucket, hiBucket, 1) would throw on it without the
+    // interval-validity filter
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteRangeJoin
+    try {
+      spark.conf.set(graft.plans.RewriteRangeJoin.BucketSizeKey, "10")
+      val points = Seq(5.0, 25.0, 45.0).toDF("p")
+      val intervals = Seq(
+        (1L, Option(0.0), Option(9.0)),   // valid → catches 5
+        (2L, Option(50.0), Option(10.0)), // inverted → matches nothing
+        (3L, Option(40.0), Option(49.0)), // valid → catches 45
+        (4L, Option.empty[Double], Option(9.0))) // null lo → matches nothing
+        .toDF("iid", "lo", "hi")
+      val joined = points.join(intervals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft"), s"rewrite missing:\n$plan")
+      assert(joined.select(col("p"), col("iid")).as[(Double, Long)]
+        .collect().toSet == Set((5.0, 1L), (45.0, 3L)))
+    } finally {
+      spark.experimental.extraOptimizations = spark.experimental
+        .extraOptimizations.filterNot(_ eq graft.plans.RewriteRangeJoin)
+      spark.conf.unset(graft.plans.RewriteRangeJoin.BucketSizeKey)
+    }
+  }
 }

@@ -231,6 +231,23 @@ class StreamingSourcesSpec extends AnyFunSuite {
     val items = spark.read.json(s"$out/items")
     assert(items.count() == res.items)
     assert(items.select("item_data.pid").distinct().count() == res.items)
+
+    // re-running into the same directories must clear prior contents:
+    // a stale part from a wider previous run may not survive into the
+    // new output that downstream tools concatenate
+    val stale = new java.io.File(s"$out/bib/part-99999.mrc")
+    Files.write(stale.toPath, "GARBAGE".getBytes)
+    val res2 = graft.marc.PublishToMarc.run(spark, dir + "/*",
+      s"$out/bib", s"$out/holding", s"$out/items")
+    assert(res2.bibs == n)
+    assert(!stale.exists(), "stale .mrc part survived an overwrite re-run")
+    val rerunBytes = new java.io.File(s"$out/bib").listFiles()
+      .filter(_.getName.endsWith(".mrc")).sortBy(_.getName)
+      .flatMap(f => Files.readAllBytes(f.toPath))
+    assert(Iso2709.decodeAll(rerunBytes).size == n)
+    // no leftover attempt temp files either
+    assert(new java.io.File(s"$out/bib").listFiles()
+      .forall(f => !f.getName.endsWith(".tmp")))
   }
 
   test("file batch grouping follows the reference prefix regex") {

@@ -31,16 +31,31 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"{name:28s} SPARK READ FAIL {e}"); n_bad += 1; continue
         try:
-            want = con.sql(sql).df()
+            rel = con.sql(sql)
+            duck_types = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
+            want = rel.df()
         except Exception as e:
             print(f"{name:28s} ORACLE FAIL {str(e)[:120]}"); n_bad += 1; continue
+        # The driver reads both sides into pandas and hashes values; DuckDB
+        # HUGEINT/DECIMAL become float64 there and hash-mismatch Spark's
+        # BIGINT even when values are equal. Fail locally so the driver never
+        # sees it (CORRECTNESS_r02 skew_join was exactly this).
+        loose = [c for c, t in duck_types.items()
+                 if "HUGEINT" in t or t.startswith("DECIMAL")]
+        if loose:
+            print(f"{name:28s} ORACLE TYPE {[(c, duck_types[c]) for c in loose]} — wrap in CAST(... AS BIGINT/DOUBLE)")
+            n_bad += 1; continue
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"{name:28s} COLS differ spark={list(g.columns)} duck={list(w.columns)}"); n_bad += 1; continue
         if len(g) != len(w):
             print(f"{name:28s} ROWS differ spark={len(g)} duck={len(w)}"); n_bad += 1; continue
+        dt_bad = [c for c in g.columns if g[c].dtype != w[c].dtype]
+        if dt_bad:
+            print(f"{name:28s} DTYPE differ {[(c, str(g[c].dtype), str(w[c].dtype)) for c in dt_bad]}")
+            n_bad += 1; continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
             print(f"{name:28s} OK ({len(g)} rows)"); n_ok += 1
         except AssertionError as e:
             # retry with tolerance to distinguish float-noise from real bugs

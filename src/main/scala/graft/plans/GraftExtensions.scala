@@ -17,15 +17,28 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * equi-join on the bucket id + the original range condition as a
   * residual filter.
   *
-  * Bucket width comes from `spark.graft.rangeJoin.bucketSize` (default
-  * 1000) — pick it near the median interval width. Conjuncts beyond
-  * the range pair (e.g. inferred IsNotNull) are preserved. The rule
-  * never rematches its own output (the rewrite contains an equi
-  * conjunct, which disqualifies the pattern).
+  * Interval-OVERLAP joins (`a.lo <= b.hi AND b.lo <= a.hi`, intervals
+  * on BOTH sides) rewrite too: each side explodes its NORMALIZED
+  * bucket span (`least(lo,hi)..greatest(lo,hi)` — crash-free on dirty
+  * lo > hi rows, and a raw-predicate match always implies the
+  * normalized intervals intersect, so no match is lost), the pair is
+  * kept only in the one shared bucket holding
+  * `greatest(min_left, min_right)` (exact dedup without a distinct),
+  * and the original predicates remain as residual filters.
+  *
+  * Bucket width: `spark.graft.rangeJoin.bucketSize` when set wins;
+  * otherwise it is derived from data statistics — the median interval
+  * width when the interval side bottoms out in a driver-local relation,
+  * or `(max - min) / spark.graft.rangeJoin.targetBuckets` from CBO
+  * column stats (ANALYZE TABLE … FOR COLUMNS) — and falls back to
+  * 1000. Conjuncts beyond the range pair (e.g. inferred IsNotNull) are
+  * preserved. The rule never rematches its own output (the rewrite
+  * contains an equi conjunct, which disqualifies the pattern).
   */
 object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   val BucketSizeKey = "spark.graft.rangeJoin.bucketSize"
+  val TargetBucketsKey = "spark.graft.rangeJoin.targetBuckets"
 
   private def sideOnly(e: Expression, p: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(p.outputSet) &&
@@ -59,6 +72,13 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
             case _ => false
           }
           rewrite(j, point, lo, hi, pointIsLeft, rest)
+        case None if !crossSideEqui =>
+          findOverlapPair(conjuncts, left, right) match {
+            case Some((loL, hiL, loR, hiR, used)) =>
+              rewriteOverlap(j, loL, hiL, loR, hiR,
+                conjuncts.filterNot(c => used.exists(c eq _)))
+            case None => j
+          }
         case None => j
       }
   }
@@ -92,10 +112,38 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       .orElse(find(right, left).map { case (p, lo, hi) => (p, lo, hi, false) })
   }
 
+  /** (loL, hiL, loR, hiR, usedConjuncts) when the condition carries the
+    * overlap pair `loL <= hiR AND loR <= hiL` with one bound of each
+    * side's interval in each conjunct. (Point-in-interval is matched
+    * first by [[findRangePair]], so reaching here means both sides
+    * contribute a real interval.)
+    */
+  private def findOverlapPair(conjuncts: Seq[Expression], left: LogicalPlan,
+                              right: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Expression,
+                Seq[Expression])] = {
+    // normalize every cross-side comparison to `small <= big`
+    val les = conjuncts.flatMap {
+      case c @ LessThanOrEqual(a, b) => Some((a, b, c))
+      case c @ GreaterThanOrEqual(a, b) => Some((b, a, c))
+      case _ => None
+    }
+    val lr = les.filter { case (a, b, _) =>
+      sideOnly(a, left) && sideOnly(b, right) && numeric(a) && numeric(b) }
+    val rl = les.filter { case (a, b, _) =>
+      sideOnly(a, right) && sideOnly(b, left) && numeric(a) && numeric(b) }
+    (for {
+      (loL, hiR, c1) <- lr
+      (loR, hiL, c2) <- rl
+      if !(c1 eq c2)
+    } yield (loL, hiL, loR, hiR, Seq(c1, c2))).headOption
+  }
+
   private def rewrite(j: Join, point: Expression, lo: Expression,
                       hi: Expression, pointIsLeft: Boolean,
                       rest: Seq[Expression]): LogicalPlan = {
-    val size = conf.getConfString(BucketSizeKey, "1000").toDouble
+    val size = bucketSize(Seq((
+      if (pointIsLeft) j.right else j.left, lo, hi)))
     val (pointSide, intervalSide) = if (pointIsLeft) (j.left, j.right)
                                     else (j.right, j.left)
 
@@ -124,6 +172,117 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       if (pointIsLeft) Join(pointProj, genNode, Inner, Some(full), j.hint)
       else Join(genNode, pointProj, Inner, Some(full), j.hint)
     Project(j.output, joined)
+  }
+
+  /** Interval × interval: explode each side's NORMALIZED bucket span,
+    * equi-join the bucket ids, keep each pair only in the bucket of
+    * `greatest(min_left, min_right)` (which every intersecting pair of
+    * normalized intervals shares, and exactly one copy of), and
+    * re-apply the original overlap predicates as residual filters —
+    * exact raw-predicate semantics, including dirty lo > hi rows.
+    */
+  private def rewriteOverlap(j: Join, loL: Expression, hiL: Expression,
+                             loR: Expression, hiR: Expression,
+                             rest: Seq[Expression]): LogicalPlan = {
+    val size = bucketSize(Seq((j.left, loL, hiL), (j.right, loR, hiR)))
+    def minOf(lo: Expression, hi: Expression) =
+      Least(Seq(Cast(lo, DoubleType), Cast(hi, DoubleType)))
+    def maxOf(lo: Expression, hi: Expression) =
+      Greatest(Seq(Cast(lo, DoubleType), Cast(hi, DoubleType)))
+    def gen(side: LogicalPlan, lo: Expression, hi: Expression, name: String)
+        : (Generate, AttributeReference) = {
+      val out = AttributeReference(name, LongType, nullable = false)()
+      val g = Generate(Explode(Sequence(
+        Cast(bucketOf(minOf(lo, hi), size), LongType),
+        Cast(bucketOf(maxOf(lo, hi), size), LongType),
+        Some(Literal(1L)), Some(conf.sessionLocalTimeZone))),
+        Nil, outer = false, None, Seq(out), side)
+      (g, out)
+    }
+    val (genL, outL) = gen(j.left, loL, hiL, "__graft_ibl")
+    val (genR, outR) = gen(j.right, loR, hiR, "__graft_ibr")
+    val equi = EqualTo(outL, outR)
+    val dedup = EqualTo(outL, Cast(bucketOf(
+      Greatest(Seq(minOf(loL, hiL), minOf(loR, hiR))), size), LongType))
+    val overlap = And(LessThanOrEqual(loL, hiR), LessThanOrEqual(loR, hiL))
+    val full = (Seq(equi, dedup, overlap) ++ rest).reduce(And)
+    Project(j.output, Join(genL, genR, Inner, Some(full), j.hint))
+  }
+
+  // ------------------------------------------------------- bucket sizing
+
+  /** Explicit conf wins; otherwise derive from the interval sides'
+    * statistics; otherwise 1000.
+    */
+  private def bucketSize(
+      intervals: Seq[(LogicalPlan, Expression, Expression)]): Double = {
+    val explicit = conf.getConfString(BucketSizeKey, "")
+    if (explicit.nonEmpty) explicit.toDouble
+    else {
+      val derived = intervals.flatMap { case (p, lo, hi) =>
+        derivedBucketSize(p, lo, hi) }
+      // widest estimate among the sides: over-wide buckets cost a few
+      // extra residual comparisons; under-wide ones multiply the shuffle
+      if (derived.nonEmpty) derived.max else 1000.0
+    }
+  }
+
+  /** Data-derived bucket width for one interval side: the median
+    * interval width when the bounds are plain columns of a
+    * driver-local relation (floored at span/65536 so degenerate widths
+    * can't explode the Generate), else `span / targetBuckets` from CBO
+    * column stats when available.
+    */
+  private[graft] def derivedBucketSize(plan: LogicalPlan, lo: Expression,
+                                       hi: Expression): Option[Double] =
+    (lo, hi) match {
+      case (a: AttributeReference, b: AttributeReference) =>
+        localMedianWidth(plan, a, b).orElse(cboSpanWidth(plan, a, b))
+      case _ => None
+    }
+
+  private def toDouble(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  private def localMedianWidth(plan: LogicalPlan, lo: AttributeReference,
+                               hi: AttributeReference): Option[Double] = {
+    val local = plan.collectFirst {
+      case lr: LocalRelation
+          if lr.outputSet.contains(lo) && lr.outputSet.contains(hi) => lr
+    }
+    local.flatMap { lr =>
+      val iLo = lr.output.indexWhere(_.exprId == lo.exprId)
+      val iHi = lr.output.indexWhere(_.exprId == hi.exprId)
+      val bounds = lr.data.take(65536).flatMap { row =>
+        if (row.isNullAt(iLo) || row.isNullAt(iHi)) None
+        else for {
+          l <- toDouble(row.get(iLo, lo.dataType))
+          h <- toDouble(row.get(iHi, hi.dataType))
+        } yield (math.min(l, h), math.max(l, h))
+      }
+      if (bounds.isEmpty) None
+      else {
+        val widths = bounds.map { case (l, h) => h - l }.sorted
+        val median = widths(widths.size / 2)
+        val span = bounds.map(_._2).max - bounds.map(_._1).min
+        val width = math.max(median, span / 65536.0)
+        if (width > 0) Some(width) else None
+      }
+    }
+  }
+
+  private def cboSpanWidth(plan: LogicalPlan, lo: AttributeReference,
+                           hi: AttributeReference): Option[Double] = {
+    val stats = plan.stats.attributeStats
+    for {
+      loStat <- stats.get(lo); hiStat <- stats.get(hi)
+      min <- loStat.min.flatMap(toDouble)
+      max <- hiStat.max.flatMap(toDouble)
+      span = max - min if span > 0
+    } yield span / conf.getConfString(TargetBucketsKey, "4096").toDouble
   }
 }
 

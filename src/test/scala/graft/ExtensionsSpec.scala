@@ -70,6 +70,89 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  private def withRule[A](body: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteRangeJoin
+    try body finally {
+      spark.experimental.extraOptimizations = spark.experimental
+        .extraOptimizations.filterNot(_ eq graft.plans.RewriteRangeJoin)
+      spark.conf.unset(graft.plans.RewriteRangeJoin.BucketSizeKey)
+    }
+  }
+
+  test("RewriteRangeJoin: interval-overlap join becomes a double-exploded equi-join") {
+    val left = Seq((1L, 0.0, 10.0), (2L, 5.0, 25.0), (3L, 100.0, 120.0),
+                   (4L, 42.0, 42.0))
+      .toDF("lid", "l_lo", "l_hi")
+    val right = Seq((10L, 8.0, 12.0), (20L, 30.0, 41.0), (30L, 110.0, 300.0),
+                    (40L, 40.0, 44.0))
+      .toDF("rid", "r_lo", "r_hi")
+    def overlapJoin() = left.join(right,
+      col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select(col("lid"), col("rid"))
+    val expected = overlapJoin().as[(Long, Long)].collect().toSet
+    assert(expected == Set((1L, 10L), (2L, 10L), (3L, 30L), (4L, 40L)))
+    withRule {
+      spark.conf.set(graft.plans.RewriteRangeJoin.BucketSizeKey, "10")
+      val df = overlapJoin()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"overlap join still nested-loop:\n$plan")
+      assert(plan.contains("__graft_ibl") && plan.contains("__graft_ibr"),
+        s"double-exploded rewrite missing:\n$plan")
+      // exactly one copy of each pair (the dedup-bucket condition)
+      val rows = df.as[(Long, Long)].collect().toSeq
+      assert(rows.size == rows.toSet.size, s"duplicated pairs: $rows")
+      assert(rows.toSet == expected)
+    }
+  }
+
+  test("RewriteRangeJoin overlap: dirty lo>hi rows keep raw-predicate semantics") {
+    // raw predicates match (5<=10 && 0<=1) even though the left
+    // interval is inverted — the normalized-span explosion must keep it
+    val left = Seq((1L, 5.0, 1.0), (2L, 60.0, 50.0),
+                   (3L, Double.NaN, Double.NaN))
+      .toDF("lid", "l_lo", "l_hi").filter(!isnan(col("l_lo")))
+    val right = Seq((10L, 0.0, 10.0), (20L, 45.0, 70.0),
+                    (30L, Double.NaN, Double.NaN))
+      .toDF("rid", "r_lo", "r_hi").filter(!isnan(col("r_lo")))
+    def overlapJoin() = left.join(right,
+      col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select(col("lid"), col("rid"))
+    val expected = overlapJoin().as[(Long, Long)].collect().toSet
+    assert(expected.contains((1L, 10L)) && expected.contains((2L, 20L)))
+    withRule {
+      spark.conf.set(graft.plans.RewriteRangeJoin.BucketSizeKey, "7")
+      val got = overlapJoin().as[(Long, Long)].collect()
+      assert(got.size == got.toSet.size)
+      assert(got.toSet == expected)
+    }
+  }
+
+  test("RewriteRangeJoin: bucket size derives from local interval stats when conf unset") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    // widths 4,6,8 → median 6 drives the derived bucket width
+    val intervals = Seq((1L, 0.0, 4.0), (2L, 10.0, 16.0), (3L, 30.0, 38.0))
+      .toDF("iid", "lo", "hi")
+    val plan = intervals.queryExecution.optimizedPlan
+    val lo = plan.output.find(_.name == "lo").get.asInstanceOf[AttributeReference]
+    val hi = plan.output.find(_.name == "hi").get.asInstanceOf[AttributeReference]
+    val derived = graft.plans.RewriteRangeJoin.derivedBucketSize(plan, lo, hi)
+    assert(derived.contains(6.0), s"derived=$derived")
+    // and the rewrite still fires + stays correct with no conf set
+    val points = Seq(2.0, 15.0, 35.0, 99.0).toDF("p")
+    withRule {
+      val joined = points.join(intervals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+        .select(col("p"), col("iid"))
+      val plan2 = joined.queryExecution.executedPlan.toString
+      assert(plan2.contains("__graft") &&
+             !plan2.contains("BroadcastNestedLoopJoin"))
+      assert(joined.as[(Double, Long)].collect().toSet ==
+        Set((2.0, 1L), (15.0, 2L), (35.0, 3L)))
+    }
+  }
+
   test("RewriteRangeJoin: inverted (lo > hi) and null intervals match nothing, never crash") {
     // pre-rewrite nested-loop semantics: a dirty interval with lo > hi
     // (or a null bound) simply matches no points; the rewrite's

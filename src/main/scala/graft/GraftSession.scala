@@ -28,6 +28,12 @@ object GraftSession {
       // events.parquet carries INT64 TIMESTAMP(NANOS); Spark has no ns
       // timestamp type, so read the raw long (Tables.events converts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // streaming state off the executor heap: the dedup stream keeps
+      // one entry per DISTINCT document, which at corpus scale only
+      // fits a disk-backed store (the HDFS-backed default is
+      // executor-heap and OOMs first)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int = defaultCpus): SparkSession = {

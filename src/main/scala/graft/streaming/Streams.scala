@@ -48,10 +48,20 @@ object Streams {
     * the stream's lifetime. The streaming twin of
     * [[graft.operators.TextAnalysis.exactDupGroups]] — state size is
     * one boolean per DISTINCT document, the minimum any exact-dedup
-    * must remember.
+    * must remember. Run it on the RocksDB state store
+    * ([[graft.GraftSession]] configures it): at corpus scale the state
+    * is corpus-cardinality and only fits disk-backed.
+    *
+    * `ttl` (e.g. `"30 days"`) bounds state for unbounded streams: a
+    * hash idle longer than the TTL is forgotten, so a duplicate
+    * arriving after that window is re-admitted — the standard
+    * bounded-memory dedup tradeoff. Default keeps state forever.
     */
-  def streamDedupExact(docs: Dataset[Doc]): Dataset[Doc] = {
+  def streamDedupExact(docs: Dataset[Doc],
+                       ttl: Option[String] = None): Dataset[Doc] = {
     import docs.sparkSession.implicits._
+    val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
     // mirrors TextAnalysis.normalizeText exactly — collapse, then trim,
     // then locale-independent lowercase — so streaming and batch dedup
     // produce identical content hashes for the same text (a default
@@ -61,12 +71,15 @@ object Streams {
           .digest(d.text.replaceAll("\\s+", " ").trim
             .toLowerCase(java.util.Locale.ROOT)
             .getBytes("UTF-8")).map("%02x".format(_)).mkString)
-      .flatMapGroupsWithState[Boolean, Doc](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[Boolean, Doc](OutputMode.Append(), timeout) {
         (_: String, rows: Iterator[Doc], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            ttl.foreach(state.setTimeoutDuration) // seen again: extend
+            Iterator.empty
+          } else {
             state.update(true)
+            ttl.foreach(state.setTimeoutDuration)
             Iterator.single(rows.minBy(_.doc_id))
           }
       }

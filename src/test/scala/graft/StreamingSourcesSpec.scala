@@ -250,6 +250,39 @@ class StreamingSourcesSpec extends AnyFunSuite {
       .forall(f => !f.getName.endsWith(".tmp")))
   }
 
+  test("streaming exact dedup runs on the RocksDB state store, with TTL wiring") {
+    implicit val sqlCtx = spark.sqlContext
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    val input = MemoryStream[Streams.Doc]
+    // ttl enabled exercises the ProcessingTimeTimeout path end-to-end.
+    // NOTE: with a timeout registered the engine keeps running empty
+    // batches to evaluate expirations, so processAllAvailable never
+    // settles — poll the sink to a deadline instead.
+    val out = Streams.streamDedupExact(input.toDS(), ttl = Some("1 hour"))
+    val q = out.writeStream.format("memory").queryName("rocks_dedup_t")
+      .outputMode("append").start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (spark.table("rocks_dedup_t").count() < n) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $n rows")
+        Thread.sleep(200)
+      }
+    }
+    try {
+      input.addData(Streams.Doc(1, "alpha beta"), Streams.Doc(2, "ALPHA  beta "))
+      awaitRows(1)
+      input.addData(Streams.Doc(3, "alpha beta"), Streams.Doc(4, "gamma"))
+      awaitRows(2)
+      Thread.sleep(1000) // a few more empty batches: no late duplicates
+      val got = spark.table("rocks_dedup_t").as[Streams.Doc].collect().toSet
+      assert(got == Set(Streams.Doc(1, "alpha beta"), Streams.Doc(4, "gamma")))
+      // the state operator really is RocksDB-backed, not executor-heap
+      val progress = q.recentProgress.map(_.json).mkString
+      assert(progress.contains("rocksdb"), s"no rocksdb metrics in:\n$progress")
+    } finally q.stop()
+  }
+
   test("file batch grouping follows the reference prefix regex") {
     val files = Seq(
       "/in/setA_new_1.tar.gz", "/in/setA_new_2.tar.gz", "/in/setA_delete.tar.gz",

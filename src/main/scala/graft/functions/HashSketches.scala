@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the dedup sketches.
@@ -269,6 +269,134 @@ object NearestCellsExpr {
       p += 1
     }
     new GenericArrayData(picked)
+  }
+}
+
+/** `array<float|double>` × `array<float|double>` → cosine similarity,
+  * dot and both norms fused into one primitive-array pass. The exact
+  * fp op order of the HOF formulation it replaces
+  * (`dot / (sqrt(dot(a,a)) * sqrt(dot(b,b)))`, sequential
+  * accumulation) is preserved, so scores are bit-identical.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimExpr.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineSimExpr.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimExpr {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def cosine(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
+    val nDot = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < nDot) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    var na = 0.0
+    i = 0
+    while (i < a.numElements()) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      na += x * x
+      i += 1
+    }
+    var nb = 0.0
+    i = 0
+    while (i < b.numElements()) {
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** `array<float|double>` vector → `array<long>` of `tables` LSH bucket
+  * signatures (`bits` sign-bits of hyperplane dots per table). The
+  * hyperplane matrix rides along as a reference object; per row this
+  * is one (tables·bits × dim) mat-vec in a static call instead of
+  * O(tables·bits) interpreted HOF dot products.
+  */
+case class LshBucketsExpr(child: Expression, hyperplanes: Seq[Seq[Double]],
+                          tables: Int, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    hyperplanes.map(_.toArray).toArray
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    LshBucketsExpr.buckets(v.asInstanceOf[ArrayData], matrix, tables, bits,
+      elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneMatrix", matrix, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LshBucketsExpr.buckets($c, $ref, $tables, $bits, $elemIsFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
+    copy(child = newChild)
+}
+
+object LshBucketsExpr {
+  def apply(c: Column, hyperplanes: Seq[Seq[Double]], tables: Int,
+            bits: Int): Column =
+    ColumnBridge.column(LshBucketsExpr(ColumnBridge.expression(c),
+      hyperplanes, tables, bits))
+
+  def buckets(vec: ArrayData, hp: Array[Array[Double]], tables: Int,
+              bits: Int, isFloat: Boolean): ArrayData = {
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var acc = 0L
+      var b = 0
+      while (b < bits) {
+        val row = hp(t * bits + b)
+        val n = math.min(dim, row.length)
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += v(j) * row(j); j += 1 }
+        if (s > 0) acc += (1L << b)
+        b += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

@@ -14,14 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric arrays (double accumulation). */
+  /** Dot product of two numeric arrays (double accumulation) — the
+    * HOF formulation, kept for composition; hot paths use the fused
+    * native [[graft.functions.CosineSimExpr]] below.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
               lit(0.0d), (acc, v) => acc + v)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity as ONE native codegen pass (dot + both norms
+    * fused, bit-identical fp order to the HOF formulation). Every
+    * candidate-pair scoring below runs through this, so exact-kNN
+    * stays usable as a recall oracle at large query sets.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimExpr(a, b)
 
   /** Deterministic random hyperplanes (splitmix64 stream), generated
     * once driver-side and shipped as a literal — no per-row hashing,
@@ -42,17 +51,15 @@ object Similarity {
 
   /** All (table, bucket) keys for `v` — one per LSH table: `bits`
     * sign-bits of hyperplane dot products packed into a long. The
-    * hyperplane tensor is a foldable literal, so per row this is one
-    * (tables*bits × dim) mat-vec inside codegen.
+    * hyperplane matrix rides as a reference object in a native
+    * expression ([[graft.functions.LshBucketsExpr]]), so per row this
+    * is one (tables*bits × dim) mat-vec in a single static call inside
+    * WholeStageCodegen — the corpus-side sketch of [[annLsh]] and
+    * [[embeddingNearDup]] never drops to interpreted HOF evaluation.
     */
-  def lshBuckets(v: Column, dim: Int, tables: Int, bits: Int): Column = {
-    val hp = typedlit(hyperplanes(dim, tables, bits))
-    transform(sequence(lit(0), lit(tables - 1)),
-      t => aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-        (acc, b) => acc + when(
-          dot(v, element_at(hp, t * bits + b + 1)) > 0,
-          Dedup.shl(lit(1L), b)).otherwise(0L)))
-  }
+  def lshBuckets(v: Column, dim: Int, tables: Int, bits: Int): Column =
+    graft.functions.LshBucketsExpr(v, hyperplanes(dim, tables, bits),
+      tables, bits)
 
   /** Exact top-k cosine neighbors for each query vector (baseline).
     * Queries are broadcast; the corpus is scanned once; per-query top-k

@@ -1185,7 +1185,12 @@ object SparkEntry {
     // Hash-free twin: on this corpus the LSH candidate set provably
     // covers every pair with jaccard >= 0.7 (planted pairs have
     // j in {0.92, 1.0}; base random pairs stay < 0.2), so the engine
-    // output equals the exhaustive pair scan.
+    // output equals the exhaustive pair scan. The scan itself is
+    // bounded by EXACT prefix filtering (AllPairs/PPJoin): under a
+    // global shingle order, jaccard >= t forces a shared token within
+    // each side's first |s| - ceil(t*|s|) + 1 sorted shingles — no
+    // false negatives, and the sf0.1 sweep runs in seconds instead of
+    // an O(n^2) cross scan.
     "dedup_minhash" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
@@ -1202,15 +1207,23 @@ object SparkEntry {
                   list_distinct(list_transform(
                     range(1, greatest(len(w) - 2, 1) + 1),
                     i -> array_to_string(w[i:i+2], ' '))) AS s
-           FROM toks)
-         SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           FROM toks),
+         pref AS (
+           SELECT doc_id,
+                  unnest(list_sort(s)[1 : greatest(len(s) - CAST(ceil(0.7 * len(s)) AS INT) + 1, 1)]) AS g
+           FROM sh),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
+           FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id)
+         SELECT c.lid AS left_id, c.rid AS right_id,
                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                       / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         FROM cand c JOIN sh a ON c.lid = a.doc_id JOIN sh b ON c.rid = b.doc_id
          WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""",
 
-    // transitive closure of the exhaustive >=0.7-jaccard pair graph →
+    // transitive closure of the >=0.7-jaccard pair graph (same exact
+    // prefix-filter bound as dedup_minhash) →
     // min reachable id per node (same cluster semantics, independent
     // algorithm: recursive CTE vs iterative label propagation)
     "dedup_clusters" ->
@@ -1230,9 +1243,16 @@ object SparkEntry {
                     range(1, greatest(len(w) - 2, 1) + 1),
                     i -> array_to_string(w[i:i+2], ' '))) AS s
            FROM toks),
+         pref AS (
+           SELECT doc_id,
+                  unnest(list_sort(s)[1 : greatest(len(s) - CAST(ceil(0.7 * len(s)) AS INT) + 1, 1)]) AS g
+           FROM sh),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
+           FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id),
          pairs AS (
-           SELECT a.doc_id AS left_id, b.doc_id AS right_id
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           SELECT c.lid AS left_id, c.rid AS right_id
+           FROM cand c JOIN sh a ON c.lid = a.doc_id JOIN sh b ON c.rid = b.doc_id
            WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7),
          edges AS (

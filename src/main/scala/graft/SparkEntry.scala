@@ -82,14 +82,17 @@ object SparkEntry {
   private val corpusCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   /** Publish corpus plan, shared by marc_build and delete-file
-    * processing. Deliberately NOT persisted: caching the deep-nested
-    * `Seq[MarcField]` rows costs more (columnar encode + heap pressure
-    * + spill at scale) than recomputing the narrow joins + assembly for
-    * the two consumers that want whole records.
+    * processing — persisted ONCE (measured, r3: at sf0.1 a warm
+    * materialize is ~1.9s and each cached consumer ~0.1-0.4s vs
+    * ~1.8-2.3s recompute per consumer, so two whole-record consumers
+    * amortize the nested persist; the round-2 "never persist nested
+    * rows" result holds only for the 7-consumer SPLIT path whose
+    * consumers want flat columns, not whole records).
     */
   private def publishCorpus(s: SparkSession, dir: String): DataFrame =
     corpusCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      MarcCorpus.publishRecords(Tables(s, dir)))
+      MarcCorpus.publishRecords(Tables(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private val splitCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
@@ -157,7 +160,10 @@ object SparkEntry {
       if (k == key) df.unpersist(true)
       k != key
     }
-    corpusCache.filterInPlace { case ((k, _), _) => k != key }
+    corpusCache.filterInPlace { case ((k, _), df) =>
+      if (k == key) df.unpersist(true)
+      k != key
+    }
   }
 
   /** Parsed item rows — a narrow flat view over the split cache. */

@@ -632,6 +632,37 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
+    // E16: deterministic stratified sampling — per-language mixing
+    // weights via the content fingerprint (zh has no rate → drops)
+    "stratified_sample" -> ((s, dir) => {
+      TextAnalysis.stratifiedSample(Tables(s, dir).documents,
+        "lang", "text", "doc_id",
+        Map("en" -> 800, "de" -> 600, "es" -> 400, "fr" -> 200))
+    }),
+
+    // E17: composed curation decision — exact-dup canonical + token
+    // bounds + alpha floor, with per-document audit flags
+    "curation_filter" -> ((s, dir) => {
+      TextAnalysis.curationFilter(Tables(s, dir).documents,
+          "text", "doc_id", minTokens = 8, maxTokens = 2000,
+          minAlphaRatio = 0.5)
+        .select(col("doc_id"), col("is_canonical"), col("len_ok"),
+                col("alpha_ok"), col("kept"))
+    }),
+
+    // C23b: interval-OVERLAP join through the production session's
+    // RewriteRangeJoin (both sides intervals → double-exploded bucket
+    // equi-join; written as the naive predicate join on purpose)
+    "overlap_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val a = t.supplier.select(col("s_suppkey").as("a_id"),
+        col("s_acctbal").as("a_lo"), (col("s_acctbal") + 50.0).as("a_hi"))
+      val b = t.customer.select(col("c_custkey").as("b_id"),
+        col("c_acctbal").as("b_lo"), (col("c_acctbal") + 50.0).as("b_hi"))
+      a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select(col("a_id"), col("b_id"))
+    }),
+
     // B1: fixpoint trailing-punctuation trim (custom Catalyst Expression)
     "trim_punctuation" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -1280,6 +1311,43 @@ object SparkEntry {
                                    i -> CAST(ascii(text[i]) AS BIGINT))),
                   (a, b) -> (a * 31 + b) % 1000000007) AS fp
          FROM documents""",
+
+    // same rolling-hash fold as doc_fingerprint drives the sampling
+    // decision; zh is absent from the rate table and drops
+    "stratified_sample" ->
+      """WITH fp AS (
+           SELECT doc_id, lang,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(ascii(text[i]) AS BIGINT))),
+                    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+           FROM documents),
+         rates(lang, permille) AS (
+           VALUES ('en', 800), ('de', 600), ('es', 400), ('fr', 200))
+         SELECT doc_id, lang FROM fp JOIN rates USING (lang)
+         WHERE fp % 1000 < permille""",
+
+    "curation_filter" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+                  len(string_split_regex(trim(text), '\s+')) AS toks,
+                  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                        / length(text), 6) AS alpha
+           FROM documents),
+         reps AS (SELECT h, min(doc_id) AS keep_id FROM norm GROUP BY h)
+         SELECT doc_id,
+                doc_id = keep_id AS is_canonical,
+                toks BETWEEN 8 AND 2000 AS len_ok,
+                alpha >= 0.5 AS alpha_ok,
+                (doc_id = keep_id AND toks BETWEEN 8 AND 2000 AND alpha >= 0.5) AS kept
+         FROM norm JOIN reps USING (h)""",
+
+    "overlap_join" ->
+      """SELECT s_suppkey AS a_id, c_custkey AS b_id
+         FROM supplier, customer
+         WHERE s_acctbal <= c_acctbal + 50 AND c_acctbal <= s_acctbal + 50""",
 
     "lang_id" ->
       """WITH toks AS (

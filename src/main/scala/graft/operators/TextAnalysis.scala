@@ -118,6 +118,53 @@ object TextAnalysis {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Deterministic stratified sampling — the per-source mixing-weight
+    * step of a training-data pipeline: each stratum keeps
+    * `rates(stratum)`‰ of its documents, selected by the content
+    * fingerprint (NOT a seeded RNG: the same document always makes the
+    * same decision across runs, engines and cluster layouts). The rate
+    * table is model-sized and broadcast; strata without a rate drop.
+    * Map-side only — zero shuffle.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String, textCol: String,
+                       idCol: String, rates: Map[String, Int]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDim = broadcast(rates.toSeq.toDF(strataCol, "__permille"))
+    docs.join(rateDim, strataCol)
+      .filter(pmod(fingerprint(col(textCol)), lit(1000L)) < col("__permille"))
+      .select(col(idCol), col(strataCol))
+  }
+
+  /** Curation filter — the keep/drop decision of a corpus pipeline as
+    * one composed pass: exact-dup canonicalization (only the min-id
+    * representative of each content hash is canonical), token-count
+    * bounds, and an alpha-ratio floor. Emits the decision per document
+    * (flags + final `kept`), not just the survivors, so downstream can
+    * audit drop reasons. One shuffle (the dup-group aggregate);
+    * everything else map-side.
+    */
+  def curationFilter(docs: DataFrame, textCol: String, idCol: String,
+                     minTokens: Long = 5, maxTokens: Long = 5000,
+                     minAlphaRatio: Double = 0.3): DataFrame = {
+    val t = col(textCol)
+    val reps = exactDupGroups(docs, textCol, idCol)
+      .select(col("content_hash"), col("keep_id"))
+    val toks = size(split(trim(t), "\\s+")).cast("long")
+    val alphaRatio = round(
+      length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / length(t), 6)
+    docs
+      .select(col(idCol), contentHash(t).as("content_hash"),
+        toks.as("__toks"), alphaRatio.as("__alpha"))
+      .join(reps, "content_hash")
+      .select(col(idCol),
+        (col(idCol) === col("keep_id")).as("is_canonical"),
+        (col("__toks") >= minTokens && col("__toks") <= maxTokens).as("len_ok"),
+        (col("__alpha") >= minAlphaRatio).as("alpha_ok"))
+      .withColumn("kept",
+        col("is_canonical") && col("len_ok") && col("alpha_ok"))
+  }
+
   /** Word-set Jaccard similarity between two text columns (candidate-pair
     * verification for near-dedup). Pure column expression.
     */

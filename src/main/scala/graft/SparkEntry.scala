@@ -650,6 +650,31 @@ object SparkEntry {
                 col("alpha_ok"), col("kept"))
     }),
 
+    // D5: webhook ITEM events — canned payload JSON built from
+    // lineitem columns, then driven through the REAL receiver parse +
+    // item_base_status extraction (WebhookIngest.parse → itemBaseStatus);
+    // the oracle re-derives the expected rows from the same base
+    // columns WITHOUT any JSON round-trip, so the whole
+    // envelope-parse/presence/coalesce/date path is independently checked
+    "webhook_item_status" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val payloads = t.lineitem.select(format_string(
+        "{\"action\":\"ITEM\",\"event\":{\"value\":\"ITEM_UPDATED\"}," +
+        "\"time\":\"2024-05-01T10:00:00Z\",\"modified_by\":\"exl\"," +
+        "\"item\":{\"item_data\":{\"pid\":\"%s\",\"base_status\":{\"value\":\"%s\"}," +
+        "\"process_type\":{\"value\":\"%s\"},\"due_date\":\"\"," +
+        "\"modification_date\":\"%s\"}}}",
+        concat(lit("23"), (col("l_orderkey") * 100 + col("l_linenumber")).cast("string"), lit("8651")),
+        when(col("l_returnflag") === "R", "0").otherwise("1"),
+        when(col("l_linestatus") === "O", "LOAN").otherwise(""),
+        concat(date_format(col("l_shipdate"), "yyyy-MM-dd"), lit(" 12:00:00"))).as("value"))
+      graft.sources.WebhookIngest.itemBaseStatus(
+          graft.sources.WebhookIngest.parse(payloads))
+        .select(col("pid"), col("status_code"), col("process_type"),
+                col("due_date").cast("long").as("due_epoch"),
+                col("update_date_time").cast("long").as("update_epoch"))
+    }),
+
     // C23b: interval-OVERLAP join through the production session's
     // RewriteRangeJoin (both sides intervals → double-exploded bucket
     // equi-join; written as the naive predicate join on purpose)
@@ -1348,6 +1373,15 @@ object SparkEntry {
       """SELECT s_suppkey AS a_id, c_custkey AS b_id
          FROM supplier, customer
          WHERE s_acctbal <= c_acctbal + 50 AND c_acctbal <= s_acctbal + 50""",
+
+    // independent re-derivation of the webhook payload fields — no JSON
+    "webhook_item_status" ->
+      """SELECT '23'||(l_orderkey*100+l_linenumber)||'8651' AS pid,
+                CASE WHEN l_returnflag='R' THEN '0' ELSE '1' END AS status_code,
+                CASE WHEN l_linestatus='O' THEN 'LOAN' ELSE NULL END AS process_type,
+                CAST(NULL AS BIGINT) AS due_epoch,
+                CAST(epoch(CAST(l_shipdate AS TIMESTAMP) + INTERVAL 12 HOUR) AS BIGINT) AS update_epoch
+         FROM lineitem""",
 
     "lang_id" ->
       """WITH toks AS (

@@ -153,6 +153,29 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("RewriteRangeJoin: CBO column stats drive bucket sizing for catalog tables") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val loc = java.nio.file.Files.createTempDirectory("cbo_intervals_").toString
+    spark.sql("DROP TABLE IF EXISTS graft_cbo_intervals")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      Seq((1L, 0.0, 100.0), (2L, 500.0, 700.0), (3L, 3000.0, 4096.0))
+        .toDF("iid", "lo", "hi").write.option("path", loc)
+        .saveAsTable("graft_cbo_intervals")
+      spark.sql(
+        "ANALYZE TABLE graft_cbo_intervals COMPUTE STATISTICS FOR COLUMNS lo, hi")
+      val plan = spark.table("graft_cbo_intervals").queryExecution.optimizedPlan
+      val lo = plan.output.find(_.name == "lo").get.asInstanceOf[AttributeReference]
+      val hi = plan.output.find(_.name == "hi").get.asInstanceOf[AttributeReference]
+      // span = max(hi) - min(lo) = 4096; default targetBuckets 4096 → 1.0
+      val derived = graft.plans.RewriteRangeJoin.derivedBucketSize(plan, lo, hi)
+      assert(derived.contains(1.0), s"derived=$derived")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_intervals")
+      spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("RewriteRangeJoin: inverted (lo > hi) and null intervals match nothing, never crash") {
     // pre-rewrite nested-loop semantics: a dirty interval with lo > hi
     // (or a null bound) simply matches no points; the rewrite's

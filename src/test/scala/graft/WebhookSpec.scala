@@ -158,4 +158,29 @@ class WebhookSpec extends AnyFunSuite {
     assert(after == Set(("231", "2024-05-01 09:30:00"),
                         ("232", "2024-05-01 12:30:00")))
   }
+
+  test("webhook batch routes through the JDBC sink with the reference statement shapes") {
+    // same applyBatch, PostgreSQL target: record_update / request_event
+    // must go ON CONFLICT DO NOTHING, item_base_status must carry the
+    // reference's guarded where clause (alma_publish_to_database.py:124)
+    MockJdbc.reset()
+    val lines = Seq(
+      bibEvent("998651", "2024-05-01T10:00:00Z"),
+      itemEvent("231", "1", "", "2024-05-01 09:30:00", "2024-05-01T10:00:02Z"),
+      requestEventJson)
+    import spark.implicits._
+    val sink = new graft.sources.JdbcSyncSink(spark,
+      url = "jdbc:postgresql://unused/test", batchSize = 100,
+      connectionFactory = () => MockJdbc.connect())
+    WebhookIngest.applyBatch(WebhookIngest.parse(lines.toDF("value")), sink)
+    val sql = MockJdbc.preparedSql.toArray.map(_.asInstanceOf[String]).toSeq
+    assert(sql.exists(s => s.startsWith(
+      "insert into record_update (record_type,record_id,notification_date_time,") &&
+      s.endsWith("on conflict do nothing")), sql.mkString("\n"))
+    assert(sql.exists(s => s.startsWith("insert into item_base_status (pid,") &&
+      s.endsWith("where item_base_status.update_date_time < ?")), sql.mkString("\n"))
+    assert(sql.exists(s => s.startsWith(
+      "insert into request_event (request_id,notification_date_time,request_event,") &&
+      s.endsWith("on conflict do nothing")), sql.mkString("\n"))
+  }
 }

@@ -1,13 +1,9 @@
 package graft
 
-import org.apache.spark.storage.StorageLevel
-
 /** Scratch diagnostics main (not part of the driver contract).
   *
-  * Current experiment (VERDICT r2 #7): do marc_build +
-  * delete_file_actions go faster with a shared persist of the
-  * publish corpus (mms_id, leader, fields) than with the present
-  * recompute-each design?
+  * Current experiment: stage-by-stage cost of the split-corpus
+  * materialization (the dominant bench item) at sf0.1.
   */
 object Debug {
   def main(args: Array[String]): Unit = {
@@ -20,54 +16,68 @@ object Debug {
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
     // JIT warm-up identical to Bench
-    SparkEntry.queries("marc_build")(spark, "/root/testdata/sf0.01").count()
-    SparkEntry.queries("delete_file_actions")(spark, "/root/testdata/sf0.01").count()
+    SparkEntry.queries("publish_split_item")(spark, "/root/testdata/sf0.01").count()
 
     import org.apache.spark.sql.functions._
-    import spark.implicits._
-    import graft.marc.PublishSplit.PublishRow
-
-    def fOrders = t.orders.filter(col("o_orderstatus") === "F")
-      .select(graft.marc.MarcCorpus.mmsId(col("o_orderkey")).as("mms_id"))
-
+    import graft.marc.Extract
+    import graft.functions.Normalize
     (1 to 3).foreach { round =>
-      // A: recompute for each consumer (current design)
-      val corpusA1 = graft.marc.MarcCorpus.publishRecords(t)
-      time(s"r$round A marc_build (recompute)")(
-        corpusA1.select(col("mms_id"), col("leader"),
-          size(col("fields")).as("n_fields")).count())
-      val corpusA2 = graft.marc.MarcCorpus.publishRecords(t)
-      time(s"r$round A delete_file_actions (recompute)")(
-        graft.marc.DeleteFiles.deleteActions(
-          corpusA2.join(fOrders, "mms_id")
-            .select("mms_id", "leader", "fields").as[PublishRow]).count())
-
-      // B: one shared persist of the nested corpus
-      val p = graft.marc.MarcCorpus.publishRecords(t)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      time(s"r$round B materialize persist")(p.count())
-      time(s"r$round B marc_build (cached)")(
-        p.select(col("mms_id"), col("leader"),
-          size(col("fields")).as("n_fields")).count())
-      time(s"r$round B delete_file_actions (cached)")(
-        graft.marc.DeleteFiles.deleteActions(
-          p.join(fOrders, "mms_id")
-            .select("mms_id", "leader", "fields").as[PublishRow]).count())
-      p.unpersist(true)
-
-      // C: serialized-storage persist variant (smaller footprint,
-      // kryo/ser decode on read)
-      val ps = graft.marc.MarcCorpus.publishRecords(t)
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      time(s"r$round C materialize persist_ser")(ps.count())
-      time(s"r$round C marc_build (cached_ser)")(
-        ps.select(col("mms_id"), col("leader"),
-          size(col("fields")).as("n_fields")).count())
-      time(s"r$round C delete_file_actions (cached_ser)")(
-        graft.marc.DeleteFiles.deleteActions(
-          ps.join(fOrders, "mms_id")
-            .select("mms_id", "leader", "fields").as[PublishRow]).count())
-      ps.unpersist(true)
+      val df = graft.marc.MarcCorpus.splitRecords(t).toDF()
+      val isH = col("kind") === "holding"
+      time(s"r$round split only")(df.count())
+      time(s"r$round + holding HOF extracts")(df.select(col("kind"),
+        when(isH, array_join(transform(col("fields"), f => f("tag")), ",")).as("field_tags"),
+        when(isH, Extract.callNumber(col("fields"))).as("display_call_number"),
+        when(isH, Extract.libraryCode(col("fields"))).as("library_code"),
+        when(isH, Extract.locationCode(col("fields"))).as("location_code"),
+        when(isH, Extract.fixedField(col("fields"), "008")).as("field008"),
+        when(isH, Extract.voyagerId(col("fields"))).as("voyager_holding_id"),
+        when(isH, Extract.suppress(col("fields"), "HLD")).as("suppress"),
+        when(isH, Extract.systemDates(col("fields"), "HLD")("update").cast("long")).as("update_epoch")).count())
+      val schema = "STRUCT<holding_data: STRUCT<in_temp_location: BOOLEAN," +
+        " temp_library: STRUCT<value: STRING>, temp_location: STRUCT<value: STRING>," +
+        " copy_id: STRING>," +
+        " item_data: STRUCT<barcode: STRING, library: STRUCT<value: STRING>," +
+        " location: STRUCT<value: STRING>, base_status: STRUCT<value: STRING>," +
+        " description: STRING, enumeration_a: STRING, pieces: STRING>>"
+      time(s"r$round + item from_json")(df.select(col("kind"),
+        from_json(col("item_json"), schema, Map.empty[String, String]).as("__j")).count())
+      time(s"r$round + bib-fields persist encode")(
+        { val p = df.select(col("kind"), col("mms_id"),
+            when(col("kind") === "bib", col("fields")).as("fields"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count(); p.unpersist(true) })
+      // the REAL full projection splitCorpus builds (all columns), no persist
+      val isB = col("kind") === "bib"
+      val full = df
+        .withColumn("__j", from_json(col("item_json"), schema, Map.empty[String, String]))
+        .select(
+          col("kind"), col("mms_id"), col("holding_id"), col("pid"),
+          col("leader"), col("item_pids"), col("error"),
+          when(isB, col("fields")).as("fields"),
+          when(isH, array_join(transform(col("fields"), f => f("tag")), ",")).as("field_tags"),
+          when(isH, Extract.callNumber(col("fields"))).as("display_call_number"),
+          when(isH, Extract.libraryCode(col("fields"))).as("library_code"),
+          when(isH, Extract.locationCode(col("fields"))).as("location_code"),
+          when(isH, Extract.fixedField(col("fields"), "008")).as("field008"),
+          when(isH, Extract.voyagerId(col("fields"))).as("voyager_holding_id"),
+          when(isH, Extract.suppress(col("fields"), "HLD")).as("suppress"),
+          when(isH, Extract.systemDates(col("fields"), "HLD")("update").cast("long")).as("update_epoch"),
+          col("__j")("item_data")("barcode").as("barcode"),
+          col("__j")("item_data")("library")("value").as("perm_library"),
+          col("__j")("item_data")("location")("value").as("perm_location"),
+          col("__j")("holding_data")("temp_library")("value").as("temp_library"),
+          col("__j")("holding_data")("temp_location")("value").as("temp_location"),
+          col("__j")("holding_data")("in_temp_location").cast("string").as("in_temp_location"),
+          col("__j")("item_data")("base_status")("value").as("status_code"),
+          Normalize.normWs(col("__j")("item_data")("description")).as("description"),
+          col("__j")("item_data")("enumeration_a").as("item_enum"),
+          col("__j")("item_data")("pieces").as("pieces"),
+          col("__j")("holding_data")("copy_id").as("copy_id"))
+      time(s"r$round FULL projection (no persist)")(full.count())
+      time(s"r$round FULL projection + persist")(
+        { val p = full.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count(); p.unpersist(true) })
     }
     spark.stop()
   }

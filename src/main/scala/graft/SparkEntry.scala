@@ -650,6 +650,31 @@ object SparkEntry {
                 col("alpha_ok"), col("kept"))
     }),
 
+    // E18: sequence packing — concat-and-chunk at context length 512
+    // over 16 hash shards; the layout step feeding a training-data
+    // writer (one window shuffle on the shard key)
+    "pack_sequences" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextAnalysis.packSequences(t.documents, "doc_id",
+        pmod(col("doc_id"), lit(16)),
+        size(split(trim(col("text")), "\\s+")),
+        contextLen = 512)
+    }),
+
+    // C32: history retention — newest-2-per-record with a cutoff, the
+    // lifecycle compaction the reference's unbounded record_update
+    // table lacks (one key-partitioned window, single shuffle)
+    "record_update_retention" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val hist = t.lineitem.select(
+        concat(lit("99"), col("l_orderkey").cast("string"), lit("8651"))
+          .as("record_id"),
+        (col("l_orderkey") * 100 + col("l_linenumber")).cast("long").as("uid"),
+        col("l_shipdate").cast("timestamp").cast("long").as("ts_epoch"))
+      Relational.retainHistory(hist, Seq("record_id"), "ts_epoch",
+        keepN = 2, cutoff = lit(820454400L), tiebreak = Seq(col("uid")))
+    }),
+
     // D5: webhook ITEM events — canned payload JSON built from
     // lineitem columns, then driven through the REAL receiver parse +
     // item_base_status extraction (WebhookIngest.parse → itemBaseStatus);
@@ -1373,6 +1398,34 @@ object SparkEntry {
       """SELECT s_suppkey AS a_id, c_custkey AS b_id
          FROM supplier, customer
          WHERE s_acctbal <= c_acctbal + 50 AND c_acctbal <= s_acctbal + 50""",
+
+    "pack_sequences" ->
+      """WITH toks AS (
+           SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS shard,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         cum AS (
+           SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_tok
+           FROM toks)
+         SELECT doc_id, shard, n_tokens,
+                CAST(floor(start_tok / 512) AS BIGINT) AS seq_id,
+                CAST(start_tok % 512 AS BIGINT) AS seq_offset,
+                (start_tok % 512) + n_tokens > 512 AS crosses_cut
+         FROM cum""",
+
+    "record_update_retention" ->
+      """WITH hist AS (
+           SELECT '99'||l_orderkey||'8651' AS record_id,
+                  CAST(l_orderkey*100 + l_linenumber AS BIGINT) AS uid,
+                  CAST(epoch(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS ts_epoch
+           FROM lineitem)
+         SELECT record_id, uid, ts_epoch FROM hist
+         WHERE ts_epoch >= 820454400
+         QUALIFY row_number() OVER (
+           PARTITION BY record_id ORDER BY ts_epoch DESC, uid DESC) <= 2""",
 
     // independent re-derivation of the webhook payload fields — no JSON
     "webhook_item_status" ->

@@ -106,6 +106,24 @@ object Relational {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** History retention — the lifecycle step the reference's
+    * webhook-fed history tables (record_update, request_event) lack:
+    * they grow unboundedly (ddl has no TTL). Keeps, per key, only the
+    * newest `keepN` rows with `orderCol >= cutoff`. One key-partitioned
+    * window — a single shuffle on the record key, scale-safe at any
+    * history size. `tiebreak` columns make rank assignment
+    * deterministic when order values collide.
+    */
+  def retainHistory(df: DataFrame, keys: Seq[String], orderCol: String,
+                    keepN: Int, cutoff: Column,
+                    tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc +: tiebreak.map(_.desc): _*)
+    df.filter(col(orderCol) >= cutoff)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= keepN).drop("__rn")
+  }
+
   /** As-of join: each left row picks up the LATEST right row with
     * right.ts <= left.ts for its key (temporal lookup — price-as-of,
     * status-as-of). Spark has no native ASOF; the scalable shape is

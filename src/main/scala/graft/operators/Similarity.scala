@@ -189,6 +189,65 @@ object Similarity {
               col("__rk").cast("long").as("rank"))
   }
 
+  /** Build and persist an IVF index: train the coarse quantizer, then
+    * write (a) the nlist×dim centroid matrix and (b) every corpus
+    * vector's cell assignment as parquet under `indexDir`. Repeated
+    * query batches through [[annIvfIndexed]] then skip both the Lloyd
+    * training passes and the full-corpus re-assignment scan — the
+    * dominant cost of [[annIvf]] — paying only the nprobe-cell
+    * candidate join. The assignment table is written partitioned by
+    * cell, so the query-side join prunes to the probed cells at the
+    * file level (partition pruning, no corpus scan at all).
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, nlist: Int = 32,
+                    lloydIters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids =
+      if (lloydIters > 0)
+        trainCentroidsLloyd(corpus, idCol, vecCol, nlist, lloydIters)
+      else seedCentroids(corpus, idCol, vecCol, nlist)
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        element_at(graft.functions.NearestCells(col(vecCol), centroids, 1), 1)
+          .as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+  }
+
+  /** ANN query against a persisted IVF index (see [[buildIvfIndex]]).
+    * Loads the model-sized centroid matrix to the driver, probes each
+    * query's `nprobe` nearest cells, and joins only those partitions of
+    * the assignment table — identical results to [[annIvf]] with the
+    * same quantizer, without re-training or re-assigning the corpus.
+    */
+  def annIvfIndexed(queries: DataFrame, indexDir: String, idCol: String,
+                    vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val c = spark.read.parquet(s"$indexDir/cells")
+      .select(col("neighbor_id"), col("vec").as("__cv"),
+              col("cell").cast("int").as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(graft.functions.NearestCells(col(vecCol), centroids, nprobe))
+        .as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("__rk").cast("long").as("rank"))
+  }
+
   /** Cosine near-duplicate pairs: LSH-bucket both rows, equal-bucket
     * self-join, exact-cosine verify at `threshold`. Same shape as
     * [[Dedup.minhashPairs]] — the bucket join is the only shuffle.

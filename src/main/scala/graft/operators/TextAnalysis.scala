@@ -165,6 +165,31 @@ object TextAnalysis {
         col("is_canonical") && col("len_ok") && col("alpha_ok"))
   }
 
+  /** Sequence packing (concat-and-chunk): within each shard, documents
+    * are laid end-to-end in `idCol` order and the token stream is cut
+    * into fixed `contextLen` windows — the packing step of an LLM
+    * training pipeline (GPT-style: concatenate, then split at the
+    * context length; documents may span a cut). Emits, per document,
+    * the sequence it starts in, its token offset there, and whether it
+    * spans a cut. One window shuffle on the shard key; shards are
+    * bounded (a writer task's worth of docs), so any corpus size
+    * packs embarrassingly parallel across shards.
+    */
+  def packSequences(docs: DataFrame, idCol: String, shardCol: Column,
+                    tokenCount: Column, contextLen: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Long.MinValue, -1)
+    docs.select(col(idCol), shardCol.cast("long").as("shard"),
+        tokenCount.cast("long").as("n_tokens"))
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        floor(col("__start") / contextLen).as("seq_id"),
+        (col("__start") % contextLen).as("seq_offset"),
+        (col("__start") % contextLen + col("n_tokens") > contextLen)
+          .as("crosses_cut"))
+  }
+
   /** Word-set Jaccard similarity between two text columns (candidate-pair
     * verification for near-dedup). Pure column expression.
     */

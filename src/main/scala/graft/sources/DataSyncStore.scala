@@ -150,6 +150,46 @@ final class DataSyncStore(spark: SparkSession, root: String,
     }
   }
 
+  /** History retention maintenance pass: rewrite `name` keeping, per
+    * key, only the newest `keepN` rows with `orderCol >= cutoff`
+    * (see [[graft.operators.Relational.retainHistory]]). The lifecycle
+    * step the reference's webhook history tables (record_update,
+    * request_event — ddl has no TTL) lack. The retention window
+    * partitions by the record key, which is consistent WITHIN a hash
+    * bucket, so the pass is embarrassingly parallel across buckets; it
+    * rewrites the whole table (a deliberate, scheduled compaction — run
+    * it per publish cycle or cron, not per micro-batch).
+    */
+  def retain(name: String, keys: Seq[String], orderCol: String,
+             keepN: Int, cutoff: Column,
+             tiebreak: Seq[Column] = Nil): Unit =
+    if (exists(name)) {
+      // materialize before the rewrite — the output path is also the
+      // input path (localCheckpoint holds the survivors in executor
+      // storage for the duration of the rewrite, spilling if large)
+      val kept = graft.operators.Relational.retainHistory(
+        read(name), keys, orderCol, keepN, cutoff, tiebreak)
+        .repartition(numBuckets, bucketOf(keys.head)) // compact while here
+        .localCheckpoint(true)
+      overwrite(name, kept, keys)
+    }
+
+  /** Small-file compaction maintenance pass: each dirty-bucket write
+    * can leave up to `shuffle.partitions` files per bucket dir;
+    * repeated cycles keep the count bounded (dynamic overwrite replaces
+    * the dir) but a 64-bucket table can still sit at thousands of small
+    * files. Rewrites every bucket as ~one file by clustering the
+    * rewrite shuffle on the bucket id. Read-side at 100 TB this is the
+    * difference between numBuckets file opens and numBuckets×32.
+    */
+  def compact(name: String, keys: Seq[String]): Unit =
+    if (exists(name)) {
+      val compacted = read(name)
+        .repartition(numBuckets, bucketOf(keys.head))
+        .localCheckpoint(true)
+      overwrite(name, compacted, keys)
+    }
+
   /** Delete by key set (orphan cleanup / delete files): anti-join over
     * the dirty buckets only. `keyCols.head` must be the table's bucket
     * column (the same first key its upserts use). A bucket whose rows

@@ -67,6 +67,28 @@ object JdbcStatements {
     Statement(
       s"delete from $table where " + keyCols.map(k => s"$k = ?").mkString(" and "),
       keyCols)
+
+  /** History retention as ONE set-based DELETE — the SQL twin of
+    * [[DataSyncStore.retain]] / Relational.retainHistory: drop every
+    * row that is below the cutoff or ranked past `keepN` within its
+    * key (newest first, tiebreak columns descending). The reference's
+    * record_update/request_event tables grow unboundedly (ddl has no
+    * TTL); this is the statement a DBA would schedule. Binds: cutoff.
+    */
+  def retention(table: String, keyCols: Seq[String], orderCol: String,
+                keepN: Int, tiebreak: Seq[String] = Nil): Statement = {
+    val key = keyCols.mkString(", ")
+    val ord = (orderCol +: tiebreak).map(c => s"$c desc").mkString(", ")
+    val tupleCols = (keyCols :+ orderCol) ++ tiebreak
+    val tuple = tupleCols.mkString(", ")
+    Statement(
+      s"delete from $table where ($tuple) in (" +
+        s"select $tuple from (" +
+        s"select $tuple, row_number() over (partition by $key order by $ord) as __rn " +
+        s"from $table) ranked " +
+        s"where __rn > $keepN or $orderCol < ?)",
+      Seq(orderCol))
+  }
 }
 
 object JdbcSyncSink {
@@ -210,4 +232,19 @@ final class JdbcSyncSink(
   def deleteKeys(name: String, keys: DataFrame, keyCols: Seq[String]): Unit =
     executeBatched(keys.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
       .distinct(), JdbcStatements.delete(name, keyCols))
+
+  /** History retention — one driver-side set-based DELETE (see
+    * [[JdbcStatements.retention]]); the SQL twin of
+    * [[DataSyncStore.retain]], scheduled per publish cycle.
+    */
+  def retain(name: String, keys: Seq[String], orderCol: String,
+             keepN: Int, cutoff: Any, tiebreak: Seq[String] = Nil): Unit = {
+    val stmt = JdbcStatements.retention(name, keys, orderCol, keepN, tiebreak)
+    val conn = factory()
+    try {
+      val ps = conn.prepareStatement(stmt.sql)
+      try { ps.setObject(1, cutoff); ps.executeUpdate(); () }
+      finally ps.close()
+    } finally conn.close()
+  }
 }

@@ -108,6 +108,45 @@ class DataSyncStoreSpec extends AnyFunSuite {
     assert(store.read("item").count() == 21)
   }
 
+  test("retain keeps newest-N per key above the cutoff (history lifecycle)") {
+    val store = newStore()
+    store.insertOnly("record_update",
+      Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+          (2L, 5L, "old"), (2L, 40L, "d")).toDF("record_id", "ts", "v"),
+      Seq("record_id"))
+    store.retain("record_update", Seq("record_id"), "ts",
+      keepN = 2, cutoff = lit(10L))
+    // record 1: ts=10 survives the cutoff but ranks 3rd → dropped;
+    // record 2: ts=5 below cutoff → dropped even though within newest-2
+    assert(store.read("record_update").orderBy("record_id", "ts")
+      .select("record_id", "ts", "v").as[(Long, Long, String)]
+      .collect().toSeq ==
+      Seq((1L, 20L, "b"), (1L, 30L, "c"), (2L, 40L, "d")))
+    // the store stays mutable after the maintenance rewrite
+    store.insertOnly("record_update", Seq((3L, 50L, "e")).toDF("record_id", "ts", "v"),
+      Seq("record_id"))
+    assert(store.read("record_update").count() == 4)
+  }
+
+  test("compact rewrites each bucket to a single file, contents unchanged") {
+    val root = Files.createTempDirectory("graft_store").toFile.getAbsolutePath
+    val store = new DataSyncStore(spark, root, numBuckets = 4)
+    // a deliberately fragmented write: many shuffle partitions → many
+    // files per bucket dir
+    store.insertOnly("item",
+      (1L to 400L).map(i => (i, s"v$i")).toDF("pid", "v").repartition(16),
+      Seq("pid"))
+    val before = bucketState(root, "item")
+    assert(before.values.exists(_.size > 1),
+      s"fragmented write should leave multi-file buckets, got ${before.view.mapValues(_.size).toMap}")
+    store.compact("item", Seq("pid"))
+    val after = bucketState(root, "item")
+    assert(after.values.forall(_.size == 1),
+      s"every bucket must be one file after compact, got ${after.view.mapValues(_.size).toMap}")
+    assert(store.read("item").orderBy("pid").as[(Long, String)].collect().toSeq ==
+      (1L to 400L).map(i => (i, s"v$i")))
+  }
+
   test("end-to-end: split corpus briefs land in the store and re-publish is idempotent") {
     val store = newStore()
     val bibs = SparkEntry.queries("bib_brief")(spark, "/root/testdata/sf0.001")

@@ -118,6 +118,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(empty == 0L)
   }
 
+  test("persisted IVF index reproduces the inline annIvf results") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir,
+      nlist = 32, lloydIters = 2)
+    // index artifacts exist and the centroid matrix is model-sized
+    assert(spark.read.parquet(s"$dir/centroids").count() == 32)
+    val indexed = Similarity.annIvfIndexed(queries, dir, "vec_id", "embedding",
+        k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .collect().map(_.toSeq).toSet
+    val inline = Similarity.annIvf(emb, queries, "vec_id", "embedding",
+        k = 3, nlist = 32, nprobe = 4, lloydIters = 2)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(indexed == inline,
+      s"indexed-vs-inline diff: ${(indexed diff inline) ++ (inline diff indexed)}")
+  }
+
+  test("pack_sequences: offsets tile each shard's token stream exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.packSequences(docs, "doc_id",
+      pmod(col("doc_id"), lit(4)), size(split(trim(col("text")), "\\s+")),
+      contextLen = 256)
+    val rows = out.orderBy("shard", "doc_id")
+      .select("shard", "n_tokens", "seq_id", "seq_offset", "crosses_cut")
+      .collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, shard) =>
+      var cum = 0L
+      shard.foreach { r =>
+        assert(r.getLong(2) == cum / 256, "seq_id is the cut containing cum")
+        assert(r.getLong(3) == cum % 256, "offset is cum within the cut")
+        assert(r.getBoolean(4) == (cum % 256 + r.getLong(1) > 256))
+        cum += r.getLong(1)
+      }
+    }
+  }
+
   test("trim punctuation expression matches reference fixpoint semantics") {
     import graft.marc.TrimPunctuation
     val cases = Seq(

@@ -48,6 +48,7 @@ object MockJdbc {
         if (n > 0) batchSizes.add(n)
         new Array[Int](n)
       case ("setObject" | "close", _) => null
+      case ("executeUpdate", _) => Integer.valueOf(0)
       case _ => null
     }
   }
@@ -125,6 +126,30 @@ class JdbcSinkSpec extends AnyFunSuite {
     url = "jdbc:postgresql://unused/test",
     batchSize = batchSize,
     connectionFactory = () => MockJdbc.connect())
+
+  test("retention statement is one set-based ranked delete, cutoff bound") {
+    val s = JdbcStatements.retention("record_update", Seq("record_id"),
+      "update_date_time", keepN = 2, tiebreak = Seq("id"))
+    assert(s.sql ==
+      "delete from record_update where (record_id, update_date_time, id) in (" +
+        "select record_id, update_date_time, id from (" +
+        "select record_id, update_date_time, id, " +
+        "row_number() over (partition by record_id " +
+        "order by update_date_time desc, id desc) as __rn " +
+        "from record_update) ranked " +
+        "where __rn > 2 or update_date_time < ?)")
+    assert(s.bindColumns == Seq("update_date_time"))
+
+    // the sink executes it as a single driver-side statement
+    MockJdbc.reset()
+    val sink = new JdbcSyncSink(spark, "jdbc:mock", Map.empty,
+      connectionFactory = () => MockJdbc.connect())
+    sink.retain("record_update", Seq("record_id"), "update_date_time",
+      keepN = 2, cutoff = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    assert(MockJdbc.preparedSql.size() == 1)
+    assert(MockJdbc.preparedSql.peek().startsWith("delete from record_update"))
+    assert(MockJdbc.connections.get() == 1)
+  }
 
   test("upsert binds rows into bounded batches, one connection+commit per partition") {
     MockJdbc.reset()

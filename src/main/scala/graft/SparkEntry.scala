@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Dedup, LangId, Relational, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Dedup, LangId, QualityClassifier, Relational, Similarity, TextAnalysis, Upsert}
 import graft.functions.Normalize
 import graft.marc.{Extract, Iso2709, MarcCorpus, MarcXml, PublishSplit, TrimPunctuation}
 import graft.marc.PublishSplit.PublishRow
@@ -516,6 +516,50 @@ object SparkEntry {
     // E10: token counting
     "token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables(s, dir).documents, "text", "doc_id")),
+
+    // E19: Gopher-style repetition filters (native one-pass expression)
+    "repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables(s, dir).documents, "text", "doc_id")),
+
+    // E20: unigram-LM cross-entropy (the CCNet-style perplexity filter),
+    // fit on the corpus itself; micro-nat quantization keeps the
+    // per-document sum exact-integer and therefore order-independent
+    "perplexity_score" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      TextAnalysis.crossEntropy(docs, "doc_id", "text",
+        TextAnalysis.unigramLm(docs, "text"))
+    }),
+
+    // E21: trained quality classifier — logistic regression distilling
+    // a heuristic keep-rule into a smooth score; distributed GD fit
+    // (one gradient aggregation per iteration, model-sized driver
+    // state). Rows-only: an iterative fit has no SQL twin; the
+    // convergence + separation behavior is spec'd (QualityClassifierSpec).
+    "quality_classifier" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val feats = QualityClassifier.features(docs, "text", "doc_id")
+      val labeled = feats.withColumn("label",
+        (col("distinct_token_ratio") >= 0.5 && col("alpha_ratio") >= 0.5)
+          .cast("int"))
+      val model = QualityClassifier.fit(labeled,
+        Seq("alpha_ratio", "distinct_token_ratio", "top_bigram_frac", "log_len"),
+        "label", iterations = 25, learningRate = 2.0)
+      QualityClassifier.score(feats, model, "doc_id")
+    }),
+
+    // E22: Unicode normalization (NFC) over planted combining-mark
+    // sequences — corpus text is ASCII, so decomposed accents are
+    // planted deterministically (a → a+U+0301) and the native
+    // expression recomposes them; DuckDB's utf8proc nfc_normalize is
+    // the oracle
+    "unicode_normalize" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val planted = regexp_replace(col("text"), "a", "a\u0301") // decomposed: a + combining acute
+      d.select(col("doc_id"),
+        length(planted).cast("long").as("n_decomposed"),
+        graft.functions.NormalizeUnicodeExpr(planted, "NFC").as("nfc"))
+        .withColumn("n_nfc", length(col("nfc")).cast("long"))
+    }),
 
     // E4: word-bigram Jaccard on candidate pairs (plus the word-set
     // variant as a second column)
@@ -1240,6 +1284,59 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
          FROM documents""",
 
+    "repetition_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         bi AS (
+           SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+           FROM toks, UNNEST(generate_series(1, len(ts)-1)) AS t(i)),
+         bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+         bistat AS (
+           SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+           FROM bic GROUP BY doc_id),
+         tri AS (
+           SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+           FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS t(i)),
+         tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+         tristat AS (
+           SELECT doc_id,
+                  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+                    AS dup_trigram_frac
+           FROM tric GROUP BY doc_id)
+         SELECT t.doc_id,
+                len(t.ts)::BIGINT AS n_tokens,
+                round(len(list_distinct(t.ts))::DOUBLE / len(t.ts), 6) AS distinct_token_ratio,
+                coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+                coalesce(r.dup_trigram_frac, 0.0) AS dup_trigram_frac
+         FROM toks t
+         LEFT JOIN bistat b USING (doc_id)
+         LEFT JOIN tristat r USING (doc_id)""",
+
+    "perplexity_score" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         counts AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+         stats AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+         lm AS (
+           SELECT word,
+                  CAST(round(-ln((c + 1)::DOUBLE / (n + v)) * 1e6) AS BIGINT) AS lp_micro
+           FROM counts, stats)
+         SELECT t.doc_id,
+                count(*)::BIGINT AS n_tokens,
+                CAST((2 * CAST(sum(l.lp_micro) AS BIGINT) + count(*))
+                       // (2 * count(*)) AS BIGINT)::DOUBLE / 1e6 AS cross_entropy
+         FROM toks t JOIN lm l USING (word)
+         GROUP BY t.doc_id""",
+
+    "unicode_normalize" ->
+      """WITH planted AS (
+           SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS t FROM documents)
+         SELECT doc_id,
+                length(t)::BIGINT AS n_decomposed,
+                nfc_normalize(t) AS nfc,
+                length(nfc_normalize(t))::BIGINT AS n_nfc
+         FROM planted""",
+
     "ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, text,
@@ -1694,5 +1791,5 @@ object SparkEntry {
     * outputs) — driver records a rows-only check; each has a ScalaTest
     * spec asserting exact recovery of the planted duplicates instead.
     */
-  val rowsOnlyQueries: Set[String] = Set("dedup_simhash")
+  val rowsOnlyQueries: Set[String] = Set("dedup_simhash", "quality_classifier")
 }

@@ -190,6 +190,73 @@ object TextAnalysis {
           .as("crosses_cut"))
   }
 
+  /** Per-document repetition statistics — the Gopher/MassiveText
+    * repetition quality filters: type-token ratio, most-frequent-bigram
+    * fraction, duplicate-trigram occurrence fraction. One native
+    * single-pass expression per row ([[graft.functions.RepetitionStatsExpr]]) —
+    * map-side, zero shuffle, codegen. Ratios rounded to 6 places for
+    * cross-engine parity (house convention, see [[quality]]).
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val stats = graft.functions.RepetitionStatsExpr(toks)
+    docs.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      round(stats.getItem(0), 6).as("distinct_token_ratio"),
+      round(stats.getItem(1), 6).as("top_bigram_frac"),
+      round(stats.getItem(2), 6).as("dup_trigram_frac"))
+  }
+
+  /** Unigram language model over the corpus token stream with add-one
+    * smoothing: per word, `-ln((count+1)/(N+V))` quantized to integer
+    * MICRO-nats. The quantization makes downstream per-document sums
+    * exact integer arithmetic — order-independent, so the score is
+    * reproducible across engines, partition layouts and shuffle orders
+    * (a raw double sum of per-token logs is not: fp addition is
+    * non-associative and groupBy delivers rows in arbitrary order).
+    * `ln` itself runs once per VOCAB entry, never per token.
+    *
+    * Scale shape: one token-count aggregation (map-side partial); the
+    * totals ride back as a 1-row broadcast. The model is vocab-sized.
+    */
+  def unigramLm(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(
+      explode(split(col(textCol), " ")).as("word"))
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("word"),
+        round(-log((col("c") + 1).cast("double") / (col("__n") + col("__v"))) * 1e6)
+          .cast("long").as("lp_micro"))
+  }
+
+  /** Per-document cross-entropy under a unigram LM (the CCNet-style
+    * perplexity quality filter): mean token surprisal in nats, rounded
+    * to 6 places. The LM is broadcast (vocab-sized; for >threshold
+    * vocabularies drop the hint and let AQE plan the shuffle join);
+    * out-of-vocabulary tokens are dropped by the inner join —
+    * deterministic, and absent entirely when scoring the fitting
+    * corpus. One shuffle: the per-document aggregation.
+    */
+  def crossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                   lm: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+    toks.join(broadcast(lm), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("lp_micro")).as("__lp"))
+      // round-half-up mean in PURE integer arithmetic — (2s+n) div (2n)
+      // = floor(s/n + 1/2) — because a double round() call sits on a .5
+      // boundary whenever n is even and s ≡ n/2 (mod n), and engines
+      // disagree there (BigDecimal-on-string vs scaled std::round).
+      // The final /1e6 is a single correctly-rounded fp op — exact.
+      .select(col("doc_id"), col("n_tokens"),
+        (expr("(2 * __lp + n_tokens) div (2 * n_tokens)").cast("double") / 1e6)
+          .as("cross_entropy"))
+  }
+
   /** Word-set Jaccard similarity between two text columns (candidate-pair
     * verification for near-dedup). Pure column expression.
     */

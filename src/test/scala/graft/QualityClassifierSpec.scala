@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.QualityClassifier
+
+/** Distributed logistic-regression fit: convergence on separable
+  * planted data, scale shape (model-sized driver state, map-side
+  * scoring), and the SparkEntry key's end-to-end behavior.
+  */
+class QualityClassifierSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Linearly separable synthetic features: label 1 clusters at
+    * f1≈0.8, label 0 at f1≈0.2 (f2 is noise from a hash, not an RNG —
+    * deterministic).
+    */
+  private def planted = {
+    val rows = (0 until 400).map { i =>
+      val y = i % 2
+      val noise = ((i * 2654435761L) % 100) / 1000.0 // 0.000–0.099
+      val f1 = (if (y == 1) 0.8 else 0.2) + noise
+      val f2 = ((i * 40503L) % 100) / 100.0
+      (i.toLong, f1, f2, y)
+    }
+    rows.toDF("id", "f1", "f2", "label")
+  }
+
+  test("GD fit converges: log-loss decreases and separates planted clusters") {
+    val df = planted
+    val feats = Seq("f1", "f2")
+    val m0 = QualityClassifier.Model(feats, Array(0.0, 0.0), 0.0)
+    val loss0 = QualityClassifier.logLoss(df, m0, "label")
+    val m = QualityClassifier.fit(df, feats, "label",
+      iterations = 60, learningRate = 2.0)
+    val loss = QualityClassifier.logLoss(df, m, "label")
+    assert(loss < loss0 / 2, s"no convergence: $loss0 -> $loss")
+
+    val scored = QualityClassifier.score(df.withColumnRenamed("id", "doc_id"),
+      m, "doc_id")
+    val acc = scored.join(df.withColumnRenamed("id", "doc_id"), "doc_id")
+      .select(avg((col("keep").cast("int") === col("label")).cast("double")))
+      .as[Double].head()
+    assert(acc >= 0.95, s"accuracy $acc")
+  }
+
+  test("the fitted weight points along the separating feature") {
+    val m = QualityClassifier.fit(planted, Seq("f1", "f2"), "label",
+      iterations = 60, learningRate = 2.0)
+    assert(m.weights(0) > math.abs(m.weights(1)),
+      s"w=${m.weights.toSeq} — f1 must dominate the noise feature")
+  }
+
+  test("scoring is map-side only (model rides as literals, no shuffle)") {
+    val m = QualityClassifier.Model(Seq("f1", "f2"), Array(1.0, -1.0), 0.1)
+    val plan = QualityClassifier.score(
+        planted.withColumnRenamed("id", "doc_id"), m, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("quality_classifier key: scores every document, keep is thresholded") {
+    val out = SparkEntry.queries("quality_classifier")(
+      spark, "/root/testdata/sf0.001").cache()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(out.count() == docs.count())
+    val bad = out.filter(
+      (col("quality_score") >= 0.5) =!= col("keep")).count()
+    assert(bad == 0)
+    assert(out.agg(min("quality_score")).as[Double].head() >= 0.0)
+    assert(out.agg(max("quality_score")).as[Double].head() <= 1.0)
+    out.unpersist()
+  }
+}

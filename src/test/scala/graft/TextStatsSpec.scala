@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Repetition statistics + unigram-LM cross-entropy against
+  * hand-computed fixtures.
+  */
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("repetition_stats: hand-computed ratios on a crafted document") {
+    // tokens: a b a b a  →  5 tokens, 2 distinct → ttr 0.4
+    // bigrams: (a b)×2 (b a)×2 → top 2/4 = 0.5
+    // trigrams: (a b a)×2 (b a b)×1 → dup occurrences 2/3
+    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "text", "doc_id").head()
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 0.4)
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("repetition_stats: degenerate short documents get 0.0 gram stats") {
+    val docs = Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // one token: no bigrams/trigrams
+    assert(out(0).getLong(1) == 1L)
+    assert(out(0).getDouble(3) == 0.0 && out(0).getDouble(4) == 0.0)
+    // two tokens: one bigram (itself the top), no trigrams
+    assert(out(1).getDouble(3) == 1.0)
+    assert(out(1).getDouble(4) == 0.0)
+  }
+
+  test("repetition_stats: a repetition-heavy doc scores worse than clean text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "eight different words appear exactly once here now")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(3) == 1.0 && out(0).getDouble(4) == 1.0)
+    assert(out(1).getDouble(2) == 1.0) // all-distinct ttr
+    assert(out(1).getDouble(3) < 0.2 && out(1).getDouble(4) == 0.0)
+  }
+
+  test("unigram LM cross-entropy matches a hand-rolled model") {
+    // corpus stream: a a a b | b  →  N=5, V=2, counts a=3 b=2
+    // p(a)=(3+1)/(5+2)=4/7, p(b)=(2+1)/(5+2)=3/7
+    val docs = Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text")
+    val lm = TextAnalysis.unigramLm(docs, "text")
+    val lpMicro = lm.as[(String, Long)].collect().toMap
+    assert(lpMicro("a") == math.rint(-math.log(4.0 / 7.0) * 1e6).toLong)
+    assert(lpMicro("b") == math.rint(-math.log(3.0 / 7.0) * 1e6).toLong)
+
+    val ce = TextAnalysis.crossEntropy(docs, "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+    // the mean is integer round-half-up: (2s+n) div (2n) micro-nats —
+    // (3·la+lb)/4 lands exactly on a .5 boundary here, deliberately
+    def meanMicro(s: Long, n: Long) = ((2 * s + n) / (2 * n)).toDouble / 1e6
+    val la = lpMicro("a"); val lb = lpMicro("b")
+    assert(ce(0).getLong(1) == 4L)
+    assert(ce(0).getDouble(2) == meanMicro(3 * la + lb, 4))
+    assert(ce(1).getDouble(2) == meanMicro(lb, 1))
+  }
+
+  test("cross-entropy ranks an all-rare-word doc above common text") {
+    val docs = (1L to 20L).map(i => (i, "common words common words"))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, "zyzzyva qwyjibo")).toDF("doc_id", "text"))
+    val lm = TextAnalysis.unigramLm(docs, "text")
+    val ce = TextAnalysis.crossEntropy(docs, "doc_id", "text", lm)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    assert(ce(99L) > ce(1L)) // rare tokens → higher surprisal
+  }
+
+  test("unicode normalization: NFC recomposes combining marks, NFD undoes it") {
+    val decomposed = "cafe\u0301 nai\u0308ve" // e/i + combining acute/diaeresis
+    val precomposed = "caf\u00e9 na\u00efve"   // single code points
+    val docs = Seq((1L, decomposed), (2L, "plain")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        graft.functions.NormalizeUnicodeExpr(col("text"), "NFC").as("nfc"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out(0)._2 == precomposed)
+    assert(out(1)._2 == "plain")
+    // round-trip: NFD(NFC(x)) re-decomposes
+    val nfd = docs.filter(col("doc_id") === 1L)
+      .select(graft.functions.NormalizeUnicodeExpr(
+        graft.functions.NormalizeUnicodeExpr(col("text"), "NFC"), "NFD"))
+      .as[String].head()
+    assert(nfd == decomposed)
+  }
+
+  test("repetition stats plan is map-side only (no shuffle)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

@@ -547,6 +547,21 @@ object SparkEntry {
       QualityClassifier.score(feats, model, "doc_id")
     }),
 
+    // E23: heavy-hitter tokens via a Misra-Gries sketch aggregate —
+    // O(capacity) state per partial, associative merges; capacity 256
+    // exceeds this corpus's vocabulary so the sketch is provably exact
+    // here (the eviction/error-bound regime is spec'd separately)
+    "approx_top_tokens" -> ((s, dir) => {
+      val toks = Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+      toks.agg(graft.functions.MisraGriesAgg(col("word"), 256).as("sk"))
+        .select(posexplode(col("sk")).as(Seq("pos", "e")))
+        .filter(col("pos") < 20)
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("e.token").as("token"),
+          col("e.est_count").as("est_count"))
+    }),
+
     // E22: Unicode normalization (NFC) over planted combining-mark
     // sequences — corpus text is ASCII, so decomposed accents are
     // planted deterministically (a → a+U+0301) and the native
@@ -1327,6 +1342,15 @@ object SparkEntry {
                        // (2 * count(*)) AS BIGINT)::DOUBLE / 1e6 AS cross_entropy
          FROM toks t JOIN lm l USING (word)
          GROUP BY t.doc_id""",
+
+    "approx_top_tokens" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         c AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+         r AS (SELECT word, n,
+                      row_number() OVER (ORDER BY n DESC, word) AS rk FROM c)
+         SELECT rk::BIGINT AS rank, word AS token, n::BIGINT AS est_count
+         FROM r WHERE rk <= 20""",
 
     "unicode_normalize" ->
       """WITH planted AS (

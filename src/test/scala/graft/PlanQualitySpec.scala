@@ -96,4 +96,29 @@ class PlanQualitySpec extends AnyFunSuite {
     // generated projection (not CodegenFallback)
     assert(gen.contains("graft.functions.HashSketches"), "sketches fell out of codegen")
   }
+
+  test("repetition/normalize expressions stay inside whole-stage codegen") {
+    val t = Tables(spark, sf)
+    val df = t.documents.select(
+      graft.functions.RepetitionStatsExpr(split(col("text"), " ")).as("rs"),
+      graft.functions.NormalizeUnicodeExpr(col("text"), "NFC").as("nfc"))
+    val gen = codegenPlan(df)
+    assert(gen.contains("WholeStageCodegen"), "no codegen span")
+    assert(gen.contains("graft.functions.TextStats"), "TextStats fell out of codegen")
+  }
+
+  test("perplexity_score: the LM joins broadcast, never sort-merge on the token stream") {
+    val plan = formatted(SparkEntry.queries("perplexity_score")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"vocab-sized model must broadcast:\n$plan")
+  }
+
+  test("approx_top_tokens: sketch partials aggregate before the single-partition exchange") {
+    val plan = formatted(SparkEntry.queries("approx_top_tokens")(spark, sf))
+    // ObjectHashAggregate partial (map-side sketches) + final after a
+    // 1-partition exchange of O(capacity) state — never a vocab groupBy
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -164,6 +164,11 @@ object SparkEntry {
       if (k == key) df.unpersist(true)
       k != key
     }
+    // ALSO drop untracked persists (e.g. quality_classifier's feature
+    // cache): CacheManager matches canonicalized plans, so a fresh
+    // DataFrame in the next bench pass would silently hit this pass's
+    // cache and the measurement would not pay its materialization
+    s.catalog.clearCache()
   }
 
   /** Parsed item rows — a narrow flat view over the split cache. */
@@ -537,7 +542,11 @@ object SparkEntry {
     // convergence + separation behavior is spec'd (QualityClassifierSpec).
     "quality_classifier" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
+      // persist: the feature scan (incl. the per-doc repetition hash
+      // maps) feeds 25 gradient jobs AND the final scoring pass —
+      // without this it would recompute from the raw scan each time
       val feats = QualityClassifier.features(docs, "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val labeled = feats.withColumn("label",
         (col("distinct_token_ratio") >= 0.5 && col("alpha_ratio") >= 0.5)
           .cast("int"))

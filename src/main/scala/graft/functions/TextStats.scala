@@ -144,9 +144,16 @@ object RepetitionStatsExpr {
   */
 case class NormalizeUnicodeExpr(child: Expression, form: String)
     extends UnaryExpression {
+  require(NormalizeUnicodeExpr.Forms(form),
+    s"form must be one of ${NormalizeUnicodeExpr.Forms.mkString("/")}, got '$form'")
   // resolved once per task, not per row
   @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
   override def dataType: DataType = StringType
+  override def checkInputDataTypes() = {
+    require(child.dataType == StringType,
+      s"expected string, got ${child.dataType}")
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
   override def nullSafeEval(v: Any): Any =
     TextStats.normalizeUnicode(v.asInstanceOf[UTF8String], f)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -159,6 +166,7 @@ case class NormalizeUnicodeExpr(child: Expression, form: String)
 }
 
 object NormalizeUnicodeExpr {
+  private val Forms = Set("NFC", "NFD", "NFKC", "NFKD")
   def apply(c: Column, form: String): Column =
     ColumnBridge.column(NormalizeUnicodeExpr(ColumnBridge.expression(c), form))
 }

@@ -39,14 +39,14 @@ object QualityClassifier {
     val t = col(textCol)
     val toks = split(t, " ")
     val stats = graft.functions.RepetitionStatsExpr(toks)
-    val nChars = length(t).cast("double")
-    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
     docs.select(
       col(idCol),
-      (alpha / nChars).as("alpha_ratio"),
+      // the shared definition — 0.0 (never null) on empty text, so no
+      // row silently drops out of the gradient aggregates or scores null
+      TextAnalysis.alphaRatioRaw(t).as("alpha_ratio"),
       stats.getItem(0).as("distinct_token_ratio"),
       stats.getItem(1).as("top_bigram_frac"),
-      (log(nChars + 1.0) / 10.0).as("log_len"))
+      (log(length(t).cast("double") + 1.0) / 10.0).as("log_len"))
   }
 
   private def margin(featCols: Seq[String], w: Array[Double], b: Double): Column =

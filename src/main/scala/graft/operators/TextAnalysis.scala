@@ -25,6 +25,15 @@ object TextAnalysis {
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Letter-chars / total-chars ratio, un-rounded; 0.0 (not null) for
+    * empty text — the single definition every quality consumer shares
+    * ([[quality]], [[curationFilter]], [[QualityClassifier.features]]).
+    */
+  def alphaRatioRaw(t: Column): Column =
+    when(length(t) > 0,
+      length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / length(t))
+      .otherwise(0.0)
+
   /** Per-document quality metrics: char/alpha/space/stopword ratios and
     * token stats. Ratios rounded to 6 places for cross-engine parity.
     */
@@ -32,13 +41,12 @@ object TextAnalysis {
     val t = col(textCol)
     val toks = split(t, " ")
     val nChars = length(t)
-    val alpha = length(regexp_replace(t, "[^A-Za-z]", ""))
     val spaces = length(t) - length(regexp_replace(t, " ", ""))
     val stops = size(filter(toks, w => w.isin(StopWords: _*)))
     docs.select(
       col(idCol),
       nChars.cast("long").as("n_chars"),
-      round(alpha.cast("double") / nChars, 6).as("alpha_ratio"),
+      round(alphaRatioRaw(t), 6).as("alpha_ratio"),
       round(spaces.cast("double") / nChars, 6).as("space_ratio"),
       round(stops.cast("double") / size(toks), 6).as("stopword_ratio"),
       round((nChars.cast("double") - spaces) / size(toks), 6).as("avg_token_len"))
@@ -151,8 +159,7 @@ object TextAnalysis {
     val reps = exactDupGroups(docs, textCol, idCol)
       .select(col("content_hash"), col("keep_id"))
     val toks = size(split(trim(t), "\\s+")).cast("long")
-    val alphaRatio = round(
-      length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / length(t), 6)
+    val alphaRatio = round(alphaRatioRaw(t), 6)
     docs
       .select(col(idCol), contentHash(t).as("content_hash"),
         toks.as("__toks"), alphaRatio.as("__alpha"))

@@ -61,6 +61,21 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("empty documents get 0.0 features and a real score, never null") {
+    val docs = Seq((1L, ""), (2L, "some real text")).toDF("doc_id", "text")
+    val feats = QualityClassifier.features(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(!feats(0).anyNull, s"null feature for empty doc: ${feats(0)}")
+    assert(feats(0).getDouble(1) == 0.0) // alpha_ratio
+    val m = QualityClassifier.Model(
+      Seq("alpha_ratio", "distinct_token_ratio", "top_bigram_frac", "log_len"),
+      Array(1.0, 1.0, -1.0, 0.5), -0.5)
+    val scored = QualityClassifier.score(
+      QualityClassifier.features(docs, "text", "doc_id"), m, "doc_id")
+    assert(scored.filter(col("quality_score").isNull ||
+      col("keep").isNull).count() == 0)
+  }
+
   test("quality_classifier key: scores every document, keep is thresholded") {
     val out = SparkEntry.queries("quality_classifier")(
       spark, "/root/testdata/sf0.001").cache()

@@ -610,6 +610,27 @@ object SparkEntry {
                          shingleN = 3, k = 64, bands = 16, threshold = 0.7)
     }),
 
+    // E2c: incremental near-dup — the planted variants arrive as a NEW
+    // batch and are deduped against a PERSISTED band index of the base
+    // corpus (built here each run; at scale it is built once per
+    // history): new-batch sketches broadcast against the index scan,
+    // history never re-sketched, never shuffled
+    "dedup_incremental" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val old = t.documents.select(col("doc_id"), col("text"))
+      val fresh = old.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+                concat(col("text"), lit(" appended")).as("text"))
+        .unionByName(old.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val ix = new java.io.File("target/graft_indexes/dedup_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      Dedup.buildDedupIndex(old, "doc_id", "text", ix,
+        shingleN = 3, k = 64, bands = 16)
+      Dedup.dedupAgainstIndex(fresh, ix, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+    }),
+
     // E2b: near-dup clusters — connected components over the verified
     // minhash pairs, canonical keep_id = min of each cluster
     "dedup_clusters" -> ((s, dir) => {
@@ -1436,6 +1457,48 @@ object SparkEntry {
                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                       / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
          FROM cand c JOIN sh a ON c.lid = a.doc_id JOIN sh b ON c.rid = b.doc_id
+         WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""",
+
+    // same shingle/jaccard math as dedup_minhash, but the pair universe
+    // is old corpus × new batch only (the incremental-ingest cross set)
+    "dedup_incremental" ->
+      """WITH oldc AS (
+           SELECT doc_id, text FROM documents),
+         newc AS (
+           SELECT doc_id + 1000000 AS doc_id, text || ' appended' AS text
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0),
+         sho AS (
+           SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM (SELECT doc_id,
+                        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+                 FROM oldc)),
+         shn AS (
+           SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM (SELECT doc_id,
+                        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+                 FROM newc)),
+         prefo AS (
+           SELECT doc_id,
+                  unnest(list_sort(s)[1 : greatest(len(s) - CAST(ceil(0.7 * len(s)) AS INT) + 1, 1)]) AS g
+           FROM sho),
+         prefn AS (
+           SELECT doc_id,
+                  unnest(list_sort(s)[1 : greatest(len(s) - CAST(ceil(0.7 * len(s)) AS INT) + 1, 1)]) AS g
+           FROM shn),
+         cand AS (
+           SELECT DISTINCT o.doc_id AS oid, n.doc_id AS nid
+           FROM prefo o JOIN prefn n ON o.g = n.g)
+         SELECT c.nid AS new_id, c.oid AS dup_of,
+                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         FROM cand c JOIN sho a ON c.oid = a.doc_id JOIN shn b ON c.nid = b.doc_id
          WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""",
 

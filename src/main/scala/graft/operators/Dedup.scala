@@ -162,4 +162,70 @@ object Dedup {
     round(size(array_intersect(sa, sb)).cast("double") /
           size(array_union(sa, sb)), 6)
   }
+
+  /** Persist the corpus's LSH band index for INCREMENTAL dedup: the
+    * expensive map-side work (normalize → shingle → k-seed minhash →
+    * band keys) runs once over the history and lands in two tables —
+    * `bands` (doc_id, band_ix, band_hash; partitioned by
+    * pmod(band_hash, 64) so tiny batches can prune) and `shingles`
+    * (doc_id, sh) for pair verification. At 100 TB this is the
+    * difference between re-sketching the whole history per ingest
+    * batch and a pure index scan.
+    */
+  def buildDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                      indexDir: String, shingleN: Int = 3, k: Int = 64,
+                      bands: Int = 16): Unit = {
+    val withSig = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("bands", graft.functions.MinHashBandsExpr(col("sh"), k, bands))
+    withSig.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_ix", "band_hash")))
+      .withColumn("band_pt", pmod(col("band_hash"), lit(64L)))
+      .write.mode("overwrite").partitionBy("band_pt")
+      .parquet(s"$indexDir/bands")
+    withSig.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$indexDir/shingles")
+  }
+
+  /** Near-dup detection of a NEW batch against a persisted corpus index
+    * (see [[buildDedupIndex]]) — the daily-ingest shape of dedup:
+    * which incoming documents already exist (near-)verbatim in the
+    * history? Emits (new_id, dup_of, jaccard).
+    *
+    * Scale shape: the new batch's sketches are map-side; the batch's
+    * band keys BROADCAST against the index scan (an ingest batch is
+    * broadcastable by definition — drop the hint if yours is not), so
+    * the 100 TB band index is never shuffled; candidate verification
+    * touches only the matched history rows (semi-join-bounded shuffle).
+    * Same parameters ⇒ identical candidate generation to running
+    * [[minhashPairs]] over history ∪ batch (spec-asserted equality).
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, indexDir: String, idCol: String,
+                        textCol: String, shingleN: Int = 3, k: Int = 64,
+                        bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSig = newDocs
+      .select(col(idCol).as("new_id"), shingles(col(textCol), shingleN).as("sh_new"))
+      .filter(size(col("sh_new")) > 0)
+      .withColumn("bands", graft.functions.MinHashBandsExpr(col("sh_new"), k, bands))
+    val newBands = newSig.select(col("new_id"),
+        posexplode(col("bands")).as(Seq("band_ix", "band_hash")))
+      .withColumn("band_pt", pmod(col("band_hash"), lit(64L)))
+    val idx = spark.read.parquet(s"$indexDir/bands")
+    val candidates = idx
+      .join(broadcast(newBands), Seq("band_pt", "band_ix", "band_hash"))
+      .select(col("doc_id").as("dup_of"), col("new_id")).distinct()
+    val oldSh = spark.read.parquet(s"$indexDir/shingles")
+      .select(col("doc_id").as("dup_of"), col("sh").as("sh_old"))
+    // candidates are batch-bounded → broadcast them too: verification
+    // is then a second pure index scan, zero shuffles end to end
+    oldSh
+      .join(broadcast(candidates), "dup_of")
+      .join(broadcast(newSig.select(col("new_id"), col("sh_new"))), "new_id")
+      .select(col("new_id"), col("dup_of"),
+        round(size(array_intersect(col("sh_old"), col("sh_new"))).cast("double") /
+              size(array_union(col("sh_old"), col("sh_new"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

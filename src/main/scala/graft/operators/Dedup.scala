@@ -174,7 +174,26 @@ object Dedup {
     */
   def buildDedupIndex(docs: DataFrame, idCol: String, textCol: String,
                       indexDir: String, shingleN: Int = 3, k: Int = 64,
-                      bands: Int = 16): Unit = {
+                      bands: Int = 16): Unit =
+    writeDedupIndex(docs, idCol, textCol, indexDir, shingleN, k, bands,
+      mode = "overwrite")
+
+  /** Admit an ingested batch into an existing index (the second half of
+    * the daily cycle: dedup the batch, then index its survivors).
+    * Appends the batch's bands/shingles — querying the extended index
+    * is result-identical to a fresh build over history ∪ batch
+    * (spec-asserted). Caller dedups BEFORE extending; same
+    * shingleN/k/bands as the original build are required.
+    */
+  def extendDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                       indexDir: String, shingleN: Int = 3, k: Int = 64,
+                       bands: Int = 16): Unit =
+    writeDedupIndex(docs, idCol, textCol, indexDir, shingleN, k, bands,
+      mode = "append")
+
+  private def writeDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                              indexDir: String, shingleN: Int, k: Int,
+                              bands: Int, mode: String): Unit = {
     val withSig = docs
       .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -182,10 +201,10 @@ object Dedup {
     withSig.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_ix", "band_hash")))
       .withColumn("band_pt", pmod(col("band_hash"), lit(64L)))
-      .write.mode("overwrite").partitionBy("band_pt")
+      .write.mode(mode).partitionBy("band_pt")
       .parquet(s"$indexDir/bands")
     withSig.select(col("doc_id"), col("sh"))
-      .write.mode("overwrite").parquet(s"$indexDir/shingles")
+      .write.mode(mode).parquet(s"$indexDir/shingles")
   }
 
   /** Near-dup detection of a NEW batch against a persisted corpus index

@@ -60,6 +60,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(selfPairs.forall(_._3 == 1.0))
   }
 
+  test("extendDedupIndex: extended index ≡ fresh build over history ∪ batch") {
+    val half = oldDocs.filter(col("doc_id") % 2 === 0)
+    val rest = oldDocs.filter(col("doc_id") % 2 =!= 0)
+    val ext = ix("extend")
+    Dedup.buildDedupIndex(half, "doc_id", "text", ext)
+    Dedup.extendDedupIndex(rest, "doc_id", "text", ext)
+    val fresh = ix("fresh")
+    Dedup.buildDedupIndex(oldDocs, "doc_id", "text", fresh)
+    def q(dir: String) = Dedup.dedupAgainstIndex(newDocs, dir, "doc_id", "text")
+      .select("new_id", "dup_of", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val (a, b) = (q(ext), q(fresh))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("the new batch broadcasts against the index scan (no index shuffle join)") {
     val dir = ix("plan")
     Dedup.buildDedupIndex(oldDocs, "doc_id", "text", dir)

@@ -1262,8 +1262,12 @@ object SparkEntry {
     "text_quality" ->
       """SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_chars,
-                round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
-                round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text), 6) AS space_ratio,
+                round(CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END, 6) AS alpha_ratio,
+                round(CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END, 6) AS space_ratio,
                 round(CAST(len(list_filter(string_split(text, ' '),
                         x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
                       / len(string_split(text, ' ')), 6) AS stopword_ratio,

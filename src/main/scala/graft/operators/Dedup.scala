@@ -246,5 +246,9 @@ object Dedup {
         round(size(array_intersect(col("sh_old"), col("sh_new"))).cast("double") /
               size(array_union(col("sh_old"), col("sh_new"))), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // candidate-bounded dedup: a replayed streaming extend can leave
+      // duplicate index rows (at-least-once foreachBatch); they must
+      // not duplicate the emitted pair
+      .dropDuplicates("new_id", "dup_of")
   }
 }

@@ -47,7 +47,9 @@ object TextAnalysis {
       col(idCol),
       nChars.cast("long").as("n_chars"),
       round(alphaRatioRaw(t), 6).as("alpha_ratio"),
-      round(spaces.cast("double") / nChars, 6).as("space_ratio"),
+      // same empty-text contract as alphaRatioRaw: 0.0, never null
+      round(when(nChars > 0, spaces.cast("double") / nChars).otherwise(0.0), 6)
+        .as("space_ratio"),
       round(stops.cast("double") / size(toks), 6).as("stopword_ratio"),
       round((nChars.cast("double") - spaces) / size(toks), 6).as("avg_token_len"))
   }

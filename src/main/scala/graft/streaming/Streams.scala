@@ -147,6 +147,50 @@ object Streams {
       }
       .start()
 
+  /** Streaming incremental near-dedup: each micro-batch is deduped
+    * against the persisted band index
+    * ([[graft.operators.Dedup.dedupAgainstIndex]]), the duplicate
+    * decisions append to `decisionsDir`, and the SURVIVORS (docs with
+    * no match in history) are admitted into the index
+    * ([[graft.operators.Dedup.extendDedupIndex]]) — so a copy arriving
+    * in a LATER batch is caught by a doc admitted in an earlier one.
+    * The streaming twin of the daily build→dedup→admit cycle, with the
+    * micro-batch as the cycle unit.
+    *
+    * Semantics notes: near-dups WITHIN one micro-batch are both
+    * admitted (pre-dedup the batch with
+    * [[graft.operators.Dedup.minhashPairs]] if that matters);
+    * foreachBatch is at-least-once, so a replayed batch can append
+    * duplicate index rows — harmless, `dedupAgainstIndex` dedups
+    * candidate pairs — and duplicate decision rows, which downstream
+    * reads drop via `dropDuplicates(new_id, dup_of)`.
+    */
+  def streamDedupIncremental(docs: Dataset[Doc], indexDir: String,
+                             decisionsDir: String, checkpointDir: String,
+                             shingleN: Int = 3, k: Int = 64,
+                             bands: Int = 16, threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Doc], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF.persist()
+          val dups = graft.operators.Dedup.dedupAgainstIndex(
+            b, indexDir, "doc_id", "text", shingleN, k, bands, threshold)
+            .persist()
+          dups.write.mode("append").parquet(decisionsDir)
+          val survivors = b.join(
+            dups.select(col("new_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          graft.operators.Dedup.extendDedupIndex(
+            survivors, "doc_id", "text", indexDir, shingleN, k, bands)
+          dups.unpersist()
+          b.unpersist()
+        }
+        ()
+      }
+      .start()
+
   /** Stable-file detection: the sftp_wait_for_stable semantics
     * (sftp_wait_for_stable.py) as a relational op over two manifest
     * snapshots (path, size) — a file is stable when its size is

@@ -76,6 +76,40 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("streaming twin: decisions append per batch, admitted survivors catch later copies") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sq = spark.sqlContext
+
+    val base = java.nio.file.Files.createTempDirectory("graft_sdi").toString
+    val (ixDir, decDir, ckDir) = (s"$base/ix", s"$base/dec", s"$base/ck")
+    Dedup.buildDedupIndex(oldDocs, "doc_id", "text", ixDir)
+
+    val input = MemoryStream[Streams.Doc]
+    val q = Streams.streamDedupIncremental(input.toDS(), ixDir, decDir, ckDir)
+    try {
+      // batch 1: one exact copy of history doc 0, one genuinely new doc
+      val copied = oldDocs.filter(col("doc_id") === 0)
+        .select(col("text")).as[String].head()
+      input.addData(Streams.Doc(5000001L, copied),
+                    Streams.Doc(5000002L, "a genuinely novel document xyzzy"))
+      q.processAllAvailable()
+      // batch 2: an exact copy of batch 1's SURVIVOR — only the
+      // extended index can catch it
+      input.addData(Streams.Doc(5000003L, "a genuinely novel document xyzzy"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dec = spark.read.parquet(decDir)
+      .dropDuplicates("new_id", "dup_of")
+      .select("new_id", "dup_of", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(dec.contains((5000001L, 0L, 1.0)), dec.mkString(", "))
+    assert(dec.contains((5000003L, 5000002L, 1.0)), dec.mkString(", "))
+    // the batch-1 novel doc matched nothing
+    assert(!dec.exists(_._1 == 5000002L))
+  }
+
   test("the new batch broadcasts against the index scan (no index shuffle join)") {
     val dir = ix("plan")
     Dedup.buildDedupIndex(oldDocs, "doc_id", "text", dir)

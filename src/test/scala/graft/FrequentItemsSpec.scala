@@ -53,6 +53,35 @@ class FrequentItemsSpec extends AnyFunSuite {
       s"missing ${mustSurvive -- got.keySet}")
   }
 
+  test("property fuzz: MG guarantees hold on random zipf-ish streams at random capacities") {
+    // deterministic pseudo-random streams (hash-mixed, no RNG state)
+    (1 to 8).foreach { trial =>
+      val n = 300 + (trial * 2654435761L % 700).toInt
+      val vocab = 5 + (trial * 40503 % 60)
+      val stream = (0 until n).map { i =>
+        // zipf-ish: low token ids much more frequent
+        val h = (i * 2654435761L + trial * 97L) & 0x7fffffffL
+        val tok = (h % vocab).min(h % (vocab / 2 + 1))
+        (i.toLong, s"t$tok")
+      }
+      val truth = stream.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+      val df = stream.toDF("id", "w").repartition(5, col("id"))
+      for (cap <- Seq(3, vocab.toInt / 2 + 1, vocab.toInt + 10)) {
+        val got = sketch(df, cap)
+        assert(got.size <= cap, s"trial=$trial cap=$cap oversize")
+        got.foreach { case (w, c) =>
+          assert(c <= truth(w), s"trial=$trial cap=$cap $w overestimated")
+          assert(truth(w) - c <= n / (cap + 1),
+            s"trial=$trial cap=$cap $w error ${truth(w) - c} > ${n / (cap + 1)}")
+        }
+        truth.filter(_._2 > n / (cap + 1)).keySet.foreach { w =>
+          assert(got.contains(w), s"trial=$trial cap=$cap heavy hitter $w missing")
+        }
+        if (cap >= vocab + 10) assert(got == truth, s"trial=$trial exact regime")
+      }
+    }
+  }
+
   test("approx_top_tokens key: exact-regime sketch equals the SQL top-20") {
     val out = SparkEntry.queries("approx_top_tokens")(
         spark, "/root/testdata/sf0.001")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Dedup, LangId, QualityClassifier, Relational, Similarity, TextAnalysis, Upsert}
+import graft.operators.{CurateCorpus, Dedup, LangId, QualityClassifier, Relational, Similarity, TextAnalysis, Upsert}
 import graft.functions.Normalize
 import graft.marc.{Extract, Iso2709, MarcCorpus, MarcXml, PublishSplit, TrimPunctuation}
 import graft.marc.PublishSplit.PublishRow
@@ -554,6 +554,21 @@ object SparkEntry {
         Seq("alpha_ratio", "distinct_token_ratio", "top_bigram_frac", "log_len"),
         "label", iterations = 25, learningRate = 2.0)
       QualityClassifier.score(feats, model, "doc_id")
+    }),
+
+    // E24: the full curation pipeline (normalize → signals → filters →
+    // exact+near dedup → sample → pack) — rows-only (the near-dup
+    // canonical is LSH-hash-dependent and the audit frame has no
+    // tractable SQL twin); CurateCorpusSpec asserts the semantics
+    "curate_corpus" -> ((s, dir) => {
+      val r = CurateCorpus.run(Tables(s, dir).documents, "doc_id", "text",
+        "source", CurateCorpus.Config(sampleRates = Map(
+          "src0" -> 1000, "src1" -> 1000, "src2" -> 500, "src3" -> 500,
+          "src4" -> 1000, "src5" -> 1000, "src6" -> 500, "src7" -> 500,
+          "src8" -> 1000, "src9" -> 1000, "src10" -> 500, "src11" -> 500,
+          "src12" -> 1000, "src13" -> 1000, "src14" -> 500, "src15" -> 500,
+          "src16" -> 1000, "src17" -> 1000, "src18" -> 500, "src19" -> 500)))
+      r.decisions
     }),
 
     // E23: heavy-hitter tokens via a Misra-Gries sketch aggregate —
@@ -1891,5 +1906,6 @@ object SparkEntry {
     * outputs) — driver records a rows-only check; each has a ScalaTest
     * spec asserting exact recovery of the planted duplicates instead.
     */
-  val rowsOnlyQueries: Set[String] = Set("dedup_simhash", "quality_classifier")
+  val rowsOnlyQueries: Set[String] =
+    Set("dedup_simhash", "quality_classifier", "curate_corpus")
 }

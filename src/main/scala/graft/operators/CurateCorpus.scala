@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the E-group operators composed into
+  * ONE runnable pipeline, the way the reference composes its MARC
+  * operators into CLI mains (alma_publish_to_marc.py etc.): a user
+  * points it at a document table and gets back a training-ready
+  * curated corpus plus a full per-document audit trail.
+  *
+  * Stages (all reusing the verified operators):
+  *  1. Unicode NFC canonicalization (`NormalizeUnicodeExpr`) before
+  *     any hashing, so visually-identical text dedups together.
+  *  2. Per-document signals in ONE map-side pass: token count,
+  *     alpha ratio, repetition stats; plus unigram-LM cross-entropy
+  *     (one token aggregation + broadcast model).
+  *  3. Rule filters: token bounds, alpha floor, top-bigram ceiling,
+  *     cross-entropy ceiling.
+  *  4. Exact dedup (content-hash canonical, min doc id wins).
+  *  5. Near dedup: MinHash/LSH pairs → connected components → only
+  *     cluster canonicals survive.
+  *  6. Deterministic stratified sampling by a stratum column
+  *     (fingerprint-gated, no RNG — reproducible on any layout).
+  *  7. GPT-style sequence packing of the survivors.
+  *
+  * Emits: the curated frame (doc_id, stratum, text, n_tokens, shard,
+  * seq_id, seq_offset, crosses_cut), a decisions frame auditing EVERY
+  * input document (flags + first drop reason), and observe-based
+  * counters that ride the curated frame's materialization.
+  *
+  * Scale shape: stages 1-3 are map-side; 4 is one hash shuffle; 5 is
+  * the band-bucket shuffle + label propagation on the (small) dup
+  * graph; 6 is map-side; 7 is one window shuffle on the shard key.
+  * Nothing driver-sized except the vocab-sized LM and the filter
+  * config.
+  */
+object CurateCorpus {
+
+  final case class Config(
+      minTokens: Long = 8,
+      maxTokens: Long = 5000,
+      minAlphaRatio: Double = 0.3,
+      maxTopBigramFrac: Double = 0.6,
+      maxCrossEntropy: Double = 12.0,
+      shingleN: Int = 3,
+      minhashK: Int = 64,
+      minhashBands: Int = 16,
+      jaccardThreshold: Double = 0.7,
+      sampleRates: Map[String, Int] = Map.empty, // permille per stratum; empty = keep all
+      nShards: Int = 32,
+      contextLen: Int = 2048)
+
+  final case class Result(curated: DataFrame, decisions: DataFrame,
+                          observation: Observation)
+
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          strataCol: String, cfg: Config = Config()): Result = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // 1. canonicalize, then treat the NFC text as THE text
+    val canon = docs.select(col(idCol).as("doc_id"),
+      col(strataCol).as("stratum"),
+      graft.functions.NormalizeUnicodeExpr(col(textCol), "NFC").as("text"))
+
+    // 2. signals (map-side pass + LM scoring)
+    val toks = split(col("text"), " ")
+    val rep = graft.functions.RepetitionStatsExpr(toks)
+    val sig = canon.select(col("doc_id"), col("stratum"), col("text"),
+      size(toks).cast("long").as("n_tokens"),
+      TextAnalysis.alphaRatioRaw(col("text")).as("alpha_ratio"),
+      rep.getItem(1).as("top_bigram_frac"))
+    val lm = TextAnalysis.unigramLm(canon, "text")
+    val xent = TextAnalysis.crossEntropy(canon, "doc_id", "text", lm)
+      .select(col("doc_id"), col("cross_entropy"))
+    val featured = sig.join(xent, Seq("doc_id"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 3. rule flags
+    val flagged = featured.select(col("doc_id"), col("stratum"), col("text"),
+      col("n_tokens"),
+      (col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens)
+        .as("len_ok"),
+      (col("alpha_ratio") >= cfg.minAlphaRatio).as("alpha_ok"),
+      (col("top_bigram_frac") <= cfg.maxTopBigramFrac).as("repetition_ok"),
+      coalesce(col("cross_entropy") <= cfg.maxCrossEntropy, lit(true))
+        .as("perplexity_ok"))
+
+    // 4. exact dedup canonical
+    val reps = TextAnalysis.exactDupGroups(featured, "text", "doc_id")
+      .select(col("content_hash"), col("keep_id"))
+    val exact = flagged
+      .withColumn("content_hash", TextAnalysis.contentHash(col("text")))
+      .join(reps, "content_hash")
+      .withColumn("exact_canonical", col("doc_id") === col("keep_id"))
+      .drop("content_hash", "keep_id")
+
+    // 5. near-dup canonical: components over LSH pairs; docs absent
+    // from the pair graph are their own cluster
+    val pairs = Dedup.minhashPairs(featured, "doc_id", "text",
+      cfg.shingleN, cfg.minhashK, cfg.minhashBands, cfg.jaccardThreshold)
+    val clusters = Dedup.connectedComponents(pairs)
+    val near = exact.join(clusters, Seq("doc_id"), "left")
+      .withColumn("near_canonical",
+        coalesce(col("keep_id") === col("doc_id"), lit(true)))
+      .drop("keep_id")
+
+    // 6. deterministic sampling decision (empty rate table keeps all)
+    val sampled =
+      if (cfg.sampleRates.isEmpty) near.withColumn("sampled", lit(true))
+      else {
+        val rates = broadcast(cfg.sampleRates.toSeq.toDF("stratum", "__permille"))
+        near.join(rates, Seq("stratum"), "left")
+          .withColumn("sampled",
+            coalesce(pmod(TextAnalysis.fingerprint(col("text")), lit(1000L))
+              < col("__permille"), lit(false)))
+          .drop("__permille")
+      }
+
+    val decided = sampled.withColumn("kept",
+      col("len_ok") && col("alpha_ok") && col("repetition_ok") &&
+      col("perplexity_ok") && col("exact_canonical") &&
+      col("near_canonical") && col("sampled"))
+
+    val decisions = decided.withColumn("drop_reason",
+      when(col("kept"), lit(null).cast("string"))
+        .when(!col("len_ok"), "length")
+        .when(!col("alpha_ok"), "alpha")
+        .when(!col("repetition_ok"), "repetition")
+        .when(!col("perplexity_ok"), "perplexity")
+        .when(!col("exact_canonical"), "exact_dup")
+        .when(!col("near_canonical"), "near_dup")
+        .otherwise("sampled_out"))
+      .drop("text")
+
+    // 7. pack the survivors; shard by content-independent id hash so
+    // shard sizes stay balanced whatever the corpus
+    val survivors = decided.filter(col("kept"))
+      .select(col("doc_id"), col("stratum"), col("text"), col("n_tokens"))
+    val packed = TextAnalysis.packSequences(
+        survivors, "doc_id", pmod(xxhash64(col("doc_id")), lit(cfg.nShards)),
+        col("n_tokens"), cfg.contextLen)
+      .join(survivors.select(col("doc_id"), col("stratum"), col("text")), "doc_id")
+
+    // counters ride the curated materialization — no extra pass
+    val obs = Observation("graft_curate_metrics")
+    val curated = packed.observe(obs,
+      count(lit(1)).as("kept_docs"),
+      sum(col("n_tokens")).as("kept_tokens"),
+      max(col("seq_id")).as("max_seq_id"))
+
+    // featured stays persisted: the dup-graph materialization inside
+    // run() warms it, and the returned frames re-scan it on their own
+    // actions; it is released with the session cache (resetCaches /
+    // clearCache), the same lifecycle as the publish-split persists
+    Result(curated, decisions, obs)
+  }
+}

@@ -52,7 +52,15 @@ object CurateCorpus {
       contextLen: Int = 2048)
 
   final case class Result(curated: DataFrame, decisions: DataFrame,
-                          observation: Observation)
+                          observation: Observation) {
+    /** Unpersist the pipeline's cached frames. Call once the returned
+      * frames have been materialized/written — each `run()` otherwise
+      * pins its feature and survivor frames until a session cache
+      * clear.
+      */
+    def release(): Unit = cached.foreach(_.unpersist(false))
+    private[CurateCorpus] var cached: Seq[DataFrame] = Nil
+  }
 
   def run(docs: DataFrame, idCol: String, textCol: String,
           strataCol: String, cfg: Config = Config()): Result = {
@@ -64,12 +72,14 @@ object CurateCorpus {
       col(strataCol).as("stratum"),
       graft.functions.NormalizeUnicodeExpr(col(textCol), "NFC").as("text"))
 
-    // 2. signals (map-side pass + LM scoring)
-    val toks = split(col("text"), " ")
-    val rep = graft.functions.RepetitionStatsExpr(toks)
+    // 2. signals (map-side pass + LM scoring). Token count is the
+    // whitespace definition shared with tokenCounts/curationFilter
+    // (split(" ") would count phantom empty tokens on ragged spacing).
+    val t = col("text")
+    val rep = graft.functions.RepetitionStatsExpr(split(t, " "))
     val sig = canon.select(col("doc_id"), col("stratum"), col("text"),
-      size(toks).cast("long").as("n_tokens"),
-      TextAnalysis.alphaRatioRaw(col("text")).as("alpha_ratio"),
+      size(split(trim(t), "\\s+")).cast("long").as("n_tokens"),
+      TextAnalysis.alphaRatioRaw(t).as("alpha_ratio"),
       rep.getItem(1).as("top_bigram_frac"))
     val lm = TextAnalysis.unigramLm(canon, "text")
     val xent = TextAnalysis.crossEntropy(canon, "doc_id", "text", lm)
@@ -77,28 +87,35 @@ object CurateCorpus {
     val featured = sig.join(xent, Seq("doc_id"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 3. rule flags
+    // 3. rule flags — null-safe: a null/empty-text document fails its
+    // gates as false (never null), so it still gets an audit row
     val flagged = featured.select(col("doc_id"), col("stratum"), col("text"),
       col("n_tokens"),
-      (col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens)
-        .as("len_ok"),
-      (col("alpha_ratio") >= cfg.minAlphaRatio).as("alpha_ok"),
-      (col("top_bigram_frac") <= cfg.maxTopBigramFrac).as("repetition_ok"),
+      coalesce(col("n_tokens") >= cfg.minTokens &&
+               col("n_tokens") <= cfg.maxTokens, lit(false)).as("len_ok"),
+      coalesce(col("alpha_ratio") >= cfg.minAlphaRatio, lit(false))
+        .as("alpha_ok"),
+      coalesce(col("top_bigram_frac") <= cfg.maxTopBigramFrac, lit(false))
+        .as("repetition_ok"),
       coalesce(col("cross_entropy") <= cfg.maxCrossEntropy, lit(true))
         .as("perplexity_ok"))
+    val ruleOk = col("len_ok") && col("alpha_ok") &&
+      col("repetition_ok") && col("perplexity_ok")
 
-    // 4. exact dedup canonical
-    val reps = TextAnalysis.exactDupGroups(featured, "text", "doc_id")
+    // 4+5. dedup canonicals are elected among RULE SURVIVORS only —
+    // if a cluster's min-id doc fails a quality gate, a clean member
+    // inherits the family instead of the whole cluster dying with it.
+    // Rule-failed docs skip dedup entirely (they already drop).
+    val clean = flagged.filter(ruleOk)
+    val reps = TextAnalysis.exactDupGroups(clean, "text", "doc_id")
       .select(col("content_hash"), col("keep_id"))
     val exact = flagged
       .withColumn("content_hash", TextAnalysis.contentHash(col("text")))
-      .join(reps, "content_hash")
-      .withColumn("exact_canonical", col("doc_id") === col("keep_id"))
+      .join(reps, Seq("content_hash"), "left")
+      .withColumn("exact_canonical",
+        coalesce(col("doc_id") === col("keep_id"), lit(true)))
       .drop("content_hash", "keep_id")
-
-    // 5. near-dup canonical: components over LSH pairs; docs absent
-    // from the pair graph are their own cluster
-    val pairs = Dedup.minhashPairs(featured, "doc_id", "text",
+    val pairs = Dedup.minhashPairs(clean, "doc_id", "text",
       cfg.shingleN, cfg.minhashK, cfg.minhashBands, cfg.jaccardThreshold)
     val clusters = Dedup.connectedComponents(pairs)
     val near = exact.join(clusters, Seq("doc_id"), "left")
@@ -119,9 +136,8 @@ object CurateCorpus {
       }
 
     val decided = sampled.withColumn("kept",
-      col("len_ok") && col("alpha_ok") && col("repetition_ok") &&
-      col("perplexity_ok") && col("exact_canonical") &&
-      col("near_canonical") && col("sampled"))
+      ruleOk && col("exact_canonical") && col("near_canonical") &&
+      col("sampled"))
 
     val decisions = decided.withColumn("drop_reason",
       when(col("kept"), lit(null).cast("string"))
@@ -135,9 +151,12 @@ object CurateCorpus {
       .drop("text")
 
     // 7. pack the survivors; shard by content-independent id hash so
-    // shard sizes stay balanced whatever the corpus
+    // shard sizes stay balanced whatever the corpus. Persisted: the
+    // decision-join chain above feeds both the packing window and the
+    // stratum/text join-back.
     val survivors = decided.filter(col("kept"))
       .select(col("doc_id"), col("stratum"), col("text"), col("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val packed = TextAnalysis.packSequences(
         survivors, "doc_id", pmod(xxhash64(col("doc_id")), lit(cfg.nShards)),
         col("n_tokens"), cfg.contextLen)
@@ -150,10 +169,8 @@ object CurateCorpus {
       sum(col("n_tokens")).as("kept_tokens"),
       max(col("seq_id")).as("max_seq_id"))
 
-    // featured stays persisted: the dup-graph materialization inside
-    // run() warms it, and the returned frames re-scan it on their own
-    // actions; it is released with the session cache (resetCaches /
-    // clearCache), the same lifecycle as the publish-split persists
-    Result(curated, decisions, obs)
+    val result = Result(curated, decisions, obs)
+    result.cached = Seq(featured, survivors)
+    result
   }
 }

@@ -246,9 +246,12 @@ object Dedup {
         round(size(array_intersect(col("sh_old"), col("sh_new"))).cast("double") /
               size(array_union(col("sh_old"), col("sh_new"))), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      // candidate-bounded dedup: a replayed streaming extend can leave
-      // duplicate index rows (at-least-once foreachBatch); they must
-      // not duplicate the emitted pair
+      // replay tolerance (at-least-once foreachBatch re-running extend):
+      // duplicate index rows must not duplicate the emitted pair, and a
+      // batch whose own docs already landed in the index must not match
+      // ITSELF — ids are globally unique, so a self-pair is always the
+      // replay artifact, never a finding
+      .filter(col("new_id") =!= col("dup_of"))
       .dropDuplicates("new_id", "dup_of")
   }
 }

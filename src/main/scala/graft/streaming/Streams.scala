@@ -161,9 +161,11 @@ object Streams {
     * admitted (pre-dedup the batch with
     * [[graft.operators.Dedup.minhashPairs]] if that matters);
     * foreachBatch is at-least-once, so a replayed batch can append
-    * duplicate index rows — harmless, `dedupAgainstIndex` dedups
-    * candidate pairs — and duplicate decision rows, which downstream
-    * reads drop via `dropDuplicates(new_id, dup_of)`.
+    * duplicate index rows — harmless: `dedupAgainstIndex` dedups
+    * candidate pairs AND filters self-pairs (a replayed batch finding
+    * its own already-admitted docs would otherwise mark novel
+    * documents as duplicates of themselves), and duplicate decision
+    * rows are dropped on read via `dropDuplicates(new_id, dup_of)`.
     */
   def streamDedupIncremental(docs: Dataset[Doc], indexDir: String,
                              decisionsDir: String, checkpointDir: String,

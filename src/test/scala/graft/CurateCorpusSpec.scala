@@ -71,6 +71,34 @@ class CurateCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("null-text and dirty docs still get audit rows; canonical death doesn't kill the family") {
+    // doc 100 (min id) fails the length gate; doc 101 is its clean
+    // near-dup prefix — with rule-survivor dedup, 101 must survive,
+    // not drop as 100's cluster casualty (pre-fix, cluster canonical
+    // min(100,101)=100 made 101 a near_dup drop). Null text audits too.
+    val words = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee").split(" ")
+    val long = words.take(25).mkString(" ")  // 25 tokens > maxTokens=20
+    val short = words.take(18).mkString(" ") // shared prefix, 18 tokens
+    val input = Seq(
+      (100L, long, "s"), (101L, short, "s"),
+      (103L, "a perfectly ordinary clean document of nine words", "s"))
+      .toDF("doc_id", "text", "source")
+      .unionByName(Seq((104L, null.asInstanceOf[String], "s"))
+        .toDF("doc_id", "text", "source"))
+    val r = CurateCorpus.run(input, "doc_id", "text", "source",
+      CurateCorpus.Config(maxTokens = 20, jaccardThreshold = 0.5))
+    val d = r.decisions.select("doc_id", "kept", "drop_reason")
+      .as[(Long, Boolean, String)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(d.size == 4)
+    assert(d(100L) == (false, "length"))
+    assert(d(101L)._1, s"clean near-dup of a rule-failed doc must survive: ${d(101L)}")
+    assert(d(103L)._1)
+    assert(!d(104L)._1 && d(104L)._2 == "length") // null text audits as dropped
+    r.release()
+  }
+
   test("observed counters match the materialized result") {
     val c = curated.count() // action → observation resolves
     val m = result.observation.get

@@ -110,6 +110,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(!dec.exists(_._1 == 5000002L))
   }
 
+  test("replayed batch (already admitted to the index) emits no self-duplicates") {
+    val dir = ix("replay")
+    Dedup.buildDedupIndex(oldDocs, "doc_id", "text", dir)
+    val novel = Seq((7000001L, "an entirely original replay test document"))
+      .toDF("doc_id", "text")
+    // first run: novel doc survives and is admitted
+    assert(Dedup.dedupAgainstIndex(novel, dir, "doc_id", "text").isEmpty)
+    Dedup.extendDedupIndex(novel, "doc_id", "text", dir)
+    // replay: the doc now exists in the index — it must NOT be reported
+    // as a duplicate of itself
+    val replay = Dedup.dedupAgainstIndex(novel, dir, "doc_id", "text")
+      .select("new_id", "dup_of").as[(Long, Long)].collect()
+    assert(replay.isEmpty, replay.mkString(", "))
+  }
+
   test("the new batch broadcasts against the index scan (no index shuffle join)") {
     val dir = ix("plan")
     Dedup.buildDedupIndex(oldDocs, "doc_id", "text", dir)

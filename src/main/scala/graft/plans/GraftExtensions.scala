@@ -292,6 +292,72 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
   * on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteRangeJoin)
+    GraftFunctions.registry.foreach { case (name, (info, builder)) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+/** The native expressions as SQL functions — `spark.sql` users get the
+  * same codegen'd sketches/stats the Column API uses, e.g.
+  * `SELECT graft_simhash64(split(text, ' ')) FROM docs`. Tuning
+  * parameters (k, bands, n, form…) must be literals: they configure
+  * the expression at plan time, exactly like the Column API's Scala
+  * arguments.
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def lit(e: Expression, fn: String, arg: String): Any = e match {
+    case Literal(v, _) if v != null => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $arg must be a non-null literal, got $e")
+  }
+  private def intLit(e: Expression, fn: String, arg: String): Int =
+    lit(e, fn, arg) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case o => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $o")
+    }
+  private def strLit(e: Expression, fn: String, arg: String): String =
+    lit(e, fn, arg).toString
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val registry: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
+    "graft_simhash64" -> (
+      info("graft_simhash64", "_FUNC_(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => graft.functions.SimHash64Expr(args.head)),
+    "graft_shingles" -> (
+      info("graft_shingles", "_FUNC_(tokens, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) => graft.functions.ShinglesExpr(args(0),
+        intLit(args(1), "graft_shingles", "n"))),
+    "graft_minhash_bands" -> (
+      info("graft_minhash_bands", "_FUNC_(shingles, k, bands) - LSH band bucket keys"),
+      (args: Seq[Expression]) => graft.functions.MinHashBandsExpr(args(0),
+        intLit(args(1), "graft_minhash_bands", "k"),
+        intLit(args(2), "graft_minhash_bands", "bands"))),
+    "graft_rolling_hash" -> (
+      info("graft_rolling_hash", "_FUNC_(text) - polynomial rolling-hash fingerprint"),
+      (args: Seq[Expression]) => graft.functions.RollingHashExpr(args.head,
+        31L, 1000000007L)),
+    "graft_repetition_stats" -> (
+      info("graft_repetition_stats",
+        "_FUNC_(tokens) - [distinct_token_ratio, top_bigram_frac, dup_trigram_frac]"),
+      (args: Seq[Expression]) => graft.functions.RepetitionStatsExpr(args.head)),
+    "graft_normalize_unicode" -> (
+      info("graft_normalize_unicode", "_FUNC_(text, form) - Unicode NFC/NFD/NFKC/NFKD"),
+      (args: Seq[Expression]) => graft.functions.NormalizeUnicodeExpr(args(0),
+        strLit(args(1), "graft_normalize_unicode", "form"))),
+    "graft_cosine" -> (
+      info("graft_cosine", "_FUNC_(a, b) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => graft.functions.CosineSimExpr(args(0), args(1))),
+    "graft_trim_punctuation" -> (
+      info("graft_trim_punctuation", "_FUNC_(text) - fixpoint trailing-punctuation trim"),
+      (args: Seq[Expression]) => graft.marc.TrimPunctuation(args.head)))
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected SQL functions must agree exactly with the Column API
+  * (same Expression underneath) and reject non-literal tuning args.
+  */
+class SqlFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docsView(): Unit =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).createOrReplaceTempView("sql_fn_docs")
+
+  test("sketch functions via spark.sql ≡ Column API") {
+    docsView()
+    val viaSql = spark.sql("""
+      SELECT doc_id,
+             graft_simhash64(split(text, ' ')) AS sh,
+             graft_minhash_bands(graft_shingles(split(text, ' '), 3), 64, 16) AS mb,
+             graft_rolling_hash(text) AS rh
+      FROM sql_fn_docs""")
+      .as[(Long, Long, Seq[Long], Long)].collect().sortBy(_._1)
+    val d = spark.table("sql_fn_docs")
+    val toks = split(col("text"), " ")
+    val viaCol = d.select(col("doc_id"),
+        graft.functions.SimHash64Expr(toks).as("sh"),
+        graft.functions.MinHashBandsExpr(
+          graft.functions.ShinglesExpr(toks, 3), 64, 16).as("mb"),
+        graft.functions.RollingHashExpr(col("text"), 31L, 1000000007L).as("rh"))
+      .as[(Long, Long, Seq[Long], Long)].collect().sortBy(_._1)
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
+  test("repetition, unicode and trim functions work from SQL") {
+    // the SQL literal embeds e + combining acute (decomposed, 5 code
+    // points); NFC recomposes to 4
+    val r = spark.sql(
+      "SELECT graft_repetition_stats(split('a b a b a', ' ')) AS rep, " +
+      "graft_normalize_unicode('cafe\u0301', 'NFC') AS nfc, " +
+      "graft_trim_punctuation('Title /') AS trimmed, " +
+      "graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos").head()
+    assert(r.getSeq[Double](0) == Seq(0.4, 0.5, 2.0 / 3.0))
+    assert(r.getString(1) == "caf\u00e9")
+    assert(r.getString(1).length == 4)
+    assert(r.getString(2) == "Title")
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("non-literal tuning arguments are rejected at analysis") {
+    docsView()
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_shingles(split(text, ' '), CAST(doc_id AS INT)) FROM sql_fn_docs")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+}

@@ -5,6 +5,12 @@ package graft
   * Current experiment: webhook envelope parse — measured single-parse
   * cost vs the optimizer's from_json duplication, and the explode
   * barrier that pins the parse to exactly once per row.
+  *
+  * CONCLUSION (round 3): plain parse ~1.9s, explode barrier ~4.4s at
+  * sf0.1 — the Generate node costs more than the duplicate parses it
+  * prevents for single-struct payloads. WebhookIngest.parse now uses
+  * functions.OncePerRowExpr (non-determinism flag blocks alias
+  * inlining, plan stays a codegen Project) instead.
   */
 object Debug {
   def main(args: Array[String]): Unit = {

@@ -170,3 +170,38 @@ object NormalizeUnicodeExpr {
   def apply(c: Column, form: String): Column =
     ColumnBridge.column(NormalizeUnicodeExpr(ColumnBridge.expression(c), form))
 }
+
+/** Evaluate-once barrier: a pass-through that REPORTS non-determinism
+  * so the optimizer never inlines the child into its consumers.
+  *
+  * Why: CollapseProject + PushDownPredicate substitute a projected
+  * alias into every reference site — an expensive aliased expression
+  * (a `from_json` parse, a sketch) referenced by k downstream
+  * expressions is then evaluated k times per row. The usual fix is an
+  * explode(array(…)) Generate barrier, but the Generate node itself
+  * costs more than the duplicated work it saves for single-struct
+  * payloads (measured in graft.Debug: 1.9s parse vs 4.4s behind the
+  * explode barrier at sf0.1). This wrapper keeps the plan a plain
+  * Project — full codegen, no Generate — while the non-determinism
+  * flag stops alias substitution, pinning exactly one evaluation per
+  * row. The child MUST itself be deterministic (the flag is a plan-
+  * shape device, not a semantics change).
+  */
+case class OncePerRowExpr(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): OncePerRowExpr =
+    copy(child = newChild)
+}
+
+object OncePerRowExpr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(OncePerRowExpr(ColumnBridge.expression(c)))
+}

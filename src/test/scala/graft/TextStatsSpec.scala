@@ -95,6 +95,24 @@ class TextStatsSpec extends AnyFunSuite {
     assert(nfd == decomposed)
   }
 
+  test("OncePerRowExpr pins one evaluation under multi-reference projection") {
+    // parquet-backed so ConvertToLocalRelation can't pre-fold the parse
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy("doc_id").limit(3)
+      .select(col("doc_id"),
+        format_string("""{"a": %s, "b": 2}""", col("doc_id")).as("js"))
+    val parsed = docs.select(col("doc_id"), graft.functions.OncePerRowExpr(
+        from_json(col("js"), "a INT, b INT", Map.empty[String, String])).as("w"))
+      .select(col("doc_id"), col("w")("a").as("a"), col("w")("b").as("b"),
+              (col("w")("a") + col("w")("b")).as("sum"))
+    val plan = parsed.queryExecution.executedPlan.toString
+    assert("from_json".r.findAllIn(plan).size == 1,
+      s"parse duplicated:\n$plan")
+    val r = parsed.orderBy("doc_id").collect()
+    assert(r.map(x => (x.getInt(1), x.getInt(2), x.getInt(3))).toSeq ==
+      Seq((0, 2, 2), (1, 2, 3), (2, 2, 4)))
+  }
+
   test("repetition stats plan is map-side only (no shuffle)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = TextAnalysis.repetitionStats(docs, "text", "doc_id")

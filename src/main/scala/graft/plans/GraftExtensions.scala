@@ -359,5 +359,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => graft.functions.CosineSimExpr(args(0), args(1))),
     "graft_trim_punctuation" -> (
       info("graft_trim_punctuation", "_FUNC_(text) - fixpoint trailing-punctuation trim"),
-      (args: Seq[Expression]) => graft.marc.TrimPunctuation(args.head)))
+      (args: Seq[Expression]) => graft.marc.TrimPunctuation(args.head)),
+    "graft_approx_top" -> (
+      info("graft_approx_top",
+        "_FUNC_(col, capacity) - Misra-Gries heavy-hitter sketch aggregate"),
+      // AggregateFunctions are returned bare; the analyzer wraps them
+      // into an AggregateExpression during resolution
+      (args: Seq[Expression]) => graft.functions.MisraGriesAgg(args(0),
+        intLit(args(1), "graft_approx_top", "capacity"))))
 }

@@ -49,6 +49,20 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("graft_approx_top aggregates from SQL ≡ exact counts (exact regime)") {
+    docsView()
+    val viaSql = spark.sql("""
+      SELECT t.e.token, t.e.est_count FROM (
+        SELECT graft_approx_top(word, 256) AS sk FROM (
+          SELECT explode(split(text, ' ')) AS word FROM sql_fn_docs)) s
+      LATERAL VIEW explode(s.sk) t AS e""")
+      .as[(String, Long)].collect().toMap
+    val truth = spark.table("sql_fn_docs")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    assert(viaSql == truth)
+  }
+
   test("non-literal tuning arguments are rejected at analysis") {
     docsView()
     val e = intercept[Exception] {

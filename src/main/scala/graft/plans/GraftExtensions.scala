@@ -319,7 +319,9 @@ object GraftFunctions {
   private def intLit(e: Expression, fn: String, arg: String): Int =
     lit(e, fn, arg) match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long if l.isValidInt => l.toInt
+      case l: Long => throw new IllegalArgumentException(
+        s"$fn: $arg is out of integer range: $l")
       case o => throw new IllegalArgumentException(
         s"$fn: $arg must be an integer literal, got $o")
     }
@@ -329,42 +331,48 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Registry entry with a STRICT arity check — the registry builder
+    * signature accepts any Seq, so without this an extra argument
+    * would be silently ignored (wrong results the user asked to
+    * configure) and a missing one would die as a bare
+    * IndexOutOfBounds.
+    */
+  private def fn(name: String, arity: Int, usage: String)(
+      build: Seq[Expression] => Expression)
+      : (String, (ExpressionInfo, Seq[Expression] => Expression)) =
+    name -> (info(name, usage), (args: Seq[Expression]) => {
+      if (args.length != arity) throw new IllegalArgumentException(
+        s"$name expects $arity argument(s), got ${args.length}")
+      build(args)
+    })
+
   val registry: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
-    "graft_simhash64" -> (
-      info("graft_simhash64", "_FUNC_(tokens) - 64-bit SimHash of a token array"),
-      (args: Seq[Expression]) => graft.functions.SimHash64Expr(args.head)),
-    "graft_shingles" -> (
-      info("graft_shingles", "_FUNC_(tokens, n) - distinct word n-gram shingles"),
-      (args: Seq[Expression]) => graft.functions.ShinglesExpr(args(0),
+    fn("graft_simhash64", 1, "_FUNC_(tokens) - 64-bit SimHash of a token array")(
+      args => graft.functions.SimHash64Expr(args.head)),
+    fn("graft_shingles", 2, "_FUNC_(tokens, n) - distinct word n-gram shingles")(
+      args => graft.functions.ShinglesExpr(args(0),
         intLit(args(1), "graft_shingles", "n"))),
-    "graft_minhash_bands" -> (
-      info("graft_minhash_bands", "_FUNC_(shingles, k, bands) - LSH band bucket keys"),
-      (args: Seq[Expression]) => graft.functions.MinHashBandsExpr(args(0),
+    fn("graft_minhash_bands", 3, "_FUNC_(shingles, k, bands) - LSH band bucket keys")(
+      args => graft.functions.MinHashBandsExpr(args(0),
         intLit(args(1), "graft_minhash_bands", "k"),
         intLit(args(2), "graft_minhash_bands", "bands"))),
-    "graft_rolling_hash" -> (
-      info("graft_rolling_hash", "_FUNC_(text) - polynomial rolling-hash fingerprint"),
-      (args: Seq[Expression]) => graft.functions.RollingHashExpr(args.head,
-        31L, 1000000007L)),
-    "graft_repetition_stats" -> (
-      info("graft_repetition_stats",
-        "_FUNC_(tokens) - [distinct_token_ratio, top_bigram_frac, dup_trigram_frac]"),
-      (args: Seq[Expression]) => graft.functions.RepetitionStatsExpr(args.head)),
-    "graft_normalize_unicode" -> (
-      info("graft_normalize_unicode", "_FUNC_(text, form) - Unicode NFC/NFD/NFKC/NFKD"),
-      (args: Seq[Expression]) => graft.functions.NormalizeUnicodeExpr(args(0),
+    fn("graft_rolling_hash", 1, "_FUNC_(text) - polynomial rolling-hash fingerprint")(
+      args => graft.functions.RollingHashExpr(args.head, 31L, 1000000007L)),
+    fn("graft_repetition_stats", 1,
+       "_FUNC_(tokens) - [distinct_token_ratio, top_bigram_frac, dup_trigram_frac]")(
+      args => graft.functions.RepetitionStatsExpr(args.head)),
+    fn("graft_normalize_unicode", 2, "_FUNC_(text, form) - Unicode NFC/NFD/NFKC/NFKD")(
+      args => graft.functions.NormalizeUnicodeExpr(args(0),
         strLit(args(1), "graft_normalize_unicode", "form"))),
-    "graft_cosine" -> (
-      info("graft_cosine", "_FUNC_(a, b) - cosine similarity of two float/double arrays"),
-      (args: Seq[Expression]) => graft.functions.CosineSimExpr(args(0), args(1))),
-    "graft_trim_punctuation" -> (
-      info("graft_trim_punctuation", "_FUNC_(text) - fixpoint trailing-punctuation trim"),
-      (args: Seq[Expression]) => graft.marc.TrimPunctuation(args.head)),
-    "graft_approx_top" -> (
-      info("graft_approx_top",
-        "_FUNC_(col, capacity) - Misra-Gries heavy-hitter sketch aggregate"),
+    fn("graft_cosine", 2, "_FUNC_(a, b) - cosine similarity of two float/double arrays")(
+      args => graft.functions.CosineSimExpr(args(0), args(1))),
+    fn("graft_trim_punctuation", 1,
+       "_FUNC_(text) - fixpoint trailing-punctuation trim")(
+      args => graft.marc.TrimPunctuation(args.head)),
+    fn("graft_approx_top", 2,
+       "_FUNC_(col, capacity) - Misra-Gries heavy-hitter sketch aggregate")(
       // AggregateFunctions are returned bare; the analyzer wraps them
       // into an AggregateExpression during resolution
-      (args: Seq[Expression]) => graft.functions.MisraGriesAgg(args(0),
+      args => graft.functions.MisraGriesAgg(args(0),
         intLit(args(1), "graft_approx_top", "capacity"))))
 }

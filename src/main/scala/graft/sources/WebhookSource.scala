@@ -108,21 +108,20 @@ object WebhookIngest {
   /** Raw staged lines (column `value`) → parsed envelopes (column `w`).
     * Malformed JSON parses to null and is dropped.
     *
-    * The parse sits behind an `explode(array(…))` barrier on purpose:
-    * JsonToStructs is a CodegenFallback expression and both predicate
-    * pushdown and CollapseProject clone it into every reference site —
-    * the routed extraction plans otherwise carry 9 independent
-    * from_json copies (measured 12s → 4.5s for 600k payloads at
-    * sf0.1). A Generate is a boundary the optimizer never inlines
-    * through, so every payload is parsed exactly once regardless of
-    * how many fields downstream routing reads.
+    * The parse sits behind [[graft.functions.OncePerRowExpr]] on
+    * purpose: JsonToStructs is a CodegenFallback expression and both
+    * predicate pushdown and CollapseProject clone it into every
+    * reference site — the routed extraction plans would otherwise
+    * carry 9 independent from_json copies (measured 12s vs 4.5s for
+    * 600k payloads at sf0.1). The barrier's non-determinism flag stops
+    * that inlining while keeping the plan a plain codegen Project; the
+    * explode(array(…)) Generate barrier it replaces pinned the same
+    * single parse but the Generate node itself cost more than the
+    * duplicates it prevented (~1.9s plain parse vs ~4.4s behind the
+    * explode barrier, graft.Debug). Plan-asserted in PlanQualitySpec:
+    * exactly one from_json, zero Generate nodes.
     */
   def parse(raw: DataFrame): DataFrame =
-    // OncePerRowExpr pins exactly ONE from_json eval per row without
-    // the explode(array(…)) Generate barrier it replaces — the Generate
-    // node cost more than the duplicate parses it prevented (measured
-    // in graft.Debug: ~1.9s plain parse vs ~4.4s behind the explode
-    // barrier at sf0.1)
     raw.select(graft.functions.OncePerRowExpr(
         from_json(col("value"), PayloadSchema, Map.empty[String, String])).as("w"))
       .filter(col("w").isNotNull && col("w")("action").isNotNull)

@@ -114,6 +114,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"vocab-sized model must broadcast:\n$plan")
   }
 
+  test("webhook parse path: exactly one from_json, zero Generate nodes") {
+    // the OncePerRowExpr barrier must keep pinning a single parse —
+    // if an optimizer change re-inlines it, from_json multiplies; if
+    // someone reverts to the explode barrier, a Generate appears
+    val plan = SparkEntry.queries("webhook_item_status")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("from_json".r.findAllIn(plan).size == 1, s"parse duplicated:\n$plan")
+    assert(!plan.contains("Generate"), s"explode barrier reintroduced:\n$plan")
+  }
+
   test("approx_top_tokens: sketch partials aggregate before the single-partition exchange") {
     val plan = formatted(SparkEntry.queries("approx_top_tokens")(spark, sf))
     // ObjectHashAggregate partial (map-side sketches) + final after a

@@ -72,4 +72,24 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("literal"), e.getMessage)
   }
+
+  test("wrong arity and out-of-range literals are rejected, not silently ignored") {
+    docsView()
+    // extra argument: must error, never silently use the hardcoded base
+    val extra = intercept[Exception] {
+      spark.sql("SELECT graft_rolling_hash(text, 37) FROM sql_fn_docs").collect()
+    }
+    assert(extra.getMessage.contains("expects 1 argument"), extra.getMessage)
+    val missing = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0D)) FROM sql_fn_docs").collect()
+    }
+    assert(missing.getMessage.contains("expects 2 argument"), missing.getMessage)
+    // BIGINT literal outside Int range: must error, never wrap
+    val range = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_shingles(split(text, ' '), 4294967299) FROM sql_fn_docs")
+        .collect()
+    }
+    assert(range.getMessage.contains("out of integer range"), range.getMessage)
+  }
 }

@@ -556,6 +556,12 @@ object SparkEntry {
       QualityClassifier.score(feats, model, "doc_id")
     }),
 
+    // E25: token-window passage chunking (overlapping windows of 40
+    // tokens advancing by 30 — the RAG/pretraining splitting step)
+    "chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables(s, dir).documents, "doc_id", "text",
+        chunkTokens = 40, stride = 30)),
+
     // E24: the full curation pipeline (normalize → signals → filters →
     // exact+near dedup → sample → pack) — rows-only (the near-dup
     // canonical is LSH-hash-dependent and the audit frame has no
@@ -1391,6 +1397,20 @@ object SparkEntry {
                        // (2 * count(*)) AS BIGINT)::DOUBLE / 1e6 AS cross_entropy
          FROM toks t JOIN lm l USING (word)
          GROUP BY t.doc_id""",
+
+    "chunk_documents" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         k AS (
+           SELECT doc_id, w,
+                  greatest(CAST(ceil((len(w) - 40)::DOUBLE / 30) AS INT), 0) AS kmax
+           FROM toks),
+         st AS (
+           SELECT doc_id, w, unnest(generate_series(0, kmax)) AS i FROM k)
+         SELECT doc_id, i::BIGINT AS chunk_ix,
+                len(w[i*30+1 : i*30+40])::BIGINT AS n_tokens,
+                array_to_string(w[i*30+1 : i*30+40], ' ') AS chunk_text
+         FROM st WHERE len(w[i*30+1 : i*30+40]) > 0""",
 
     "approx_top_tokens" ->
       """WITH toks AS (

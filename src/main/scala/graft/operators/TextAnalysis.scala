@@ -266,6 +266,32 @@ object TextAnalysis {
           .as("cross_entropy"))
   }
 
+  /** Token-window chunking — the passage-splitting step of a
+    * pretraining/RAG pipeline: each document yields windows of
+    * `chunkTokens` whitespace tokens advancing by `stride` (stride <
+    * chunkTokens ⇒ overlapping windows; the final partial window is
+    * kept iff non-empty). Map-side: slice/explode over the token
+    * array, no shuffle — each 100 TB scan task chunks its own rows.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkTokens=$chunkTokens and stride=$stride must be positive")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // window start offsets: 0, stride, 2·stride … strictly below size
+    val starts = sequence(lit(0), greatest(
+      ceil((size(toks) - chunkTokens).cast("double") / stride).cast("int"),
+      lit(0)))
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"),
+        posexplode(starts).as(Seq("chunk_ix", "__w")))
+      .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
+        slice(col("__toks"), col("__w") * stride + 1, lit(chunkTokens)).as("__ct"))
+      .filter(size(col("__ct")) > 0)
+      .select(col("doc_id"), col("chunk_ix"),
+        size(col("__ct")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__ct")).as("chunk_text"))
+  }
+
   /** Word-set Jaccard similarity between two text columns (candidate-pair
     * verification for near-dedup). Pure column expression.
     */

@@ -95,6 +95,32 @@ class TextStatsSpec extends AnyFunSuite {
     assert(nfd == decomposed)
   }
 
+  test("chunkDocuments: window/stride semantics on hand-counted docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, (1 to 11).map(i => s"w$i").mkString(" "))) // sub-stride tail
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_ix")
+      .as[(Long, Long, Long, String)].collect()
+    // doc 1: starts 0,3,6 → [w1..w4],[w4..w7],[w7..w10] — last window
+    // reaches the end, no extra sub-stride tail window
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    // doc 2: one whole-doc chunk
+    assert(out.filter(_._1 == 2L).map(x => (x._3, x._4)).toSeq ==
+      Seq((3L, "a b c")))
+    // doc 3 (11 toks): starts 0,3,6,9 → final PARTIAL window w10 w11
+    assert(out.filter(_._1 == 3L).map(_._4).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10 w11"))
+    // map-side only
+    val plan = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("OncePerRowExpr pins one evaluation under multi-reference projection") {
     // parquet-backed so ConvertToLocalRelation can't pre-fold the parse
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -556,6 +556,12 @@ object SparkEntry {
       QualityClassifier.score(feats, model, "doc_id")
     }),
 
+    // E26: per-document top-3 TF-IDF keywords (micro-nat-quantized IDF
+    // → exact-integer weights, deterministic tie-break)
+    "tfidf_keywords" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(Tables(s, dir).documents, "doc_id", "text",
+        k = 3)),
+
     // E25: token-window passage chunking (overlapping windows of 40
     // tokens advancing by 30 — the RAG/pretraining splitting step)
     "chunk_documents" -> ((s, dir) =>
@@ -1397,6 +1403,28 @@ object SparkEntry {
                        // (2 * count(*)) AS BIGINT)::DOUBLE / 1e6 AS cross_entropy
          FROM toks t JOIN lm l USING (word)
          GROUP BY t.doc_id""",
+
+    "tfidf_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         idf AS (
+           SELECT word, CAST(round(ln(n::DOUBLE / df) * 1e6) AS BIGINT) AS idf_micro
+           FROM df, n),
+         w AS (
+           SELECT t.doc_id, t.word, t.tf, t.tf * i.idf_micro AS w_micro
+           FROM tf t JOIN idf i USING (word)),
+         r AS (
+           SELECT doc_id, word, tf, w_micro,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY w_micro DESC, word) AS rk
+           FROM w)
+         SELECT doc_id, rk::BIGINT AS rank, word AS term,
+                tf::BIGINT AS tf, CAST(w_micro AS BIGINT) AS w_micro
+         FROM r WHERE rk <= 3""",
 
     "chunk_documents" ->
       """WITH toks AS (

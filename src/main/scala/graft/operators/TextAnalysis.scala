@@ -266,6 +266,39 @@ object TextAnalysis {
           .as("cross_entropy"))
   }
 
+  /** Per-document top-k TF-IDF keywords — the classic term-weighting
+    * feature extractor. IDF is quantized to integer micro-nats
+    * (`round(ln(N/df)·1e6)`, computed once per VOCAB word) so the
+    * tf·idf weight is EXACT integer arithmetic — order-independent
+    * across engines and layouts, the same determinism device as
+    * [[unigramLm]]. Ties break by term ascending.
+    *
+    * Scale shape: one (doc, word) aggregation, one vocab-sized df
+    * aggregation broadcast back, and a doc-partitioned top-k window.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("word"))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(count(lit(1)).as("__n"))
+    val idf = df.crossJoin(broadcast(n))
+      .select(col("word"),
+        round(log(col("__n").cast("double") / col("df")) * 1e6)
+          .cast("long").as("idf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("w_micro").desc, col("word"))
+    tf.join(broadcast(idf), "word")
+      .withColumn("w_micro", col("tf") * col("idf_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("word").as("term"),
+        col("tf"), col("w_micro"))
+  }
+
   /** Token-window chunking — the passage-splitting step of a
     * pretraining/RAG pipeline: each document yields windows of
     * `chunkTokens` whitespace tokens advancing by `stride` (stride <

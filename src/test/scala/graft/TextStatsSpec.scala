@@ -95,6 +95,26 @@ class TextStatsSpec extends AnyFunSuite {
     assert(nfd == decomposed)
   }
 
+  test("tfidf keywords: hand-computed weights, ubiquitous words rank last") {
+    // 3 docs; "common" in all → idf 0; "rare" only in doc 1
+    val docs = Seq(
+      (1L, "rare rare common alpha"),
+      (2L, "common alpha beta"),
+      (3L, "common beta beta gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Long, String, Long, Long)].collect()
+    def idfMicro(df: Long) = math.rint(math.log(3.0 / df) * 1e6).toLong
+    // doc 1: rare (tf 2, df 1) beats alpha (tf 1, df 2) beats common (idf 0)
+    assert(out.filter(_._1 == 1L).map(x => (x._3, x._5)).toSeq == Seq(
+      ("rare", 2 * idfMicro(1)), ("alpha", idfMicro(2))))
+    // doc 3: gamma (tf 1 × ln3 ≈ 1.099M µnats) beats beta (2 × ln1.5 ≈ 0.811M)
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq == Seq("gamma", "beta"))
+    // every doc emits exactly k (or vocab-size) rows with ranks 1..k
+    assert(out.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.sameElements(1L to rs.length) })
+  }
+
   test("chunkDocuments: window/stride semantics on hand-counted docs") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks

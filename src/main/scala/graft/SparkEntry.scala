@@ -1405,9 +1405,10 @@ object SparkEntry {
          GROUP BY t.doc_id""",
 
     "tfidf_keywords" ->
-      """WITH toks AS (
+      """WITH toks0 AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
            FROM documents),
+         toks AS (SELECT * FROM toks0 WHERE word <> ''),
          tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
          df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
          n AS (SELECT count(*) AS n FROM documents),
@@ -1428,7 +1429,10 @@ object SparkEntry {
 
     "chunk_documents" ->
       """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS w
+           FROM documents),
          k AS (
            SELECT doc_id, w,
                   greatest(CAST(ceil((len(w) - 40)::DOUBLE / 30) AS INT), 0) AS kmax

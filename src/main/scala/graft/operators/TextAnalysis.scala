@@ -280,9 +280,11 @@ object TextAnalysis {
                     k: Int = 3): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0) // blank docs contribute no terms
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("word")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // tf already has one row per (doc, word) — derive df from it
+    // instead of a second full corpus explode + countDistinct
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("__n"))
     val idf = df.crossJoin(broadcast(n))
       .select(col("word"),
@@ -310,17 +312,22 @@ object TextAnalysis {
                      chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0 && stride > 0,
       s"chunkTokens=$chunkTokens and stride=$stride must be positive")
-    val toks = split(trim(col(textCol)), "\\s+")
-    // window start offsets: 0, stride, 2·stride … strictly below size
+    // drop empty tokens: split(trim(""), "\s+") is [""], and trim()
+    // strips only spaces, so newline/tab-trailing text would otherwise
+    // inflate counts and emit phantom empty chunks for blank docs
+    val toks = array_remove(split(trim(col(textCol)), "\\s+"), "")
+    // window start indices 0..kmax; the last window reaches the final
+    // token, a sub-stride remainder is not re-emitted as its own window
     val starts = sequence(lit(0), greatest(
       ceil((size(toks) - chunkTokens).cast("double") / stride).cast("int"),
       lit(0)))
     docs.select(col(idCol).as("doc_id"), toks.as("__toks"),
-        posexplode(starts).as(Seq("chunk_ix", "__w")))
-      .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
-        slice(col("__toks"), col("__w") * stride + 1, lit(chunkTokens)).as("__ct"))
-      .filter(size(col("__ct")) > 0)
+        explode(starts).as("chunk_ix"))
       .select(col("doc_id"), col("chunk_ix"),
+        slice(col("__toks"), col("chunk_ix") * stride + 1, lit(chunkTokens))
+          .as("__ct"))
+      .filter(size(col("__ct")) > 0)
+      .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
         size(col("__ct")).cast("long").as("n_tokens"),
         concat_ws(" ", col("__ct")).as("chunk_text"))
   }

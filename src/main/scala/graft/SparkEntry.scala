@@ -151,8 +151,31 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  /** Drop this session's corpus/split caches (benchmark hygiene: lets a
-    * second measurement pass pay the real materialization again).
+  /** Session-scoped registry for ad-hoc persists created inside query
+    * closures (quality_classifier's feature cache, curate_corpus's
+    * pipeline caches). CacheManager matches canonicalized plans, so a
+    * fresh DataFrame in the next bench pass would silently hit a stale
+    * cache and skip its materialization — but the CacheManager is also
+    * SparkContext-wide, so a blanket `catalog.clearCache()` would nuke
+    * OTHER sessions' caches too. Registering each persist under its
+    * session keeps resetCaches exactly session-scoped.
+    */
+  private val trackedPersists =
+    scala.collection.concurrent.TrieMap.empty[Int, List[DataFrame]]
+
+  private[graft] def trackPersist(s: SparkSession, df: DataFrame): DataFrame = {
+    val key = System.identityHashCode(s)
+    trackedPersists.updateWith(key) {
+      case Some(l) => Some(df :: l)
+      case None    => Some(List(df))
+    }
+    df
+  }
+
+  /** Drop this session's corpus/split caches and tracked ad-hoc
+    * persists (benchmark hygiene: lets a second measurement pass pay
+    * the real materialization again). Strictly session-scoped — never
+    * touches another session's cache entries.
     */
   private[graft] def resetCaches(s: SparkSession): Unit = {
     val key = System.identityHashCode(s)
@@ -164,11 +187,7 @@ object SparkEntry {
       if (k == key) df.unpersist(true)
       k != key
     }
-    // ALSO drop untracked persists (e.g. quality_classifier's feature
-    // cache): CacheManager matches canonicalized plans, so a fresh
-    // DataFrame in the next bench pass would silently hit this pass's
-    // cache and the measurement would not pay its materialization
-    s.catalog.clearCache()
+    trackedPersists.remove(key).foreach(_.foreach(_.unpersist(true)))
   }
 
   /** Parsed item rows — a narrow flat view over the split cache. */
@@ -545,8 +564,8 @@ object SparkEntry {
       // persist: the feature scan (incl. the per-doc repetition hash
       // maps) feeds 25 gradient jobs AND the final scoring pass —
       // without this it would recompute from the raw scan each time
-      val feats = QualityClassifier.features(docs, "text", "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val feats = trackPersist(s, QualityClassifier.features(docs, "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val labeled = feats.withColumn("label",
         (col("distinct_token_ratio") >= 0.5 && col("alpha_ratio") >= 0.5)
           .cast("int"))
@@ -580,6 +599,10 @@ object SparkEntry {
           "src8" -> 1000, "src9" -> 1000, "src10" -> 500, "src11" -> 500,
           "src12" -> 1000, "src13" -> 1000, "src14" -> 500, "src15" -> 500,
           "src16" -> 1000, "src17" -> 1000, "src18" -> 500, "src19" -> 500)))
+      // the pipeline's persists outlive this closure (the decisions
+      // frame is materialized later, by Verify/Bench) — register them
+      // so resetCaches drops them session-scoped
+      r.cachedFrames.foreach(trackPersist(s, _))
       r.decisions
     }),
 
@@ -1287,7 +1310,8 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
 
     "text_quality" ->
-      """SELECT doc_id,
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+         SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_chars,
                 round(CASE WHEN length(text) > 0
                   THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
@@ -1295,12 +1319,16 @@ object SparkEntry {
                 round(CASE WHEN length(text) > 0
                   THEN CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text)
                   ELSE 0.0 END, 6) AS space_ratio,
-                round(CAST(len(list_filter(string_split(text, ' '),
-                        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-                      / len(string_split(text, ' ')), 6) AS stopword_ratio,
-                round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                      / len(string_split(text, ' ')), 6) AS avg_token_len
-         FROM documents""",
+                round(CASE WHEN length(text) > 0
+                  THEN CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                       / len(string_split(text, ' '))
+                  ELSE 0.0 END, 6) AS stopword_ratio,
+                round(CASE WHEN length(text) > 0
+                  THEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(text, ' '))
+                  ELSE 0.0 END, 6) AS avg_token_len
+         FROM d""",
 
     "redact_pii" ->
       """WITH t AS (
@@ -1389,8 +1417,10 @@ object SparkEntry {
          LEFT JOIN tristat r USING (doc_id)""",
 
     "perplexity_score" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      """WITH toks0 AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+           FROM documents),
+         toks AS (SELECT * FROM toks0 WHERE word <> ''),
          counts AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
          stats AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
          lm AS (

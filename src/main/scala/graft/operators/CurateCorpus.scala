@@ -59,6 +59,11 @@ object CurateCorpus {
       * clear.
       */
     def release(): Unit = cached.foreach(_.unpersist(false))
+    /** The pipeline's persisted frames, for callers that manage cache
+      * lifecycle themselves (e.g. a bench harness's session-scoped
+      * reset) instead of calling [[release]].
+      */
+    def cachedFrames: Seq[DataFrame] = cached
     private[CurateCorpus] var cached: Seq[DataFrame] = Nil
   }
 
@@ -123,15 +128,19 @@ object CurateCorpus {
         coalesce(col("keep_id") === col("doc_id"), lit(true)))
       .drop("keep_id")
 
-    // 6. deterministic sampling decision (empty rate table keeps all)
+    // 6. deterministic sampling decision. An empty rate table keeps
+    // all; with a non-empty table, strata MISSING from it also default
+    // to keep-all (rate 1000‰) — a partial rate table tunes the strata
+    // it names without silently discarding the rest (use an explicit
+    // 0 rate to drop a stratum).
     val sampled =
       if (cfg.sampleRates.isEmpty) near.withColumn("sampled", lit(true))
       else {
         val rates = broadcast(cfg.sampleRates.toSeq.toDF("stratum", "__permille"))
         near.join(rates, Seq("stratum"), "left")
           .withColumn("sampled",
-            coalesce(pmod(TextAnalysis.fingerprint(col("text")), lit(1000L))
-              < col("__permille"), lit(false)))
+            pmod(TextAnalysis.fingerprint(col("text")), lit(1000L))
+              < coalesce(col("__permille"), lit(1000)))
           .drop("__permille")
       }
 

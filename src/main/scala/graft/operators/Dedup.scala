@@ -207,6 +207,53 @@ object Dedup {
       .write.mode(mode).parquet(s"$indexDir/shingles")
   }
 
+  /** Compact a persisted dedup index in place: rewrite `bands` as ONE
+    * file per band_pt partition and `shingles` as `shinglePartitions`
+    * files, dropping the exact-duplicate rows an at-least-once replay
+    * of [[extendDedupIndex]] may have appended (result-neutral:
+    * [[dedupAgainstIndex]] already dedups candidate pairs, so dropping
+    * duplicate index rows cannot change its output — spec-asserted).
+    *
+    * [[extendDedupIndex]] appends one file-set per batch across 64
+    * partitions, so a long-running stream accrues unbounded small
+    * files without this — the same problem
+    * [[graft.sources.DataSyncStore.compact]] solves for the store.
+    * Commit is temp-write + delete/rename (the PublishToMarc pattern):
+    * the long write job targets a sibling tmp dir while the live index
+    * stays readable; only the two fast metadata ops sit in the swap
+    * window. Run it between micro-batches (see
+    * [[graft.streaming.Streams.streamDedupIncremental]]'s
+    * `compactEvery`) or while ingest is paused.
+    */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, shinglePartitions: Int = 64): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    def swapIn(sub: String)(write: String => Unit): Unit = {
+      val live = new Path(s"$indexDir/$sub")
+      val tmp = new Path(s"$indexDir/$sub.compact.tmp")
+      val fs = live.getFileSystem(conf)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      write(tmp.toString)
+      fs.delete(live, true)
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"compact swap failed for $live")
+    }
+    swapIn("bands") { tmp =>
+      spark.read.parquet(s"$indexDir/bands")
+        .dropDuplicates("doc_id", "band_ix", "band_hash")
+        // each band_pt lands wholly in one task → one file per partition dir
+        .repartition(64, col("band_pt"))
+        .write.mode("overwrite").partitionBy("band_pt").parquet(tmp)
+    }
+    swapIn("shingles") { tmp =>
+      spark.read.parquet(s"$indexDir/shingles")
+        .dropDuplicates("doc_id")
+        .repartition(shinglePartitions)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** Near-dup detection of a NEW batch against a persisted corpus index
     * (see [[buildDedupIndex]]) — the daily-ingest shape of dedup:
     * which incoming documents already exist (near-)verbatim in the

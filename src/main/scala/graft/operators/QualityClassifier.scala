@@ -36,13 +36,15 @@ object QualityClassifier {
     * map-side column math over one scan.
     */
   def features(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = col(textCol)
+    // coalesce once so EVERY feature is null-free: a null text would
+    // otherwise null the repetition stats and log_len (only alpha_ratio
+    // is null-safe on its own), dropping the row asymmetrically from
+    // per-column gradient averages and scoring it null
+    val t = coalesce(col(textCol), lit(""))
     val toks = split(t, " ")
     val stats = graft.functions.RepetitionStatsExpr(toks)
     docs.select(
       col(idCol),
-      // the shared definition — 0.0 (never null) on empty text, so no
-      // row silently drops out of the gradient aggregates or scores null
       TextAnalysis.alphaRatioRaw(t).as("alpha_ratio"),
       stats.getItem(0).as("distinct_token_ratio"),
       stats.getItem(1).as("top_bigram_frac"),

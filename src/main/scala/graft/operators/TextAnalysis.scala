@@ -36,9 +36,12 @@ object TextAnalysis {
 
   /** Per-document quality metrics: char/alpha/space/stopword ratios and
     * token stats. Ratios rounded to 6 places for cross-engine parity.
+    * Contract: EVERY ratio is 0.0 — never null — on empty or null text
+    * (text is coalesced to "" so a missing document still gets a row of
+    * zeros instead of silently dropping out of downstream aggregates).
     */
   def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = col(textCol)
+    val t = coalesce(col(textCol), lit(""))
     val toks = split(t, " ")
     val nChars = length(t)
     val spaces = length(t) - length(regexp_replace(t, " ", ""))
@@ -47,11 +50,12 @@ object TextAnalysis {
       col(idCol),
       nChars.cast("long").as("n_chars"),
       round(alphaRatioRaw(t), 6).as("alpha_ratio"),
-      // same empty-text contract as alphaRatioRaw: 0.0, never null
       round(when(nChars > 0, spaces.cast("double") / nChars).otherwise(0.0), 6)
         .as("space_ratio"),
-      round(stops.cast("double") / size(toks), 6).as("stopword_ratio"),
-      round((nChars.cast("double") - spaces) / size(toks), 6).as("avg_token_len"))
+      round(when(nChars > 0, stops.cast("double") / size(toks)).otherwise(0.0), 6)
+        .as("stopword_ratio"),
+      round(when(nChars > 0, (nChars.cast("double") - spaces) / size(toks))
+        .otherwise(0.0), 6).as("avg_token_len"))
   }
 
   /** Token counts: whitespace tokens and a BPE-ish lexer count
@@ -226,12 +230,17 @@ object TextAnalysis {
     * non-associative and groupBy delivers rows in arbitrary order).
     * `ln` itself runs once per VOCAB entry, never per token.
     *
+    * Tokenization is the house empty-stripped `\s+` definition shared
+    * with [[tokenCounts]]/[[tfidfKeywords]]/[[chunkDocuments]] — ragged
+    * spacing never mints phantom ""-word vocab entries.
+    *
     * Scale shape: one token-count aggregation (map-side partial); the
     * totals ride back as a 1-row broadcast. The model is vocab-sized.
     */
   def unigramLm(docs: DataFrame, textCol: String): DataFrame = {
     val toks = docs.select(
-      explode(split(col(textCol), " ")).as("word"))
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
     val counts = toks.groupBy("word").agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
     counts.crossJoin(broadcast(totals))
@@ -251,7 +260,8 @@ object TextAnalysis {
   def crossEntropy(docs: DataFrame, idCol: String, textCol: String,
                    lm: DataFrame): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("word"))
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0) // same tokenization as unigramLm
     toks.join(broadcast(lm), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -166,32 +166,72 @@ object Streams {
     * its own already-admitted docs would otherwise mark novel
     * documents as duplicates of themselves), and duplicate decision
     * rows are dropped on read via `dropDuplicates(new_id, dup_of)`.
+    * Matches whose `dup_of` is itself a member of the CURRENT batch
+    * are filtered for the same reason: in a first run the batch's own
+    * docs are not yet in the index when the lookup runs, so such a
+    * match can only be a replay finding a within-batch sibling
+    * admitted by the failed attempt — without the filter the replay
+    * would demote that sibling to a duplicate, breaking the
+    * both-admitted contract above.
+    *
+    * `compactEvery = Some(n)` runs
+    * [[graft.operators.Dedup.compactDedupIndex]] after every n-th
+    * batch, bounding the index's small-file growth (each batch
+    * otherwise appends a file-set across 64 partitions forever).
     */
   def streamDedupIncremental(docs: Dataset[Doc], indexDir: String,
                              decisionsDir: String, checkpointDir: String,
                              shingleN: Int = 3, k: Int = 64,
-                             bands: Int = 16, threshold: Double = 0.7)
+                             bands: Int = 16, threshold: Double = 0.7,
+                             compactEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Doc], _: Long) =>
+      .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
         if (!batch.isEmpty) {
-          val b = batch.toDF.persist()
-          val dups = graft.operators.Dedup.dedupAgainstIndex(
-            b, indexDir, "doc_id", "text", shingleN, k, bands, threshold)
-            .persist()
-          dups.write.mode("append").parquet(decisionsDir)
-          val survivors = b.join(
-            dups.select(col("new_id").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          graft.operators.Dedup.extendDedupIndex(
-            survivors, "doc_id", "text", indexDir, shingleN, k, bands)
-          dups.unpersist()
-          b.unpersist()
+          dedupAdmitBatch(batch.toDF, indexDir, decisionsDir,
+            shingleN, k, bands, threshold)
+          compactEvery.foreach { n =>
+            if (n > 0 && (batchId + 1) % n == 0)
+              graft.operators.Dedup.compactDedupIndex(
+                batch.sparkSession, indexDir)
+          }
         }
         ()
       }
       .start()
+
+  /** One cycle unit of the incremental near-dedup stream: dedup the
+    * batch against the index, append the duplicate decisions, admit
+    * the survivors. Exposed (package-private) so replay/backfill
+    * parity specs can drive exactly what the stream runs. Idempotent
+    * under at-least-once re-execution — see
+    * [[streamDedupIncremental]]'s semantics notes.
+    */
+  private[graft] def dedupAdmitBatch(b0: DataFrame, indexDir: String,
+                                     decisionsDir: String, shingleN: Int = 3,
+                                     k: Int = 64, bands: Int = 16,
+                                     threshold: Double = 0.7): Unit = {
+    val b = b0.persist()
+    val dups = graft.operators.Dedup.dedupAgainstIndex(
+      b, indexDir, "doc_id", "text", shingleN, k, bands, threshold)
+      // replay tolerance: dup_of inside the current batch ⇒ the match
+      // is a failed attempt's within-batch admission, not a finding
+      // (the batch's own docs are never in the index on a first run)
+      .join(b.select(col("doc_id").as("dup_of")), Seq("dup_of"), "left_anti")
+      .select(col("new_id"), col("dup_of"), col("jaccard"))
+      .persist()
+    // skip all-empty appends: a dup-free batch would otherwise leave a
+    // schemaless file-set (and the very first one an unreadable dir)
+    if (!dups.isEmpty) dups.write.mode("append").parquet(decisionsDir)
+    val survivors = b.join(
+      dups.select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    graft.operators.Dedup.extendDedupIndex(
+      survivors, "doc_id", "text", indexDir, shingleN, k, bands)
+    dups.unpersist()
+    b.unpersist()
+  }
 
   /** Stable-file detection: the sftp_wait_for_stable semantics
     * (sftp_wait_for_stable.py) as a relational op over two manifest

@@ -99,6 +99,22 @@ class CurateCorpusSpec extends AnyFunSuite {
     r.release()
   }
 
+  test("partial sample-rate table: unnamed strata default to keep-all, rate 0 drops") {
+    val input = Seq(
+      (1L, "a perfectly ordinary clean document of nine words", "named"),
+      (2L, "another perfectly reasonable document with enough words here", "unnamed"),
+      (3L, "a third acceptable document that still has enough tokens", "zeroed"))
+      .toDF("doc_id", "text", "source")
+    val r = CurateCorpus.run(input, "doc_id", "text", "source",
+      CurateCorpus.Config(sampleRates = Map("named" -> 1000, "zeroed" -> 0)))
+    val d = r.decisions.select("doc_id", "kept", "drop_reason")
+      .as[(Long, Boolean, String)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(d(1L)._1, s"named stratum at 1000‰ must keep: ${d(1L)}")
+    assert(d(2L)._1, s"stratum MISSING from the rate table must keep-all: ${d(2L)}")
+    assert(d(3L) == (false, "sampled_out"), s"explicit 0‰ must drop: ${d(3L)}")
+    r.release()
+  }
+
   test("observed counters match the materialized result") {
     val c = curated.count() // action → observation resolves
     val m = result.observation.get

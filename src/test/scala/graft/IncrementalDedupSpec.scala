@@ -125,6 +125,131 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(replay.isEmpty, replay.mkString(", "))
   }
 
+  private def parquetFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+  }
+
+  test("compactDedupIndex: identical results, one file per band_pt partition") {
+    val dir = ix("compact")
+    // many small appends — the exact growth pattern a stream produces
+    Dedup.buildDedupIndex(oldDocs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", dir)
+    (1 to 3).foreach { r =>
+      Dedup.extendDedupIndex(oldDocs.filter(col("doc_id") % 4 === r),
+        "doc_id", "text", dir)
+    }
+    def q() = Dedup.dedupAgainstIndex(newDocs, dir, "doc_id", "text")
+      .select("new_id", "dup_of", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val before = q()
+    val filesBefore = parquetFiles(s"$dir/bands").size
+    Dedup.compactDedupIndex(spark, dir)
+    val after = q()
+    assert(after == before)
+    assert(before.nonEmpty)
+    // exactly one data file per band_pt directory
+    val bandDirs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band_pt="))
+    assert(bandDirs.nonEmpty)
+    bandDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName} has $n files after compaction")
+    }
+    assert(parquetFiles(s"$dir/bands").size < filesBefore)
+  }
+
+  test("compactDedupIndex drops replay-appended duplicate rows, results unchanged") {
+    val dir = ix("compactdup")
+    Dedup.buildDedupIndex(oldDocs, "doc_id", "text", dir)
+    // simulate an at-least-once replay: the same admission lands twice
+    val novel = Seq((7100001L, "compaction replay duplicate row fixture"))
+      .toDF("doc_id", "text")
+    Dedup.extendDedupIndex(novel, "doc_id", "text", dir)
+    Dedup.extendDedupIndex(novel, "doc_id", "text", dir)
+    def q() = Dedup.dedupAgainstIndex(newDocs, dir, "doc_id", "text")
+      .select("new_id", "dup_of", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val before = q()
+    Dedup.compactDedupIndex(spark, dir)
+    assert(q() == before)
+    // the duplicated index rows are physically gone
+    val bandRows = spark.read.parquet(s"$dir/bands")
+      .filter(col("doc_id") === 7100001L)
+    assert(bandRows.count() ==
+      bandRows.dropDuplicates("band_ix", "band_hash").count())
+  }
+
+  test("streaming compactEvery bounds index file growth across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sq = spark.sqlContext
+
+    val base = java.nio.file.Files.createTempDirectory("graft_sdic").toString
+    val (ixDir, decDir, ckDir) = (s"$base/ix", s"$base/dec", s"$base/ck")
+    Dedup.buildDedupIndex(oldDocs, "doc_id", "text", ixDir)
+
+    val input = MemoryStream[Streams.Doc]
+    val q = Streams.streamDedupIncremental(input.toDS(), ixDir, decDir, ckDir,
+      compactEvery = Some(2))
+    try {
+      (1 to 4).foreach { i =>
+        input.addData(Streams.Doc(6000000L + i, s"novel streaming doc number $i"),
+                      Streams.Doc(6100000L + i, s"another fresh document $i here"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // 4 batches ran, compaction fired after batches 2 and 4 — the final
+    // state is fully compacted: one data file per band_pt directory
+    new java.io.File(s"$ixDir/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band_pt="))
+      .foreach { d =>
+        val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(n == 1, s"${d.getName} has $n files")
+      }
+    // and the compacted index still answers: a copy of a batch-1 doc
+    val probe = Seq((6900001L, "novel streaming doc number 1")).toDF("doc_id", "text")
+    val hit = Dedup.dedupAgainstIndex(probe, ixDir, "doc_id", "text")
+      .select("new_id", "dup_of").as[(Long, Long)].collect()
+    assert(hit.contains((6900001L, 6000001L)), hit.mkString(", "))
+  }
+
+  test("replayed batch does not demote a within-batch near-dup sibling") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sibling").toString
+    val (ixDir, decDir) = (s"$base/ix", s"$base/dec")
+    Dedup.buildDedupIndex(oldDocs, "doc_id", "text", ixDir)
+
+    // two siblings: near-dups of EACH OTHER, novel vs history — by the
+    // contract both are admitted (within-batch pairs are not findings)
+    val tpl = "sibling replay fixture with many shared tokens " +
+      (1 to 30).map(i => s"tok$i").mkString(" ")
+    val siblings = Seq((8000001L, tpl), (8000002L, tpl + " tailword"))
+      .toDF("doc_id", "text")
+    // dup-free batches skip the decisions append, so the dir may not exist
+    def decisions(): Set[(Long, Long)] = scala.util.Try(
+      spark.read.parquet(decDir)
+        .select("new_id", "dup_of").as[(Long, Long)].collect().toSet)
+      .getOrElse(Set.empty)
+
+    graft.streaming.Streams.dedupAdmitBatch(siblings, ixDir, decDir)
+    val first = decisions()
+    assert(first.isEmpty, s"first run must admit both siblings: $first")
+
+    // at-least-once replay: both siblings are now IN the index; the
+    // batch-membership filter must keep them from matching each other
+    graft.streaming.Streams.dedupAdmitBatch(siblings, ixDir, decDir)
+    val replay = decisions()
+    assert(replay.isEmpty, s"replay demoted a sibling: $replay")
+    // and both siblings are queryable history for later batches
+    val probe = Seq((8900001L, tpl)).toDF("doc_id", "text")
+    val hits = Dedup.dedupAgainstIndex(probe, ixDir, "doc_id", "text")
+      .select("dup_of").as[Long].collect().toSet
+    assert(hits == Set(8000001L, 8000002L), hits.mkString(", "))
+  }
+
   test("the new batch broadcasts against the index scan (no index shuffle join)") {
     val dir = ix("plan")
     Dedup.buildDedupIndex(oldDocs, "doc_id", "text", dir)

@@ -159,6 +159,35 @@ class TextStatsSpec extends AnyFunSuite {
       Seq((0, 2, 2), (1, 2, 3), (2, 2, 4)))
   }
 
+  test("quality ratios are 0.0 — never null — on empty and null text") {
+    val docs = Seq((1L, "the quick fox"), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.quality(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // normal doc: real ratios
+    assert(out(0).getLong(1) == 13L)
+    assert(out(0).getDouble(4) > 0.0) // avg_token_len
+    // empty and null text: every column 0.0/0, no nulls anywhere
+    Seq(out(1), out(2)).foreach { r =>
+      assert(!r.anyNull, s"null cell in $r")
+      assert(r.getLong(1) == 0L)
+      (2 to 5).foreach(i => assert(r.getDouble(i) == 0.0, s"col $i of $r"))
+    }
+  }
+
+  test("LM tokenization strips empty tokens: ragged spacing mints no phantom vocab") {
+    // "a  b" with a double space: the old split-on-" " minted a ""
+    // vocab word; the \s+ empty-stripped definition must not
+    val docs = Seq((1L, "a  b"), (2L, " a b ")).toDF("doc_id", "text")
+    val lm = TextAnalysis.unigramLm(docs, "text")
+    assert(lm.select("word").as[String].collect().toSet == Set("a", "b"))
+    val ce = TextAnalysis.crossEntropy(docs, "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+    // both docs are the same 2-token stream → identical n_tokens + score
+    assert(ce(0).getLong(1) == 2L && ce(1).getLong(1) == 2L)
+    assert(ce(0).getDouble(2) == ce(1).getDouble(2))
+  }
+
   test("repetition stats plan is map-side only (no shuffle)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = TextAnalysis.repetitionStats(docs, "text", "doc_id")

@@ -2,75 +2,41 @@ package graft
 
 /** Scratch diagnostics main (not part of the driver contract).
   *
-  * Current experiment: webhook envelope parse — measured single-parse
-  * cost vs the optimizer's from_json duplication, and the explode
-  * barrier that pins the parse to exactly once per row.
+  * Current experiment (round 4): ANN recall@10 vs knob settings on the
+  * sf0.01 embedding corpus — a NEAR-UNIFORM random-vector corpus, i.e.
+  * the ANN worst case (cosine gaps between true and false neighbors
+  * are tiny, so any method that prunes the scan loses recall). The
+  * sweep quantifies the recall ↔ scan-fraction tradeoff to pick
+  * defaults and spec floors; numbers recorded in SURVEY §5.
   *
-  * CONCLUSION (round 3): plain parse ~1.9s, explode barrier ~4.4s at
-  * sf0.1 — the Generate node costs more than the duplicate parses it
-  * prevents for single-struct payloads. WebhookIngest.parse now uses
-  * functions.OncePerRowExpr (non-determinism flag blocks alias
-  * inlining, plan stays a codegen Project) instead.
+  * Previous experiment (round 3, kept for the record): webhook
+  * envelope parse — plain parse ~1.9s vs ~4.4s behind an explode
+  * barrier at sf0.1; WebhookIngest.parse uses OncePerRowExpr instead.
   */
 object Debug {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
-    val sf = "/root/testdata/sf0.1"
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[dbg] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2fs"); r
-    }
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    SparkEntry.queries("webhook_item_status")(spark, "/root/testdata/sf0.01").count()
-
     import org.apache.spark.sql.functions._
-    val t = graft.sources.Tables(spark, sf)
-    val payloads = t.lineitem.select(format_string(
-      "{\"action\":\"ITEM\",\"event\":{\"value\":\"ITEM_UPDATED\"}," +
-      "\"time\":\"2024-05-01T10:00:00Z\",\"modified_by\":\"exl\"," +
-      "\"item\":{\"item_data\":{\"pid\":\"%s\",\"base_status\":{\"value\":\"%s\"}," +
-      "\"process_type\":{\"value\":\"%s\"},\"due_date\":\"\"," +
-      "\"modification_date\":\"%s\"}}}",
-      concat(lit("23"), (col("l_orderkey") * 100 + col("l_linenumber")).cast("string"), lit("8651")),
-      when(col("l_returnflag") === "R", "0").otherwise("1"),
-      when(col("l_linestatus") === "O", "LOAN").otherwise(""),
-      concat(date_format(col("l_shipdate"), "yyyy-MM-dd"), lit(" 12:00:00"))).as("value"))
+    import graft.operators.Similarity
+
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .persist()
-    println(s"[dbg] payload rows ${payloads.count()}")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.annBruteForce(emb, queries, "vec_id", "embedding",
+      k = 10).persist()
+    println(s"[dbg] corpus=${emb.count()} queries=50 ground-truth rows=${exact.count()}")
 
-    val schema = graft.sources.WebhookIngest.PayloadSchema
-
-    (1 to 2).foreach { round =>
-      // true single-parse cost: one project, aggregate forces eval of a field
-      time(s"r$round single parse, field agg") {
-        payloads.select(from_json(col("value"), schema,
-            Map.empty[String, String]).as("w"))
-          .agg(count(col("w")("action"))).collect()
-      }
-      // explode barrier: Generate pins one from_json eval per row;
-      // downstream filter/extract reference the generator output
-      time(s"r$round explode-barrier parse+filter+extract") {
-        val p = payloads
-          .select(explode(array(from_json(col("value"), schema,
-            Map.empty[String, String]))).as("w"))
-          .filter(col("w").isNotNull && col("w")("action").isNotNull)
-        val d = col("w")("item")("item_data")
-        p.filter(upper(col("w")("action")) === "ITEM" && d("pid").isNotNull)
-          .select(d("pid").as("pid"),
-            coalesce(nullif(d("base_status")("value"), lit("")), lit("1")).as("status_code"),
-            nullif(d("process_type")("value"), lit("")).as("process_type"),
-            graft.marc.Extract.parseDateStr(nullif(d("due_date"), lit(""))).as("due_date"),
-            graft.marc.Extract.parseDateStr(nullif(d("modification_date"), lit("")))
-              .as("update_date_time"),
-            try_to_timestamp(nullif(col("w")("time"), lit(""))).as("create_date_time"))
-          .agg(count(col("pid")), count(col("update_date_time"))).collect()
-      }
-      // current production path
-      time(s"r$round current parse→itemBaseStatus") {
-        graft.sources.WebhookIngest.itemBaseStatus(
-          graft.sources.WebhookIngest.parse(payloads))
-          .agg(count(col("pid")), count(col("update_date_time"))).collect()
-      }
+    for (nprobe <- Seq(2, 4, 8, 16, 32)) {
+      val ivf = Similarity.annIvf(emb, queries, "vec_id", "embedding",
+        k = 10, nlist = 32, nprobe = nprobe, lloydIters = 2)
+      val r = Similarity.recallAtK(ivf, exact)
+      println(f"[dbg] ivf nlist=32 nprobe=$nprobe%-2d scan=${nprobe / 32.0}%.3f recall@10=$r%.4f")
+    }
+    for ((tables, bits) <- Seq((8, 8), (16, 8), (8, 6), (16, 6), (32, 6), (16, 4))) {
+      val lsh = Similarity.annLsh(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 10, tables = tables, bits = bits)
+      val r = Similarity.recallAtK(lsh, exact)
+      println(f"[dbg] lsh tables=$tables%-2d bits=$bits recall@10=$r%.4f")
     }
     spark.stop()
   }

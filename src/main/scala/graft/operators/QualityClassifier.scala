@@ -72,6 +72,28 @@ object QualityClassifier {
     finally proj.unpersist(blocking = false)
   }
 
+  /** Bounded-cost fit for corpus-scale training frames: a DETERMINISTIC
+    * fingerprint-gated subsample (the [[TextAnalysis.stratifiedSample]]
+    * device — `pmod(gate, 1000) < permille`, no RNG) ahead of the
+    * full-batch GD, so fit cost is `permille/1000 × corpus` per
+    * iteration instead of the whole corpus. The same documents are
+    * chosen on every run, engine and cluster layout, so refits are
+    * reproducible; `gate` is any deterministic per-row long — pass
+    * `TextAnalysis.fingerprint(col(textCol))` (content-gated: a
+    * re-partitioned or re-ordered corpus fits on the identical sample).
+    * For a model this size a subsample loses nothing (spec-asserted:
+    * sampled-fit log-loss within ε of the full-batch fit); keep
+    * [[fit]] as the exact oracle.
+    */
+  def fitSampled(train: DataFrame, featCols: Seq[String], labelCol: String,
+                 gate: Column, permille: Int,
+                 iterations: Int = 50, learningRate: Double = 1.0): Model = {
+    require(permille > 0 && permille <= 1000,
+      s"permille=$permille must be in (0, 1000]")
+    fit(train.filter(pmod(gate, lit(1000L)) < permille),
+      featCols, labelCol, iterations, learningRate)
+  }
+
   private def fitCached(train: DataFrame, featCols: Seq[String],
                         labelCol: String, iterations: Int,
                         learningRate: Double): Model = {

@@ -248,6 +248,24 @@ object Similarity {
               col("__rk").cast("long").as("rank"))
   }
 
+  /** Mean recall@k of an approximate ANN result against exact ground
+    * truth (both in the (query_id, neighbor_id, …) shape the ANN
+    * operators emit): per query, |approx ∩ exact| / |exact|, averaged
+    * over queries. Queries absent from `approx` entirely count as
+    * recall 0 — an index that drops a query must not inflate the mean.
+    * One semi-join + two aggregates; the scalar result is model-sized.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val g = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = g.join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__hit"))
+    g.groupBy("query_id").agg(count(lit(1)).as("__n"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(avg(coalesce(col("__hit"), lit(0L)).cast("double") / col("__n")))
+      .head().getDouble(0)
+  }
+
   /** Cosine near-duplicate pairs: LSH-bucket both rows, equal-bucket
     * self-join, exact-cosine verify at `threshold`. Same shape as
     * [[Dedup.minhashPairs]] — the bucket join is the only shuffle.

@@ -216,24 +216,31 @@ object WebhookIngest {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
-  /** One micro-batch (or backfill) of parsed envelopes → the store. */
+  /** One micro-batch (or backfill) of parsed envelopes → the store.
+    *
+    * The two insert-only frames dedupe on their natural keys WITHIN the
+    * batch first: the reference's row-at-a-time `ON CONFLICT DO
+    * NOTHING` collapses a same-statement duplicate exactly like a
+    * cross-statement one, so a one-shot BACKFILL over a whole staging
+    * directory must land the same state as the original file-at-a-time
+    * stream (duplicate events that straddled micro-batches there share
+    * one batch here) — parity spec-asserted in WebhookSpec.
+    */
   def applyBatch(parsed: DataFrame, store: SyncSink): Unit = {
     val p = parsed.persist()
     try {
-      val ru = recordUpdates(p)
-      if (!ru.isEmpty)
-        store.insertOnly("record_update", ru,
-          Seq("record_type", "record_id", "notification_date_time"))
+      val ruKey = Seq("record_type", "record_id", "notification_date_time")
+      val ru = recordUpdates(p).dropDuplicates(ruKey)
+      if (!ru.isEmpty) store.insertOnly("record_update", ru, ruKey)
       val ibs = itemBaseStatus(p)
       if (!ibs.isEmpty)
         store.guardedUpsert("item_base_status",
           Relational.latestPerKey(ibs, Seq("pid"),
             Seq(col("update_date_time"), col("status_code"))),
           Seq("pid"), "update_date_time")
-      val re = requestEvents(p)
-      if (!re.isEmpty)
-        store.insertOnly("request_event", re,
-          Seq("request_id", "notification_date_time", "request_event"))
+      val reKey = Seq("request_id", "notification_date_time", "request_event")
+      val re = requestEvents(p).dropDuplicates(reKey)
+      if (!re.isEmpty) store.insertOnly("request_event", re, reKey)
     } finally { p.unpersist(); () }
   }
 }

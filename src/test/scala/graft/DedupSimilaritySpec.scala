@@ -138,6 +138,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"indexed-vs-inline diff: ${(indexed diff inline) ++ (inline diff indexed)}")
   }
 
+  test("ANN recall@10 against brute-force ground truth on the sf corpus") {
+    // realistic-distribution recall (the planted-twin keys only prove
+    // exact-copy recovery): 50 corpus vectors as queries, exact top-10
+    // as ground truth, the two approximate paths + the persisted index
+    // measured against it. Floors are measured values minus margin —
+    // numbers recorded in SURVEY §5.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.annBruteForce(emb, queries, "vec_id", "embedding",
+      k = 10).cache()
+    assert(exact.select("query_id").distinct().count() == 50)
+
+    // this corpus is NEAR-UNIFORM random vectors — the ANN worst case
+    // (no cluster structure, so recall tracks the scanned fraction;
+    // measured sweep in graft.Debug / SURVEY §5: IVF nprobe 4/8/16/32
+    // of nlist=32 → 0.47/0.64/0.84/1.00). Every path is deterministic
+    // (fixed hyperplane seed, deterministic Lloyd), so floors sit just
+    // under the measured values, not wide noise margins.
+    def ivfAt(nprobe: Int) = Similarity.recallAtK(
+      Similarity.annIvf(emb, queries, "vec_id", "embedding",
+        k = 10, nlist = 32, nprobe = nprobe, lloydIters = 2), exact)
+    val r8 = ivfAt(8); val r16 = ivfAt(16); val r32 = ivfAt(32)
+    info(f"ivf recall@10: nprobe8=$r8%.4f nprobe16=$r16%.4f nprobe32=$r32%.4f")
+    assert(r8 >= 0.60, s"ivf nprobe=8 recall@10 $r8 (measured 0.636)")
+    assert(r16 >= 0.80, s"ivf nprobe=16 recall@10 $r16 (measured 0.838)")
+    assert(r32 >= 0.999, s"ivf nprobe=nlist must be exhaustive-exact, got $r32")
+    assert(r8 < r16 && r16 < r32, "recall must grow with nprobe")
+
+    // LSH at the wide-bucket setting (16 tables × 4 bits): ~0.896
+    val rLsh = Similarity.recallAtK(
+      Similarity.annLsh(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 10, tables = 16, bits = 4), exact)
+    info(f"lsh(16×4) recall@10: $rLsh%.4f")
+    assert(rLsh >= 0.85, s"ann_lsh(16,4) recall@10 $rLsh (measured 0.896)")
+
+    // persisted index reproduces inline IVF recall bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("ivf_recall").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir,
+      nlist = 32, lloydIters = 2)
+    val rIdx = Similarity.recallAtK(
+      Similarity.annIvfIndexed(queries, dir, "vec_id", "embedding",
+        k = 10, nprobe = 16), exact)
+    assert(rIdx == r16, s"indexed recall $rIdx != inline $r16")
+    exact.unpersist()
+  }
+
   test("pack_sequences: offsets tile each shard's token stream exactly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextAnalysis.packSequences(docs, "doc_id",

@@ -53,6 +53,34 @@ class QualityClassifierSpec extends AnyFunSuite {
       s"w=${m.weights.toSeq} — f1 must dominate the noise feature")
   }
 
+  test("fingerprint-gated sampled fit converges within ε of the full-batch fit") {
+    // gate on a deterministic per-row long (id hash stands in for the
+    // content fingerprint a text corpus would use); half the rows fit
+    val df = planted
+    val feats = Seq("f1", "f2")
+    val full = QualityClassifier.fit(df, feats, "label",
+      iterations = 60, learningRate = 2.0)
+    val sampled = QualityClassifier.fitSampled(df, feats, "label",
+      xxhash64(col("id")), permille = 500,
+      iterations = 60, learningRate = 2.0)
+    // both models evaluated on the FULL frame — the sampled fit must
+    // generalize, not just fit its own subsample
+    val lFull = QualityClassifier.logLoss(df, full, "label")
+    val lSampled = QualityClassifier.logLoss(df, sampled, "label")
+    info(f"log-loss full=$lFull%.4f sampled(500‰)=$lSampled%.4f")
+    assert(math.abs(lSampled - lFull) < 0.05,
+      s"sampled fit drifted: full=$lFull sampled=$lSampled")
+    // determinism: the same gate picks the same ROWS every refit (the
+    // gradient doubles may wiggle at the last ulp — inherent to
+    // distributed GD — so compare at 1e-9, not bit-exact)
+    val again = QualityClassifier.fitSampled(df, feats, "label",
+      xxhash64(col("id")), permille = 500,
+      iterations = 60, learningRate = 2.0)
+    assert(math.abs(again.bias - sampled.bias) < 1e-9)
+    sampled.weights.zip(again.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"refit drift: $a vs $b") }
+  }
+
   test("scoring is map-side only (model rides as literals, no shuffle)") {
     val m = QualityClassifier.Model(Seq("f1", "f2"), Array(1.0, -1.0), 0.1)
     val plan = QualityClassifier.score(

@@ -159,6 +159,52 @@ class WebhookSpec extends AnyFunSuite {
                         ("232", "2024-05-01 12:30:00")))
   }
 
+  test("backfill parity: one applyBatch over all staged files ≡ the streamed run") {
+    // the replay/ordering contract the JDBC twin relies on: reprocessing
+    // a staging directory as ONE batch (disaster recovery, initial
+    // backfill) must land the same store state as the original
+    // file-at-a-time stream — latest-wins keys resolve by
+    // update_date_time (order-independent), insert-only keys dedupe on
+    // the natural key whether duplicates span batches or share one.
+    val dir = Files.createTempDirectory("webhook_bf_in_").toString
+    val drains = Seq(
+      Seq(bibEvent("998651", "2024-05-01T10:00:00Z"),
+          itemEvent("231", "0", "LOAN", "2024-05-01 09:00:00", "2024-05-01T10:00:01Z"),
+          itemEvent("231", "1", "", "2024-05-01 09:30:00", "2024-05-01T10:00:02Z"),
+          requestEventJson,
+          """{"this is": "not a webhook payload"}"""),
+      Seq(itemEvent("231", "0", "REQUEST", "2024-05-01 08:00:00", "2024-05-01T13:00:00Z"),
+          itemEvent("232", "0", "", "2024-05-01 12:30:00", "2024-05-01T13:00:01Z"),
+          bibEvent("998651", "2024-05-01T10:00:00Z")))
+    val receiver = new WebhookReceiver(spark, new FakeTransport(drains: _*), dir)
+    assert(receiver.drainToStaging() == 5)
+    assert(receiver.drainToStaging() == 3)
+
+    // streamed run: one micro-batch per staged file, in order
+    val streamedDir = Files.createTempDirectory("webhook_bf_stream_").toString
+    val streamed = new DataSyncStore(spark, streamedDir, numBuckets = 4)
+    val q = WebhookIngest.ingestStream(spark, dir,
+      streamed, Files.createTempDirectory("webhook_bf_ck_").toString,
+      maxFilesPerTrigger = 1, availableNow = true)
+    q.awaitTermination(120000)
+
+    // backfill: the SAME files as one batch read → one applyBatch
+    val batchDir = Files.createTempDirectory("webhook_bf_batch_").toString
+    val batch = new DataSyncStore(spark, batchDir, numBuckets = 4)
+    WebhookIngest.applyBatch(WebhookIngest.parse(spark.read.text(dir)), batch)
+
+    Seq("record_update", "item_base_status", "request_event").foreach { t =>
+      val a = streamed.read(t)
+      val b = batch.read(t)
+      assert(a.schema == b.schema, s"$t schema drift")
+      val cols = a.columns.sorted.map(org.apache.spark.sql.functions.col)
+      val av = a.select(cols: _*).collect().map(_.toSeq).toSet
+      val bv = b.select(cols: _*).collect().map(_.toSeq).toSet
+      assert(av == bv, s"$t state diverged:\n streamed-only=${av diff bv}\n batch-only=${bv diff av}")
+      assert(a.count() == b.count(), s"$t row-count drift")
+    }
+  }
+
   test("webhook batch routes through the JDBC sink with the reference statement shapes") {
     // same applyBatch, PostgreSQL target: record_update / request_event
     // must go ON CONFLICT DO NOTHING, item_base_status must carry the

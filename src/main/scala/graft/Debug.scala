@@ -38,6 +38,76 @@ object Debug {
       val r = Similarity.recallAtK(lsh, exact)
       println(f"[dbg] lsh tables=$tables%-2d bits=$bits recall@10=$r%.4f")
     }
+
+    // dedup_clusters timing: r2→r3 showed +1.5s (4.99→6.53) at sf0.1 —
+    // min-of-3 separates host variance from a real regression
+    val sf = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[dbg] $label%-40s $s%6.2fs"); s
+    }
+    SparkEntry.queries("dedup_minhash")(spark, "/root/testdata/sf0.01").count() // JIT warm
+    val runs = (1 to 3).map { i =>
+      SparkEntry.resetCaches(spark)
+      time(s"dedup_clusters sf0.1 run$i") {
+        SparkEntry.queries("dedup_clusters")(spark, sf).count(); ()
+      }
+    }
+    println(f"[dbg] dedup_clusters min-of-3: ${runs.min}%.2fs  (all: ${runs.map(r => f"$r%.2f").mkString(", ")})")
+
+    // OncePerRowExpr barrier vs SharedExpr (With/CommonExpressionRef)
+    // on the webhook parse→route shape: SharedExpr lets the action
+    // filter push below the hoisted parse, so every row pays a pruned
+    // parse in the Filter AND survivors pay the full parse — while the
+    // barrier parses exactly once per row but cannot push. Which wins
+    // depends on filter selectivity (webhook fixture: ~100% survive).
+    val payloads = SparkEntry.webhookPayloads(spark, sf)
+    println(s"[dbg] webhook payload rows ${payloads.count()}")
+    val schema = graft.sources.WebhookIngest.PayloadSchema
+    def viaShared() = {
+      import org.apache.spark.sql.Column
+      graft.functions.SharedExpr.select(payloads,
+        from_json(col("value"), schema, Map.empty[String, String])) { w =>
+        val d = w("item")("item_data")
+        def presence(c: Column) = nullif(c, lit(""))
+        Seq("action" -> upper(w("action")),
+          "pid" -> d("pid"),
+          "status_code" -> coalesce(presence(d("base_status")("value")), lit("1")),
+          "process_type" -> presence(d("process_type")("value")),
+          "due_date" -> graft.marc.Extract.parseDateStr(presence(d("due_date"))),
+          "update_date_time" -> graft.marc.Extract.parseDateStr(
+            presence(d("modification_date"))))
+      }.agg(count(when(col("action") === "ITEM", col("pid"))),
+            count(col("update_date_time"))).collect()
+    }
+    def viaBarrier() = {
+      graft.sources.WebhookIngest.itemBaseStatus(
+        graft.sources.WebhookIngest.parse(payloads))
+        .agg(count(col("pid")), count(col("update_date_time"))).collect()
+    }
+    // CONCLUSION (r4): plain-extraction SharedExpr 3.47s vs barrier
+    // 4.31s over 600k payloads — the native With machinery wins AND
+    // keeps pushdown, but viaShared (with parseDateStr/upper) dies in
+    // RewriteWithExpression (nested RuntimeReplaceable With orphans
+    // the outer def: NoSuchElementException CommonExpressionId) — so
+    // the production webhook route keeps the barrier. viaShared kept
+    // here as the repro.
+    def viaSharedPlain() = {
+      graft.functions.SharedExpr.select(payloads,
+        from_json(col("value"), schema, Map.empty[String, String])) { w =>
+        val d = w("item")("item_data")
+        Seq("action" -> w("action"), "pid" -> d("pid"),
+          "status" -> d("base_status")("value"),
+          "mod" -> d("modification_date"))
+      }.agg(count(col("pid")), count(col("status"))).collect()
+    }
+    (1 to 2).foreach { r =>
+      time(s"r$r webhook via SharedExpr PLAIN")(viaSharedPlain())
+      time(s"r$r webhook via OncePerRowExpr barrier")(viaBarrier())
+    }
+    try { viaShared(); println("[dbg] viaShared unexpectedly SUCCEEDED — nested-With fixed upstream?") }
+    catch { case e: Throwable => println(s"[dbg] viaShared (known limitation): ${e.getClass.getSimpleName}") }
     spark.stop()
   }
 }

@@ -188,6 +188,11 @@ object NormalizeUnicodeExpr {
   * shape device, not a semantics change).
   */
 case class OncePerRowExpr(child: Expression) extends UnaryExpression {
+  // the flag below is a plan-shape device, NOT a semantics change —
+  // reject genuinely nondeterministic children outright (their single
+  // evaluation would otherwise be silently laundered as reproducible)
+  require(child.deterministic,
+    s"OncePerRowExpr child must be deterministic: $child")
   override lazy val deterministic: Boolean = false
   override def dataType: DataType = child.dataType
   override def nullable: Boolean = child.nullable

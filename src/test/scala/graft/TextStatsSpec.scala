@@ -188,6 +188,44 @@ class TextStatsSpec extends AnyFunSuite {
     assert(ce(0).getDouble(2) == ce(1).getDouble(2))
   }
 
+  test("SharedExpr.select: one from_json under With/CommonExpressionRef, values exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy("doc_id").limit(3)
+      .select(col("doc_id"),
+        format_string("""{"a": %s, "b": 2}""", col("doc_id")).as("js"))
+    val out = graft.functions.SharedExpr.select(docs,
+      from_json(col("js"), "a INT, b INT", Map.empty[String, String])) { w =>
+      Seq("a" -> w("a"), "b" -> w("b"), "sum" -> (w("a") + w("b")))
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert("from_json".r.findAllIn(plan).size == 1, s"parse duplicated:\n$plan")
+    assert(!plan.contains("Generate"), s"unexpected Generate:\n$plan")
+    assert(plan.contains("_common_expr"),
+      s"RewriteWithExpression did not hoist the shared def:\n$plan")
+    val r = out.collect()
+    assert(r.map(x => (x.getInt(0), x.getInt(1), x.getInt(2))).sorted.toSeq ==
+      Seq((0, 2, 2), (1, 2, 3), (2, 2, 4)))
+    // determinism preserved: a filter on an output column pushes BELOW
+    // the hoisted shared projection (carrying its own field-pruned
+    // parse) instead of being blocked the way a nondeterminism barrier
+    // blocks it — rows are parsed-in-full only after the filter
+    val filtered = graft.functions.SharedExpr.select(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"),
+          format_string("""{"a": %s, "b": 2}""", col("doc_id")).as("js")),
+      from_json(col("js"), "a INT, b INT", Map.empty[String, String])) { w =>
+      Seq("a" -> w("a"), "b" -> w("b"))
+    }.filter(col("a") > 100)
+    assert(filtered.count() > 0)
+    val fplan = filtered.queryExecution.optimizedPlan.toString
+    val lines = fplan.linesIterator.toSeq
+    val projIx = lines.indexWhere(_.contains("_common_expr"))
+    val filterIx = lines.indexWhere(_.contains("Filter ("))
+    assert(projIx >= 0, s"no hoisted shared def:\n$fplan")
+    assert(filterIx > projIx,
+      s"filter did not push below the shared projection:\n$fplan")
+  }
+
   test("repetition stats plan is map-side only (no shuffle)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = TextAnalysis.repetitionStats(docs, "text", "doc_id")

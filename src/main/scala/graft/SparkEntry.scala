@@ -583,22 +583,27 @@ object SparkEntry {
     // E21: trained quality classifier — logistic regression distilling
     // a heuristic keep-rule into a smooth score; distributed GD fit
     // (one gradient aggregation per iteration, model-sized driver
-    // state). Rows-only: an iterative fit has no SQL twin; the
-    // convergence + separation behavior is spec'd (QualityClassifierSpec).
+    // state) over a DETERMINISTIC fingerprint-gated 500‰ subsample —
+    // the production shape that bounds fit cost at corpus scale (the
+    // full-batch fit stays the spec oracle; sampled-within-ε asserted
+    // in QualityClassifierSpec). Rows-only: an iterative fit has no
+    // SQL twin.
     "quality_classifier" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       // persist: the feature scan (incl. the per-doc repetition hash
       // maps) feeds 25 gradient jobs AND the final scoring pass —
       // without this it would recompute from the raw scan each time
-      val feats = trackPersist(s, QualityClassifier.features(docs, "text", "doc_id")
+      val feats = trackPersist(s, QualityClassifier.features(docs, "text", "doc_id",
+        extra = Seq("__gate" -> TextAnalysis.fingerprint(col("text"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val labeled = feats.withColumn("label",
         (col("distinct_token_ratio") >= 0.5 && col("alpha_ratio") >= 0.5)
           .cast("int"))
-      val model = QualityClassifier.fit(labeled,
+      val model = QualityClassifier.fitSampled(labeled,
         Seq("alpha_ratio", "distinct_token_ratio", "top_bigram_frac", "log_len"),
-        "label", iterations = 25, learningRate = 2.0)
-      QualityClassifier.score(feats, model, "doc_id")
+        "label", col("__gate"), permille = 500,
+        iterations = 25, learningRate = 2.0)
+      QualityClassifier.score(feats.drop("__gate"), model, "doc_id")
     }),
 
     // E26: per-document top-3 TF-IDF keywords (micro-nat-quantized IDF

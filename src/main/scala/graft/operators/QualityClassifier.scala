@@ -35,7 +35,8 @@ object QualityClassifier {
     * the native repetition statistics and a log-length term. All
     * map-side column math over one scan.
     */
-  def features(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def features(docs: DataFrame, textCol: String, idCol: String,
+               extra: Seq[(String, Column)] = Nil): DataFrame = {
     // coalesce once so EVERY feature is null-free: a null text would
     // otherwise null the repetition stats and log_len (only alpha_ratio
     // is null-safe on its own), dropping the row asymmetrically from
@@ -43,12 +44,15 @@ object QualityClassifier {
     val t = coalesce(col(textCol), lit(""))
     val toks = split(t, " ")
     val stats = graft.functions.RepetitionStatsExpr(toks)
-    docs.select(
+    docs.select(Seq(
       col(idCol),
       TextAnalysis.alphaRatioRaw(t).as("alpha_ratio"),
       stats.getItem(0).as("distinct_token_ratio"),
       stats.getItem(1).as("top_bigram_frac"),
       (log(length(t).cast("double") + 1.0) / 10.0).as("log_len"))
+      // rider columns computed in the SAME pass (e.g. a sampling gate
+      // over the raw text, which this projection otherwise drops)
+      ++ extra.map { case (n, c) => c.as(n) }: _*)
   }
 
   private def margin(featCols: Seq[String], w: Array[Double], b: Double): Column =

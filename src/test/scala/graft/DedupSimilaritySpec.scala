@@ -138,6 +138,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"indexed-vs-inline diff: ${(indexed diff inline) ++ (inline diff indexed)}")
   }
 
+  test("recallAtK: hand-computed overlaps, absent queries count as zero") {
+    // q1: exact {1,2,3}, approx {1,3,9}   → 2/3
+    // q2: exact {4,5},   approx {5,4}     → 1.0 (order-free)
+    // q3: exact {7},     approx absent    → 0.0 (must not inflate)
+    val exact = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (3L, 7L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 1L), (1L, 3L), (1L, 9L), (2L, 5L), (2L, 4L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(approx, exact)
+    assert(math.abs(r - (2.0 / 3 + 1.0 + 0.0) / 3) < 1e-12, s"recall $r")
+  }
+
   test("ANN recall@10 against brute-force ground truth on the sf corpus") {
     // realistic-distribution recall (the planted-twin keys only prove
     // exact-copy recovery): 50 corpus vectors as queries, exact top-10

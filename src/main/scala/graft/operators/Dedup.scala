@@ -260,17 +260,25 @@ object Dedup {
     * history? Emits (new_id, dup_of, jaccard).
     *
     * Scale shape: the new batch's sketches are map-side; the batch's
-    * band keys BROADCAST against the index scan (an ingest batch is
-    * broadcastable by definition — drop the hint if yours is not), so
-    * the 100 TB band index is never shuffled; candidate verification
-    * touches only the matched history rows (semi-join-bounded shuffle).
+    * band keys BROADCAST against the index scan (the default — an
+    * ingest batch is usually executor-memory-sized), so the 100 TB
+    * band index is never shuffled; candidate verification touches only
+    * the matched history rows (semi-join-bounded shuffle). For a batch
+    * too large to broadcast, pass `broadcastBatch = false`: the hints
+    * drop and the joins fall back to shuffle joins planned by AQE —
+    * the index pays its one shuffle, the same floor as running
+    * [[minhashPairs]] over history ∪ batch, which is what a
+    * corpus-sized "batch" actually is. Result-identical either way
+    * (spec-asserted), so the switch is purely a plan decision.
     * Same parameters ⇒ identical candidate generation to running
     * [[minhashPairs]] over history ∪ batch (spec-asserted equality).
     */
   def dedupAgainstIndex(newDocs: DataFrame, indexDir: String, idCol: String,
                         textCol: String, shingleN: Int = 3, k: Int = 64,
-                        bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+                        bands: Int = 16, threshold: Double = 0.7,
+                        broadcastBatch: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
+    def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
     val newSig = newDocs
       .select(col(idCol).as("new_id"), shingles(col(textCol), shingleN).as("sh_new"))
       .filter(size(col("sh_new")) > 0)
@@ -280,15 +288,15 @@ object Dedup {
       .withColumn("band_pt", pmod(col("band_hash"), lit(64L)))
     val idx = spark.read.parquet(s"$indexDir/bands")
     val candidates = idx
-      .join(broadcast(newBands), Seq("band_pt", "band_ix", "band_hash"))
+      .join(hinted(newBands), Seq("band_pt", "band_ix", "band_hash"))
       .select(col("doc_id").as("dup_of"), col("new_id")).distinct()
     val oldSh = spark.read.parquet(s"$indexDir/shingles")
       .select(col("doc_id").as("dup_of"), col("sh").as("sh_old"))
     // candidates are batch-bounded → broadcast them too: verification
     // is then a second pure index scan, zero shuffles end to end
     oldSh
-      .join(broadcast(candidates), "dup_of")
-      .join(broadcast(newSig.select(col("new_id"), col("sh_new"))), "new_id")
+      .join(hinted(candidates), "dup_of")
+      .join(hinted(newSig.select(col("new_id"), col("sh_new"))), "new_id")
       .select(col("new_id"), col("dup_of"),
         round(size(array_intersect(col("sh_old"), col("sh_new"))).cast("double") /
               size(array_union(col("sh_old"), col("sh_new"))), 6).as("jaccard"))

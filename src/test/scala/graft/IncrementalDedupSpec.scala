@@ -259,4 +259,25 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"index side must not shuffle for the candidate join:\n$plan")
   }
+
+  test("broadcastBatch=false falls back to shuffle joins, results identical") {
+    val dir = ix("nobcast")
+    Dedup.buildDedupIndex(oldDocs, "doc_id", "text", dir)
+    def q(bcast: Boolean) =
+      Dedup.dedupAgainstIndex(newDocs, dir, "doc_id", "text",
+          broadcastBatch = bcast)
+        .select("new_id", "dup_of", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val (hinted, fallback) = (q(true), q(false))
+    assert(fallback == hinted)
+    assert(hinted.nonEmpty)
+    // and the fallback plan genuinely drops the broadcast of the batch
+    // band keys (AQE may still choose broadcast for tiny sides at this
+    // SF, so assert the HINT is gone from the analyzed plan instead)
+    val analyzed = Dedup.dedupAgainstIndex(newDocs, dir, "doc_id", "text",
+        broadcastBatch = false)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"broadcast hint survived the fallback:\n$analyzed")
+  }
 }

@@ -736,6 +736,16 @@ object SparkEntry {
         .select(col("left_id"), col("right_id"))
     }),
 
+    // E5b: SemDeDup-style semantic dedup — near-dup pairs → connected
+    // components → min-id canonical; on the planted corpus each
+    // (original, perturbed-copy) pair is its own cluster with the
+    // original as keep_id, which the oracle re-derives with no
+    // embedding math at all
+    "semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(plantedEmbeddings(Tables(s, dir)),
+        "vec_id", "embedding", dim = 64, threshold = 0.99)
+    }),
+
     // E6: exact top-k cosine neighbors (brute force baseline)
     "ann_bruteforce" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
@@ -1972,6 +1982,13 @@ object SparkEntry {
 
     "embedding_neardup" ->
       """SELECT vec_id AS left_id, vec_id + 1000000 AS right_id
+         FROM embeddings WHERE vec_id % 10 = 0""",
+
+    "semantic_dedup" ->
+      """SELECT vec_id, vec_id AS keep_id
+         FROM embeddings WHERE vec_id % 10 = 0
+         UNION ALL
+         SELECT vec_id + 1000000, vec_id
          FROM embeddings WHERE vec_id % 10 = 0""",
 
     "range_join" ->

@@ -248,6 +248,22 @@ object Similarity {
               col("__rk").cast("long").as("rank"))
   }
 
+  /** SemDeDup-style semantic deduplication: embedding cosine near-dup
+    * pairs ([[embeddingNearDup]]) → connected components
+    * ([[Dedup.connectedComponents]]) → min-id canonical per cluster.
+    * Emits (vec_id, keep_id) for every vector that belongs to a
+    * semantic-duplicate cluster; keep the rows where
+    * `vec_id = keep_id` (plus all unlisted vectors) for the deduped
+    * corpus. Same scale shape as its parts: one LSH bucket shuffle +
+    * O(log n) pointer-jumping rounds on the (small) duplicate graph.
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, threshold: Double,
+                    tables: Int = 6, bits: Int = 10): DataFrame =
+    Dedup.connectedComponents(
+        embeddingNearDup(vectors, idCol, vecCol, dim, threshold, tables, bits))
+      .select(col("doc_id").as("vec_id"), col("keep_id"))
+
   /** Mean recall@k of an approximate ANN result against exact ground
     * truth (both in the (query_id, neighbor_id, …) shape the ANN
     * operators emit): per query, |approx ∩ exact| / |exact|, averaged

@@ -138,6 +138,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"indexed-vs-inline diff: ${(indexed diff inline) ++ (inline diff indexed)}")
   }
 
+  test("semanticDedup: a 3-member near-identical family collapses to one canonical") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
+    def pert(seed: Int) = base.zipWithIndex.map { case (x, i) =>
+      x + ((seed * 31 + i) % 7) * 1e-4f }
+    val vecs = Seq(
+      (10L, base), (11L, pert(1)), (12L, pert(2)),
+      (99L, base.map(x => -x))) // anti-parallel: cosine -1, never a dup
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        dim = 64, threshold = 0.999)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L), out.toString)
+  }
+
   test("recallAtK: hand-computed overlaps, absent queries count as zero") {
     // q1: exact {1,2,3}, approx {1,3,9}   → 2/3
     // q2: exact {4,5},   approx {5,4}     → 1.0 (order-free)

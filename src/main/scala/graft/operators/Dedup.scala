@@ -229,6 +229,8 @@ object Dedup {
                         indexDir: String, shinglePartitions: Int = 64): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
+    recoverDedupIndex(spark, indexDir) // a prior crash mid-swap may have
+    // left tmp as the ONLY copy — never delete it before checking
     def swapIn(sub: String)(write: String => Unit): Unit = {
       val live = new Path(s"$indexDir/$sub")
       val tmp = new Path(s"$indexDir/$sub.compact.tmp")
@@ -252,6 +254,35 @@ object Dedup {
         .repartition(shinglePartitions)
         .write.mode("overwrite").parquet(tmp)
     }
+  }
+
+  /** Repair an index left mid-swap by a crashed [[compactDedupIndex]].
+    * The swap order is write-tmp → delete-live → rename-tmp-to-live,
+    * so exactly two crash states exist per table:
+    *  - live AND tmp present (crash before the delete): live is still
+    *    the valid current index — drop the orphaned tmp;
+    *  - tmp ONLY (crash between delete and rename): tmp holds the only
+    *    copy — complete the swap by renaming it into place.
+    * Returns true if anything was repaired. Idempotent; called
+    * automatically at the start of every compaction, and safe to call
+    * at stream/job startup.
+    */
+  def recoverDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("bands", "shingles").map { sub =>
+      val live = new Path(s"$indexDir/$sub")
+      val tmp = new Path(s"$indexDir/$sub.compact.tmp")
+      val fs = live.getFileSystem(conf)
+      if (fs.exists(tmp) && !fs.exists(live)) {
+        if (!fs.rename(tmp, live))
+          throw new java.io.IOException(s"recovery rename failed for $live")
+        true
+      } else if (fs.exists(tmp)) {
+        fs.delete(tmp, true); true
+      } else false
+    }.exists(identity)
   }
 
   /** Near-dup detection of a NEW batch against a persisted corpus index

@@ -182,6 +182,40 @@ class IncrementalDedupSpec extends AnyFunSuite {
       bandRows.dropDuplicates("band_ix", "band_hash").count())
   }
 
+  test("recoverDedupIndex repairs both mid-swap crash states without data loss") {
+    def q(dir: String) = Dedup.dedupAgainstIndex(newDocs, dir, "doc_id", "text")
+      .select("new_id", "dup_of", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+
+    // crash state A: tmp ONLY (live deleted, rename never ran) — tmp
+    // holds the only copy; recovery must complete the swap
+    val a = ix("recoverA")
+    Dedup.buildDedupIndex(oldDocs, "doc_id", "text", a)
+    val expected = q(a)
+    assert(expected.nonEmpty)
+    val bandsA = new java.io.File(s"$a/bands")
+    assert(bandsA.renameTo(new java.io.File(s"$a/bands.compact.tmp")))
+    assert(Dedup.recoverDedupIndex(spark, a))
+    assert(q(a) == expected)
+    // and a compaction right after the repair still works end to end
+    Dedup.compactDedupIndex(spark, a)
+    assert(q(a) == expected)
+
+    // crash state B: live AND tmp (crash before the delete) — live is
+    // current; the stale tmp (here: an older, smaller index) must drop
+    val b = ix("recoverB")
+    Dedup.buildDedupIndex(oldDocs, "doc_id", "text", b)
+    Dedup.buildDedupIndex(oldDocs.limit(10), "doc_id", "text", s"$b.stale")
+    val staleBands = new java.io.File(s"$b.stale/bands")
+    assert(staleBands.renameTo(new java.io.File(s"$b/bands.compact.tmp")))
+    assert(Dedup.recoverDedupIndex(spark, b))
+    assert(!new java.io.File(s"$b/bands.compact.tmp").exists())
+    assert(q(b) == expected)
+
+    // clean index: nothing to repair
+    assert(!Dedup.recoverDedupIndex(spark, b))
+  }
+
   test("streaming compactEvery bounds index file growth across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streams

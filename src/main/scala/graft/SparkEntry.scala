@@ -721,6 +721,14 @@ object SparkEntry {
       Dedup.connectedComponents(pairs)
     }),
 
+    // E28: near-verbatim shared-span detection — partial-copy dedup
+    // (verbatim windows shared across documents that differ overall);
+    // the planted copies share their source's full window set, and the
+    // oracle re-derives pairs by window TEXT equality (hash-free)
+    "shared_spans" -> ((s, dir) =>
+      Dedup.sharedSpanPairs(plantedDocs(Tables(s, dir)), "doc_id", "text",
+        spanTokens = 15, stride = 5)),
+
     // E3: SimHash near-dedup — recovers the planted exact copies
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(plantedDocs(Tables(s, dir)), "doc_id", "text",
@@ -1990,6 +1998,30 @@ object SparkEntry {
          UNION ALL
          SELECT vec_id + 1000000, vec_id
          FROM embeddings WHERE vec_id % 10 = 0""",
+
+    "shared_spans" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' appended' FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0),
+         toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS t
+           FROM corpus),
+         w AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(t[i*5+1 : i*5+15], ' ') AS win
+           FROM toks,
+                UNNEST(generate_series(0,
+                  CAST(floor((len(t) - 15)::DOUBLE / 5) AS INT))) AS s(i)
+           WHERE len(t) >= 15)
+         SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                count(*) AS shared_spans
+         FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
 
     "range_join" ->
       """SELECT o_orderkey, n_nationkey AS band_id

@@ -155,6 +155,53 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("keep_id"))
   }
 
+  /** Near-verbatim shared-span detection — the partial-copy complement
+    * to whole-document MinHash: two documents are reported when they
+    * share at least one IDENTICAL `spanTokens`-token window (quoted
+    * passages, boilerplate, template reuse — cases where the documents
+    * differ overall, so their whole-doc Jaccard stays under any
+    * threshold, but a long span is copied verbatim). The device behind
+    * suffix-array substring dedup, bounded to stride-aligned windows
+    * so it stays one relational pass.
+    *
+    * Windows advance by `stride` tokens; only FULL windows count (a
+    * doc shorter than `spanTokens` emits none — partial windows would
+    * let short fragments masquerade as long copies). Emits
+    * (left_id, right_id, shared_spans).
+    *
+    * Scale shape: window slicing is a map-side explode; windows hash
+    * to 64 bits so only the hash rides the shuffle (one groupBy-sized
+    * exchange on the window hash); pair emission is bounded by real
+    * collisions inside a hash bucket, never a cross join. Skew note:
+    * a boilerplate span shared by k docs emits k(k-1)/2 pairs — that
+    * is the answer's size, not an artifact; cap pathological buckets
+    * upstream (stopword-like spans) if the corpus has them.
+    */
+  def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+                      spanTokens: Int = 50, stride: Int = 10): DataFrame = {
+    require(spanTokens > 0 && stride > 0,
+      s"spanTokens=$spanTokens and stride=$stride must be positive")
+    val toks = array_remove(split(trim(col(textCol)), "\\s+"), "")
+    val starts = sequence(lit(0),
+      floor((size(col("__toks")) - spanTokens).cast("double") / stride).cast("int"))
+    val windows = docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= spanTokens)
+      // the Generate carries __toks alongside each start index —
+      // map-side slice, no join-back (the chunkDocuments shape)
+      .select(col("doc_id"), col("__toks"), explode(starts).as("__six"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ",
+          slice(col("__toks"), col("__six") * stride + 1, lit(spanTokens))))
+          .as("__h"))
+      .dropDuplicates("doc_id", "__h")
+    val a = windows.alias("a")
+    val b = windows.alias("b")
+    a.join(b, col("a.__h") === col("b.__h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .agg(count(lit(1)).as("shared_spans"))
+  }
+
   /** Exact n-gram Jaccard between two text columns (pair verification). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
     val sa = shingles(a, n)

@@ -138,6 +138,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"indexed-vs-inline diff: ${(indexed diff inline) ++ (inline diff indexed)}")
   }
 
+  test("sharedSpanPairs: stride-aligned verbatim window found, short/partial docs emit none") {
+    val t = (1 to 20).map(i => s"t$i")
+    val a = t.mkString(" ")                       // windows @0 (t1-15), @5 (t6-20)
+    val b = ((1 to 5).map(i => s"x$i") ++ t.drop(5)).mkString(" ") // @5 == a@5
+    val c = (1 to 20).map(i => s"c$i").mkString(" ")               // unrelated
+    val short = t.take(14).mkString(" ")          // < spanTokens: no windows
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, short))
+      .toDF("doc_id", "text")
+    val out = Dedup.sharedSpanPairs(docs, "doc_id", "text",
+        spanTokens = 15, stride = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 1L)), out.toString)
+  }
+
   test("semanticDedup: a 3-member near-identical family collapses to one canonical") {
     val base = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
     def pert(seed: Int) = base.zipWithIndex.map { case (x, i) =>

@@ -74,6 +74,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("shared_spans: hash-equi self-join, never a cartesian product") {
+    val plan = formatted(SparkEntry.queries("shared_spans")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("ann_bruteforce broadcasts the query side") {
     val plan = formatted(SparkEntry.queries("ann_bruteforce")(spark, sf))
     assert(plan.contains("BroadcastExchange"), plan)

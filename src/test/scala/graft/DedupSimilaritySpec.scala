@@ -152,6 +152,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 1L)), out.toString)
   }
 
+  test("sharedSpanPairs matches a brute-force reference on pseudo-random docs") {
+    // deterministic corpus (seeded LCG): 40 docs over a 6-word vocab,
+    // lengths 5-40 — 6^4 possible windows vs ~400 emitted forces real
+    // cross-doc window collisions
+    var seed = 0x5DEECE66DL
+    def next(n: Int) = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      (math.abs(seed >>> 16) % n).toInt }
+    val docs = (1L to 40L).map { id =>
+      val len = 5 + next(36)
+      id -> (1 to len).map(_ => s"w${next(6)}").mkString(" ")
+    }
+    val (span, stride) = (4, 2)
+    // brute force: per doc, the set of full stride-aligned windows
+    def windows(t: String): Set[String] = {
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      if (w.length < span) Set.empty
+      else (0 to (w.length - span) / stride)
+        .map(i => w.slice(i * stride, i * stride + span).mkString(" ")).toSet
+    }
+    val expected = (for {
+      (la, ta) <- docs; (lb, tb) <- docs if la < lb
+      shared = (windows(ta) intersect windows(tb)).size if shared > 0
+    } yield (la, lb, shared.toLong)).toSet
+    val got = Dedup.sharedSpanPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", span, stride)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected) ++ (expected diff got)}")
+    assert(expected.nonEmpty, "fixture produced no shared windows — weaken vocab")
+  }
+
   test("semanticDedup: a 3-member near-identical family collapses to one canonical") {
     val base = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
     def pert(seed: Int) = base.zipWithIndex.map { case (x, i) =>

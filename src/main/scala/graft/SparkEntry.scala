@@ -729,6 +729,25 @@ object SparkEntry {
       Dedup.sharedSpanPairs(plantedDocs(Tables(s, dir)), "doc_id", "text",
         spanTokens = 15, stride = 5)),
 
+    // E28b: incremental partial-copy detection — the span-index twin
+    // of dedup_incremental: history windows indexed once, the ingest
+    // batch broadcast against the index scan
+    "span_incremental" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val old = t.documents.select(col("doc_id"), col("text"))
+      val fresh = old.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+                concat(col("text"), lit(" appended")).as("text"))
+        .unionByName(old.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val ix = new java.io.File("target/graft_indexes/span_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      Dedup.buildSpanIndex(old, "doc_id", "text", ix,
+        spanTokens = 15, stride = 5)
+      Dedup.spansAgainstIndex(fresh, ix, "doc_id", "text",
+        spanTokens = 15, stride = 5)
+    }),
+
     // E3: SimHash near-dedup — recovers the planted exact copies
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(plantedDocs(Tables(s, dir)), "doc_id", "text",
@@ -2021,6 +2040,35 @@ object SparkEntry {
          SELECT a.doc_id AS left_id, b.doc_id AS right_id,
                 count(*) AS shared_spans
          FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
+
+    "span_incremental" ->
+      """WITH fresh AS (
+           SELECT doc_id + 1000000 AS doc_id, text || ' appended' AS text
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0),
+         t_old AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         t_new AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '') AS t
+           FROM fresh),
+         w_old AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i*5+1 : i*5+15], ' ') AS win
+           FROM t_old, UNNEST(generate_series(0,
+             CAST(floor((len(t) - 15)::DOUBLE / 5) AS INT))) AS s(i)
+           WHERE len(t) >= 15),
+         w_new AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i*5+1 : i*5+15], ' ') AS win
+           FROM t_new, UNNEST(generate_series(0,
+             CAST(floor((len(t) - 15)::DOUBLE / 5) AS INT))) AS s(i)
+           WHERE len(t) >= 15)
+         SELECT n.doc_id AS new_id, o.doc_id AS dup_of,
+                count(*) AS shared_spans
+         FROM w_new n JOIN w_old o ON n.win = o.win
          GROUP BY 1, 2""",
 
     "range_join" ->

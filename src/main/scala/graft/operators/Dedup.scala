@@ -179,26 +179,90 @@ object Dedup {
     */
   def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
                       spanTokens: Int = 50, stride: Int = 10): DataFrame = {
+    val windows = spanWindows(docs, idCol, textCol, spanTokens, stride)
+    val a = windows.alias("a")
+    val b = windows.alias("b")
+    a.join(b, col("a.__h") === col("b.__h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .agg(count(lit(1)).as("shared_spans"))
+  }
+
+  /** Stride-aligned full-window hashes of each document — the shared
+    * building block of [[sharedSpanPairs]] and the span index.
+    */
+  private def spanWindows(docs: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int, stride: Int): DataFrame = {
     require(spanTokens > 0 && stride > 0,
       s"spanTokens=$spanTokens and stride=$stride must be positive")
     val toks = array_remove(split(trim(col(textCol)), "\\s+"), "")
     val starts = sequence(lit(0),
       floor((size(col("__toks")) - spanTokens).cast("double") / stride).cast("int"))
-    val windows = docs
+    docs
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
       .filter(size(col("__toks")) >= spanTokens)
-      // the Generate carries __toks alongside each start index —
-      // map-side slice, no join-back (the chunkDocuments shape)
       .select(col("doc_id"), col("__toks"), explode(starts).as("__six"))
       .select(col("doc_id"),
         xxhash64(concat_ws(" ",
           slice(col("__toks"), col("__six") * stride + 1, lit(spanTokens))))
           .as("__h"))
       .dropDuplicates("doc_id", "__h")
-    val a = windows.alias("a")
-    val b = windows.alias("b")
-    a.join(b, col("a.__h") === col("b.__h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+  }
+
+  /** Persist the corpus's span-hash index for INCREMENTAL partial-copy
+    * detection — [[buildDedupIndex]]'s twin for [[sharedSpanPairs]]:
+    * history windows are hashed once into `spans` (partitioned by
+    * pmod(span_hash, 64)); daily batches then check against the index
+    * without re-windowing the history. Same parameters must be used
+    * for build, extend and query.
+    */
+  def buildSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+                     indexDir: String, spanTokens: Int = 50,
+                     stride: Int = 10): Unit =
+    writeSpanIndex(docs, idCol, textCol, indexDir, spanTokens, stride,
+      mode = "overwrite")
+
+  /** Append a batch's windows to an existing span index (admit the
+    * batch after checking it). Extended ≡ fresh-build (spec-asserted).
+    */
+  def extendSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+                      indexDir: String, spanTokens: Int = 50,
+                      stride: Int = 10): Unit =
+    writeSpanIndex(docs, idCol, textCol, indexDir, spanTokens, stride,
+      mode = "append")
+
+  private def writeSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+                             indexDir: String, spanTokens: Int, stride: Int,
+                             mode: String): Unit =
+    spanWindows(docs, idCol, textCol, spanTokens, stride)
+      .withColumnRenamed("__h", "span_hash")
+      .withColumn("span_pt", pmod(col("span_hash"), lit(64L)))
+      .write.mode(mode).partitionBy("span_pt")
+      .parquet(s"$indexDir/spans")
+
+  /** Partial-copy detection of a NEW batch against a persisted span
+    * index: which incoming documents share a verbatim
+    * `spanTokens`-token window with history? Emits
+    * (new_id, dup_of, shared_spans). The batch's window hashes
+    * BROADCAST against the index scan (same contract and fallback as
+    * [[dedupAgainstIndex]]); the history is never re-windowed and
+    * never shuffled.
+    */
+  def spansAgainstIndex(newDocs: DataFrame, indexDir: String, idCol: String,
+                        textCol: String, spanTokens: Int = 50,
+                        stride: Int = 10,
+                        broadcastBatch: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    val batch = spanWindows(newDocs, idCol, textCol, spanTokens, stride)
+      .select(col("doc_id").as("new_id"), col("__h").as("span_hash"))
+      .withColumn("span_pt", pmod(col("span_hash"), lit(64L)))
+    spark.read.parquet(s"$indexDir/spans")
+      .join(hinted(batch), Seq("span_pt", "span_hash"))
+      // replay tolerance: a re-admitted batch must not match itself
+      .filter(col("doc_id") =!= col("new_id"))
+      // duplicate index rows (replayed extends) must not inflate counts
+      .dropDuplicates("new_id", "doc_id", "span_hash")
+      .groupBy(col("new_id"), col("doc_id").as("dup_of"))
       .agg(count(lit(1)).as("shared_spans"))
   }
 

@@ -182,6 +182,44 @@ class IncrementalDedupSpec extends AnyFunSuite {
       bandRows.dropDuplicates("band_ix", "band_hash").count())
   }
 
+  test("span index: incremental ≡ batch sharedSpanPairs restricted to old×new, replay-safe") {
+    val (span, stride) = (15, 5)
+    val dir = ix("spans")
+    Dedup.buildSpanIndex(oldDocs, "doc_id", "text", dir, span, stride)
+    val incremental = Dedup.spansAgainstIndex(newDocs, dir, "doc_id", "text",
+        span, stride)
+      .select("new_id", "dup_of", "shared_spans")
+      .as[(Long, Long, Long)].collect().toSet
+    // batch path over the union: old ids < 1e6 ≤ new ids, so cross
+    // pairs are exactly (left=old, right=new)
+    val batch = Dedup.sharedSpanPairs(oldDocs.unionByName(newDocs),
+        "doc_id", "text", span, stride)
+      .filter(col("left_id") < 1000000L && col("right_id") >= 1000000L)
+      .select(col("right_id"), col("left_id"), col("shared_spans"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(incremental == batch)
+    assert(incremental.nonEmpty)
+    // every exact copy of a doc LONG ENOUGH to emit windows shares its
+    // source's window set (shorter docs emit none, by contract)
+    val counts = incremental.map { case (n, o, c) => (n, o) -> c }.toMap
+    oldDocs.filter(col("doc_id") % 11 === 0 &&
+        size(split(trim(col("text")), "\\s+")) >= span)
+      .select("doc_id").as[Long]
+      .collect().take(5).foreach { id =>
+        assert(counts.contains((id + 2000000L, id)), s"copy of $id missed")
+      }
+    // replay: admit the batch, re-query — self-pairs filtered, counts stable
+    Dedup.extendSpanIndex(newDocs, "doc_id", "text", dir, span, stride)
+    val replay = Dedup.spansAgainstIndex(newDocs, dir, "doc_id", "text",
+        span, stride)
+      .select("new_id", "dup_of", "shared_spans")
+      .as[(Long, Long, Long)].collect().toSet
+    // now includes new×new matches too, but never self-pairs, and the
+    // old×new subset is unchanged
+    assert(!replay.exists { case (n, o, _) => n == o })
+    assert(replay.filter(_._2 < 1000000L) == incremental)
+  }
+
   test("recoverDedupIndex repairs both mid-swap crash states without data loss") {
     def q(dir: String) = Dedup.dedupAgainstIndex(newDocs, dir, "doc_id", "text")
       .select("new_id", "dup_of", "jaccard")

@@ -618,6 +618,12 @@ object SparkEntry {
       TextAnalysis.chunkDocuments(Tables(s, dir).documents, "doc_id", "text",
         chunkTokens = 40, stride = 30)),
 
+    // E29: corpus-wide segment (paragraph/line) dedup — first
+    // occurrence per 20-token segment survives, documents reassembled
+    "segment_dedup" -> ((s, dir) =>
+      TextAnalysis.segmentDedup(Tables(s, dir).documents, "doc_id", "text",
+        segTokens = 20)),
+
     // E24: the full curation pipeline (normalize → signals → filters →
     // exact+near dedup → sample → pack) — rows-only (the near-dup
     // canonical is LSH-hash-dependent and the audit frame has no
@@ -1531,6 +1537,34 @@ object SparkEntry {
                 len(w[i*30+1 : i*30+40])::BIGINT AS n_tokens,
                 array_to_string(w[i*30+1 : i*30+40], ' ') AS chunk_text
          FROM st WHERE len(w[i*30+1 : i*30+40]) > 0""",
+
+    "segment_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS w
+           FROM documents),
+         st AS (
+           SELECT doc_id, w,
+                  unnest(generate_series(0,
+                    greatest(CAST(ceil(len(w)::DOUBLE / 20) AS INT) - 1, 0)))
+                    AS seg_ix
+           FROM toks),
+         segs AS (
+           SELECT doc_id, seg_ix,
+                  array_to_string(w[seg_ix*20+1 : seg_ix*20+20], ' ') AS seg_text
+           FROM st WHERE len(w[seg_ix*20+1 : seg_ix*20+20]) > 0),
+         flagged AS (
+           SELECT doc_id, seg_ix, seg_text,
+                  row_number() OVER (PARTITION BY md5(seg_text)
+                                     ORDER BY doc_id, seg_ix) = 1 AS kept
+           FROM segs)
+         SELECT doc_id,
+                count(*) AS n_segments,
+                count(*) FILTER (WHERE kept) AS n_kept,
+                coalesce(string_agg(seg_text, ' ' ORDER BY seg_ix)
+                           FILTER (WHERE kept), '') AS dedup_text
+         FROM flagged GROUP BY doc_id""",
 
     "approx_top_tokens" ->
       """WITH toks AS (

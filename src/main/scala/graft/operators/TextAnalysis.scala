@@ -342,6 +342,56 @@ object TextAnalysis {
         concat_ws(" ", col("__ct")).as("chunk_text"))
   }
 
+  /** Segment-level exact dedup — the paragraph/line dedup stage of a
+    * web-corpus pipeline (CCNet/C4 remove duplicated paragraphs
+    * corpus-wide, keeping only the first occurrence). Documents are cut
+    * into non-overlapping `segTokens`-token segments (a deterministic
+    * segmenter; real corpora would split on blank lines — the synthetic
+    * corpus has none, and a fixed token window keeps the boundary
+    * decision engine-independent), each segment is hashed, and only the
+    * FIRST occurrence corpus-wide — ordered by (doc, segment index), a
+    * total order — survives. Emits one row per document: segment
+    * counts and the reassembled deduplicated text.
+    *
+    * Scale shape: segmentation is a map-side slice/explode; first-
+    * occurrence election is ONE window shuffle on the 128-bit segment
+    * hash (uniformly distributed — no skew); reassembly is one
+    * aggregation on the doc id. No corpus×corpus join anywhere.
+    * Documents with no tokens vanish (they contribute no segments),
+    * matching the explode semantics of [[chunkDocuments]].
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int = 20): DataFrame = {
+    require(segTokens > 0, s"segTokens=$segTokens must be positive")
+    val toks = array_remove(split(trim(col(textCol)), "\\s+"), "")
+    val nSegs = ceil(size(toks).cast("double") / segTokens).cast("int")
+    val segs = docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"),
+        explode(sequence(lit(0), greatest(nSegs - 1, lit(0)))).as("seg_ix"))
+      .select(col("doc_id"), col("seg_ix"),
+        concat_ws(" ",
+          slice(col("__toks"), col("seg_ix") * segTokens + 1, lit(segTokens)))
+          .as("seg_text"))
+      .filter(length(col("seg_text")) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg_hash")).orderBy(col("doc_id"), col("seg_ix"))
+    segs
+      .withColumn("seg_hash", md5(col("seg_text")))
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        // collect_list skips the nulls the un-kept branch produces; the
+        // struct sort is by seg_ix (unique per doc) — deterministic
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("seg_ix"), col("seg_text"))))),
+            s => s("seg_text")),
+          " ").as("dedup_text"))
+  }
+
   /** Word-set Jaccard similarity between two text columns (candidate-pair
     * verification for near-dedup). Pure column expression.
     */

@@ -141,6 +141,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("segmentDedup: first occurrence survives, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // segs [a b c] [d e f] — both first
+      (2L, "a b c x y z"),   // [a b c] is doc 1's → dropped; [x y z] kept
+      (3L, "d e f"),         // whole doc is a dup segment → empty text
+      (4L, "  ")             // no tokens → no row at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.segmentDedup(docs, "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "x y z"),
+      (3L, 1L, 0L, "")))
+  }
+
   test("OncePerRowExpr pins one evaluation under multi-reference projection") {
     // parquet-backed so ConvertToLocalRelation can't pre-fold the parse
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -853,6 +853,14 @@ object SparkEntry {
         Map("en" -> 800, "de" -> 600, "es" -> 400, "fr" -> 200))
     }),
 
+    // E30: mixture resampling to target domain proportions (en-heavy
+    // target; zh has no target and drops) — integer-exact sizing,
+    // fingerprint-gated decisions
+    "domain_mix" -> ((s, dir) =>
+      TextAnalysis.domainMix(Tables(s, dir).documents, "lang", "text",
+        "doc_id",
+        Map("en" -> 500, "de" -> 250, "es" -> 150, "fr" -> 100))),
+
     // E17: composed curation decision — exact-dup canonical + token
     // bounds + alpha floor, with per-document audit flags
     "curation_filter" -> ((s, dir) => {
@@ -1762,6 +1770,31 @@ object SparkEntry {
          rates(lang, permille) AS (
            VALUES ('en', 800), ('de', 600), ('es', 400), ('fr', 200))
          SELECT doc_id, lang FROM fp JOIN rates USING (lang)
+         WHERE fp % 1000 < permille""",
+
+    // same rolling-hash gate as stratified_sample; sizing is pure
+    // integer floor division on both engines
+    "domain_mix" ->
+      """WITH fp AS (
+           SELECT doc_id, lang,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(ascii(text[i]) AS BIGINT))),
+                    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+           FROM documents),
+         t(lang, tgt) AS (
+           VALUES ('en', 500), ('de', 250), ('es', 150), ('fr', 100)),
+         avail AS (
+           SELECT lang, count(*) AS avail FROM documents GROUP BY lang),
+         j AS (SELECT a.lang, a.avail, t.tgt FROM avail a JOIN t USING (lang)),
+         s AS (SELECT min(avail * 1000 // tgt) AS scale FROM j),
+         r AS (
+           SELECT lang,
+                  least(1000, ((s.scale * tgt // 1000) * 1000) // avail)
+                    AS permille
+           FROM j, s)
+         SELECT doc_id, lang FROM fp JOIN r USING (lang)
          WHERE fp % 1000 < permille""",
 
     "curation_filter" ->

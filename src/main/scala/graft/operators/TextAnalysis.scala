@@ -150,6 +150,44 @@ object TextAnalysis {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Mixture resampling — the domain-rebalancing step of a training-data
+    * pipeline (Pile/DoReMi-style): given TARGET proportions per stratum
+    * (‰ of the output mix), deterministically subsample each stratum so
+    * the surviving corpus approaches the target mixture at the largest
+    * size the available data supports (the binding stratum keeps ~all
+    * of its documents; over-represented strata are thinned). The
+    * per-document decision is the content fingerprint — stable across
+    * runs, engines and cluster layouts, like [[stratifiedSample]].
+    *
+    * All sizing arithmetic is INTEGER (floor division): with
+    * `scale = min_s(avail_s·1000 div tgt_s)`, each stratum keeps
+    * `floor(scale·tgt_s/1000)` ≤ avail_s documents via an acceptance
+    * permille — exact cross-engine parity, no fp proportions anywhere.
+    * Strata absent from `targets` drop entirely.
+    *
+    * Scale shape: one stratum-count aggregation (map-side partial, the
+    * result is model-sized), the rate table broadcasts back, and the
+    * gate is map-side — the corpus itself never shuffles.
+    */
+  def domainMix(docs: DataFrame, strataCol: String, textCol: String,
+                idCol: String, targets: Map[String, Int]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty positive permille weights")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = broadcast(targets.toSeq.toDF(strataCol, "__tgt_pm"))
+    val avail = docs.groupBy(strataCol).agg(count(lit(1)).as("__avail"))
+      .join(tgt, strataCol)
+    val scale = avail.agg(min(expr("__avail * 1000 div __tgt_pm")).as("__scale"))
+    val rates = avail.crossJoin(broadcast(scale))
+      .select(col(strataCol),
+        expr("least(1000, ((__scale * __tgt_pm div 1000) * 1000) div __avail)")
+          .as("__permille"))
+    docs.join(broadcast(rates), strataCol)
+      .filter(pmod(fingerprint(col(textCol)), lit(1000L)) < col("__permille"))
+      .select(col(idCol), col(strataCol))
+  }
+
   /** Curation filter — the keep/drop decision of a corpus pipeline as
     * one composed pass: exact-dup canonicalization (only the min-id
     * representative of each content hash is canonical), token-count

@@ -157,6 +157,28 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, 1L, 0L, "")))
   }
 
+  test("domainMix: integer sizing — binding stratum keeps all, rest thin") {
+    // A: 4 docs @500‰, B: 8 docs @500‰ → scale = min(4000/500, 8000/500)
+    // = 8 → A keeps 8·500/1000 = 4 of 4 (permille 1000 — every doc
+    // regardless of fingerprint), B keeps 4 of 8 (permille 500 — the
+    // fp%1000<500 subset). C has no target and vanishes.
+    val rows = (1 to 4).map(i => (i.toLong, "A", s"alpha doc $i")) ++
+               (5 to 12).map(i => (i.toLong, "B", s"beta doc number $i")) ++
+               Seq((13L, "C", "no target"))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.domainMix(df, "lang", "text", "doc_id",
+        Map("A" -> 500, "B" -> 500))
+      .as[(Long, String)].collect().toSet
+    assert(out.count(_._2 == "A") == 4)
+    val bFps = df.filter(col("lang") === "B")
+      .select(col("doc_id"),
+        pmod(TextAnalysis.fingerprint(col("text")), lit(1000L)))
+      .as[(Long, Long)].collect().toMap
+    assert(out.filter(_._2 == "B").map(_._1) ==
+      bFps.filter(_._2 < 500).keySet)
+    assert(!out.exists(_._2 == "C"))
+  }
+
   test("OncePerRowExpr pins one evaluation under multi-reference projection") {
     // parquet-backed so ConvertToLocalRelation can't pre-fold the parse
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -839,6 +839,21 @@ object SparkEntry {
                 col("shared_shingles").cast("long").as("shared_shingles"))
     }),
 
+    // E31: Bloom-prefiltered decontamination — identical semantics to
+    // E15 (no false negatives; exact verify kills false positives) with
+    // the corpus pruned map-side before the join; 4-gram shingles and a
+    // lower threshold differentiate the fixture
+    "bloom_decontaminate" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val corpus = plantedDocs(t).filter(col("doc_id") >= 1000000L)
+      val benchmark = t.documents.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.bloomContamination(corpus, benchmark, "doc_id", "text",
+          shingleN = 4, minShared = 5)
+        .select(col("doc_id"), col("benchmark_id"),
+                col("shared_shingles").cast("long").as("shared_shingles"))
+    }),
+
     // E11: polynomial rolling-hash document fingerprint
     "doc_fingerprint" -> ((s, dir) => {
       Tables(s, dir).documents
@@ -1440,6 +1455,33 @@ object SparkEntry {
          FROM csh JOIN bsh USING (shingle)
          GROUP BY doc_id, benchmark_id
          HAVING count(*) >= 10""",
+
+    // the Bloom prefilter is a pure no-false-negative optimization —
+    // the oracle is the EXACT 4-gram overlap, same as the Spark result
+    "bloom_decontaminate" ->
+      """WITH corpus AS (
+           SELECT doc_id + 1000000 AS doc_id, text || ' appended' AS text
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+         bench AS (
+           SELECT doc_id AS benchmark_id, text FROM documents WHERE doc_id % 7 = 0),
+         ctoks AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM corpus),
+         btoks AS (
+           SELECT benchmark_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS ws
+           FROM bench),
+         csh AS (
+           SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-2),
+             i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3])) AS shingle FROM ctoks),
+         bsh AS (
+           SELECT DISTINCT benchmark_id, unnest(list_transform(range(1, len(ws)-2),
+             i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3])) AS shingle FROM btoks)
+         SELECT doc_id, benchmark_id, count(*) AS shared_shingles
+         FROM csh JOIN bsh USING (shingle)
+         GROUP BY doc_id, benchmark_id
+         HAVING count(*) >= 5""",
 
     "vocab_stats" ->
       """WITH toks AS (

@@ -132,6 +132,47 @@ object TextAnalysis {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Bloom-prefiltered benchmark decontamination — same result as
+    * [[contamination]] (a Bloom filter has NO false negatives and the
+    * exact shingle join kills its false positives), but the corpus side
+    * is pruned MAP-SIDE before anything shuffles: benchmark shingle
+    * hashes are folded into a Bloom sketch once (driver-side aggregate,
+    * ~1.2 MB at 2^20 items / 1% fpp), the sketch rides into every scan
+    * task as a plan literal, and only corpus shingles the sketch admits
+    * enter the join. At 100 TB that is the difference between shuffling
+    * every document's shingles and shuffling only the (rare) suspected
+    * overlaps — the same shape Spark's own runtime row-group filtering
+    * uses, via the same codegen'd [[BloomFilterMightContain]] predicate
+    * (no UDF in the hot path).
+    */
+  def bloomContamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, shingleN: Int = 3,
+                         minShared: Int = 10,
+                         expectedItems: Long = 1L << 20,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    def sh(df: DataFrame, outId: String) = df.select(col(idCol).as(outId),
+      explode(Dedup.shingles(col(textCol), shingleN)).as("shingle"))
+    val bsh = sh(benchmark, "benchmark_id")
+    val bloom = bsh.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val admitted = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(col("shingle")))))
+    sh(corpus, "doc_id")
+      .filter(admitted)
+      .join(broadcast(bsh), "shingle")
+      .groupBy("doc_id", "benchmark_id")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   /** Deterministic stratified sampling — the per-source mixing-weight
     * step of a training-data pipeline: each stratum keeps
     * `rates(stratum)`‰ of its documents, selected by the content

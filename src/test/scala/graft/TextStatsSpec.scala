@@ -179,6 +179,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == "C"))
   }
 
+  test("bloomContamination ≡ exact contamination, prefilter in the plan") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val benchmark = corpus.filter(col("doc_id") % 3 === 0)
+    val exact = TextAnalysis.contamination(corpus, benchmark,
+        "doc_id", "text", shingleN = 3, minShared = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloomed = TextAnalysis.bloomContamination(corpus, benchmark,
+      "doc_id", "text", shingleN = 3, minShared = 4)
+    assert(bloomed.as[(Long, Long, Long)].collect().toSet == exact)
+    assert(exact.nonEmpty) // the fixture actually exercises overlaps
+    // the Bloom probe gates the corpus side BEFORE the join (map-side)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom prefilter:\n$plan")
+  }
+
   test("OncePerRowExpr pins one evaluation under multi-reference projection") {
     // parquet-backed so ConvertToLocalRelation can't pre-fold the parse
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -624,6 +624,12 @@ object SparkEntry {
       TextAnalysis.segmentDedup(Tables(s, dir).documents, "doc_id", "text",
         segTokens = 20)),
 
+    // E29b: boilerplate-segment removal — segments in ≥2 distinct docs
+    // stripped from every document (vs segment_dedup's first-survives)
+    "boilerplate_segments" -> ((s, dir) =>
+      TextAnalysis.boilerplateSegments(Tables(s, dir).documents, "doc_id",
+        "text", segTokens = 20, minDocs = 2)),
+
     // E24: the full curation pipeline (normalize → signals → filters →
     // exact+near dedup → sample → pack) — rows-only (the near-dup
     // canonical is LSH-hash-dependent and the audit frame has no
@@ -1614,6 +1620,39 @@ object SparkEntry {
                 count(*) FILTER (WHERE kept) AS n_kept,
                 coalesce(string_agg(seg_text, ' ' ORDER BY seg_ix)
                            FILTER (WHERE kept), '') AS dedup_text
+         FROM flagged GROUP BY doc_id""",
+
+    "boilerplate_segments" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS w
+           FROM documents),
+         st AS (
+           SELECT doc_id, w,
+                  unnest(generate_series(0,
+                    greatest(CAST(ceil(len(w)::DOUBLE / 20) AS INT) - 1, 0)))
+                    AS seg_ix
+           FROM toks),
+         segs AS (
+           SELECT doc_id, seg_ix,
+                  array_to_string(w[seg_ix*20+1 : seg_ix*20+20], ' ') AS seg_text
+           FROM st WHERE len(w[seg_ix*20+1 : seg_ix*20+20]) > 0),
+         stats AS (
+           SELECT md5(seg_text) AS seg_hash,
+                  count(DISTINCT doc_id) AS n_docs
+           FROM segs GROUP BY 1),
+         flagged AS (
+           SELECT s.doc_id, s.seg_ix, s.seg_text,
+                  st.n_docs >= 2 AS boiler
+           FROM segs s JOIN stats st ON md5(s.seg_text) = st.seg_hash)
+         SELECT doc_id,
+                count(*) AS n_segments,
+                count(*) FILTER (WHERE boiler) AS n_boilerplate,
+                round(count(*) FILTER (WHERE boiler)::DOUBLE / count(*), 6)
+                  AS boilerplate_frac,
+                coalesce(string_agg(seg_text, ' ' ORDER BY seg_ix)
+                           FILTER (WHERE NOT boiler), '') AS clean_text
          FROM flagged GROUP BY doc_id""",
 
     "approx_top_tokens" ->

@@ -336,30 +336,54 @@ object Dedup {
     * [[graft.streaming.Streams.streamDedupIncremental]]'s
     * `compactEvery`) or while ingest is paused.
     */
-  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                        indexDir: String, shinglePartitions: Int = 64): Unit = {
+  /** Temp-write → delete-live → rename swap for one index sub-table;
+    * the crash states this ordering leaves are exactly the two
+    * [[recoverTable]] repairs. Shared by the band- and span-index
+    * compactions.
+    */
+  private def swapIn(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, sub: String)
+                    (write: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
+    val live = new Path(s"$indexDir/$sub")
+    val tmp = new Path(s"$indexDir/$sub.compact.tmp")
+    val fs = live.getFileSystem(conf)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.delete(live, true)
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"compact swap failed for $live")
+  }
+
+  private def recoverTable(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, sub: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new Path(s"$indexDir/$sub")
+    val tmp = new Path(s"$indexDir/$sub.compact.tmp")
+    val fs = live.getFileSystem(conf)
+    if (fs.exists(tmp) && !fs.exists(live)) {
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"recovery rename failed for $live")
+      true
+    } else if (fs.exists(tmp)) {
+      fs.delete(tmp, true); true
+    } else false
+  }
+
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, shinglePartitions: Int = 64): Unit = {
     recoverDedupIndex(spark, indexDir) // a prior crash mid-swap may have
     // left tmp as the ONLY copy — never delete it before checking
-    def swapIn(sub: String)(write: String => Unit): Unit = {
-      val live = new Path(s"$indexDir/$sub")
-      val tmp = new Path(s"$indexDir/$sub.compact.tmp")
-      val fs = live.getFileSystem(conf)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      write(tmp.toString)
-      fs.delete(live, true)
-      if (!fs.rename(tmp, live))
-        throw new java.io.IOException(s"compact swap failed for $live")
-    }
-    swapIn("bands") { tmp =>
+    swapIn(spark, indexDir, "bands") { tmp =>
       spark.read.parquet(s"$indexDir/bands")
         .dropDuplicates("doc_id", "band_ix", "band_hash")
         // each band_pt lands wholly in one task → one file per partition dir
         .repartition(64, col("band_pt"))
         .write.mode("overwrite").partitionBy("band_pt").parquet(tmp)
     }
-    swapIn("shingles") { tmp =>
+    swapIn(spark, indexDir, "shingles") { tmp =>
       spark.read.parquet(s"$indexDir/shingles")
         .dropDuplicates("doc_id")
         .repartition(shinglePartitions)
@@ -379,22 +403,36 @@ object Dedup {
     * at stream/job startup.
     */
   def recoverDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                        indexDir: String): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val conf = spark.sessionState.newHadoopConf()
-    Seq("bands", "shingles").map { sub =>
-      val live = new Path(s"$indexDir/$sub")
-      val tmp = new Path(s"$indexDir/$sub.compact.tmp")
-      val fs = live.getFileSystem(conf)
-      if (fs.exists(tmp) && !fs.exists(live)) {
-        if (!fs.rename(tmp, live))
-          throw new java.io.IOException(s"recovery rename failed for $live")
-        true
-      } else if (fs.exists(tmp)) {
-        fs.delete(tmp, true); true
-      } else false
-    }.exists(identity)
+                        indexDir: String): Boolean =
+    Seq("bands", "shingles").map(recoverTable(spark, indexDir, _))
+      .exists(identity)
+
+  /** Compact the span index after repeated [[extendSpanIndex]] appends
+    * — one file per span_pt partition, replay-duplicated rows dropped.
+    * Query-result identical before/after ([[spansAgainstIndex]] already
+    * count-dedupes, so dropping physical duplicates changes nothing —
+    * spec-asserted). Same temp-write → delete → rename swap and crash
+    * states as [[compactDedupIndex]]; recovery runs automatically
+    * first.
+    */
+  def compactSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): Unit = {
+    recoverSpanIndex(spark, indexDir)
+    swapIn(spark, indexDir, "spans") { tmp =>
+      spark.read.parquet(s"$indexDir/spans")
+        .dropDuplicates("doc_id", "span_hash")
+        .repartition(64, col("span_pt"))
+        .write.mode("overwrite").partitionBy("span_pt").parquet(tmp)
+    }
   }
+
+  /** Repair a span index left mid-swap by a crashed
+    * [[compactSpanIndex]] — same two crash states as
+    * [[recoverDedupIndex]]. Idempotent.
+    */
+  def recoverSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): Boolean =
+    recoverTable(spark, indexDir, "spans")
 
   /** Near-dup detection of a NEW batch against a persisted corpus index
     * (see [[buildDedupIndex]]) — the daily-ingest shape of dedup:

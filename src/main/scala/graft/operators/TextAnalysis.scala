@@ -441,17 +441,7 @@ object TextAnalysis {
     */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
                    segTokens: Int = 20): DataFrame = {
-    require(segTokens > 0, s"segTokens=$segTokens must be positive")
-    val toks = array_remove(split(trim(col(textCol)), "\\s+"), "")
-    val nSegs = ceil(size(toks).cast("double") / segTokens).cast("int")
-    val segs = docs
-      .select(col(idCol).as("doc_id"), toks.as("__toks"),
-        explode(sequence(lit(0), greatest(nSegs - 1, lit(0)))).as("seg_ix"))
-      .select(col("doc_id"), col("seg_ix"),
-        concat_ws(" ",
-          slice(col("__toks"), col("seg_ix") * segTokens + 1, lit(segTokens)))
-          .as("seg_text"))
-      .filter(length(col("seg_text")) > 0)
+    val segs = segmentize(docs, idCol, textCol, segTokens)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("seg_hash")).orderBy(col("doc_id"), col("seg_ix"))
     segs
@@ -469,6 +459,59 @@ object TextAnalysis {
               when(col("kept"), struct(col("seg_ix"), col("seg_text"))))),
             s => s("seg_text")),
           " ").as("dedup_text"))
+  }
+
+  /** Non-overlapping `segTokens`-token segments per document —
+    * (doc_id, seg_ix, seg_text), map-side slice/explode. Token-less
+    * documents contribute no rows.
+    */
+  private def segmentize(docs: DataFrame, idCol: String, textCol: String,
+                         segTokens: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens=$segTokens must be positive")
+    val toks = array_remove(split(trim(col(textCol)), "\\s+"), "")
+    val nSegs = ceil(size(toks).cast("double") / segTokens).cast("int")
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"),
+        explode(sequence(lit(0), greatest(nSegs - 1, lit(0)))).as("seg_ix"))
+      .select(col("doc_id"), col("seg_ix"),
+        concat_ws(" ",
+          slice(col("__toks"), col("seg_ix") * segTokens + 1, lit(segTokens)))
+          .as("seg_text"))
+      .filter(length(col("seg_text")) > 0)
+  }
+
+  /** Boilerplate-segment removal — the CCNet/RefinedWeb line-dedup
+    * heuristic: a segment occurring in ≥ `minDocs` DISTINCT documents
+    * is boilerplate (headers, footers, navigation chrome); each
+    * document reports its boilerplate fraction and reassembles without
+    * those segments. Unlike [[segmentDedup]] (first copy survives),
+    * boilerplate is removed from EVERY document, including the first.
+    *
+    * Scale shape: one segment-hash aggregation (map-side partial
+    * countDistinct), one hash-keyed join back (both sides partitioned
+    * by the uniformly-distributed 128-bit hash), one doc aggregation.
+    */
+  def boilerplateSegments(docs: DataFrame, idCol: String, textCol: String,
+                          segTokens: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(minDocs > 1, s"minDocs=$minDocs must be > 1")
+    val segs = segmentize(docs, idCol, textCol, segTokens)
+      .withColumn("seg_hash", md5(col("seg_text")))
+    val stats = segs.groupBy("seg_hash")
+      .agg(countDistinct(col("doc_id")).as("__n_docs"))
+    segs.join(stats, "seg_hash")
+      .withColumn("boiler", col("__n_docs") >= minDocs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("boiler"), 1)).as("n_boilerplate"),
+        round(count(when(col("boiler"), 1)).cast("double") / count(lit(1)), 6)
+          .as("boilerplate_frac"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("boiler"), struct(col("seg_ix"), col("seg_text"))))),
+            s => s("seg_text")),
+          " ").as("clean_text"))
   }
 
   /** Word-set Jaccard similarity between two text columns (candidate-pair

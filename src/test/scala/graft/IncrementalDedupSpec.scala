@@ -220,6 +220,53 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(replay.filter(_._2 < 1000000L) == incremental)
   }
 
+  test("compactSpanIndex: identical results, one file per span_pt, recovery") {
+    val (span, stride) = (15, 5)
+    val dir = ix("spancompact")
+    // small appends + one REPLAYED extend (duplicate physical rows)
+    Dedup.buildSpanIndex(oldDocs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", dir, span, stride)
+    (1 to 3).foreach { r =>
+      Dedup.extendSpanIndex(oldDocs.filter(col("doc_id") % 4 === r),
+        "doc_id", "text", dir, span, stride)
+    }
+    Dedup.extendSpanIndex(oldDocs.filter(col("doc_id") % 4 === 1),
+      "doc_id", "text", dir, span, stride)
+    def q() = Dedup.spansAgainstIndex(newDocs, dir, "doc_id", "text",
+        span, stride)
+      .select("new_id", "dup_of", "shared_spans")
+      .as[(Long, Long, Long)].collect().toSet
+    val before = q()
+    assert(before.nonEmpty)
+    val filesBefore = parquetFiles(s"$dir/spans").size
+    Dedup.compactSpanIndex(spark, dir)
+    assert(q() == before)
+    val ptDirs = new java.io.File(s"$dir/spans").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("span_pt="))
+    assert(ptDirs.nonEmpty)
+    ptDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName} has $n files after compaction")
+    }
+    assert(parquetFiles(s"$dir/spans").size < filesBefore)
+
+    // crash state A: tmp ONLY — recovery completes the swap
+    val spansDir = new java.io.File(s"$dir/spans")
+    assert(spansDir.renameTo(new java.io.File(s"$dir/spans.compact.tmp")))
+    assert(Dedup.recoverSpanIndex(spark, dir))
+    assert(q() == before)
+    // crash state B: live AND stale tmp — live wins, tmp drops
+    Dedup.buildSpanIndex(oldDocs.limit(10), "doc_id", "text",
+      s"$dir.stale", span, stride)
+    assert(new java.io.File(s"$dir.stale/spans")
+      .renameTo(new java.io.File(s"$dir/spans.compact.tmp")))
+    assert(Dedup.recoverSpanIndex(spark, dir))
+    assert(!new java.io.File(s"$dir/spans.compact.tmp").exists())
+    assert(q() == before)
+    // clean: nothing to repair
+    assert(!Dedup.recoverSpanIndex(spark, dir))
+  }
+
   test("recoverDedupIndex repairs both mid-swap crash states without data loss") {
     def q(dir: String) = Dedup.dedupAgainstIndex(newDocs, dir, "doc_id", "text")
       .select("new_id", "dup_of", "jaccard")

@@ -179,6 +179,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == "C"))
   }
 
+  test("boilerplateSegments: shared segments stripped from EVERY doc") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // [a b c] shared → stripped, keeps "d e f"
+      (2L, "a b c x y z"),  // ditto, keeps "x y z"
+      (3L, "a b c")         // entirely boilerplate → empty clean text
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateSegments(docs, "doc_id", "text",
+        segTokens = 3, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0.5, "d e f"),
+      (2L, 2L, 1L, 0.5, "x y z"),
+      (3L, 1L, 1L, 1.0, "")))
+  }
+
   test("bloomContamination ≡ exact contamination, prefilter in the plan") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -606,6 +606,18 @@ object SparkEntry {
       QualityClassifier.score(feats.drop("__gate"), model, "doc_id")
     }),
 
+    // E20b: bigram-LM cross-entropy — the planted corpus scores against
+    // a model fit on the BASE documents, so unseen-bigram and
+    // unseen-continuation backoff paths are exercised (' appended')
+    "perplexity_bigram" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.documents.select(col("doc_id"), col("text"))
+      val (bi, ctx, g) = TextAnalysis.bigramLm(base, "text")
+      TextAnalysis.crossEntropyBigram(
+        plantedDocs(t).filter(col("doc_id") >= 1000000L),
+        "doc_id", "text", bi, ctx, g)
+    }),
+
     // E26: per-document top-3 TF-IDF keywords (micro-nat-quantized IDF
     // → exact-integer weights, deterministic tie-break)
     "tfidf_keywords" -> ((s, dir) =>
@@ -1553,6 +1565,64 @@ object SparkEntry {
                        // (2 * count(*)) AS BIGINT)::DOUBLE / 1e6 AS cross_entropy
          FROM toks t JOIN lm l USING (word)
          GROUP BY t.doc_id""",
+
+    // bigram LM fit on BASE documents, planted corpus scored with
+    // add-one backoff — all integer micro-nats after the two counts
+    "perplexity_bigram" ->
+      """WITH corpus AS (
+           SELECT doc_id + 1000000 AS doc_id, text || ' appended' AS text
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+         base_toks AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS w
+           FROM documents),
+         base_pos AS (
+           SELECT doc_id, w, unnest(range(1, len(w))) AS i
+           FROM base_toks WHERE len(w) >= 2),
+         base_pairs AS (SELECT w[i] AS prev, w[i+1] AS cur FROM base_pos),
+         v AS (SELECT count(DISTINCT word) AS v
+               FROM (SELECT unnest(w) AS word FROM base_toks)),
+         ctx AS (SELECT prev, count(*) AS c_prev FROM base_pairs GROUP BY prev),
+         ctx_lp AS (
+           SELECT prev, c_prev,
+                  CAST(round(ln((c_prev + v.v)::DOUBLE) * 1e6) AS BIGINT)
+                    AS lp_unseen_micro
+           FROM ctx, v),
+         bi AS (SELECT prev, cur, count(*) AS c_bi
+                FROM base_pairs GROUP BY prev, cur),
+         bi_lp AS (
+           SELECT b.prev, b.cur,
+                  CAST(round(ln((c.c_prev + v.v)::DOUBLE / (b.c_bi + 1)) * 1e6)
+                       AS BIGINT) AS lp_micro
+           FROM bi b JOIN ctx c ON b.prev = c.prev, v),
+         g AS (SELECT CAST(round(ln(v::DOUBLE) * 1e6) AS BIGINT)
+                 AS lp_global_micro FROM v),
+         c_toks AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS w
+           FROM corpus),
+         c_pos AS (
+           SELECT doc_id, w, unnest(range(1, len(w))) AS i
+           FROM c_toks WHERE len(w) >= 2),
+         c_pairs AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur FROM c_pos),
+         scored AS (
+           SELECT p.doc_id,
+                  coalesce(b.lp_micro, c.lp_unseen_micro, g.lp_global_micro)
+                    AS lp
+           FROM c_pairs p
+           LEFT JOIN bi_lp b ON p.prev = b.prev AND p.cur = b.cur
+           LEFT JOIN ctx_lp c ON p.prev = c.prev
+           CROSS JOIN g)
+         SELECT doc_id,
+                count(*)::BIGINT AS n_bigrams,
+                CAST((2 * CAST(sum(lp) AS BIGINT) + count(*))
+                       // (2 * count(*)) AS BIGINT)::DOUBLE / 1e6
+                  AS cross_entropy
+         FROM scored GROUP BY doc_id""",
 
     "tfidf_keywords" ->
       """WITH toks0 AS (

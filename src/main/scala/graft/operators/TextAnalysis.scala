@@ -328,6 +328,91 @@ object TextAnalysis {
           .cast("long").as("lp_micro"))
   }
 
+  /** Bigram language model with add-one smoothing — the n-gram upgrade
+    * of [[unigramLm]] (KenLM-style scoring, one order up):
+    * `P(w|v) = (c(v,w)+1) / (c(v)+V)`. Three model tables, all
+    * vocab-sized and broadcastable:
+    *  - `bigrams(prev, cur, lp_micro)` for SEEN bigrams:
+    *    `round(ln((c(v)+V)/(c(v,w)+1))·1e6)` — ONE log per bigram type;
+    *  - `contexts(prev, lp_unseen_micro)` for unseen continuations of a
+    *    seen context: `round(ln(c(v)+V)·1e6)` (the add-one mass);
+    *  - `lpGlobal` (1 row, `lp_global_micro`) for unseen contexts:
+    *    `round(ln(V)·1e6)`.
+    * Everything downstream of the two count aggregations is integer
+    * arithmetic — same cross-engine determinism contract as
+    * [[unigramLm]]. Tokenization is the house `\s+` empty-stripped
+    * definition.
+    */
+  def bigramLm(docs: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = array_remove(split(trim(col(textCol)), "\\s+"), "")
+    val pairs = docs.select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bi"))
+      .select(col("bi.prev").as("prev"), col("bi.cur").as("cur"))
+    val unigrams = docs.select(
+        explode(array_remove(split(trim(col(textCol)), "\\s+"), "")).as("word"))
+    val v = unigrams.agg(countDistinct(col("word")).as("__v"))
+    val ctxCounts = pairs.groupBy("prev").agg(count(lit(1)).as("__c_prev"))
+    val contexts = ctxCounts.crossJoin(broadcast(v))
+      .select(col("prev"),
+        round(log((col("__c_prev") + col("__v")).cast("double")) * 1e6)
+          .cast("long").as("lp_unseen_micro"),
+        col("__c_prev"), col("__v"))
+    val bigrams = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("__c_bi"))
+      .join(contexts.select("prev", "__c_prev", "__v"), "prev")
+      .select(col("prev"), col("cur"),
+        round(log((col("__c_prev") + col("__v")).cast("double") /
+                  (col("__c_bi") + 1)) * 1e6)
+          .cast("long").as("lp_micro"))
+    val lpGlobal = v.select(
+      round(log(col("__v").cast("double")) * 1e6)
+        .cast("long").as("lp_global_micro"))
+    (bigrams, contexts.select("prev", "lp_unseen_micro"), lpGlobal)
+  }
+
+  /** Per-document cross-entropy under a [[bigramLm]]: mean bigram
+    * surprisal in nats over the document's `n-1` bigram positions,
+    * with add-one backoff — seen bigram → its `lp_micro`; unseen
+    * continuation of a seen context → the context's add-one mass;
+    * unseen context → `ln(V)`. The sum is exact integer arithmetic and
+    * the mean is integer round-half-up — deterministic across engines,
+    * partition layouts and shuffle orders. Documents with <2 tokens
+    * emit no row (no bigram positions — explode semantics, like
+    * [[chunkDocuments]]).
+    *
+    * Scale shape: the three model tables broadcast (vocab-sized); one
+    * per-document aggregation is the only shuffle.
+    */
+  def crossEntropyBigram(docs: DataFrame, idCol: String, textCol: String,
+                         bigrams: DataFrame, contexts: DataFrame,
+                         lpGlobal: DataFrame): DataFrame = {
+    val toks = array_remove(split(trim(col(textCol)), "\\s+"), "")
+    val pairs = docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bi"))
+      .select(col("doc_id"), col("bi.prev").as("prev"), col("bi.cur").as("cur"))
+    pairs
+      .join(broadcast(bigrams), Seq("prev", "cur"), "left")
+      .join(broadcast(contexts), Seq("prev"), "left")
+      .crossJoin(broadcast(lpGlobal))
+      .select(col("doc_id"),
+        coalesce(col("lp_micro"), col("lp_unseen_micro"),
+                 col("lp_global_micro")).as("__lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__s"))
+      // integer round-half-up mean — see [[crossEntropy]]
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("(2 * __s + n_bigrams) div (2 * n_bigrams)").cast("double") / 1e6)
+          .as("cross_entropy"))
+  }
+
   /** Per-document cross-entropy under a unigram LM (the CCNet-style
     * perplexity quality filter): mean token surprisal in nats, rounded
     * to 6 places. The LM is broadcast (vocab-sized; for >threshold

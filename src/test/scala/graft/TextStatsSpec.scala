@@ -179,6 +179,21 @@ class TextStatsSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == "C"))
   }
 
+  test("bigram LM: hand-computed surprisal across all three backoff tiers") {
+    // fit: "a b a b" + "a c" → V={a,b,c}=3; c(a)=3, c(b)=1;
+    // c(a,b)=2, c(b,a)=1, c(a,c)=1
+    val fit = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val (bi, ctx, g) = TextAnalysis.bigramLm(fit, "text")
+    // score "a b z q": (a,b) seen → ln(6/3)=ln2 = 693147µ;
+    // (b,z) unseen cur, seen ctx → ln(1+3)=ln4 = 1386294µ;
+    // (z,q) unseen ctx → ln(V)=ln3 = 1098612µ
+    // sum 3178053, n=3 → mean 1059351 exactly
+    val docs = Seq((10L, "a b z q"), (11L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.crossEntropyBigram(docs, "doc_id", "text", bi, ctx, g)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((10L, 3L, 1.059351)))  // <2-token doc: no row
+  }
+
   test("boilerplateSegments: shared segments stripped from EVERY doc") {
     val docs = Seq(
       (1L, "a b c d e f"),  // [a b c] shared → stripped, keeps "d e f"

@@ -872,6 +872,18 @@ object SparkEntry {
                 col("shared_shingles").cast("long").as("shared_shingles"))
     }),
 
+    // E32: verbatim-span decontamination — stride-aligned corpus
+    // windows vs every-offset benchmark windows (exact-substring
+    // contamination, sharper than shingle overlap)
+    "span_decontaminate" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val corpus = plantedDocs(t).filter(col("doc_id") >= 1000000L)
+      val benchmark = t.documents.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+      Dedup.spanContamination(corpus, benchmark, "doc_id", "text",
+        spanTokens = 20, corpusStride = 5, benchStride = 1)
+    }),
+
     // E11: polynomial rolling-hash document fingerprint
     "doc_fingerprint" -> ((s, dir) => {
       Tables(s, dir).documents
@@ -2258,6 +2270,41 @@ object SparkEntry {
          SELECT a.doc_id AS left_id, b.doc_id AS right_id,
                 count(*) AS shared_spans
          FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
+
+    // hash-free re-derivation: window TEXT equality, corpus stride 5,
+    // benchmark stride 1
+    "span_decontaminate" ->
+      """WITH corpus AS (
+           SELECT doc_id + 1000000 AS doc_id, text || ' appended' AS text
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+         ctoks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS t
+           FROM corpus),
+         btoks AS (
+           SELECT doc_id AS benchmark_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS t
+           FROM documents WHERE doc_id % 7 = 0),
+         cw AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(t[i*5+1 : i*5+20], ' ') AS win
+           FROM ctoks,
+                UNNEST(generate_series(0,
+                  CAST(floor((len(t) - 20)::DOUBLE / 5) AS INT))) AS s(i)
+           WHERE len(t) >= 20),
+         bw AS (
+           SELECT DISTINCT benchmark_id,
+                  array_to_string(t[i+1 : i+20], ' ') AS win
+           FROM btoks,
+                UNNEST(generate_series(0, len(t) - 20)) AS s(i)
+           WHERE len(t) >= 20)
+         SELECT c.doc_id, b.benchmark_id, count(*) AS shared_spans
+         FROM cw c JOIN bw b ON c.win = b.win
          GROUP BY 1, 2""",
 
     "span_incremental" ->

@@ -187,8 +187,36 @@ object Dedup {
       .agg(count(lit(1)).as("shared_spans"))
   }
 
+  /** Verbatim-span decontamination — the exact-substring sibling of
+    * [[TextAnalysis.contamination]] (shingle overlap can score high on
+    * scrambled word soup; a shared full `spanTokens`-token WINDOW is
+    * near-certain verbatim copying). Corpus windows are stride-aligned
+    * (`corpusStride`); benchmark windows default to EVERY offset
+    * (`benchStride = 1`) so an aligned corpus window is caught wherever
+    * it sits inside a benchmark document — the eval set is model-sized,
+    * so its token-count × spanTokens window blowup is cheap, and it
+    * broadcasts. Emits (doc_id, benchmark_id, shared_spans) where
+    * shared_spans counts DISTINCT shared window contents.
+    *
+    * Scale shape: corpus windowing is map-side slice/hash; the
+    * benchmark side broadcasts; the only shuffle is the pair
+    * aggregation, bounded by real matches.
+    */
+  def spanContamination(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String,
+                        spanTokens: Int = 20, corpusStride: Int = 5,
+                        benchStride: Int = 1): DataFrame = {
+    val c = spanWindows(corpus, idCol, textCol, spanTokens, corpusStride)
+    val b = spanWindows(benchmark, idCol, textCol, spanTokens, benchStride)
+      .select(col("doc_id").as("benchmark_id"), col("__h"))
+    c.join(broadcast(b), "__h")
+      .groupBy("doc_id", "benchmark_id")
+      .agg(count(lit(1)).as("shared_spans"))
+  }
+
   /** Stride-aligned full-window hashes of each document — the shared
-    * building block of [[sharedSpanPairs]] and the span index.
+    * building block of [[sharedSpanPairs]], [[spanContamination]] and
+    * the span index.
     */
   private def spanWindows(docs: DataFrame, idCol: String, textCol: String,
                           spanTokens: Int, stride: Int): DataFrame = {

@@ -210,6 +210,19 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, 1L, 1L, 1.0, "")))
   }
 
+  test("spanContamination: misaligned verbatim span caught via stride-1 bench") {
+    val benchmark = Seq((100L, "b1 b2 b3 b4 b5 b6 b7")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // [b2..b6] sits at corpus offset 2 (stride-2-aligned) but at
+      // benchmark offset 1 — only the every-offset bench side finds it
+      (1L, "x1 x2 b2 b3 b4 b5 b6 y1"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.spanContamination(corpus, benchmark,
+        "doc_id", "text", spanTokens = 5, corpusStride = 2, benchStride = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 100L, 1L)))
+  }
+
   test("bloomContamination ≡ exact contamination, prefilter in the plan") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -1167,6 +1167,24 @@ object SparkEntry {
                           Seq("view_event_id", "view_value"))
     }),
 
+    // C34: gap-based sessionization over the event stream (24h gap),
+    // rolled up to per-session stats — one shuffle on the user key
+    "sessionize" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("event_id"),
+                expr("ts_ns div 1000").as("ts_us"), col("value"))
+      Relational.sessionize(ev, Seq("user_id"), "ts_us",
+                            gapNs = 86400000000L, Seq(col("event_id")))
+        .groupBy(col("user_id"), col("session_ix"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts_us")).as("start_us"),
+             max(col("ts_us")).as("end_us"),
+             (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+             // integer milli-units: per-term quantization makes the sum
+             // exact cross-engine (fp sums are shuffle-order-dependent)
+             sum(round(col("value") * 1000).cast("long")).as("total_value_milli"))
+    }),
+
     // D1 batch twin: per-key latest state with the strictly-newer guard
     // (Streams.latestStatusUpdates final state; ties keep the first
     // event processed in (ts, status) order)
@@ -2358,6 +2376,29 @@ object SparkEntry {
                 v.view_value AS asof_view_value
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+           FROM events),
+         s AS (
+           SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w > 86400000000
+                          THEN 1 ELSE 0 END AS __new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         x AS (
+           SELECT *, CAST(sum(__new) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_ix
+           FROM s)
+         SELECT user_id, session_ix, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us,
+                max(ts_us) - min(ts_us) AS duration_us,
+                CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                  AS total_value_milli
+         FROM x GROUP BY 1, 2""",
 
     "stream_latest_status" ->
       """SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ts,

@@ -199,6 +199,31 @@ object Relational {
     salted.join(replicated, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Gap-based sessionization: consecutive events of a key belong to
+    * one session until the gap to the previous event exceeds `gapNs`;
+    * then a new session starts. Appends `session_ix` (1-based per-key
+    * session index). The classic clickstream/telemetry operator the
+    * reference's per-event webhook tables never aggregate.
+    *
+    * Scale shape: ONE key-partitioned window (lag + running sum ride
+    * the same sort), a single shuffle on the session key — never a
+    * global window. `tiebreak` columns pin the order when `orderCol`
+    * collides, keeping the assignment deterministic under any
+    * partitioning.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], orderCol: String,
+                 gapNs: Long, tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol) +: tiebreak: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(col(orderCol), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+             col(orderCol) - col("__prev") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_ix", sum(col("__new_session")).over(run))
+      .drop("__prev", "__new_session")
+  }
+
   /** Multi-valued external ids exploded to an indexed lookup table with
     * set semantics (alma_publish_to_database.py:223-233 inserts
     * `set(external_ids)` rows into `external_id`).

@@ -86,6 +86,36 @@ class OpsSpec extends AnyFunSuite {
       "p3" -> None))         // right row is later → no match
   }
 
+  test("sessionize: gap starts a new session, boundary-equal gap stays") {
+    val ev = Seq(
+      (1L, 100L, 1L),   // s1
+      (1L, 110L, 2L),   // gap 10 == gapNs → same session (strict >)
+      (1L, 121L, 3L),   // gap 11 > 10 → s2
+      (1L, 300L, 4L),   // s3
+      (2L, 50L, 5L))    // other key → its own s1
+      .toDF("k", "ts", "id")
+    val out = Relational.sessionize(ev, Seq("k"), "ts", gapNs = 10L,
+        Seq(col("id")))
+      .select("k", "id", "session_ix").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 3L),
+      (2L, 5L, 1L)))
+  }
+
+  test("sessionize ties broken by tiebreak column, partition-invariant") {
+    val ev = Seq((1L, 100L, 2L), (1L, 100L, 1L), (1L, 115L, 3L))
+      .toDF("k", "ts", "id")
+    // equal ts rows share a session regardless of tiebreak order; the
+    // next event's gap is measured from the ordered predecessor
+    for (n <- Seq(1, 7)) {
+      val out = Relational.sessionize(ev.repartition(n), Seq("k"), "ts",
+          gapNs = 10L, Seq(col("id")))
+        .select("id", "session_ix").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 1L), (2L, 1L), (3L, 2L)), s"n=$n")
+    }
+  }
+
   test("saltedJoin plan: salt in the join keys, dim replicated via explode") {
     val big = spark.range(1000).select((col("id") % 7).as("k"), col("id").as("v"))
     val dim = Seq((0L, "a"), (1L, "b")).toDF("k", "name")

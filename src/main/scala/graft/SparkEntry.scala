@@ -898,6 +898,22 @@ object SparkEntry {
         Map("en" -> 800, "de" -> 600, "es" -> 400, "fr" -> 200))
     }),
 
+    // E16b: exact-k deterministic uniform sample — smallest-fingerprint
+    // top-k (TakeOrderedAndProject: per-task heap, no global sort)
+    "uniform_sample_k" -> ((s, dir) =>
+      TextAnalysis.uniformSampleK(Tables(s, dir).documents,
+                                  "doc_id", "text", k = 200)),
+
+    // E33: deterministic epoch shuffle — fingerprint order dealt
+    // round-robin into 16 balanced shards (zipWithIndex device, no
+    // single-partition window)
+    "shuffle_shards" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      Relational.shuffleShards(docs, Seq(col("fp"), col("doc_id")),
+                               nShards = 16)
+    }),
+
     // E30: mixture resampling to target domain proportions (en-heavy
     // target; zh has no target and drops) — integer-exact sizing,
     // fingerprint-gated decisions
@@ -1952,6 +1968,36 @@ object SparkEntry {
            VALUES ('en', 800), ('de', 600), ('es', 400), ('fr', 200))
          SELECT doc_id, lang FROM fp JOIN rates USING (lang)
          WHERE fp % 1000 < permille""",
+
+    "uniform_sample_k" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(ascii(text[i]) AS BIGINT))),
+                    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+           FROM documents)
+         SELECT doc_id, fp FROM fp ORDER BY fp, doc_id LIMIT 200""",
+
+    // round-robin deal over the fingerprint total order
+    "shuffle_shards" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(ascii(text[i]) AS BIGINT))),
+                    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+           FROM documents),
+         ix AS (
+           SELECT doc_id, fp,
+                  CAST(row_number() OVER (ORDER BY fp, doc_id) - 1 AS BIGINT)
+                    AS ix
+           FROM fp)
+         SELECT doc_id, fp, CAST(ix % 16 AS BIGINT) AS shard,
+                CAST(ix // 16 AS BIGINT) AS shard_pos
+         FROM ix""",
 
     // same rolling-hash gate as stratified_sample; sizing is pure
     // integer floor division on both engines

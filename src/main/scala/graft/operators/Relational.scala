@@ -92,16 +92,51 @@ object Relational {
     * partitioning (sampled with fixed seeds), so counts and rows align.
     */
   def chunkIndex(df: DataFrame, orderCol: String, n: Int,
-                 ixCol: String = "file_ix"): DataFrame = {
+                 ixCol: String = "file_ix"): DataFrame =
+    withGlobalIndex(df, Seq(col(orderCol)), Seq(ixCol -> (_ / n)))
+
+  /** Deterministic epoch shuffle into `nShards` balanced shards — the
+    * layout step before a training run: order the corpus by its content
+    * fingerprint (pass it in `orderCols`, with an id tiebreak), then
+    * deal rows round-robin so every shard is (a) within one row of the
+    * same size and (b) itself a uniform draw of the corpus. Appends
+    * `shard` and `shard_pos` (the within-shard read order). Same
+    * content → same layout on any engine or cluster shape.
+    *
+    * Scale shape: the zipWithIndex device of [[chunkIndex]] — ONE
+    * range-repartition on the order columns (total order across
+    * partitions, no single-partition window anywhere), per-partition
+    * counts become driver-side offsets, shard/position assigned
+    * map-side.
+    */
+  def shuffleShards(df: DataFrame, orderCols: Seq[Column],
+                    nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    withGlobalIndex(df, orderCols,
+      Seq("shard" -> (_ % nShards), "shard_pos" -> (_ / nShards)))
+  }
+
+  /** Global-index device shared by [[chunkIndex]] and [[shuffleShards]]:
+    * range-repartition + per-partition sort gives a total order without
+    * a global window; zipWithIndex turns per-partition counts (a driver
+    * array of numPartitions longs) into cumulative offsets, and each
+    * output column is a map-side function of offset + local position.
+    * Both jobs recompute the same deterministic range partitioning
+    * (sampled with fixed seeds), so counts and rows align.
+    */
+  private def withGlobalIndex(df: DataFrame, orderCols: Seq[Column],
+                              outCols: Seq[(String, Long => Long)]): DataFrame = {
     val spark = df.sparkSession
-    val ranged = df.repartitionByRange(col(orderCol))
-      .sortWithinPartitions(col(orderCol))
+    val ranged = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
     val schema = org.apache.spark.sql.types.StructType(
-      ranged.schema.fields :+
-      org.apache.spark.sql.types.StructField(
-        ixCol, org.apache.spark.sql.types.LongType, nullable = false))
+      ranged.schema.fields ++ outCols.map { case (name, _) =>
+        org.apache.spark.sql.types.StructField(
+          name, org.apache.spark.sql.types.LongType, nullable = false)
+      })
+    val fns = outCols.map(_._2)
     val indexed = ranged.rdd.zipWithIndex().map { case (row, ix) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ ix / n)
+      org.apache.spark.sql.Row.fromSeq(row.toSeq ++ fns.map(f => f(ix)))
     }
     spark.createDataFrame(indexed, schema)
   }

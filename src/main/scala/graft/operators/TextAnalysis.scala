@@ -191,6 +191,27 @@ object TextAnalysis {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Exact-k uniform sample, deterministically: the k documents with
+    * the smallest content fingerprints (id tiebreak). Complements
+    * [[stratifiedSample]] (rate-based, size varies with the corpus)
+    * when the contract is "exactly k rows" — eval-set carving, fixed
+    * inspection samples. Because the fingerprint is a content hash,
+    * the selection is a uniform draw that is stable across runs,
+    * engines and cluster layouts, and documents ADDED to the corpus
+    * displace at most their own count (bounded churn, unlike a
+    * reseeded RNG which reshuffles everything).
+    *
+    * Scale shape: Spark plans orderBy+limit as TakeOrderedAndProject —
+    * each task keeps a local top-k heap and the driver merges
+    * numPartitions·k rows; the corpus is never globally sorted and
+    * never shuffled.
+    */
+  def uniformSampleK(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .orderBy(col("fp"), col(idCol))
+      .limit(k)
+
   /** Mixture resampling — the domain-rebalancing step of a training-data
     * pipeline (Pile/DoReMi-style): given TARGET proportions per stratum
     * (‰ of the output mix), deterministically subsample each stratum so

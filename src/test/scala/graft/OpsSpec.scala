@@ -116,6 +116,47 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("uniformSampleK: k smallest fingerprints, top-k plan (no global sort)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextAnalysis
+      .uniformSampleK(docs, "doc_id", "text", k = 10)
+    assert(out.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "orderBy+limit must plan as a per-task heap, not a global sort")
+    val got = out.as[(Long, Long)].collect().toSeq
+    val all = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+    assert(got.sortBy(r => (r._2, r._1)) == all.take(10).toSeq)
+    // k beyond the corpus → every row, once
+    val n = docs.count()
+    assert(graft.operators.TextAnalysis
+      .uniformSampleK(docs, "doc_id", "text", k = n.toInt + 50)
+      .count() == n)
+  }
+
+  test("shuffleShards: balanced round-robin deal, partition-invariant") {
+    val docs = Seq.tabulate(101)(i => (i.toLong, s"doc number $i text"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val out = Relational.shuffleShards(docs, Seq(col("fp"), col("doc_id")), 8)
+      .select("doc_id", "fp", "shard", "shard_pos")
+      .as[(Long, Long, Long, Long)].collect()
+    // shard i holds rows i, i+8, i+16, … of the (fp, id) total order
+    val ordered = out.sortBy(r => (r._2, r._1))
+    ordered.zipWithIndex.foreach { case ((_, _, shard, pos), ix) =>
+      assert(shard == ix % 8 && pos == ix / 8, s"row $ix")
+    }
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).values
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: $sizes")
+    val again = Relational.shuffleShards(docs.repartition(7),
+        Seq(col("fp"), col("doc_id")), 8)
+      .select("doc_id", "fp", "shard", "shard_pos")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("saltedJoin plan: salt in the join keys, dim replicated via explode") {
     val big = spark.range(1000).select((col("id") % 7).as("k"), col("id").as("v"))
     val dim = Seq((0L, "a"), (1L, "b")).toDF("k", "name")

@@ -823,6 +823,16 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // E7d: PQ ANN (memory-compressed ADC scale path: 8 codes/vector in
+    // the scan, exact re-rank) — same planted-twin recovery
+    "ann_pq" -> ((s, dir) => {
+      val corpus = plantedEmbeddings(Tables(s, dir))
+      val queries = corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000L)
+      Similarity.annPq(corpus, queries, "vec_id", "embedding",
+                       k = 1, m = 16, ksub = 16, lloydIters = 2, rerank = 32)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // C10b: delete-file actions — first 852-with-$8 → holding delete,
     // 001 → bib delete (alma_publish_parser.py:341-380)
     "delete_file_actions" -> ((s, dir) => {
@@ -2284,6 +2294,11 @@ object SparkEntry {
          FROM embeddings WHERE vec_id % 10 = 0""",
 
     "ann_ivf" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                CAST(1 AS BIGINT) AS rank
+         FROM embeddings WHERE vec_id % 10 = 0""",
+
+    "ann_pq" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                 CAST(1 AS BIGINT) AS rank
          FROM embeddings WHERE vec_id % 10 = 0""",

@@ -282,6 +282,106 @@ object Similarity {
       .head().getDouble(0)
   }
 
+  /** L2-normalized copy of `vecCol` as `array<double>` (zero vectors
+    * pass through unscaled). Norm computed once per row into a helper
+    * column — never inside a per-element lambda.
+    */
+  private def withUnitVec(df: DataFrame, vecCol: String,
+                          out: String): DataFrame =
+    df.withColumn("__norm", l2Norm(col(vecCol)))
+      .withColumn(out, when(col("__norm") === 0d, col(vecCol).cast("array<double>"))
+        .otherwise(transform(col(vecCol), x => x.cast("double") / col("__norm"))))
+      .drop("__norm")
+
+  /** Deterministic PQ codebooks: m subspaces × ksub centroids, trained
+    * with the same distributed Lloyd device as [[trainCentroidsLloyd]]
+    * but per-subspace and under squared-L2 (the PQ objective): each
+    * iteration encodes every vector natively
+    * ([[graft.functions.PqEncodeExpr]]), then every (subspace, code)
+    * cell re-centers via subdim map-side partial AVGs — ALL subspaces
+    * in one pass, one tiny shuffle of m·ksub×subdim partials. Means
+    * round to 6 places so fp summation order can never make runs
+    * diverge; empty cells keep their centroid. Seeds are the first
+    * ksub vectors' slices (id order). Vectors are L2-normalized before
+    * training so ADC dot products rank like cosine.
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, ksub: Int,
+                       iters: Int = 3): Seq[Seq[Seq[Double]]] = {
+    val unit = withUnitVec(corpus, vecCol, "__v")
+    val dim = unit.select(size(col("__v"))).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subdim = dim / m
+    var books: Seq[Seq[Seq[Double]]] =
+      unit.orderBy(col(idCol)).limit(ksub)
+        .select(col("__v")).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+        .transpose.grouped(subdim).toSeq               // dim × ksub → m groups
+        .map(_.transpose.map(_.toSeq))                 // each: ksub × subdim
+    for (_ <- 1 to iters) {
+      val coded = unit.select(col("__v"),
+          posexplode(graft.functions.PqEncodeExpr(col("__v"), books))
+            .as(Seq("m", "code")))
+        .select(col("m"), col("code"),
+                slice(col("__v"), col("m") * subdim + 1, lit(subdim)).as("sub"))
+      val meanCols = (0 until subdim).map(i => avg(col("sub")(i)).as(s"c$i"))
+      val means = coded.groupBy(col("m"), col("code"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (0 until subdim).map(i =>
+          BigDecimal(r.getDouble(i + 2))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq)
+        .toMap
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (cent, c) => means.getOrElse((s, c), cent) }
+      }
+    }
+    books
+  }
+
+  /** PQ ANN with ADC + exact re-rank — the memory-bound scale path:
+    * the corpus persists as m int codes per vector (the 100 TB corpus
+    * ADC-scans from a fraction of its raw size), each query ships one
+    * m·ksub lookup table, candidates score with m array lookups inside
+    * codegen ([[graft.functions.PqAdcExpr]]) — no d-term dot product,
+    * no full vectors in the scan. The ADC top-`rerank` per query then
+    * re-scores EXACTLY: the candidate id set (queries × rerank, model-
+    * sized) broadcasts against the raw-vector scan, so the final
+    * (query_id, neighbor_id, cos, rank) carries true cosines — ADC
+    * approximation error can only cost recall, never precision of the
+    * reported scores.
+    */
+  def annPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, k: Int, m: Int = 16, ksub: Int = 16,
+            lloydIters: Int = 2, rerank: Int = 64): DataFrame = {
+    val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, lloydIters)
+    val codes = withUnitVec(corpus, vecCol, "__v")
+      .select(col(idCol).as("neighbor_id"),
+              graft.functions.PqEncodeExpr(col("__v"), books).as("__codes"))
+    val q = withUnitVec(queries, vecCol, "__qv")
+      .select(col(idCol).as("query_id"),
+              graft.functions.PqLutExpr(col("__qv"), books).as("__lut"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    val candidates = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              graft.functions.PqAdcExpr(col("__lut"), col("__codes"), ksub).as("__adc"))
+      .withColumn("__rk", row_number().over(wAdc)).filter(col("__rk") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: candidate ids broadcast against the raw scans
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cv.join(broadcast(candidates), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("__rk").cast("long").as("rank"))
+  }
+
   /** Cosine near-duplicate pairs: LSH-bucket both rows, equal-bucket
     * self-join, exact-cosine verify at `threshold`. Same shape as
     * [[Dedup.minhashPairs]] — the bucket join is the only shuffle.

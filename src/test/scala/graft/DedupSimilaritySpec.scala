@@ -244,6 +244,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(f"lsh(16×4) recall@10: $rLsh%.4f")
     assert(rLsh >= 0.85, s"ann_lsh(16,4) recall@10 $rLsh (measured 0.896)")
 
+    // PQ ADC + exact re-rank: recall tracks code budget × rerank
+    // budget (graft.Debug sweep: m8/k16/r64=0.75, m16/k16/r64=0.89,
+    // m16/k64/r64=0.996, m16/k16/r128=0.978)
+    val rPq = Similarity.recallAtK(
+      Similarity.annPq(emb, queries, "vec_id", "embedding",
+        k = 10, m = 16, ksub = 16, lloydIters = 2, rerank = 64), exact)
+    info(f"pq(16x16, rerank=64) recall@10: $rPq%.4f")
+    assert(rPq >= 0.85, s"ann_pq recall@10 $rPq (measured 0.892)")
+    val rPq64 = Similarity.recallAtK(
+      Similarity.annPq(emb, queries, "vec_id", "embedding",
+        k = 10, m = 16, ksub = 64, lloydIters = 2, rerank = 64), exact)
+    info(f"pq(16x64, rerank=64) recall@10: $rPq64%.4f")
+    assert(rPq64 >= 0.95, s"ann_pq(16x64) recall@10 $rPq64 (measured 0.996)")
+
     // persisted index reproduces inline IVF recall bit-for-bit
     val dir = java.nio.file.Files.createTempDirectory("ivf_recall").toString
     Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir,

@@ -73,6 +73,22 @@ class OpsSpec extends AnyFunSuite {
     assert(c1 == c2)
   }
 
+  test("PQ: training deterministic, codes bounded, twin answers its query's codes") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val b1 = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    val b2 = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    assert(b1 == b2, "PQ training must be deterministic")
+    assert(b1.size == 8 && b1.forall(_.size == 16) &&
+           b1.forall(_.forall(_.size == 8)))
+    val codes = emb.select(
+        graft.functions.PqEncodeExpr(col("embedding").cast("array<double>"), b1)
+          .as("codes"))
+      .select(explode(col("codes"))).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 16))
+  }
+
   test("asofJoin: latest prior-or-equal right row per key; unmatched → null") {
     val left = Seq((1L, "p1", 10L), (1L, "p2", 20L), (2L, "p3", 5L))
       .toDF("k", "name", "ts")

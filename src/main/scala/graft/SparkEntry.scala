@@ -833,6 +833,21 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // E7e: persisted IVF-PQ index — probe prunes to nprobe cell
+    // partitions, ADC reads only the codes column, survivors re-rank
+    // exact; same planted-twin recovery
+    "ann_ivfpq" -> ((s, dir) => {
+      val corpus = plantedEmbeddings(Tables(s, dir))
+      val queries = corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000L)
+      val ix = new java.io.File("target/graft_indexes/ivfpq_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", ix,
+        nlist = 32, m = 16, ksub = 16, lloydIters = 2)
+      Similarity.annIvfPq(queries, ix, "vec_id", "embedding",
+                          k = 1, nprobe = 4, rerank = 32)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // C10b: delete-file actions — first 852-with-$8 → holding delete,
     // 001 → bib delete (alma_publish_parser.py:341-380)
     "delete_file_actions" -> ((s, dir) => {
@@ -2299,6 +2314,11 @@ object SparkEntry {
          FROM embeddings WHERE vec_id % 10 = 0""",
 
     "ann_pq" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                CAST(1 AS BIGINT) AS rank
+         FROM embeddings WHERE vec_id % 10 = 0""",
+
+    "ann_ivfpq" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                 CAST(1 AS BIGINT) AS rank
          FROM embeddings WHERE vec_id % 10 = 0""",

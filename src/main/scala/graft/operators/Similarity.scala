@@ -382,6 +382,86 @@ object Similarity {
               col("__rk").cast("long").as("rank"))
   }
 
+  /** Build and persist an IVF-PQ index (the FAISS IVFPQ composition):
+    * coarse quantizer cells for probe pruning PLUS per-vector PQ codes
+    * for cheap in-cell scoring. The cells table stores
+    * (neighbor_id, vec, codes) partitioned by cell, so a probe prunes
+    * to nprobe cells at the FILE level and — because parquet is
+    * columnar — the ADC stage reads only (neighbor_id, codes), never
+    * the raw vectors; only the re-rank survivors' vectors are read.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      indexDir: String, nlist: Int = 32, m: Int = 16,
+                      ksub: Int = 16, lloydIters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroidsLloyd(corpus, idCol, vecCol, nlist, lloydIters)
+    val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, lloydIters)
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cent, c) => (s, c, cent) }
+    }.toDF("m", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    withUnitVec(corpus, vecCol, "__u")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        graft.functions.PqEncodeExpr(col("__u"), books).as("codes"),
+        element_at(graft.functions.NearestCells(col(vecCol), centroids, 1), 1)
+          .as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+  }
+
+  /** ANN query against a persisted IVF-PQ index: probe `nprobe` cells
+    * (partition-pruned), ADC-score their codes (m lookups per
+    * candidate, vec column never read), exact-cosine re-rank the ADC
+    * top-`rerank` (candidate ids broadcast, vectors read only for
+    * survivors). Model-sized driver state: centroid matrix + codebooks.
+    */
+  def annIvfPq(queries: DataFrame, indexDir: String, idCol: String,
+               vecCol: String, k: Int, nprobe: Int = 4,
+               rerank: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val loaded = spark.read.parquet(s"$indexDir/codebooks")
+      .orderBy(col("m"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toSeq))
+    val books: Seq[Seq[Seq[Double]]] =
+      loaded.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).toSeq)
+    val ksub = books.head.size
+    val q = withUnitVec(queries, vecCol, "__u")
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        graft.functions.PqLutExpr(col("__u"), books).as("__lut"),
+        explode(graft.functions.NearestCells(col(vecCol), centroids, nprobe))
+          .as("cell"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    val candidates = spark.read.parquet(s"$indexDir/cells")
+      .select(col("neighbor_id"), col("codes"), col("cell").cast("int").as("cell"))
+      .join(broadcast(q.drop("__qv")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.PqAdcExpr(col("__lut"), col("codes"), ksub).as("__adc"))
+      .withColumn("__rk", row_number().over(wAdc)).filter(col("__rk") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = spark.read.parquet(s"$indexDir/cells")
+      .select(col("neighbor_id"), col("vec").as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cv.join(broadcast(candidates), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("__rk").cast("long").as("rank"))
+  }
+
   /** Cosine near-duplicate pairs: LSH-bucket both rows, equal-bucket
     * self-join, exact-cosine verify at `threshold`. Same shape as
     * [[Dedup.minhashPairs]] — the bucket join is the only shuffle.

@@ -258,6 +258,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(f"pq(16x64, rerank=64) recall@10: $rPq64%.4f")
     assert(rPq64 >= 0.95, s"ann_pq(16x64) recall@10 $rPq64 (measured 0.996)")
 
+    // IVF-PQ persisted index: probe bounds recall like IVF (the cell
+    // pruning dominates on this uniform corpus); ADC stage must not
+    // lose what the probe kept when rerank covers the probed fraction
+    val pqDir = java.nio.file.Files.createTempDirectory("ivfpq_recall").toString
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", pqDir,
+      nlist = 32, m = 16, ksub = 64, lloydIters = 2)
+    val rIvfPq = Similarity.recallAtK(
+      Similarity.annIvfPq(queries, pqDir, "vec_id", "embedding",
+        k = 10, nprobe = 16, rerank = 128), exact)
+    info(f"ivfpq(nprobe=16, 16x64, rerank=128) recall@10: $rIvfPq%.4f")
+    assert(rIvfPq >= 0.80, s"ann_ivfpq recall@10 $rIvfPq")
+
     // persisted index reproduces inline IVF recall bit-for-bit
     val dir = java.nio.file.Files.createTempDirectory("ivf_recall").toString
     Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir,

@@ -8,6 +8,7 @@ import graft.operators.{CurateCorpus, Dedup, LangId, QualityClassifier, Relation
 import graft.functions.Normalize
 import graft.marc.{Extract, Iso2709, MarcCorpus, MarcXml, PublishSplit, TrimPunctuation}
 import graft.marc.PublishSplit.PublishRow
+import graft.streaming.Streams
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   *
@@ -1206,6 +1207,37 @@ object SparkEntry {
         Seq("user_id", "ts"), Seq(col("view_event_id")))
       Relational.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
                           Seq("view_event_id", "view_value"))
+    }),
+
+    // D7: the same sessions via Spark's NATIVE merging session windows
+    // (streaming-capable; batch here) — cross-validates C34's
+    // lag/running-sum construction through a different mechanism
+    "session_window_stats" -> ((s, dir) => {
+      Streams.sessionWindowStats(
+        Tables(s, dir).events.select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", gap = "24 hours")
+    }),
+
+    // C35: SCD-2 dimension history — per-user status validity
+    // intervals from the event log (change rows only; open current row)
+    "scd2_history" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      Relational.scd2History(ev, Seq("user_id"), "ts_us",
+                             Seq("event_type"), Seq(col("event_id")))
+        .select(col("user_id"), col("event_type"),
+                col("valid_from").as("valid_from_us"),
+                col("valid_to").as("valid_to_us"), col("is_current"))
+    }),
+
+    // C36: corpus data card — lang × source rollup with margin rows
+    // (native ROLLUP: one aggregation computes all grouping sets)
+    "corpus_report" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"),
+             grouping_id().cast("long").as("gid"))
     }),
 
     // C34: gap-based sessionization over the event stream (24h gap),
@@ -2457,6 +2489,53 @@ object SparkEntry {
                 v.view_value AS asof_view_value
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "scd2_history" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           FROM events),
+         ch AS (
+           SELECT *, lag(event_type) OVER w AS __prev
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+           QUALIFY __prev IS NULL OR __prev <> event_type),
+         iv AS (
+           SELECT *, lead(ts_us) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+           FROM ch)
+         SELECT user_id, event_type, ts_us AS valid_from_us, valid_to_us,
+                valid_to_us IS NULL AS is_current
+         FROM iv""",
+
+    "corpus_report" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(GROUPING(lang, source) AS BIGINT) AS gid
+         FROM documents GROUP BY ROLLUP (lang, source)""",
+
+    // session_window semantics: same session iff delta < gap (vs
+    // sessionize's <=); session_end = last event + gap
+    "session_window_stats" ->
+      """WITH e AS (
+           SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+           FROM events),
+         s AS (
+           SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w >= 86400000000
+                          THEN 1 ELSE 0 END AS __new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         x AS (
+           SELECT *, CAST(sum(__new) OVER (
+             PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS sid
+           FROM s)
+         SELECT user_id, min(ts_us) AS session_start_us,
+                max(ts_us) + 86400000000 AS session_end_us,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                  AS total_value_milli
+         FROM x GROUP BY user_id, sid""",
 
     "sessionize" ->
       """WITH e AS (

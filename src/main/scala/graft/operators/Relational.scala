@@ -259,6 +259,32 @@ object Relational {
       .drop("__prev", "__new_session")
   }
 
+  /** Slowly-changing-dimension type-2 history from an event log: per
+    * key, consecutive runs of equal `attrCols` collapse to one row
+    * valid from its first event until the NEXT change (`valid_to` null
+    * on the current row) — the warehouse-dimension twin of the
+    * reference's latest-wins state tables, keeping the full validity
+    * timeline instead of only the head.
+    *
+    * Scale shape: change detection (lag) and interval close (lead)
+    * ride the SAME key-partitioned sort — one shuffle on the
+    * dimension key, no self-join. `tiebreak` pins the order of
+    * same-instant events.
+    */
+  def scd2History(df: DataFrame, keys: Seq[String], orderCol: String,
+                  attrCols: Seq[String],
+                  tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol) +: tiebreak: _*)
+    val attrs = struct(attrCols.map(col): _*)
+    df.withColumn("__prev", lag(attrs, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= attrs)
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__prev", orderCol)
+  }
+
   /** Multi-valued external ids exploded to an indexed lookup table with
     * set semantics (alma_publish_to_database.py:223-233 inserts
     * `set(external_ids)` rows into `external_id`).

@@ -99,6 +99,31 @@ object Streams {
       .select(col("window.start").as("window_start"), col(typeCol),
               col("n"), col("total_value"))
 
+  /** Gap-based session rollup via Spark's NATIVE merging session
+    * windows — the streaming-capable twin of
+    * [[graft.operators.Relational.sessionize]] (which numbers sessions
+    * with a lag/running-sum window): `session_window` merges events
+    * whose [ts, ts+gap) extents overlap, so a session closes when the
+    * next event arrives ≥ gap later. Works unchanged on a batch frame
+    * (one key-partitioned session-merge aggregation) or a stream (pass
+    * `watermark`; state closes and emits as event time passes
+    * session_end). `session_end` is last-event-time + gap — the
+    * session-window contract, vs sessionize's last-event-time.
+    */
+  def sessionWindowStats(events: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, gap: String,
+                         watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark(tsCol, w))
+    src.groupBy(col(keyCol), session_window(col(tsCol), gap).as("__sw"))
+      .agg(count(lit(1)).as("n_events"),
+           // integer milli-units — exact cross-engine (see sessionize)
+           sum(round(col(valueCol) * 1000).cast("long")).as("total_value_milli"))
+      .select(col(keyCol),
+              unix_micros(col("__sw.start")).as("session_start_us"),
+              unix_micros(col("__sw.end")).as("session_end_us"),
+              col("n_events"), col("total_value_milli"))
+  }
+
   /** Continuous publish ingest: a stream of publish records (e.g. from
     * [[graft.sources.PublishFiles.streamPublishFiles]]) driven through
     * the full [[graft.AlmaPipeline]] batch flow per micro-batch — the

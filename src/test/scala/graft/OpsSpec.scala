@@ -173,6 +173,25 @@ class OpsSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("scd2History: runs collapse, intervals tile, current row open") {
+    val ev = Seq(
+      (1L, "A", 10L, 1L),
+      (1L, "A", 20L, 2L),  // same status → collapses into the 10L row
+      (1L, "B", 30L, 3L),
+      (1L, "A", 40L, 4L),  // A again later = a NEW interval, not merged
+      (2L, "X", 5L, 5L))
+      .toDF("k", "status", "ts", "id")
+    val out = Relational.scd2History(ev, Seq("k"), "ts", Seq("status"),
+        Seq(col("id")))
+      .select("k", "status", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, "A", 10L, Some(30L), false),
+      (1L, "B", 30L, Some(40L), false),
+      (1L, "A", 40L, None, true),
+      (2L, "X", 5L, None, true)))
+  }
+
   test("saltedJoin plan: salt in the join keys, dim replicated via explode") {
     val big = spark.range(1000).select((col("id") % 7).as("k"), col("id").as("v"))
     val dim = Seq((0L, "a"), (1L, "b")).toDF("k", "name")

@@ -71,6 +71,62 @@ class StreamingSourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge across micro-batches; closed sessions match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val out = Streams.sessionWindowStats(df, "user_id", "ts", "value",
+      gap = "10 minutes", watermark = Some("0 seconds"))
+    val q = out.writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val all = Seq(
+      (t("2024-01-01 10:00:00"), 1L, 1.0),
+      (t("2024-01-01 10:05:00"), 1L, 2.0),
+      // second micro-batch EXTENDS the open session (10:12 < 10:05+10m)
+      (t("2024-01-01 10:12:00"), 1L, 4.0),
+      (t("2024-01-01 11:00:00"), 1L, 8.0),
+      (t("2024-01-01 10:30:00"), 2L, 16.0))
+    try {
+      input.addData(all.take(2))
+      q.processAllAvailable()
+      input.addData(all.drop(2))
+      q.processAllAvailable()
+      // sentinel advances the watermark past every session_end → all
+      // real sessions close and emit; the sentinel's own stays open
+      input.addData((t("2024-01-02 12:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_t").filter($"user_id" =!= 99L)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      def us(s: String) = t(s).getTime * 1000L
+      assert(got == Set(
+        (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:22:00"), 3L, 7000L),
+        (1L, us("2024-01-01 11:00:00"), us("2024-01-01 11:10:00"), 1L, 8000L),
+        (2L, us("2024-01-01 10:30:00"), us("2024-01-01 10:40:00"), 1L, 16000L)))
+      // the stream's closed sessions are exactly the batch run's output
+      val batch = Streams.sessionWindowStats(
+          all.toDF("ts", "user_id", "value"), "user_id", "ts", "value",
+          gap = "10 minutes")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
+  test("native session_window equals the sessionize rollup on real events") {
+    // two entirely different constructions — merging session windows
+    // vs lag/running-sum numbering — must agree session-for-session
+    // (end differs by the documented +gap)
+    val gapUs = 86400000000L
+    val viaWindow = SparkEntry.queries("session_window_stats")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val viaLag = SparkEntry.queries("sessionize")(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"start_us", ($"end_us" + gapUs).as("end_us"),
+              $"n_events", $"total_value_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaWindow == viaLag)
+  }
+
   test("streaming exact dedup: duplicates drop within and across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Doc]

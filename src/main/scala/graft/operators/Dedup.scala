@@ -369,36 +369,15 @@ object Dedup {
     * [[recoverTable]] repairs. Shared by the band- and span-index
     * compactions.
     */
+  // swap/recover shared with the other persisted indexes
   private def swapIn(spark: org.apache.spark.sql.SparkSession,
                      indexDir: String, sub: String)
-                    (write: String => Unit): Unit = {
-    import org.apache.hadoop.fs.Path
-    val conf = spark.sessionState.newHadoopConf()
-    val live = new Path(s"$indexDir/$sub")
-    val tmp = new Path(s"$indexDir/$sub.compact.tmp")
-    val fs = live.getFileSystem(conf)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    write(tmp.toString)
-    fs.delete(live, true)
-    if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"compact swap failed for $live")
-  }
+                    (write: String => Unit): Unit =
+    IndexFiles.swapIn(spark, indexDir, sub)(write)
 
   private def recoverTable(spark: org.apache.spark.sql.SparkSession,
-                           indexDir: String, sub: String): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val conf = spark.sessionState.newHadoopConf()
-    val live = new Path(s"$indexDir/$sub")
-    val tmp = new Path(s"$indexDir/$sub.compact.tmp")
-    val fs = live.getFileSystem(conf)
-    if (fs.exists(tmp) && !fs.exists(live)) {
-      if (!fs.rename(tmp, live))
-        throw new java.io.IOException(s"recovery rename failed for $live")
-      true
-    } else if (fs.exists(tmp)) {
-      fs.delete(tmp, true); true
-    } else false
-  }
+                           indexDir: String, sub: String): Boolean =
+    IndexFiles.recoverTable(spark, indexDir, sub)
 
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String, shinglePartitions: Int = 64): Unit = {

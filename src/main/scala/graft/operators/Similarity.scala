@@ -404,14 +404,82 @@ object Similarity {
       book.zipWithIndex.map { case (cent, c) => (s, c, cent) }
     }.toDF("m", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    ivfPqCellRows(corpus, idCol, vecCol, centroids, books)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+  }
+
+  /** (neighbor_id, vec, codes, cell) rows for the cells table — the
+    * map-side assignment shared by build and extend.
+    */
+  private def ivfPqCellRows(corpus: DataFrame, idCol: String, vecCol: String,
+                            centroids: Seq[Seq[Double]],
+                            books: Seq[Seq[Seq[Double]]]): DataFrame =
     withUnitVec(corpus, vecCol, "__u")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
         graft.functions.PqEncodeExpr(col("__u"), books).as("codes"),
         element_at(graft.functions.NearestCells(col(vecCol), centroids, 1), 1)
           .as("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+
+  /** Load the model-sized quantizers of a persisted IVF-PQ index. */
+  private def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val loaded = spark.read.parquet(s"$indexDir/codebooks")
+      .orderBy(col("m"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toSeq))
+    (centroids, loaded.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).toSeq))
+  }
+
+  /** Append a vector batch to a persisted IVF-PQ index under its
+    * FROZEN quantizers: the batch encodes and cell-assigns map-side
+    * and appends into the cell partition dirs — the existing 100 TB
+    * cells table is never read or rewritten (the daily-ingest shape,
+    * like `extendDedupIndex`). Appending batch A then B is identical
+    * to appending A∪B (per-row assignment, no cross-row state;
+    * spec-asserted). Quantizers drift from the data as the corpus
+    * grows — recall degrades gracefully (probe/ADC stay valid for any
+    * codebooks; the exact re-rank keeps scores true) until a rebuild
+    * retrains.
+    */
+  def extendIvfPqIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+                       indexDir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val (centroids, books) = loadIvfPqModel(spark, indexDir)
+    ivfPqCellRows(newVecs, idCol, vecCol, centroids, books)
+      .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/cells")
   }
+
+  /** Bound the small-file growth of repeated [[extendIvfPqIndex]]
+    * appends: rewrite the cells table one file per cell partition,
+    * dropping replay-duplicated ids. Query-result identical
+    * before/after (spec-asserted). Same write-tmp → delete → rename
+    * swap and crash states as the dedup/span index compactions;
+    * [[recoverIvfPqIndex]] runs automatically first.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Unit = {
+    recoverIvfPqIndex(spark, indexDir)
+    val nlist = spark.read.parquet(s"$indexDir/centroids").count().toInt
+    IndexFiles.swapIn(spark, indexDir, "cells") { tmp =>
+      spark.read.parquet(s"$indexDir/cells")
+        .dropDuplicates("neighbor_id")
+        // each cell lands wholly in one task → one file per cell dir
+        .repartition(nlist, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }
+  }
+
+  /** Repair a cells table left mid-swap by a crashed compaction; see
+    * [[IndexFiles.recoverTable]]. Idempotent, safe at job startup.
+    */
+  def recoverIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Boolean =
+    IndexFiles.recoverTable(spark, indexDir, "cells")
 
   /** ANN query against a persisted IVF-PQ index: probe `nprobe` cells
     * (partition-pruned), ADC-score their codes (m lookups per
@@ -423,14 +491,7 @@ object Similarity {
                vecCol: String, k: Int, nprobe: Int = 4,
                rerank: Int = 64): DataFrame = {
     val spark = queries.sparkSession
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy(col("cell")).collect()
-      .map(r => r.getSeq[Double](1).toSeq).toSeq
-    val loaded = spark.read.parquet(s"$indexDir/codebooks")
-      .orderBy(col("m"), col("code")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](2).toSeq))
-    val books: Seq[Seq[Seq[Double]]] =
-      loaded.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).toSeq)
+    val (centroids, books) = loadIvfPqModel(spark, indexDir)
     val ksub = books.head.size
     val q = withUnitVec(queries, vecCol, "__u")
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),

@@ -182,6 +182,58 @@ class IncrementalDedupSpec extends AnyFunSuite {
       bandRows.dropDuplicates("band_ix", "band_hash").count())
   }
 
+  test("IVF-PQ index lifecycle: extend associative, twins found, compact no-op on results") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // two ingest batches of planted twins of existing vectors
+    def twin(mod: Int, offset: Long) = emb.filter(col("vec_id") % 10 === mod)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    val batchA = twin(0, 1000000L)
+    val batchB = twin(5, 2000000L)
+
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rmrf); p.delete(); ()
+    }
+    def build(tag: String): String = {
+      val dir = ix(s"ivfpq_$tag"); rmrf(new java.io.File(dir))
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+        nlist = 16, m = 16, ksub = 16, lloydIters = 2)
+      dir
+    }
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    def top1(dir: String) =
+      Similarity.annIvfPq(queries, dir, "vec_id", "embedding",
+          k = 1, nprobe = 4, rerank = 16)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+
+    // extend(A) then extend(B) ≡ extend(A ∪ B)
+    val oneShot = build("oneshot")
+    Similarity.extendIvfPqIndex(batchA.unionByName(batchB),
+      "vec_id", "embedding", oneShot)
+    val stepwise = build("stepwise")
+    Similarity.extendIvfPqIndex(batchA, "vec_id", "embedding", stepwise)
+    Similarity.extendIvfPqIndex(batchB, "vec_id", "embedding", stepwise)
+    val r1 = top1(oneShot)
+    assert(r1 == top1(stepwise))
+    // every query's twin arrived via the extension and wins rank 1
+    val qIds = queries.select("vec_id").as[Long].collect()
+    assert(qIds.forall(q => r1(q) == q + 1000000L))
+
+    // replay batchA (at-least-once ingest), compact: one file per cell
+    // dir, duplicate ids dropped, results unchanged
+    Similarity.extendIvfPqIndex(batchA, "vec_id", "embedding", stepwise)
+    Similarity.compactIvfPqIndex(spark, stepwise)
+    assert(top1(stepwise) == r1)
+    val cellDirs = new java.io.File(s"$stepwise/cells").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    val counts = cellDirs.map(_.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(counts.forall(_ == 1), s"files per cell: ${counts.toSeq}")
+    val n = spark.read.parquet(s"$stepwise/cells").count()
+    assert(n == emb.count() + batchA.count() + batchB.count())
+  }
+
   test("span index: incremental ≡ batch sharedSpanPairs restricted to old×new, replay-safe") {
     val (span, stride) = (15, 5)
     val dir = ix("spans")

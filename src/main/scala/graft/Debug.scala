@@ -2,47 +2,68 @@ package graft
 
 /** Scratch diagnostics main (not part of the driver contract).
   *
-  * Current experiment (round 4b): PQ ANN recall@10 vs (m, ksub,
-  * rerank) on the sf0.01 embedding corpus — a NEAR-UNIFORM
-  * random-vector corpus, the ANN worst case. The sweep picks the
-  * ann_pq defaults and the spec floor; numbers recorded in SURVEY §5.
+  * Current experiment (round 4c): publish_split_item spiked 10s → 64s
+  * (min-of-2) in the latest sf0.1 bench — isolate whether that is the
+  * shared publish-corpus materialization landing on a different key
+  * (Map iteration order moves as keys are added), a real regression,
+  * or host noise.
   *
   * Previous experiments (kept for the record):
+  * - r4b PQ sweep (sf0.01, recall@10): m8/k16 rerank 32/64/128 →
+  *   0.57/0.75/0.89; m16/k16 → 0.78/0.89/0.98; m16/k64 →
+  *   0.93/0.996/1.00; m32/k16 → 0.95/0.998/1.00.
   * - r4 ANN knob sweep: IVF nprobe 2/4/8/16/32 of nlist=32 →
   *   0.35/0.47/0.64/0.84/1.00; LSH (tables×bits) 8×8 → 0.13,
   *   16×8 → 0.23, 16×6 → 0.53, 32×6 → 0.75, 16×4 → 0.90.
   * - r4 webhook parse: plain-extraction SharedExpr 3.47s vs
-  *   OncePerRowExpr barrier 4.31s over 600k payloads, but
-  *   RuntimeReplaceable consumers (parseDateStr/upper) die in
-  *   RewriteWithExpression (nested-With CommonExpressionId orphan),
-  *   so the production route keeps the barrier.
-  * - r3 webhook envelope parse: plain ~1.9s vs ~4.4s behind an
-  *   explode barrier at sf0.1 → OncePerRowExpr.
+  *   OncePerRowExpr barrier 4.31s over 600k payloads; nested-With
+  *   limitation keeps the barrier in production.
   * - r4 dedup_clusters sf0.1 min-of-3 across sessions: 4.12/4.48/
   *   4.64s minima — r3's 6.53 was host variance, no regression.
   */
 object Debug {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
-    import org.apache.spark.sql.functions._
-    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.1"
 
-    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-      .persist()
-    val queries = emb.filter(col("vec_id") % 10 === 0)
-    val exact = Similarity.annBruteForce(emb, queries, "vec_id", "embedding",
-      k = 10).persist()
-    println(s"[dbg] corpus=${emb.count()} queries=50 ground-truth rows=${exact.count()}")
-
-    for ((m, ksub) <- Seq((8, 16), (8, 64), (16, 16), (16, 64), (32, 16));
-         rerank <- Seq(32, 64, 128)) {
-      val t0 = System.nanoTime()
-      val r = Similarity.recallAtK(
-        Similarity.annPq(emb, queries, "vec_id", "embedding",
-          k = 10, m = m, ksub = ksub, lloydIters = 2, rerank = rerank), exact)
+    def time(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"[dbg] pq m=$m%-2d ksub=$ksub%-3d rerank=$rerank%-3d recall@10=$r%.4f  ($s%.1fs)")
+      println(f"[dbg] $label%-44s $s%6.2fs"); s
     }
+
+    // mirror Bench's warm-up exactly
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Seq("publish_split_item", "publish_split_holding", "bib_brief",
+        "marc_xml_roundtrip", "marc_binary_roundtrip", "marc_build",
+        "delete_file_actions", "item_row", "dedup_minhash").foreach { q =>
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.01").count()
+    }
+    graft.marc.MarcCorpus.splitRecords(graft.sources.Tables(spark, sf)).count()
+
+    // which A-group key does Map order run FIRST in the bench loop?
+    val aGroup = Set("marc_build", "marc_xml_roundtrip", "marc_binary_roundtrip",
+      "publish_split_bib", "publish_split_holding", "publish_split_item",
+      "bib_brief", "delete_file_actions", "deleted_record_history",
+      "ids_projection", "item_row", "bib_part_links")
+    println(s"[dbg] A-group bench order: " +
+      SparkEntry.queries.keysIterator.filter(aGroup).mkString(" → "))
+
+    // which stage is bimodal? raw split flatMap (no persist, no
+    // from_json) vs the persisted+parsed corpus vs the item filter
+    (1 to 4).foreach { i =>
+      time(s"raw splitRecords count (no persist) run$i") {
+        graft.marc.MarcCorpus.splitRecords(
+          graft.sources.Tables(spark, sf)).count(); ()
+      }
+    }
+    val runs = (1 to 4).map { i =>
+      SparkEntry.resetCaches(spark)
+      time(s"publish_split_item sf0.1 cold-cache run$i") {
+        SparkEntry.queries("publish_split_item")(spark, sf).count(); ()
+      }
+    }
+    println(f"[dbg] publish_split_item min-of-4: ${runs.min}%.2fs (all: ${runs.map(r => f"$r%.2f").mkString(", ")})")
     spark.stop()
   }
 }

@@ -173,6 +173,21 @@ class OpsSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("bm25: tf saturates, length normalizes, non-matching docs excluded") {
+    val docs = Seq(
+      (1L, "spark spark spark pad pad pad"),    // tf=3, dl=6
+      (2L, "spark pad pad pad pad pad"),        // tf=1, dl=6
+      (3L, "spark pad"),                        // tf=1, dl=2 (short)
+      (4L, "pad pad pad pad pad pad"))          // no match
+      .toDF("doc_id", "text")
+    val out = graft.operators.Retrieval
+      .bm25(docs, "doc_id", "text", Seq("spark"), topK = 10)
+      .as[(Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 2L),
+      "higher tf first, then shorter doc, no-match excluded")
+    assert(out.forall(_._2 > 0))
+  }
+
   test("scd2History: runs collapse, intervals tile, current row open") {
     val ev = Seq(
       (1L, "A", 10L, 1L),

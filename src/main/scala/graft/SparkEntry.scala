@@ -684,6 +684,22 @@ object SparkEntry {
           col("e.est_count").as("est_count"))
     }),
 
+    // E23b: Misra-Gries heavy hitters per event-time window — the
+    // custom aggregate composed with time windows (per-window sketch
+    // state stays O(capacity) through the shuffle)
+    "windowed_top_events" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .groupBy(col("w"))
+        .agg(graft.functions.MisraGriesAgg(col("event_type"), 64).as("sk"))
+        .select(unix_micros(col("w.start")).as("day_start_us"),
+                posexplode(col("sk")).as(Seq("pos", "e")))
+        .filter(col("pos") < 5)
+        .select(col("day_start_us"), (col("pos") + 1).cast("long").as("rank"),
+                col("e.token").as("event_type"),
+                col("e.est_count").as("est_count"))
+    }),
+
     // E22: Unicode normalization (NFC) over planted combining-mark
     // sequences — corpus text is ASCII, so decomposed accents are
     // planted deterministically (a → a+U+0301) and the native
@@ -936,6 +952,17 @@ object SparkEntry {
     "bm25_search" -> ((s, dir) =>
       Retrieval.bm25(Tables(s, dir).documents, "doc_id", "text",
         Seq("window", "merge", "scan", "customer"), topK = 20)),
+
+    // E34b: BM25 against the persisted postings index — term-hash
+    // partition pruning, stats/df derived at query time (extend-exact)
+    "bm25_indexed" -> ((s, dir) => {
+      val ix = new java.io.File("target/graft_indexes/postings_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      Retrieval.buildPostingsIndex(Tables(s, dir).documents,
+        "doc_id", "text", ix)
+      Retrieval.bm25AgainstIndex(s, ix,
+        Seq("window", "merge", "scan", "customer"), topK = 20)
+    }),
 
     // E16b: exact-k deterministic uniform sample — smallest-fingerprint
     // top-k (TakeOrderedAndProject: per-task heap, no global sort)
@@ -1841,6 +1868,22 @@ object SparkEntry {
                            FILTER (WHERE NOT boiler), '') AS clean_text
          FROM flagged GROUP BY doc_id""",
 
+    "windowed_top_events" ->
+      """WITH e AS (
+           SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT)
+                    AS day_start_us, event_type
+           FROM events),
+         c AS (
+           SELECT day_start_us, event_type, count(*) AS n
+           FROM e GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY day_start_us ORDER BY n DESC, event_type) AS rk
+           FROM c)
+         SELECT day_start_us, rk::BIGINT AS rank, event_type,
+                n::BIGINT AS est_count
+         FROM r WHERE rk <= 5""",
+
     "approx_top_tokens" ->
       """WITH toks AS (
            SELECT unnest(string_split(text, ' ')) AS word FROM documents),
@@ -2040,6 +2083,39 @@ object SparkEntry {
          WHERE fp % 1000 < permille""",
 
     "bm25_search" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS t
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+         stats AS (
+           SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS len FROM dl),
+         q(term) AS (
+           VALUES ('window'), ('merge'), ('scan'), ('customer')),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM d) JOIN q USING (term)
+           GROUP BY 1, 2),
+         idf AS (
+           SELECT term,
+                  CAST(round(ln(1.0 + (CAST(stats.n AS DOUBLE) - df + 0.5)
+                                      / (df + 0.5)) * 1e6) AS BIGINT)
+                    AS idf_micro
+           FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats),
+         sc AS (
+           SELECT tf.doc_id,
+                  CAST(round(idf.idf_micro * (tf.tf * (1.2 + 1)) /
+                       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+                          (CAST(stats.len AS DOUBLE) / stats.n))))
+                    AS BIGINT) AS c_micro
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats)
+         SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+         FROM sc GROUP BY 1
+         ORDER BY score_micro DESC, doc_id LIMIT 20""",
+
+    // identical semantics via the postings index
+"bm25_indexed" ->
       """WITH d AS (
            SELECT doc_id,
                   list_filter(string_split_regex(trim(text), '\s+'),

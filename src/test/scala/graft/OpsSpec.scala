@@ -188,6 +188,48 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(_._2 > 0))
   }
 
+  test("postings index: indexed ≡ inline, extend ≡ rebuild, replay+compact no-op") {
+    import graft.operators.Retrieval
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("window", "merge", "scan")
+    def ix(tag: String): String = {
+      val d = new java.io.File(s"target/graft_indexes/spec_postings_$tag")
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(rm); p.delete(); ()
+      }
+      rm(d); d.getAbsolutePath
+    }
+    def run(dir: String) = Retrieval.bm25AgainstIndex(spark, dir, terms)
+      .as[(Long, Long)].collect().toSeq
+
+    val full = ix("full")
+    Retrieval.buildPostingsIndex(docs, "doc_id", "text", full)
+    val inline = Retrieval.bm25(docs, "doc_id", "text", terms)
+      .as[(Long, Long)].collect().toSeq
+    assert(run(full) == inline, "indexed must score exactly like inline")
+
+    // build on a subset + extend with the rest ≡ the full build
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val inc = ix("inc")
+    Retrieval.buildPostingsIndex(old, "doc_id", "text", inc)
+    Retrieval.extendPostingsIndex(batch, "doc_id", "text", inc)
+    assert(run(inc) == inline, "extended index must equal fresh full build")
+
+    // at-least-once replay of the batch, then compaction: results
+    // unchanged; stats rows dedupe to the two distinct batches
+    Retrieval.extendPostingsIndex(batch, "doc_id", "text", inc)
+    assert(run(inc) == inline, "replayed batch must not change scores")
+    Retrieval.compactPostingsIndex(spark, inc)
+    assert(run(inc) == inline, "compaction must not change scores")
+    assert(spark.read.parquet(s"$inc/stats").count() == 2)
+    val ptDirs = new java.io.File(s"$inc/postings").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("term_pt="))
+    assert(ptDirs.nonEmpty &&
+      ptDirs.forall(_.listFiles.count(_.getName.endsWith(".parquet")) == 1))
+  }
+
   test("scd2History: runs collapse, intervals tile, current row open") {
     val ev = Seq(
       (1L, "A", 10L, 1L),

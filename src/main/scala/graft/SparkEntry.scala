@@ -1258,6 +1258,29 @@ object SparkEntry {
         "user_id", "ts", "value", gap = "24 hours")
     }),
 
+    // C37: IQR outlier detection per event type — exact interpolated
+    // quartiles on integer milli-units (model-sized fence table
+    // broadcasts back; the corpus pass is map-side gated)
+    "iqr_outliers" -> ((s, dir) => {
+      val v = Tables(s, dir).events.select(col("event_type"), col("event_id"),
+        round(col("value") * 1000).cast("long").as("value_milli"))
+      val q = v.groupBy("event_type").agg(
+        expr("percentile(value_milli, 0.25)").as("__q1"),
+        expr("percentile(value_milli, 0.75)").as("__q3"))
+      v.join(broadcast(q), "event_type")
+        .filter(col("value_milli") < col("__q1") - lit(1.5) * (col("__q3") - col("__q1")) ||
+                col("value_milli") > col("__q3") + lit(1.5) * (col("__q3") - col("__q1")))
+        .select(col("event_type"), col("event_id"), col("value_milli"))
+    }),
+
+    // C38: fixed-width histogram of line-item prices (binning via
+    // integer floor division — one map-side pass + tiny aggregation)
+    "value_histogram" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .select(floor(col("l_extendedprice") / 2500).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+    }),
+
     // C35: SCD-2 dimension history — per-user status validity
     // intervals from the event log (change rows only; open current row)
     "scd2_history" -> ((s, dir) => {
@@ -2610,6 +2633,26 @@ object SparkEntry {
                 v.view_value AS asof_view_value
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "iqr_outliers" ->
+      """WITH v AS (
+           SELECT event_type, event_id,
+                  CAST(round(value * 1000) AS BIGINT) AS value_milli
+           FROM events),
+         q AS (
+           SELECT event_type,
+                  quantile_cont(value_milli, 0.25) AS q1,
+                  quantile_cont(value_milli, 0.75) AS q3
+           FROM v GROUP BY 1)
+         SELECT v.event_type, v.event_id, v.value_milli
+         FROM v JOIN q USING (event_type)
+         WHERE v.value_milli < q.q1 - 1.5 * (q.q3 - q.q1)
+            OR v.value_milli > q.q3 + 1.5 * (q.q3 - q.q1)""",
+
+    "value_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 2500) AS BIGINT) AS bin,
+                count(*) AS n
+         FROM lineitem GROUP BY 1""",
 
     "scd2_history" ->
       """WITH e AS (

@@ -226,6 +226,35 @@ object Streams {
       }
       .start()
 
+  /** Streaming ingest into the persisted BM25 postings index: each
+    * micro-batch appends via
+    * [[graft.operators.Retrieval.extendPostingsIndex]] — exact under
+    * appends by construction (df and corpus stats derive at query
+    * time) and replay-tolerant end to end (a re-executed batch writes
+    * identical postings rows and an identical XOR-fingerprint stats
+    * row; the query path dedupes both). `compactEvery = Some(n)`
+    * bounds small-file growth like the dedup-index stream.
+    */
+  def streamPostingsExtend(docs: Dataset[Doc], indexDir: String,
+                           checkpointDir: String,
+                           compactEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Retrieval.extendPostingsIndex(
+            batch.toDF, "doc_id", "text", indexDir)
+          compactEvery.foreach { n =>
+            if (n > 0 && (batchId + 1) % n == 0)
+              graft.operators.Retrieval.compactPostingsIndex(
+                batch.sparkSession, indexDir)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** One cycle unit of the incremental near-dedup stream: dedup the
     * batch against the index, append the duplicate decisions, admit
     * the survivors. Exposed (package-private) so replay/backfill

@@ -127,6 +127,39 @@ class StreamingSourcesSpec extends AnyFunSuite {
     assert(viaWindow == viaLag)
   }
 
+  test("streaming postings extend: indexed scores track the growing corpus") {
+    import graft.operators.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_postings")
+    val ix = s"$dir/index"; val ckpt = s"$dir/ckpt"
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    Retrieval.buildPostingsIndex(base.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", ix)
+    val rest = base.filter($"doc_id" % 2 =!= 0)
+      .as[Streams.Doc].collect().toSeq
+    val input = MemoryStream[Streams.Doc]
+    val q = Streams.streamPostingsExtend(input.toDS(), ix, ckpt,
+      compactEvery = Some(1))
+    try {
+      input.addData(rest.take(rest.size / 2))
+      q.processAllAvailable()
+      input.addData(rest.drop(rest.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val terms = Seq("window", "merge", "scan")
+    val indexed = Retrieval.bm25AgainstIndex(spark, ix, terms)
+      .as[(Long, Long)].collect().toSeq
+    val inline = Retrieval.bm25(base, "doc_id", "text", terms)
+      .as[(Long, Long)].collect().toSeq
+    assert(indexed == inline,
+      "after streaming in the rest, indexed must equal inline over the union")
+    // compactEvery bounded the growth: one file per term_pt partition
+    val ptDirs = new java.io.File(s"$ix/postings").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("term_pt="))
+    assert(ptDirs.forall(_.listFiles.count(_.getName.endsWith(".parquet")) == 1))
+  }
+
   test("streaming exact dedup: duplicates drop within and across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Doc]

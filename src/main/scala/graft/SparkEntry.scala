@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{CurateCorpus, Dedup, LangId, QualityClassifier, Relational, Retrieval, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Bpe, CurateCorpus, Dedup, LangId, QualityClassifier, Relational, Retrieval, Similarity, TextAnalysis, Upsert}
 import graft.functions.Normalize
 import graft.marc.{Extract, Iso2709, MarcCorpus, MarcXml, PublishSplit, TrimPunctuation}
 import graft.marc.PublishSplit.PublishRow
@@ -945,6 +945,22 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(Tables(s, dir).documents,
         "lang", "text", "doc_id",
         Map("en" -> 800, "de" -> 600, "es" -> 400, "fr" -> 200))
+    }),
+
+    // E35: trained BPE tokenizer — ONE corpus word-count pass, then a
+    // model-sized (vocabulary-bounded) driver merge loop, native
+    // encode expression. Rows-only: iterative pair-merge training has
+    // no SQL twin; BpeSpec hand-verifies the merge sequence and the
+    // encode order. 30 merges against the synthetic corpus's closed
+    // 31-word vocabulary leaves real subword splits visible (a bigger
+    // budget would fuse every word back to whole-word tokens)
+    "bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val merges = Bpe.train(docs, "text", numMerges = 30)
+      docs.select(col("doc_id"),
+        size(Bpe.encode(col("text"), merges)).cast("long").as("n_subwords"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          w => length(w) > 0)).cast("long").as("n_words"))
     }),
 
     // E34: BM25 ranked retrieval — integer-micro idf per term, exact

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and encoding (Sennrich-style
+  * word-internal BPE) — the real-tokenizer upgrade of the E10 BPE-ish
+  * regex count.
+  *
+  * Scale shape (the Lloyd/codebook pattern): the only corpus-scale
+  * work is ONE distributed word-frequency aggregation; the merge loop
+  * then runs on the model-sized word-shape table (distinct words ×
+  * counts — vocabulary-bounded, like centroids or LM tables, NOT
+  * corpus-bounded), and encoding ships the learned ranks back through
+  * a native codegen expression. Training never iterates over the
+  * corpus.
+  */
+object Bpe {
+
+  /** One trained merge: the adjacent symbol pair and its rank. */
+  final case class Merge(left: String, right: String, rank: Int)
+
+  /** Distributed word-frequency table: (word, n) — the corpus pass. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Train `numMerges` BPE merges from a (word, n) frequency table.
+    * Words start as character sequences with an end-of-word marker on
+    * the last symbol; each round merges the most frequent adjacent
+    * pair (ties → lexicographically smallest pair, so training is
+    * deterministic on any engine or layout). The table is model-sized,
+    * so the loop is a driver computation — the same contract as the
+    * k-means/codebook trainers.
+    */
+  def trainMerges(wordFreqs: DataFrame, numMerges: Int): Seq[Merge] = {
+    val words: Array[(Array[String], Long)] = wordFreqs
+      .select(col("word"), col("n").cast("long"))
+      .collect()
+      .map(r => (symbols(r.getString(0)), r.getLong(1)))
+    val merges = Seq.newBuilder[Merge]
+    var current = words
+    var rank = 0
+    while (rank < numMerges) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      current.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) return merges.result()
+      val ((l, r), _) = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.head
+      merges += Merge(l, r, rank)
+      current = current.map { case (syms, n) => (applyMerge(syms, l, r), n) }
+      rank += 1
+    }
+    merges.result()
+  }
+
+  /** Train directly from a document corpus. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] =
+    trainMerges(wordCounts(docs, textCol), numMerges)
+
+  /** Initial symbol sequence of a word: one symbol per character, the
+    * last carrying the end-of-word marker `</w>`.
+    */
+  private[graft] def symbols(word: String): Array[String] = {
+    val cs = word.toCharArray.map(_.toString)
+    if (cs.nonEmpty) cs(cs.length - 1) = cs(cs.length - 1) + "</w>"
+    cs
+  }
+
+  private[graft] def applyMerge(syms: Array[String], l: String,
+                                    r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Encode one word with trained merges: repeatedly apply the
+    * lowest-rank applicable merge (the standard BPE encode order —
+    * training order, not position order).
+    */
+  private[graft] def encodeWord(word: String,
+                                    ranks: java.util.HashMap[String, Integer])
+      : Array[String] = {
+    var syms = symbols(word)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestIx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestIx = i
+        }
+        i += 1
+      }
+      if (bestIx < 0) done = true
+      else syms = applyMerge(syms, syms(bestIx), syms(bestIx + 1))
+    }
+    syms
+  }
+
+  /** BPE-encode a text column: `array<string>` of subword tokens
+    * (native codegen expression; the merge table rides as a reference
+    * object — see [[graft.functions.BpeEncodeExpr]]).
+    */
+  def encode(text: org.apache.spark.sql.Column,
+             merges: Seq[Merge]): org.apache.spark.sql.Column =
+    graft.functions.BpeEncodeExpr(text, merges.map(m => (m.left, m.right, m.rank)))
+}

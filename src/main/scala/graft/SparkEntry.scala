@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Bpe, CurateCorpus, Dedup, LangId, QualityClassifier, Relational, Retrieval, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Bpe, CurateCorpus, Dedup, LangId, Pca, QualityClassifier, Relational, Retrieval, Similarity, TextAnalysis, Upsert}
 import graft.functions.Normalize
 import graft.marc.{Extract, Iso2709, MarcCorpus, MarcXml, PublishSplit, TrimPunctuation}
 import graft.marc.PublishSplit.PublishRow
@@ -961,6 +961,18 @@ object SparkEntry {
         size(Bpe.encode(col("text"), merges)).cast("long").as("n_subwords"),
         size(filter(split(trim(col("text")), "\\s+"),
           w => length(w) > 0)).cast("long").as("n_words"))
+    }),
+
+    // E36: distributed PCA over the embedding corpus — ONE
+    // VectorMomentsAgg pass (exact integer micro-unit moments, O(dim²)
+    // state), driver-side deterministic Jacobi eigensolve, map-side
+    // native projection. Rows-only: SQL has no eigendecomposition;
+    // PcaSpec proves planted-subspace recovery, orthonormality, and
+    // bit-identical fits across partition layouts
+    "embedding_pca" -> ((s, dir) => {
+      val vecs = Tables(s, dir).embeddings
+      val model = Pca.fit(vecs, "embedding", k = 8)
+      Pca.transform(vecs, "vec_id", "embedding", model)
     }),
 
     // E34: BM25 ranked retrieval — integer-micro idf per term, exact
@@ -2749,9 +2761,11 @@ object SparkEntry {
   )
 
   /** Queries intentionally without a DuckDB oracle (hash-seed-dependent
-    * outputs) — driver records a rows-only check; each has a ScalaTest
-    * spec asserting exact recovery of the planted duplicates instead.
+    * or iteratively-trained outputs SQL cannot re-derive) — driver
+    * records a rows-only check; each has a ScalaTest spec asserting
+    * exact recovery of planted structure instead.
     */
   val rowsOnlyQueries: Set[String] =
-    Set("dedup_simhash", "quality_classifier", "curate_corpus")
+    Set("dedup_simhash", "quality_classifier", "curate_corpus",
+        "bpe_tokenize", "embedding_pca")
 }

@@ -975,6 +975,19 @@ object SparkEntry {
       Pca.transform(vecs, "vec_id", "embedding", model)
     }),
 
+    // E37: windowed co-occurrence + PMI (GloVe corpus statistic) —
+    // map-side pair slicing (no self-join, no position explode), ONE
+    // corpus count shuffle; the vocab²-bounded count table persists
+    // (session-tracked) so marginals/total don't re-scan the corpus,
+    // micro-nat PMI from exact integer counts
+    "cooccurrence_pmi" -> ((s, dir) => {
+      val pc = trackPersist(s,
+        TextAnalysis.cooccurrenceCounts(Tables(s, dir).documents, "text",
+            window = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      TextAnalysis.pmiFromCounts(pc)
+    }),
+
     // E34: BM25 ranked retrieval — integer-micro idf per term, exact
     // integer per-doc sums, TakeOrderedAndProject top-k
     "bm25_search" -> ((s, dir) =>
@@ -1817,6 +1830,30 @@ object SparkEntry {
                        // (2 * count(*)) AS BIGINT)::DOUBLE / 1e6
                   AS cross_entropy
          FROM scored GROUP BY doc_id""",
+
+    "cooccurrence_pmi" ->
+      """WITH toks AS (
+           SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS w
+           FROM documents),
+         pos AS (
+           SELECT w, unnest(range(1, len(w) + 1)) AS i FROM toks),
+         pairs AS (
+           SELECT w[i] AS w1, w[i + d.d] AS w2
+           FROM pos CROSS JOIN (SELECT unnest(range(1, 4)) AS d) d
+           WHERE i + d.d <= len(w)),
+         pc AS (SELECT w1, w2, count(*)::BIGINT AS pair_n
+                FROM pairs GROUP BY 1, 2),
+         tot AS (SELECT sum(pair_n)::DOUBLE AS t FROM pc),
+         lm AS (SELECT w1, sum(pair_n)::DOUBLE AS c1 FROM pc GROUP BY 1),
+         rm AS (SELECT w2, sum(pair_n)::DOUBLE AS c2 FROM pc GROUP BY 1)
+         SELECT pc.w1, pc.w2, pair_n,
+                CAST(round(1e6 * ln((pair_n::DOUBLE * t) / (c1 * c2)))
+                     AS BIGINT) AS pmi_micro
+         FROM pc
+         JOIN lm ON pc.w1 = lm.w1
+         JOIN rm ON pc.w2 = rm.w2
+         CROSS JOIN tot""",
 
     "tfidf_keywords" ->
       """WITH toks0 AS (

@@ -620,6 +620,58 @@ object TextAnalysis {
           " ").as("clean_text"))
   }
 
+  /** Windowed word co-occurrence counts with pointwise mutual
+    * information — the GloVe/word2vec corpus statistic (directed
+    * pairs (t_i, t_{i+δ}) for δ = 1..`window`).
+    *
+    * Scale shape: pair extraction is pure array slicing per document
+    * (`zip_with(slice, slice)` per offset — map-side, no self-join,
+    * no position explode), so the only shuffle is the (w1, w2) count
+    * aggregation with map-side partial combine; marginals and the
+    * total derive from the aggregated pair table (vocab²-bounded, not
+    * corpus-bounded) and broadcast back. PMI = ln(c·T / (c1·c2)) is
+    * quantized to integer micro-nats from exact integer counts (the
+    * tfidf/bm25 determinism discipline): identical on any engine.
+    */
+  def cooccurrencePmi(docs: DataFrame, textCol: String,
+                      window: Int = 3): DataFrame =
+    pmiFromCounts(cooccurrenceCounts(docs, textCol, window))
+
+  /** The corpus pass of [[cooccurrencePmi]]: directed (w1, w2, pair_n)
+    * counts. Callers that branch over the result several times should
+    * persist it (it is vocab²-bounded; see the `cooccurrence_pmi`
+    * key) so the corpus is scanned once.
+    */
+  def cooccurrenceCounts(docs: DataFrame, textCol: String,
+                         window: Int): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0)
+    val pairCols = (1 to window).map { d =>
+      zip_with(
+        slice(toks, lit(1), greatest(size(toks) - d, lit(0))),
+        slice(toks, lit(d + 1), greatest(size(toks) - d, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
+    docs.select(explode(flatten(array(pairCols: _*))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("pair_n"))
+  }
+
+  /** PMI of a (w1, w2, pair_n) count table; marginals and the total
+    * derive from the counts (no corpus access) and broadcast back.
+    */
+  def pmiFromCounts(pc: DataFrame): DataFrame = {
+    val tot = pc.agg(sum(col("pair_n")).cast("double").as("t"))
+    val lm = pc.groupBy("w1").agg(sum(col("pair_n")).cast("double").as("c1"))
+    val rm = pc.groupBy("w2").agg(sum(col("pair_n")).cast("double").as("c2"))
+    pc.join(broadcast(lm), "w1").join(broadcast(rm), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("pair_n"),
+        round(lit(1e6) * log((col("pair_n").cast("double") * col("t")) /
+                             (col("c1") * col("c2"))))
+          .cast("long").as("pmi_micro"))
+  }
+
   /** Word-set Jaccard similarity between two text columns (candidate-pair
     * verification for near-dedup). Pure column expression.
     */

@@ -330,4 +330,27 @@ class TextStatsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("cooccurrencePmi: hand-computed counts and micro-nat PMI, window edges") {
+    // "a b a c", window 2 → δ1: (a,b)(b,a)(a,c); δ2: (a,a)(b,c); T=5
+    // c1: a=3 b=2; c2: a=2 b=1 c=2
+    val docs = Seq((1L, "a b a c"), (2L, "x"), (3L, "  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrencePmi(docs, "text", window = 2)
+      .orderBy("w1", "w2")
+      .as[(String, String, Long, Long)].collect().toSeq
+    def micro(c: Long, c1: Long, c2: Long) =
+      math.round(1e6 * math.log(c.toDouble * 5.0 / (c1.toDouble * c2.toDouble)))
+    assert(out == Seq(
+      ("a", "a", 1L, micro(1, 3, 2)),
+      ("a", "b", 1L, micro(1, 3, 1)),
+      ("a", "c", 1L, micro(1, 3, 2)),
+      ("b", "a", 1L, micro(1, 2, 2)),
+      ("b", "c", 1L, micro(1, 2, 2))))
+    // single-word and blank docs emit no pairs (covered: only doc 1
+    // contributed); a doc shorter than the window is safe
+    val shortOnly = Seq((1L, "p q")).toDF("doc_id", "text")
+    val so = TextAnalysis.cooccurrencePmi(shortOnly, "text", window = 3)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(so == Seq(("p", "q", 1L, 0L))) // ln(1·1/(1·1)) = 0
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Bpe, CurateCorpus, Dedup, LangId, Pca, QualityClassifier, Relational, Retrieval, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Bpe, CurateCorpus, Dedup, LangId, Pca, QualityClassifier, Relational, Retrieval, SetSketch, Similarity, TextAnalysis, Unigram, Upsert}
 import graft.functions.Normalize
 import graft.marc.{Extract, Iso2709, MarcCorpus, MarcXml, PublishSplit, TrimPunctuation}
 import graft.marc.PublishSplit.PublishRow
@@ -975,6 +975,29 @@ object SparkEntry {
       Pca.transform(vecs, "vec_id", "embedding", model)
     }),
 
+    // E38: audience-overlap set algebra via KMV theta sketches — ONE
+    // corpus pass to bounded per-group sketches (HLL can't intersect),
+    // G² pairing driver-side on the model-sized sketch table; exact
+    // regime at test SFs (k=16384 > sf0.1's 13k customers/priority)
+    // makes every estimate equal SQL set truth
+    "audience_overlap" -> ((s, dir) =>
+      SetSketch.audienceOverlap(Tables(s, dir).orders, "o_orderpriority",
+        "o_custkey", k = 16384)),
+
+    // E35b: unigram-LM tokenizer (SentencePiece-style) — same ONE
+    // corpus word-count pass as BPE, driver EM on the model-sized
+    // word table, native Viterbi encode expression. Rows-only like
+    // bpe_tokenize; UnigramSpec hand-verifies the EM fixpoint and
+    // the Viterbi tie rule
+    "unigram_tokenize" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pieces = Unigram.train(docs, "text", vocabSize = 40)
+      docs.select(col("doc_id"),
+        size(Unigram.encode(col("text"), pieces)).cast("long").as("n_pieces"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          w => length(w) > 0)).cast("long").as("n_words"))
+    }),
+
     // E37: windowed co-occurrence + PMI (GloVe corpus statistic) —
     // map-side pair slicing (no self-join, no position explode), ONE
     // corpus count shuffle; the vocab²-bounded count table persists
@@ -1830,6 +1853,27 @@ object SparkEntry {
                        // (2 * count(*)) AS BIGINT)::DOUBLE / 1e6
                   AS cross_entropy
          FROM scored GROUP BY doc_id""",
+
+    "audience_overlap" ->
+      """WITH g AS (
+           SELECT DISTINCT o_orderpriority AS grp, o_custkey AS v
+           FROM orders),
+         c AS (SELECT grp, count(*)::BIGINT AS n FROM g GROUP BY 1),
+         pairs AS (
+           SELECT a.grp AS grp_a, b.grp AS grp_b
+           FROM c a JOIN c b ON a.grp < b.grp),
+         ix AS (
+           SELECT a.grp AS grp_a, b.grp AS grp_b,
+                  count(*)::BIGINT AS n_intersect
+           FROM g a JOIN g b ON a.v = b.v AND a.grp < b.grp
+           GROUP BY 1, 2)
+         SELECT p.grp_a, p.grp_b, ca.n AS n_a, cb.n AS n_b,
+                ca.n + cb.n - coalesce(ix.n_intersect, 0) AS n_union,
+                coalesce(ix.n_intersect, 0) AS n_intersect
+         FROM pairs p
+         JOIN c ca ON p.grp_a = ca.grp
+         JOIN c cb ON p.grp_b = cb.grp
+         LEFT JOIN ix ON p.grp_a = ix.grp_a AND p.grp_b = ix.grp_b""",
 
     "cooccurrence_pmi" ->
       """WITH toks AS (
@@ -2804,5 +2848,5 @@ object SparkEntry {
     */
   val rowsOnlyQueries: Set[String] =
     Set("dedup_simhash", "quality_classifier", "curate_corpus",
-        "bpe_tokenize", "embedding_pca")
+        "bpe_tokenize", "unigram_tokenize", "embedding_pca")
 }

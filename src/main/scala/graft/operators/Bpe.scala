@@ -26,6 +26,22 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
 
+  /** Bound the word-shape table BEFORE it reaches the driver: drop
+    * words rarer than `minCount`, then keep the `maxWords` most
+    * frequent (count desc, word asc — deterministic). The sort+limit
+    * plans as TakeOrderedAndProject (per-task heaps, driver merges
+    * partitions·maxWords), so an open 100 TB vocabulary can never
+    * blow up the collect — the standard subword-trainer practice
+    * (rare words contribute ~nothing to merge/EM statistics).
+    */
+  private[graft] def boundedWordCounts(docs: DataFrame, textCol: String,
+                                       minCount: Long,
+                                       maxWords: Int): DataFrame =
+    wordCounts(docs, textCol)
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(maxWords)
+
   /** Train `numMerges` BPE merges from a (word, n) frequency table.
     * Words start as character sequences with an end-of-word marker on
     * the last symbol; each round merges the most frequent adjacent
@@ -62,9 +78,32 @@ object Bpe {
     merges.result()
   }
 
-  /** Train directly from a document corpus. */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] =
-    trainMerges(wordCounts(docs, textCol), numMerges)
+  /** Train directly from a document corpus. `minCount`/`maxWords`
+    * bound the driver-side word-shape table (see
+    * [[boundedWordCounts]]) — at the defaults the cap is far above
+    * any test corpus and binds only on open web-scale vocabularies.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 1L, maxWords: Int = 1000000): Seq[Merge] =
+    trainMerges(boundedWordCounts(docs, textCol, minCount, maxWords),
+      numMerges)
+
+  /** Persist a trained merge table (train once, encode everywhere —
+    * the model-artifact lifecycle of the IVF centroids/LM tables).
+    */
+  def saveMerges(spark: SparkSession, merges: Seq[Merge], dir: String): Unit = {
+    import spark.implicits._
+    merges.toDF("left", "right", "rank")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload a persisted merge table, rank-ordered. */
+  def loadMerges(spark: SparkSession, dir: String): Seq[Merge] =
+    spark.read.parquet(dir)
+      .select(col("left"), col("right"), col("rank").cast("int"))
+      .collect()
+      .map(r => Merge(r.getString(0), r.getString(1), r.getInt(2)))
+      .sortBy(_.rank).toSeq
 
   /** Initial symbol sequence of a word: one symbol per character, the
     * last carrying the end-of-word marker `</w>`.

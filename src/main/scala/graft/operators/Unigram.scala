@@ -34,12 +34,36 @@ object Unigram {
   /** Score a raw char that is not in the vocabulary (unk). */
   val UnkScoreMicro: Long = -20000000L
 
-  /** Train from a document corpus: one corpus pass, then driver EM. */
+  /** Train from a document corpus: one corpus pass, then driver EM.
+    * `minCount`/`maxWords` bound the driver-side word-shape table
+    * ([[Bpe.boundedWordCounts]] — TakeOrderedAndProject, so an open
+    * 100 TB vocabulary can never blow up the collect).
+    */
   def train(docs: DataFrame, textCol: String, vocabSize: Int,
             maxPieceLen: Int = 6, emIters: Int = 4,
-            seedSize: Int = 2000): Seq[Piece] =
-    trainFromCounts(Bpe.wordCounts(docs, textCol), vocabSize, maxPieceLen,
-      emIters, seedSize)
+            seedSize: Int = 2000, minCount: Long = 1L,
+            maxWords: Int = 1000000): Seq[Piece] =
+    trainFromCounts(Bpe.boundedWordCounts(docs, textCol, minCount, maxWords),
+      vocabSize, maxPieceLen, emIters, seedSize)
+
+  /** Persist a trained piece table (train once, encode everywhere). */
+  def savePieces(spark: org.apache.spark.sql.SparkSession,
+                 pieces: Seq[Piece], dir: String): Unit = {
+    import spark.implicits._
+    pieces.toDF("piece", "score_micro")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload a persisted piece table, piece-ordered. */
+  def loadPieces(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[Piece] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(dir)
+      .select(col("piece"), col("score_micro").cast("long"))
+      .collect()
+      .map(r => Piece(r.getString(0), r.getLong(1)))
+      .sortBy(_.piece).toSeq
+  }
 
   /** EM fit over a (word, n) frequency table (model-sized). */
   def trainFromCounts(wordFreqs: DataFrame, vocabSize: Int,

@@ -38,6 +38,22 @@ class BpeSpec extends AnyFunSuite {
     assert(out == Seq("aaab</w>", "aa", "b</w>", "b", "a</w>", "x</w>"))
   }
 
+  test("maxWords cap binds deterministically; merge table round-trips") {
+    val docs = Seq((1L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
+    // cap to the top-2 words (aa×3, bb×2): 'cc' never reaches training,
+    // so no merge involving c can exist
+    val capped = Bpe.train(docs, "text", numMerges = 10, maxWords = 2)
+    assert(capped.nonEmpty)
+    assert(!capped.exists(m => m.left.contains("c") || m.right.contains("c")))
+    // minCount floor drops singletons the same way
+    val floored = Bpe.train(docs, "text", numMerges = 10, minCount = 2L)
+    assert(!floored.exists(m => m.left.contains("c") || m.right.contains("c")))
+    // persist → reload is identity
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    Bpe.saveMerges(spark, capped, dir + "/m")
+    assert(Bpe.loadMerges(spark, dir + "/m") == capped)
+  }
+
   test("training is deterministic and compresses the sf corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m1 = Bpe.train(docs, "text", numMerges = 100)

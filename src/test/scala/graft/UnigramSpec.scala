@@ -43,6 +43,15 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.segmentWord("ab", scores, 6).toSeq == Seq("ab"))
   }
 
+  test("piece table round-trips through parquet") {
+    val docs = Seq((1L, "abab abab abab abab")).toDF("doc_id", "text")
+    val pieces = Unigram.train(docs, "text", vocabSize = 10,
+      maxPieceLen = 6, emIters = 3, seedSize = 100)
+    val dir = java.nio.file.Files.createTempDirectory("unigram_model").toString
+    Unigram.savePieces(spark, pieces, dir + "/p")
+    assert(Unigram.loadPieces(spark, dir + "/p") == pieces)
+  }
+
   test("training is deterministic across partition layouts and compresses") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p1 = Unigram.train(docs.repartition(1), "text", vocabSize = 40)

@@ -975,6 +975,13 @@ object SparkEntry {
       Pca.transform(vecs, "vec_id", "embedding", model)
     }),
 
+    // E16c: exact k-per-stratum sample via the GroupedTopKAgg bounded
+    // per-group heap — one stratum shuffle carrying O(k) per partial,
+    // never a corpus-sized single-task window sort
+    "stratified_sample_k" -> ((s, dir) =>
+      TextAnalysis.stratifiedSampleK(Tables(s, dir).documents,
+        "lang", "doc_id", "text", k = 50)),
+
     // E38: audience-overlap set algebra via KMV theta sketches — ONE
     // corpus pass to bounded per-group sketches (HLL can't intersect),
     // G² pairing driver-side on the model-sized sketch table; exact
@@ -1853,6 +1860,22 @@ object SparkEntry {
                        // (2 * count(*)) AS BIGINT)::DOUBLE / 1e6
                   AS cross_entropy
          FROM scored GROUP BY doc_id""",
+
+    "stratified_sample_k" ->
+      """WITH fp AS (
+           SELECT doc_id, lang,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(ascii(text[i]) AS BIGINT))),
+                    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+           FROM documents)
+         SELECT lang, doc_id, fp,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY fp, doc_id)::BIGINT AS rank
+         FROM fp
+         QUALIFY row_number() OVER (PARTITION BY lang
+                                    ORDER BY fp, doc_id) <= 50""",
 
     "audience_overlap" ->
       """WITH g AS (

@@ -620,6 +620,29 @@ object TextAnalysis {
           " ").as("clean_text"))
   }
 
+  /** Exact-k-per-stratum deterministic sample: the k smallest content
+    * fingerprints (id tiebreak) within each stratum — the balanced
+    * per-language/per-domain subset builder ([[uniformSampleK]]'s
+    * grouped sibling).
+    *
+    * Scale shape: NOT a `row_number` window — a window ships every row
+    * of a stratum to one task, and with a handful of corpus-sized
+    * strata that is a single-task sort of ~the whole corpus. Instead a
+    * bounded per-group top-k aggregate
+    * ([[graft.functions.GroupedTopKAgg]]): per-task heaps of k (fp, id)
+    * pairs merge associatively, O(k) per partition through the ONE
+    * stratum shuffle, output layout-independent.
+    */
+  def stratifiedSampleK(docs: DataFrame, strataCol: String, idCol: String,
+                        textCol: String, k: Int): DataFrame =
+    docs.groupBy(col(strataCol))
+      .agg(graft.functions.GroupedTopKAgg(
+        fingerprint(col(textCol)), col(idCol), k).as("__top"))
+      .select(col(strataCol), posexplode(col("__top")).as(Seq("__pos", "__p")))
+      .select(col(strataCol), col("__p.payload").as(idCol),
+        col("__p.key").as("fp"),
+        (col("__pos") + 1).cast("long").as("rank"))
+
   /** Windowed word co-occurrence counts with pointwise mutual
     * information — the GloVe/word2vec corpus statistic (directed
     * pairs (t_i, t_{i+δ}) for δ = 1..`window`).

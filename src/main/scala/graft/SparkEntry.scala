@@ -982,6 +982,27 @@ object SparkEntry {
       TextAnalysis.stratifiedSampleK(Tables(s, dir).documents,
         "lang", "doc_id", "text", k = 50)),
 
+    // E39: Zipf fit of the token frequency curve per lang — milli-nat
+    // integer regression sums (exact cross-engine); one corpus token
+    // shuffle, ranking/sums on the vocab-sized table only
+    "zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables(s, dir).documents, "lang", "text")),
+
+    // E40: content-fingerprint train/val/test split (exact dups
+    // co-assigned by construction) + normalized-form cross-split
+    // leakage audit — map-side assignment, one nfp groupBy+join
+    "dataset_split" -> ((s, dir) =>
+      TextAnalysis.datasetSplit(Tables(s, dir).documents, "doc_id", "text")),
+
+    // E41: mutual-kNN graph — symmetrized edges over the n·k neighbor
+    // LIST (never the corpus); compose over annIvf/annLsh for the
+    // 100 TB self-kNN (the exact frame here is the verifiable oracle)
+    "mutual_knn" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.mutualKnn(
+        Similarity.annBruteForce(e, e, "vec_id", "embedding", k = 5))
+    }),
+
     // E38: audience-overlap set algebra via KMV theta sketches — ONE
     // corpus pass to bounded per-group sketches (HLL can't intersect),
     // G² pairing driver-side on the model-sized sketch table; exact
@@ -1390,6 +1411,31 @@ object SparkEntry {
              // integer milli-units: per-term quantization makes the sum
              // exact cross-engine (fp sums are shuffle-order-dependent)
              sum(round(col("value") * 1000).cast("long")).as("total_value_milli"))
+    }),
+
+    // C39: ordered conversion funnel (view→click→purchase) — k−1
+    // filtered min-agg + equi-join rounds all partitioned on the user
+    // key; no windows, no per-user history collection
+    "event_funnel" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"),
+                expr("ts_ns div 1000").as("ts_us"))
+      Relational.funnelSteps(ev, "user_id", "ts_us", "event_type",
+                             Seq("view", "click", "purchase"))
+    }),
+
+    // C40: wide per-cohort event profile via Spark pivot — values list
+    // pinned (no extra distinct pass); counts zero-filled to match SQL
+    // FILTER semantics on empty combos
+    "pivot_event_stats" -> ((s, dir) => {
+      val types = Seq("view", "click", "signup", "purchase", "error")
+      Tables(s, dir).events
+        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+        .groupBy(col("cohort"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)).as("n"),
+             sum(round(col("value") * 1000).cast("long")).as("value_milli"))
+        .na.fill(0L, types.map(_ + "_n"))
     }),
 
     // D1 batch twin: per-key latest state with the strictly-newer guard
@@ -1876,6 +1922,87 @@ object SparkEntry {
          FROM fp
          QUALIFY row_number() OVER (PARTITION BY lang
                                     ORDER BY fp, doc_id) <= 50""",
+
+    "zipf_fit" ->
+      """WITH toks AS (
+           SELECT lang AS stratum,
+                  unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+           FROM documents),
+         t2 AS (SELECT * FROM toks WHERE length(word) > 0),
+         c AS (SELECT stratum, word, count(*)::BIGINT AS n
+               FROM t2 GROUP BY 1, 2),
+         r AS (SELECT stratum, n,
+                 row_number() OVER (PARTITION BY stratum
+                                    ORDER BY n DESC, word) AS rk
+               FROM c),
+         q AS (SELECT stratum, n,
+                 CAST(round(1000 * ln(rk)) AS BIGINT) AS x,
+                 CAST(round(1000 * ln(n)) AS BIGINT) AS y
+               FROM r),
+         s AS (SELECT stratum, count(*)::BIGINT AS vocab_size,
+                 CAST(sum(n) AS BIGINT) AS total_tokens,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+               FROM q GROUP BY 1)
+         SELECT stratum, vocab_size, total_tokens,
+           round(CAST(vocab_size * sxy - sx * sy AS DOUBLE)
+                 / CAST(vocab_size * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(vocab_size * sxy - sx * sy AS DOUBLE)
+                    / CAST(vocab_size * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(vocab_size AS DOUBLE) / 1000.0, 6) AS intercept,
+           round(CAST(vocab_size * sxy - sx * sy AS DOUBLE)
+                 * CAST(vocab_size * sxy - sx * sy AS DOUBLE)
+                 / (CAST(vocab_size * sxx - sx * sx AS DOUBLE)
+                    * CAST(vocab_size * syy - sy * sy AS DOUBLE)), 6) AS r2
+         FROM s""",
+
+    "dataset_split" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(text) + 1),
+                                i -> CAST(ascii(text[i]) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+           FROM documents),
+         b2 AS (
+           SELECT doc_id,
+             CASE WHEN fp % 1000 < 980 THEN 'train'
+                  WHEN fp % 1000 < 990 THEN 'val'
+                  ELSE 'test' END AS split,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(norm) + 1),
+                                i -> CAST(ascii(norm[i]) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS nfp
+           FROM base),
+         g AS (SELECT nfp, count(DISTINCT split) AS ns FROM b2 GROUP BY 1)
+         SELECT b2.doc_id, b2.split, g.ns > 1 AS leaked
+         FROM b2 JOIN g USING (nfp)""",
+
+    "mutual_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  round(list_cosine_similarity(qv, cv), 6) AS cos
+           FROM q JOIN c ON neighbor_id != query_id),
+         topk AS (SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+           WHERE rk <= 5)
+         SELECT f.query_id AS a, f.neighbor_id AS b, f.cos,
+                CAST(f.rk AS BIGINT) AS rank_ab, CAST(r.rk AS BIGINT) AS rank_ba
+         FROM topk f JOIN topk r ON f.query_id = r.neighbor_id
+                                AND f.neighbor_id = r.query_id
+         WHERE f.query_id < f.neighbor_id""",
 
     "audience_overlap" ->
       """WITH g AS (
@@ -2855,6 +2982,43 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
                   AS total_value_milli
          FROM x GROUP BY 1, 2""",
+
+    "event_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           FROM events),
+         s1 AS (SELECT user_id, min(ts_us) AS view_ts
+                FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, s1.view_ts, min(e.ts_us) AS click_ts
+                FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+                 AND e.event_type = 'click' AND e.ts_us >= s1.view_ts
+                GROUP BY 1, 2),
+         s3 AS (SELECT s2.user_id, s2.view_ts, s2.click_ts,
+                       min(e.ts_us) AS purchase_ts
+                FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+                 AND e.event_type = 'purchase' AND e.ts_us >= s2.click_ts
+                GROUP BY 1, 2, 3)
+         SELECT user_id, view_ts, click_ts, purchase_ts FROM s3""",
+
+    "pivot_event_stats" ->
+      """SELECT user_id % 10 AS cohort,
+           count(*) FILTER (event_type = 'view') AS view_n,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                FILTER (event_type = 'view') AS BIGINT) AS view_value_milli,
+           count(*) FILTER (event_type = 'click') AS click_n,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                FILTER (event_type = 'click') AS BIGINT) AS click_value_milli,
+           count(*) FILTER (event_type = 'signup') AS signup_n,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                FILTER (event_type = 'signup') AS BIGINT) AS signup_value_milli,
+           count(*) FILTER (event_type = 'purchase') AS purchase_n,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                FILTER (event_type = 'purchase') AS BIGINT) AS purchase_value_milli,
+           count(*) FILTER (event_type = 'error') AS error_n,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                FILTER (event_type = 'error') AS BIGINT) AS error_value_milli
+         FROM events GROUP BY 1""",
 
     "stream_latest_status" ->
       """SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ts,

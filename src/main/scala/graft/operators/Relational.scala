@@ -295,4 +295,39 @@ object Relational {
       .distinct()
       .select(col("record_id"), lit(recordType).as("record_type"),
               lit(idType).as("id_type"), col("external_value"))
+
+  /** Ordered conversion funnel: per key, the earliest time each step
+    * was reached at-or-after the PREVIOUS step's attain time
+    * (view → click → purchase). A user who never reaches step i has
+    * null there and (by construction) at every later step.
+    *
+    * Output: one row per key that reached step 1, with a `<step>_ts`
+    * long column per step (the `tsCol` unit, e.g. µs).
+    *
+    * Scale shape: k−1 rounds of (filter → min-aggregate → equi-join),
+    * every round partitioned on the SAME key — map-side-combined mins,
+    * no windows, no per-key event collection (a `collect_list` cascade
+    * would ship whole per-user histories through the shuffle; this
+    * ships one long per user per round). The step filter prunes each
+    * scan to one event type before its shuffle. Same-instant events
+    * satisfy `>=`, so a step can share its predecessor's timestamp.
+    */
+  def funnelSteps(events: DataFrame, keyCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"need at least 2 funnel steps, got $steps")
+    val stepCol = (s: String) => s"${s}_ts"
+    var acc = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as(stepCol(steps.head)))
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      val prev = stepCol(steps(i))
+      val ev = events.filter(col(typeCol) === step)
+        .select(col(keyCol).as("__k"), col(tsCol).as("__ts"))
+      val doneCols = steps.take(i + 1).map(s => col(stepCol(s)))
+      acc = acc.join(ev,
+          acc(keyCol) === col("__k") && col("__ts") >= col(prev), "left")
+        .groupBy((col(keyCol) +: doneCols): _*)
+        .agg(min(col("__ts")).as(stepCol(step)))
+    }
+    acc
+  }
 }

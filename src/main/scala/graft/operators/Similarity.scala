@@ -544,4 +544,27 @@ object Similarity {
               round(cosine(col("__vl"), col("__vr")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Mutual-kNN graph edges from ANY per-query neighbor frame
+    * (`query_id, neighbor_id, cos, rank` — the output contract of
+    * [[annBruteForce]]/[[annLsh]]/[[annIvf]]): undirected edges (a<b)
+    * kept only when each endpoint is in the OTHER's top-k. Mutuality
+    * is the standard symmetrization for kNN-graph clustering /
+    * graph-based dedup (hubs rank many vectors that don't rank them
+    * back; mutual edges prune those).
+    *
+    * Scale shape: a self-equi-join of the neighbor LIST (n·k rows, not
+    * the corpus) on the reversed pair key — one shuffle of k longs per
+    * vector. The cos carried is the a→b direction's (cosine is
+    * symmetric; both directions round identically).
+    */
+  def mutualKnn(neighbors: DataFrame): DataFrame = {
+    val fwd = neighbors.select(col("query_id").as("a"),
+      col("neighbor_id").as("b"), col("cos"), col("rank").as("rank_ab"))
+    val rev = neighbors.select(col("query_id").as("__rb"),
+      col("neighbor_id").as("__ra"), col("rank").as("rank_ba"))
+    fwd.filter(col("a") < col("b"))
+      .join(rev, col("a") === col("__ra") && col("b") === col("__rb"))
+      .select(col("a"), col("b"), col("cos"), col("rank_ab"), col("rank_ba"))
+  }
 }

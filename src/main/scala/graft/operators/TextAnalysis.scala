@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -642,6 +643,93 @@ object TextAnalysis {
       .select(col(strataCol), col("__p.payload").as(idCol),
         col("__p.key").as("fp"),
         (col("__pos") + 1).cast("long").as("rank"))
+
+  /** Zipf's-law fit of the token frequency distribution per stratum:
+    * least-squares slope/intercept/r² of ln(count) against ln(rank)
+    * over the (rank, count) vocabulary curve — the corpus statistic
+    * behind vocab sizing and "is this corpus natural language or
+    * boilerplate" checks (natural text ⇒ slope ≈ −1).
+    *
+    * Determinism (the tfidf/pmi discipline): logs are quantized to
+    * integer MILLI-nats per distinct word (`round(1000·ln x)` — milli
+    * not micro so every regression sum fits a long: |x|,|y| ≤ 2·10⁴,
+    * n·Σxy ≤ 10¹⁸ at 10⁵ vocab), the five sums are exact integer
+    * aggregates, and slope/intercept/r² derive from those integers in
+    * a handful of IEEE-identical double ops — bit-identical in any
+    * engine that reproduces the integer sums.
+    *
+    * Scale shape: one token-count shuffle (map-side combined), then
+    * ranking and sums on the VOCAB-sized (lang, word, n) table — the
+    * corpus is scanned once; the per-stratum window sorts vocab, never
+    * documents.
+    */
+  def zipfFit(docs: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(strataCol).as("stratum"),
+        explode(split(normalizeText(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val counts = toks.groupBy(col("stratum"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("n").desc, col("word"))
+    val lnq = (c: Column) => round(lit(1000.0) * log(c)).cast("long")
+    val xy = counts
+      .withColumn("x", lnq(row_number().over(w).cast("long")))
+      .withColumn("y", lnq(col("n")))
+    xy.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("vocab_size"), sum(col("n")).as("total_tokens"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("y") * col("y")).as("syy"))
+      .select(col("stratum"), col("vocab_size"), col("total_tokens"),
+        (col("vocab_size") * col("sxy") - col("sx") * col("sy")).as("__num"),
+        (col("vocab_size") * col("sxx") - col("sx") * col("sx")).as("__den"),
+        (col("vocab_size") * col("syy") - col("sy") * col("sy")).as("__dy"),
+        col("sx"), col("sy"))
+      .select(col("stratum"), col("vocab_size"), col("total_tokens"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)
+          .as("slope"),
+        round((col("sy").cast("double") -
+               col("__num").cast("double") / col("__den").cast("double") *
+               col("sx").cast("double")) /
+              col("vocab_size").cast("double") / 1000.0, 6).as("intercept"),
+        round(col("__num").cast("double") * col("__num").cast("double") /
+              (col("__den").cast("double") * col("__dy").cast("double")), 6)
+          .as("r2"))
+  }
+
+  /** Deterministic train/val/test split, keyed on the CONTENT
+    * fingerprint permille — so byte-identical duplicates always land
+    * in the SAME split (id-hash splits leak exact dups across the
+    * train/test boundary; content-keyed splits can't) — plus a leakage
+    * audit: `leaked` marks documents whose whitespace/case-NORMALIZED
+    * form still appears in more than one split (trivial near-dups an
+    * exact-byte key cannot co-assign). Downstream either drops leaked
+    * eval docs or re-assigns whole normalized groups.
+    *
+    * Scale shape: assignment is a pure map-side function of the text;
+    * the audit is one normalized-fingerprint groupBy (map-side
+    * combined) whose group frame joins back on the same key —
+    * shuffle-partitioned by content hash, no skew (hash keys), no
+    * windows.
+    */
+  def datasetSplit(docs: DataFrame, idCol: String, textCol: String,
+                   valPermille: Int = 10, testPermille: Int = 10): DataFrame = {
+    val trainLim = 1000 - valPermille - testPermille
+    require(trainLim > 0, "val+test permille must leave room for train")
+    val bucket = pmod(fingerprint(col(textCol)), lit(1000L))
+    val assigned = docs.select(col(idCol), col(textCol),
+        when(bucket < trainLim, "train")
+          .when(bucket < trainLim + valPermille, "val")
+          .otherwise("test").as("split"))
+    val groups = assigned
+      .groupBy(fingerprint(normalizeText(col(textCol))).as("__nfp"))
+      .agg(countDistinct(col("split")).as("__nsplits"))
+    assigned
+      .withColumn("__nfp", fingerprint(normalizeText(col(textCol))))
+      .join(groups, "__nfp")
+      .select(col(idCol), col("split"), (col("__nsplits") > 1).as("leaked"))
+  }
 
   /** Windowed word co-occurrence counts with pointwise mutual
     * information — the GloVe/word2vec corpus statistic (directed

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Bpe, CurateCorpus, Dedup, LangId, Pca, QualityClassifier, Relational, Retrieval, SetSketch, Similarity, TextAnalysis, Unigram, Upsert}
+import graft.operators.{Bpe, CurateCorpus, Dedup, Graph, LangId, Pca, QualityClassifier, Relational, Retrieval, SetSketch, Similarity, TextAnalysis, Unigram, Upsert}
 import graft.functions.Normalize
 import graft.marc.{Extract, Iso2709, MarcCorpus, MarcXml, PublishSplit, TrimPunctuation}
 import graft.marc.PublishSplit.PublishRow
@@ -368,6 +368,20 @@ object SparkEntry {
       t.lineitem.filter(pk.startsWith("1") && pk.endsWith("3"))
         .select(col("l_orderkey").as("mms_id"), col("l_partkey").as("part_mms_id"))
         .distinct()
+    }),
+
+    // C41: link-graph centrality (PageRank, 5 fixed iterations) over the
+    // SYMMETRIZED bib↔part link graph — integer micro-unit ranks make
+    // the fixed-point bit-identical cross-engine; the oracle unrolls
+    // the same 5 iterations in SQL
+    "link_rank" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pk = col("l_partkey").cast("string")
+      val links = t.lineitem.filter(pk.startsWith("1") && pk.endsWith("3"))
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      val sym = links.unionByName(
+        links.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.linkRank(sym, "src", "dst", iterations = 5, dampPct = 85)
     }),
 
     // C12: N-records-per-chunk split (split_jsonl.py)
@@ -1573,6 +1587,51 @@ object SparkEntry {
       """SELECT DISTINCT l_orderkey AS mms_id, l_partkey AS part_mms_id
          FROM lineitem
          WHERE CAST(l_partkey AS VARCHAR) LIKE '1%' AND CAST(l_partkey AS VARCHAR) LIKE '%3'""",
+
+    "link_rank" ->
+      """WITH e0 AS (
+           SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+           FROM lineitem
+           WHERE CAST(l_partkey AS VARCHAR) LIKE '1%'
+             AND CAST(l_partkey AS VARCHAR) LIKE '%3'),
+         e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+         p AS (SELECT CAST(1000000 // count(*) AS BIGINT) AS init,
+                      CAST(((1000000 // count(*)) * 15) // 100 AS BIGINT) AS base
+               FROM nodes),
+         r0 AS (SELECT id, (SELECT init FROM p) AS rank FROM nodes),
+         s1 AS (SELECT e.dst AS id, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS s
+                FROM e JOIN r0 r ON e.src = r.id JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         r1 AS (SELECT nodes.id,
+                       (SELECT base FROM p) + (85 * coalesce(s1.s, 0)) // 100 AS rank
+                FROM nodes LEFT JOIN s1 ON nodes.id = s1.id),
+         s2 AS (SELECT e.dst AS id, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS s
+                FROM e JOIN r1 r ON e.src = r.id JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         r2 AS (SELECT nodes.id,
+                       (SELECT base FROM p) + (85 * coalesce(s2.s, 0)) // 100 AS rank
+                FROM nodes LEFT JOIN s2 ON nodes.id = s2.id),
+         s3 AS (SELECT e.dst AS id, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS s
+                FROM e JOIN r2 r ON e.src = r.id JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         r3 AS (SELECT nodes.id,
+                       (SELECT base FROM p) + (85 * coalesce(s3.s, 0)) // 100 AS rank
+                FROM nodes LEFT JOIN s3 ON nodes.id = s3.id),
+         s4 AS (SELECT e.dst AS id, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS s
+                FROM e JOIN r3 r ON e.src = r.id JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         r4 AS (SELECT nodes.id,
+                       (SELECT base FROM p) + (85 * coalesce(s4.s, 0)) // 100 AS rank
+                FROM nodes LEFT JOIN s4 ON nodes.id = s4.id),
+         s5 AS (SELECT e.dst AS id, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS s
+                FROM e JOIN r4 r ON e.src = r.id JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         r5 AS (SELECT nodes.id,
+                       (SELECT base FROM p) + (85 * coalesce(s5.s, 0)) // 100 AS rank
+                FROM nodes LEFT JOIN s5 ON nodes.id = s5.id)
+         SELECT id, CAST(rank AS BIGINT) AS rank_micro FROM r5""",
 
     "split_n_per_file" ->
       """SELECT doc_id,

@@ -996,6 +996,13 @@ object SparkEntry {
       TextAnalysis.stratifiedSampleK(Tables(s, dir).documents,
         "lang", "doc_id", "text", k = 50)),
 
+    // E16d: weight-proportional deterministic sample (E-S exponential
+    // keys, token count as weight) — map-side keys, TakeOrderedAndProject
+    "weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(Tables(s, dir).documents, "doc_id", "text",
+        size(filter(split(trim(col("text")), "\\s+"),
+          w => length(w) > 0)).cast("long"), k = 500)),
+
     // E39: Zipf fit of the token frequency curve per lang — milli-nat
     // integer regression sums (exact cross-engine); one corpus token
     // shuffle, ranking/sums on the vocab-sized table only
@@ -1981,6 +1988,23 @@ object SparkEntry {
          FROM fp
          QUALIFY row_number() OVER (PARTITION BY lang
                                     ORDER BY fp, doc_id) <= 50""",
+
+    "weighted_sample" ->
+      """WITH keyed AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')) AS BIGINT) AS weight,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(ascii(text[i]) AS BIGINT))),
+                    (a, b) -> (a * 31 + b) % 1000000007) % 1000000 + 1 AS u
+           FROM documents)
+         SELECT doc_id, weight,
+                ((13816 - CAST(round(1000 * ln(CAST(u AS DOUBLE))) AS BIGINT))
+                 * 1000000) // weight AS sample_key
+         FROM keyed WHERE weight > 0
+         ORDER BY sample_key, doc_id LIMIT 500""",
 
     "zipf_fit" ->
       """WITH toks AS (

@@ -644,6 +644,40 @@ object TextAnalysis {
         col("__p.key").as("fp"),
         (col("__pos") + 1).cast("long").as("rank"))
 
+  /** Deterministic weight-proportional sample without replacement
+    * (Efraimidis–Spirakis exponential keys): each document draws
+    * u ∈ [1, 10⁶] from its CONTENT fingerprint, its selection key is
+    * −ln(u/10⁶)/w, and the k SMALLEST keys are the sample — heavier
+    * documents draw systematically smaller keys, and the no-RNG
+    * fingerprint draw keeps the sample a pure function of the corpus
+    * (re-runs and layouts agree; the stratified_sample device).
+    *
+    * Integer discipline: −ln(u/10⁶) = ln 10⁶ − ln u in MILLI-nats
+    * (`13816 − round(1000·ln u)`, the zipf_fit quantization), scaled
+    * by 10⁶ then integer-divided by the integer weight — the key is
+    * exact integer arithmetic after one quantized ln, so the DuckDB
+    * oracle reproduces it bit-for-bit. Zero/negative weights are
+    * never sampled (w ≤ 0 ⇒ probability 0, filtered before the
+    * divide).
+    *
+    * Scale shape: key assignment is map-side; k-smallest ships as
+    * orderBy+limit ⇒ TakeOrderedAndProject (per-task heap, driver
+    * merges partitions·k rows) — the corpus never globally sorts.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, textCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    val u = pmod(fingerprint(col(textCol)), lit(1000000L)) + lit(1L)
+    val lnU = round(lit(1000.0) * log(u.cast("double"))).cast("long")
+    docs
+      .withColumn("__w", weight.cast("long"))
+      .filter(col("__w") > 0)
+      .withColumn("__num", (lit(13816L) - lnU) * lit(1000000L))
+      .withColumn("sample_key", expr("__num div __w"))
+      .orderBy(col("sample_key"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("__w").as("weight"), col("sample_key"))
+  }
+
   /** Zipf's-law fit of the token frequency distribution per stratum:
     * least-squares slope/intercept/r² of ln(count) against ln(rank)
     * over the (rank, count) vocabulary curve — the corpus statistic

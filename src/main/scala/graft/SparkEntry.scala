@@ -1003,6 +1003,14 @@ object SparkEntry {
         size(filter(split(trim(col("text")), "\\s+"),
           w => length(w) > 0)).cast("long"), k = 500)),
 
+    // E42: per-language exact percentile calibration of a quality score
+    // — window only over the distinct-score distribution table, never
+    // the corpus (broadcast joined back)
+    "score_percentile" -> ((s, dir) =>
+      TextAnalysis.scorePercentile(Tables(s, dir).documents, "lang", "doc_id",
+        size(filter(split(trim(col("text")), "\\s+"),
+          w => length(w) > 0)).cast("long"))),
+
     // E39: Zipf fit of the token frequency curve per lang — milli-nat
     // integer regression sums (exact cross-engine); one corpus token
     // shuffle, ranking/sums on the vocab-sized table only
@@ -1988,6 +1996,24 @@ object SparkEntry {
          FROM fp
          QUALIFY row_number() OVER (PARTITION BY lang
                                     ORDER BY fp, doc_id) <= 50""",
+
+    "score_percentile" ->
+      """WITH s AS (
+           SELECT doc_id, lang AS stratum,
+                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')) AS BIGINT) AS score
+           FROM documents),
+         d AS (SELECT stratum, score, CAST(count(*) AS BIGINT) AS c
+               FROM s GROUP BY 1, 2),
+         d2 AS (SELECT stratum, score,
+                       CAST(sum(c) OVER (PARTITION BY stratum ORDER BY score)
+                            - c AS BIGINT) AS below,
+                       CAST(sum(c) OVER (PARTITION BY stratum) AS BIGINT) AS n
+                FROM d)
+         SELECT s.doc_id, s.stratum, s.score,
+                CASE WHEN n > 1 THEN (below * 1000) // (n - 1)
+                     ELSE 0 END AS permille
+         FROM s JOIN d2 USING (stratum, score)""",
 
     "weighted_sample" ->
       """WITH keyed AS (

@@ -678,6 +678,41 @@ object TextAnalysis {
       .select(col(idCol), col("__w").as("weight"), col("sample_key"))
   }
 
+  /** Per-stratum EXACT percentile rank of an integer score — the
+    * calibration step before a cross-language quality threshold (a raw
+    * score cut keeps different fractions of each language; a permille
+    * cut keeps the same fraction everywhere).
+    *
+    * permille = (strictly-below count · 1000) div (n−1) — integer
+    * arithmetic end to end, 0 for singleton strata.
+    *
+    * Scale shape: the corpus-sized window this op naively wants
+    * (`percent_rank` partitioned by stratum = one single-task sort of
+    * ~the whole corpus per stratum — the stratified_sample_k lesson)
+    * is avoided by ranking the DISTINCT-SCORE distribution table
+    * instead: one (stratum, score) count aggregation (map-side
+    * combined), a window over that score-cardinality-bounded table,
+    * then a broadcast join back onto the corpus. The corpus itself
+    * never sorts and never passes through a window.
+    */
+  def scorePercentile(docs: DataFrame, strataCol: String, idCol: String,
+                      score: Column): DataFrame = {
+    val scored = docs.select(col(strataCol).as("stratum"),
+      col(idCol), score.cast("long").as("score"))
+    val dist = scored.groupBy(col("stratum"), col("score"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("score"))
+    val ranked = dist
+      .withColumn("__below", sum(col("__c")).over(w) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col("stratum"))))
+      .select(col("stratum"), col("score"),
+        when(col("__n") > 1,
+          expr("__below * 1000 div (__n - 1)")).otherwise(lit(0L))
+          .as("permille"))
+    scored.join(broadcast(ranked), Seq("stratum", "score"))
+      .select(col(idCol), col("stratum"), col("score"), col("permille"))
+  }
+
   /** Zipf's-law fit of the token frequency distribution per stratum:
     * least-squares slope/intercept/r² of ln(count) against ln(rank)
     * over the (rank, count) vocabulary curve — the corpus statistic

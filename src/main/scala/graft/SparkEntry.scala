@@ -1003,6 +1003,12 @@ object SparkEntry {
         size(filter(split(trim(col("text")), "\\s+"),
           w => length(w) > 0)).cast("long"), k = 500)),
 
+    // E43: DSIR importance weights toward the English subcorpus — two
+    // broadcast micro-nat LMs, one corpus explode + per-doc agg
+    "importance_weights" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(Tables(s, dir).documents, "doc_id",
+        "text", col("lang") === "en")),
+
     // E42: per-language exact percentile calibration of a quality score
     // — window only over the distinct-score distribution table, never
     // the corpus (broadcast joined back)
@@ -1996,6 +2002,33 @@ object SparkEntry {
          FROM fp
          QUALIFY row_number() OVER (PARTITION BY lang
                                     ORDER BY fp, doc_id) <= 50""",
+
+    "importance_weights" ->
+      """WITH toks0 AS (
+           SELECT doc_id, lang,
+                  unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+           FROM documents),
+         toks AS (SELECT * FROM toks0 WHERE word <> ''),
+         bc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+         bs AS (SELECT sum(c) AS n, count(*) AS v FROM bc),
+         blm AS (SELECT word,
+                        CAST(round(-ln((c + 1)::DOUBLE / (n + v)) * 1e6) AS BIGINT) AS lp_b
+                 FROM bc, bs),
+         tc AS (SELECT word, count(*) AS c FROM toks WHERE lang = 'en'
+                GROUP BY word),
+         ts AS (SELECT sum(c) AS n, count(*) AS v FROM tc),
+         tlm AS (SELECT word,
+                        CAST(round(-ln((c + 1)::DOUBLE / (n + v)) * 1e6) AS BIGINT) AS lp_t
+                 FROM tc, ts),
+         unseen AS (SELECT CAST(round(ln((n + v)::DOUBLE) * 1e6) AS BIGINT) AS lp_u
+                    FROM ts)
+         SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                CAST(sum(b.lp_b - coalesce(l.lp_t, (SELECT lp_u FROM unseen)))
+                     AS BIGINT) AS log_w_micro
+         FROM toks t
+         JOIN blm b USING (word)
+         LEFT JOIN tlm l USING (word)
+         GROUP BY t.doc_id""",
 
     "score_percentile" ->
       """WITH s AS (

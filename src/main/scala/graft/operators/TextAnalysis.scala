@@ -678,6 +678,50 @@ object TextAnalysis {
       .select(col(idCol), col("__w").as("weight"), col("sample_key"))
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): per-document log importance ratio
+    * ln p_target(doc) − ln p_base(doc) under two add-one unigram LMs —
+    * base fit on the WHOLE corpus (so every scored token is in-vocab),
+    * target fit on the documents matching `targetPred`. Documents that
+    * look like the target distribution score positive; feed the weight
+    * to [[weightedSample]] (exponentiate via the permille rank, or
+    * threshold directly) to resample toward the target domain.
+    *
+    * Determinism: both LMs are the [[unigramLm]] integer micro-nat
+    * tables; a token unseen by the target LM takes the uniform add-one
+    * mass `round(ln(N_t+V_t)·1e6)` — the same `(c+1)/(N+V)` formula at
+    * c=0 — so the per-document sum is exact integer arithmetic.
+    *
+    * Scale shape: LMs are vocab-sized and broadcast; ONE corpus token
+    * explode feeds one per-document aggregation (map-side combined).
+    * The target subset must be non-empty (the fit is degenerate
+    * otherwise). Zero-token documents don't appear in the output (no
+    * tokens ⇒ no ratio), matching the SQL twin.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        targetPred: Column): DataFrame = {
+    val base = unigramLm(docs, textCol).withColumnRenamed("lp_micro", "__lp_b")
+    val tgtDocs = docs.filter(targetPred)
+    val tgt = unigramLm(tgtDocs, textCol).withColumnRenamed("lp_micro", "__lp_t")
+    val unseen = tgtDocs.select(
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+      .select(round(log((col("__n") + col("__v")).cast("double")) * 1e6)
+        .cast("long").as("__lp_unseen"))
+    val toks = docs.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    toks.join(broadcast(base), "word")
+      .join(broadcast(tgt), Seq("word"), "left")
+      .crossJoin(broadcast(unseen))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+           sum(col("__lp_b") - coalesce(col("__lp_t"), col("__lp_unseen")))
+             .as("log_w_micro"))
+  }
+
   /** Per-stratum EXACT percentile rank of an integer score — the
     * calibration step before a cross-language quality threshold (a raw
     * score cut keeps different fractions of each language; a permille

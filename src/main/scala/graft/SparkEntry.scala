@@ -753,6 +753,21 @@ object SparkEntry {
                          shingleN = 3, k = 64, bands = 16, threshold = 0.7)
     }),
 
+    // E2d: asymmetric containment pairs — every 13th doc also appears
+    // TRUNCATED to its first half (the quote/excerpt shape: containment
+    // ≈ 1, Jaccard ≈ 0.5 — below the minhash threshold); exact
+    // prefix-filtered join, no hash randomness
+    "dedup_containment" -> ((s, dir) => {
+      val base = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val trunc = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          array_join(expr("""slice(split(trim(text), '\\s+'), 1,
+                             size(split(trim(text), '\\s+')) div 2)"""), " ")
+            .as("text"))
+      Dedup.containmentPairs(base.unionByName(trunc), "doc_id", "text",
+        shingleN = 3, threshold = 0.8, minShingles = 5)
+    }),
+
     // E2c: incremental near-dup — the planted variants arrive as a NEW
     // batch and are deduped against a PERSISTED band index of the base
     // corpus (built here each run; at scale it is built once per
@@ -2364,6 +2379,44 @@ object SparkEntry {
     // each side's first |s| - ceil(t*|s|) + 1 sorted shingles — no
     // false negatives, and the sf0.1 sweep runs in seconds instead of
     // an O(n^2) cross scan.
+    "dedup_containment" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 3000000,
+                  array_to_string(
+                    (regexp_split_to_array(trim(text), '\s+'))
+                      [1 : len(regexp_split_to_array(trim(text), '\s+')) // 2],
+                    ' ')
+           FROM documents WHERE doc_id % 13 = 0),
+         toks AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM corpus),
+         sh AS (
+           SELECT doc_id,
+                  list_sort(list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' ')))) AS s
+           FROM toks),
+         shf AS (SELECT * FROM sh WHERE len(s) >= 5),
+         pref AS (
+           SELECT doc_id,
+                  unnest(s[1 : greatest(len(s) - CAST(ceil(0.8 * len(s)) AS INT) + 1, 1)]) AS g
+           FROM shf),
+         ix AS (SELECT doc_id, unnest(s) AS g FROM shf),
+         cand AS (
+           SELECT DISTINCT p.doc_id AS iid, x.doc_id AS oid
+           FROM pref p JOIN ix x ON p.g = x.g AND p.doc_id <> x.doc_id)
+         SELECT c.iid AS inner_id, c.oid AS outer_id,
+                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+                  AS containment
+         FROM cand c
+         JOIN shf a ON c.iid = a.doc_id
+         JOIN shf b ON c.oid = b.doc_id
+         WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+               >= 0.8""",
+
     "dedup_minhash" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

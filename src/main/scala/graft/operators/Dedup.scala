@@ -68,6 +68,55 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — `|A∩B| / |A| ≥ t` over distinct
+    * shingle sets: the quote/excerpt/subset complement to
+    * [[minhashPairs]]' symmetric Jaccard (a short document quoted
+    * inside a long one has containment ≈ 1 but Jaccard ≈ |A|/|B| —
+    * banded MinHash recalls Jaccard-similar pairs and MISSES these, so
+    * containment needs its own join, not a threshold change).
+    *
+    * Exact prefix-filtered join (the AllPairs/PPJoin device the
+    * minhash oracle already trusts): with shingles in a canonical
+    * order, A can only be t-contained in B if one of A's first
+    * `|A| − ⌈t·|A|⌉ + 1` shingles appears in B (pigeonhole) — so only
+    * that prefix of the PROBE side explodes against the full shingle
+    * index, and survivors verify with the exact intersection. Lossless
+    * (100% recall), no hash randomness, SQL-re-derivable bit for bit.
+    *
+    * Scale shape: one shingle-keyed shuffle (prefix × index join),
+    * map-side distinct on candidates, verification joins the two
+    * shingle arrays back by doc id. The canonical order here is
+    * lexicographic to match the house oracle; at 100 TB order by
+    * ascending document frequency instead (ties lexicographic — still
+    * deterministic) so prefixes hold RARE shingles and the index join
+    * never buckets on stop-shingles.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       minShingles: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+              array_sort(shingles(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) >= minShingles)
+    val plen = greatest(
+      size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + 1,
+      lit(1))
+    val pref = sh.select(col("doc_id").as("inner_id"),
+      explode(slice(col("sh"), lit(1), plen)).as("g"))
+    val index = sh.select(col("doc_id").as("outer_id"),
+      explode(col("sh")).as("g"))
+    val cand = pref.join(index, "g")
+      .filter(col("inner_id") =!= col("outer_id"))
+      .select(col("inner_id"), col("outer_id")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("inner_id"), col("sh").as("sh_i")), "inner_id")
+      .join(sh.select(col("doc_id").as("outer_id"), col("sh").as("sh_o")), "outer_id")
+      .select(col("inner_id"), col("outer_id"),
+        round(size(array_intersect(col("sh_i"), col("sh_o"))).cast("double") /
+              size(col("sh_i")), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** 64-bit SimHash over the token multiset: per-bit vote of each
     * token's xxh64, sign → bit. Native one-pass expression
     * ([[graft.functions.SimHash64Expr]]).

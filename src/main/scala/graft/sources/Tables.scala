@@ -19,17 +19,29 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark has no
-    * native type for (read as raw long via
-    * `spark.sql.legacy.parquet.nanosAsLong`). Exposes both `ts_ns` (the
-    * exact nanosecond long — use for ordering/bucketing, ns-exact parity
-    * with engines that keep TIMESTAMP_NS) and `ts` (µs-truncated
-    * TimestampType for event-time/streaming ops).
+  /** Events with a schema-adaptive timestamp contract. Generators have
+    * shipped `events.ts` both as INT64 TIMESTAMP(NANOS) (no native Spark
+    * type — read as a raw long via `spark.sql.legacy.parquet.nanosAsLong`)
+    * and as plain timestamp[us] (read as TIMESTAMP_NTZ). Either way the
+    * loader exposes the same two columns so every operator and oracle is
+    * layout-independent:
+    *   - `ts_ns`: nanosecond epoch long — ordering/bucketing; `ts_ns div
+    *     1000` equals DuckDB's `epoch_us(ts)` under both source types.
+    *   - `ts`: µs TimestampType (UTC session) for event-time/streaming.
     */
-  def events: DataFrame =
-    table("events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  def events: DataFrame = {
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

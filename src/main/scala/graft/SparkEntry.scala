@@ -857,6 +857,15 @@ object SparkEntry {
                                "vec_id", "embedding", k = 5)
     }),
 
+    // E44: contrastive hard-negative mining — top-k nearest DIFFERENT-
+    // label vectors per query; label mismatch prunes inside the
+    // broadcast join condition, before any cosine is scored
+    "hard_negatives" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.hardNegatives(e, e.filter(col("vec_id") % 100 === 0),
+                               "vec_id", "embedding", "label", k = 5)
+    }),
+
     // E7: hyperplane-LSH ANN — each planted original finds its twin
     // (cos dropped: hash-noise-dependent; pair+rank are SQL-derivable)
     "ann_lsh" -> ((s, dir) => {
@@ -1486,6 +1495,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
              sum(round(col("value") * 1000).cast("long")).as("value_milli"))
         .na.fill(0L, types.map(_ + "_n"))
+    }),
+
+    // C42: trailing 7-day rolling per-user activity features — RANGE
+    // frame over ONE key-partitioned window (peers always included, so
+    // colliding timestamps stay deterministic; no self-join rescan)
+    "rolling_stats" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("value"))
+      Relational.rollingStats(ev, Seq("user_id"), "ts_us", "value",
+                              windowSpan = 7L * 86400000000L)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+                col("n_window").as("n_7d"),
+                col("value_milli_window").as("value_milli_7d"))
+    }),
+
+    // C43: snapshot CDC diff — deterministic evolved copy of orders
+    // (drops %97, restates %13, inserts %11 under shifted keys), then
+    // one full-outer equi-join classifies added/removed/changed
+    "snapshot_diff" -> ((s, dir) => {
+      val oldSnap = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val newSnap = oldSnap.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 13 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(oldSnap.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+                  lit("N").as("o_orderstatus"), col("o_totalprice")))
+      Relational.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+                              Seq("o_orderstatus", "o_totalprice"))
     }),
 
     // D1 batch twin: per-key latest state with the strictly-newer guard

@@ -296,6 +296,60 @@ object Relational {
       .select(col("record_id"), lit(recordType).as("record_type"),
               lit(idType).as("id_type"), col("external_value"))
 
+  /** Trailing time-window rolling aggregates: for every row, the count
+    * and integer-milli value sum of the key's rows whose `orderCol`
+    * lies in `[orderCol − windowSpan, orderCol]` — the feature-
+    * engineering primitive behind "events in the last 7 days" columns.
+    *
+    * RANGE (not ROWS) frame: same-instant peers are always included
+    * together, so the result is deterministic under any partitioning
+    * even when timestamps collide.
+    *
+    * Scale shape: ONE key-partitioned window shuffle; the frame is
+    * evaluated by a sliding pointer over each key's sorted run, never a
+    * per-row rescan. No global sort, no self-join (the naive
+    * `e1 JOIN e2 ON ts BETWEEN` twin is O(n·w) and shuffles twice).
+    */
+  def rollingStats(df: DataFrame, keys: Seq[String], orderCol: String,
+                   valueCol: String, windowSpan: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rangeBetween(-windowSpan, 0)
+    df.withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("value_milli_window",
+        sum(round(col(valueCol) * 1000).cast("long")).over(w))
+  }
+
+  /** Snapshot diff (CDC): classify every key across two snapshots of
+    * the same table as `added` (new only), `removed` (old only) or
+    * `changed` (both, any compared column differs); unchanged rows are
+    * dropped. The null-safe `<=>` comparison treats null==null as equal
+    * so nullable attributes never misreport a change.
+    *
+    * Scale shape: one full-outer equi-join on the snapshot key — the
+    * minimal shuffle for a diff; with both snapshots bucketed on the
+    * key it collapses to a zero-shuffle sort-merge. Output carries the
+    * old/new values of every compared column for downstream apply.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__old", lit(1))
+      .toDF(keys ++ compareCols.map("old_" + _) ++ Seq("__old"): _*)
+    val n = newSnap.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__new", lit(1))
+      .toDF(keys ++ compareCols.map("new_" + _) ++ Seq("__new"): _*)
+    val changed = compareCols
+      .map(c => !(col("old_" + c) <=> col("new_" + c)))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .drop("__old", "__new")
+  }
+
   /** Ordered conversion funnel: per key, the earliest time each step
     * was reached at-or-after the PREVIOUS step's attain time
     * (view → click → purchase). A user who never reaches step i has

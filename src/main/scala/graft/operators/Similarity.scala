@@ -79,6 +79,33 @@ object Similarity {
               col("__rk").cast("long").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors carrying a DIFFERENT label —
+    * near-misses the loss learns the most from (easy negatives are
+    * already far; same-label hits are positives, not negatives).
+    *
+    * Exact by construction (the label filter rides the broadcast join
+    * condition, so pruning happens before scoring). For corpora where
+    * the brute-force scan is too hot, the same label-mismatch predicate
+    * drops into any of the ANN candidate joins ([[annLsh]]/[[annIvf]])
+    * unchanged — the per-query window is identical.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+                          col(labelCol).as("__cl"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+                           col(labelCol).as("__ql"))
+    val scored = c.join(broadcast(q), col("__ql") =!= col("__cl"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("__rk").cast("long").as("rank"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: both sides bucketed,
     * equal-bucket join on any of `tables` signatures → candidates →
     * exact cosine → per-query top-k. The scale path: the corpus scan

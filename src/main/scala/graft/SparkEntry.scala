@@ -2972,6 +2972,22 @@ object SparkEntry {
              ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
          WHERE rk <= 5""",
 
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                           label AS ql
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                      label AS cl
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  round(list_cosine_similarity(qv, cv), 6) AS cos
+           FROM q JOIN c ON ql != cl)
+         SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+         WHERE rk <= 5""",
+
     "ann_lsh" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                 CAST(1 AS BIGINT) AS rank
@@ -3253,6 +3269,47 @@ object SparkEntry {
            CAST(sum(CAST(round(value * 1000) AS BIGINT))
                 FILTER (event_type = 'error') AS BIGINT) AS error_value_milli
          FROM events GROUP BY 1""",
+
+    "rolling_stats" ->
+      """SELECT user_id, event_id, ts_us,
+                count(*) OVER w AS n_7d,
+                CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w
+                     AS BIGINT) AS value_milli_7d
+         FROM (SELECT user_id, event_id,
+                      CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""",
+
+    "snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey,
+                           o_orderstatus AS old_o_orderstatus,
+                           o_totalprice AS old_o_totalprice,
+                           1 AS fo
+                    FROM orders),
+         n0 AS (SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                            ELSE o_orderstatus END AS o_orderstatus,
+                       o_totalprice
+                FROM orders WHERE o_orderkey % 97 != 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, 'N', o_totalprice
+                FROM orders WHERE o_orderkey % 11 = 0),
+         n AS (SELECT o_orderkey, o_orderstatus AS new_o_orderstatus,
+                      o_totalprice AS new_o_totalprice, 1 AS fn
+               FROM n0)
+         SELECT o_orderkey, old_o_orderstatus, old_o_totalprice,
+                new_o_orderstatus, new_o_totalprice, change_type FROM (
+           SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                  old_o_orderstatus, old_o_totalprice,
+                  new_o_orderstatus, new_o_totalprice,
+                  CASE WHEN fo IS NULL THEN 'added'
+                       WHEN fn IS NULL THEN 'removed'
+                       WHEN (old_o_orderstatus IS DISTINCT FROM new_o_orderstatus)
+                         OR (old_o_totalprice IS DISTINCT FROM new_o_totalprice)
+                       THEN 'changed' END AS change_type
+           FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+         WHERE change_type IS NOT NULL""",
 
     "stream_latest_status" ->
       """SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ts,

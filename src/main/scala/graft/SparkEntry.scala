@@ -866,6 +866,24 @@ object SparkEntry {
                                "vec_id", "embedding", "label", k = 5)
     }),
 
+    // E45: per-dimension symmetric int8 quantization of the embedding
+    // column — dim-sized stats shuffle, map-side encode; codes are
+    // floor(q+0.5) over the same double quotient both engines compute
+    "embedding_int8" -> ((s, dir) => {
+      Similarity.quantizeInt8(Tables(s, dir).embeddings,
+                              "vec_id", "embedding")
+    }),
+
+    // E46: DPO-style preference pairs — i-th highest vs i-th lowest
+    // scorer per language under the house token-count score; ONE
+    // stratum agg of two bounded GroupedTopKAgg heaps (no windows)
+    "preference_pairs" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("score"))
+      TextAnalysis.preferencePairs(d, "lang", "doc_id", "score", k = 8)
+    }),
+
     // E7: hyperplane-LSH ANN — each planted original finds its twin
     // (cos dropped: hash-noise-dependent; pair+rank are SQL-derivable)
     "ann_lsh" -> ((s, dir) => {
@@ -2987,6 +3005,40 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
          WHERE rk <= 5""",
+
+    "embedding_int8" ->
+      """WITH flat AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                  unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings),
+         x AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, e[i] AS x
+               FROM flat),
+         s AS (SELECT dim, max(abs(x)) AS mx FROM x GROUP BY 1)
+         SELECT x.vec_id, x.dim,
+                CAST(CASE WHEN s.mx = 0 THEN 0
+                          ELSE floor(x.x * 127.0 / s.mx + 0.5) END
+                     AS BIGINT) AS code
+         FROM x JOIN s USING (dim)""",
+
+    "preference_pairs" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) AS score
+           FROM documents),
+         hi AS (SELECT lang, doc_id, score,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY score DESC, doc_id) AS rk
+                FROM s),
+         lo AS (SELECT lang, doc_id, score,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY score ASC, doc_id) AS rk
+                FROM s)
+         SELECT hi.lang, CAST(hi.rk AS BIGINT) AS pair_ix,
+                hi.doc_id AS chosen_id, hi.score AS chosen_score,
+                lo.doc_id AS rejected_id, lo.score AS rejected_score
+         FROM hi JOIN lo ON hi.lang = lo.lang AND hi.rk = lo.rk
+         WHERE hi.rk <= 8 AND hi.score > lo.score""",
 
     "ann_lsh" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,

@@ -594,4 +594,36 @@ object Similarity {
       .join(rev, col("a") === col("__ra") && col("b") === col("__rb"))
       .select(col("a"), col("b"), col("cos"), col("rank_ab"), col("rank_ba"))
   }
+
+  /** Symmetric per-dimension int8 scalar quantization of an embedding
+    * column — the storage-compression primitive for corpus-scale vector
+    * columns (4 bytes/dim → 1; the int8 codes feed ADC-style scans or
+    * simply shrink the parquet footprint 4×). Per dimension d the scale
+    * is `max|x_d|/127`; codes are `round_half_up(x·127/max|x_d|)` in
+    * `[-127, 127]` (symmetric, zero maps to zero exactly).
+    *
+    * Determinism: the rounding is `floor(q + 0.5)` over the SAME IEEE
+    * double quotient both engines compute, so codes are bit-identical
+    * cross-engine with no .5-boundary ambiguity (floor is exact; Spark
+    * HALF_UP vs DuckDB half-away never enters). All-zero dimensions
+    * code to 0.
+    *
+    * Scale shape: the per-dim stats aggregate is dim-sized (one
+    * map-side-combined shuffle of `dim` partials), broadcast back; the
+    * corpus pass is map-side. Output is the exploded (id, dim, code)
+    * frame — re-pack with `collect_list` over a dim-ordered window, or
+    * keep columnar for parquet.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val flat = df.select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        col("__x").cast("double").as("__x"))
+    val scales = flat.groupBy("dim").agg(max(abs(col("__x"))).as("__mx"))
+    flat.join(broadcast(scales), "dim")
+      .select(col(idCol), col("dim"),
+        when(col("__mx") === 0.0d, lit(0L))
+          .otherwise(floor(col("__x") * lit(127.0d) / col("__mx") + lit(0.5d)))
+          .as("code"))
+  }
 }

@@ -644,6 +644,40 @@ object TextAnalysis {
         col("__p.key").as("fp"),
         (col("__pos") + 1).cast("long").as("rank"))
 
+  /** Preference-pair construction (DPO/RLHF-style training data from a
+    * scored corpus): within each stratum, pair the i-th HIGHEST-scoring
+    * document with the i-th LOWEST-scoring one for i ≤ k — maximally
+    * separated (chosen, rejected) pairs under the score. Pairs with no
+    * positive margin (ties, or strata too small to separate) are
+    * dropped, so `chosen_id ≠ rejected_id` by construction.
+    *
+    * Scale shape: NOT two `row_number` windows — with a handful of
+    * corpus-sized strata those are single-task sorts. Both ends come
+    * from ONE stratum aggregation of two [[graft.functions.GroupedTopKAgg]]
+    * heaps (k smallest of `(−score, id)` and of `(score, id)`): O(k)
+    * state per partial, associative merges, 2k longs per partition
+    * through the single shuffle; output is layout-bit-identical (the k
+    * extremes of a SET are arrival-order-independent). Tie-break is
+    * ascending id at both ends.
+    */
+  def preferencePairs(docs: DataFrame, strataCol: String, idCol: String,
+                      scoreCol: String, k: Int): DataFrame = {
+    val sc = col(scoreCol).cast("long")
+    docs.groupBy(col(strataCol))
+      .agg(
+        graft.functions.GroupedTopKAgg(-sc, col(idCol), k).as("__hi"),
+        graft.functions.GroupedTopKAgg(sc, col(idCol), k).as("__lo"))
+      .select(col(strataCol),
+        posexplode(arrays_zip(col("__hi"), col("__lo"))).as(Seq("__pos", "__z")))
+      .select(col(strataCol),
+        (col("__pos") + 1).cast("long").as("pair_ix"),
+        col("__z.__hi.payload").as("chosen_id"),
+        (-col("__z.__hi.key")).as("chosen_score"),
+        col("__z.__lo.payload").as("rejected_id"),
+        col("__z.__lo.key").as("rejected_score"))
+      .filter(col("chosen_score") > col("rejected_score"))
+  }
+
   /** Deterministic weight-proportional sample without replacement
     * (Efraimidis–Spirakis exponential keys): each document draws
     * u ∈ [1, 10⁶] from its CONTENT fingerprint, its selection key is

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Specs for int8 embedding quantization and preference-pair mining. */
+class QuantizePreferenceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --- quantizeInt8 ------------------------------------------------------
+
+  test("quantizeInt8: per-dim scaling, symmetric range, zero dim") {
+    // dim 0 max|x| = 4 → codes x*127/4; dim 1 all zero → code 0;
+    // dim 2 max|x| = 1 from a NEGATIVE value → |-1| drives the scale
+    val df = Seq(
+      (1L, Array(4.0f, 0.0f, -1.0f)),
+      (2L, Array(-2.0f, 0.0f, 0.5f)),
+      (3L, Array(1.0f, 0.0f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, d, c) => (id, d) -> c }.toMap
+    assert(out((1L, 0L)) == 127L)     // 4/4 * 127
+    assert(out((2L, 0L)) == -63L)     // -2/4*127 = -63.5 → floor(-63) = -63
+    assert(out((3L, 0L)) == 32L)      // 1/4*127 = 31.75 → 32
+    assert(out((1L, 1L)) == 0L && out((2L, 1L)) == 0L) // all-zero dim
+    assert(out((1L, 2L)) == -127L)    // negative extreme hits -127
+    assert(out((2L, 2L)) == 64L)      // 0.5*127 = 63.5 → round-half-up 64
+  }
+
+  test("quantizeInt8 codes bounded and reconstruction error < scale/2") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codes = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val mm = codes.agg(min("code"), max("code")).as[(Long, Long)].head()
+    assert(mm._1 >= -127L && mm._2 <= 127L)
+    // round-trip: |x - code*mx/127| <= mx/254 + eps for every element
+    val flat = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+              col("x").cast("double").as("x"))
+    val mx = flat.groupBy("dim").agg(max(abs(col("x"))).as("mx"))
+    val bad = codes.join(flat, Seq("vec_id", "dim")).join(mx, "dim")
+      .filter(col("mx") > 0.0 &&
+        abs(col("x") - col("code") * col("mx") / 127.0) >
+          col("mx") / 254.0 + 1e-12)
+      .count()
+    assert(bad == 0L)
+  }
+
+  // --- preferencePairs ---------------------------------------------------
+
+  test("preferencePairs: extremes paired, ties dropped, id tiebreak") {
+    val docs = Seq(
+      // stratum "en": scores 10,7,7,3,1 → pairs (10,1),(7,3),(7,7 dropped)
+      (1L, "en", 10L), (2L, "en", 7L), (3L, "en", 7L),
+      (4L, "en", 3L), (5L, "en", 1L),
+      // stratum "fr": all equal → no pairs survive the margin filter
+      (6L, "fr", 5L), (7L, "fr", 5L),
+      // stratum "de": singleton → pairs itself, dropped (no margin)
+      (8L, "de", 9L))
+      .toDF("doc_id", "lang", "score")
+    val out = TextAnalysis.preferencePairs(docs, "lang", "doc_id", "score", 3)
+      .select("lang", "pair_ix", "chosen_id", "rejected_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("en", 1L, 1L, 5L),   // top 10 vs bottom 1
+      ("en", 2L, 2L, 4L)))  // 7 (id 2 beats id 3 on tiebreak) vs 3
+  }
+
+  test("preferencePairs is partition-layout independent") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars").as("score"))
+    def run(parts: Int) =
+      TextAnalysis.preferencePairs(docs.repartition(parts),
+          "lang", "doc_id", "score", 5)
+        .collect().map(_.toSeq).toSet
+    assert(run(1) == run(13))
+  }
+}

@@ -50,7 +50,12 @@ object Bench {
     // materialization (reset prevents cache hits masquerading as work).
     // Per-query value = min of the passes — the standard noisy-host
     // benchmark practice; this box shows ±50% run-to-run variance.
-    def measure(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated key subset for fast local iteration —
+    // the driver never sets this, so its bench stays exhaustive
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def measure(): Map[String, Double] = SparkEntry.queries
+      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

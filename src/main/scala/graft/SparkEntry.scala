@@ -1076,8 +1076,13 @@ object SparkEntry {
     // 100 TB self-kNN (the exact frame here is the verifiable oracle)
     "mutual_knn" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
-      Similarity.mutualKnn(
-        Similarity.annBruteForce(e, e, "vec_id", "embedding", k = 5))
+      // persist: mutualKnn self-joins the neighbor LIST — without this
+      // the n² brute-force cosine scan underneath runs once per join
+      // branch; the list is n·k rows, the scan is the whole cost
+      val nbrs = trackPersist(s,
+        Similarity.annBruteForce(e, e, "vec_id", "embedding", k = 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      Similarity.mutualKnn(nbrs)
     }),
 
     // E38: audience-overlap set algebra via KMV theta sketches — ONE

@@ -63,9 +63,13 @@ object LangId {
       // rounded so the argmax ordering is reproducible across engines
       // (fp sum order differs; language-score gaps are O(1))
       .withColumn("score", round(col("loglik") + col("logprior"), 4))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
-    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
-      .select(col("doc_id"), col("lang").as("lang_pred"))
+    // argmax as ONE partial-aggregable min(struct(−score, lang)) —
+    // score desc, tie → lexicographically smallest language. Replaces
+    // a doc-partitioned row_number window: hash aggregation with
+    // map-side combine instead of a sort shuffle of |docs|·|langs| rows
+    scored.groupBy("doc_id")
+      .agg(min(struct((-col("score")).as("ns"), col("lang"))).as("__m"))
+      .select(col("doc_id"), col("__m.lang").as("lang_pred"))
   }
 
   /** Fit on the full labeled set, predict every document. */

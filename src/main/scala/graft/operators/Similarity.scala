@@ -61,9 +61,49 @@ object Similarity {
     graft.functions.LshBucketsExpr(v, hyperplanes(dim, tables, bits),
       tables, bits)
 
+  /** Per-query top-k of a scored candidate frame (`query_id,
+    * neighbor_id, cos` with cos ALREADY rounded to 6 decimals) —
+    * ordering (cos desc, neighbor_id asc), output carries cos + rank.
+    *
+    * NOT a `row_number` window: a query-partitioned window sort-shuffles
+    * EVERY scored row (the brute-force frame is n·|queries| — at corpus
+    * scale that shuffle dwarfs the cosine math itself). Instead one
+    * bounded per-group heap ([[graft.functions.GroupedTopKAgg]]): each
+    * task keeps k `(−cos·1e6, id)` pairs per query, partials merge
+    * associatively, only |queries|·k pairs cross the wire. The
+    * 6-decimal cos rides the heap as an exact micro-unit integer — once
+    * rounded, cos·1e6 sits within 1e-9 of that integer, and `int/1e6`
+    * is the correctly-rounded double of the same decimal, so the
+    * reported cos is bit-identical to the window formulation's.
+    */
+  private def topKByCos(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.GroupedTopKAgg(
+        -round(col("cos") * lit(1e6)).cast("long"),
+        col("neighbor_id"), k).as("__t"))
+      .select(col("query_id"), posexplode(col("__t")).as(Seq("__pos", "__p")))
+      .select(col("query_id"), col("__p.payload").as("neighbor_id"),
+              (-col("__p.key") / lit(1e6)).as("cos"),
+              (col("__pos") + 1).cast("long").as("rank"))
+
+  /** Top-`n` candidate ids per query by an unrounded double score —
+    * the ADC shortlist stage. Same bounded-heap shape as [[topKByCos]];
+    * the score rides the heap quantized to NANO units (ties within
+    * 1e-9 fall to the id tiebreak — the exact re-rank re-scores every
+    * survivor, so quantization never reaches reported values).
+    */
+  private def topIdsByScore(scored: DataFrame, scoreCol: String,
+                            n: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.GroupedTopKAgg(
+        -round(col(scoreCol) * lit(1e9)).cast("long"),
+        col("neighbor_id"), n).as("__t"))
+      .select(col("query_id"), explode(col("__t.payload")).as("neighbor_id"))
+
   /** Exact top-k cosine neighbors for each query vector (baseline).
     * Queries are broadcast; the corpus is scanned once; per-query top-k
-    * is a key-partitioned window.
+    * is a bounded heap aggregation — the n·|queries| scored rows never
+    * shuffle (see [[topKByCos]]).
     */
   def annBruteForce(corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -72,11 +112,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
               round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"),
-              col("__rk").cast("long").as("rank"))
+    topKByCos(scored, k)
   }
 
   /** Hard-negative mining for contrastive training: per query, the
@@ -99,11 +135,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("__ql") =!= col("__cl"))
       .select(col("query_id"), col("neighbor_id"),
               round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"),
-              col("__rk").cast("long").as("rank"))
+    topKByCos(scored, k)
   }
 
   /** Approximate top-k via random-hyperplane LSH: both sides bucketed,
@@ -125,14 +157,9 @@ object Similarity {
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    candidates
+    topKByCos(candidates
       .select(col("query_id"), col("neighbor_id"),
-              round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
-      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"),
-              col("__rk").cast("long").as("rank"))
+              round(cosine(col("__qv"), col("__cv")), 6).as("cos")), k)
   }
 
   /** Deterministic seed centroids: first `nlist` corpus vectors by id —
@@ -204,16 +231,11 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       explode(graft.functions.NearestCells(col(vecCol), centroids, nprobe))
         .as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(q, Seq("cell"))
+    topKByCos(c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-              round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
-      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"),
-              col("__rk").cast("long").as("rank"))
+              round(cosine(col("__qv"), col("__cv")), 6).as("cos")), k)
   }
 
   /** Build and persist an IVF index: train the coarse quantizer, then
@@ -263,16 +285,11 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       explode(graft.functions.NearestCells(col(vecCol), centroids, nprobe))
         .as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(q, Seq("cell"))
+    topKByCos(c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-              round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
-      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"),
-              col("__rk").cast("long").as("rank"))
+              round(cosine(col("__qv"), col("__cv")), 6).as("cos")), k)
   }
 
   /** SemDeDup-style semantic deduplication: embedding cosine near-dup
@@ -388,25 +405,19 @@ object Similarity {
     val q = withUnitVec(queries, vecCol, "__qv")
       .select(col(idCol).as("query_id"),
               graft.functions.PqLutExpr(col("__qv"), books).as("__lut"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").desc, col("neighbor_id"))
-    val candidates = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-              graft.functions.PqAdcExpr(col("__lut"), col("__codes"), ksub).as("__adc"))
-      .withColumn("__rk", row_number().over(wAdc)).filter(col("__rk") <= rerank)
-      .select(col("query_id"), col("neighbor_id"))
+    val candidates = topIdsByScore(
+      codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                graft.functions.PqAdcExpr(col("__lut"), col("__codes"), ksub)
+                  .as("__adc")),
+      "__adc", rerank)
     // exact re-rank: candidate ids broadcast against the raw scans
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cv.join(broadcast(candidates), "neighbor_id")
+    topKByCos(cv.join(broadcast(candidates), "neighbor_id")
       .join(broadcast(qv), "query_id")
       .select(col("query_id"), col("neighbor_id"),
-              round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
-      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"),
-              col("__rk").cast("long").as("rank"))
+              round(cosine(col("__qv"), col("__cv")), 6).as("cos")), k)
   }
 
   /** Build and persist an IVF-PQ index (the FAISS IVFPQ composition):
@@ -525,29 +536,24 @@ object Similarity {
         graft.functions.PqLutExpr(col("__u"), books).as("__lut"),
         explode(graft.functions.NearestCells(col(vecCol), centroids, nprobe))
           .as("cell"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").desc, col("neighbor_id"))
-    val candidates = spark.read.parquet(s"$indexDir/cells")
-      .select(col("neighbor_id"), col("codes"), col("cell").cast("int").as("cell"))
-      .join(broadcast(q.drop("__qv")), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        graft.functions.PqAdcExpr(col("__lut"), col("codes"), ksub).as("__adc"))
-      .withColumn("__rk", row_number().over(wAdc)).filter(col("__rk") <= rerank)
-      .select(col("query_id"), col("neighbor_id"))
+    val candidates = topIdsByScore(
+      spark.read.parquet(s"$indexDir/cells")
+        .select(col("neighbor_id"), col("codes"),
+                col("cell").cast("int").as("cell"))
+        .join(broadcast(q.drop("__qv")), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.PqAdcExpr(col("__lut"), col("codes"), ksub)
+            .as("__adc")),
+      "__adc", rerank)
     val cv = spark.read.parquet(s"$indexDir/cells")
       .select(col("neighbor_id"), col("vec").as("__cv"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cv.join(broadcast(candidates), "neighbor_id")
+    topKByCos(cv.join(broadcast(candidates), "neighbor_id")
       .join(broadcast(qv), "query_id")
       .select(col("query_id"), col("neighbor_id"),
-              round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
-      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"),
-              col("__rk").cast("long").as("rank"))
+              round(cosine(col("__qv"), col("__cv")), 6).as("cos")), k)
   }
 
   /** Cosine near-duplicate pairs: LSH-bucket both rows, equal-bucket

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Bpe, CurateCorpus, Dedup, Graph, LangId, Pca, QualityClassifier, Relational, Retrieval, SetSketch, Similarity, TextAnalysis, Unigram, Upsert}
+import graft.operators.{Bpe, CurateCorpus, Dedup, Graph, LangId, Layout, Pca, QualityClassifier, Relational, Retrieval, SetSketch, Similarity, TextAnalysis, Unigram, Upsert}
 import graft.functions.Normalize
 import graft.marc.{Extract, Iso2709, MarcCorpus, MarcXml, PublishSplit, TrimPunctuation}
 import graft.marc.PublishSplit.PublishRow
@@ -1548,6 +1548,38 @@ object SparkEntry {
                   lit("N").as("o_orderstatus"), col("o_totalprice")))
       Relational.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
                               Seq("o_orderstatus", "o_totalprice"))
+    }),
+
+    // C44: incremental aggregate maintenance — history (94% of orders)
+    // aggregated once, the %7 delta batch folded in WITHOUT rescanning
+    // it; the oracle aggregates from scratch, so the driver checks the
+    // merge ≡ recompute identity itself
+    "agg_maintain" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+      val base = Relational.aggSnapshot(
+        o.filter(col("o_orderkey") % 7 =!= 0), Seq("o_custkey"),
+        "o_totalprice")
+      Relational.mergeAggDeltas(base,
+        o.filter(col("o_orderkey") % 7 === 0), Seq("o_custkey"),
+        "o_totalprice")
+    }),
+
+    // C45: Z-order layout diagnostic — per equal-width Z-block row
+    // counts and BOTH columns' min/max (the data-skipping index a
+    // Z-clustered table would store per file)
+    "zorder_stats" -> ((s, dir) => {
+      val o = Tables(s, dir).orders.select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+                 lit("1970-01-01").cast("date")).as("o_day"))
+      Layout.zorderStats(o, "o_custkey", "o_day", bits = 16, nBuckets = 32)
+    }),
+
+    // C46: column-statistics (data-skipping) index — per 1000-orderkey
+    // block, count + min/max/null-count per value column in integer
+    // millis; the parquet-footer/manifest shape as a queryable frame
+    "column_stats_index" -> ((s, dir) => {
+      Layout.columnStatsIndex(Tables(s, dir).lineitem, "l_orderkey",
+        blockSize = 1000L, valueCols = Seq("l_extendedprice", "l_discount"))
     }),
 
     // D1 batch twin: per-key latest state with the strictly-newer guard
@@ -3367,6 +3399,49 @@ object SparkEntry {
                        THEN 'changed' END AS change_type
            FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
          WHERE change_type IS NOT NULL""",
+
+    "agg_maintain" ->
+      """SELECT o_custkey, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 1000) AS BIGINT))
+                     AS BIGINT) AS sum_milli,
+                min(CAST(round(o_totalprice * 1000) AS BIGINT)) AS min_milli,
+                max(CAST(round(o_totalprice * 1000) AS BIGINT)) AS max_milli
+         FROM orders GROUP BY 1""",
+
+    "zorder_stats" ->
+      """WITH r AS (
+           SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS x,
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                       AS BIGINT) AS y
+           FROM orders),
+         b AS (SELECT unnest(generate_series(0, 15)) AS i),
+         z AS (SELECT r.k, max(r.x) AS x, max(r.y) AS y,
+                      CAST(sum((((r.x >> b.i) & 1) << (2 * b.i)) +
+                               (((r.y >> b.i) & 1) << (2 * b.i + 1)))
+                           AS BIGINT) AS zv
+               FROM r CROSS JOIN b GROUP BY r.k),
+         m AS (SELECT max(zv) AS zmax FROM z)
+         SELECT CAST(zv * 32 // (zmax + 1) AS BIGINT) AS bucket,
+                count(*) AS n,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y
+         FROM z, m GROUP BY 1""",
+
+    "column_stats_index" ->
+      """SELECT l_orderkey // 1000 AS block, count(*) AS n,
+                min(CAST(round(l_extendedprice * 1000) AS BIGINT))
+                  AS min_l_extendedprice_milli,
+                max(CAST(round(l_extendedprice * 1000) AS BIGINT))
+                  AS max_l_extendedprice_milli,
+                CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nulls_l_extendedprice,
+                min(CAST(round(l_discount * 1000) AS BIGINT))
+                  AS min_l_discount_milli,
+                max(CAST(round(l_discount * 1000) AS BIGINT))
+                  AS max_l_discount_milli,
+                CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nulls_l_discount
+         FROM lineitem GROUP BY 1""",
 
     "stream_latest_status" ->
       """SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ts,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators: multi-column clustering (Z-order) and the
+  * per-file column statistics that make clustered layouts pay off as
+  * data skipping (the parquet-footer / Iceberg-manifest shape).
+  *
+  * At 100 TB the win is structural: a table range-partitioned on a
+  * Z-value keeps BOTH clustering columns locally dense inside every
+  * file, so a predicate on either column prunes most files via the
+  * min/max index before a single row is read.
+  */
+object Layout {
+
+  /** Morton (Z-order) interleaving of the low `bits` bits of two
+    * non-negative integer columns: bit i of `x` lands at position 2i,
+    * bit i of `y` at 2i+1. Pure integer bit arithmetic composed from
+    * codegen'd primitives — map-side, engine-exact (no floats
+    * anywhere), monotone in the interleaved sense that nearby (x, y)
+    * pairs share high-order Z bits.
+    */
+  def zorderValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xl = x.cast("long"); val yl = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(xl, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(yl, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _) // disjoint bit positions: sum ≡ bitwise OR
+  }
+
+  /** Z-order clustering diagnostic: assign every row a Z-value over
+    * `(xCol, yCol)`, split the Z space into `nBuckets` equal-width
+    * blocks (the file-boundary stand-in), and emit per-bucket row
+    * counts and min/max of BOTH columns — the exact statistics a
+    * data-skipping index would store per file. Tight per-bucket ranges
+    * on both columns are the Z-order payoff a linear sort can only
+    * give to its leading column.
+    *
+    * Scale shape: Z-value + bucket are map-side; the max-Z scalar is a
+    * 1-row aggregate broadcast back (never a driver round-trip in the
+    * plan); one bucket-keyed aggregation (map-side combined) produces
+    * the nBuckets-row index.
+    */
+  def zorderStats(df: DataFrame, xCol: String, yCol: String,
+                  bits: Int, nBuckets: Int): DataFrame = {
+    val z = df.select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .withColumn("__z", zorderValue(col("__x"), col("__y"), bits))
+    val zmax = z.agg(max(col("__z")).as("__zmax"))
+    z.crossJoin(broadcast(zmax))
+      .withColumn("bucket", expr(s"__z * $nBuckets div (__zmax + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           min("__x").as("min_x"), max("__x").as("max_x"),
+           min("__y").as("min_y"), max("__y").as("max_y"))
+  }
+
+  /** Column-statistics index over fixed-width key blocks: per block of
+    * `blockSize` consecutive keys (the file-boundary stand-in), row
+    * count plus min / max / null count per requested column — the
+    * manifest a scan planner consults to skip blocks. One map-side
+    * block assignment + one block-keyed aggregation; the index is
+    * blocks-sized, never row-sized.
+    *
+    * Value columns are captured in integer MILLIS (round-half-up) so
+    * min/max are engine-exact under the house integer discipline.
+    */
+  def columnStatsIndex(df: DataFrame, keyCol: String, blockSize: Long,
+                       valueCols: Seq[String]): DataFrame = {
+    val withBlock = df.withColumn("block",
+      expr(s"CAST($keyCol AS BIGINT) div $blockSize"))
+    val aggs = valueCols.flatMap { c =>
+      val milli = round(col(c) * 1000).cast("long")
+      Seq(min(milli).as(s"min_${c}_milli"),
+          max(milli).as(s"max_${c}_milli"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    }
+    withBlock.groupBy("block")
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+}

@@ -350,6 +350,43 @@ object Relational {
       .drop("__old", "__new")
   }
 
+  /** Incremental aggregate maintenance: fold a batch of new fact ROWS
+    * into a persisted per-key aggregate table (count / integer-milli
+    * sum / min / max) WITHOUT rescanning history — the materialized-
+    * view delta-merge primitive behind every incremental warehouse
+    * rollup. All four stats are decomposable, so
+    * `merge(aggregate(history), delta) ≡ aggregate(history ∪ delta)`
+    * exactly (the oracle identity); value sums ride as round-half-up
+    * integer millis per the house discipline, making the merge
+    * bit-exact in any engine.
+    *
+    * Scale shape: the delta aggregates map-side first (combiner), the
+    * base table is ALREADY key-cardinality-sized, and the final
+    * aggregation touches base+delta partials only — the 100 TB fact
+    * history is never read. Keys absent from one side pass through
+    * (full-outer semantics via the union).
+    */
+  /** The per-key aggregate snapshot [[mergeAggDeltas]] maintains —
+    * the bootstrap aggregation of an initial fact set. */
+  def aggSnapshot(rows: DataFrame, keys: Seq[String],
+                  valueCol: String): DataFrame = {
+    val milli = round(col(valueCol) * 1000).cast("long")
+    rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(milli).as("sum_milli"),
+           min(milli).as("min_milli"), max(milli).as("max_milli"))
+  }
+
+  def mergeAggDeltas(base: DataFrame, deltaRows: DataFrame,
+                     keys: Seq[String], valueCol: String): DataFrame = {
+    val d = aggSnapshot(deltaRows, keys, valueCol)
+    base.select((keys.map(col) ++
+        Seq(col("n"), col("sum_milli"), col("min_milli"), col("max_milli"))): _*)
+      .unionByName(d)
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n").as("n"), sum("sum_milli").as("sum_milli"),
+           min("min_milli").as("min_milli"), max("max_milli").as("max_milli"))
+  }
+
   /** Ordered conversion funnel: per key, the earliest time each step
     * was reached at-or-after the PREVIOUS step's attain time
     * (view → click → purchase). A user who never reaches step i has

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Layout, Relational}
+
+/** Specs for the storage-layout pair (Z-order, column-stats index) and
+  * incremental aggregate maintenance. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --- zorderValue -------------------------------------------------------
+
+  test("zorderValue interleaves bits: x even positions, y odd") {
+    // x=5 (101), y=3 (011), 3 bits: x bits → 0,4; y bits → 1,3
+    // z = 1 + 2 + 8 + 16 = 27
+    val out = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zorderValue(col("x"), col("y"), 3).as("z"))
+      .as[Long].head()
+    assert(out == 27L)
+  }
+
+  test("zorderValue: zero maps to zero, single-coordinate identity") {
+    val rows = Seq((0L, 0L), (7L, 0L), (0L, 7L)).toDF("x", "y")
+      .select(Layout.zorderValue(col("x"), col("y"), 8).as("z"))
+      .as[Long].collect().toSeq
+    // x-only: bits at 0,2,4 → 1+4+16 = 21; y-only: bits 1,3,5 → 2+8+32 = 42
+    assert(rows == Seq(0L, 21L, 42L))
+  }
+
+  // --- zorderStats -------------------------------------------------------
+
+  test("zorderStats: all rows accounted, ranges bound the data") {
+    val df = (0L until 256L).flatMap(x => Seq((x % 16, x / 16)))
+      .toDF("x", "y")
+    val stats = Layout.zorderStats(df, "x", "y", bits = 4, nBuckets = 4)
+      .collect()
+    assert(stats.map(_.getAs[Long]("n")).sum == 256L)
+    // Z-order property on the full 16×16 grid: equal-width Z blocks are
+    // quadrants, so every bucket spans at most half of each axis
+    stats.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 7L)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 7L)
+    }
+  }
+
+  // --- columnStatsIndex --------------------------------------------------
+
+  test("columnStatsIndex: blocks, milli min/max, null accounting") {
+    val df = Seq(
+      (1L, Some(1.5), Some(0.1)), (999L, Some(-2.0), None),
+      (1000L, None, Some(0.2)), (1500L, None, Some(0.3)))
+      .toDF("k", "a", "b")
+    val out = Layout.columnStatsIndex(df, "k", 1000L, Seq("a", "b"))
+      .orderBy("block").collect()
+    assert(out.length == 2)
+    val b0 = out(0)
+    assert(b0.getAs[Long]("n") == 2L)
+    assert(b0.getAs[Long]("min_a_milli") == -2000L)
+    assert(b0.getAs[Long]("max_a_milli") == 1500L)
+    assert(b0.getAs[Long]("nulls_a") == 0L && b0.getAs[Long]("nulls_b") == 1L)
+    val b1 = out(1)
+    // block with only null a: min/max null, nulls counted
+    assert(b1.isNullAt(b1.fieldIndex("min_a_milli")))
+    assert(b1.getAs[Long]("nulls_a") == 2L)
+    assert(b1.getAs[Long]("min_b_milli") == 200L)
+  }
+
+  // --- mergeAggDeltas ----------------------------------------------------
+
+  test("mergeAggDeltas: merge == recompute, incl. new and absent keys") {
+    val hist = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
+    val delta = Seq((1L, -3.0), (3L, 7.5)).toDF("k", "v") // 3 is NEW
+    val base = Relational.aggSnapshot(hist, Seq("k"), "v")
+    val merged = Relational.mergeAggDeltas(base, delta, Seq("k"), "v")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val scratch = Relational.aggSnapshot(hist.unionByName(delta), Seq("k"), "v")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(merged == scratch)
+    assert(merged.map(_.head) == Seq(1L, 2L, 3L)) // key 2 untouched, 3 added
+  }
+
+  test("mergeAggDeltas associativity: two small deltas == one combined") {
+    val hist = spark.range(100).select((col("id") % 7).as("k"),
+      (col("id") * 3 % 11).cast("double").as("v"))
+    val d1 = spark.range(100, 150).select((col("id") % 5).as("k"),
+      (col("id") % 13).cast("double").as("v"))
+    val d2 = spark.range(150, 200).select((col("id") % 9).as("k"),
+      (col("id") % 17).cast("double").as("v"))
+    val base = Relational.aggSnapshot(hist, Seq("k"), "v")
+    val stepwise = Relational.mergeAggDeltas(
+      Relational.mergeAggDeltas(base, d1, Seq("k"), "v"), d2, Seq("k"), "v")
+    val combined = Relational.mergeAggDeltas(base, d1.unionByName(d2),
+      Seq("k"), "v")
+    assert(stepwise.orderBy("k").collect().map(_.toSeq).toSeq ==
+           combined.orderBy("k").collect().map(_.toSeq).toSeq)
+  }
+}

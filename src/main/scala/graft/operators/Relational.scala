@@ -387,6 +387,58 @@ object Relational {
            min("min_milli").as("min_milli"), max("max_milli").as("max_milli"))
   }
 
+  /** Persisted aggregate store — [[mergeAggDeltas]] as an
+    * extend / read / compact table lifecycle (the dedup/span/postings
+    * index discipline applied to a materialized rollup):
+    *
+    *  - [[extendAggStore]] appends ONE batch-stamped partial aggregate
+    *    per micro-batch (key-cardinality-sized rows, the fact rows
+    *    never persist);
+    *  - [[readAggStore]] derives the current rollup by merging
+    *    partials, dropping replay-duplicated ones first — a re-executed
+    *    batch writes a row-identical partial (the aggregate is a pure
+    *    function of the batch), so `(keys, batch_id)` dedup makes
+    *    at-least-once delivery exact;
+    *  - [[compactAggStore]] folds all partials of batches STRICTLY
+    *    below `beforeBatch` into one `batch_id = −1` row per key
+    *    (merging any prior fold) via the shared write-tmp → swap →
+    *    recover protocol. Only the in-flight batch can ever replay
+    *    (earlier ones are checkpoint-committed), so folding committed
+    *    batches — and never the current one — preserves replay
+    *    exactness across compactions.
+    */
+  def extendAggStore(rows: DataFrame, storeDir: String, keys: Seq[String],
+                     valueCol: String, batchId: Long): Unit =
+    aggSnapshot(rows, keys, valueCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(s"$storeDir/agg")
+
+  def readAggStore(spark: org.apache.spark.sql.SparkSession,
+                   storeDir: String, keys: Seq[String]): DataFrame =
+    spark.read.parquet(s"$storeDir/agg")
+      .dropDuplicates(keys :+ "batch_id")
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n").as("n"), sum("sum_milli").as("sum_milli"),
+           min("min_milli").as("min_milli"), max("max_milli").as("max_milli"))
+
+  def compactAggStore(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String, keys: Seq[String],
+                      beforeBatch: Long, partitions: Int = 1): Unit = {
+    IndexFiles.recoverTable(spark, storeDir, "agg")
+    IndexFiles.swapIn(spark, storeDir, "agg") { tmp =>
+      val all = spark.read.parquet(s"$storeDir/agg")
+        .dropDuplicates(keys :+ "batch_id")
+      val fold = all.filter(col("batch_id") < beforeBatch)
+        .groupBy(keys.map(col): _*)
+        .agg(sum("n").as("n"), sum("sum_milli").as("sum_milli"),
+             min("min_milli").as("min_milli"), max("max_milli").as("max_milli"))
+        .withColumn("batch_id", lit(-1L))
+      fold.unionByName(all.filter(col("batch_id") >= beforeBatch))
+        .repartition(partitions)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** Ordered conversion funnel: per key, the earliest time each step
     * was reached at-or-after the PREVIOUS step's attain time
     * (view → click → purchase). A user who never reaches step i has

@@ -255,6 +255,47 @@ object Streams {
       }
       .start()
 
+  /** A streamed fact row for the incremental-rollup stream. */
+  case class Fact(key: Long, value: Double)
+
+  /** Streaming incremental aggregate maintenance — the D-twin of the
+    * C44 batch merge: each micro-batch appends ONE batch-stamped
+    * partial aggregate to the persisted store
+    * ([[graft.operators.Relational.extendAggStore]]); the current
+    * rollup is always `readAggStore` — fact rows never persist, and
+    * the history is never rescanned.
+    *
+    * Replay semantics: foreachBatch is at-least-once, but a re-executed
+    * batch writes a row-identical partial (the aggregate is a pure
+    * function of the batch), which `readAggStore`'s
+    * `(key, batch_id)` dedup collapses — so counts and sums are EXACT,
+    * not approximately-once. `compactEvery = Some(n)` folds partials of
+    * committed batches (strictly below the current id — the only batch
+    * that can ever replay) into one row per key, bounding both file
+    * and row growth; folding never touches the in-flight batch, so
+    * exactness survives a crash mid-compaction too (shared swap +
+    * recover protocol).
+    */
+  def streamAggMaintain(facts: Dataset[Fact], storeDir: String,
+                        checkpointDir: String,
+                        compactEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Fact], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Relational.extendAggStore(
+            batch.toDF, storeDir, Seq("key"), "value", batchId)
+          compactEvery.foreach { n =>
+            if (n > 0 && (batchId + 1) % n == 0)
+              graft.operators.Relational.compactAggStore(
+                batch.sparkSession, storeDir, Seq("key"), batchId)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** One cycle unit of the incremental near-dedup stream: dedup the
     * batch against the index, append the duplicate decisions, admit
     * the survivors. Exposed (package-private) so replay/backfill

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+import graft.streaming.Streams
+
+/** Streaming incremental aggregate maintenance (D9): exactness across
+  * micro-batches, at-least-once replays, and compaction. */
+class StreamAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(p: String) =
+    Files.createTempDirectory(p).toFile.getAbsolutePath
+
+  test("streamAggMaintain: two batches roll up exactly; facts never persist") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmpDir("graft_aggstore")
+    val ckpt = tmpDir("graft_aggckpt")
+    val input = MemoryStream[Streams.Fact]
+    val q = Streams.streamAggMaintain(input.toDS(), store, ckpt)
+    try {
+      input.addData(Streams.Fact(1L, 10.0), Streams.Fact(1L, 20.0),
+                    Streams.Fact(2L, 5.0))
+      q.processAllAvailable()
+      input.addData(Streams.Fact(1L, -3.0), Streams.Fact(3L, 7.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Relational.readAggStore(spark, store, Seq("key"))
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    val want = Relational.aggSnapshot(
+        Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (1L, -3.0), (3L, 7.5))
+          .toDF("key", "value"), Seq("key"), "value")
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // the store holds batch partials (2 batches × keys), not fact rows
+    assert(spark.read.parquet(s"$store/agg").count() == 4L) // (1,2) + (1,3)
+  }
+
+  test("replayed batch partial is collapsed by (key, batch_id) dedup") {
+    val store = tmpDir("graft_aggreplay")
+    val facts = Seq((1L, 4.0), (2L, 6.0)).toDF("key", "value")
+    Relational.extendAggStore(facts, store, Seq("key"), "value", batchId = 0L)
+    // at-least-once: the same batch re-executes with the same id
+    Relational.extendAggStore(facts, store, Seq("key"), "value", batchId = 0L)
+    val got = Relational.readAggStore(spark, store, Seq("key"))
+      .orderBy("key").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 4000L, 4000L, 4000L),
+                      (2L, 1L, 6000L, 6000L, 6000L)))
+  }
+
+  test("compaction folds committed batches only and preserves results") {
+    val store = tmpDir("graft_aggcompact")
+    (0L until 5L).foreach { b =>
+      Relational.extendAggStore(
+        Seq((b % 2, b.toDouble)).toDF("key", "value"),
+        store, Seq("key"), "value", batchId = b)
+    }
+    val before = Relational.readAggStore(spark, store, Seq("key"))
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    // fold batches < 4; batch 4 (the in-flight one) stays intact
+    Relational.compactAggStore(spark, store, Seq("key"), beforeBatch = 4L)
+    val after = Relational.readAggStore(spark, store, Seq("key"))
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    assert(before == after)
+    val partials = spark.read.parquet(s"$store/agg")
+    assert(partials.filter(col("batch_id") >= 0L && col("batch_id") < 4L)
+      .count() == 0L)
+    assert(partials.filter(col("batch_id") === 4L).count() == 1L)
+    // replay of the in-flight batch AFTER compaction still dedups
+    Relational.extendAggStore(
+      Seq((0L, 4.0)).toDF("key", "value"),
+      store, Seq("key"), "value", batchId = 4L)
+    val replayed = Relational.readAggStore(spark, store, Seq("key"))
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    assert(replayed == after)
+    // a second identical compaction is a no-op on content
+    Relational.compactAggStore(spark, store, Seq("key"), beforeBatch = 4L)
+    assert(Relational.readAggStore(spark, store, Seq("key"))
+      .orderBy("key").collect().map(_.toSeq).toSeq == after)
+  }
+}

@@ -75,6 +75,9 @@ object Similarity {
     * rounded, cos·1e6 sits within 1e-9 of that integer, and `int/1e6`
     * is the correctly-rounded double of the same decimal, so the
     * reported cos is bit-identical to the window formulation's.
+    * (Degenerate zero-norm vectors score NaN; the heap ranks them as
+    * cos 0 rather than the window's NaN placement — no caller feeds
+    * zero vectors, all corpora here are non-degenerate.)
     */
   private def topKByCos(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")

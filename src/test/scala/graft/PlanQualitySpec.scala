@@ -137,4 +137,76 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("ANN top-k plans bounded heaps, never a per-query window sort") {
+    // the scored n·|queries| frame must flow into GroupedTopKAgg
+    // partials (ObjectHashAggregate), not a WindowExec sort-shuffle
+    Seq("ann_bruteforce", "hard_negatives", "ann_lsh", "ann_ivf").foreach { q =>
+      val plan = formatted(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("WindowExec") && !plan.contains("Window"),
+        s"$q still plans a window:\n$plan")
+      assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+        s"$q lacks partial+final heap aggregation:\n$plan")
+    }
+  }
+
+  // formatted mode prints every node twice (tree line + detail header);
+  // count the detail headers only
+  private def nodeCount(plan: String, node: String): Int =
+    s"""(?m)^\\(\\d+\\) $node""".r.findAllIn(plan).size
+
+  test("preference_pairs: one stratum aggregation, no window, no extra shuffle") {
+    val df = SparkEntry.queries("preference_pairs")(spark, sf)
+    val plan = formatted(df)
+    assert(!plan.contains("WindowExec") && !plan.contains("Window"), plan)
+    // ONE shuffle: the stratum exchange between partial and final heaps
+    assert(nodeCount(plan, "Exchange") == 1, plan)
+  }
+
+  test("lang_id argmax: hash aggregation, no doc-partitioned window") {
+    val plan = formatted(SparkEntry.queries("lang_id")(spark, sf))
+    assert(!plan.contains("WindowExec") && !plan.contains("Window"),
+      s"lang_id reverted to the window argmax:\n$plan")
+  }
+
+  test("agg_maintain: delta aggregates map-side; base never re-expands") {
+    val plan = formatted(SparkEntry.queries("agg_maintain")(spark, sf))
+    // partial+final on the delta, partial+final on the merge = >=4
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("zorder_stats: map-side Z values, 1-row max broadcast back") {
+    val plan = formatted(SparkEntry.queries("zorder_stats")(spark, sf))
+    // the zmax scalar joins back via broadcast, never a shuffle join
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("column_stats_index: one scan, partial+final block aggregation") {
+    val df = SparkEntry.queries("column_stats_index")(spark, sf)
+    val plan = formatted(df)
+    assert(scanCount(plan) == 1, plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(codegenPlan(df).contains("WholeStageCodegen"), "no codegen span")
+  }
+
+  test("rolling_stats: RANGE frame window keyed on user, single shuffle") {
+    val df = SparkEntry.queries("rolling_stats")(spark, sf)
+    val plan = formatted(df)
+    // the window IS the operator here — but it must be key-partitioned
+    // (asserted globally above) and the plan's only exchange
+    assert(nodeCount(plan, "Exchange") == 1, plan)
+  }
+
+  test("snapshot_diff: one full-outer join, no plan explosion") {
+    val plan = formatted(SparkEntry.queries("snapshot_diff")(spark, sf))
+    assert(plan.contains("FullOuter"), plan)
+    assert(nodeCount(plan, "SortMergeJoin") +
+           nodeCount(plan, "ShuffledHashJoin") +
+           nodeCount(plan, "BroadcastHashJoin") == 1, plan)
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

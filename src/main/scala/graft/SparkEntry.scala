@@ -593,6 +593,11 @@ object SparkEntry {
     "repetition_stats" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables(s, dir).documents, "text", "doc_id")),
 
+    // E47: character-entropy quality signal — native one-pass
+    // expression, exact integer micro-nats, zero shuffle
+    "char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(Tables(s, dir).documents, "text", "doc_id")),
+
     // E20: unigram-LM cross-entropy (the CCNet-style perplexity filter),
     // fit on the corpus itself; micro-nat quantization keeps the
     // per-document sum exact-integer and therefore order-independent
@@ -2019,6 +2024,24 @@ object SparkEntry {
          FROM toks t
          LEFT JOIN bistat b USING (doc_id)
          LEFT JOIN tristat r USING (doc_id)""",
+
+    "char_entropy" ->
+      """WITH pos AS (
+           SELECT doc_id, substr(text, i, 1) AS c
+           FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+         cnt AS (SELECT doc_id, c, count(*) AS k FROM pos GROUP BY 1, 2),
+         s AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN k > 1
+                                    THEN k * CAST(round(1e6 * ln(k)) AS BIGINT)
+                                    ELSE 0 END) AS BIGINT) AS ssum
+               FROM cnt GROUP BY 1)
+         SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+                CAST(CASE WHEN length(d.text) = 0 THEN 0
+                          ELSE CAST(round(1e6 * ln(length(d.text))) AS BIGINT)
+                               - (2 * s.ssum + length(d.text))
+                                 // (2 * length(d.text))
+                     END AS BIGINT) AS entropy_micro
+         FROM documents d LEFT JOIN s USING (doc_id)""",
 
     "perplexity_score" ->
       """WITH toks0 AS (

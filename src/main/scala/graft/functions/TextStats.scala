@@ -108,6 +108,32 @@ object TextStats {
     if (java.text.Normalizer.isNormalized(str, form)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
   }
+
+  /** `[n_chars, entropy_micro]` — see [[CharEntropyExpr]]. */
+  def charEntropy(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Integer]()
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1 else prev + 1)
+      n += 1
+    }
+    if (n == 0L) return new GenericArrayData(Array(0L, 0L))
+    // Σ cᵢ·q(cᵢ) exactly, q(x) = round_half_up(1e6·ln x); q(1) = 0
+    var ssum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      if (c > 1L) ssum += c * Math.round(1e6 * Math.log(c.toDouble))
+    }
+    val entropy = Math.round(1e6 * Math.log(n.toDouble)) -
+      (2L * ssum + n) / (2L * n)
+    new GenericArrayData(Array(n, entropy))
+  }
 }
 
 /** `array<string>` tokens → `array<double>` of
@@ -209,4 +235,44 @@ case class OncePerRowExpr(child: Expression) extends UnaryExpression {
 object OncePerRowExpr {
   def apply(c: Column): Column =
     ColumnBridge.column(OncePerRowExpr(ColumnBridge.expression(c)))
+}
+
+/** Per-document character (code-point) Shannon entropy in exact
+  * integer MICRO-nats — the MassiveText/CCNet-style "is this natural
+  * text or noise" signal (uniform noise scores high, repeated filler
+  * scores near zero).
+  *
+  * `H = ln N − (Σ cᵢ·ln cᵢ)/N` over code-point counts cᵢ, with every
+  * `ln x` quantized to `round_half_up(10⁶·ln x)` per DISTINCT integer
+  * x (the perplexity_score device): the weighted sum is then exact
+  * integer arithmetic and the mean is integer round-half-up
+  * `(2S+N) div (2N)` — order-independent and bit-reproducible across
+  * engines, with the same documented ~1e-9-per-distinct-value libm
+  * boundary caveat as the LM scores.
+  *
+  * One pass per document over a small per-row hash map — map-side,
+  * zero shuffle, inside WholeStageCodegen via a single static call
+  * (the [[RepetitionStatsExpr]] shape). Returns
+  * `[n_chars, entropy_micro]`; empty text → `[0, 0]`.
+  */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    require(child.dataType == StringType,
+      s"expected string, got ${child.dataType}")
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextStats.charEntropy(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextStats.charEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+    copy(child = newChild)
+}
+
+object CharEntropyExpr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(c)))
 }

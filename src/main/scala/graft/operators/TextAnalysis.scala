@@ -322,6 +322,19 @@ object TextAnalysis {
       round(stats.getItem(2), 6).as("dup_trigram_frac"))
   }
 
+  /** Per-document character-entropy quality signal (exact integer
+    * micro-nats — see [[graft.functions.CharEntropyExpr]]): uniform
+    * noise scores high, repeated filler near zero; the cheap
+    * complement to token-level [[repetitionStats]]. One native pass
+    * per document, map-side, zero shuffle.
+    */
+  def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val e = graft.functions.CharEntropyExpr(col(textCol))
+    docs.select(col(idCol),
+      e.getItem(0).as("n_chars"),
+      e.getItem(1).as("entropy_micro"))
+  }
+
   /** Unigram language model over the corpus token stream with add-one
     * smoothing: per word, `-ln((count+1)/(N+V))` quantized to integer
     * MICRO-nats. The quantization makes downstream per-document sums

@@ -353,4 +353,23 @@ class TextStatsSpec extends AnyFunSuite {
       .as[(String, String, Long, Long)].collect().toSeq
     assert(so == Seq(("p", "q", 1L, 0L))) // ln(1·1/(1·1)) = 0
   }
+
+  test("charEntropy: hand-computed micro-nats, empty text, code points") {
+    val docs = Seq(
+      (1L, "aab"),        // N=3, counts {a:2, b:1}
+      (2L, ""),           // empty → [0, 0]
+      (3L, "zzzz"),       // single symbol → entropy 0
+      (4L, "ab😀")) // surrogate pair = ONE code point → N=3
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    def q(x: Long) = math.round(1e6 * math.log(x.toDouble))
+    // H(aab) = q(3) − round_half_up(2·q(2) / 3)
+    val h1 = q(3) - (2 * (2 * q(2)) + 3) / 6
+    assert(out == Seq(
+      (1L, 3L, h1),
+      (2L, 0L, 0L),
+      (3L, 4L, 0L),            // q(4) − (4·q(4))/4 = 0
+      (4L, 3L, q(3))))         // three distinct code points: max entropy ln 3
+  }
 }

@@ -598,6 +598,12 @@ object SparkEntry {
     "char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(Tables(s, dir).documents, "text", "doc_id")),
 
+    // E48: KenLM-style corpus trigram counts with cutoff — map-side
+    // gram generation, one combined aggregation, tail pruned in-plan
+    "ngram_counts" -> ((s, dir) =>
+      TextAnalysis.ngramCounts(Tables(s, dir).documents, "text",
+                               n = 3, minCount = 2L)),
+
     // E20: unigram-LM cross-entropy (the CCNet-style perplexity filter),
     // fit on the corpus itself; micro-nat quantization keeps the
     // per-document sum exact-integer and therefore order-independent
@@ -2042,6 +2048,17 @@ object SparkEntry {
                                  // (2 * length(d.text))
                      END AS BIGINT) AS entropy_micro
          FROM documents d LEFT JOIN s USING (doc_id)""",
+
+    "ngram_counts" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT array_to_string(ts[i : i + 2], ' ') AS gram
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i))
+         SELECT gram, count(*) AS n FROM g
+         GROUP BY 1 HAVING count(*) >= 2""",
 
     "perplexity_score" ->
       """WITH toks0 AS (

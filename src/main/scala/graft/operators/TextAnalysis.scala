@@ -322,6 +322,32 @@ object TextAnalysis {
       round(stats.getItem(2), 6).as("dup_trigram_frac"))
   }
 
+  /** Corpus n-gram count table with a count cutoff — the KenLM-style
+    * LM-training artifact (and the standard "frequent phrases" sweep):
+    * word n-grams under the house empty-stripped `\s+` tokenization,
+    * counted corpus-wide, grams below `minCount` pruned.
+    *
+    * Scale shape: gram generation is map-side (slice/transform over
+    * the token array — no per-gram explode of intermediate frames),
+    * ONE gram-keyed aggregation with map-side combine, and the cutoff
+    * prunes the long tail BEFORE anything returns — the classic
+    * MapReduce LM-counts job as one declarative plan. Documents
+    * shorter than `n` tokens emit nothing (guarded before `sequence`,
+    * which rejects inverted intervals).
+    */
+  def ngramCounts(docs: DataFrame, textCol: String, n: Int,
+                  minCount: Long): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = filter(split(trim(col(textCol)), "\\s+"),
+      x => length(x) > 0)
+    docs.select(toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(explode(transform(sequence(lit(0), size(col("__t")) - n),
+        i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Per-document character-entropy quality signal (exact integer
     * micro-nats — see [[graft.functions.CharEntropyExpr]]): uniform
     * noise scores high, repeated filler near zero; the cheap

@@ -372,4 +372,20 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, 4L, 0L),            // q(4) − (4·q(4))/4 = 0
       (4L, 3L, q(3))))         // three distinct code points: max entropy ln 3
   }
+
+  test("ngramCounts: corpus counts, cutoff, short-doc guard, ws raggedness") {
+    val docs = Seq(
+      (1L, "a b c a b c"),     // grams: abc, bca, cab, abc
+      (2L, "a  b\tc"),         // ragged ws → same "a b c" gram once
+      (3L, "x y"),             // shorter than n → nothing
+      (4L, ""))                // empty → nothing
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramCounts(docs, "text", n = 3, minCount = 2L)
+      .orderBy("gram").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a b c", 3L)))   // 2 from doc 1 + 1 from doc 2
+    // cutoff 1 keeps the singletons too
+    val all = TextAnalysis.ngramCounts(docs, "text", n = 3, minCount = 1L)
+      .as[(String, Long)].collect().toMap
+    assert(all == Map("a b c" -> 3L, "b c a" -> 1L, "c a b" -> 1L))
+  }
 }

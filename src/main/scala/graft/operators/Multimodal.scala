@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
   * metadata, with decode / feature-extract / resize / frame-sample
   * stages shaped for a 100 TB pipeline.
   *
-  * The container has no image/audio codecs, so `fakeDecode` is a
-  * STUB — a deterministic stand-in keyed on the payload bytes (clearly
-  * marked; swap for a real codec UDF in production). Everything
-  * AROUND the stub is real and tested: the asset schema, the
-  * per-partition batched processing (one decoder init per partition,
-  * not per row — the expensive part at scale), the row-count-preserving
-  * stage contracts, and the partition sizing guard.
+  * Decode is REAL for JDK-supported image formats (PNG / BMP / GIF /
+  * JPEG via `javax.imageio` — pure JDK, headless-safe; see
+  * [[decodeImageFeatures]] and [[resizeImagePng]]). Payloads the JDK
+  * cannot decode (audio, video, and the test corpus's text-byte
+  * stand-ins) fall back to `fakeDecode`, a deterministic STUB keyed on
+  * the payload bytes (clearly marked; swap for a real codec UDF in
+  * production). Everything AROUND decode is real and tested either
+  * way: the asset schema, the per-partition batched processing (one
+  * decoder init per partition, not per row — the expensive part at
+  * scale), the row-count-preserving stage contracts, and the partition
+  * sizing guard.
   */
 object Multimodal {
 
@@ -47,10 +51,84 @@ object Multimodal {
         (pmod(col("doc_id"), lit(240)) + 1).cast("int").as("n_frames"),
         lit("application/octet-stream").as("mime")).as("meta"))
 
+  /** True when the payload carries a JDK-decodable image format
+    * (PNG / BMP / GIF / JPEG magic bytes) — these route through the
+    * REAL [[decodeImageFeatures]] path; anything else falls back to
+    * the deterministic stub below.
+    */
+  def isImagePayload(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 'B' && p(1) == 'M') ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte))
+
+  /** REAL image decode for JDK-supported formats via `javax.imageio`
+    * (pure JDK, headless-safe — no external codec libraries): 8
+    * features `[width, height, meanR, meanG, meanB, meanLuma,
+    * stdLuma, aspect]`. Same fixed-width contract as the stub, so the
+    * two paths interchange per row. Throws on undecodable bytes — the
+    * caller's per-row recovery turns that into a decode_error ROW.
+    */
+  def decodeImageFeatures(payload: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null)
+      throw new java.io.IOException("undecodable image payload")
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h.toLong).toDouble
+    val ml = sl / n
+    Array(w.toFloat, h.toFloat,
+      (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat, ml.toFloat,
+      math.sqrt(math.max(0.0, sl2 / n - ml * ml)).toFloat,
+      (w.toDouble / h.toDouble).toFloat)
+  }
+
+  /** REAL image resize (pure JDK `Graphics2D`, headless-safe): decode,
+    * bilinear-resample into `(targetW, targetH)`, re-encode as PNG
+    * bytes — the executable counterpart of [[resizePlan]]'s
+    * metadata-side box computation. Throws on undecodable bytes.
+    */
+  def resizeImagePng(payload: Array[Byte], targetW: Int,
+                     targetH: Int): Array[Byte] = {
+    require(targetW > 0 && targetH > 0, "target box must be positive")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null)
+      throw new java.io.IOException("undecodable image payload")
+    val out = new java.awt.image.BufferedImage(
+      targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, targetW, targetH, null)
+    } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
   /** STUB decode: deterministic 8-float "feature vector" from the
-    * payload bytes (xxh-style rolling fold). Replace with the real
-    * codec; the signature (bytes, meta) → fixed-width features is what
-    * a real decoder plugs into.
+    * payload bytes (xxh-style rolling fold) — the fallback for
+    * payloads the JDK cannot decode (the test corpus's text bytes,
+    * audio, video). Swap for a real codec UDF in production; the
+    * signature (bytes, meta) → fixed-width features is what a real
+    * decoder plugs into.
     */
   def fakeDecode(payload: Array[Byte], seed: Long): Array[Float] = {
     var h = seed
@@ -108,8 +186,13 @@ object Multimodal {
             kindBatch.iterator.map { r =>
               val payload = r.getAs[Array[Byte]]("payload")
               try {
-                val feats = fakeDecode(
-                  if (payload == null) Array.empty else payload, decoderSeed)
+                // JDK-decodable image bytes take the REAL ImageIO path;
+                // everything else the deterministic stub
+                val feats =
+                  if (kind == "image" && isImagePayload(payload))
+                    decodeImageFeatures(payload)
+                  else fakeDecode(
+                    if (payload == null) Array.empty else payload, decoderSeed)
                 Row(r.getAs[Long]("asset_id"), r.getAs[String]("kind"),
                     r.getAs[Row]("meta"), feats.toSeq, n, null)
               } catch {

@@ -458,4 +458,59 @@ class StreamingSourcesSpec extends AnyFunSuite {
     assert(frames.count() > 0)
     assert(frames.filter($"frame_ix" % 30 =!= 0).count() == 0)
   }
+
+  private def solidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("REAL image decode: PNG bytes through ImageIO, exact channel means") {
+    val png = solidPng(32, 16, 200, 100, 50)
+    assert(Multimodal.isImagePayload(png))
+    val feats = Multimodal.decodeImageFeatures(png)
+    assert(feats(0) == 32f && feats(1) == 16f)
+    assert(feats(2) == 200f && feats(3) == 100f && feats(4) == 50f)
+    val luma = (0.299 * 200 + 0.587 * 100 + 0.114 * 50).toFloat
+    assert(math.abs(feats(5) - luma) < 1e-3f)
+    assert(feats(6) < 1e-3f)                  // solid color: ~zero variance
+                                              // (fp dust from sl2/n − ml²)
+    assert(feats(7) == 2f)                    // 32/16 aspect
+
+    // through the featurize stage: image-kind rows with PNG payloads
+    // take the REAL path (dims land in the features), text-byte
+    // payloads still take the stub — and a CORRUPT png yields an error
+    // ROW, never a failed task
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "image", png, null),
+      Row(2L, "image", "not an image".getBytes("UTF-8"), null),
+      Row(3L, "image", png.take(20), null)) // truncated: magic ok, body gone
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.AssetSchema)
+    val out = Multimodal.featurize(assets, batchSize = 8)
+      .orderBy("asset_id").collect()
+    assert(out(0).getSeq[Float](out(0).fieldIndex("features")).take(2) ==
+           Seq(32f, 16f))
+    assert(out(0).isNullAt(out(0).fieldIndex("decode_error")))
+    assert(!out(1).isNullAt(out(1).fieldIndex("features"))) // stub path
+    assert(out(2).isNullAt(out(2).fieldIndex("features")))
+    assert(!out(2).isNullAt(out(2).fieldIndex("decode_error")))
+  }
+
+  test("REAL image resize: bilinear PNG roundtrip hits the target box") {
+    val png = solidPng(64, 32, 10, 20, 30)
+    val resized = Multimodal.resizeImagePng(png, 8, 4)
+    val feats = Multimodal.decodeImageFeatures(resized)
+    assert(feats(0) == 8f && feats(1) == 4f)
+    // solid color survives resampling exactly
+    assert(feats(2) == 10f && feats(3) == 20f && feats(4) == 30f)
+    intercept[java.io.IOException] {
+      Multimodal.resizeImagePng("junk".getBytes("UTF-8"), 8, 4)
+    }
+  }
 }

@@ -1087,11 +1087,12 @@ object SparkEntry {
     // 100 TB self-kNN (the exact frame here is the verifiable oracle)
     "mutual_knn" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
-      // persist: mutualKnn self-joins the neighbor LIST — without this
-      // the n² brute-force cosine scan underneath runs once per join
-      // branch; the list is n·k rows, the scan is the whole cost
+      // blocked exact self-kNN: bit-identical to annBruteForce but the
+      // n² scored pairs never materialize as join rows; persisted
+      // because mutualKnn self-joins the neighbor LIST (two branches
+      // would otherwise re-run the scan)
       val nbrs = trackPersist(s,
-        Similarity.annBruteForce(e, e, "vec_id", "embedding", k = 5)
+        Similarity.annBruteForceBlocked(e, e, "vec_id", "embedding", k = 5)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       Similarity.mutualKnn(nbrs)
     }),

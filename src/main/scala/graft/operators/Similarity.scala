@@ -118,6 +118,93 @@ object Similarity {
     topKByCos(scored, k)
   }
 
+  /** Exact top-k cosine neighbors via per-partition BLOCKED scoring —
+    * the mapPartitions escape hatch, taken deliberately: result- and
+    * bit-identical to [[annBruteForce]], but the n·|queries| scored
+    * pairs are never materialized as JOIN ROWS. The broadcast join
+    * formulation pays per-pair row construction through the
+    * BroadcastNestedLoopJoin (measured: that overhead, not the cosine
+    * math, dominates the 10k×10k self-kNN); here each partition keeps
+    * one bounded (key, id) heap per query and emits only
+    * |queries|·k candidates, merged exactly by a final
+    * [[graft.functions.GroupedTopKAgg]] pass.
+    *
+    * Bit-identity discipline: per-pair cosine uses the SAME
+    * accumulation order as [[graft.functions.CosineSimExpr]] (dot,
+    * then norms, `dot/(√na·√nb)`; norms are pure per-vector functions
+    * so hoisting them is exact), and the 6-decimal rounding replicates
+    * Spark's `round(_, 6)` double path
+    * (`BigDecimal.valueOf(x).setScale(6, HALF_UP)`). The heap key is
+    * the [[topKByCos]] micro-unit integer, so the merged output is
+    * row-identical to the join formulation (spec-asserted).
+    *
+    * Contract: the query set is model-sized (collected + broadcast —
+    * the same assumption [[annBruteForce]]'s `broadcast(q)` makes);
+    * batch corpus-sized query sets through the ANN paths instead.
+    */
+  def annBruteForceBlocked(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val qIds = q.map(_._1)
+    val qVecs = q.map(_._2)
+    val qNorms = qVecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+      math.sqrt(s)
+    }
+    val bQ = spark.sparkContext.broadcast((qIds, qVecs, qNorms))
+    val partials = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val (ids, vecs, norms) = bQ.value
+        val nq = ids.length
+        val heaps = Array.fill(nq)(new java.util.TreeSet[Array[Long]](
+          graft.functions.GroupedTopKAgg.PairOrder))
+        rows.foreach { case (cid, cv) =>
+          var nb = 0.0
+          var i = 0
+          while (i < cv.length) { val y = cv(i).toDouble; nb += y * y; i += 1 }
+          val nbs = math.sqrt(nb)
+          var qi = 0
+          while (qi < nq) {
+            if (ids(qi) != cid) {
+              val qv = vecs(qi)
+              val n = math.min(qv.length, cv.length)
+              var dot = 0.0
+              i = 0
+              while (i < n) { dot += qv(i).toDouble * cv(i).toDouble; i += 1 }
+              val cos = dot / (norms(qi) * nbs)
+              // Spark round(_, 6) double path, then the exact micro key
+              val r6 = java.math.BigDecimal.valueOf(cos)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              graft.functions.GroupedTopKAgg.add(
+                heaps(qi), Array(-Math.round(r6 * 1e6), cid), k)
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val it = h.iterator()
+          new Iterator[(Long, Long, Long)] {
+            def hasNext = it.hasNext
+            def next() = { val p = it.next(); (ids(qi), p(1), p(0)) }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "__key")
+    partials.groupBy("query_id")
+      .agg(graft.functions.GroupedTopKAgg(
+        col("__key"), col("neighbor_id"), k).as("__t"))
+      .select(col("query_id"), posexplode(col("__t")).as(Seq("__pos", "__p")))
+      .select(col("query_id"), col("__p.payload").as("neighbor_id"),
+              (-col("__p.key") / lit(1e6)).as("cos"),
+              (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** Hard-negative mining for contrastive training: per query, the
     * top-k most-similar corpus vectors carrying a DIFFERENT label —
     * near-misses the loss learns the most from (easy negatives are

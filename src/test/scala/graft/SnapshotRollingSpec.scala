@@ -91,6 +91,17 @@ class SnapshotRollingSpec extends AnyFunSuite {
     assert(out == Set((1L, 3L, 1L), (1L, 4L, 2L)))
   }
 
+  test("annBruteForceBlocked is row-identical to the join formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(7) // deliberately odd layout: partials must merge exactly
+    val joinBased = Similarity.annBruteForce(emb, emb, "vec_id", "embedding",
+      k = 5).collect().map(_.toSeq).toSet
+    val blocked = Similarity.annBruteForceBlocked(emb, emb, "vec_id",
+      "embedding", k = 5).collect().map(_.toSeq).toSet
+    assert(blocked == joinBased)
+    assert(blocked.nonEmpty)
+  }
+
   test("hardNegatives matches brute-force with same-label pairs removed") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") % 50 === 0)

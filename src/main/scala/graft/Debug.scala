@@ -2,7 +2,17 @@ package graft
 
 /** Scratch diagnostics main (not part of the driver contract).
   *
-  * Current experiment (round 4c): publish_split_item spiked 10s → 64s
+  * Round-5 measurements (for the record; sf0.1 local[32] min-of-2):
+  * - lang_id window argmax → min(struct) hash agg: 7.2s → 1.2s.
+  * - ANN top-k windows → GroupedTopKAgg heaps: family re-verified
+  *   bit-identical; ann family totals unchanged locally (the shuffle
+  *   elimination is the at-scale win, not a local[32] one).
+  * - mutual_knn: BNLJ join-row materialization dominated (not cosine
+  *   math) — annBruteForceBlocked (per-partition heaps, no join rows)
+  *   8.3s → 3.4s with bit-identical output.
+  * - Full bench: 141.1s / 112 keys (round start) → ~113s / 122 keys.
+  *
+  * Previous experiment (round 4c): publish_split_item spiked 10s → 64s
   * (min-of-2) in the latest sf0.1 bench — isolate whether that is the
   * shared publish-corpus materialization landing on a different key
   * (Map iteration order moves as keys are added), a real regression,

@@ -604,6 +604,13 @@ object SparkEntry {
       TextAnalysis.ngramCounts(Tables(s, dir).documents, "text",
                                n = 3, minCount = 2L)),
 
+    // E49: blocklist sweep — one Aho-Corasick scan per document for
+    // the whole pattern list (incl. a multi-word phrase and an
+    // overlapping pattern pair), map-side
+    "blocklist_matches" -> ((s, dir) =>
+      TextAnalysis.blocklistMatches(Tables(s, dir).documents, "text",
+        "doc_id", Seq("slow key", "vector", "batch batch", "window", "windowed"))),
+
     // E20: unigram-LM cross-entropy (the CCNet-style perplexity filter),
     // fit on the corpus itself; micro-nat quantization keeps the
     // per-document sum exact-integer and therefore order-independent
@@ -2060,6 +2067,13 @@ object SparkEntry {
            FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i))
          SELECT gram, count(*) AS n FROM g
          GROUP BY 1 HAVING count(*) >= 2""",
+
+    "blocklist_matches" ->
+      """SELECT doc_id, p AS pattern
+         FROM documents,
+              UNNEST(['slow key', 'vector', 'batch batch',
+                      'window', 'windowed']) AS t(p)
+         WHERE contains(text, p)""",
 
     "perplexity_score" ->
       """WITH toks0 AS (

@@ -348,6 +348,20 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+  /** Blocklist / watchlist sweep: (doc, pattern) rows for every listed
+    * pattern occurring as a substring of the document — the safety-
+    * term / PII-keyword / license-string filter. ONE Aho-Corasick scan
+    * per document regardless of pattern count
+    * ([[graft.functions.MultiMatchExpr]]) — map-side, zero shuffle;
+    * documents matching nothing emit nothing (explode of an empty
+    * match array).
+    */
+  def blocklistMatches(docs: DataFrame, textCol: String, idCol: String,
+                       patterns: Seq[String]): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.MultiMatchExpr(col(textCol), patterns))
+        .as("pattern"))
+
   /** Per-document character-entropy quality signal (exact integer
     * micro-nats — see [[graft.functions.CharEntropyExpr]]): uniform
     * noise scores high, repeated filler near zero; the cheap

@@ -388,4 +388,42 @@ class TextStatsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(all == Map("a b c" -> 3L, "b c a" -> 1L, "c a b" -> 1L))
   }
+
+  test("AhoCorasick: overlaps, nested patterns, fail links, dedup") {
+    val ac = new graft.functions.AhoCorasick(
+      Array("abcab", "cab", "b", "xyz"))
+    // "abcab": ends "abcab" (0), "cab" (1, via fail-merged output),
+    // "b" (2, twice — reported once). "xyz" absent.
+    assert(ac.matchedPatterns("abcab").toSeq == Seq(0, 1, 2))
+    // fail-link walk: "abcaX" breaks the long pattern, "cab" alone later
+    assert(ac.matchedPatterns("zzcabzz").toSeq == Seq(1, 2))
+    assert(ac.matchedPatterns("").toSeq == Seq())
+    assert(ac.matchedPatterns("no match here").toSeq == Seq())
+    // a pattern that is a strict prefix-chain suffix: "bb" vs "b"
+    val ac2 = new graft.functions.AhoCorasick(Array("bb", "b"))
+    assert(ac2.matchedPatterns("abba").toSeq == Seq(0, 1))
+    assert(ac2.matchedPatterns("aba").toSeq == Seq(1))
+  }
+
+  test("blocklistMatches: explode semantics + codegen coverage") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "nothing to see"),
+      (3L, "quick quick fox"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistMatches(docs, "text", "doc_id",
+        Seq("quick", "fox", "wolf"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "quick"), (1L, "fox"),
+                      (3L, "quick"), (3L, "fox"))) // doc 2 emits nothing
+    val gen = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.functions.MultiMatchExpr(col("text"),
+        Seq("quick")).as("m"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(gen.contains("WholeStageCodegen"), "no codegen span")
+    assert(gen.contains("graft.functions.MultiMatchExpr"),
+      "matcher fell out of codegen")
+  }
 }

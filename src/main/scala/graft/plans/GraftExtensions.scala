@@ -328,6 +328,21 @@ object GraftFunctions {
   private def strLit(e: Expression, fn: String, arg: String): String =
     lit(e, fn, arg).toString
 
+  /** Literal array-of-strings argument: accepts both a foldable
+    * `array('a','b')` (CreateArray of literals — constant-folded or
+    * not) and an already-folded array Literal. */
+  private def strArrayLit(e: Expression, fn: String, arg: String): Seq[String] =
+    e match {
+      case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData, _) =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(String.valueOf).toSeq
+      case ca: org.apache.spark.sql.catalyst.expressions.CreateArray
+          if ca.children.forall(_.isInstanceOf[Literal]) =>
+        ca.children.map(c => String.valueOf(lit(c, fn, arg)))
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal array of strings, got $e")
+    }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
@@ -374,5 +389,12 @@ object GraftFunctions {
       // AggregateFunctions are returned bare; the analyzer wraps them
       // into an AggregateExpression during resolution
       args => graft.functions.MisraGriesAgg(args(0),
-        intLit(args(1), "graft_approx_top", "capacity"))))
+        intLit(args(1), "graft_approx_top", "capacity"))),
+    fn("graft_char_entropy", 1,
+       "_FUNC_(text) - [n_chars, entropy_micro] code-point entropy")(
+      args => graft.functions.CharEntropyExpr(args.head)),
+    fn("graft_multi_match", 2,
+       "_FUNC_(text, patterns) - distinct blocklist patterns occurring in text")(
+      args => graft.functions.MultiMatchExpr(args(0),
+        strArrayLit(args(1), "graft_multi_match", "patterns"))))
 }

@@ -92,4 +92,28 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
     assert(range.getMessage.contains("out of integer range"), range.getMessage)
   }
+
+  test("graft_char_entropy and graft_multi_match from SQL ≡ Column API") {
+    docsView()
+    val viaSql = spark.sql("""
+      SELECT doc_id, graft_char_entropy(text) AS e,
+             graft_multi_match(text, array('window', 'windowed', 'zebra')) AS m
+      FROM sql_fn_docs""")
+      .as[(Long, Seq[Long], Seq[String])].collect().sortBy(_._1)
+    val d = spark.table("sql_fn_docs")
+    val viaCol = d.select(col("doc_id"),
+        graft.functions.CharEntropyExpr(col("text")).as("e"),
+        graft.functions.MultiMatchExpr(col("text"),
+          Seq("window", "windowed", "zebra")).as("m"))
+      .as[(Long, Seq[Long], Seq[String])].collect().sortBy(_._1)
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql.exists(_._3.nonEmpty)) // the corpus really matches
+    // patterns must be a literal array
+    val bad = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_multi_match(text, split(text, ' ')) FROM sql_fn_docs")
+        .collect()
+    }
+    assert(bad.getMessage.contains("literal array"), bad.getMessage)
+  }
 }

@@ -1601,6 +1601,20 @@ object SparkEntry {
         blockSize = 1000L, valueCols = Seq("l_extendedprice", "l_discount"))
     }),
 
+    // C47: expectation-suite validation report — column-local checks
+    // ride ONE scan (stack-unpivoted), uniqueness one grouped agg,
+    // referential integrity a broadcast anti-join; the high-price
+    // in_set check is deliberately tight so some checks FIRE
+    "validate_orders" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.qualityReport(t.orders,
+        notNull = Seq("o_custkey", "o_orderdate"),
+        nonNegative = Seq("o_totalprice"),
+        inSet = Map("o_orderstatus" -> Seq("O", "F")),
+        uniqueKey = Seq("o_orderkey"),
+        refs = Seq(("o_custkey", t.customer, "c_custkey")))
+    }),
+
     // D1 batch twin: per-key latest state with the strictly-newer guard
     // (Streams.latestStatusUpdates final state; ties keep the first
     // event processed in (ts, status) order)
@@ -3497,6 +3511,36 @@ object SparkEntry {
                 CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
                      AS BIGINT) AS nulls_l_discount
          FROM lineitem GROUP BY 1""",
+
+    "validate_orders" ->
+      """SELECT 'not_null:o_custkey' AS check_name,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS violations
+         FROM orders
+         UNION ALL
+         SELECT 'not_null:o_orderdate',
+                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'non_negative:o_totalprice',
+                CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                     AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'in_set:o_orderstatus',
+                CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O', 'F')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'unique:o_orderkey', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+         FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+         WHERE n > 1
+         UNION ALL
+         SELECT 'ref:o_custkey->c_custkey', CAST(count(*) AS BIGINT)
+         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL""",
 
     "stream_latest_status" ->
       """SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ts,

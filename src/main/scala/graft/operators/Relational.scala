@@ -387,6 +387,64 @@ object Relational {
            min("min_milli").as("min_milli"), max("max_milli").as("max_milli"))
   }
 
+  /** Data-quality validation report (the expectation-suite primitive
+    * run before anything ships downstream): one row per check with its
+    * violation count —
+    *  - `not_null:<col>` — null occurrences;
+    *  - `non_negative:<col>` — values `< 0`;
+    *  - `in_set:<col>` — non-null values outside the allowed set
+    *    (nulls are `not_null`'s job, counted nowhere else);
+    *  - `unique:<keys>` — surplus rows beyond the first per key;
+    *  - `ref:<col>-><dimCol>` — non-null values absent from the
+    *    referenced dimension (foreign-key orphans).
+    *
+    * Scale shape: every column-local check rides ONE scan as a
+    * conditional sum (single aggregated row, unpivoted driver-free via
+    * `stack`); uniqueness is one key-grouped aggregation; each
+    * referential check is a broadcast anti-join against the
+    * (dimension-sized) key set. The fact table is never shuffled by
+    * the column-local checks.
+    */
+  def qualityReport(df: DataFrame, notNull: Seq[String],
+                    nonNegative: Seq[String],
+                    inSet: Map[String, Seq[String]],
+                    uniqueKey: Seq[String],
+                    refs: Seq[(String, DataFrame, String)]): DataFrame = {
+    val condAggs: Seq[(String, Column)] =
+      notNull.map(c => s"not_null:$c" ->
+        sum(when(col(c).isNull, 1L).otherwise(0L))) ++
+      nonNegative.map(c => s"non_negative:$c" ->
+        sum(when(col(c) < 0, 1L).otherwise(0L))) ++
+      inSet.toSeq.sortBy(_._1).map { case (c, vals) =>
+        s"in_set:$c" ->
+          sum(when(col(c).isNotNull && !col(c).isin(vals: _*), 1L)
+            .otherwise(0L))
+      }
+    val aliased = condAggs.zipWithIndex.map { case ((_, a), i) =>
+      coalesce(a, lit(0L)).as(s"c$i")
+    }
+    val scanRow = df.agg(aliased.head, aliased.tail: _*)
+    val stackExpr = s"stack(${condAggs.size}, " +
+      condAggs.zipWithIndex
+        .map { case ((name, _), i) => s"'$name', c$i" }.mkString(", ") +
+      ") AS (check_name, violations)"
+    val scanChecks = scanRow.selectExpr(stackExpr)
+    val uniq = df.groupBy(uniqueKey.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(when(col("__n") > 1, col("__n") - 1L)), lit(0L))
+        .as("violations"))
+      .select(lit(s"unique:${uniqueKey.mkString(",")}").as("check_name"),
+              col("violations"))
+    val refChecks = refs.map { case (c, dim, dimCol) =>
+      df.select(col(c)).filter(col(c).isNotNull)
+        .join(broadcast(dim.select(col(dimCol).as(c)).distinct()),
+              Seq(c), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(s"ref:$c->$dimCol").as("check_name"), col("violations"))
+    }
+    (Seq(scanChecks, uniq) ++ refChecks).reduce(_ unionByName _)
+  }
+
   /** Persisted aggregate store — [[mergeAggDeltas]] as an
     * extend / read / compact table lifecycle (the dedup/span/postings
     * index discipline applied to a materialized rollup):

@@ -72,6 +72,41 @@ class SnapshotRollingSpec extends AnyFunSuite {
     assert(row == ((2L, "B", "X", 20.0, 20.0)))
   }
 
+  // --- qualityReport -----------------------------------------------------
+
+  test("qualityReport: every check fires on planted violations") {
+    val facts = Seq(
+      (Some(1L), Some(10.0), Some("O")),
+      (Some(1L), Some(-5.0), Some("X")),   // dup key, negative, bad status
+      (None, Some(3.0), Some("F")),        // null key
+      (Some(9L), None, None))              // null value/status, orphan ref
+      .toDF("k", "v", "status")
+    val dim = Seq(1L).toDF("dk")
+    val out = Relational.qualityReport(facts,
+        notNull = Seq("k", "v"),
+        nonNegative = Seq("v"),
+        inSet = Map("status" -> Seq("O", "F")),
+        uniqueKey = Seq("k"),
+        refs = Seq(("k", dim, "dk")))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map(
+      "not_null:k" -> 1L,
+      "not_null:v" -> 1L,
+      "non_negative:v" -> 1L,
+      "in_set:status" -> 1L,   // null status NOT counted here
+      "unique:k" -> 1L,        // one surplus row for k=1
+      "ref:k->dk" -> 1L))      // k=9 orphan; null k not counted
+  }
+
+  test("qualityReport: clean table reports all zeros") {
+    val facts = Seq((1L, 1.0, "O"), (2L, 2.0, "F")).toDF("k", "v", "status")
+    val dim = Seq(1L, 2L).toDF("dk")
+    val out = Relational.qualityReport(facts, Seq("k"), Seq("v"),
+        Map("status" -> Seq("O", "F")), Seq("k"), Seq(("k", dim, "dk")))
+      .as[(String, Long)].collect()
+    assert(out.length == 5 && out.forall(_._2 == 0L))
+  }
+
   // --- hardNegatives -----------------------------------------------------
 
   test("hardNegatives: top-k nearest different-label vectors only") {

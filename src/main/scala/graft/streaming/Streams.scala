@@ -338,4 +338,40 @@ object Streams {
     cur.join(p, "path").filter(col("size") === col("prev_size"))
       .select(col("path"), col("size"))
   }
+
+  /** Stream-stream click attribution (D10): join two live event
+    * streams — every (view, click) pair for the same user where the
+    * view happened within `lookback` BEFORE the click. The remaining
+    * Structured Streaming join shape: both sides watermarked, the join
+    * condition carrying equality (user) AND the event-time range, so
+    * the engine can bound both join states and evict rows once the
+    * watermark passes the range — without the time bound the state
+    * would grow forever.
+    *
+    * Inputs are `(ts timestamp, user_id long, event_id long)` frames
+    * (pre-filtered to their event type). Output: one row per
+    * qualifying pair with the view→click gap in microseconds; late
+    * rows beyond the watermark are dropped by the engine. Downstream
+    * picks the attribution policy (e.g. latest-view-wins via a
+    * windowed agg on the sink table — kept out of this operator so the
+    * join stays append-mode).
+    */
+  def streamClickAttribution(views: DataFrame, clicks: DataFrame,
+                             lookback: String = "1 hour",
+                             watermark: String = "1 hour"): DataFrame = {
+    val v = views.select(col("ts").as("view_ts"),
+        col("user_id").as("v_user"), col("event_id").as("view_event_id"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks.select(col("ts").as("click_ts"),
+        col("user_id").as("c_user"), col("event_id").as("click_event_id"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+        expr(s"""v_user = c_user AND
+                 view_ts BETWEEN click_ts - INTERVAL $lookback
+                             AND click_ts"""))
+      .select(col("v_user").as("user_id"),
+              col("view_event_id"), col("click_event_id"),
+              (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+                .as("gap_us"))
+  }
 }

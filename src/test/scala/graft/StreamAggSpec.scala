@@ -54,6 +54,35 @@ class StreamAggSpec extends AnyFunSuite {
                       (2L, 1L, 6000L, 6000L, 6000L)))
   }
 
+  test("stream-stream click attribution equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val views = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val out = Streams.streamClickAttribution(
+      views.toDF().toDF("ts", "user_id", "event_id"),
+      clicks.toDF().toDF("ts", "user_id", "event_id"),
+      lookback = "10 minutes", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // u1: view@100s, clicks @200s (in window) and @800s (out);
+      // u2: click@300s with views @100s and @250s (both in window);
+      // u3: click with NO view → no row
+      views.addData((ts(100), 1L, 10L), (ts(100), 2L, 20L), (ts(250), 2L, 21L))
+      clicks.addData((ts(200), 1L, 50L), (ts(800), 1L, 51L),
+                     (ts(300), 2L, 52L), (ts(300), 3L, 53L))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("user_id", "view_event_id", "click_event_id", "gap_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        (1L, 10L, 50L, 100000000L),
+        (2L, 20L, 52L, 200000000L),
+        (2L, 21L, 52L, 50000000L)))
+    } finally q.stop()
+  }
+
   test("compaction folds committed batches only and preserves results") {
     val store = tmpDir("graft_aggcompact")
     (0L until 5L).foreach { b =>

@@ -1539,6 +1539,26 @@ object SparkEntry {
         .na.fill(0L, types.map(_ + "_n"))
     }),
 
+    // D10 batch twin: click attribution — every (view, click) pair of
+    // one user with the view inside the 1h lookback; user-keyed equi
+    // join + range filter, the exact pair set the watermarked
+    // stream-stream join emits
+    "click_attribution" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_event_id"),
+                col("ts_us").as("view_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_event_id"),
+                col("ts_us").as("click_us"))
+      v.join(c, "user_id")
+        .filter(col("view_us").between(col("click_us") - 3600000000L,
+                                       col("click_us")))
+        .select(col("user_id"), col("view_event_id"), col("click_event_id"),
+                (col("click_us") - col("view_us")).as("gap_us"))
+    }),
+
     // C42: trailing 7-day rolling per-user activity features — RANGE
     // frame over ONE key-partitioned window (peers always included, so
     // colliding timestamps stay deterministic; no self-join rescan)
@@ -3427,6 +3447,19 @@ object SparkEntry {
            CAST(sum(CAST(round(value * 1000) AS BIGINT))
                 FILTER (event_type = 'error') AS BIGINT) AS error_value_milli
          FROM events GROUP BY 1""",
+
+    "click_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                    FROM events),
+         v AS (SELECT user_id, event_id AS view_event_id, ts_us AS view_us
+               FROM e WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id AS click_event_id, ts_us AS click_us
+               FROM e WHERE event_type = 'click')
+         SELECT v.user_id, view_event_id, click_event_id,
+                click_us - view_us AS gap_us
+         FROM v JOIN c ON v.user_id = c.user_id
+         WHERE view_us BETWEEN click_us - 3600000000 AND click_us""",
 
     "rolling_stats" ->
       """SELECT user_id, event_id, ts_us,

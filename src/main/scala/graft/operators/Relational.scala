@@ -387,6 +387,28 @@ object Relational {
            min("min_milli").as("min_milli"), max("max_milli").as("max_milli"))
   }
 
+  /** Apply a [[snapshotDiff]] change set to the old snapshot —
+    * CDC replication's consumer half: `removed` keys drop, `added`
+    * insert, `changed` take their new values; the round trip
+    * `apply(old, diff(old, new)) ≡ new` holds exactly
+    * (property-spec'd). One key-equi join of the snapshot against the
+    * (change-sized) diff — broadcastable whenever the day's churn is
+    * small, the usual case.
+    */
+  def applySnapshotDiff(oldSnap: DataFrame, diff: DataFrame,
+                        keys: Seq[String],
+                        compareCols: Seq[String]): DataFrame = {
+    val d = diff.select((keys.map(col) ++
+      compareCols.map(c => col("new_" + c)) :+ col("change_type")): _*)
+    val joined = oldSnap.join(d, keys, "full_outer")
+    val kept = joined.filter(
+      col("change_type").isNull || col("change_type") =!= "removed")
+    kept.select((keys.map(col) ++ compareCols.map { c =>
+      when(col("change_type").isin("added", "changed"), col("new_" + c))
+        .otherwise(col(c)).as(c)
+    }): _*)
+  }
+
   /** Data-quality validation report (the expectation-suite primitive
     * run before anything ships downstream): one row per check with its
     * violation count —

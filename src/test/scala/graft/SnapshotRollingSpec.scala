@@ -63,6 +63,26 @@ class SnapshotRollingSpec extends AnyFunSuite {
       (2L, "changed"), (4L, "removed"), (5L, "added"), (6L, "changed")))
   }
 
+  test("applySnapshotDiff round trip: apply(old, diff(old,new)) == new") {
+    // seeded deterministic churn over a 200-key snapshot: drops,
+    // restatements, inserts, null flips — the full diff surface
+    val oldSnap = spark.range(200).select(col("id").as("k"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id") % 5)
+        .cast("long").as("a"),
+      (col("id") % 3).cast("double").as("b"))
+    val newSnap = spark.range(30, 230).select(col("id").as("k"),
+      when(col("id") % 11 === 0, lit(null)).otherwise(col("id") % 4)
+        .cast("long").as("a"),
+      (col("id") % 6).cast("double").as("b"))
+    val diff = Relational.snapshotDiff(oldSnap, newSnap, Seq("k"),
+      Seq("a", "b"))
+    val rebuilt = Relational.applySnapshotDiff(oldSnap, diff, Seq("k"),
+        Seq("a", "b"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val want = newSnap.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(rebuilt == want)
+  }
+
   test("snapshotDiff carries old/new values of every compared column") {
     val o = Seq((2L, "B", 20.0)).toDF("k", "status", "price")
     val n = Seq((2L, "X", 20.0)).toDF("k", "status", "price")

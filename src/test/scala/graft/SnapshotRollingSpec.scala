@@ -39,6 +39,28 @@ class SnapshotRollingSpec extends AnyFunSuite {
       (2L, 200L, 1L, 100000L)))       // other key never leaks in
   }
 
+  test("rollingStats equals the O(n·w) self-join reference on seeded data") {
+    // seeded frame with colliding timestamps and multiple keys
+    val df = spark.range(500).select(
+      (col("id") % 7).as("k"), col("id").as("event_id"),
+      ((col("id") * 37) % 97).as("t"),
+      ((col("id") % 13) - 6).cast("double").as("v"))
+    val got = Relational.rollingStats(df, Seq("k"), "t", "v", windowSpan = 10L)
+      .select("k", "event_id", "n_window", "value_milli_window")
+      .collect().map(_.toSeq).toSet
+    // brute-force twin: per row, join back every same-key row in range
+    val l = df.select(col("k"), col("event_id"), col("t"))
+    val r = df.select(col("k"), col("t").as("t2"),
+      round(col("v") * 1000).cast("long").as("vm"))
+    val want = l.join(r, "k")
+      .filter(col("t2").between(col("t") - 10L, col("t")))
+      .groupBy("k", "event_id")
+      .agg(count(lit(1)).as("n_window"), sum("vm").as("value_milli_window"))
+      .select("k", "event_id", "n_window", "value_milli_window")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   // --- snapshotDiff ------------------------------------------------------
 
   test("snapshotDiff: added/removed/changed classification, null-safe") {

@@ -405,6 +405,26 @@ class TextStatsSpec extends AnyFunSuite {
     assert(ac2.matchedPatterns("aba").toSeq == Seq(1))
   }
 
+  test("AhoCorasick fuzz: 300 seeded cases vs naive contains truth") {
+    // small alphabet maximizes overlaps, shared prefixes and fail-link
+    // traffic — the regimes where automaton bugs live
+    val rnd = new scala.util.Random(0xC0FFEE)
+    def randStr(maxLen: Int): String = {
+      val n = 1 + rnd.nextInt(maxLen)
+      String.valueOf(Array.fill(n)(('a' + rnd.nextInt(3)).toChar))
+    }
+    (1 to 300).foreach { i =>
+      val patterns = Array.fill(1 + rnd.nextInt(6))(randStr(4)).distinct
+      val text = randStr(40)
+      val ac = new graft.functions.AhoCorasick(patterns)
+      val got = ac.matchedPatterns(text).toSeq
+      val want = patterns.indices.filter(j => text.contains(patterns(j)))
+      assert(got == want,
+        s"case $i: text='$text' patterns=${patterns.mkString(",")} " +
+        s"got=$got want=$want")
+    }
+  }
+
   test("blocklistMatches: explode semantics + codegen coverage") {
     val docs = Seq(
       (1L, "the quick brown fox"),

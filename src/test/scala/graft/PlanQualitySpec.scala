@@ -200,6 +200,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(nodeCount(plan, "Exchange") == 1, plan)
   }
 
+  test("click_attribution: user-keyed equi join, never cartesian") {
+    val plan = formatted(SparkEntry.queries("click_attribution")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("snapshot_diff: one full-outer join, no plan explosion") {
     val plan = formatted(SparkEntry.queries("snapshot_diff")(spark, sf))
     assert(plan.contains("FullOuter"), plan)

@@ -80,6 +80,18 @@ class StreamAggSpec extends AnyFunSuite {
         (1L, 10L, 50L, 100000000L),
         (2L, 20L, 52L, 200000000L),
         (2L, 21L, 52L, 50000000L)))
+      // advance the watermark far past the old events (max 800s − 10m
+      // watermark = 200s), then replay an in-window-for-@300s-click
+      // view at 295s: the engine must DROP it — its join state is gone
+      views.addData((ts(5000), 9L, 90L))
+      clicks.addData((ts(5000), 9L, 91L))
+      q.processAllAvailable()
+      views.addData((ts(295), 2L, 22L)) // late: before the watermark
+      q.processAllAvailable()
+      val after = spark.table("attrib")
+        .select("view_event_id").as[Long].collect().toSet
+      assert(!after.contains(22L), "late view must be evicted, not joined")
+      assert(after.contains(90L)) // the watermark-advancing pair joined
     } finally q.stop()
   }
 

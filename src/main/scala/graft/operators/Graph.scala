@@ -55,20 +55,24 @@ object Graph {
     val base = (init * (100 - dampPct)) / 100
 
     var rank = nodes.select(col("id"), lit(init).as("rank_micro"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val sums = e
         .join(rank.select(col("id").as("src"), col("rank_micro")), "src")
         .join(outDeg, "src")
         .select(col("dst").as("id"),
           expr("rank_micro div __outdeg").as("__contrib"))
         .groupBy(col("id")).agg(sum(col("__contrib")).as("__s"))
-      // localCheckpoint: same lineage-truncation discipline as the
-      // connected-components loop — the rank frame is node-sized
-      rank = nodes.join(sums, Seq("id"), "left")
+      val next = nodes.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr(s"$dampPct * coalesce(__s, 0L) div 100"))
             .as("rank_micro"))
-        .localCheckpoint(true)
+      // lineage truncation every FOURTH round, not every round: each
+      // eager localCheckpoint is a full job, and a 4-deep join chain
+      // neither blows up Catalyst nor hurts fault recovery — the CC
+      // loop's per-round discipline exists for its UNBOUNDED round
+      // count; here iterations ≤ 20 ⇒ at most 5 materializations
+      rank = if (i % 4 == 0 && i < iterations) next.localCheckpoint(true)
+             else next
     }
     e.unpersist()
     nodes.unpersist()

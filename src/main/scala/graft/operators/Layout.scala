@@ -57,6 +57,22 @@ object Layout {
            min("__y").as("min_y"), max("__y").as("max_y"))
   }
 
+  /** Write a table physically clustered by the Z-order of two integer
+    * columns: range-repartition on the Z-value (equal-ROW-COUNT file
+    * boundaries — balanced files even under value skew, unlike
+    * [[zorderStats]]'s fixed-width diagnostic blocks), sort within
+    * each partition, one parquet file per range. After this layout a
+    * predicate on EITHER column prunes most files via parquet footer
+    * min/max — the payoff [[columnStatsIndex]] measures.
+    */
+  def writeZordered(df: DataFrame, xCol: String, yCol: String,
+                    bits: Int, nFiles: Int, path: String): Unit =
+    df.withColumn("__z", zorderValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** Column-statistics index over fixed-width key blocks: per block of
     * `blockSize` consecutive keys (the file-boundary stand-in), row
     * count plus min / max / null count per requested column — the

@@ -46,6 +46,29 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("writeZordered: per-file ranges stay dense on both axes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw").toFile
+      .getAbsolutePath + "/t"
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    Layout.writeZordered(grid, "x", "y", bits = 6, nFiles = 16, path = dir)
+    // read back per actual FILE: both axes must be locally dense —
+    // on the 64×64 grid a linear sort by x would leave y spanning the
+    // full 0..63 in every file; Z keeps both within a quadrant-ish box
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+           (max("x") - min("x")).as("xspan"),
+           (max("y") - min("y")).as("yspan"))
+      .collect()
+    assert(stats.length == 16)
+    assert(stats.map(_.getAs[Long]("n")).sum == 4096L)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("xspan") <= 31L, r.toString)
+      assert(r.getAs[Long]("yspan") <= 31L, r.toString)
+    }
+  }
+
   // --- columnStatsIndex --------------------------------------------------
 
   test("columnStatsIndex: blocks, milli min/max, null accounting") {

@@ -432,6 +432,8 @@ object Relational {
                     inSet: Map[String, Seq[String]],
                     uniqueKey: Seq[String],
                     refs: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(notNull.nonEmpty || nonNegative.nonEmpty || inSet.nonEmpty,
+      "qualityReport needs at least one column-local check")
     val condAggs: Seq[(String, Column)] =
       notNull.map(c => s"not_null:$c" ->
         sum(when(col(c).isNull, 1L).otherwise(0L))) ++

@@ -604,6 +604,13 @@ object SparkEntry {
       TextAnalysis.ngramCounts(Tables(s, dir).documents, "text",
                                n = 3, minCount = 2L)),
 
+    // E50: length-bucketed batch layout — fixed-width token-length
+    // buckets dealt into batches under a (bucket, id) total order;
+    // zipWithIndex device, no single-partition window
+    "length_batches" -> ((s, dir) =>
+      TextAnalysis.lengthBatches(Tables(s, dir).documents, "text",
+        "doc_id", bucketWidth = 64L, batchSize = 16)),
+
     // E49: blocklist sweep — one Aho-Corasick scan per document for
     // the whole pattern list (incl. a multi-word phrase and an
     // overlapping pattern pair), map-side
@@ -2101,6 +2108,21 @@ object SparkEntry {
            FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i))
          SELECT gram, count(*) AS n FROM g
          GROUP BY 1 HAVING count(*) >= 2""",
+
+    "length_batches" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (SELECT doc_id, n_tokens, n_tokens // 64 AS bucket FROM s),
+         r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                                            ORDER BY doc_id) - 1 AS rk
+               FROM b)
+         SELECT doc_id, n_tokens, bucket,
+                CAST(rk // 16 AS BIGINT) AS batch_ix,
+                CAST(rk % 16 AS BIGINT) AS pos_in_batch
+         FROM r""",
 
     "blocklist_matches" ->
       """SELECT doc_id, p AS pattern

@@ -124,7 +124,7 @@ object Relational {
     * Both jobs recompute the same deterministic range partitioning
     * (sampled with fixed seeds), so counts and rows align.
     */
-  private def withGlobalIndex(df: DataFrame, orderCols: Seq[Column],
+  private[operators] def withGlobalIndex(df: DataFrame, orderCols: Seq[Column],
                               outCols: Seq[(String, Long => Long)]): DataFrame = {
     val spark = df.sparkSession
     val ranged = df.repartitionByRange(orderCols: _*)

@@ -348,6 +348,38 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+  /** Length-bucketed batch layout (padding-waste minimization for
+    * training/inference): documents grouped into fixed-width
+    * token-length buckets, then dealt into `batchSize`-row batches
+    * WITHIN each bucket under a deterministic (bucket, id) total
+    * order — batching same-length documents together is what makes
+    * per-batch padding ≈ zero instead of max-length.
+    *
+    * Scale shape: the [[Relational.chunkIndex]] zipWithIndex device
+    * (range-repartition total order, NO single-partition window) gives
+    * global positions; per-bucket positions derive by subtracting each
+    * bucket's first global index — a bucket-count-sized aggregate
+    * broadcast back. Buckets are `n_tokens div bucketWidth`, pure
+    * integer arithmetic both engines (deliberately not
+    * `floor(log2(…))`, whose power-of-two boundaries are libm-
+    * implementation-dependent).
+    */
+  def lengthBatches(docs: DataFrame, textCol: String, idCol: String,
+                    bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      "bucketWidth and batchSize must be positive")
+    val toks = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val bucketed = docs.select(col(idCol), toks.as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+    val indexed = Relational.withGlobalIndex(bucketed,
+      Seq(col("bucket"), col(idCol)), Seq("__gix" -> identity))
+    val starts = indexed.groupBy("bucket").agg(min("__gix").as("__start"))
+    indexed.join(broadcast(starts), "bucket")
+      .select(col(idCol), col("n_tokens"), col("bucket"),
+        expr(s"(__gix - __start) div $batchSize").as("batch_ix"),
+        ((col("__gix") - col("__start")) % batchSize).as("pos_in_batch"))
+  }
+
   /** Blocklist / watchlist sweep: (doc, pattern) rows for every listed
     * pattern occurring as a substring of the document — the safety-
     * term / PII-keyword / license-string filter. ONE Aho-Corasick scan

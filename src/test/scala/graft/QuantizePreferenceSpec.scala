@@ -50,6 +50,42 @@ class QuantizePreferenceSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  // --- lengthBatches -----------------------------------------------------
+
+  test("lengthBatches: bucket grouping, batch deal, id order, invariance") {
+    // widths: bucket 0 (<4 tokens) and bucket 1 (4-7 tokens)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a"), (3L, "a b"),          // bucket 0
+      (4L, "a b c d"), (5L, "a b c d e"))             // bucket 1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lengthBatches(docs, "text", "doc_id",
+        bucketWidth = 4L, batchSize = 2)
+      .select("doc_id", "bucket", "batch_ix", "pos_in_batch")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 0L), (2L, 0L, 0L, 1L), (3L, 0L, 1L, 0L),
+      (4L, 1L, 0L, 0L), (5L, 1L, 0L, 1L)))
+    // layout independence: different input partitioning, same batches
+    val re = TextAnalysis.lengthBatches(docs.repartition(5), "text",
+        "doc_id", bucketWidth = 4L, batchSize = 2)
+      .select("doc_id", "bucket", "batch_ix", "pos_in_batch")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(re == out)
+  }
+
+  test("lengthBatches bounds per-batch padding to the bucket width") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val batches = TextAnalysis.lengthBatches(docs, "text", "doc_id",
+      bucketWidth = 32L, batchSize = 8)
+    // within any batch, max-min token count < bucketWidth — the
+    // padding bound batching exists to provide
+    val spread = batches.groupBy("bucket", "batch_ix")
+      .agg((max("n_tokens") - min("n_tokens")).as("spread"))
+      .agg(max("spread")).as[Long].head()
+    assert(spread < 32L, s"padding spread $spread escaped the bucket")
+  }
+
   // --- preferencePairs ---------------------------------------------------
 
   test("preferencePairs: extremes paired, ties dropped, id tiebreak") {

@@ -891,6 +891,14 @@ object SparkEntry {
                                "vec_id", "embedding", "label", k = 5)
     }),
 
+    // E51: MMR diversity selection — greedy relevant-but-not-redundant
+    // top-k; exact integer micro-unit scores, id tie-breaks, so the
+    // 4-step greedy trajectory is bit-identical to the oracle's
+    // unrolled SQL
+    "mmr_select" -> ((s, dir) =>
+      Similarity.mmrSelect(Tables(s, dir).embeddings, "vec_id",
+        "embedding", queryId = 0L, k = 4, lambdaPermille = 500L)),
+
     // E45: per-dimension symmetric int8 quantization of the embedding
     // column — dim-sized stats shuffle, map-side encode; codes are
     // floor(q+0.5) over the same double quotient both engines compute
@@ -3153,6 +3161,54 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
          WHERE rk <= 5""",
+
+    "mmr_select" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         q AS (SELECT v AS qv FROM c WHERE vec_id = 0),
+         r AS (SELECT vec_id, v,
+                      CAST(round(1e6 * list_cosine_similarity(v, qv))
+                           AS BIGINT) AS rel
+               FROM c, q WHERE vec_id != 0),
+         s1 AS (SELECT vec_id, v, rel AS score FROM r
+                ORDER BY rel DESC, vec_id LIMIT 1),
+         p2 AS (SELECT r.vec_id, r.v, r.rel,
+                       greatest(CAST(round(1e6 *
+                         list_cosine_similarity(r.v, s1.v)) AS BIGINT),
+                         0) AS pen
+                FROM r, s1 WHERE r.vec_id != s1.vec_id),
+         s2 AS (SELECT vec_id, v, rel - (500 * pen) // 1000 AS score
+                FROM p2
+                ORDER BY rel - (500 * pen) // 1000 DESC, vec_id LIMIT 1),
+         p3 AS (SELECT r.vec_id, r.v, r.rel,
+                       greatest(CAST(round(1e6 *
+                         list_cosine_similarity(r.v, s1.v)) AS BIGINT),
+                         CAST(round(1e6 *
+                         list_cosine_similarity(r.v, s2.v)) AS BIGINT),
+                         0) AS pen
+                FROM r, s1, s2
+                WHERE r.vec_id NOT IN (s1.vec_id, s2.vec_id)),
+         s3 AS (SELECT vec_id, v, rel - (500 * pen) // 1000 AS score
+                FROM p3
+                ORDER BY rel - (500 * pen) // 1000 DESC, vec_id LIMIT 1),
+         p4 AS (SELECT r.vec_id, r.v, r.rel,
+                       greatest(CAST(round(1e6 *
+                         list_cosine_similarity(r.v, s1.v)) AS BIGINT),
+                         CAST(round(1e6 *
+                         list_cosine_similarity(r.v, s2.v)) AS BIGINT),
+                         CAST(round(1e6 *
+                         list_cosine_similarity(r.v, s3.v)) AS BIGINT),
+                         0) AS pen
+                FROM r, s1, s2, s3
+                WHERE r.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)),
+         s4 AS (SELECT vec_id, rel - (500 * pen) // 1000 AS score
+                FROM p4
+                ORDER BY rel - (500 * pen) // 1000 DESC, vec_id LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+                CAST(score AS BIGINT) AS score_micro FROM s1
+         UNION ALL SELECT 2, vec_id, CAST(score AS BIGINT) FROM s2
+         UNION ALL SELECT 3, vec_id, CAST(score AS BIGINT) FROM s3
+         UNION ALL SELECT 4, vec_id, CAST(score AS BIGINT) FROM s4""",
 
     "embedding_int8" ->
       """WITH flat AS (

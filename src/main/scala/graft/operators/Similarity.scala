@@ -205,6 +205,73 @@ object Similarity {
               (col("__pos") + 1).cast("long").as("rank"))
   }
 
+  /** Maximal Marginal Relevance (MMR) greedy diversity selection —
+    * the eval-set / few-shot-pool builder: pick `k` vectors maximizing
+    * `rel − λ·max_sim_to_already_selected`, so the result is relevant
+    * to the query but not redundant (plain top-k returns k near-copies
+    * of the best hit).
+    *
+    * Integer discipline: relevance and penalties are `round(1e6·cos)`
+    * micro-units, λ a permille, the penalty term
+    * `(λ·pen) div 1000` — every comparison is exact integer
+    * arithmetic with id tie-break, so the greedy trajectory is
+    * bit-identical cross-engine and the DuckDB oracle UNROLLS the same
+    * k steps in SQL.
+    *
+    * Shape: greedy selection is inherently sequential — k driver
+    * rounds, each ONE map-side scan of the (persisted) relevance frame
+    * with the selected vectors as broadcast literals and a
+    * TakeOrderedAndProject top-1; nothing corpus-sized ever reaches
+    * the driver. At 100 TB run it over an ANN candidate pool
+    * ([[annIvf]]/[[annLsh]] output), not the raw corpus — the scan is
+    * then pool-sized.
+    */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, lambdaPermille: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qv = corpus.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<float>")).as[Array[Float]].head()
+    val base = corpus.filter(col(idCol) =!= queryId)
+      .select(col(idCol).cast("long").as("vec_id"),
+              col(vecCol).cast("array<float>").as("__v"))
+      .withColumn("rel",
+        round(cosine(col("__v"), typedLit(qv.toSeq)) * 1e6).cast("long"))
+      .persist()
+    base.count()
+    try {
+      var selected = List.empty[(Long, Array[Float], Long)] // id, vec, score
+      for (_ <- 1 to k) {
+        val penTerms = selected.map { case (_, v, _) =>
+          round(cosine(col("__v"), typedLit(v.toSeq)) * 1e6).cast("long")
+        }
+        // clamped at 0 (no bonus for anti-similarity) — also keeps the
+        // `div 1000` operand non-negative, where truncating division
+        // agrees across engines (the link_rank discipline)
+        val pen = penTerms match {
+          case Nil => lit(0L)
+          case es  => greatest((es :+ lit(0L)): _*)
+        }
+        val pool =
+          if (selected.isEmpty) base
+          else base.filter(!col("vec_id").isin(selected.map(_._1): _*))
+        val top = pool
+          .withColumn("__pen", pen)
+          .withColumn("score",
+            expr(s"rel - ($lambdaPermille * __pen) div 1000"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(1)
+          .select(col("vec_id"), col("__v"), col("score"))
+          .as[(Long, Array[Float], Long)].head()
+        selected = selected :+ ((top._1, top._2, top._3))
+      }
+      selected.zipWithIndex.map { case ((id, _, score), i) =>
+        ((i + 1).toLong, id, score)
+      }.toDF("rank", "vec_id", "score_micro")
+    } finally base.unpersist()
+  }
+
   /** Hard-negative mining for contrastive training: per query, the
     * top-k most-similar corpus vectors carrying a DIFFERENT label —
     * near-misses the loss learns the most from (easy negatives are

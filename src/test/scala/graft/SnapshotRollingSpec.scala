@@ -179,6 +179,29 @@ class SnapshotRollingSpec extends AnyFunSuite {
     assert(blocked.nonEmpty)
   }
 
+  test("mmrSelect: diversity beats redundancy; plain top-k would not") {
+    // 3-D on purpose: ids 1,2 are near-duplicates at +azimuth from the
+    // query, id 3 sits at the SAME polar angle (equal relevance) but
+    // opposite azimuth (low similarity to 1/2). Plain top-2 picks the
+    // near-dup pair {2,1}; MMR must pick 2 then 3 — the redundancy
+    // penalty, not relevance, decides the second slot.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.436f, 0.0f)),
+      (2L, Array(0.9f, 0.430f, 0.0f)),
+      (3L, Array(0.9f, -0.436f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(emb, "vec_id", "embedding",
+        queryId = 0L, k = 2, lambdaPermille = 900L)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(2L, 3L), out.toString)
+    // and the selection is partition-layout independent
+    val re = Similarity.mmrSelect(emb.repartition(4), "vec_id",
+        "embedding", queryId = 0L, k = 2, lambdaPermille = 900L)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(re == out)
+  }
+
   test("hardNegatives matches brute-force with same-label pairs removed") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") % 50 === 0)

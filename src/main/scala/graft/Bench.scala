@@ -68,11 +68,16 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = s3(if (results.nonEmpty) results.values.sum else 0.0)
-    // the headline number rides a COMPACT line FIRST (a size-capped
-    // capture that loses the tail still carries the total), then the
-    // full per-query contract line
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // the headline number rides a COMPACT line FIRST *and* LAST: the
+    // driver's capture is size-capped and has kept either the head or
+    // the tail in different rounds (r4 lost the head, r5 lost the tail
+    // — at 127 keys the per-query map alone is ~3.3 KB). Totals survive
+    // either capture direction; the full per-query contract line rides
+    // in the middle.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    println(compact)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(compact)
     spark.stop()
   }
 }

@@ -45,6 +45,15 @@ object Layout {
     */
   def zorderStats(df: DataFrame, xCol: String, yCol: String,
                   bits: Int, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // the bucket expression computes __z * nBuckets in Long BEFORE the
+    // divide: __z occupies 2*bits bits, so the product needs
+    // 2*bits + ceil(log2(nBuckets)) <= 63 or it silently wraps negative
+    // and produces garbage buckets (bits=31 alone admits z up to 2^62-1)
+    val bucketBits = 64 - java.lang.Long.numberOfLeadingZeros(nBuckets - 1L).toInt
+    require(2 * bits + bucketBits <= 63,
+      s"2*bits + ceil(log2(nBuckets)) must be <= 63 to avoid Long overflow " +
+        s"in the bucket product, got bits=$bits nBuckets=$nBuckets")
     val z = df.select(col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
       .withColumn("__z", zorderValue(col("__x"), col("__y"), bits))

@@ -69,6 +69,13 @@ object Multimodal {
     * stdLuma, aspect]`. Same fixed-width contract as the stub, so the
     * two paths interchange per row. Throws on undecodable bytes — the
     * caller's per-row recovery turns that into a decode_error ROW.
+    *
+    * Reproducibility caveat: PNG / BMP / GIF decode losslessly, so
+    * their features are stable across JDKs and platforms. JPEG decode
+    * is NOT bit-specified — IDCT rounding may differ between JDK
+    * versions — so JPEG-derived features carry no cross-environment
+    * bit-reproducibility guarantee and must stay off any
+    * oracle-verified surface (the specs pin only lossless formats).
     */
   def decodeImageFeatures(payload: Array[Byte]): Array[Float] = {
     val img = javax.imageio.ImageIO.read(

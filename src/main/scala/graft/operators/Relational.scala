@@ -453,6 +453,9 @@ object Relational {
         .map { case ((name, _), i) => s"'$name', c$i" }.mkString(", ") +
       ") AS (check_name, violations)"
     val scanChecks = scanRow.selectExpr(stackExpr)
+    // an empty uniqueKey would make groupBy() one global group and
+    // silently report total_rows-1 "violations" under an empty label
+    require(uniqueKey.nonEmpty, "qualityReport needs a non-empty uniqueKey")
     val uniq = df.groupBy(uniqueKey.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .agg(coalesce(sum(when(col("__n") > 1, col("__n") - 1L)), lit(0L))

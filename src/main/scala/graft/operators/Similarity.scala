@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * deterministic random-hyperplane signatures so the candidate join is
   * co-partitioned on the bucket key; at 100 TB only bucket-mates meet.
   */
+/** Test-only witness that [[Similarity.mmrSelect]]'s per-round pool
+  * plan stays flat (bounded node count) at any k.
+  */
+private[graft] object MmrDebug {
+  @volatile var maxPoolPlanNodes: Int = 0
+}
+
 object Similarity {
 
   /** Dot product of two numeric arrays (double accumulation) — the
@@ -141,6 +148,13 @@ object Similarity {
     * Contract: the query set is model-sized (collected + broadcast —
     * the same assumption [[annBruteForce]]'s `broadcast(q)` makes);
     * batch corpus-sized query sets through the ANN paths instead.
+    *
+    * Broadcast lifetime: the query broadcast rides inside the returned
+    * (lazy) frame's closure, so it cannot be destroyed here — it is
+    * reclaimed by Spark's ContextCleaner once the caller drops the
+    * frame (same lifetime as any broadcast-join hash relation). Long-
+    * lived sessions issuing many query batches should not retain the
+    * result frames beyond consumption.
     */
   def annBruteForceBlocked(corpus: DataFrame, queries: DataFrame,
                            idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -218,13 +232,22 @@ object Similarity {
     * bit-identical cross-engine and the DuckDB oracle UNROLLS the same
     * k steps in SQL.
     *
-    * Shape: greedy selection is inherently sequential — k driver
-    * rounds, each ONE map-side scan of the (persisted) relevance frame
-    * with the selected vectors as broadcast literals and a
+    * Shape: greedy selection is inherently sequential — up to k driver
+    * rounds, each ONE map-side scan of the pool with a
     * TakeOrderedAndProject top-1; nothing corpus-sized ever reaches
-    * the driver. At 100 TB run it over an ANN candidate pool
+    * the driver. The pool carries a RUNNING `__pen` column (max
+    * cosine-micro to any already-selected vector, clamped at 0), so
+    * each round adds exactly ONE filter + ONE `greatest` over the
+    * previous pool — never k stacked cosine columns or an O(k)
+    * `isin` literal — and the round's frame is localCheckpoint-
+    * truncated, keeping the plan FLAT at any k (superseded pool RDDs
+    * become unreferenced and the ContextCleaner reclaims their
+    * blocks). At 100 TB run it over an ANN candidate pool
     * ([[annIvf]]/[[annLsh]] output), not the raw corpus — the scan is
     * then pool-sized.
+    *
+    * If the pool holds fewer than k vectors the result simply has
+    * fewer rows (selection stops when the pool is exhausted).
     */
   def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, k: Int, lambdaPermille: Long): DataFrame = {
@@ -233,43 +256,48 @@ object Similarity {
     import spark.implicits._
     val qv = corpus.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<float>")).as[Array[Float]].head()
-    val base = corpus.filter(col(idCol) =!= queryId)
+    var pool = corpus.filter(col(idCol) =!= queryId)
       .select(col(idCol).cast("long").as("vec_id"),
               col(vecCol).cast("array<float>").as("__v"))
       .withColumn("rel",
         round(cosine(col("__v"), typedLit(qv.toSeq)) * 1e6).cast("long"))
-      .persist()
-    base.count()
-    try {
-      var selected = List.empty[(Long, Array[Float], Long)] // id, vec, score
-      for (_ <- 1 to k) {
-        val penTerms = selected.map { case (_, v, _) =>
-          round(cosine(col("__v"), typedLit(v.toSeq)) * 1e6).cast("long")
+      .withColumn("__pen", lit(0L))
+      .localCheckpoint()
+    var selected = List.empty[(Long, Long)] // id, score
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
+      // __pen starts at 0 and only grows via greatest, so the `div
+      // 1000` operand stays non-negative, where truncating division
+      // agrees across engines (the link_rank discipline) — identical
+      // to the unrolled max(0, cos-terms...) formulation
+      val top = pool
+        .withColumn("score",
+          expr(s"rel - ($lambdaPermille * __pen) div 1000"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), col("__v"), col("score"))
+        .as[(Long, Array[Float], Long)].take(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (id, v, score) = top(0)
+        selected = selected :+ ((id, score))
+        if (selected.size < k) {
+          val next = pool.filter(col("vec_id") =!= id)
+            .withColumn("__pen",
+              greatest(col("__pen"),
+                round(cosine(col("__v"), typedLit(v.toSeq)) * 1e6)
+                  .cast("long")))
+          // flat-plan witness for the spec: the pre-checkpoint frame is
+          // always (project ∘ filter ∘ LogicalRDD) — NEVER k-deep
+          MmrDebug.maxPoolPlanNodes = math.max(MmrDebug.maxPoolPlanNodes,
+            next.queryExecution.analyzed.collect { case p => p }.size)
+          pool = next.localCheckpoint()
         }
-        // clamped at 0 (no bonus for anti-similarity) — also keeps the
-        // `div 1000` operand non-negative, where truncating division
-        // agrees across engines (the link_rank discipline)
-        val pen = penTerms match {
-          case Nil => lit(0L)
-          case es  => greatest((es :+ lit(0L)): _*)
-        }
-        val pool =
-          if (selected.isEmpty) base
-          else base.filter(!col("vec_id").isin(selected.map(_._1): _*))
-        val top = pool
-          .withColumn("__pen", pen)
-          .withColumn("score",
-            expr(s"rel - ($lambdaPermille * __pen) div 1000"))
-          .orderBy(col("score").desc, col("vec_id"))
-          .limit(1)
-          .select(col("vec_id"), col("__v"), col("score"))
-          .as[(Long, Array[Float], Long)].head()
-        selected = selected :+ ((top._1, top._2, top._3))
       }
-      selected.zipWithIndex.map { case ((id, _, score), i) =>
-        ((i + 1).toLong, id, score)
-      }.toDF("rank", "vec_id", "score_micro")
-    } finally base.unpersist()
+    }
+    selected.zipWithIndex.map { case ((id, score), i) =>
+      ((i + 1).toLong, id, score)
+    }.toDF("rank", "vec_id", "score_micro")
   }
 
   /** Hard-negative mining for contrastive training: per query, the

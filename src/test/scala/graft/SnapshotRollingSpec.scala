@@ -202,6 +202,71 @@ class SnapshotRollingSpec extends AnyFunSuite {
     assert(re == out)
   }
 
+  test("mmrSelect k=64: matches driver greedy reference, layout-invariant, flat plan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.operators.MmrDebug.maxPoolPlanNodes = 0
+    val out = Similarity.mmrSelect(emb, "vec_id", "embedding",
+        queryId = 0L, k = 64, lambdaPermille = 700L)
+      .select("rank", "vec_id", "score_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.size == 64)
+    // the per-round pool plan is (project ∘ filter ∘ LogicalRDD) at
+    // EVERY round — the running-__pen + localCheckpoint design; the
+    // old formulation grew O(k) cosine columns + an O(k) isin literal
+    assert(graft.operators.MmrDebug.maxPoolPlanNodes <= 8,
+      s"pool plan grew to ${graft.operators.MmrDebug.maxPoolPlanNodes} nodes")
+    // layout invariance at the same k
+    val re = Similarity.mmrSelect(emb.repartition(13), "vec_id", "embedding",
+        queryId = 0L, k = 64, lambdaPermille = 700L)
+      .select("rank", "vec_id", "score_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(re == out)
+    // driver-side greedy reference under the exact integer discipline
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val qv = vecs.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+      var na = 0.0; i = 0
+      while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+      var nb = 0.0; i = 0
+      while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def micro(c: Double): Long = java.math.BigDecimal.valueOf(c * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    var pool = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, micro(cos(v, qv)), 0L) } // id, v, rel, pen
+    val ref = Seq.newBuilder[(Long, Long, Long)]
+    var rank = 1L
+    while (rank <= 64 && pool.nonEmpty) {
+      val best = pool
+        .map { case (id, v, rel, pen) => (id, v, rel - (700L * pen) / 1000L) }
+        .minBy { case (id, _, score) => (-score, id) }
+      ref += ((rank, best._1, best._3))
+      pool = pool.filter(_._1 != best._1).map { case (id, v, rel, pen) =>
+        (id, v, rel, math.max(pen, micro(cos(v, best._2))))
+      }
+      rank += 1
+    }
+    assert(out == ref.result())
+  }
+
+  test("mmrSelect: pool smaller than k returns the whole pool, in MMR order") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, lambdaPermille = 500L)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(out.size == 3)
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L))
+  }
+
   test("hardNegatives matches brute-force with same-label pairs removed") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") % 50 === 0)

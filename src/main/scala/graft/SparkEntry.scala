@@ -1119,6 +1119,22 @@ object SparkEntry {
       Similarity.mutualKnn(nbrs)
     }),
 
+    // E41b: the 100 TB mutual-kNN path made EXECUTABLE — the neighbor
+    // frame comes from annIvf (cell-probe ANN over the planted corpus,
+    // corpus as its own query set) instead of the exact scan. Planted
+    // twins are each other's top-1 and the only pairs at cos >= 0.99,
+    // so the thresholded mutual edge set is exactly the planted pair
+    // list (SQL-derivable, like ann_ivf); DedupSimilaritySpec pins
+    // recall of the ANN-composed graph vs the exact graph
+    "mutual_knn_ann" -> ((s, dir) => {
+      val corpus = plantedEmbeddings(Tables(s, dir))
+      Similarity.mutualKnn(
+          Similarity.annIvf(corpus, corpus, "vec_id", "embedding",
+            k = 1, nlist = 32, nprobe = 4, lloydIters = 2))
+        .filter(col("cos") >= 0.99)
+        .select(col("a"), col("b"), col("rank_ab"), col("rank_ba"))
+    }),
+
     // E38: audience-overlap set algebra via KMV theta sketches — ONE
     // corpus pass to bounded per-group sketches (HLL can't intersect),
     // G² pairing driver-side on the model-sized sketch table; exact
@@ -2373,6 +2389,11 @@ object SparkEntry {
          FROM topk f JOIN topk r ON f.query_id = r.neighbor_id
                                 AND f.neighbor_id = r.query_id
          WHERE f.query_id < f.neighbor_id""",
+
+    "mutual_knn_ann" ->
+      """SELECT vec_id AS a, vec_id + 1000000 AS b,
+                CAST(1 AS BIGINT) AS rank_ab, CAST(1 AS BIGINT) AS rank_ba
+         FROM embeddings WHERE vec_id % 10 = 0""",
 
     "audience_overlap" ->
       """WITH g AS (

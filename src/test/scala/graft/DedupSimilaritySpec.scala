@@ -281,6 +281,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     exact.unpersist()
   }
 
+  test("mutual-kNN composed over ANN: executable scale path, pinned edge recall") {
+    // the 100 TB composition (mutualKnn over annIvf instead of the
+    // exact blocked scan), measured as EDGE recall against the exact
+    // mutual graph — an edge needs BOTH directions to survive the
+    // cell probe, so this sits below the one-direction recall@k.
+    // Deterministic (fixed seeds, Lloyd-trained quantizer): the floor
+    // sits just under the measured value; number recorded in SURVEY §5.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity.mutualKnn(
+        Similarity.annBruteForceBlocked(emb, emb, "vec_id", "embedding", k = 5))
+      .select(col("a").as("query_id"), col("b").as("neighbor_id")).cache()
+    assert(exact.count() > 0)
+    def edgeRecall(nprobe: Int): Double = Similarity.recallAtK(
+      Similarity.mutualKnn(
+          Similarity.annIvf(emb, emb, "vec_id", "embedding",
+            k = 5, nlist = 32, nprobe = nprobe, lloydIters = 2))
+        .select(col("a").as("query_id"), col("b").as("neighbor_id")),
+      exact)
+    val r8 = edgeRecall(8)
+    val r16 = edgeRecall(16)
+    info(f"mutual-kNN(annIvf) edge recall vs exact graph: nprobe8=$r8%.4f nprobe16=$r16%.4f")
+    // measured 0.431 / 0.752 — almost exactly the SQUARE of the
+    // one-direction recall@k (0.636 / 0.838 above): an edge survives
+    // iff both endpoints' probes keep it, and probe misses are
+    // near-independent on this uniform corpus
+    assert(r8 >= 0.42, s"mutual-kNN edge recall at nprobe=8: $r8 (measured 0.431)")
+    assert(r16 >= 0.72, s"mutual-kNN edge recall at nprobe=16: $r16 (measured 0.752)")
+    assert(r8 <= r16, "edge recall must not shrink with a wider probe")
+    exact.unpersist()
+  }
+
   test("pack_sequences: offsets tile each shard's token stream exactly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextAnalysis.packSequences(docs, "doc_id",

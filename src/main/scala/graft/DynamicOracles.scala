@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Bpe, Pca, Unigram}
+import graft.sources.Tables
+
+/** Oracle SQL whose TEXT depends on a trained model artifact — the
+  * "ship the learned table as data" device that makes the
+  * deterministic ENCODE / PROJECTION half of the trained operators
+  * driver-verifiable.
+  *
+  * [[Verify]] calls these at dump time: the same deterministic trainer
+  * the query key runs (exact-integer statistics, fixed tie rules — so
+  * two fits of the same data are identical) is re-run against the
+  * verified sf dir, and the model-sized artifact (merge table / piece
+  * table / component matrix) is embedded in the SQL as literals.
+  * DuckDB then independently re-derives the encode or projection from
+  * the raw parquet tables plus the artifact. Training itself stays
+  * engine-side (iterative fits have no SQL twin; the trainer specs
+  * pin planted-structure recovery instead).
+  */
+object DynamicOracles {
+
+  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def dbl(x: Double): String = java.lang.Double.toString(x)
+
+  /** All model-dependent oracles, trained against `dir`. Per-key
+    * failure degrades that key to the rows-only check instead of
+    * failing the dump.
+    */
+  def all(spark: SparkSession, dir: String): Map[String, String] =
+    Seq(
+      "bpe_tokenize" -> (() => bpeTokenize(spark, dir)),
+      "unigram_tokenize" -> (() => unigramTokenize(spark, dir)),
+      "embedding_pca" -> (() => embeddingPca(spark, dir))
+    ).flatMap { case (k, f) =>
+      scala.util.Try(f()).toOption.map(k -> _)
+    }.toMap
+
+  /** BPE encode twin. Per merge (rank order) the full-token
+    * ` l r ` → ` lr ` replace is applied TWICE: a left-to-right
+    * replace consumes the trailing space of each match, so of
+    * directly-consecutive occurrences only every other one merges in
+    * pass 1 — but the survivors are then never adjacent, and pass 2
+    * clears them. Within one rank no new occurrence can form
+    * (`lr` ≠ `l` and ≠ `r`), and a later rank never re-enables an
+    * earlier one (a merge's symbols postdate it in training), so
+    * rank-order exhaustive replacement reproduces the lowest-rank-
+    * first encode loop of [[graft.operators.Bpe.encodeWord]] exactly
+    * (validated symbol-for-symbol over the corpus).
+    */
+  def bpeTokenize(spark: SparkSession, dir: String): String = {
+    val merges = Bpe.train(Tables(spark, dir).documents, "text",
+      numMerges = 30)
+    val chain = merges.sortBy(_.rank).foldLeft("s0") { (acc, m) =>
+      val pat = lit(" " + m.left + " " + m.right + " ")
+      val rep = lit(" " + m.left + m.right + " ")
+      s"replace(replace($acc, $pat, $rep), $pat, $rep)"
+    }
+    raw"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS t
+  FROM documents),
+w AS (SELECT doc_id, i, t[i] AS word
+      FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)),
+dw AS (SELECT DISTINCT word FROM w),
+spread AS (SELECT word,
+    ' ' || regexp_replace(trim(regexp_replace(word, '(.)', '\1 ', 'g')),
+                          '([^ ]+)$$', '\1</w>') || ' ' AS s0
+  FROM dw),
+enc AS (SELECT word, trim($chain) AS e FROM spread),
+j AS (SELECT w.doc_id, w.i, enc.e FROM w JOIN enc USING (word)),
+agg AS (SELECT doc_id,
+    string_agg(e, ' ' ORDER BY i) AS subwords,
+    CAST(sum(len(string_split(e, ' '))) AS BIGINT) AS n_subwords
+  FROM j GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.subwords, '') AS subwords,
+       coalesce(a.n_subwords, 0) AS n_subwords,
+       CAST(len(t.t) AS BIGINT) AS n_words
+FROM toks t LEFT JOIN agg a USING (doc_id)"""
+  }
+
+  /** Unigram (Viterbi) encode twin, as exhaustive search: every
+    * segmentation of every distinct word is enumerated backward by a
+    * recursive CTE (pieces from the embedded vocabulary, unknown
+    * single chars at the fixed unk score), then the winner per word is
+    * max total score with ties to the lexicographically smallest
+    * end-anchored boundary list — exactly the
+    * [[graft.operators.Unigram.segmentWord]] backtrack (dp ties keep
+    * the smallest start = longest final piece, recursively), so the
+    * stronger exhaustive oracle reproduces Viterbi symbol-for-symbol.
+    * Tractable because the enumeration runs per DISTINCT word
+    * (vocabulary-sized), never per document.
+    */
+  def unigramTokenize(spark: SparkSession, dir: String): String = {
+    val pieces = Unigram.train(Tables(spark, dir).documents, "text",
+      vocabSize = 40)
+    val vocabVals = pieces
+      .map(p => s"(${lit(p.piece)}, CAST(${p.scoreMicro} AS BIGINT))")
+      .mkString(", ")
+    raw"""WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS t
+  FROM documents),
+w AS (SELECT doc_id, i, t[i] AS word
+      FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)),
+dw AS (SELECT DISTINCT word FROM w),
+vocab(piece, sc) AS (VALUES $vocabVals),
+cand AS (
+  SELECT p.word, p.j, p.i,
+         coalesce(v.sc, CASE WHEN p.i - p.j = 1
+                             THEN CAST(${Unigram.UnkScoreMicro} AS BIGINT) END)
+           AS psc,
+         p.piece
+  FROM (
+    SELECT dw.word, jj.j, ii.i, substr(dw.word, jj.j + 1, ii.i - jj.j) AS piece
+    FROM dw,
+         UNNEST(generate_series(1, len(dw.word))) AS ii(i),
+         UNNEST(generate_series(0, len(dw.word) - 1)) AS jj(j)
+    WHERE jj.j < ii.i AND ii.i - jj.j <= 6) p
+  LEFT JOIN vocab v ON v.piece = p.piece
+  WHERE coalesce(v.sc, CASE WHEN p.i - p.j = 1
+                            THEN CAST(${Unigram.UnkScoreMicro} AS BIGINT) END)
+        IS NOT NULL),
+seg AS (
+  SELECT word, len(word) AS pos,
+         CAST([] AS BIGINT[]) AS bounds, CAST([] AS VARCHAR[]) AS toks_r,
+         CAST(0 AS BIGINT) AS sc
+  FROM dw
+  UNION ALL
+  SELECT s.word, c.j, s.bounds || [CAST(c.j AS BIGINT)],
+         s.toks_r || [c.piece], s.sc + c.psc
+  FROM seg s JOIN cand c ON c.word = s.word AND c.i = s.pos
+  WHERE s.pos > 0),
+best AS (
+  SELECT word, toks_r FROM (
+    SELECT word, toks_r,
+           row_number() OVER (PARTITION BY word
+             ORDER BY sc DESC, bounds ASC) AS rk
+    FROM seg WHERE pos = 0)
+  WHERE rk = 1),
+encw AS (SELECT word, array_to_string(list_reverse(toks_r), ' ') AS e,
+                CAST(len(toks_r) AS BIGINT) AS np
+         FROM best),
+j AS (SELECT w.doc_id, w.i, encw.e, encw.np FROM w JOIN encw USING (word)),
+agg AS (SELECT doc_id, string_agg(e, ' ' ORDER BY i) AS pieces,
+               CAST(sum(np) AS BIGINT) AS n_pieces
+        FROM j GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.pieces, '') AS pieces,
+       coalesce(a.n_pieces, 0) AS n_pieces,
+       CAST(len(t.t) AS BIGINT) AS n_words
+FROM toks t LEFT JOIN agg a USING (doc_id)"""
+  }
+
+  /** PCA projection + residual twin: plain mat-vec arithmetic with the
+    * fitted mean / component matrix embedded as shortest-round-trip
+    * double literals. Every sum is written left-associated in the
+    * SAME index order [[graft.functions.PcaProjectExpr]] accumulates,
+    * so the doubles (and their round-6 images) are bit-identical
+    * cross-engine; the residual is `sqrt(max(0, ‖c‖² − Σp²))` exactly
+    * as the expression computes it.
+    */
+  def embeddingPca(spark: SparkSession, dir: String): String = {
+    val model = Pca.fit(Tables(spark, dir).embeddings, "embedding", k = 8)
+    val dim = model.dim
+    val cdefs = (0 until dim)
+      .map(i => s"(e[${i + 1}] - (${dbl(model.mean(i))})) AS c${i + 1}")
+      .mkString(",\n    ")
+    val ns = (1 to dim).map(i => s"c$i*c$i").mkString(" + ")
+    val pdefs = model.components.zipWithIndex.map { case (row, r) =>
+      (0 until dim).map(j => s"c${j + 1}*(${dbl(row(j))})").mkString(" + ") +
+        s" AS p${r + 1}"
+    }.mkString(",\n    ")
+    val projSq = (1 to model.k).map(r => s"p$r*p$r").mkString(" + ")
+    val pcSel = (1 to model.k).map(r => s"round(p$r, 6) AS pc$r")
+      .mkString(", ")
+    raw"""SELECT vec_id, $pcSel,
+       round(sqrt(greatest(ns - ($projSq), 0.0)), 6) AS residual
+FROM (
+  SELECT vec_id,
+    $cdefs,
+    $ns AS ns,
+    $pdefs
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings) b) q"""
+  }
+}

@@ -1038,26 +1038,34 @@ object SparkEntry {
 
     // E35: trained BPE tokenizer — ONE corpus word-count pass, then a
     // model-sized (vocabulary-bounded) driver merge loop, native
-    // encode expression. Rows-only: iterative pair-merge training has
-    // no SQL twin; BpeSpec hand-verifies the merge sequence and the
-    // encode order. 30 merges against the synthetic corpus's closed
+    // encode expression. The ENCODE half (full subword stream, not
+    // just counts) is driver-verified against a DuckDB twin whose SQL
+    // [[DynamicOracles.bpeTokenize]] generates at Verify time with the
+    // learned merge table embedded as literals; training itself stays
+    // SQL-inexpressible and is pinned by BpeSpec (merge sequence,
+    // encode order). 30 merges against the synthetic corpus's closed
     // 31-word vocabulary leaves real subword splits visible (a bigger
     // budget would fuse every word back to whole-word tokens)
     "bpe_tokenize" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val merges = Bpe.train(docs, "text", numMerges = 30)
-      docs.select(col("doc_id"),
-        size(Bpe.encode(col("text"), merges)).cast("long").as("n_subwords"),
-        size(filter(split(trim(col("text")), "\\s+"),
-          w => length(w) > 0)).cast("long").as("n_words"))
+      docs.withColumn("__t", Bpe.encode(col("text"), merges))
+        .select(col("doc_id"),
+          concat_ws(" ", col("__t")).as("subwords"),
+          size(col("__t")).cast("long").as("n_subwords"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            w => length(w) > 0)).cast("long").as("n_words"))
     }),
 
     // E36: distributed PCA over the embedding corpus — ONE
     // VectorMomentsAgg pass (exact integer micro-unit moments, O(dim²)
     // state), driver-side deterministic Jacobi eigensolve, map-side
-    // native projection. Rows-only: SQL has no eigendecomposition;
-    // PcaSpec proves planted-subspace recovery, orthonormality, and
-    // bit-identical fits across partition layouts
+    // native projection. The projection+residual output is driver-
+    // verified against a mat-vec DuckDB twin generated at Verify time
+    // with the fitted components as literals
+    // ([[DynamicOracles.embeddingPca]]); the eigensolve itself has no
+    // SQL twin — PcaSpec proves planted-subspace recovery,
+    // orthonormality, and bit-identical fits across partition layouts
     "embedding_pca" -> ((s, dir) => {
       val vecs = Tables(s, dir).embeddings
       val model = Pca.fit(vecs, "embedding", k = 8)
@@ -1146,16 +1154,21 @@ object SparkEntry {
 
     // E35b: unigram-LM tokenizer (SentencePiece-style) — same ONE
     // corpus word-count pass as BPE, driver EM on the model-sized
-    // word table, native Viterbi encode expression. Rows-only like
-    // bpe_tokenize; UnigramSpec hand-verifies the EM fixpoint and
-    // the Viterbi tie rule
+    // word table, native Viterbi encode expression. The ENCODE half
+    // (full piece stream) is driver-verified against an exhaustive-
+    // segmentation DuckDB twin generated at Verify time with the
+    // learned piece table as data ([[DynamicOracles.unigramTokenize]]);
+    // EM training stays SQL-inexpressible, pinned by UnigramSpec
+    // (EM fixpoint, Viterbi tie rule)
     "unigram_tokenize" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val pieces = Unigram.train(docs, "text", vocabSize = 40)
-      docs.select(col("doc_id"),
-        size(Unigram.encode(col("text"), pieces)).cast("long").as("n_pieces"),
-        size(filter(split(trim(col("text")), "\\s+"),
-          w => length(w) > 0)).cast("long").as("n_words"))
+      docs.withColumn("__p", Unigram.encode(col("text"), pieces))
+        .select(col("doc_id"),
+          concat_ws(" ", col("__p")).as("pieces"),
+          size(col("__p")).cast("long").as("n_pieces"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            w => length(w) > 0)).cast("long").as("n_words"))
     }),
 
     // E37: windowed co-occurrence + PMI (GloVe corpus statistic) —
@@ -3682,12 +3695,18 @@ object SparkEntry {
            ORDER BY epoch_us(ts) DESC, event_type ASC) = 1"""
   )
 
+  /** Queries whose oracle SQL is generated at Verify time by
+    * [[DynamicOracles]] (the learned model artifact is embedded as
+    * literals — the static [[oracleSql]] map cannot carry them).
+    */
+  val dynamicOracleQueries: Set[String] =
+    Set("bpe_tokenize", "unigram_tokenize", "embedding_pca")
+
   /** Queries intentionally without a DuckDB oracle (hash-seed-dependent
     * or iteratively-trained outputs SQL cannot re-derive) — driver
     * records a rows-only check; each has a ScalaTest spec asserting
     * exact recovery of planted structure instead.
     */
   val rowsOnlyQueries: Set[String] =
-    Set("dedup_simhash", "quality_classifier", "curate_corpus",
-        "bpe_tokenize", "unigram_tokenize", "embedding_pca")
+    Set("dedup_simhash", "quality_classifier", "curate_corpus")
 }

@@ -41,7 +41,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+    // model-dependent oracles (learned table embedded as literals) are
+    // generated HERE, against the verified sf dir — see DynamicOracles;
+    // a generation failure degrades those keys to rows-only, never the
+    // whole dump
+    val dynamic =
+      try DynamicOracles.all(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic).filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -26,10 +26,18 @@ class CoreOperatorsSpec extends AnyFunSuite {
 
   test("every query key has an oracle or a declared rows-only waiver") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
-      SparkEntry.rowsOnlyQueries
+      SparkEntry.dynamicOracleQueries -- SparkEntry.rowsOnlyQueries
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphan.isEmpty, s"oracles without query: $orphan")
+    // dynamic-oracle keys must exist, not carry a static oracle, and
+    // actually generate SQL for the test corpus
+    assert((SparkEntry.dynamicOracleQueries -- SparkEntry.queries.keySet).isEmpty)
+    assert((SparkEntry.dynamicOracleQueries & SparkEntry.oracleSql.keySet).isEmpty)
+    val dyn = DynamicOracles.all(spark, sf)
+    assert(dyn.keySet == SparkEntry.dynamicOracleQueries,
+      s"dynamic oracle generation incomplete: got ${dyn.keySet}")
+    dyn.values.foreach(sql => assert(sql.trim.nonEmpty))
   }
 
   test("entry returns rows") {

@@ -343,6 +343,23 @@ object GraftFunctions {
         s"$fn: $arg must be a literal array of strings, got $e")
     }
 
+  private def longArrayLit(e: Expression, fn: String, arg: String): Seq[Long] =
+    e match {
+      case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData, _) =>
+        a.toObjectArray(org.apache.spark.sql.types.LongType)
+          .map { case l: java.lang.Long => l.longValue() }.toSeq
+      case ca: org.apache.spark.sql.catalyst.expressions.CreateArray
+          if ca.children.forall(_.isInstanceOf[Literal]) =>
+        ca.children.map(c => lit(c, fn, arg) match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case o => throw new IllegalArgumentException(
+            s"$fn: $arg must contain integer literals, got $o")
+        })
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal array of longs, got $e")
+    }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
@@ -396,5 +413,49 @@ object GraftFunctions {
     fn("graft_multi_match", 2,
        "_FUNC_(text, patterns) - distinct blocklist patterns occurring in text")(
       args => graft.functions.MultiMatchExpr(args(0),
-        strArrayLit(args(1), "graft_multi_match", "patterns"))))
+        strArrayLit(args(1), "graft_multi_match", "patterns"))),
+    fn("graft_bpe_encode", 2,
+       "_FUNC_(text, merges) - BPE subword tokens; merges is a literal array " +
+       "of 'left right' pair strings in rank order (index = merge rank)")(
+      args => graft.functions.BpeEncodeExpr(args(0),
+        strArrayLit(args(1), "graft_bpe_encode", "merges").zipWithIndex.map {
+          case (m, rank) => m.split(" ", 2) match {
+            case Array(l, r) if l.nonEmpty && r.nonEmpty => (l, r, rank)
+            case _ => throw new IllegalArgumentException(
+              s"graft_bpe_encode: merges entries must be 'left right' pairs, got '$m'")
+          }
+        })),
+    fn("graft_unigram_encode", 4,
+       "_FUNC_(text, pieces, scores_micro, max_piece_len) - unigram-LM Viterbi " +
+       "pieces; pieces/scores_micro are parallel literal arrays")(
+      args => {
+        val pieces = strArrayLit(args(1), "graft_unigram_encode", "pieces")
+        val scores = longArrayLit(args(2), "graft_unigram_encode", "scores_micro")
+        if (pieces.length != scores.length) throw new IllegalArgumentException(
+          s"graft_unigram_encode: pieces (${pieces.length}) and scores_micro " +
+          s"(${scores.length}) must be the same length")
+        graft.functions.UnigramEncodeExpr(args(0), pieces.zip(scores),
+          intLit(args(3), "graft_unigram_encode", "max_piece_len"))
+      }),
+    fn("graft_zorder", 3,
+       "_FUNC_(x, y, bits) - Morton/Z-order interleave of two non-negative " +
+       "integer columns over the low `bits` bits of each")(
+      args => {
+        // built directly in Catalyst (the Column API's lazy ColumnNodes
+        // cannot be embedded inside an already-resolving SQL plan); the
+        // node shape matches Layout.zorderValue exactly — parity is
+        // spec-asserted in SqlFunctionsSpec
+        val bits = intLit(args(2), "graft_zorder", "bits")
+        if (bits < 1 || bits > 31) throw new IllegalArgumentException(
+          s"graft_zorder: bits must be in [1,31], got $bits")
+        def long(e: Expression) = Cast(e, LongType)
+        val xl = long(args(0)); val yl = long(args(1))
+        (0 until bits).map { i =>
+          Add(
+            ShiftLeft(BitwiseAnd(ShiftRightUnsigned(xl, Literal(i)),
+              Literal(1L)), Literal(2 * i)),
+            ShiftLeft(BitwiseAnd(ShiftRightUnsigned(yl, Literal(i)),
+              Literal(1L)), Literal(2 * i + 1)))
+        }.reduce[Expression]((a, b) => Add(a, b))
+      }))
 }

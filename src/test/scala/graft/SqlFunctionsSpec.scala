@@ -116,4 +116,68 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("literal array"), bad.getMessage)
   }
+
+  test("graft_bpe_encode and graft_unigram_encode from SQL ≡ Column API") {
+    docsView()
+    // small hand-fixed tables: the SQL path must produce the exact token
+    // streams the Column API's native expressions produce
+    val merges = Seq(("t</w>", "h", 0), ("e", "r</w>", 1), ("h", "e", 2))
+    val mergesSql = merges.map { case (l, r, _) => s"'$l $r'" }.mkString(", ")
+    val pieces = Seq(("the", -1000000L), ("th", -1500000L), ("e", -2000000L),
+                     ("r", -2100000L), ("o", -2200000L), ("t", -2300000L),
+                     ("h", -2400000L))
+    val piecesSql = pieces.map(p => s"'${p._1}'").mkString(", ")
+    val scoresSql = pieces.map(p => s"${p._2}L").mkString(", ")
+    val viaSql = spark.sql(s"""
+      SELECT doc_id,
+             graft_bpe_encode(lower(substring(text, 1, 64)),
+                              array($mergesSql)) AS bpe,
+             graft_unigram_encode(lower(substring(text, 1, 64)),
+                                  array($piecesSql), array($scoresSql), 3) AS uni
+      FROM sql_fn_docs""")
+      .as[(Long, Seq[String], Seq[String])].collect().sortBy(_._1)
+    val d = spark.table("sql_fn_docs")
+    val t = lower(substring(col("text"), 1, 64))
+    val viaCol = d.select(col("doc_id"),
+        graft.functions.BpeEncodeExpr(t, merges).as("bpe"),
+        graft.functions.UnigramEncodeExpr(t, pieces, 3).as("uni"))
+      .as[(Long, Seq[String], Seq[String])].collect().sortBy(_._1)
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql.exists(_._2.nonEmpty) && viaSql.exists(_._3.nonEmpty))
+    // mismatched parallel arrays must be rejected at plan time
+    val bad = intercept[Exception] {
+      spark.sql("SELECT graft_unigram_encode('x', array('a','b'), array(1L), 3)")
+        .collect()
+    }
+    assert(bad.getMessage.contains("same length"), bad.getMessage)
+    // malformed merge entry (no space) must be rejected
+    val badMerge = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_encode('x', array('ab'))").collect()
+    }
+    assert(badMerge.getMessage.contains("left right"), badMerge.getMessage)
+  }
+
+  test("graft_zorder from SQL ≡ Column API and hand-computed interleave") {
+    // x=3 (011), y=5 (101): x bits at even positions 0,2 -> 1+4=5;
+    // y bits at odd positions 1,5 -> 2+32=34; z = 39
+    val one = spark.sql("SELECT graft_zorder(3, 5, 4) AS z").head().getLong(0)
+    assert(one == 39L)
+    docsView()
+    val viaSql = spark.sql("""
+      SELECT doc_id, graft_zorder(doc_id, length(text), 16) AS z
+      FROM sql_fn_docs""").as[(Long, Long)].collect().sortBy(_._1)
+    val viaCol = spark.table("sql_fn_docs")
+      .select(col("doc_id"),
+        graft.operators.Layout.zorderValue(
+          col("doc_id"), length(col("text")), 16).as("z"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(viaSql.toSeq == viaCol.toSeq)
+    // bits must be a literal
+    val bad = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_zorder(doc_id, 1, CAST(doc_id AS INT)) FROM sql_fn_docs")
+        .collect()
+    }
+    assert(bad.getMessage.contains("literal"), bad.getMessage)
+  }
 }

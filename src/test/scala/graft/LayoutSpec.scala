@@ -69,6 +69,63 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("writeZordered: selective predicates on BOTH axes skip row groups " +
+       "at scan; a linear sort only prunes its leading column") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = java.nio.file.Files.createTempDirectory("graft_zprune").toFile
+      .getAbsolutePath
+    val zdir = base + "/z"; val ldir = base + "/linear"
+    // tiny parquet row groups so one file holds MANY groups — the
+    // pruning granularity the reader's min/max stats operate on
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 8 * 1024)
+    hc.setInt("parquet.page.size", 2 * 1024)
+    try {
+      val grid = spark.range(65536).select(
+        (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+      Layout.writeZordered(grid, "x", "y", bits = 8, nFiles = 16, path = zdir)
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+        .write.parquet(ldir)
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size")
+      else hc.set("parquet.page.size", oldPage)
+    }
+    // rows the scan MATERIALIZED (survived row-group/page stats) vs rows
+    // the query returned — runtime skipping is the gap between them
+    def scanVsResult(dir: String, predCol: String): (Long, Long) = {
+      // page-level column-index pruning off: the assertion targets
+      // ROW-GROUP stats granularity (and the linear layout's x-tie
+      // order happens to be y-sorted, which page stats would exploit)
+      val df = spark.read
+        .option("parquet.filter.columnindex.enabled", "false")
+        .parquet(dir).filter(col(predCol) === 5L)
+      val n = df.count(); df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+      (scans.map(_.metrics("numOutputRows").value).sum, n)
+    }
+    val total = 65536L
+    val (zxScan, zxRows) = scanVsResult(zdir, "x")
+    val (zyScan, zyRows) = scanVsResult(zdir, "y")
+    val (lyScan, lyRows) = scanVsResult(ldir, "y")
+    assert(zxRows == 256L && zyRows == 256L && lyRows == 256L)
+    // Z layout: BOTH axes prune — the scan materializes a small fraction
+    assert(zxScan < total / 4, s"x-predicate on Z layout materialized $zxScan")
+    assert(zyScan < total / 4, s"y-predicate on Z layout materialized $zyScan")
+    // linear-by-x layout: a y predicate prunes (almost) nothing — every
+    // x-sorted row group spans the full y range
+    assert(lyScan > (total * 9) / 10,
+      s"y-predicate on linear layout unexpectedly pruned: $lyScan")
+    assert(lyScan > zyScan * 4,
+      s"Z should beat linear on the non-leading axis: z=$zyScan linear=$lyScan")
+  }
+
   // --- columnStatsIndex --------------------------------------------------
 
   test("columnStatsIndex: blocks, milli min/max, null accounting") {

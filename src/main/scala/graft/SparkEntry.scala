@@ -407,6 +407,25 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // E52: mergeable deterministic quantile sketch (KLL/MRL levels,
+    // alternating compaction). Exact-regime here (k ≥ largest group, so
+    // err_bound = 0 and ranks are engine-exact); at 100 TB the same
+    // aggregate compacts to O(k log(n/k)) memory instead of buffering
+    // every value the way Spark's exact `percentile` does.
+    "quantile_sketch" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("l_returnflag")
+        .agg(graft.functions.KllQuantilesAgg(
+          col("cents"), 1 << 19, Seq(0.5, 0.9, 0.99)).as("s"))
+        .select(col("l_returnflag"), col("s.n").as("n"),
+          col("s.err_bound").as("err_bound"),
+          col("s.qs").getItem(0).as("p50_cents"),
+          col("s.qs").getItem(1).as("p90_cents"),
+          col("s.qs").getItem(2).as("p99_cents"))
+    }),
+
     // C14: run metrics (alma_publish_parser.py:302-308)
     "run_metrics" -> ((s, dir) => {
       Tables(s, dir).events.groupBy(col("event_type"))
@@ -1879,6 +1898,18 @@ object SparkEntry {
                 round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
+
+    // type-1 / inverse-CDF rank = DuckDB quantile_disc; err_bound 0 in
+    // the exact regime the driver verifies at
+    "quantile_sketch" ->
+      """SELECT l_returnflag, count(*) AS n, CAST(0 AS BIGINT) AS err_bound,
+                quantile_disc(cents, 0.5) AS p50_cents,
+                quantile_disc(cents, 0.9) AS p90_cents,
+                quantile_disc(cents, 0.99) AS p99_cents
+         FROM (SELECT l_returnflag,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem)
+         GROUP BY l_returnflag""",
 
     "config_dims" ->
       """SELECT n_nationkey AS location_id, n_name AS code, r_name AS library_code,

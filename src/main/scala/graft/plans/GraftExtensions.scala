@@ -360,6 +360,24 @@ object GraftFunctions {
         s"$fn: $arg must be a literal array of longs, got $e")
     }
 
+  private def doubleArrayLit(e: Expression, fn: String, arg: String): Seq[Double] =
+    e match {
+      case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData, _) =>
+        a.toObjectArray(org.apache.spark.sql.types.DoubleType)
+          .map { case d: java.lang.Double => d.doubleValue() }.toSeq
+      case ca: org.apache.spark.sql.catalyst.expressions.CreateArray
+          if ca.children.forall(_.isInstanceOf[Literal]) =>
+        ca.children.map(c => lit(c, fn, arg) match {
+          case d: Double => d
+          case i: Int => i.toDouble
+          case l: Long => l.toDouble
+          case o => throw new IllegalArgumentException(
+            s"$fn: $arg must contain numeric literals, got $o")
+        })
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal array of doubles, got $e")
+    }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
@@ -437,6 +455,12 @@ object GraftFunctions {
         graft.functions.UnigramEncodeExpr(args(0), pieces.zip(scores),
           intLit(args(3), "graft_unigram_encode", "max_piece_len"))
       }),
+    fn("graft_quantile_sketch", 3,
+       "_FUNC_(col, k, phis) - mergeable deterministic KLL quantile sketch " +
+       "over a LONG column; struct(n, err_bound, qs)")(
+      args => graft.functions.KllQuantilesAgg(args(0),
+        intLit(args(1), "graft_quantile_sketch", "k"),
+        doubleArrayLit(args(2), "graft_quantile_sketch", "phis"))),
     fn("graft_zorder", 3,
        "_FUNC_(x, y, bits) - Morton/Z-order interleave of two non-negative " +
        "integer columns over the low `bits` bits of each")(

@@ -215,4 +215,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("quantile_sketch: two-phase object aggregation — sketches merge " +
+       "map-side, values never ride the shuffle") {
+    val plan = formatted(SparkEntry.queries("quantile_sketch")(spark, sf))
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass before the exchange and a merge pass after — only
+    // O(k log n) sketch bytes cross the wire, never the value stream
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(nodeCount(plan, "Exchange") == 1, plan)
+    assert(scanCount(plan) == 1, plan)
+    assert(!plan.contains("Sort "), s"no sort should be needed:\n$plan")
+  }
 }

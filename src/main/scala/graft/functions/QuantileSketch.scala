@@ -36,11 +36,12 @@ private[functions] final class LongBuf(initial: Int = 16) {
   * size, no compaction fires, `errBound` stays 0, and every quantile
   * is exact — the oracle-verifiable regime.
   */
-private[functions] final class KllBuffer(val k: Int) {
+final class KllBuffer(val k: Int) {
   var n: Long = 0L
   var errBound: Long = 0L
-  val levels = scala.collection.mutable.ArrayBuffer(new LongBuf())
-  val flips = scala.collection.mutable.ArrayBuffer(false)
+  private[functions] val levels =
+    scala.collection.mutable.ArrayBuffer(new LongBuf())
+  private[functions] val flips = scala.collection.mutable.ArrayBuffer(false)
 
   private def ensureLevel(h: Int): Unit =
     while (levels.size <= h) { levels += new LongBuf(); flips += false }
@@ -112,6 +113,58 @@ private[functions] final class KllBuffer(val k: Int) {
   }
 }
 
+object KllBuffer {
+  /** Wire form shared by the aggregate's shuffle partials and the
+    * streaming state store (same bytes either way — a sketch is a
+    * sketch). */
+  def toBytes(buf: KllBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeLong(buf.n)
+    out.writeLong(buf.errBound)
+    out.writeInt(buf.levels.size)
+    var h = 0
+    while (h < buf.levels.size) {
+      out.writeBoolean(buf.flips(h))
+      val b = buf.levels(h)
+      out.writeInt(b.size)
+      var i = 0
+      while (i < b.size) { out.writeLong(b.a(i)); i += 1 }
+      h += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): KllBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new KllBuffer(in.readInt())
+    buf.n = in.readLong()
+    buf.errBound = in.readLong()
+    val nLevels = in.readInt()
+    var h = 0
+    while (h < nLevels) {
+      if (h > 0) { buf.levels += new LongBuf(); buf.flips += false }
+      buf.flips(h) = in.readBoolean()
+      val sz = in.readInt()
+      var i = 0
+      while (i < sz) { buf.levels(h).add(in.readLong()); i += 1 }
+      h += 1
+    }
+    buf
+  }
+
+  /** Inverse-CDF (type-1) quantile answers for `phis` — the same rank
+    * rule the aggregate's eval uses. Empty sketch → empty. */
+  def quantiles(buf: KllBuffer, phis: Seq[Double]): Seq[Long] =
+    if (buf.n == 0L) Seq.empty
+    else phis.map { p =>
+      val r = math.max(0L, math.ceil(p * buf.n).toLong - 1L)
+      buf.valueAtRank(math.min(r, buf.n - 1L))
+    }
+}
+
 /** `quantile_sketch(col, k, phis)` — mergeable deterministic quantile
   * sketch over a LONG column (integer micros/cents per the house
   * fixed-point discipline).
@@ -174,43 +227,10 @@ case class KllQuantilesAgg(
     InternalRow(buf.n, buf.errBound, new GenericArrayData(qs))
   }
 
-  override def serialize(buf: KllBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.k)
-    out.writeLong(buf.n)
-    out.writeLong(buf.errBound)
-    out.writeInt(buf.levels.size)
-    var h = 0
-    while (h < buf.levels.size) {
-      out.writeBoolean(buf.flips(h))
-      val b = buf.levels(h)
-      out.writeInt(b.size)
-      var i = 0
-      while (i < b.size) { out.writeLong(b.a(i)); i += 1 }
-      h += 1
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: KllBuffer): Array[Byte] = KllBuffer.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): KllBuffer = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new KllBuffer(in.readInt())
-    buf.n = in.readLong()
-    buf.errBound = in.readLong()
-    val nLevels = in.readInt()
-    var h = 0
-    while (h < nLevels) {
-      if (h > 0) { buf.levels += new LongBuf(); buf.flips += false }
-      buf.flips(h) = in.readBoolean()
-      val sz = in.readInt()
-      var i = 0
-      while (i < sz) { buf.levels(h).add(in.readLong()); i += 1 }
-      h += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    KllBuffer.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): KllQuantilesAgg =
     copy(mutableAggBufferOffset = o)

@@ -328,6 +328,46 @@ object Streams {
     b.unpersist()
   }
 
+  case class Measure(key: String, value: Long)
+  case class KeyQuantiles(key: String, n: Long, err_bound: Long,
+                          qs: Seq[Long])
+
+  /** D11: per-key RUNNING quantiles over an unbounded value stream —
+    * latency percentiles per endpoint, size percentiles per source —
+    * via a [[graft.functions.KllBuffer]] sketch held in keyed state.
+    *
+    * State per key is the sketch's O(k·log(n/k)) longs, NEVER the
+    * value history: the store round-trips the exact wire bytes the
+    * batch aggregate ships through its shuffle
+    * ([[graft.functions.KllBuffer.toBytes]]). Batch rows are folded in
+    * sorted order, so (state, batch-content) → state' is a pure
+    * deterministic function: an at-least-once re-execution of a batch
+    * rebuilds a byte-identical sketch (the determinism the alternating
+    * compaction buys — a randomized sketch would diverge on replay).
+    * Output (Update mode): one row per touched key per batch with the
+    * current inverse-CDF quantiles and the sketch's carried worst-case
+    * rank-error bound. In the k ≥ n regime the emitted quantiles equal
+    * the batch aggregate's exactly — spec-asserted.
+    */
+  def streamQuantiles(measures: Dataset[Measure], k: Int,
+                      phis: Seq[Double]): Dataset[KeyQuantiles] = {
+    import measures.sparkSession.implicits._
+    import graft.functions.KllBuffer
+    measures.groupByKey(_.key)
+      .mapGroupsWithState[Array[Byte], KeyQuantiles](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Measure], state: GroupState[Array[Byte]]) =>
+          val buf = state.getOption.map(KllBuffer.fromBytes)
+            .getOrElse(new KllBuffer(k))
+          val vals = rows.map(_.value).toArray
+          java.util.Arrays.sort(vals) // deterministic fold order
+          vals.foreach(buf.insert)
+          state.update(KllBuffer.toBytes(buf))
+          KeyQuantiles(key, buf.n, buf.errBound,
+            KllBuffer.quantiles(buf, phis))
+      }
+  }
+
   /** Stable-file detection: the sftp_wait_for_stable semantics
     * (sftp_wait_for_stable.py) as a relational op over two manifest
     * snapshots (path, size) — a file is stable when its size is

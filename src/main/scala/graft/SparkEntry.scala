@@ -1155,9 +1155,15 @@ object SparkEntry {
     // recall of the ANN-composed graph vs the exact graph
     "mutual_knn_ann" -> ((s, dir) => {
       val corpus = plantedEmbeddings(Tables(s, dir))
+      // √n-scaled list count: cells stay ~√n vectors so the self-join
+      // candidate volume rides the n^1.5 IVF path — a FIXED nlist is
+      // quadratic in disguise (sf1 rehearsal: 316s → this) ; the count
+      // is an index-build-time decision, same as any ANN library's
+      // auto-tuning pass
+      val nlist = Similarity.ivfNlistFor(corpus.count())
       Similarity.mutualKnn(
           Similarity.annIvf(corpus, corpus, "vec_id", "embedding",
-            k = 1, nlist = 32, nprobe = 4, lloydIters = 2))
+            k = 1, nlist = nlist, nprobe = 4, lloydIters = 2))
         .filter(col("cos") >= 0.99)
         .select(col("a"), col("b"), col("rank_ab"), col("rank_ba"))
     }),

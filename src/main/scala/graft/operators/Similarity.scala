@@ -416,12 +416,26 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       explode(graft.functions.NearestCells(col(vecCol), centroids, nprobe))
         .as("cell"))
+    // no dedup needed (unlike LSH multi-table): a corpus vector lives
+    // in exactly ONE cell and the probed cells are distinct, so a
+    // (query, neighbor) pair can meet at most once — a dropDuplicates
+    // here would full-shuffle the candidate frame for nothing
+    // (measured at the 22k-vector self-join: its removal plus √n-scaled
+    // nlist took the composed mutual-kNN from 316s to the n^1.5 path)
     topKByCos(c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
               round(cosine(col("__qv"), col("__cv")), 6).as("cos")), k)
   }
+
+  /** IVF list count that keeps the candidate volume on the n^1.5 path:
+    * cells of ~√n vectors, so each query scores nprobe·√n candidates
+    * instead of the nprobe·n/nlist blowup a FIXED nlist degrades to as
+    * the corpus grows (nlist=32 at 22k vectors means 690-vector cells —
+    * quadratic in disguise; the sf1 rehearsal measured exactly that).
+    */
+  def ivfNlistFor(n: Long, floor: Int = 32): Int =
+    math.max(floor, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** Build and persist an IVF index: train the coarse quantizer, then
     * write (a) the nlist×dim centroid matrix and (b) every corpus
@@ -470,9 +484,10 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       explode(graft.functions.NearestCells(col(vecCol), centroids, nprobe))
         .as("cell"))
+    // single-cell assignment + distinct probes ⇒ pairs already unique
+    // (see annIvf) — no dedup shuffle
     topKByCos(c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
               round(cosine(col("__qv"), col("__cv")), 6).as("cos")), k)
   }

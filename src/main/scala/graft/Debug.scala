@@ -59,21 +59,33 @@ object Debug {
     println(s"[dbg] A-group bench order: " +
       SparkEntry.queries.keysIterator.filter(aGroup).mkString(" → "))
 
-    // which stage is bimodal? raw split flatMap (no persist, no
-    // from_json) vs the persisted+parsed corpus vs the item filter
-    (1 to 4).foreach { i =>
-      time(s"raw splitRecords count (no persist) run$i") {
-        graft.marc.MarcCorpus.splitRecords(
-          graft.sources.Tables(spark, sf)).count(); ()
+    // r6 sf1 experiment: where do the A-group's 160s go at 10× data?
+    // raw fused parse (no persist) vs persist materialization vs the
+    // post-persist consumers; then the storage footprint (spill?)
+    val sf1 = "/tmp/graft_sf1"
+    if (new java.io.File(sf1).isDirectory) {
+      (1 to 2).foreach { i =>
+        time(s"sf1 raw splitRecords count (no persist) run$i") {
+          graft.marc.MarcCorpus.splitRecords(
+            graft.sources.Tables(spark, sf1)).count(); ()
+        }
       }
-    }
-    val runs = (1 to 4).map { i =>
       SparkEntry.resetCaches(spark)
-      time(s"publish_split_item sf0.1 cold-cache run$i") {
-        SparkEntry.queries("publish_split_item")(spark, sf).count(); ()
+      time("sf1 publish_split_bib (pays persist)") {
+        SparkEntry.queries("publish_split_bib")(spark, sf1).count(); ()
+      }
+      Seq("publish_split_holding", "publish_split_item", "marc_build",
+          "marc_xml_roundtrip", "marc_binary_roundtrip", "ids_from_files")
+        .foreach { q =>
+          time(s"sf1 $q (warm cache)") {
+            SparkEntry.queries(q)(spark, sf1).count(); ()
+          }
+        }
+      spark.sparkContext.getRDDStorageInfo.foreach { info =>
+        println(s"[dbg] cached ${info.name}: mem=${info.memSize / 1048576}MB " +
+          s"disk=${info.diskSize / 1048576}MB parts=${info.numCachedPartitions}")
       }
     }
-    println(f"[dbg] publish_split_item min-of-4: ${runs.min}%.2fs (all: ${runs.map(r => f"$r%.2f").mkString(", ")})")
     spark.stop()
   }
 }

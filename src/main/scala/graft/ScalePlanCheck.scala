@@ -1,0 +1,53 @@
+package graft
+
+/** Broadcast-threshold / join-strategy cliff detector: compare each
+  * query's (pre-AQE) physical join strategies at two SF dirs and flag
+  * any flip — a dimension that silently crossed
+  * `spark.sql.autoBroadcastJoinThreshold` and turned a broadcast join
+  * into a full shuffle (or worse, a nested-loop) is exactly the kind
+  * of 10×-data regression that stays invisible in value checks.
+  *
+  * Usage: `runMain graft.ScalePlanCheck <dirA> <dirB> [key1,key2,...]`
+  * (defaults: sf0.1 vs /tmp/graft_sf1, all keys). Plans only — nothing
+  * executes.
+  */
+object ScalePlanCheck {
+  private val joinNodes = Seq("BroadcastHashJoin", "SortMergeJoin",
+    "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+
+  def strategies(plan: String): Map[String, Int] =
+    joinNodes.map(n => n -> n.r.findAllIn(plan).size).filter(_._2 > 0).toMap
+
+  def main(args: Array[String]): Unit = {
+    val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dirB = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val only = if (args.length > 2)
+      Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet) else None
+    val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    var flips = 0
+    SparkEntry.queries
+      .filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
+        try {
+          val a = strategies(fn(spark, dirA).queryExecution.executedPlan.toString)
+          val b = strategies(fn(spark, dirB).queryExecution.executedPlan.toString)
+          val danger = b.keySet.exists(k =>
+            k.contains("NestedLoop") || k.contains("Cartesian"))
+          if (a != b) {
+            flips += 1
+            println(s"[scaleplan] FLIP $name: $dirA=$a  $dirB=$b")
+          } else if (danger)
+            // same strategy at both SFs incl. a nested-loop: usually a
+            // DELIBERATE 1-row scalar broadcast (corpus totals, norms,
+            // max-Z) or the documented brute-force ANN baseline —
+            // triage by hand, it is not a scale flip
+            println(s"[scaleplan] note $name: stable nested-loop $b")
+        } catch {
+          case e: Throwable =>
+            println(s"[scaleplan] SKIP $name: ${e.getClass.getSimpleName}")
+        }
+      }
+    println(s"[scaleplan] done, $flips strategy flips")
+    spark.stop()
+  }
+}

@@ -65,15 +65,21 @@ object SparkEntry {
     * cosine ≈ 0.9997 to its original (base corpus max pairwise cosine
     * is ~0.48, so threshold 0.99 isolates exactly the planted pairs).
     */
-  private def plantedEmbeddings(t: Tables): DataFrame = {
+  /** Perturbed near-copies of every 10th embedding, ids offset by 1e6 —
+    * the planted ground truth the near-dup/ANN/decontamination oracles
+    * re-derive structurally. */
+  private def plantedCopies(t: Tables): DataFrame = {
     val e = t.embeddings.select(col("vec_id"), col("embedding"))
     val noise = transform(col("embedding"), (x, i) =>
       x + (pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("float") / 100000.0f
            - 0.005f))
-    e.unionByName(
-      e.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), noise.as("embedding")))
+    e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), noise.as("embedding"))
   }
+
+  private def plantedEmbeddings(t: Tables): DataFrame =
+    t.embeddings.select(col("vec_id"), col("embedding"))
+      .unionByName(plantedCopies(t))
 
   /** Split publish corpus (bib/holding/item union) for the A-group ops.
     * Parsed once per (session, sf dir) and persisted — the pipeline
@@ -892,6 +898,18 @@ object SparkEntry {
     "semantic_dedup" -> ((s, dir) => {
       Similarity.semanticDedup(plantedEmbeddings(Tables(s, dir)),
         "vec_id", "embedding", dim = 64, threshold = 0.99)
+    }),
+
+    // E53: embedding-space benchmark decontamination — train docs whose
+    // best EVAL-set cosine reaches 0.99 are leakage; eval = the planted
+    // perturbed copies, so the flagged set is exactly the planted
+    // sources (ids structural, cos noise-dependent → ids-only surface)
+    "semantic_decontaminate" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.semanticDecontaminate(
+          t.embeddings.select(col("vec_id"), col("embedding")),
+          plantedCopies(t), "vec_id", "embedding", threshold = 0.99)
+        .select(col("train_id"), col("eval_id"))
     }),
 
     // E6: exact top-k cosine neighbors (brute force baseline)
@@ -3202,6 +3220,13 @@ object SparkEntry {
 
     "marc_xml_roundtrip" -> RoundtripSql,
     "marc_binary_roundtrip" -> RoundtripSql,
+
+    // planted-structure oracle (the mutual_knn_ann device): the noise
+    // keeps copies within cos 0.99+ of their source and random cross
+    // pairs far below, so flagged = exactly the planted sources
+    "semantic_decontaminate" ->
+      """SELECT vec_id AS train_id, vec_id + 1000000 AS eval_id
+         FROM embeddings WHERE vec_id % 10 = 0""",
 
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

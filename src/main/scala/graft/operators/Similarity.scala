@@ -125,6 +125,39 @@ object Similarity {
     topKByCos(scored, k)
   }
 
+  /** Embedding-space benchmark decontamination (E53): flag every TRAIN
+    * vector whose best cosine match in the EVAL set reaches
+    * `threshold` — the semantic complement of the exact/n-gram/bloom/
+    * span decontamination family (catches paraphrased or re-tokenized
+    * benchmark leakage that token-level matching misses; the SemDeDup/
+    * benchmark-decontamination practice for LLM corpora).
+    *
+    * Scale shape: the eval set is MODEL-sized (benchmarks are
+    * thousands of rows) and rides one broadcast; the train corpus
+    * streams map-side through the scoring cross product (a deliberate
+    * broadcast nested-loop — same device as [[annBruteForce]]) into
+    * per-train-id bounded top-1 heaps, so the corpus never shuffles
+    * and nothing rides the wire but heap partials. For an eval set too
+    * big to broadcast, compose [[annIvf]] with a threshold filter
+    * instead.
+    *
+    * Output: `(train_id, eval_id, cos)` — the best eval match per
+    * flagged train vector (cos ≥ threshold), ready for an anti-join
+    * against the corpus.
+    */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val t = train.select(col(idCol).as("query_id"), col(vecCol).as("__tv"))
+    val e = eval.select(col(idCol).as("neighbor_id"), col(vecCol).as("__ev"))
+    topKByCos(t.crossJoin(broadcast(e))
+        .select(col("query_id"), col("neighbor_id"),
+                round(cosine(col("__tv"), col("__ev")), 6).as("cos")), 1)
+      .filter(col("cos") >= threshold)
+      .select(col("query_id").as("train_id"),
+              col("neighbor_id").as("eval_id"), col("cos"))
+  }
+
   /** Exact top-k cosine neighbors via per-partition BLOCKED scoring —
     * the mapPartitions escape hatch, taken deliberately: result- and
     * bit-identical to [[annBruteForce]], but the n·|queries| scored

@@ -312,6 +312,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     exact.unpersist()
   }
 
+  test("semanticDecontaminate: flags exactly the near-copied train docs, " +
+       "eval broadcast, corpus never shuffles before the heap agg") {
+    import graft.operators.Similarity
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.6f, 0.8f, 0.0f))).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, Seq(0.01f, 0.999f, 0.0f)), // near-copy of train 2
+      (101L, Seq(0.0f, 0.0f, 1.0f)))    // orthogonal to everything
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(
+        train, eval, "vec_id", "embedding", 0.99)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 100L)))
+    // raising the bar past the best match (cos(2,100) ≈ 0.99995) flags
+    // nothing
+    assert(Similarity.semanticDecontaminate(
+      train, eval, "vec_id", "embedding", 0.99999).count() == 0L)
+    // empty eval set: nothing flagged, no crash
+    assert(Similarity.semanticDecontaminate(
+      train, eval.limit(0), "vec_id", "embedding", 0.5).count() == 0L)
+    // plan: eval rides a broadcast; no shuffle below the top-1 heap agg
+    val plan = Similarity.semanticDecontaminate(
+        train, eval, "vec_id", "embedding", 0.99)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastExchange"), plan)
+    // the planted sf corpus end-to-end: flagged = every 10th vec
+    val sfOut = SparkEntry.queries("semantic_decontaminate")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val want = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").as[Long].collect().filter(_ % 10 == 0)
+      .map(i => (i, i + 1000000L)).toSet
+    assert(sfOut == want)
+  }
+
   test("pack_sequences: offsets tile each shard's token stream exactly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextAnalysis.packSequences(docs, "doc_id",

@@ -33,7 +33,8 @@ object DynamicOracles {
     Seq(
       "bpe_tokenize" -> (() => bpeTokenize(spark, dir)),
       "unigram_tokenize" -> (() => unigramTokenize(spark, dir)),
-      "embedding_pca" -> (() => embeddingPca(spark, dir))
+      "embedding_pca" -> (() => embeddingPca(spark, dir)),
+      "embedding_clusters" -> (() => embeddingClusters(spark, dir))
     ).flatMap { case (k, f) =>
       scala.util.Try(f()).toOption.map(k -> _)
     }.toMap
@@ -161,6 +162,43 @@ FROM toks t LEFT JOIN agg a USING (doc_id)"""
     * cross-engine; the residual is `sqrt(max(0, ‖c‖² − Σp²))` exactly
     * as the expression computes it.
     */
+  /** k-means assignment twin. The trained centroid matrix is
+    * re-derived by the same deterministic Lloyd fit the key runs, then
+    * UNIT-NORMALIZED exactly as the assignment expression does
+    * ([[graft.functions.NearestCellsExpr.normalized]]) and embedded as
+    * shortest-round-trip double literals. Each cell's similarity is the
+    * same LEFT-ASSOCIATED IEEE dot product the codegen'd quantizer
+    * computes (ascending dimension, sequential adds — DuckDB's `+` is
+    * left-associative too), and the argmax CASE checks cells in
+    * ascending index order so double-equality ties resolve to the
+    * lower index, the quantizer's tie rule.
+    */
+  def embeddingClusters(spark: SparkSession, dir: String): String = {
+    import graft.operators.Similarity
+    val e = Tables(spark, dir).embeddings
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.col("embedding"))
+    val centroids = Similarity.trainCentroidsLloyd(
+      e, "vec_id", "embedding", nlist = 16, iters = 3)
+    val unit = graft.functions.NearestCellsExpr.normalized(
+      centroids.map(_.toArray).toArray)
+    val dim = unit.head.length
+    val sims = unit.zipWithIndex.map { case (row, c) =>
+      (0 until dim).map(j => s"e[${j + 1}]*(${dbl(row(j))})")
+        .mkString(" + ") + s" AS s$c"
+    }.mkString(",\n    ")
+    val best = unit.indices.map(c => s"s$c").mkString("greatest(", ", ", ")")
+    val cases = unit.indices.map(c =>
+      s"WHEN s$c = best THEN CAST($c AS BIGINT)").mkString(" ")
+    raw"""SELECT vec_id, CASE $cases END AS cell
+FROM (
+  SELECT vec_id, $best AS best, * FROM (
+    SELECT vec_id,
+    $sims
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings) b) s) q"""
+  }
+
   def embeddingPca(spark: SparkSession, dir: String): String = {
     val model = Pca.fit(Tables(spark, dir).embeddings, "embedding", k = 8)
     val dim = model.dim

@@ -1109,6 +1109,23 @@ object SparkEntry {
       Pca.transform(vecs, "vec_id", "embedding", model)
     }),
 
+    // E54: corpus k-means clustering (the cluster-then-curate primitive:
+    // cluster-balanced sampling, per-cluster dedup, topic-ish mixing).
+    // Deterministic spherical-Lloyd training (the IVF quantizer —
+    // per-iteration 6dp rounding, first-n seed, empty-cell retention
+    // make two fits identical), assignment one map-side codegen pass;
+    // the DYNAMIC oracle embeds the unit centroid matrix as double
+    // literals and re-derives each argmax with the same left-associated
+    // IEEE dot products and lower-index tie rule
+    "embedding_clusters" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val centroids = Similarity.trainCentroidsLloyd(
+        e, "vec_id", "embedding", nlist = 16, iters = 3)
+      e.select(col("vec_id"),
+        element_at(graft.functions.NearestCells(col("embedding"), centroids, 1), 1)
+          .cast("long").as("cell"))
+    }),
+
     // E16c: exact k-per-stratum sample via the GroupedTopKAgg bounded
     // per-group heap — one stratum shuffle carrying O(k) per partial,
     // never a corpus-sized single-task window sort
@@ -3762,7 +3779,8 @@ object SparkEntry {
     * literals — the static [[oracleSql]] map cannot carry them).
     */
   val dynamicOracleQueries: Set[String] =
-    Set("bpe_tokenize", "unigram_tokenize", "embedding_pca")
+    Set("bpe_tokenize", "unigram_tokenize", "embedding_pca",
+        "embedding_clusters")
 
   /** Queries intentionally without a DuckDB oracle (hash-seed-dependent
     * or iteratively-trained outputs SQL cannot re-derive) — driver

@@ -349,6 +349,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sfOut == want)
   }
 
+  test("embedding_clusters: every vector assigned, non-trivial spread, " +
+       "bit-identical under partition-layout change") {
+    val out = SparkEntry.queries("embedding_clusters")(spark, sf)
+    val rows = out.as[(Long, Long)].collect().sortBy(_._1)
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length.toLong == nVecs)
+    assert(rows.forall { case (_, c) => c >= 0L && c < 16L })
+    assert(rows.map(_._2).distinct.length > 4, "degenerate clustering")
+    // deterministic fit + assignment: a different partition layout
+    // yields the identical assignment table
+    val t = graft.sources.Tables(spark, sf)
+    val e3 = t.embeddings.select(col("vec_id"), col("embedding")).repartition(3)
+    val cent3 = graft.operators.Similarity.trainCentroidsLloyd(
+      e3, "vec_id", "embedding", nlist = 16, iters = 3)
+    val rows3 = e3.select(col("vec_id"),
+        element_at(graft.functions.NearestCells(col("embedding"), cent3, 1), 1)
+          .cast("long").as("cell"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows3.toSeq == rows.toSeq)
+  }
+
   test("pack_sequences: offsets tile each shard's token stream exactly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextAnalysis.packSequences(docs, "doc_id",

@@ -34,7 +34,8 @@ object DynamicOracles {
       "bpe_tokenize" -> (() => bpeTokenize(spark, dir)),
       "unigram_tokenize" -> (() => unigramTokenize(spark, dir)),
       "embedding_pca" -> (() => embeddingPca(spark, dir)),
-      "embedding_clusters" -> (() => embeddingClusters(spark, dir))
+      "embedding_clusters" -> (() => embeddingClusters(spark, dir)),
+      "quality_classifier" -> (() => qualityClassifier(spark, dir))
     ).flatMap { case (k, f) =>
       scala.util.Try(f()).toOption.map(k -> _)
     }.toMap
@@ -197,6 +198,52 @@ FROM (
     $sims
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings) b) s) q"""
+  }
+
+  /** Logistic-regression scoring twin. The TRAINED weights come from
+    * [[SparkEntry.qualityModel]]'s per-(session, dir) cache — the
+    * exact model the verified key scored with (a second fit could
+    * differ in the low bits of the gradient averages' merge order) —
+    * embedded as shortest-round-trip double literals. DuckDB
+    * re-derives the features from raw documents (the already-verified
+    * repetition_stats constructions, UNROUNDED as the margin consumes
+    * them) and the margin in the same left-associated IEEE order.
+    * Residual cross-engine risk: ln/exp are libm calls, so a score
+    * landing within ~1 ulp of a 6-dp rounding boundary could flip —
+    * measured zero occurrences over sf0.001/0.01/0.1.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): String = {
+    val m = SparkEntry.qualityModel(spark, dir)
+    val Seq(wA, wD, wT, wL) = m.weights.toSeq
+    raw"""WITH toks AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         string_split(coalesce(text, ''), ' ') AS ts
+  FROM documents),
+bi AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+  FROM toks, UNNEST(generate_series(1, len(ts)-1)) AS u(i)),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bistat AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac
+  FROM bic GROUP BY doc_id),
+feat AS (
+  SELECT t.doc_id,
+    CASE WHEN len(t.t) > 0
+         THEN len(regexp_replace(t.t, '[^A-Za-z]', '', 'g'))::DOUBLE / len(t.t)
+         ELSE 0.0 END AS alpha_ratio,
+    len(list_distinct(t.ts))::DOUBLE / len(t.ts) AS distinct_token_ratio,
+    coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+    ln(len(t.t)::DOUBLE + 1.0) / 10.0 AS log_len
+  FROM toks t LEFT JOIN bistat b USING (doc_id)),
+mg AS (
+  SELECT doc_id,
+         alpha_ratio*(${dbl(wA)}) + distinct_token_ratio*(${dbl(wD)})
+           + top_bigram_frac*(${dbl(wT)}) + log_len*(${dbl(wL)})
+           + (${dbl(m.bias)}) AS margin
+  FROM feat)
+SELECT doc_id, round(1.0/(1.0 + exp(-margin)), 6) AS quality_score,
+       round(1.0/(1.0 + exp(-margin)), 6) >= 0.5 AS keep
+FROM mg"""
   }
 
   def embeddingPca(spark: SparkSession, dir: String): String = {

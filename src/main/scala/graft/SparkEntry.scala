@@ -158,6 +158,31 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** One quality-classifier fit per (session, sf dir): the verified
+    * key scores with EXACTLY the weights the dynamic oracle embeds as
+    * literals (two separate fits could differ in the low bits of the
+    * gradient averages' final-merge float order). Deterministic
+    * content-gated 500‰ subsample, 25 GD iterations; cleared by
+    * [[resetCaches]] so a second bench pass pays the real fit.
+    */
+  private val qcModelCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), QualityClassifier.Model]
+  private[graft] def qualityModel(s: SparkSession, dir: String)
+      : QualityClassifier.Model =
+    qcModelCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val feats = QualityClassifier.features(
+        Tables(s, dir).documents, "text", "doc_id",
+        extra = Seq("__gate" -> TextAnalysis.fingerprint(col("text"))))
+      val labeled = feats.withColumn("label",
+        (col("distinct_token_ratio") >= 0.5 && col("alpha_ratio") >= 0.5)
+          .cast("int"))
+      QualityClassifier.fitSampled(labeled,
+        Seq("alpha_ratio", "distinct_token_ratio", "top_bigram_frac",
+            "log_len"),
+        "label", col("__gate"), permille = 500,
+        iterations = 25, learningRate = 2.0)
+    })
+
   /** Session-scoped registry for ad-hoc persists created inside query
     * closures (quality_classifier's feature cache, curate_corpus's
     * pipeline caches). CacheManager matches canonicalized plans, so a
@@ -195,6 +220,7 @@ object SparkEntry {
       k != key
     }
     trackedPersists.remove(key).foreach(_.foreach(_.unpersist(true)))
+    qcModelCache.filterInPlace { case ((k, _), _) => k != key }
   }
 
   /** Synthesized webhook payload fixture: one ITEM-event JSON document
@@ -661,21 +687,14 @@ object SparkEntry {
     // in QualityClassifierSpec). Rows-only: an iterative fit has no
     // SQL twin.
     "quality_classifier" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      // persist: the feature scan (incl. the per-doc repetition hash
-      // maps) feeds 25 gradient jobs AND the final scoring pass —
-      // without this it would recompute from the raw scan each time
-      val feats = trackPersist(s, QualityClassifier.features(docs, "text", "doc_id",
-        extra = Seq("__gate" -> TextAnalysis.fingerprint(col("text"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val labeled = feats.withColumn("label",
-        (col("distinct_token_ratio") >= 0.5 && col("alpha_ratio") >= 0.5)
-          .cast("int"))
-      val model = QualityClassifier.fitSampled(labeled,
-        Seq("alpha_ratio", "distinct_token_ratio", "top_bigram_frac", "log_len"),
-        "label", col("__gate"), permille = 500,
-        iterations = 25, learningRate = 2.0)
-      QualityClassifier.score(feats.drop("__gate"), model, "doc_id")
+      // ONE fit per (session, sf dir) via qualityModel — shared with
+      // the dynamic oracle's weight embedding, so the verified scores
+      // come from the exact weights DuckDB re-scores with (a second
+      // fit could differ in final-merge float order); scoring is one
+      // map-side pass, the model rides as literals
+      QualityClassifier.score(
+        QualityClassifier.features(Tables(s, dir).documents, "text", "doc_id"),
+        qualityModel(s, dir), "doc_id")
     }),
 
     // E20b: bigram-LM cross-entropy — the planted corpus scores against
@@ -3780,7 +3799,7 @@ object SparkEntry {
     */
   val dynamicOracleQueries: Set[String] =
     Set("bpe_tokenize", "unigram_tokenize", "embedding_pca",
-        "embedding_clusters")
+        "embedding_clusters", "quality_classifier")
 
   /** Queries intentionally without a DuckDB oracle (hash-seed-dependent
     * or iteratively-trained outputs SQL cannot re-derive) — driver
@@ -3788,5 +3807,5 @@ object SparkEntry {
     * exact recovery of planted structure instead.
     */
   val rowsOnlyQueries: Set[String] =
-    Set("dedup_simhash", "quality_classifier", "curate_corpus")
+    Set("dedup_simhash", "curate_corpus")
 }

@@ -35,7 +35,8 @@ object DynamicOracles {
       "unigram_tokenize" -> (() => unigramTokenize(spark, dir)),
       "embedding_pca" -> (() => embeddingPca(spark, dir)),
       "embedding_clusters" -> (() => embeddingClusters(spark, dir)),
-      "quality_classifier" -> (() => qualityClassifier(spark, dir))
+      "quality_classifier" -> (() => qualityClassifier(spark, dir)),
+      "dedup_simhash" -> (() => dedupSimhash(spark, dir))
     ).flatMap { case (k, f) =>
       scala.util.Try(f()).toOption.map(k -> _)
     }.toMap
@@ -198,6 +199,63 @@ FROM (
     $sims
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings) b) s) q"""
+  }
+
+  /** SimHash near-dup twin. The "hash-seed-dependent" barrier
+    * dissolves the same way the tokenizer merge tables did: the
+    * per-token xxh64 values are MODEL-SIZED DATA (the corpus
+    * vocabulary — 31 tokens in the driver-generated sets), so the
+    * oracle ships (token → hash) as literals and DuckDB re-derives
+    * everything downstream independently: per-bit ±1 majority votes
+    * over ALL token occurrences (not distinct), packed sign bits
+    * (DuckDB `>>` is logical like Java's `>>>`; bit 63 lands as
+    * BIGINT-min), pairwise XOR popcount ≤ maxHamming over the planted
+    * corpus. The blocking join the engine runs is exact (pigeonhole:
+    * any pair within budget shares a whole block), so the quadratic
+    * SQL twin produces the identical pair set.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val corpus = SparkEntry.plantedDocs(Tables(spark, dir))
+    val toks = corpus
+      .select(explode(split(
+        graft.operators.TextAnalysis.normalizeText(col("text")), " ")).as("tok"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(toks.length <= 4096,
+      s"simhash oracle vocabulary too large to embed: ${toks.length}")
+    def longLit(h: Long): String =
+      if (h == Long.MinValue) "(-9223372036854775807 - 1)" else h.toString
+    val values = toks.map { t =>
+      val h = graft.functions.HashSketches.tokenHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      s"(${lit(t)}, CAST(${longLit(h)} AS BIGINT))"
+    }.mkString(",\n    ")
+    val sigBits = (0 until 64).map { b =>
+      val pow = if (b == 63) "(-9223372036854775807 - 1)"
+                else s"CAST(${1L << b} AS BIGINT)"
+      s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN $pow ELSE 0 END)"
+    }.mkString("\n    + ")
+    raw"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' appended' FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0),
+vocab(tok, h) AS (VALUES
+    $values),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+  FROM corpus),
+sig AS (
+  SELECT doc_id,
+    $sigBits AS sig
+  FROM toks JOIN vocab USING (tok) GROUP BY doc_id)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
   }
 
   /** Logistic-regression scoring twin. The TRAINED weights come from

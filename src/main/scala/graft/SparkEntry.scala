@@ -49,7 +49,7 @@ object SparkEntry {
     * (doc_id+1000000). The dedup operators must recover exactly these
     * pairs (the base corpus is random word soup with no near-dups).
     */
-  private def plantedDocs(t: Tables): DataFrame = {
+  private[graft] def plantedDocs(t: Tables): DataFrame = {
     val d = t.documents.select(col("doc_id"), col("text"))
     d.unionByName(
         d.filter(col("doc_id") % 7 === 0)
@@ -3799,7 +3799,7 @@ object SparkEntry {
     */
   val dynamicOracleQueries: Set[String] =
     Set("bpe_tokenize", "unigram_tokenize", "embedding_pca",
-        "embedding_clusters", "quality_classifier")
+        "embedding_clusters", "quality_classifier", "dedup_simhash")
 
   /** Queries intentionally without a DuckDB oracle (hash-seed-dependent
     * or iteratively-trained outputs SQL cannot re-derive) — driver
@@ -3807,5 +3807,5 @@ object SparkEntry {
     * exact recovery of planted structure instead.
     */
   val rowsOnlyQueries: Set[String] =
-    Set("dedup_simhash", "curate_corpus")
+    Set("curate_corpus")
 }

@@ -103,6 +103,11 @@ object HashSketches {
     h
   }
 
+  /** The per-token hash the SimHash votes ride on — exposed so dynamic
+    * oracles can ship the (token → hash) vocabulary as data and DuckDB
+    * can re-derive the per-bit majority independently. */
+  def tokenHash(t: UTF8String): Long = XXH64.hashUTF8String(t, HashSeed)
+
   /** One pass 64-bit SimHash over the token array: per-bit ±1 votes of
     * each token's xxh64, packed sign bits.
     */

@@ -36,7 +36,8 @@ object DynamicOracles {
       "embedding_pca" -> (() => embeddingPca(spark, dir)),
       "embedding_clusters" -> (() => embeddingClusters(spark, dir)),
       "quality_classifier" -> (() => qualityClassifier(spark, dir)),
-      "dedup_simhash" -> (() => dedupSimhash(spark, dir))
+      "dedup_simhash" -> (() => dedupSimhash(spark, dir)),
+      "cluster_balanced_sample" -> (() => clusterBalancedSample(spark, dir))
     ).flatMap { case (k, f) =>
       scala.util.Try(f()).toOption.map(k -> _)
     }.toMap
@@ -175,7 +176,10 @@ FROM toks t LEFT JOIN agg a USING (doc_id)"""
     * ascending index order so double-equality ties resolve to the
     * lower index, the quantizer's tie rule.
     */
-  def embeddingClusters(spark: SparkSession, dir: String): String = {
+  /** The `(vec_id, cell)` assignment subquery both clustering oracles
+    * build on: trains the same deterministic Lloyd quantizer the keys
+    * run and embeds the UNIT centroid matrix as literals. */
+  private def clusterAssignSql(spark: SparkSession, dir: String): String = {
     import graft.operators.Similarity
     val e = Tables(spark, dir).embeddings
       .select(org.apache.spark.sql.functions.col("vec_id"),
@@ -200,6 +204,19 @@ FROM (
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings) b) s) q"""
   }
+
+  def embeddingClusters(spark: SparkSession, dir: String): String =
+    clusterAssignSql(spark, dir)
+
+  /** Cluster-balanced sampling twin: the assignment subquery + a
+    * per-cell k-smallest-id pick (row_number in SQL; the engine runs a
+    * bounded per-cell heap, same set by construction). */
+  def clusterBalancedSample(spark: SparkSession, dir: String): String =
+    raw"""SELECT cell, vec_id, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT cell, vec_id,
+         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+  FROM (${clusterAssignSql(spark, dir)}) a) r
+WHERE rk <= 10"""
 
   /** SimHash near-dup twin. The "hash-seed-dependent" barrier
     * dissolves the same way the tokenizer merge tables did: the

@@ -1145,6 +1145,27 @@ object SparkEntry {
           .cast("long").as("cell"))
     }),
 
+    // E55: cluster-balanced sampling — the cluster-then-curate
+    // composition as one executable key: E54's assignment feeding a
+    // per-cell bounded k-smallest-id heap (GroupedTopKAgg, never a
+    // window), the equal-representation subset a curriculum/eval
+    // builder draws
+    "cluster_balanced_sample" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val centroids = Similarity.trainCentroidsLloyd(
+        e, "vec_id", "embedding", nlist = 16, iters = 3)
+      e.select(
+          element_at(graft.functions.NearestCells(col("embedding"), centroids, 1), 1)
+            .cast("long").as("cell"),
+          col("vec_id"))
+        .groupBy("cell")
+        .agg(graft.functions.GroupedTopKAgg(col("vec_id"), col("vec_id"), 10)
+          .as("__t"))
+        .select(col("cell"), posexplode(col("__t")).as(Seq("__pos", "__p")))
+        .select(col("cell"), col("__p.payload").as("vec_id"),
+                (col("__pos") + 1).cast("long").as("rank"))
+    }),
+
     // E16c: exact k-per-stratum sample via the GroupedTopKAgg bounded
     // per-group heap — one stratum shuffle carrying O(k) per partial,
     // never a corpus-sized single-task window sort
@@ -3799,7 +3820,8 @@ object SparkEntry {
     */
   val dynamicOracleQueries: Set[String] =
     Set("bpe_tokenize", "unigram_tokenize", "embedding_pca",
-        "embedding_clusters", "quality_classifier", "dedup_simhash")
+        "embedding_clusters", "quality_classifier", "dedup_simhash",
+        "cluster_balanced_sample")
 
   /** Queries intentionally without a DuckDB oracle (hash-seed-dependent
     * or iteratively-trained outputs SQL cannot re-derive) — driver

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sf1-rehearsal replicator must preserve what the perf numbers
+  * depend on: exact row multiplication, referential integrity across
+  * copies, and per-copy content perturbation (so content-addressed
+  * operators see fresh work, not ten exact clones). */
+class ScaleUpSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val src = "/root/testdata/sf0.001"
+  lazy val out: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scaleup")
+      .toFile.getAbsolutePath
+    ScaleUp.build(spark, src, dir, copies = 3)
+    dir
+  }
+
+  private def n(dir: String, t: String): Long =
+    spark.read.parquet(s"$dir/$t.parquet").count()
+
+  test("row counts: x3 for replicated tables, x1 for shared dims") {
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+                  "events", "documents", "embeddings"))
+      assert(n(out, t) == 3 * n(src, t), t)
+    for (t <- Seq("region", "nation"))
+      assert(n(out, t) == n(src, t), t)
+  }
+
+  test("referential integrity holds across copies") {
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val ok = spark.read.parquet(s"$out/orders.parquet")
+      .select(col("o_orderkey").as("k")).distinct()
+    assert(li.join(ok, col("l_orderkey") === col("k"), "left_anti")
+      .count() == 0L, "lineitem orphaned from orders")
+    val ck = spark.read.parquet(s"$out/customer.parquet")
+      .select(col("c_custkey").as("k")).distinct()
+    assert(spark.read.parquet(s"$out/orders.parquet")
+      .join(ck, col("o_custkey") === col("k"), "left_anti")
+      .count() == 0L, "orders orphaned from customer")
+    // nation keys of the x3 customer table still resolve in the x1 dim
+    val nk = spark.read.parquet(s"$out/nation.parquet")
+      .select(col("n_nationkey").as("k")).distinct()
+    assert(spark.read.parquet(s"$out/customer.parquet")
+      .join(nk, col("c_nationkey") === col("k"), "left_anti")
+      .count() == 0L, "customer orphaned from nation")
+  }
+
+  test("keys are disjoint across copies and content is perturbed") {
+    val d = spark.read.parquet(s"$out/documents.parquet")
+    assert(d.select("doc_id").distinct().count() == d.count())
+    // no exact text duplicates introduced by replication (copies carry
+    // a distinct suffix token); planted dups inside one copy excluded
+    // by construction of the source table
+    val base = spark.read.parquet(s"$src/documents.parquet")
+      .select("text").distinct().count()
+    assert(d.select("text").distinct().count() == 3 * base)
+    // embeddings perturbed in dim 0, identical elsewhere
+    val e = spark.read.parquet(s"$out/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")(0).as("d0"))
+    val e0 = e.filter(col("vec_id") < ScaleUp.KeyOffset)
+    val e1 = e.filter(col("vec_id") >= ScaleUp.KeyOffset &&
+                      col("vec_id") < 2 * ScaleUp.KeyOffset)
+      .select((col("vec_id") - ScaleUp.KeyOffset).as("vec_id"),
+              col("d0").as("d0c"))
+    val joined = e0.join(e1, "vec_id")
+      .select((col("d0c") - col("d0")).as("delta")).as[Float].collect()
+    assert(joined.nonEmpty && joined.forall(d => math.abs(d - 1e-4f) < 1e-6f))
+  }
+}

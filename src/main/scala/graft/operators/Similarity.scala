@@ -360,6 +360,14 @@ object Similarity {
     * equal-bucket join on any of `tables` signatures → candidates →
     * exact cosine → per-query top-k. The scale path: the corpus scan
     * shuffles once on the bucket key instead of meeting every query.
+    *
+    * Parameter scaling (the [[ivfNlistFor]] lesson applies here too):
+    * candidates per query ≈ tables · n / 2^bits, so a FIXED `bits`
+    * degrades to linear-per-query as the corpus grows — grow `bits`
+    * like ⌈log2(n / targetBucketSize)⌉ to hold per-bucket occupancy
+    * constant, and raise `tables` to buy back the recall each added
+    * bit costs (measured sweep in graft.Debug r4: 16×6 → 0.53,
+    * 32×6 → 0.75 recall@10 on the sf corpus).
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, dim: Int, k: Int,

@@ -2095,6 +2095,140 @@ object SparkEntry {
                 min(doc_id) AS keep_id, count(*) AS n_docs
          FROM documents GROUP BY 1""",
 
+    // the COMPOSED pipeline re-derived end-to-end in one SQL program,
+    // every stage the construction its standalone key already verifies:
+    // NFC canon, signal trio, unigram-LM cross-entropy, rule gates,
+    // min-id exact dedup among rule survivors, prefix-filtered exact
+    // near-dup pairs + recursive-CTE connected components, rolling-
+    // hash sampling gate, first-drop-reason cascade
+    "curate_corpus" ->
+      raw"""WITH RECURSIVE canon AS (
+  SELECT doc_id, source AS stratum, nfc_normalize(text) AS t FROM documents),
+ntok AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM canon),
+alpha AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0
+              THEN len(regexp_replace(t, '[^A-Za-z]', '', 'g'))::DOUBLE / len(t)
+              ELSE 0.0 END AS alpha_ratio
+  FROM canon),
+sp AS (SELECT doc_id, string_split(t, ' ') AS ts FROM canon),
+bi AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+  FROM sp, UNNEST(generate_series(1, len(ts)-1)) AS u(i)),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bistat AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac
+  FROM bic GROUP BY doc_id),
+ctoks0 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\s+')) AS word
+  FROM canon),
+ctoks AS (SELECT * FROM ctoks0 WHERE word <> ''),
+counts AS (SELECT word, count(*) AS c FROM ctoks GROUP BY word),
+stats AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+lm AS (
+  SELECT word,
+         CAST(round(-ln((c + 1)::DOUBLE / (n + v)) * 1e6) AS BIGINT) AS lp_micro
+  FROM counts, stats),
+xent AS (
+  SELECT t2.doc_id,
+         CAST((2 * CAST(sum(l.lp_micro) AS BIGINT) + count(*))
+                // (2 * count(*)) AS BIGINT)::DOUBLE / 1e6 AS ce
+  FROM ctoks t2 JOIN lm l USING (word) GROUP BY t2.doc_id),
+flags AS (
+  SELECT c.doc_id, c.stratum, c.t, n.n_tokens,
+         coalesce(n.n_tokens >= 8 AND n.n_tokens <= 5000, FALSE) AS len_ok,
+         coalesce(a.alpha_ratio >= 0.3, FALSE) AS alpha_ok,
+         coalesce(coalesce(b.top_bigram_frac, 0.0) <= 0.6, FALSE)
+           AS repetition_ok,
+         coalesce(x.ce <= 12.0, TRUE) AS perplexity_ok
+  FROM canon c JOIN ntok n USING (doc_id) JOIN alpha a USING (doc_id)
+  LEFT JOIN bistat b USING (doc_id) LEFT JOIN xent x USING (doc_id)),
+clean AS (
+  SELECT * FROM flags
+  WHERE len_ok AND alpha_ok AND repetition_ok AND perplexity_ok),
+reps AS (
+  SELECT lower(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS nt,
+         min(doc_id) AS keep_id
+  FROM clean GROUP BY 1),
+exactc AS (
+  SELECT f.doc_id, coalesce(f.doc_id = r.keep_id, TRUE) AS exact_canonical
+  FROM (SELECT doc_id,
+               lower(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS nt
+        FROM flags) f
+  LEFT JOIN reps r USING (nt)),
+cw AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(t, '\s+', ' ', 'g'))), ' ') AS w
+  FROM clean),
+shg AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM cw),
+pref AS (
+  SELECT doc_id,
+         unnest(list_sort(s)[1 : greatest(len(s)
+           - CAST(ceil(0.7 * len(s)) AS INT) + 1, 1)]) AS g
+  FROM shg),
+cand AS (
+  SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
+  FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT lid, rid
+  FROM cand c JOIN shg a ON c.lid = a.doc_id JOIN shg b ON c.rid = b.doc_id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7),
+edges AS (SELECT lid AS ea, rid AS eb FROM pairs
+          UNION ALL SELECT rid, lid FROM pairs),
+nodes AS (SELECT DISTINCT ea AS id FROM edges),
+reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.ea, r.lbl FROM edges e JOIN reach r ON r.id = e.eb),
+clusters AS (SELECT id AS doc_id, min(lbl) AS keep_id FROM reach GROUP BY id),
+nearc AS (
+  SELECT f.doc_id, coalesce(cl.keep_id = f.doc_id, TRUE) AS near_canonical
+  FROM flags f LEFT JOIN clusters cl USING (doc_id)),
+fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(t) + 1),
+                            i -> CAST(ascii(t[i]) AS BIGINT))),
+           (x, y) -> (x * 31 + y) % 1000000007) AS fp
+  FROM canon),
+rates(stratum, permille) AS (VALUES
+  ('src0', 1000), ('src1', 1000), ('src2', 500), ('src3', 500),
+  ('src4', 1000), ('src5', 1000), ('src6', 500), ('src7', 500),
+  ('src8', 1000), ('src9', 1000), ('src10', 500), ('src11', 500),
+  ('src12', 1000), ('src13', 1000), ('src14', 500), ('src15', 500),
+  ('src16', 1000), ('src17', 1000), ('src18', 500), ('src19', 500)),
+samp AS (
+  SELECT c.doc_id, (f.fp % 1000) < coalesce(r.permille, 1000) AS sampled
+  FROM canon c JOIN fp f USING (doc_id) LEFT JOIN rates r USING (stratum)),
+decided AS (
+  SELECT f.doc_id, f.stratum, f.n_tokens, f.len_ok, f.alpha_ok,
+         f.repetition_ok, f.perplexity_ok, e.exact_canonical,
+         nc.near_canonical, s.sampled,
+         (f.len_ok AND f.alpha_ok AND f.repetition_ok AND f.perplexity_ok
+          AND e.exact_canonical AND nc.near_canonical AND s.sampled) AS kept
+  FROM flags f JOIN exactc e USING (doc_id) JOIN nearc nc USING (doc_id)
+  JOIN samp s USING (doc_id))
+SELECT *,
+       CASE WHEN kept THEN NULL
+            WHEN NOT len_ok THEN 'length'
+            WHEN NOT alpha_ok THEN 'alpha'
+            WHEN NOT repetition_ok THEN 'repetition'
+            WHEN NOT perplexity_ok THEN 'perplexity'
+            WHEN NOT exact_canonical THEN 'exact_dup'
+            WHEN NOT near_canonical THEN 'near_dup'
+            ELSE 'sampled_out' END AS drop_reason
+FROM decided""",
+
     "text_quality" ->
       """WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
          SELECT doc_id,
@@ -3828,6 +3962,5 @@ object SparkEntry {
     * records a rows-only check; each has a ScalaTest spec asserting
     * exact recovery of planted structure instead.
     */
-  val rowsOnlyQueries: Set[String] =
-    Set("curate_corpus")
+  val rowsOnlyQueries: Set[String] = Set.empty
 }

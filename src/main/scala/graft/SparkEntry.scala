@@ -416,6 +416,22 @@ object SparkEntry {
       Graph.linkRank(sym, "src", "dst", iterations = 5, dampPct = 85)
     }),
 
+    // C49: per-node triangle counts (degree-ordered node-iterator)
+    // over the co-purchase graph — parts co-occurring within an order
+    // (partkey-sampled to keep the sf0.1 graph ~100k edges); the
+    // orientation bounds the wedge join at O(m^1.5), and the oracle
+    // re-derives the identical deterministic orientation in SQL
+    "triangle_count" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.filter(col("l_partkey") % 7 < 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2"))
+      Graph.triangleCounts(pairs, "p", "p2")
+    }),
+
     // C12: N-records-per-chunk split (split_jsonl.py)
     "split_n_per_file" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -456,6 +472,41 @@ object SparkEntry {
           col("s.qs").getItem(0).as("p50_cents"),
           col("s.qs").getItem(1).as("p90_cents"),
           col("s.qs").getItem(2).as("p99_cents"))
+    }),
+
+    // C48: persisted quantile STORE — the agg_maintain lifecycle for
+    // whole distributions: per-event-type percentiles maintained from
+    // batch-stamped KLL sketch partials. The key runs the full
+    // lifecycle — extend batch 0, extend batch 1, REPLAY batch 1
+    // (at-least-once delivery; the partial is byte-pure so the read
+    // dedups it exactly), compact the committed batch into a folded
+    // row, read. Exact regime (k ≥ largest per-type total), so the
+    // answers equal quantile_disc over the union of both batches —
+    // while fact rows never persist and history is never rescanned.
+    "quantile_store" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("milli"),
+        col("event_id"))
+      val store = new java.io.File("target/graft_indexes/kll_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      val k = 1 << 15
+      val keys = Seq("event_type")
+      Relational.extendQuantileStore(
+        ev.filter(col("event_id") % 2 === 0), store, keys, "milli", k, 0L)
+      Relational.extendQuantileStore(
+        ev.filter(col("event_id") % 2 =!= 0), store, keys, "milli", k, 1L)
+      Relational.extendQuantileStore( // replayed in-flight batch
+        ev.filter(col("event_id") % 2 =!= 0), store, keys, "milli", k, 1L)
+      Relational.compactQuantileStore(s, store, keys, k, beforeBatch = 1L)
+      Relational.readQuantileStore(s, store, keys, k, Seq(0.5, 0.9, 0.99))
+        .select(col("event_type"), col("n"), col("err_bound"),
+          col("qs").getItem(0).as("p50_milli"),
+          col("qs").getItem(1).as("p90_milli"),
+          col("qs").getItem(2).as("p99_milli"))
     }),
 
     // C14: run metrics (alma_publish_parser.py:302-308)
@@ -654,6 +705,14 @@ object SparkEntry {
     "ngram_counts" -> ((s, dir) =>
       TextAnalysis.ngramCounts(Tables(s, dir).documents, "text",
                                n = 3, minCount = 2L)),
+
+    // E57: per-document n-gram novelty vs the rest of the corpus —
+    // planted exact copies (and their sources) score 0, soup docs
+    // spread by how much phrasing they share; df is one gram-keyed
+    // aggregation, never a pairwise comparison
+    "ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(plantedDocs(Tables(s, dir)), "doc_id",
+                                "text", n = 3)),
 
     // E50: length-bucketed batch layout — fixed-width token-length
     // buckets dealt into batches under a (bucket, id) total order;
@@ -856,6 +915,15 @@ object SparkEntry {
         shingleN = 3, k = 64, bands = 16)
       Dedup.dedupAgainstIndex(fresh, ix, "doc_id", "text",
         shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+    }),
+
+    // E56: edit-distance near-dup pairs — lossless q-gram count filter
+    // + length band, survivors verified with banded levenshtein; the
+    // planted " appended" copies sit at distance 9, exact copies at 0
+    "edit_distance_pairs" -> ((s, dir) => {
+      Dedup.editDistancePairs(plantedDocs(Tables(s, dir)), "doc_id", "text",
+          q = 24, maxDist = 10)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
     }),
 
     // E2b: near-dup clusters — connected components over the verified
@@ -1915,6 +1983,34 @@ object SparkEntry {
          FROM lineitem
          WHERE CAST(l_partkey AS VARCHAR) LIKE '1%' AND CAST(l_partkey AS VARCHAR) LIKE '%3'""",
 
+    // same deterministic (degree, id) orientation re-derived in SQL;
+    // each triangle closes exactly once at its unique apex
+    "triangle_count" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 7 < 2),
+         edges AS (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         deg AS (
+           SELECT id, count(*) AS d
+           FROM (SELECT a AS id FROM edges UNION ALL SELECT b FROM edges)
+           GROUP BY id),
+         orient AS (
+           SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+                       THEN a ELSE b END AS u,
+                  CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+                       THEN b ELSE a END AS v
+           FROM edges JOIN deg da ON da.id = a JOIN deg db ON db.id = b),
+         wedge AS (
+           SELECT e1.u AS apex, e1.v AS x, e2.v AS y
+           FROM orient e1 JOIN orient e2 ON e1.u = e2.u AND e1.v < e2.v),
+         tri AS (SELECT apex, x, y FROM wedge JOIN edges ON x = a AND y = b)
+         SELECT id, count(*) AS tri_count
+         FROM (SELECT apex AS id FROM tri UNION ALL
+               SELECT x FROM tri UNION ALL SELECT y FROM tri)
+         GROUP BY id""",
+
     "link_rank" ->
       """WITH e0 AS (
            SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
@@ -1991,6 +2087,19 @@ object SparkEntry {
                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
                FROM lineitem)
          GROUP BY l_returnflag""",
+
+    // the store's merged partials answer over the UNION of both
+    // batches (replay deduped, committed batch folded) — so the twin
+    // is simply the exact per-type quantiles over all events
+    "quantile_store" ->
+      """SELECT event_type, count(milli) AS n, CAST(0 AS BIGINT) AS err_bound,
+                quantile_disc(milli, 0.5) AS p50_milli,
+                quantile_disc(milli, 0.9) AS p90_milli,
+                quantile_disc(milli, 0.99) AS p99_milli
+         FROM (SELECT event_type,
+                      CAST(round(value * 1000) AS BIGINT) AS milli
+               FROM events)
+         GROUP BY event_type""",
 
     "config_dims" ->
       """SELECT n_nationkey AS location_id, n_name AS code, r_name AS library_code,
@@ -2380,6 +2489,30 @@ FROM decided""",
                                  // (2 * length(d.text))
                      END AS BIGINT) AS entropy_micro
          FROM documents d LEFT JOIN s USING (doc_id)""",
+
+    "ngram_novelty" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' appended' FROM documents
+           WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0),
+         toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS ts
+           FROM corpus),
+         g AS (
+           SELECT DISTINCT doc_id, array_to_string(ts[i : i + 2], ' ') AS gram
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)),
+         df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+         SELECT doc_id, count(*) AS total_grams,
+                CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS shared_grams,
+                CAST((count(*) - sum(CASE WHEN df > 1 THEN 1 ELSE 0 END))
+                     * 1000 // count(*) AS BIGINT) AS novelty_permille
+         FROM g JOIN df USING (gram) GROUP BY doc_id""",
 
     "ngram_counts" ->
       """WITH toks AS (
@@ -2909,6 +3042,42 @@ FROM decided""",
          JOIN shf b ON c.oid = b.doc_id
          WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
                >= 0.8""",
+
+    // same lossless q-gram count filter + length band re-derived, then
+    // exact levenshtein on the (identical by construction) candidates
+    "edit_distance_pairs" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' appended' FROM documents
+           WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0),
+         base AS (
+           SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+           FROM corpus),
+         g AS (
+           SELECT doc_id, len, substring(text, i, 24) AS g, count(*) AS c
+           FROM base,
+                UNNEST(generate_series(1, CAST(len - 23 AS INT))) AS t(i)
+           WHERE len >= 24
+           GROUP BY doc_id, len, substring(text, i, 24)),
+         cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  sum(least(a.c, b.c)) AS shared,
+                  any_value(a.len) AS len_a, any_value(b.len) AS len_b
+           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+                             AND abs(a.len - b.len) <= 10
+           GROUP BY 1, 2),
+         filt AS (
+           SELECT id_a, id_b FROM cand
+           WHERE shared >= greatest(greatest(len_a, len_b) - 263, 1))
+         SELECT f.id_a, f.id_b,
+                CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist
+         FROM filt f
+         JOIN base x ON x.doc_id = f.id_a
+         JOIN base y ON y.doc_id = f.id_b
+         WHERE levenshtein(x.text, y.text) <= 10""",
 
     "dedup_minhash" ->
       """WITH corpus AS (

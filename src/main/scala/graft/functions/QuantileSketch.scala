@@ -87,6 +87,19 @@ final class KllBuffer(val k: Int) {
     }
   }
 
+  /** Sort every level's buffer in place. After canonicalization the
+    * wire bytes are a pure function of the per-level CONTENT multisets
+    * — in the exact regime (no compaction ever fired, everything lives
+    * at level 0) that makes the serialized sketch independent of
+    * insertion and merge order entirely; in the compacted regime it
+    * removes order noise within levels but which items were promoted
+    * still depends on compaction history. Used by the persisted
+    * quantile store so a folded partial has stable bytes. */
+  def canonicalize(): Unit = {
+    var h = 0
+    while (h < levels.size) { levels(h).sortInPlace(); h += 1 }
+  }
+
   /** Weighted items sorted by value. */
   def weighted(): Array[(Long, Long)] = {
     val out = Array.newBuilder[(Long, Long)]
@@ -247,4 +260,88 @@ object KllQuantilesAgg {
     ColumnBridge.column(
       KllQuantilesAgg(ColumnBridge.expression(c), k, phis)
         .toAggregateExpression())
+}
+
+/** `kll_merge(sketchBytes, k, phis)` — merge PRE-BUILT sketch wire
+  * bytes (the [[KllBuffer]] serialization) instead of raw values: the
+  * read half of the persisted quantile store, where each input row is
+  * already a per-(key, batch) sketch partial and the aggregate only
+  * folds partials together. `O(k·log n)` state like the value-input
+  * sibling; merging is associative so partials combine map-side.
+  *
+  * With `emitSketch = true` the output is the merged sketch's
+  * CANONICALIZED wire bytes (per-level sort — byte-deterministic in
+  * the exact regime regardless of merge order) instead of quantile
+  * answers — the store's compaction fold uses this to collapse
+  * committed batch partials into one stored row per key.
+  */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int,
+    phis: Seq[Double],
+    emitSketch: Boolean = false,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer] {
+
+  require(k >= 8, s"k must be >= 8, got $k")
+  require(emitSketch || phis.nonEmpty, "phis must be non-empty")
+  require(phis.forall(p => p >= 0.0 && p <= 1.0),
+    s"phis must be in [0,1], got $phis")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    if (emitSketch) BinaryType
+    else StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("err_bound", LongType, nullable = false),
+      StructField("qs", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.mergeIn(KllBuffer.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(a: KllBuffer, b: KllBuffer): KllBuffer = {
+    a.mergeIn(b); a
+  }
+
+  override def eval(buf: KllBuffer): Any =
+    if (emitSketch) { buf.canonicalize(); KllBuffer.toBytes(buf) }
+    else {
+      val qs: Array[Any] = KllBuffer.quantiles(buf, phis).map(x => x: Any).toArray
+      InternalRow(buf.n, buf.errBound, new GenericArrayData(qs))
+    }
+
+  override def serialize(buf: KllBuffer): Array[Byte] = KllBuffer.toBytes(buf)
+
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    KllBuffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = c.head)
+}
+
+object KllMergeAgg {
+  /** Quantile answers from merged sketch-bytes rows. */
+  def apply(c: Column, k: Int, phis: Seq[Double]): Column =
+    ColumnBridge.column(
+      KllMergeAgg(ColumnBridge.expression(c), k, phis)
+        .toAggregateExpression())
+
+  /** Merged + canonicalized sketch bytes (the compaction fold). */
+  def sketch(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KllMergeAgg(ColumnBridge.expression(c), k, Seq.empty,
+        emitSketch = true).toAggregateExpression())
 }

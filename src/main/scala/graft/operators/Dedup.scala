@@ -545,4 +545,73 @@ object Dedup {
       .filter(col("new_id") =!= col("dup_of"))
       .dropDuplicates("new_id", "dup_of")
   }
+
+  /** EDIT-DISTANCE near-dup pairs (the typo/OCR/diff shape): all pairs
+    * within Levenshtein distance `maxDist` — character-level edits
+    * that token-set measures miss entirely (a one-char typo in every
+    * 10th word leaves Jaccard high but matters for OCR dedup; a short
+    * insertion leaves Jaccard low while the edit distance is tiny).
+    *
+    * Candidate generation is the LOSSLESS q-gram count filter (Ed-Join
+    * / Gravano et al.): one edit destroys at most `q` of a string's
+    * overlapping character q-grams, so `ed(A,B) ≤ d` forces the
+    * multiset gram overlap `Σ_g min(cA(g), cB(g)) ≥ max(|A|,|B|) −
+    * (q−1) − d·q`; pairs also must satisfy `||A|−|B|| ≤ d` (each edit
+    * changes length by ≤ 1). Survivors verify with Spark's built-in
+    * banded `levenshtein(l, r, threshold)` — O(d·n) per pair, codegen,
+    * never the full O(n²) DP matrix.
+    *
+    * Scale shape: gram explode is map-side; the candidate join keys on
+    * the gram VALUE (uniformly distributed for q big enough to dodge
+    * stop-phrase collisions — pick `q` ≥ a couple of words); the
+    * length band rides the join condition so hopeless pairs never
+    * reach the pair aggregation; verification touches only
+    * filter survivors with texts attached by id-joins (no text ever
+    * rides the gram shuffle). At 100 TB the hot-gram hazard is a
+    * stop-phrase gram pairing everything: either cap join grams by
+    * document frequency and LOWER the count bound by each string's
+    * dropped-gram count (stays lossless — a dropped gram can hide at
+    * most its own multiplicity of overlap), or switch candidate
+    * generation to the PassJoin chunk scheme; not needed at bench
+    * scale with q spanning multiple words.
+    *
+    * Strings shorter than `q` emit no grams and never pair
+    * (require-d away via the caller's min-length contract; the
+    * planted corpus's shortest doc is 48 chars ≫ q).
+    *
+    * Output: `(id_a < id_b, dist)` for verified pairs.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        q: Int = 24, maxDist: Int = 10): DataFrame = {
+    require(q >= 2, s"q must be >= 2, got $q")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__text"),
+      length(col(textCol)).cast("long").as("__len"))
+    val grams = base
+      .filter(col("__len") >= q)
+      .select(col("__id"), col("__len"),
+        explode(transform(sequence(lit(1), (col("__len") - (q - 1)).cast("int")),
+          i => col("__text").substr(i, lit(q)))).as("g"))
+      .groupBy(col("__id"), col("__len"), col("g"))
+      .agg(count(lit(1)).as("__c"))
+    val a = grams.select(col("__id").as("id_a"), col("__len").as("len_a"),
+      col("g"), col("__c").as("ca"))
+    val b = grams.select(col("__id").as("id_b"), col("__len").as("len_b"),
+      col("g"), col("__c").as("cb"))
+    val shared = a.join(b,
+        a("g") === b("g") && col("id_a") < col("id_b") &&
+          abs(col("len_a") - col("len_b")) <= maxDist)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("__shared"),
+           first(col("len_a")).as("len_a"), first(col("len_b")).as("len_b"))
+      .filter(col("__shared") >=
+        greatest(greatest(col("len_a"), col("len_b"))
+          - lit((q - 1).toLong + maxDist.toLong * q), lit(1L)))
+    shared
+      .join(base.select(col("__id").as("id_a"), col("__text").as("ta")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__text").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0) // banded levenshtein yields -1 past the cap
+  }
 }

@@ -78,4 +78,57 @@ object Graph {
     nodes.unpersist()
     rank
   }
+
+  /** Per-node triangle counts over an undirected edge list — the
+    * clustering/cohesion primitive (co-purchase cliques, co-citation
+    * density, link-farm detection in crawl curation).
+    *
+    * Algorithm: the degree-ordered node-iterator (the MapReduce
+    * triangle-count classic). Canonical undirected edges `(a < b,
+    * distinct, self-loops dropped)` are ORIENTED from the lower to the
+    * higher endpoint under the total order `(degree, id)`; every
+    * triangle then has exactly one apex whose two triangle edges both
+    * point out, so wedges are generated once (apex self-join) and
+    * closed once (join against the canonical edge set). Orientation is
+    * what bounds the wedge join: out-degree under the degree order is
+    * `O(√m)` for any graph, so wedges are `O(m^1.5)` total instead of
+    * `Σ deg²` — in a star graph every edge orients leaf→hub (leaves
+    * have degree 1), the hub has no out-edges, and the quadratic hub
+    * wedge blowup never happens.
+    *
+    * Scale shape: three equi-joins (degree attach ×2, wedge self-join
+    * on the apex, close join on the wedge pair), all key-partitioned
+    * with map-side combine on the final count; nothing reaches the
+    * driver. Per-triangle fan-out to its three corners is a 3-row
+    * explode, not a shuffle multiplier. Deterministic: no hashing, no
+    * RNG — the DuckDB oracle re-derives the identical orientation.
+    *
+    * Output: `(id, tri_count)` for every node in ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+              greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+    val e2 = oriented.select(col("u"), col("v").as("w"))
+    val wedges = oriented.join(e2, "u").filter(col("v") < col("w"))
+    val tris = wedges.join(canon,
+      wedges("v") === canon("a") && wedges("w") === canon("b"))
+      .select(col("u"), col("v"), col("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri_count"))
+  }
 }

@@ -524,6 +524,108 @@ object Relational {
     }
   }
 
+  /** Persisted QUANTILE store — the [[extendAggStore]] lifecycle for
+    * distribution (not just count/sum/min/max) history: per-key
+    * latency/size percentiles maintained incrementally, without ever
+    * rescanning fact history and without Spark's exact `percentile`
+    * buffering every value.
+    *
+    *  - [[kllPartials]] builds ONE deterministic KLL sketch per
+    *    (key, batch): batch rows repartition on the key and fold in
+    *    sorted (key, value) order inside each partition run — the
+    *    secondary-sort device — so the partial's wire bytes are a pure
+    *    function of the batch CONTENT (not of partition layout or
+    *    aggregate merge order), and an at-least-once replay writes a
+    *    byte-identical row;
+    *  - [[extendQuantileStore]] appends the batch-stamped partials —
+    *    key-cardinality-sized rows of `O(k·log(n/k))` bytes each, the
+    *    fact rows never persist;
+    *  - [[readQuantileStore]] drops replay duplicates by
+    *    `(keys, batch_id)` (exact because partials are byte-pure) and
+    *    folds the survivors per key through [[graft.functions.KllMergeAgg]]
+    *    — inverse-CDF quantiles + the carried worst-case rank-error
+    *    bound; with `k ≥` the largest per-key TOTAL count no compaction
+    *    ever fires, the bound is 0, and every quantile equals the
+    *    exact answer over the union of all batches (the driver-verified
+    *    regime, DuckDB `quantile_disc` parity);
+    *  - [[compactQuantileStore]] folds partials of batches strictly
+    *    below `beforeBatch` into one canonicalized `batch_id = −1`
+    *    sketch per key via the shared swap + recover protocol — only
+    *    the in-flight batch can replay, so folding committed batches
+    *    preserves replay exactness, same argument as the agg store.
+    *
+    * The streaming twin is [[graft.streaming.Streams.streamQuantiles]]
+    * — same sketch bytes, held in keyed state instead of parquet rows.
+    */
+  def kllPartials(rows: DataFrame, keys: Seq[String], valueCol: String,
+                  k: Int): DataFrame = {
+    import graft.functions.KllBuffer
+    require(keys.nonEmpty, "kllPartials needs at least one key column")
+    val sel = rows.select(
+      (keys.map(col) :+ col(valueCol).cast("long").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+    val sorted = sel.repartition(keys.map(col): _*)
+      .sortWithinPartitions((keys.map(col) :+ col("__v")): _*)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keys.map(n => sorted.schema(n)) :+
+        org.apache.spark.sql.types.StructField("sketch",
+          org.apache.spark.sql.types.BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val nk = keys.size
+    sorted.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.Row] {
+        private val in = it.buffered
+        override def hasNext: Boolean = in.hasNext
+        override def next(): org.apache.spark.sql.Row = {
+          val first = in.next()
+          val keyVals = (0 until nk).map(first.get)
+          val buf = new KllBuffer(k)
+          buf.insert(first.getLong(nk))
+          while (in.hasNext &&
+                 (0 until nk).forall(i => in.head.get(i) == keyVals(i))) {
+            buf.insert(in.next().getLong(nk))
+          }
+          org.apache.spark.sql.Row.fromSeq(keyVals :+ KllBuffer.toBytes(buf))
+        }
+      }
+    }(enc)
+  }
+
+  def extendQuantileStore(rows: DataFrame, storeDir: String,
+                          keys: Seq[String], valueCol: String, k: Int,
+                          batchId: Long): Unit =
+    kllPartials(rows, keys, valueCol, k)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(s"$storeDir/kll")
+
+  def readQuantileStore(spark: org.apache.spark.sql.SparkSession,
+                        storeDir: String, keys: Seq[String], k: Int,
+                        phis: Seq[Double]): DataFrame =
+    spark.read.parquet(s"$storeDir/kll")
+      .dropDuplicates(keys :+ "batch_id")
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.KllMergeAgg(col("sketch"), k, phis).as("__s"))
+      .select((keys.map(col) ++ Seq(col("__s.n").as("n"),
+        col("__s.err_bound").as("err_bound"), col("__s.qs").as("qs"))): _*)
+
+  def compactQuantileStore(spark: org.apache.spark.sql.SparkSession,
+                           storeDir: String, keys: Seq[String], k: Int,
+                           beforeBatch: Long, partitions: Int = 1): Unit = {
+    IndexFiles.recoverTable(spark, storeDir, "kll")
+    IndexFiles.swapIn(spark, storeDir, "kll") { tmp =>
+      val all = spark.read.parquet(s"$storeDir/kll")
+        .dropDuplicates(keys :+ "batch_id")
+      val fold = all.filter(col("batch_id") < beforeBatch)
+        .groupBy(keys.map(col): _*)
+        .agg(graft.functions.KllMergeAgg.sketch(col("sketch"), k).as("sketch"))
+        .withColumn("batch_id", lit(-1L))
+      fold.unionByName(all.filter(col("batch_id") >= beforeBatch))
+        .repartition(partitions)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** Ordered conversion funnel: per key, the earliest time each step
     * was reached at-or-after the PREVIOUS step's attain time
     * (view → click → purchase). A user who never reaches step i has

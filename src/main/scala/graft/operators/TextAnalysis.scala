@@ -348,6 +348,49 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+  /** Per-document n-gram NOVELTY against the rest of the corpus (the
+    * inverse of boilerplate: how much of this document's phrasing
+    * exists nowhere else) — a selection signal for dedup-adjacent
+    * curation (C4's "novel text" prior, memorization audits): a doc
+    * whose grams all recur elsewhere is template/copy material even
+    * when no single document matches it (so pairwise dedup misses it).
+    *
+    * `novelty_permille = (unique_grams · 1000) div total_grams` over
+    * the document's DISTINCT n-grams, where a gram is unique iff its
+    * corpus document frequency is 1 — integer permille end-to-end
+    * (engine-exact, the score_percentile discipline).
+    *
+    * Scale shape: gram generation is map-side (slice over the token
+    * array, distinct per doc before exploding), document frequency is
+    * ONE gram-keyed aggregation with map-side combine, and the df
+    * attach is a gram-keyed equi-join back to the same frame — two
+    * shuffles on the uniformly-distributed gram key plus the final
+    * doc-keyed count. Nothing is ever pairwise: cost is linear in
+    * corpus gram volume where a pair-based "who shares my grams"
+    * formulation would be quadratic. Docs shorter than `n` tokens
+    * emit no grams and are absent from the output (documented).
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = filter(split(trim(col(textCol)), "\\s+"),
+      x => length(x) > 0)
+    val grams = docs.select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(0), size(col("__t")) - n),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))))
+        .as("gram"))
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    grams.join(df, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("total_grams"),
+           sum(when(col("__df") > 1, 1L).otherwise(0L)).as("shared_grams"))
+      .select(col(idCol), col("total_grams"), col("shared_grams"),
+        expr("(total_grams - shared_grams) * 1000 div total_grams")
+          .as("novelty_permille"))
+  }
+
   /** Length-bucketed batch layout (padding-waste minimization for
     * training/inference): documents grouped into fixed-width
     * token-length buckets, then dealt into `batchSize`-row batches

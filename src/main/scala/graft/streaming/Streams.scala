@@ -368,6 +368,88 @@ object Streams {
       }
   }
 
+  case class TokenObs(key: String, token: String)
+  /** Canonical Misra-Gries state: token-sorted parallel arrays (a
+    * pure function of the counter MAP, independent of fold-internal
+    * hash iteration order) + the exact decrement-round count. */
+  case class MgState(n: Long, decs: Long, tokens: Array[String],
+                     counts: Array[Long])
+  case class KeyTopTokens(key: String, n: Long, err_bound: Long,
+                          top_tokens: Seq[String], est_counts: Seq[Long])
+
+  /** One deterministic Misra-Gries fold: batch tokens sorted, then the
+    * classic update (count if tracked or free; else joint decrement,
+    * zeros dropped) — the same semantics as
+    * [[graft.functions.MisraGriesAgg]]'s update path. Pure
+    * `(state, batch-content) → state'`, so an at-least-once replay
+    * rebuilds an IDENTICAL state row (spec-asserted), the KLL
+    * determinism argument applied to heavy hitters. */
+  private[graft] def mgFold(st: MgState, batch: Array[String],
+                            capacity: Int): MgState = {
+    val m = new java.util.TreeMap[String, java.lang.Long]()
+    var i = 0
+    while (i < st.tokens.length) {
+      m.put(st.tokens(i), java.lang.Long.valueOf(st.counts(i))); i += 1
+    }
+    var n = st.n; var decs = st.decs
+    batch.sorted.foreach { t =>
+      n += 1
+      val cur: java.lang.Long = m.get(t)
+      if (cur != null) m.put(t, java.lang.Long.valueOf(cur + 1L))
+      else if (m.size < capacity) m.put(t, java.lang.Long.valueOf(1L))
+      else {
+        decs += 1
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove()
+          else e.setValue(java.lang.Long.valueOf(e.getValue - 1L))
+        }
+      }
+    }
+    val toks = new Array[String](m.size)
+    val cnts = new Array[Long](m.size)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); toks(j) = e.getKey; cnts(j) = e.getValue; j += 1 }
+    MgState(n, decs, toks, cnts)
+  }
+
+  /** D12: per-key RUNNING heavy hitters over an unbounded token
+    * stream — top event types per tenant, top terms per feed — the
+    * streaming twin of [[graft.functions.MisraGriesAgg]] /
+    * `windowed_top_events`, with state bounded at `capacity` counters
+    * per key forever (the counter map, never the token history).
+    *
+    * Every guarantee is the batch sketch's: reported count ∈
+    * [true − decs, true] with `decs` ≤ N/(capacity+1) carried EXACTLY
+    * in state and emitted as `err_bound`; capacity ≥ distinct ⇒ no
+    * decrement ever fires, the counts are exact, and the stream's
+    * per-batch output equals the batch `groupBy(token).count` truth
+    * (spec-asserted). State is canonical (token-sorted arrays), so
+    * replays rebuild identical rows. Output (Update mode): one row
+    * per touched key per batch with the current top-`k` by
+    * (est_count desc, token asc) — the batch aggregate's tie rule.
+    */
+  def streamTopTokens(obs: Dataset[TokenObs], capacity: Int,
+                      k: Int): Dataset[KeyTopTokens] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.key)
+      .mapGroupsWithState[MgState, KeyTopTokens](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[TokenObs], state: GroupState[MgState]) =>
+          val st = state.getOption.getOrElse(
+            MgState(0L, 0L, Array.empty, Array.empty))
+          val next = mgFold(st, rows.map(_.token).toArray, capacity)
+          state.update(next)
+          val top = next.tokens.indices
+            .sortBy(i => (-next.counts(i), next.tokens(i)))
+            .take(k)
+          KeyTopTokens(key, next.n, next.decs,
+            top.map(next.tokens), top.map(next.counts))
+      }
+  }
+
   /** Stable-file detection: the sftp_wait_for_stable semantics
     * (sftp_wait_for_stable.py) as a relational op over two manifest
     * snapshots (path, size) — a file is stable when its size is

@@ -45,4 +45,38 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 75000L, 2L -> 500000L))
   }
+
+  test("triangleCounts: hand-computed counts, edge-list noise tolerated") {
+    // triangles {1,2,3} and {2,3,5}; 3-4 is a pendant edge.
+    // Per-node: 1→1, 2→2, 3→2, 5→1; node 4 in no triangle → absent.
+    // Noise: duplicate edge, reversed duplicate, self-loop.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 5L), (3L, 5L),
+                (3L, 4L), (2L, 1L), (1L, 2L), (4L, 4L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(e, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 5L -> 1L))
+  }
+
+  test("triangleCounts: star graph has no triangles, K4 has C(4,3) per node") {
+    val star = (2L to 40L).map(i => (1L, i)).toDF("src", "dst")
+    assert(Graph.triangleCounts(star, "src", "dst").count() == 0L)
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(k4, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each node of K4 sits in C(3,2) = 3 of the 4 triangles
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts is a pure function of the edge set (layout)") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 5L), (3L, 5L), (1L, 5L))
+      .toDF("src", "dst")
+    val a = Graph.triangleCounts(e.repartition(7), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = Graph.triangleCounts(e.repartition(1), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+    // K4 again: total triangle incidences divisible by 3
+    assert(a.map(_._2).sum % 3 == 0)
+  }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** E56 editDistancePairs (lossless q-gram filter + banded verify) and
+  * E57 ngramNovelty: hand-planted truths, boundary distances, layout
+  * invariance. */
+class NoveltyEditDistanceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 60 chars of distinct-ish content so 24-grams collide only on
+  // genuinely shared substrings
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog near the old barn"
+
+  test("editDistancePairs: planted distances recovered exactly") {
+    val docs = Seq(
+      1L -> baseText,
+      2L -> (baseText + " now"),                    // 4 appended chars
+      3L -> baseText.replace("quick", "quack"),     // 1 substitution
+      4L -> "completely different content that shares no long substring with anything here",
+      5L -> "short doc"                              // < q, never pairs
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        q = 24, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got === Map((1L, 2L) -> 4, (1L, 3L) -> 1, (2L, 3L) -> 5))
+  }
+
+  test("editDistancePairs: maxDist boundary kept, beyond dropped") {
+    val eleven = " 0123456789" // 11 chars
+    val ten = " 012345678"     // 10 chars
+    val docs = Seq(1L -> baseText, 2L -> (baseText + eleven),
+                   3L -> (baseText + ten)).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        q = 24, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // (1,2) is at distance 11 — pruned by the length band before any
+    // verify; (1,3) sits exactly AT the cap; (2,3) differs by one char
+    assert(got === Map((1L, 3L) -> 10, (2L, 3L) -> 1))
+  }
+
+  test("editDistancePairs is a pure function of the corpus (layout)") {
+    val docs = Seq(
+      1L -> baseText, 2L -> (baseText + " now"),
+      3L -> baseText.replace("quick", "quack"),
+      4L -> "something else entirely that is long enough to produce grams"
+    ).toDF("doc_id", "text")
+    val a = Dedup.editDistancePairs(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val b = Dedup.editDistancePairs(docs.repartition(1), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+  }
+
+  test("ngramNovelty: hand-computed shares, short docs absent") {
+    val docs = Seq(
+      1L -> "a b c d",  // grams {a b c, b c d}; "a b c" shared with 2
+      2L -> "a b c e",  // grams {a b c, b c e}
+      3L -> "x y z w",  // grams {x y z, y z w} — fully novel
+      4L -> "p q"       // < 3 tokens → absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 500L)),
+      2L -> ((2L, 1L, 500L)),
+      3L -> ((2L, 0L, 1000L))))
+  }
+
+  test("ngramNovelty: within-doc repeats count once (DISTINCT grams)") {
+    val docs = Seq(
+      1L -> "a b c a b c a b c", // distinct grams: a b c / b c a / c a b
+      2L -> "a b c x y z"        // shares only "a b c"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: 3 distinct grams, 1 shared → 666‰ novel (integer div)
+    assert(got(1L) === ((3L, 1L, 666L)))
+    // doc 2: 4 distinct grams ("a b c","b c x","c x y","x y z"), 1 shared
+    assert(got(2L) === ((4L, 1L, 750L)))
+  }
+
+  test("ngramNovelty: exact duplicate docs score zero novelty") {
+    val docs = Seq(1L -> "one two three four five six",
+                   2L -> "one two three four five six").toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L))
+  }
+}

@@ -509,6 +509,34 @@ object SparkEntry {
           col("qs").getItem(2).as("p99_milli"))
     }),
 
+    // C50: persisted distinct-count store — the sketch-store family's
+    // set-cardinality member: per-type distinct users maintained from
+    // batch-stamped KMV partials (a COUNT(DISTINCT) rollup cannot be
+    // maintained from per-batch counts at all — distinct doesn't sum;
+    // the sketch union is what makes it incremental). Full lifecycle
+    // in the key: extend ×2, replay, compact, read; exact regime
+    // (k ≥ per-type distinct), so n_distinct equals SQL set truth.
+    "distinct_store" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("event_type"), col("user_id"),
+        col("event_id"))
+      val store = new java.io.File("target/graft_indexes/kmv_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      val k = 1 << 13
+      val keys = Seq("event_type")
+      Relational.extendDistinctStore(
+        ev.filter(col("event_id") % 2 === 0), store, keys, "user_id", k, 0L)
+      Relational.extendDistinctStore(
+        ev.filter(col("event_id") % 2 =!= 0), store, keys, "user_id", k, 1L)
+      Relational.extendDistinctStore( // replayed in-flight batch
+        ev.filter(col("event_id") % 2 =!= 0), store, keys, "user_id", k, 1L)
+      Relational.compactDistinctStore(s, store, keys, k, beforeBatch = 1L)
+      Relational.readDistinctStore(s, store, keys, k)
+    }),
+
     // C14: run metrics (alma_publish_parser.py:302-308)
     "run_metrics" -> ((s, dir) => {
       Tables(s, dir).events.groupBy(col("event_type"))
@@ -2087,6 +2115,14 @@ object SparkEntry {
                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
                FROM lineitem)
          GROUP BY l_returnflag""",
+
+    // exact regime: the merged KMV partials hold every distinct user
+    // hash, so n_distinct equals SQL set truth over all events
+    "distinct_store" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+                TRUE AS is_exact
+         FROM events GROUP BY event_type""",
 
     // the store's merged partials answer over the UNION of both
     // batches (replay deduped, committed batch folded) — so the twin

@@ -150,3 +150,113 @@ object KmvSketchAgg {
     h ^ java.lang.Long.MIN_VALUE
   }
 }
+
+/** `kmv_merge(sketchArray, k)` — merge PRE-BUILT KMV sketches (the
+  * `array<long>` a [[KmvSketchAgg]] emitted) instead of raw values:
+  * the read half of the persisted distinct-count store. The merge of
+  * k-smallest sets is itself a k-smallest set, so partials combine
+  * associatively map-side and the result stays a pure function of the
+  * underlying value set — byte-identical under any layout, replay, or
+  * merge order (no canonicalization step needed, unlike the KLL fold).
+  *
+  * `emitSketch = true` → the merged `array<long>` (the store's
+  * compaction fold); otherwise `struct(n_distinct, is_exact)` — exact
+  * count below k retained hashes, the standard (k−1)/u_k estimate
+  * above.
+  */
+case class KmvMergeAgg(
+    child: Expression,
+    k: Int,
+    emitSketch: Boolean = false,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k > 1, s"k must be > 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    if (emitSketch) ArrayType(LongType, containsNull = false)
+    else StructType(Seq(
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("is_exact", BooleanType, nullable = false)))
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      KmvSketchAgg.add(buf, arr.getLong(i), k); i += 1
+    }
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+                     b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) KmvSketchAgg.add(a, it.next().longValue(), k)
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    if (emitSketch) {
+      val out = new Array[Long](buf.size)
+      var i = 0
+      val it = buf.iterator()
+      while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+      new GenericArrayData(out)
+    } else if (buf.size < k) {
+      InternalRow(buf.size.toLong, true)
+    } else {
+      // (k−1)/u_k with u_k = the unsigned fraction of the k-th hash
+      val frac = (buf.last().longValue().toDouble -
+        java.lang.Long.MIN_VALUE.toDouble) / 1.8446744073709552E19
+      InternalRow(Math.round((k - 1).toDouble / frac), false)
+    }
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream((buf.size + 1) * 8)
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next().longValue())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { s.add(java.lang.Long.valueOf(in.readLong())); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvMergeAgg =
+    copy(child = c.head)
+}
+
+object KmvMergeAgg {
+  /** `struct(n_distinct, is_exact)` from merged sketch rows. */
+  def apply(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvMergeAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Merged sketch `array<long>` (the compaction fold). */
+  def sketch(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvMergeAgg(ColumnBridge.expression(c), k, emitSketch = true)
+        .toAggregateExpression())
+}

@@ -626,6 +626,62 @@ object Relational {
     }
   }
 
+  /** Persisted DISTINCT-COUNT store — the sketch-store lifecycle
+    * ([[extendAggStore]] counts/sums, [[extendQuantileStore]]
+    * distributions) completed for set cardinality: per-key distinct
+    * counts maintained incrementally via KMV theta-sketch partials
+    * ([[graft.functions.KmvSketchAgg]]), where a COUNT(DISTINCT)
+    * rollup cannot be maintained from per-batch counts at all
+    * (distinct does not sum across batches — the sketch union is
+    * exactly what makes it incremental).
+    *
+    * Simpler than the KLL store in one pleasant way: a KMV sketch is
+    * the k smallest distinct value hashes — a pure function of the
+    * value SET — so batch partials are byte-identical under any
+    * layout, merge order, or replay with NO secondary-sort device,
+    * and `(keys, batch_id)` dedup at read is exact for free. Exact
+    * regime: below k retained hashes `n_distinct` equals the true
+    * distinct count over the UNION of all batches (the
+    * driver-verified regime); above it the standard (k−1)/u_k
+    * estimate with ~1/√k error. Same swap + recover compaction as the
+    * sibling stores.
+    */
+  def extendDistinctStore(rows: DataFrame, storeDir: String,
+                          keys: Seq[String], valueCol: String, k: Int,
+                          batchId: Long): Unit =
+    rows.groupBy(keys.map(col): _*)
+      .agg(graft.functions.KmvSketchAgg(col(valueCol), k).as("sketch"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(s"$storeDir/kmv")
+
+  def readDistinctStore(spark: org.apache.spark.sql.SparkSession,
+                        storeDir: String, keys: Seq[String],
+                        k: Int): DataFrame =
+    spark.read.parquet(s"$storeDir/kmv")
+      .dropDuplicates(keys :+ "batch_id")
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.KmvMergeAgg(col("sketch"), k).as("__s"))
+      .select((keys.map(col) ++ Seq(col("__s.n_distinct").as("n_distinct"),
+        col("__s.is_exact").as("is_exact"))): _*)
+
+  def compactDistinctStore(spark: org.apache.spark.sql.SparkSession,
+                           storeDir: String, keys: Seq[String], k: Int,
+                           beforeBatch: Long, partitions: Int = 1): Unit = {
+    IndexFiles.recoverTable(spark, storeDir, "kmv")
+    IndexFiles.swapIn(spark, storeDir, "kmv") { tmp =>
+      val all = spark.read.parquet(s"$storeDir/kmv")
+        .dropDuplicates(keys :+ "batch_id")
+      val fold = all.filter(col("batch_id") < beforeBatch)
+        .groupBy(keys.map(col): _*)
+        .agg(graft.functions.KmvMergeAgg.sketch(col("sketch"), k)
+          .as("sketch"))
+        .withColumn("batch_id", lit(-1L))
+      fold.unionByName(all.filter(col("batch_id") >= beforeBatch))
+        .repartition(partitions)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** Ordered conversion funnel: per key, the earliest time each step
     * was reached at-or-after the PREVIOUS step's attain time
     * (view → click → purchase). A user who never reaches step i has

@@ -34,7 +34,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // non-empty partition spec (global windows move everything to one
     // partition; all were eliminated in round 2)
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan
+      // sparkPlan, not executedPlan: under AQE the executed plan is an
+      // AdaptiveSparkPlanExec leaf and a typed collect sees nothing
+      val plan = fn(spark, sf).queryExecution.sparkPlan
       val bad = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty => w
@@ -226,5 +228,62 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(nodeCount(plan, "Exchange") == 1, plan)
     assert(scanCount(plan) == 1, plan)
     assert(!plan.contains("Sort "), s"no sort should be needed:\n$plan")
+  }
+
+  test("quantile/distinct store reads: object aggregation over sketch " +
+       "partials, never a value-stream shuffle") {
+    for (name <- Seq("quantile_store", "distinct_store")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sf))
+      assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+        s"$name: sketch merge must be partial+final object agg:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("Window"), s"$name:\n$plan")
+    }
+  }
+
+  test("triangle_count: equi-joins only — orientation kills the " +
+       "wedge blowup, never a cartesian") {
+    val plan = formatted(SparkEntry.queries("triangle_count")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("edit_distance_pairs: gram join is equi, texts never ride the " +
+       "gram shuffle") {
+    val df = SparkEntry.queries("edit_distance_pairs")(spark, sf)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the gram-side exchanges carry (id, len, gram, count) only — a
+    // text column in any gram exchange would ship every document once
+    // per gram; texts attach post-filter by id equi-join instead.
+    // Pin broadcast off so the gram join plans its at-scale SHUFFLE
+    // shape (at sf0.001 stats the whole side would broadcast), and use
+    // sparkPlan: under AQE the executed plan is an adaptive leaf.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val text = formatted(SparkEntry.queries("edit_distance_pairs")(spark, sf))
+      // formatted blocks: "(n) Exchange\nInput [k]: [cols...]"
+      val exchangeInputs = raw"Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]".r
+        .findAllMatchIn(text).map(_.group(1)).toSeq
+      val gramExchanges = exchangeInputs.filter(_.contains("g#"))
+      assert(gramExchanges.nonEmpty,
+        s"expected gram-keyed exchanges:\n$text")
+      gramExchanges.foreach { cols =>
+        assert(!cols.contains("__text#") && !cols.contains("ta#") &&
+               !cols.contains("tb#"),
+          s"text column rides the gram shuffle: $cols")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("ngram_novelty: df attach is a gram equi-join, no window, " +
+       "map-side combined aggregations") {
+    val plan = formatted(SparkEntry.queries("ngram_novelty")(spark, sf))
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
   }
 }

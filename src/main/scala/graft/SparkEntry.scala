@@ -537,6 +537,40 @@ object SparkEntry {
       Relational.readDistinctStore(s, store, keys, k)
     }),
 
+    // C51: co-located BUCKETED join — both sides written bucketed into
+    // the same 16 buckets on the join key (one file per bucket, sorted),
+    // so the fact-fact equi-join plans with ZERO exchange on either
+    // side (spec-asserted): the 100 TB "pay the shuffle once at write
+    // time" device. The key re-writes the bucketed tables each run
+    // (that write IS the operator's honest cost) then joins them.
+    "bucketed_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = new java.io.File("target/graft_warehouse").getAbsolutePath
+      val to = s"graft_orders_b_$slug"
+      val tl = s"graft_lineitem_b_$slug"
+      Layout.writeBucketed(
+        t.orders.select(col("o_orderkey"), col("o_orderstatus")),
+        to, "o_orderkey", 16, s"$base/$to")
+      Layout.writeBucketed(
+        t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice")),
+        tl, "o_orderkey", 16, s"$base/$tl")
+      s.table(to).join(s.table(tl), "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("cents"))
+    }),
+
+    // C52: join-key skew diagnostic — every column's Misra-Gries
+    // sketch rides ONE scan; exact regime here (capacity ≥ distinct),
+    // so the report equals the row_number twin
+    "skew_report" -> ((s, dir) => {
+      Relational.skewReport(Tables(s, dir).lineitem,
+        Seq("l_returnflag", "l_linenumber"), capacity = 1024, topK = 3)
+    }),
+
     // C14: run metrics (alma_publish_parser.py:302-308)
     "run_metrics" -> ((s, dir) => {
       Tables(s, dir).events.groupBy(col("event_type"))
@@ -2115,6 +2149,36 @@ object SparkEntry {
                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
                FROM lineitem)
          GROUP BY l_returnflag""",
+
+    // the bucketed layout changes the PLAN, never the answer
+    "bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
+
+    // exact regime ⇒ the sketch report equals the row_number twin;
+    // same (count desc, value-string asc) tie rule both engines
+    "skew_report" ->
+      """WITH t AS (SELECT count(*) AS total FROM lineitem),
+         u AS (
+           SELECT 'l_returnflag' AS col_name,
+                  CAST(l_returnflag AS VARCHAR) AS key_value, count(*) AS c
+           FROM lineitem GROUP BY 2
+           UNION ALL
+           SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR), count(*)
+           FROM lineitem GROUP BY 2),
+         r AS (
+           SELECT col_name, key_value, c,
+                  row_number() OVER (PARTITION BY col_name
+                                     ORDER BY c DESC, key_value) AS rk
+           FROM u)
+         SELECT col_name, CAST(rk AS BIGINT) AS rank, key_value,
+                CAST(c AS BIGINT) AS est_count,
+                CAST(total AS BIGINT) AS total_rows,
+                CAST(c * 1000 // total AS BIGINT) AS share_permille
+         FROM r, t WHERE rk <= 3""",
 
     // exact regime: the merged KMV partials hold every distinct user
     // hash, so n_distinct equals SQL set truth over all events

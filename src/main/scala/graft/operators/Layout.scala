@@ -105,4 +105,39 @@ object Layout {
     withBlock.groupBy("block")
       .agg(count(lit(1)).as("n"), aggs: _*)
   }
+
+  /** Write a frame as a BUCKETED parquet table — Spark's co-located
+    * join device, the layout half of "big joins shuffle on their
+    * keys": two tables bucketed into the same `nBuckets` on the join
+    * key scan as `HashPartitioning(nBuckets)` sources, so their
+    * equi-join plans with ZERO Exchange on either side (the
+    * no-shuffle sort-merge-bucket join — spec-asserted). At 100 TB
+    * this is the difference between re-shuffling a fact table on
+    * every join and paying the shuffle ONCE at write time, amortized
+    * over every downstream join/aggregation on that key.
+    *
+    * The frame is pre-repartitioned on the bucket column with the
+    * SAME hash Spark's bucket spec uses, so each write task holds
+    * exactly one bucket's rows → ONE file per bucket (without it,
+    * every task writes a sliver of every bucket — nBuckets × tasks
+    * small files, and multi-file buckets can force a Sort back into
+    * the join). `sortBy` stamps the per-file sort order into the
+    * table spec so the sort-merge join can skip its Sort too.
+    *
+    * Registered in the session catalog as `table` with an explicit
+    * external path (no metastore dependency beyond the in-memory
+    * catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(nBuckets, col(bucketCol))
+      .write.format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
 }

@@ -682,6 +682,44 @@ object Relational {
     }
   }
 
+  /** Join-key SKEW diagnostic (the planning input for [[saltedJoin]] /
+    * AQE skew thresholds): for each candidate key column, the top-k
+    * hottest values with their share of the table in integer permille
+    * — the report that says which keys need salting before a 100 TB
+    * join melts one reducer.
+    *
+    * ONE scan: every column's Misra-Gries sketch rides the same
+    * single aggregation (O(capacity) state each through one
+    * 1-row final merge), then each sketch explodes to its top-k rows
+    * driver-free. Exact while capacity ≥ a column's distinct count
+    * (the oracle regime); above it the standard MG undercount bound
+    * applies and hot keys — the ones the report exists for — are
+    * precisely the ones MG cannot lose.
+    */
+  def skewReport(df: DataFrame, cols: Seq[String], capacity: Int,
+                 topK: Int): DataFrame = {
+    require(cols.nonEmpty, "skewReport needs at least one column")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val aggs = count(lit(1)).as("__total") +:
+      cols.map(c => graft.functions.MisraGriesAgg(col(c).cast("string"),
+        capacity).as(s"__mg_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // stack, not a union of per-column selects: a union would plan the
+    // aggregation once PER BRANCH and re-scan the table each time —
+    // stack unpivots the single 1-row result in place
+    val stacked = s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', __mg_$c").mkString(", ") +
+      ") AS (col_name, __sketch)"
+    row.selectExpr("__total", stacked)
+      .select(col("col_name"), col("__total"),
+        posexplode(slice(col("__sketch"), 1, topK)))
+      .select(col("col_name"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.token").as("key_value"),
+        col("col.est_count").as("est_count"),
+        col("__total").as("total_rows"),
+        expr("col.est_count * 1000 div __total").as("share_permille"))
+  }
+
   /** Ordered conversion funnel: per key, the earliest time each step
     * was reached at-or-after the PREVIOUS step's attain time
     * (view → click → purchase). A user who never reaches step i has

@@ -179,4 +179,55 @@ class LayoutSpec extends AnyFunSuite {
     assert(stepwise.orderBy("k").collect().map(_.toSeq).toSeq ==
            combined.orderBy("k").collect().map(_.toSeq).toSeq)
   }
+
+  // --- writeBucketed -----------------------------------------------------
+
+  test("writeBucketed: co-bucketed equi-join plans ZERO exchange, " +
+       "answers match the plain join, one file per bucket") {
+    val a = (1L to 500L).map(i => (i, s"s${i % 3}")).toDF("k", "st")
+    val b = (1L to 2000L).map(i => (i % 500 + 1, i * 1.5)).toDF("k", "v")
+    val base = new java.io.File("target/graft_warehouse").getAbsolutePath
+    Layout.writeBucketed(a, "bkt_a_spec", "k", 8, s"$base/bkt_a_spec")
+    Layout.writeBucketed(b, "bkt_b_spec", "k", 8, s"$base/bkt_b_spec")
+    // pin broadcast off: a tiny side would broadcast and the planner
+    // disables bucketed scans entirely — the at-scale shape is SMJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_a_spec").join(spark.table("bkt_b_spec"), "k")
+      val plan = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(raw"(?m)^\(\d+\) Exchange".r.findAllIn(plan).isEmpty,
+        s"bucketed join must not shuffle either side:\n$plan")
+      // the layout changes the plan, never the answer
+      val plain = a.join(b, "k")
+      assert(j.count() == plain.count())
+      assert(j.agg(sum("v")).collect().head.getDouble(0) ==
+             plain.agg(sum("v")).collect().head.getDouble(0))
+      // one data file per bucket (the repartition-before-write contract)
+      val files = new java.io.File(s"$base/bkt_a_spec").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(files == 8, s"expected 8 bucket files, got $files")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      10L * 1024 * 1024)
+  }
+
+  test("writeBucketed joined against an UNBUCKETED frame still works " +
+       "(one-sided shuffle only)") {
+    val a = (1L to 300L).map(i => (i, i % 7)).toDF("k", "grp")
+    val base = new java.io.File("target/graft_warehouse").getAbsolutePath
+    Layout.writeBucketed(a, "bkt_c_spec", "k", 4, s"$base/bkt_c_spec")
+    val other = (1L to 300L by 3).map(i => (i, s"x$i")).toDF("k", "tag")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_c_spec").join(other, "k")
+      val plan = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // exactly ONE exchange: the unbucketed side aligns to the
+      // bucketed side's partitioning; the bucketed scan never shuffles
+      assert(raw"(?m)^\(\d+\) Exchange".r.findAllIn(plan).size == 1, plan)
+      assert(j.count() == 100L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      10L * 1024 * 1024)
+  }
 }

@@ -295,4 +295,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out.filter($"record_type" === "bib" && !$"record_id".startsWith("99")).count() == 0)
     assert(out.filter($"record_type" === "holding" && !$"record_id".startsWith("22")).count() == 0)
   }
+
+  test("skewReport: planted hot key reported first with exact share") {
+    // 700 of 1000 rows share key "hot"; second column is near-uniform
+    val df = (1 to 1000).map { i =>
+      (if (i <= 700) "hot" else s"k${i % 10}", (i % 4).toLong)
+    }.toDF("a", "b")
+    val got = Relational.skewReport(df, Seq("a", "b"), capacity = 256,
+        topK = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(got(("a", 1L)) == (("hot", 700L, 700L)))      // 700‰ share
+    assert(got(("a", 2L))._2 == 30L)                     // 300/10 per k
+    // column b: 4 uniform values, 250 each → 250‰, tie rule by value
+    assert(got(("b", 1L)) == (("0", 250L, 250L)))
+    assert(got(("b", 2L)) == (("1", 250L, 250L)))
+  }
+
+  test("skewReport rides one scan (single aggregate, no per-column pass)") {
+    val df = (1 to 100).map(i => (s"x${i % 5}", s"y${i % 3}")).toDF("a", "b")
+    val plan = Relational.skewReport(df, Seq("a", "b"), 64, 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // both sketches aggregate in the same ObjectHashAggregate pair;
+    // the union fans out AFTER the 1-row result
+    assert("LocalTableScan".r.findAllIn(plan).size <= 2, plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size <= 4, plan)
+  }
 }

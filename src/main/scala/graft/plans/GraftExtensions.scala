@@ -371,6 +371,8 @@ object GraftFunctions {
           case d: Double => d
           case i: Int => i.toDouble
           case l: Long => l.toDouble
+          // a bare SQL `0.5` parses as DECIMAL(1,1), not DOUBLE
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
           case o => throw new IllegalArgumentException(
             s"$fn: $arg must contain numeric literals, got $o")
         })
@@ -461,6 +463,22 @@ object GraftFunctions {
       args => graft.functions.KllQuantilesAgg(args(0),
         intLit(args(1), "graft_quantile_sketch", "k"),
         doubleArrayLit(args(2), "graft_quantile_sketch", "phis"))),
+    fn("graft_kll_merge", 3,
+       "_FUNC_(sketch, k, phis) - merge KLL sketch wire bytes (the persisted " +
+       "quantile store's read half); struct(n, err_bound, qs)")(
+      args => graft.functions.KllMergeAgg(args(0),
+        intLit(args(1), "graft_kll_merge", "k"),
+        doubleArrayLit(args(2), "graft_kll_merge", "phis"))),
+    fn("graft_kmv_sketch", 2,
+       "_FUNC_(col, k) - KMV theta distinct-count sketch aggregate; " +
+       "array<long> of the k smallest distinct value hashes")(
+      args => graft.functions.KmvSketchAgg(args(0),
+        intLit(args(1), "graft_kmv_sketch", "k"))),
+    fn("graft_kmv_merge", 2,
+       "_FUNC_(sketch, k) - merge KMV sketch arrays (the persisted " +
+       "distinct store's read half); struct(n_distinct, is_exact)")(
+      args => graft.functions.KmvMergeAgg(args(0),
+        intLit(args(1), "graft_kmv_merge", "k"))),
     fn("graft_zorder", 3,
        "_FUNC_(x, y, bits) - Morton/Z-order interleave of two non-negative " +
        "integer columns over the low `bits` bits of each")(

@@ -180,4 +180,51 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("literal"), bad.getMessage)
   }
+
+  test("graft_kmv_sketch/merge from SQL: sketch → merge ≡ exact distinct") {
+    val df = (1 to 500).map(i => (s"g${i % 3}", (i % 120).toLong))
+      .toDF("g", "v")
+    df.createOrReplaceTempView("sql_fn_kmv")
+    // two-level: per-group sketches, then a merged all-groups count —
+    // the store's read shape, straight from SQL
+    val got = spark.sql("""
+      SELECT s.n_distinct, s.is_exact FROM (
+        SELECT graft_kmv_merge(sk, 1024) AS s FROM (
+          SELECT g, graft_kmv_sketch(v, 1024) AS sk
+          FROM sql_fn_kmv GROUP BY g))""").head()
+    assert(got.getLong(0) == 120L)
+    assert(got.getBoolean(1))
+    // per-group sketch counts equal per-group distinct truth
+    val per = spark.sql("""
+      SELECT g, graft_kmv_merge(sk, 1024) AS s FROM (
+        SELECT g, graft_kmv_sketch(v, 1024) AS sk
+        FROM sql_fn_kmv GROUP BY g) GROUP BY g""")
+      .selectExpr("g", "s.n_distinct").as[(String, Long)].collect().toMap
+    val truth = (1 to 500).map(i => (s"g${i % 3}", (i % 120).toLong))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).distinct.size.toLong }
+    assert(per == truth)
+  }
+
+  test("graft_kll_merge from SQL folds store partials ≡ direct sketch") {
+    // store-shaped partials (one sketch per (key, half)) built by the
+    // operator path, merged from SQL — must equal one direct
+    // graft_quantile_sketch over all values
+    val rows = (1 to 300).map(i => ("k", ((i * 37) % 500).toLong))
+    val halves = rows.zipWithIndex.map { case ((k, v), i) =>
+      (s"$k${i % 2}", v)
+    }.toDF("k", "v")
+    graft.operators.Relational.kllPartials(halves, Seq("k"), "v", 4096)
+      .createOrReplaceTempView("sql_fn_kll_partials")
+    val merged = spark.sql("""
+      SELECT graft_kll_merge(sketch, 4096, array(0.5, 0.9)) AS s
+      FROM sql_fn_kll_partials""")
+      .selectExpr("s.n", "s.err_bound", "s.qs").head()
+    rows.toDF("k", "v").createOrReplaceTempView("sql_fn_kll_all")
+    val direct = spark.sql("""
+      SELECT graft_quantile_sketch(v, 4096, array(0.5, 0.9)) AS s
+      FROM sql_fn_kll_all""")
+      .selectExpr("s.n", "s.err_bound", "s.qs").head()
+    assert(merged == direct)
+    assert(merged.getLong(0) == 300L && merged.getLong(1) == 0L)
+  }
 }

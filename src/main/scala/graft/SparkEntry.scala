@@ -768,6 +768,14 @@ object SparkEntry {
       TextAnalysis.ngramCounts(Tables(s, dir).documents, "text",
                                n = 3, minCount = 2L)),
 
+    // E58: FIM (fill-in-the-middle) reorder — fingerprint-gated 500‰
+    // of docs emitted PSM-style with fingerprint-derived cut points;
+    // pure map-side column arithmetic, the oracle re-derives the
+    // rolling-hash fold and the same substring algebra
+    "fim_transform" -> ((s, dir) =>
+      TextAnalysis.fimTransform(Tables(s, dir).documents, "doc_id", "text",
+        fimPermille = 500)),
+
     // E57: per-document n-gram novelty vs the rest of the corpus —
     // planted exact copies (and their sources) score 0, soup docs
     // spread by how much phrasing they share; df is one gram-keyed
@@ -2589,6 +2597,32 @@ FROM decided""",
                                  // (2 * length(d.text))
                      END AS BIGINT) AS entropy_micro
          FROM documents d LEFT JOIN s USING (doc_id)""",
+
+    "fim_transform" ->
+      """WITH fp AS (
+           SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(ascii(text[i]) AS BIGINT))),
+                    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+           FROM documents),
+         c AS (
+           SELECT *, 1 + fp % (len - 1) AS c1,
+                  1 + (fp // 1000) % (len - 1) AS c2
+           FROM fp),
+         d AS (
+           SELECT doc_id, text, len,
+                  least(c1, c2) AS lo, greatest(c1, c2) AS hi,
+                  (fp % 1000 < 500 AND len >= 20) AS app
+           FROM c)
+         SELECT doc_id, app AS fim_applied,
+                CASE WHEN app THEN
+                  '<PRE>' || substring(text, 1, lo) ||
+                  '<SUF>' || substring(text, hi + 1, len - hi) ||
+                  '<MID>' || substring(text, lo + 1, hi - lo)
+                ELSE text END AS text_out
+         FROM d""",
 
     "ngram_novelty" ->
       """WITH corpus AS (

@@ -80,6 +80,49 @@ object TextAnalysis {
   def fingerprint(text: Column, base: Long = 31L, mod: Long = 1000000007L): Column =
     graft.functions.RollingHashExpr(text, base, mod)
 
+  /** FIM (fill-in-the-middle) transformation (Bavarian et al. 2022 —
+    * the code-model pretraining reorder): a gated fraction of
+    * documents split at two points and emitted PSM-style
+    * (`<PRE>prefix<SUF>suffix<MID>middle`) so the model learns to
+    * infill; the rest pass through untouched.
+    *
+    * Everything is derived from the content [[fingerprint]] — the
+    * house no-RNG discipline: the APPLY gate is `fp % 1000 <
+    * fimPermille`, and the two cut points are `1 + (fp % (L−1))` and
+    * `1 + ((fp div 1000) % (L−1))` ordered (equal cuts ⇒ empty
+    * middle, legal) — so the transform is a pure function of the
+    * corpus, layout/engine-identical, and the SAME document gets the
+    * SAME treatment on every run (a reseeded RNG would re-scramble
+    * the whole corpus per epoch). Documents shorter than `minChars`
+    * never transform (a 3-char doc has no meaningful split). Pure
+    * column arithmetic + substrings: map-side, zero shuffle,
+    * codegen'd.
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   fimPermille: Int, minChars: Int = 20): DataFrame = {
+    require(fimPermille >= 0 && fimPermille <= 1000,
+      s"fimPermille must be in [0,1000], got $fimPermille")
+    require(minChars >= 3, s"minChars must be >= 3, got $minChars")
+    val staged = docs.select(col(idCol), col(textCol).as("__t"),
+      fingerprint(col(textCol)).as("__fp"),
+      length(col(textCol)).cast("long").as("__len"))
+    val apply_ = expr(s"__fp % 1000 < $fimPermille") &&
+      col("__len") >= minChars
+    // integer `div` (not `/` — Column division on longs is DOUBLE);
+    // cuts cast to INT for substring's signature
+    val lo = least(expr("CAST(1 + __fp % (__len - 1) AS INT)"),
+                   expr("CAST(1 + (__fp div 1000) % (__len - 1) AS INT)"))
+    val hi = greatest(expr("CAST(1 + __fp % (__len - 1) AS INT)"),
+                      expr("CAST(1 + (__fp div 1000) % (__len - 1) AS INT)"))
+    val prefix = col("__t").substr(lit(1), lo)
+    val middle = col("__t").substr(lo + 1, hi - lo)
+    val suffix = col("__t").substr(hi + 1, col("__len").cast("int") - hi)
+    staged.select(col(idCol), apply_.as("fim_applied"),
+      when(apply_, concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+          lit("<MID>"), middle))
+        .otherwise(col("__t")).as("text_out"))
+  }
+
   /** PII redaction for training corpora: emails, bare URLs and
     * long digit runs (phone/ID-ish) replaced with typed sentinels.
     * Pure regexp_replace chain — codegen'd, map-side, order matters

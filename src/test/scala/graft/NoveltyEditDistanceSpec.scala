@@ -96,4 +96,43 @@ class NoveltyEditDistanceSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got === Map(1L -> 0L, 2L -> 0L))
   }
+
+  test("fimTransform: pieces reassemble to the original; short docs and " +
+       "gated-out docs pass through untouched") {
+    val docs = (1L to 200L)
+      .map(i => (i, s"doc $i " + ("abcdefghij" * 5))).toDF("doc_id", "text")
+      .unionByName(Seq((900L, "tiny")).toDF("doc_id", "text"))
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextAnalysis.fimTransform(docs, "doc_id", "text",
+        fimPermille = 500, minChars = 20)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(out.length == 201)
+    val (applied, passed) = out.partition(_._2)
+    // the gate holds roughly: permille 500 over 200 eligible docs
+    assert(applied.length > 50 && applied.length < 150, applied.length)
+    passed.foreach { case (id, _, t) => assert(t == orig(id), s"doc $id") }
+    // a transformed doc carries all three markers and its pieces
+    // reassemble (prefix + middle + suffix == original)
+    val psm = raw"<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+    applied.foreach { case (id, _, t) =>
+      t match {
+        case psm(pre, suf, mid) =>
+          assert(pre + mid + suf == orig(id), s"doc $id pieces")
+          assert(pre.nonEmpty, s"doc $id: lo >= 1 means non-empty prefix")
+        case _ => fail(s"doc $id: not PSM-shaped: $t")
+      }
+    }
+    // the tiny doc never transforms
+    assert(out.find(_._1 == 900L).get._3 == "tiny")
+  }
+
+  test("fimTransform is a pure function of content (layout + rerun)") {
+    val docs = (1L to 100L)
+      .map(i => (i, s"content block $i " + ("xyz " * 10))).toDF("doc_id", "text")
+    val a = TextAnalysis.fimTransform(docs.repartition(7), "doc_id", "text", 700)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    val b = TextAnalysis.fimTransform(docs.repartition(1), "doc_id", "text", 700)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
 }

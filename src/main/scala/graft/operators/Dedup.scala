@@ -85,15 +85,29 @@ object Dedup {
     *
     * Scale shape: one shingle-keyed shuffle (prefix × index join),
     * map-side distinct on candidates, verification joins the two
-    * shingle arrays back by doc id. The canonical order here is
-    * lexicographic to match the house oracle; at 100 TB order by
-    * ascending document frequency instead (ties lexicographic — still
-    * deterministic) so prefixes hold RARE shingles and the index join
-    * never buckets on stop-shingles.
+    * shingle arrays back by doc id. The canonical prefix order is
+    * ASCENDING DOCUMENT FREQUENCY (ties lexicographic — still fully
+    * deterministic): prefixes hold each document's RAREST shingles,
+    * so the index join never buckets on stop-shingles — on a
+    * low-diversity corpus (think boilerplate-heavy web text; the
+    * 31-word bench vocabulary is the stress case) lexicographic
+    * prefixes load common shingles and candidates blow up toward n².
+    * ANY canonical order is lossless (the pigeonhole argument never
+    * names an order and the verify is exact), so the OUTPUT is
+    * identical either way (spec-asserted) — only the candidate count
+    * changes; `dfOrderedPrefix = false` restores the df-free
+    * two-shuffle plan for selective corpora. Honest measurement (sf1
+    * rehearsal, SURVEY §5): 48.1 → 46.3s only — the 10×-replicated
+    * rehearsal corpus gives every document 9 near-identical siblings,
+    * so candidates there are dominated by TRUE pairs, which no
+    * lossless filter can prune; the ordering pays on corpora where
+    * stop-shingle collisions, not genuine containment, drive the
+    * candidate count.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, threshold: Double = 0.8,
-                       minShingles: Int = 5): DataFrame = {
+                       minShingles: Int = 5,
+                       dfOrderedPrefix: Boolean = true): DataFrame = {
     val sh = docs
       .select(col(idCol).as("doc_id"),
               array_sort(shingles(col(textCol), shingleN)).as("sh"))
@@ -101,8 +115,25 @@ object Dedup {
     val plen = greatest(
       size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + 1,
       lit(1))
-    val pref = sh.select(col("doc_id").as("inner_id"),
-      explode(slice(col("sh"), lit(1), plen)).as("g"))
+    val pref =
+      if (!dfOrderedPrefix)
+        sh.select(col("doc_id").as("inner_id"),
+          explode(slice(col("sh"), lit(1), plen)).as("g"))
+      else {
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val dfreq = ex.groupBy("g").agg(count(lit(1)).as("__df"))
+        val ranked = ex.join(dfreq, "g")
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("__df"), col("g"))))
+            .as("rs"))
+        val plenR = greatest(
+          size(col("rs")) - ceil(lit(threshold) * size(col("rs")))
+            .cast("int") + 1,
+          lit(1))
+        ranked.select(col("doc_id").as("inner_id"),
+          explode(transform(slice(col("rs"), lit(1), plenR),
+            s => s.getField("g"))).as("g"))
+      }
     val index = sh.select(col("doc_id").as("outer_id"),
       explode(col("sh")).as("g"))
     val cand = pref.join(index, "g")

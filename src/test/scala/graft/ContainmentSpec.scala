@@ -41,6 +41,29 @@ class ContainmentSpec extends AnyFunSuite {
     assert(!ids.contains(4L))
   }
 
+  test("df-ordered and lexicographic prefixes emit the SAME pairs " +
+       "(any canonical order is lossless; verify is exact)") {
+    val docs = (1L to 60L).map { i =>
+      val words = (0 until 30).map(j => s"w${(i * 7 + j * 3) % 17}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    // planted excerpt: doc 200 = first half of doc 1
+    val withQuote = docs.unionByName(
+      docs.filter(col("doc_id") === 1L)
+        .select(lit(200L).as("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, 15), ' ')").as("text")))
+    def pairs(dfOrdered: Boolean) =
+      Dedup.containmentPairs(withQuote, "doc_id", "text",
+          shingleN = 3, threshold = 0.8, minShingles = 5,
+          dfOrderedPrefix = dfOrdered)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val a = pairs(true)
+    val b = pairs(false)
+    assert(a == b)
+    assert(a.exists { case (l, r, c) => l == 200L && r == 1L && c >= 0.8 })
+  }
+
   test("partial overlap scores the exact intersection ratio") {
     // doc 5 = w1..w6 + z1..z4: shingles 1..4 of doc 1 present, 4 of 8
     val d5 = ((1 to 6).map("w" + _) ++ (1 to 4).map("z" + _)).mkString(" ")

@@ -571,6 +571,16 @@ object SparkEntry {
         Seq("l_returnflag", "l_linenumber"), capacity = 1024, topK = 3)
     }),
 
+    // C53: join-size estimate from per-side key sketches — the
+    // pre-flight answer to "how big is orders ⋈ lineitem" without
+    // running the join; exact regime (capacity ≥ both distinct
+    // counts), so est_rows equals the true join cardinality
+    "join_cardinality" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.joinCardinality(t.orders, "o_orderkey",
+        t.lineitem, "l_orderkey", capacity = 1 << 18)
+    }),
+
     // C14: run metrics (alma_publish_parser.py:302-308)
     "run_metrics" -> ((s, dir) => {
       Tables(s, dir).events.groupBy(col("event_type"))
@@ -2157,6 +2167,19 @@ object SparkEntry {
                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
                FROM lineitem)
          GROUP BY l_returnflag""",
+
+    // exact regime ⇒ Σ cA·cB over matched keys is the true join size
+    "join_cardinality" ->
+      """WITH a AS (SELECT o_orderkey AS k, count(*) AS ca
+                    FROM orders GROUP BY 1),
+            b AS (SELECT l_orderkey AS k, count(*) AS cb
+                  FROM lineitem GROUP BY 1)
+         SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS est_rows,
+                CAST(count(ca) AS BIGINT) AS keys_a,
+                CAST(count(cb) AS BIGINT) AS keys_b,
+                CAST(count(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS matched_keys
+         FROM a FULL OUTER JOIN b USING (k)""",
 
     // the bucketed layout changes the PLAN, never the answer
     "bucketed_join" ->

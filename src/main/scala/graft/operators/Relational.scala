@@ -720,6 +720,47 @@ object Relational {
         expr("col.est_count * 1000 div __total").as("share_permille"))
   }
 
+  /** Equi-join OUTPUT-SIZE estimate from per-side key sketches — the
+    * second planning input ([[skewReport]] says which keys are hot;
+    * this says how big the join will be, BEFORE running it): join
+    * cardinality is `Σ_k cA(k)·cB(k)`, and a mis-estimate here is how
+    * a "small" join materializes 10¹² rows at 100 TB.
+    *
+    * Each side aggregates ONE Misra-Gries sketch of its key column
+    * (O(capacity) state, map-side merges); the two sketch frames
+    * explode and equi-join on the key value — sketch-sized work, the
+    * fact tables are never joined. While capacity ≥ a side's distinct
+    * count its counts are exact, so the estimate equals the true join
+    * size (the oracle regime). Past capacity, MG keeps the hot keys —
+    * exactly the ones that dominate `Σ cA·cB` — and drops tail keys
+    * whose products are small: the estimate becomes a LOWER bound
+    * with each surviving count within the standard MG undercount.
+    *
+    * Output: one row `(est_rows, keys_a, keys_b, matched_keys)`.
+    */
+  def joinCardinality(a: DataFrame, keyA: String, b: DataFrame,
+                      keyB: String, capacity: Int): DataFrame = {
+    def sketch(df: DataFrame, key: String, side: String) =
+      df.agg(graft.functions.MisraGriesAgg(col(key).cast("string"),
+          capacity).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.token").as("k"),
+          col("e.est_count").as(s"c_$side"))
+    val sa = sketch(a, keyA, "a")
+    val sb = sketch(b, keyB, "b")
+    // full-outer + one aggregate: every statistic derives from the
+    // single joined sketch frame, so each side's fact scan runs ONCE
+    // (re-referencing the sketch frame for separate key counts would
+    // re-plan the aggregation and re-scan the table)
+    sa.join(sb, Seq("k"), "full_outer")
+      .agg(
+        coalesce(sum(expr("c_a * c_b")), lit(0L)).as("est_rows"),
+        coalesce(sum(when(col("c_a").isNotNull, 1L)), lit(0L)).as("keys_a"),
+        coalesce(sum(when(col("c_b").isNotNull, 1L)), lit(0L)).as("keys_b"),
+        coalesce(sum(when(col("c_a").isNotNull && col("c_b").isNotNull, 1L)),
+          lit(0L)).as("matched_keys"))
+  }
+
   /** Ordered conversion funnel: per key, the earliest time each step
     * was reached at-or-after the PREVIOUS step's attain time
     * (view → click → purchase). A user who never reaches step i has

@@ -313,6 +313,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("b", 2L)) == (("1", 250L, 250L)))
   }
 
+  test("joinCardinality: exact regime equals the true join size; " +
+       "disjoint keys give zeros") {
+    val a = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("k", "va")
+    val b = Seq((1L, 10), (1L, 20), (1L, 30), (3L, 40), (9L, 50))
+      .toDF("k", "vb")
+    val got = Relational.joinCardinality(a, "k", b, "k", capacity = 64)
+      .collect().head
+    // true join: key 1 → 2·3 = 6 rows, key 3 → 1·1 = 1 row
+    assert(got.getLong(0) == 7L)
+    assert(got.getLong(1) == 3L && got.getLong(2) == 3L && got.getLong(3) == 2L)
+    assert(got.getLong(0) == a.join(b, "k").count())
+    val disjoint = Relational.joinCardinality(
+      a, "k", Seq((77L, 1)).toDF("k", "v"), "k", 64).collect().head
+    assert(disjoint.getLong(0) == 0L && disjoint.getLong(3) == 0L)
+  }
+
   test("skewReport rides one scan (single aggregate, no per-column pass)") {
     val df = (1 to 100).map(i => (s"x${i % 5}", s"y${i % 3}")).toDF("a", "b")
     val plan = Relational.skewReport(df, Seq("a", "b"), 64, 2)

@@ -103,6 +103,15 @@ object Graph {
     * explode, not a shuffle multiplier. Deterministic: no hashing, no
     * RNG — the DuckDB oracle re-derives the identical orientation.
     *
+    * The lazy plan references `canon` from several join sites, so the
+    * edge-canonicalization SUBPLAN is re-derived per site rather than
+    * persisted — a deliberate trade: the recomputed piece is scans +
+    * one distinct (embarrassingly parallel), while a persist inside a
+    * lazily-returned frame has no sound unpersist point (the
+    * [[linkRank]] persist works because that operator drives its own
+    * iterations). Callers looping over triangle counts should persist
+    * the canonical edge frame themselves.
+    *
     * Output: `(id, tri_count)` for every node in ≥ 1 triangle.
     */
   def triangleCounts(edges: DataFrame, srcCol: String,

@@ -296,6 +296,41 @@ object Streams {
       }
       .start()
 
+  /** Streaming incremental QUANTILE-store maintenance — D13, the
+    * streaming half of C48 exactly as [[streamAggMaintain]] is of
+    * C44: each micro-batch appends one deterministic KLL sketch
+    * partial per key ([[graft.operators.Relational.extendQuantileStore]]
+    * — the secondary-sort fold makes the partial a pure function of
+    * batch content), so an at-least-once replay writes a
+    * byte-identical row that `readQuantileStore`'s
+    * `(key, batch_id)` dedup collapses: running percentiles stay
+    * EXACT in the k ≥ total regime, sketch-bounded otherwise. Unlike
+    * D11 (`streamQuantiles`, sketch bytes in the state store, answers
+    * emitted per batch), the store variant persists QUERYABLE history
+    * — any reader derives current quantiles without the streaming
+    * query's participation, and compaction bounds file growth with
+    * the shared fold-committed-batches argument.
+    */
+  def streamQuantileMaintain(measures: Dataset[Measure], storeDir: String,
+                             checkpointDir: String, k: Int,
+                             compactEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    measures.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Measure], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Relational.extendQuantileStore(
+            batch.toDF, storeDir, Seq("key"), "value", k, batchId)
+          compactEvery.foreach { n =>
+            if (n > 0 && (batchId + 1) % n == 0)
+              graft.operators.Relational.compactQuantileStore(
+                batch.sparkSession, storeDir, Seq("key"), k, batchId)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** One cycle unit of the incremental near-dedup stream: dedup the
     * batch against the index, append the duplicate decisions, admit
     * the survivors. Exposed (package-private) so replay/backfill

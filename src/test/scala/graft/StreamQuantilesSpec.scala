@@ -71,6 +71,39 @@ class StreamQuantilesSpec extends AnyFunSuite {
     assert(!java.util.Arrays.equals(afterB1, r1))
   }
 
+  test("streamQuantileMaintain (D13): streamed batches land as store " +
+       "partials; read ≡ exact quantiles; mid-stream compaction folds") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("graft_sqstore").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_sqckpt").toFile.getAbsolutePath
+    val input = MemoryStream[Streams.Measure]
+    // compactEvery = 2: after batch 1 commits, batch 0 folds to -1
+    val q = Streams.streamQuantileMaintain(input.toDS(), store, ckpt,
+      k = 4096, compactEvery = Some(2))
+    val b1 = Seq("a" -> 10L, "a" -> 30L, "b" -> 5L)
+    val b2 = Seq("a" -> 20L, "b" -> 1L, "b" -> 9L, "a" -> 40L)
+    try {
+      input.addData(b1.map { case (k, v) => Streams.Measure(k, v) }: _*)
+      q.processAllAvailable()
+      input.addData(b2.map { case (k, v) => Streams.Measure(k, v) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.operators.Relational
+      .readQuantileStore(spark, store, Seq("key"), 4096, phis)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    val all = (b1 ++ b2).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    for ((k, vs) <- all) {
+      val (n, err, qs) = got(k)
+      assert(n == vs.length && err == 0L && qs == exactQs(vs), s"key $k")
+    }
+    // compaction ran: batch 0's partials folded into batch_id = -1
+    val batches = spark.read.parquet(s"$store/kll")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(batches == Set(-1L, 1L), batches.toString)
+  }
+
   test("state stays sketch-sized while compacting (never the history)") {
     val buf = new KllBuffer(64)
     var x = 12345L

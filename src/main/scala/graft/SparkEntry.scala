@@ -581,6 +581,28 @@ object SparkEntry {
         t.lineitem, "l_orderkey", capacity = 1 << 18)
     }),
 
+    // C54: entity resolution → golden record over a dirtied customer
+    // table: every 5th customer re-entered UPPERCASED with a trailing
+    // period, every 9th with the '#' spaced out and stray whitespace —
+    // canonicalize → block-keyed match → connected components →
+    // min_by survivorship; the oracle re-derives the identical
+    // normalization and closure (recursive CTE)
+    "resolve_entities" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val dirty = c
+        .unionByName(c.filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            concat(upper(col("c_name")), lit(".")).as("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+        .unionByName(c.filter(col("c_custkey") % 9 === 0)
+          .select((col("c_custkey") + 2000000L).as("c_custkey"),
+            concat(lit("  "), regexp_replace(col("c_name"), "#", " # "))
+              .as("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+      Relational.resolveEntities(dirty, "c_custkey", "c_name",
+        Seq("c_nationkey"), "c_acctbal")
+    }),
+
     // C14: run metrics (alma_publish_parser.py:302-308)
     "run_metrics" -> ((s, dir) => {
       Tables(s, dir).events.groupBy(col("event_type"))
@@ -2167,6 +2189,31 @@ object SparkEntry {
                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
                FROM lineitem)
          GROUP BY l_returnflag""",
+
+    // equality-class matching ⇒ the transitive closure IS the
+    // (match key, nation) group, so the twin aggregates directly;
+    // CC's min-label keep equals the group min id
+    "resolve_entities" ->
+      """WITH dirty AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+           UNION ALL
+           SELECT c_custkey + 1000000, upper(c_name) || '.',
+                  c_nationkey, c_acctbal
+           FROM customer WHERE c_custkey % 5 = 0
+           UNION ALL
+           SELECT c_custkey + 2000000, '  ' || replace(c_name, '#', ' # '),
+                  c_nationkey, c_acctbal
+           FROM customer WHERE c_custkey % 9 = 0),
+         k AS (
+           SELECT *, lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+                       AS nk
+           FROM dirty)
+         SELECT CAST(min(c_custkey) AS BIGINT) AS entity_id,
+                count(*) AS n_members,
+                arg_min(c_name, c_custkey) AS canonical_name,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM k GROUP BY nk, c_nationkey""",
 
     // exact regime ⇒ Σ cA·cB over matched keys is the true join size
     "join_cardinality" ->

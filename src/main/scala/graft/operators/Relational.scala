@@ -761,6 +761,61 @@ object Relational {
           lit(0L)).as("matched_keys"))
   }
 
+  /** Entity resolution → GOLDEN RECORD (the MDM/master-data composed
+    * pipeline, and the warehouse sibling of the E-group's document
+    * dedup): dirty re-entries of the same real-world entity — case
+    * drift, stray punctuation, whitespace mangling — collapse to one
+    * resolved row with survivorship rules applied.
+    *
+    * Stages, each an already-verified primitive:
+    *  1. CANONICALIZE — match key = lowercased name stripped of
+    *     non-alphanumerics (formatting-only variation disappears;
+    *     the B-group normalization discipline);
+    *  2. MATCH — pairs sharing (match key, blocking cols): ONE
+    *     block-keyed self-join shuffle, pairs bounded by block sizes
+    *     (for typo-level fuzziness compose [[graft.operators.Dedup.
+    *     editDistancePairs]] as the matcher instead — documented, not
+    *     default: ID-like names make small edit distances merge
+    *     DISTINCT entities);
+    *  3. CLUSTER — [[graft.operators.Dedup.connectedComponents]]
+    *     min-label propagation (transitive closure of the match
+    *     relation; singletons resolve to themselves);
+    *  4. SURVIVE — one grouped aggregation builds the golden record:
+    *     canonical source row = `min_by(rec id)` (deterministic,
+    *     first-entered wins), additive attributes sum in integer
+    *     cents, `n_members` records the collapse.
+    *
+    * Output: `(entity_id, n_members, canonical_name, total_cents)`
+    * per resolved entity.
+    */
+  def resolveEntities(records: DataFrame, idCol: String, nameCol: String,
+                      blockCols: Seq[String],
+                      balanceCol: String): DataFrame = {
+    val normKey = lower(regexp_replace(col(nameCol), "[^A-Za-z0-9]", ""))
+    val keyed = records.select(
+      (col(idCol).as("rec_id") +: col(nameCol).as("__name") +:
+        normKey.as("__k") +:
+        round(col(balanceCol) * 100).cast("long").as("__cents") +:
+        blockCols.map(col)): _*)
+    val right = keyed.select(
+      (col("rec_id").as("right_id") +: col("__k") +:
+        blockCols.map(col)): _*)
+    val pairs = keyed.select(
+        (col("rec_id").as("left_id") +: col("__k") +:
+          blockCols.map(col)): _*)
+      .join(right, "__k" +: blockCols)
+      .filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"))
+    val clusters = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("rec_id"), col("keep_id"))
+    keyed.join(clusters, Seq("rec_id"), "left")
+      .withColumn("entity_id", coalesce(col("keep_id"), col("rec_id")))
+      .groupBy("entity_id")
+      .agg(count(lit(1)).as("n_members"),
+        min_by(col("__name"), col("rec_id")).as("canonical_name"),
+        sum(col("__cents")).as("total_cents"))
+  }
+
   /** Ordered conversion funnel: per key, the earliest time each step
     * was reached at-or-after the PREVIOUS step's attain time
     * (view → click → purchase). A user who never reaches step i has

@@ -296,6 +296,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out.filter($"record_type" === "holding" && !$"record_id".startsWith("22")).count() == 0)
   }
 
+  test("resolveEntities: formatting variants collapse, survivorship " +
+       "deterministic, singletons resolve to themselves") {
+    val recs = Seq(
+      (1L, "Acme Corp", 1, 10.00),
+      (50L, "ACME-CORP.", 1, 5.50),    // same entity, dirty re-entry
+      (51L, "  acme corp  ", 1, 4.50), // and another
+      (2L, "Acme Corp", 2, 7.00),      // same name, different nation → apart
+      (3L, "Beta LLC", 1, 1.25)        // singleton
+    ).toDF("id", "name", "nation", "bal")
+    val got = Relational.resolveEntities(recs, "id", "name",
+        Seq("nation"), "bal")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((3L, "Acme Corp", 2000L)))   // min-id name wins, cents sum
+    assert(got(2L) == ((1L, "Acme Corp", 700L)))
+    assert(got(3L) == ((1L, "Beta LLC", 125L)))
+    assert(got.size == 3)
+  }
+
   test("skewReport: planted hot key reported first with exact share") {
     // 700 of 1000 rows share key "hot"; second column is near-uniform
     val df = (1 to 1000).map { i =>

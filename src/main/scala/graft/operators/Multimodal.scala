@@ -130,10 +130,72 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** RIFF/WAVE magic sniff — routes to [[decodeWavFeatures]]. */
+  def isWavPayload(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL audio decode for WAV via `javax.sound.sampled` (pure JDK,
+    * headless-safe — no codec libraries): 8 features `[sampleRateHz,
+    * channels, bitsPerSample, nFrames, durationMilli, rmsMilli,
+    * peak, zeroCrossPermille]` over the FIRST channel's 16-bit PCM
+    * samples. All sample statistics are computed in exact integer
+    * arithmetic (sum of squares in Long, permille by integer div) —
+    * PCM is lossless, so unlike JPEG these features ARE
+    * bit-reproducible across JDKs/platforms. Non-PCM / non-16-bit
+    * encodings throw (→ the caller's decode-error ROW), same contract
+    * as undecodable images.
+    */
+  def decodeWavFeatures(payload: Array[Byte]): Array[Float] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          || fmt.getSampleSizeInBits != 16)
+        throw new javax.sound.sampled.UnsupportedAudioFileException(
+          s"only 16-bit signed PCM supported, got $fmt")
+      val bytes = in.readAllBytes()
+      val frameSize = fmt.getFrameSize // channels * 2 bytes
+      val channels = fmt.getChannels
+      val nFrames = bytes.length / frameSize
+      val big = fmt.isBigEndian
+      var i = 0; var sumSq = 0L; var peak = 0L; var crossings = 0L
+      var prevNonNeg = true
+      while (i < nFrames) {
+        val off = i * frameSize // first channel sample
+        val s =
+          if (big) ((bytes(off) << 8) | (bytes(off + 1) & 0xFF)).toShort
+          else ((bytes(off + 1) << 8) | (bytes(off) & 0xFF)).toShort
+        val v = s.toLong
+        sumSq += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        val nonNeg = v >= 0L
+        if (i > 0 && nonNeg != prevNonNeg) crossings += 1
+        prevNonNeg = nonNeg
+        i += 1
+      }
+      val rate = fmt.getSampleRate
+      // duration in integer millis, rms in integer milli-units
+      // (floor(1000·sqrt(Σv²/n)) over the exact integer Σv²),
+      // zero crossings in integer permille of transitions
+      val durationMilli =
+        if (rate <= 0f) 0L else (nFrames.toLong * 1000L / rate.toLong)
+      val rmsMilli =
+        if (nFrames == 0) 0L
+        else (math.sqrt(sumSq.toDouble / nFrames) * 1000.0).toLong
+      Array(rate, channels.toFloat, fmt.getSampleSizeInBits.toFloat,
+        nFrames.toFloat, durationMilli.toFloat, rmsMilli.toFloat,
+        peak.toFloat,
+        (if (nFrames > 1) crossings * 1000L / (nFrames - 1) else 0L).toFloat)
+    } finally in.close()
+  }
+
   /** STUB decode: deterministic 8-float "feature vector" from the
     * payload bytes (xxh-style rolling fold) — the fallback for
     * payloads the JDK cannot decode (the test corpus's text bytes,
-    * audio, video). Swap for a real codec UDF in production; the
+    * video). Swap for a real codec UDF in production; the
     * signature (bytes, meta) → fixed-width features is what a real
     * decoder plugs into.
     */
@@ -193,11 +255,14 @@ object Multimodal {
             kindBatch.iterator.map { r =>
               val payload = r.getAs[Array[Byte]]("payload")
               try {
-                // JDK-decodable image bytes take the REAL ImageIO path;
-                // everything else the deterministic stub
+                // JDK-decodable bytes take the REAL paths (ImageIO
+                // images, javax.sound WAV/PCM audio); everything else
+                // the deterministic stub
                 val feats =
                   if (kind == "image" && isImagePayload(payload))
                     decodeImageFeatures(payload)
+                  else if (kind == "audio" && isWavPayload(payload))
+                    decodeWavFeatures(payload)
                   else fakeDecode(
                     if (payload == null) Array.empty else payload, decoderSeed)
                 Row(r.getAs[Long]("asset_id"), r.getAs[String]("kind"),

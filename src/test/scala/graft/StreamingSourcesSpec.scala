@@ -513,4 +513,60 @@ class StreamingSourcesSpec extends AnyFunSuite {
       Multimodal.resizeImagePng("junk".getBytes("UTF-8"), 8, 4)
     }
   }
+
+  /** Minimal 16-bit PCM mono WAV: 44-byte canonical header + samples. */
+  private def pcmWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(rate).putInt(rate * 2)              // byte rate
+      .putShort(2).putShort(16)                   // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("REAL audio decode: WAV/PCM through javax.sound, exact integer stats") {
+    // square wave ±1000: rms exactly 1000, peak 1000, a crossing at
+    // every second transition (period 4: + + − −)
+    val sq = Array.tabulate(8000)(i =>
+      (if ((i / 2) % 2 == 0) 1000 else -1000).toShort)
+    val wav = pcmWav(8000, sq)
+    assert(Multimodal.isWavPayload(wav))
+    val f = Multimodal.decodeWavFeatures(wav)
+    assert(f(0) == 8000f && f(1) == 1f && f(2) == 16f) // rate, mono, bits
+    assert(f(3) == 8000f)                              // frames
+    assert(f(4) == 1000f)                              // exactly 1 s
+    assert(f(5) == 1000000f)                           // rms milli = 1000.000
+    assert(f(6) == 1000f)                              // peak
+    // sign pattern + + − − …: a flip at every even index ≥ 2, i.e.
+    // 3999 crossings over 7999 boundaries → permille 499 (integer div)
+    assert(f(7) == (3999L * 1000L / 7999L).toFloat)
+
+    // silence: rms and peak exactly zero
+    val silent = Multimodal.decodeWavFeatures(
+      pcmWav(16000, Array.fill(160)(0.toShort)))
+    assert(silent(5) == 0f && silent(6) == 0f && silent(7) == 0f)
+
+    // featurize routes audio-kind WAV payloads to the REAL path and a
+    // truncated WAV to an error ROW; text bytes still take the stub
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "audio", wav, null),
+      Row(2L, "audio", "not audio at all".getBytes("UTF-8"), null),
+      Row(3L, "audio", wav.take(30), null))
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.AssetSchema)
+    val out = Multimodal.featurize(assets, batchSize = 8)
+      .orderBy("asset_id").collect()
+    assert(out(0).getSeq[Float](out(0).fieldIndex("features"))(5) == 1000000f)
+    assert(out(0).isNullAt(out(0).fieldIndex("decode_error")))
+    assert(!out(1).isNullAt(out(1).fieldIndex("features"))) // stub path
+    assert(out(2).isNullAt(out(2).fieldIndex("features")))
+    assert(!out(2).isNullAt(out(2).fieldIndex("decode_error")))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Bpe, CurateCorpus, Dedup, Graph, LangId, Layout, Pca, QualityClassifier, Relational, Retrieval, SetSketch, Similarity, TextAnalysis, Unigram, Upsert}
+import graft.operators.{Behavior, Bpe, CurateCorpus, Dedup, Graph, LangId, Layout, Pca, QualityClassifier, Relational, Retrieval, SetSketch, Similarity, TextAnalysis, Unigram, Upsert}
 import graft.functions.Normalize
 import graft.marc.{Extract, Iso2709, MarcCorpus, MarcXml, PublishSplit, TrimPunctuation}
 import graft.marc.PublishSplit.PublishRow
@@ -432,6 +432,42 @@ object SparkEntry {
       Graph.triangleCounts(pairs, "p", "p2")
     }),
 
+    // C58: neighbor-overlap link prediction over the same co-purchase
+    // graph — non-adjacent part pairs sharing neighbors, Jaccard in
+    // integer permille; wedge join bounded here by order size (the
+    // co-purchase wedge center IS an order's item set), threshold
+    // keeps the emitted candidate set selective
+    "jaccard_neighbors" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.filter(col("l_partkey") % 7 < 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2"))
+      Graph.jaccardNeighbors(pairs, "p", "p2", minPermille = 100)
+    }),
+
+    // C59: 2-core membership by iterated peeling over a THINNED
+    // co-purchase graph (the dense natural graph has min degree 12 —
+    // nothing would peel; the deterministic edge-hash thin leaves
+    // pendant trees that erode over ~6 rounds onto the surviving
+    // cycle core, non-empty and CONVERGED at all three SFs). The
+    // result after r rounds is a pure function of (edges, k, r) and a
+    // converged run equals any longer unroll, so the oracle unrolls
+    // exactly maxRounds rounds in chained CTEs
+    "k_core" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.filter(col("l_partkey") % 7 < 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2") &&
+          (col("p") * 31 + col("p2")) % 13 === 0)
+      Graph.kCore(pairs, "p", "p2", k = 2, maxRounds = 6)
+    }),
+
     // C12: N-records-per-chunk split (split_jsonl.py)
     "split_n_per_file" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -793,6 +829,12 @@ object SparkEntry {
     // expression, exact integer micro-nats, zero shuffle
     "char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(Tables(s, dir).documents, "text", "doc_id")),
+
+    // E59: readability grade (FK-shaped, integer centi-grades) —
+    // regexp-count heuristics both engines re-derive identically;
+    // purely map-side, zero shuffle
+    "readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables(s, dir).documents, "doc_id", "text")),
 
     // E48: KenLM-style corpus trigram counts with cutoff — map-side
     // gram generation, one combined aggregation, tail pruned in-plan
@@ -1873,6 +1915,53 @@ object SparkEntry {
                 (col("click_us") - col("view_us")).as("gap_us"))
     }),
 
+    // C55: cohort retention triangle — users bucketed by first-activity
+    // epoch-week, counted per return-week offset; two user-keyed aggs
+    // with an exchange-reusing join between them
+    "retention_cohorts" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      Behavior.retentionCohorts(ev, "user_id", "ts_us")
+    }),
+
+    // C56: seasonal z-score anomalies — events > 3σ from their own
+    // (event_type × hour-of-day) bucket; the σ test is exact integer
+    // arithmetic on decimal moments, bucket stats broadcast back so
+    // the fact scan never shuffles
+    "anomaly_zscore" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("event_id"), col("event_type"),
+        expr("(ts_ns div 1000) div 3600000000L % 24").as("hour_of_day"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("value_milli"))
+      Behavior.anomalyZscore(ev, Seq("event_type", "hour_of_day"),
+          "value_milli", kSigma = 3)
+        .select(col("event_id"), col("event_type"), col("hour_of_day"),
+          col("value_milli"))
+    }),
+
+    // C57: first-order event transition matrix per user sequence —
+    // (from, to) counts + integer permille share; one user-partitioned
+    // window, one grouped count, share over the #types²-row aggregate
+    "event_transitions" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      Behavior.eventTransitions(ev, "user_id", "ts_us", "event_id",
+        "event_type")
+    }),
+
+    // C60: RFM value segmentation — per-customer recency/frequency/
+    // monetary rollup scored into exact quartiles via the KLL sketch
+    // in its exact regime (thresholds are a 1-row broadcast; the
+    // corpus never sorts), composite segment r·100 + f·10 + m
+    "rfm_segments" -> ((s, dir) => {
+      // o_orderdate is TIMESTAMP_NTZ; under the UTC session the LTZ
+      // cast is identity on the wall clock, so unix_micros == the
+      // oracle's naive epoch_us
+      val o = Tables(s, dir).orders.select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp_ltz")).as("order_us"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      Behavior.rfmSegments(o, "o_custkey", "order_us", "cents")
+    }),
+
     // C42: trailing 7-day rolling per-user activity features — RANGE
     // frame over ONE key-partitioned window (peers always included, so
     // colliding timestamps stay deterministic; no self-join rescan)
@@ -2112,6 +2201,83 @@ object SparkEntry {
          FROM (SELECT apex AS id FROM tri UNION ALL
                SELECT x FROM tri UNION ALL SELECT y FROM tri)
          GROUP BY id""",
+
+    // MATERIALIZED hints: DuckDB otherwise inlines multiply-referenced
+    // CTEs, and the adjacency is referenced from three join sites
+    "jaccard_neighbors" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 7 < 2),
+         canon AS MATERIALIZED (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         adj AS MATERIALIZED (
+           SELECT a AS c, b AS x FROM canon
+           UNION ALL SELECT b, a FROM canon),
+         deg AS MATERIALIZED (SELECT c, count(*) AS d FROM adj GROUP BY 1),
+         common AS (
+           SELECT l.x AS id_a, r.x AS id_b, count(*) AS common_neighbors
+           FROM adj l JOIN adj r ON l.c = r.c AND l.x < r.x
+           GROUP BY 1, 2),
+         scored AS MATERIALIZED (
+           SELECT id_a, id_b, common_neighbors,
+                  CAST(1000 * common_neighbors
+                       // (da.d + db.d - common_neighbors) AS BIGINT)
+                    AS jaccard_permille
+           FROM common JOIN deg da ON da.c = id_a
+                       JOIN deg db ON db.c = id_b)
+         SELECT id_a, id_b, common_neighbors, jaccard_permille
+         FROM scored
+         WHERE jaccard_permille >= 100
+           AND NOT EXISTS (SELECT 1 FROM canon
+                           WHERE canon.a = scored.id_a
+                             AND canon.b = scored.id_b)""",
+
+    // exactly maxRounds = 6 unrolled peel rounds — a converged Spark
+    // run (early fixpoint exit) equals any longer unroll by identity
+    "k_core" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 7 < 2),
+         canon AS MATERIALIZED (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+             AND (a.p * 31 + b.p) % 13 = 0),
+         a0 AS MATERIALIZED (SELECT a AS id FROM canon UNION SELECT b FROM canon),
+         e1 AS (SELECT c.a, c.b FROM canon c
+                JOIN a0 x ON c.a = x.id JOIN a0 y ON c.b = y.id),
+         d1 AS (SELECT id, count(*) AS d FROM (
+                  SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+         a1 AS MATERIALIZED (SELECT id FROM d1 WHERE d >= 2),
+         e2 AS (SELECT c.a, c.b FROM canon c
+                JOIN a1 x ON c.a = x.id JOIN a1 y ON c.b = y.id),
+         d2 AS (SELECT id, count(*) AS d FROM (
+                  SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+         a2 AS MATERIALIZED (SELECT id FROM d2 WHERE d >= 2),
+         e3 AS (SELECT c.a, c.b FROM canon c
+                JOIN a2 x ON c.a = x.id JOIN a2 y ON c.b = y.id),
+         d3 AS (SELECT id, count(*) AS d FROM (
+                  SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+         a3 AS MATERIALIZED (SELECT id FROM d3 WHERE d >= 2),
+         e4 AS (SELECT c.a, c.b FROM canon c
+                JOIN a3 x ON c.a = x.id JOIN a3 y ON c.b = y.id),
+         d4 AS (SELECT id, count(*) AS d FROM (
+                  SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1),
+         a4 AS MATERIALIZED (SELECT id FROM d4 WHERE d >= 2),
+         e5 AS (SELECT c.a, c.b FROM canon c
+                JOIN a4 x ON c.a = x.id JOIN a4 y ON c.b = y.id),
+         d5 AS (SELECT id, count(*) AS d FROM (
+                  SELECT a AS id FROM e5 UNION ALL SELECT b FROM e5) GROUP BY 1),
+         a5 AS MATERIALIZED (SELECT id FROM d5 WHERE d >= 2),
+         e6 AS (SELECT c.a, c.b FROM canon c
+                JOIN a5 x ON c.a = x.id JOIN a5 y ON c.b = y.id),
+         d6 AS (SELECT id, count(*) AS d FROM (
+                  SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1),
+         a6 AS MATERIALIZED (SELECT id FROM d6 WHERE d >= 2),
+         e7 AS (SELECT c.a, c.b FROM canon c
+                JOIN a6 x ON c.a = x.id JOIN a6 y ON c.b = y.id)
+         SELECT id, count(*) AS core_degree FROM (
+           SELECT a AS id FROM e7 UNION ALL SELECT b FROM e7) GROUP BY 1""",
 
     "link_rank" ->
       """WITH e0 AS (
@@ -2667,6 +2833,22 @@ FROM decided""",
                                  // (2 * length(d.text))
                      END AS BIGINT) AS entropy_micro
          FROM documents d LEFT JOIN s USING (doc_id)""",
+
+    // regex classes spelled out so Java and RE2 agree; `//` floors =
+    // Spark's `div` truncation on the non-negative operands here
+    "readability" ->
+      """SELECT doc_id, words, sentences, syllables,
+                39 * words // greatest(1, sentences)
+                  + 1180 * syllables // greatest(1, words) - 1559
+                  AS grade_centi
+         FROM (SELECT doc_id,
+                 CAST(length(regexp_extract_all(text, '[^ \t\r\n\f]+'))
+                      AS BIGINT) AS words,
+                 CAST(length(regexp_extract_all(text, '[.!?]+'))
+                      AS BIGINT) AS sentences,
+                 CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      AS BIGINT) AS syllables
+               FROM documents)""",
 
     "fim_transform" ->
       """WITH fp AS (
@@ -4198,6 +4380,90 @@ FROM decided""",
                 click_us - view_us AS gap_us
          FROM v JOIN c ON v.user_id = c.user_id
          WHERE view_us BETWEEN click_us - 3600000000 AND click_us""",
+
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+                           CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS w
+                    FROM events),
+         f AS (SELECT user_id, min(w) AS cohort_week FROM e GROUP BY 1),
+         a AS (SELECT DISTINCT f.cohort_week,
+                      e.w - f.cohort_week AS week_offset, e.user_id
+               FROM e JOIN f USING (user_id))
+         SELECT cohort_week, week_offset, count(*) AS n_users
+         FROM a GROUP BY 1, 2""",
+
+    // HUGEINT carries the exact integer moment test on the oracle
+    // side, matching the Spark plan's DECIMAL(38,0) sums
+    "anomaly_zscore" ->
+      """WITH e AS (SELECT event_id, event_type,
+                      (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24
+                        AS hour_of_day,
+                      CAST(round(value * 1000) AS BIGINT) AS value_milli
+                    FROM events),
+         s AS (SELECT event_type, hour_of_day, count(*) AS n,
+                      sum(CAST(value_milli AS HUGEINT)) AS s1,
+                      sum(CAST(value_milli AS HUGEINT) * value_milli) AS s2
+               FROM e GROUP BY 1, 2)
+         SELECT event_id, event_type, hour_of_day, value_milli
+         FROM e JOIN s USING (event_type, hour_of_day)
+         WHERE n >= 2
+           AND (n * CAST(value_milli AS HUGEINT) - s1)
+             * (n * CAST(value_milli AS HUGEINT) - s1)
+             > 9 * (n * s2 - s1 * s1)""",
+
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                    FROM events),
+         p AS (SELECT event_type AS from_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id) AS to_type
+               FROM e),
+         c AS (SELECT from_type, to_type, count(*) AS n
+               FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                CAST(n * 1000 // sum(n) OVER (PARTITION BY from_type)
+                     AS BIGINT) AS permille
+         FROM c""",
+
+    // quantile_disc = the KLL sketch's exact-regime rank rule (the
+    // quantile_sketch parity); scores recomputed from the thresholds
+    "rfm_segments" ->
+      """WITH per AS (
+           SELECT o_custkey,
+                  max(CAST(epoch_us(o_orderdate) AS BIGINT)) AS last_us,
+                  count(*) AS frequency,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS monetary_cents
+           FROM orders GROUP BY 1),
+         m AS (SELECT max(last_us) AS max_us FROM per),
+         rfm AS (SELECT o_custkey,
+                        (max_us - last_us) // 86400000000 AS recency_days,
+                        frequency, monetary_cents
+                 FROM per, m),
+         th AS (SELECT
+           quantile_disc(recency_days, 0.25) AS r1,
+           quantile_disc(recency_days, 0.5) AS r2,
+           quantile_disc(recency_days, 0.75) AS r3,
+           quantile_disc(frequency, 0.25) AS f1,
+           quantile_disc(frequency, 0.5) AS f2,
+           quantile_disc(frequency, 0.75) AS f3,
+           quantile_disc(monetary_cents, 0.25) AS m1,
+           quantile_disc(monetary_cents, 0.5) AS m2,
+           quantile_disc(monetary_cents, 0.75) AS m3 FROM rfm)
+         SELECT o_custkey, recency_days, frequency, monetary_cents,
+                r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS segment
+         FROM (SELECT o_custkey, recency_days, frequency, monetary_cents,
+                 1 + CAST(recency_days >= r1 AS INT)
+                   + CAST(recency_days >= r2 AS INT)
+                   + CAST(recency_days >= r3 AS INT) AS r_q,
+                 1 + CAST(frequency >= f1 AS INT)
+                   + CAST(frequency >= f2 AS INT)
+                   + CAST(frequency >= f3 AS INT) AS f_q,
+                 1 + CAST(monetary_cents >= m1 AS INT)
+                   + CAST(monetary_cents >= m2 AS INT)
+                   + CAST(monetary_cents >= m3 AS INT) AS m_q
+               FROM rfm, th)""",
 
     "rolling_stats" ->
       """SELECT user_id, event_id, ts_us,

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / product-analytics operators over the event stream —
+  * the warehouse siblings of the reference's run-metrics dashboards
+  * (analytics/run_metrics.py reports per-run activity; these are the
+  * same activity questions asked of end-user events at corpus scale):
+  * cohort retention, seasonal anomaly flags, session transition
+  * matrices, and RFM value segmentation.
+  *
+  * Shared discipline (repo-wide): every reported number is integer
+  * arithmetic — week indexes, permille shares, centi-grades, exact
+  * integer moment tests — so results are bit-identical cross-engine
+  * and layout-invariant, and every shape is one-or-two key-partitioned
+  * aggregations with map-side combine; nothing corpus-sized reaches
+  * the driver and no global sort appears anywhere.
+  */
+object Behavior {
+
+  private val WeekUs = 7L * 86400L * 1000000L
+  private val DayUs = 86400L * 1000000L
+
+  /** Cohort retention: users grouped by FIRST-ACTIVITY week, counted
+    * in each later week they return — the classic retention triangle
+    * `(cohort_week, week_offset) → n_users`.
+    *
+    * Scale shape: `min(week)` per user is one user-keyed aggregation
+    * (map-side min); the join back is user-keyed on both sides so the
+    * exchange is reused, not repeated; the `(cohort, offset, user)`
+    * distinct and the final count combine map-side. Four total
+    * shuffles on sf-proportional frames, none wider than the event
+    * key columns — survives 100× unchanged.
+    *
+    * Weeks are integer epoch-week indexes (`ts_us div 7·86400·10⁶`) —
+    * no calendar/timezone dependence, identical on any engine.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsUsCol: String): DataFrame = {
+    // integer `div`: tsUs >= 0 contract (epoch micros), so truncating
+    // division equals floor and matches DuckDB's `//` exactly
+    val e2 = events.select(col(userCol).as("__u"),
+      expr(s"$tsUsCol div ${WeekUs}L").as("__w"))
+    val first = e2.groupBy(col("__u")).agg(min(col("__w")).as("cohort_week"))
+    e2.join(first, "__u")
+      .select(col("cohort_week"),
+        (col("__w") - col("cohort_week")).as("week_offset"), col("__u"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Seasonal z-score anomaly flags: events whose value deviates more
+    * than `kSigma` standard deviations from their OWN seasonal bucket
+    * (e.g. event-type × hour-of-day) — the monitoring primitive behind
+    * "purchases at 3am are 6σ above their usual 3am level".
+    *
+    * The σ test never touches floating point: with integer `x` (milli
+    * units) and per-bucket moments `n, S1=Σx, S2=Σx²`, the flag
+    * `|x−μ| > k·σ` is equivalent to `(n·x−S1)² > k²·(n·S2−S1²)` —
+    * exact integer arithmetic, engine- and layout-invariant. Moments
+    * ride DECIMAL(38,0) sums so the squared terms keep headroom to
+    * ~10³⁸: at 100 TB (n ≈ 10⁹ per bucket, |x| ≤ 10⁹ milli) the
+    * largest term `n·S2 ≈ 10³⁰` still fits; Spark sums decimals
+    * exactly and DuckDB's HUGEINT does the same on the oracle side.
+    *
+    * Scale shape: one bucket-keyed aggregation (map-side combine; the
+    * bucket table is #buckets-sized, i.e. tiny) broadcast back onto
+    * the event scan, then a map-side filter. The fact table never
+    * shuffles. Buckets with n < 2 have no defined σ and emit nothing.
+    */
+  def anomalyZscore(events: DataFrame, bucketCols: Seq[String],
+                    valueMilliCol: String, kSigma: Int): DataFrame = {
+    require(bucketCols.nonEmpty, "anomalyZscore needs >= 1 bucket column")
+    require(kSigma >= 1 && kSigma <= 100, s"kSigma in [1,100], got $kSigma")
+    val bc = bucketCols.map(col)
+    val xd = col(valueMilliCol).cast("decimal(38,0)")
+    val stats = events.groupBy(bc: _*).agg(
+      count(lit(1)).as("__n"),
+      sum(xd).as("__s1"),
+      sum(xd * col(valueMilliCol)).as("__s2"))
+    val nd = col("__n").cast("decimal(38,0)")
+    val dev = nd * col(valueMilliCol) - col("__s1")
+    val varN2 = nd * col("__s2") - col("__s1") * col("__s1") // n²·σ²
+    events.join(broadcast(stats), bucketCols)
+      .filter(col("__n") >= 2 && dev * dev > lit(kSigma.toLong * kSigma) * varN2)
+      .drop("__n", "__s1", "__s2")
+  }
+
+  /** First-order transition matrix over each user's event sequence:
+    * `(from_type, to_type) → count + permille share of from_type's
+    * outgoing transitions` — the Markov-chain view of product flows
+    * (and of token-level corpus bigrams; [[TextAnalysis]] holds the
+    * text twin as cooccurrence/PMI).
+    *
+    * Ordering is total: `(ts_us, tiebreakCol)` — colliding timestamps
+    * cannot flip pairs between engines. One user-partitioned window
+    * (the sessionize device — partition-keyed, never global), one
+    * grouped count, then the permille share via a window over the
+    * AGGREGATED frame (#types² rows — trivially small at any corpus
+    * size). Integer `div` for the share both engines.
+    */
+  def eventTransitions(events: DataFrame, userCol: String, tsUsCol: String,
+                       tiebreakCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsUsCol), col(tiebreakCol))
+    val counts = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("permille",
+      expr("n * 1000 div sum(n) over (partition by from_type)"))
+  }
+
+  /** RFM value segmentation over an order fact table: per customer,
+    * Recency (days since last order, relative to the corpus max
+    * date), Frequency (order count), Monetary (lifetime cents), each
+    * scored into its exact quartile `1..4` (ascending: score s means
+    * the value is ≥ the (s−1)·25th percentile), and the composite
+    * `segment = r·100 + f·10 + m`.
+    *
+    * Quartile thresholds come from [[graft.functions.KllQuantilesAgg]]
+    * in its exact regime (k ≥ #customers at test SFs — identical to
+    * DuckDB `quantile_disc`'s type-1 rank rule), so the corpus never
+    * sorts: per-customer rollup is one customer-keyed aggregation,
+    * the max date and the nine thresholds are ONE-ROW frames attached
+    * by deliberate 1-row broadcast nested loops (the repo's scalar
+    * device), and scoring is a map-side comparison. At 100 TB the
+    * same plan holds with the sketch in its compacting regime (rank
+    * error ≤ the carried bound — thresholds shift by at most that
+    * rank error; scores remain exact for values away from the
+    * boundary).
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, dateUsCol: String,
+                  amountCentsCol: String): DataFrame = {
+    import graft.functions.KllQuantilesAgg
+    val per = orders.groupBy(col(custCol)).agg(
+      max(col(dateUsCol)).as("__last_us"),
+      count(lit(1)).as("frequency"),
+      sum(col(amountCentsCol)).as("monetary_cents"))
+    val maxD = per.agg(max(col("__last_us")).as("__max_us"))
+    val rfm = per.crossJoin(broadcast(maxD))
+      .select(col(custCol),
+        expr(s"(__max_us - __last_us) div ${DayUs}L").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val qs = Seq(0.25, 0.5, 0.75)
+    val th = rfm.agg(
+      KllQuantilesAgg(col("recency_days"), 1 << 19, qs).as("__tr"),
+      KllQuantilesAgg(col("frequency"), 1 << 19, qs).as("__tf"),
+      KllQuantilesAgg(col("monetary_cents"), 1 << 19, qs).as("__tm"))
+    def score(c: Column, t: String): Column =
+      (lit(1) + (c >= col(s"$t.qs").getItem(0)).cast("int")
+        + (c >= col(s"$t.qs").getItem(1)).cast("int")
+        + (c >= col(s"$t.qs").getItem(2)).cast("int"))
+    rfm.crossJoin(broadcast(th))
+      .select(col(custCol), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        score(col("recency_days"), "__tr").as("r_q"),
+        score(col("frequency"), "__tf").as("f_q"),
+        score(col("monetary_cents"), "__tm").as("m_q"))
+      .withColumn("segment",
+        col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+  }
+}

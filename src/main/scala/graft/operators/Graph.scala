@@ -140,4 +140,117 @@ object Graph {
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("tri_count"))
   }
+
+  /** Neighbor-overlap link prediction: for every NON-adjacent node
+    * pair sharing ≥ 1 neighbor, the Jaccard of their neighbor sets in
+    * integer permille — `1000·common div (deg_a + deg_b − common)` —
+    * the classic "customers also bought" / related-document candidate
+    * generator.
+    *
+    * Shape: canonical undirected edges → symmetric adjacency → wedge
+    * self-join on the CENTER node (each shared neighbor generates the
+    * pair once under `x < y`) → pair-keyed count with map-side
+    * combine → degree attach (two key joins) → anti-join against the
+    * edge set (predictions are new links only). Deterministic: no
+    * hashing, no RNG, integer permille.
+    *
+    * Honest cost note: wedge generation is `Σ_c deg(c)²` over wedge
+    * CENTERS — exact Jaccard needs every common neighbor, so the
+    * triangle count's degree-orientation bound does NOT apply. On
+    * graphs with unbounded hubs, cap or drop hub centers upstream
+    * (the standard mitigation; a hub shared by everyone predicts
+    * nothing anyway — its Jaccard is ~0 for all pairs). `maxDegree`
+    * enforces that cap here: wedge centers with degree > maxDegree
+    * are excluded FROM CENTERING ONLY (documented approximation —
+    * common-counts through dropped hubs are forgone; degrees in the
+    * denominator stay exact). `maxDegree = 0` disables the cap.
+    */
+  def jaccardNeighbors(edges: DataFrame, srcCol: String, dstCol: String,
+                       minPermille: Int = 0, maxDegree: Int = 0): DataFrame = {
+    require(minPermille >= 0 && minPermille <= 1000,
+      s"minPermille in [0,1000], got $minPermille")
+    require(maxDegree >= 0, s"maxDegree must be >= 0, got $maxDegree")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+              greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = canon.select(col("a").as("c"), col("b").as("x"))
+      .unionAll(canon.select(col("b").as("c"), col("a").as("x")))
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
+    val centers =
+      if (maxDegree == 0) adj
+      else adj.join(deg.filter(col("d") <= maxDegree).select("c"), "c")
+    val wedges = centers.join(centers.select(col("c"), col("x").as("y")), "c")
+      .filter(col("x") < col("y"))
+    val common = wedges.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    val scored = common
+      .join(deg.select(col("c").as("x"), col("d").as("__dx")), "x")
+      .join(deg.select(col("c").as("y"), col("d").as("__dy")), "y")
+      .select(col("x").as("id_a"), col("y").as("id_b"),
+        col("common_neighbors"),
+        expr("1000 * common_neighbors div (__dx + __dy - common_neighbors)")
+          .as("jaccard_permille"))
+    scored
+      .join(canon, scored("id_a") === canon("a") && scored("id_b") === canon("b"),
+        "left_anti")
+      .filter(col("jaccard_permille") >= minPermille)
+  }
+
+  /** k-core membership by iterated peeling: rounds of "drop every
+    * node whose degree in the SURVIVING subgraph is < k"
+    * (simultaneous removal per round) until fixpoint or `maxRounds`.
+    * The dense-cohesion filter: crawl-graph link farms, co-purchase
+    * communities, citation cores.
+    *
+    * Determinism/verifiability contract: the result after r rounds is
+    * a pure function of (edges, k, r), and a CONVERGED run equals any
+    * longer unroll — so a SQL oracle that unrolls exactly `maxRounds`
+    * rounds matches whether or not the Spark loop exits early. Each
+    * round is one degree aggregation over edges semi-joined to the
+    * alive set (all key-partitioned, map-side combine); the alive
+    * frame is node-sized and localCheckpoint-truncated every round
+    * (the unbounded-round discipline of the CC loop — each round's
+    * count doubles as the fixpoint test and the checkpoint action).
+    *
+    * Output: `(id, core_degree)` — surviving nodes with their degree
+    * inside the surviving subgraph.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds in [1,64], got $maxRounds")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+              greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().persist()
+    def degrees(alive: DataFrame): DataFrame = {
+      val live = canon
+        .join(alive.select(col("id").as("a")), "a")
+        .join(alive.select(col("id").as("b")), "b")
+      live.select(col("a").as("id")).unionAll(live.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("core_degree"))
+    }
+    var alive = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id"))).distinct()
+      .localCheckpoint(true)
+    var n = alive.count()
+    var round = 0
+    var done = n == 0L
+    while (!done && round < maxRounds) {
+      val next = degrees(alive).filter(col("core_degree") >= k)
+        .select("id").localCheckpoint(true)
+      val m = next.count()
+      done = m == n // simultaneous-removal fixpoint: nothing dropped
+      alive = next
+      n = m
+      round += 1
+    }
+    val out = degrees(alive)
+    canon.unpersist()
+    out
+  }
 }

@@ -1110,4 +1110,34 @@ object TextAnalysis {
     round(size(array_intersect(ta, tb)).cast("double") /
           size(array_union(ta, tb)), 6)
   }
+
+  /** Per-document readability grade (Flesch-Kincaid-shaped) in integer
+    * CENTI-grade units — a standard curation feature alongside
+    * [[qualityFeatures]]: reading-level bands gate training mixes and
+    * flag OCR junk (absurdly high grades) or boilerplate lists
+    * (absurdly low).
+    *
+    * Heuristic counts, all as regexp-match counts so both engines
+    * re-derive them identically: words = `[^ \t\r\n\f]+` runs (the
+    * class spelled out because Java's `\S` and RE2's differ on
+    * vertical tab), sentences = `[.!?]+` runs (floored at 1),
+    * syllables = `[aeiouy]+` vowel groups of the lowercased text
+    * (the classic one-line syllable approximation). The FK formula `0.39·W/S + 11.8·Syl/W − 15.59`
+    * rides integer arithmetic per term — `39·W div S + 1180·Syl div W
+    * − 1559` centi-grades with truncating division on non-negative
+    * operands — so the score is bit-identical cross-engine. Empty
+    * texts emit grade −1559 with zero counts (W floored to 1 only in
+    * the divisor). Purely map-side; stays in whole-stage codegen.
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = regexp_count(col(textCol), lit("[^ \\t\\r\\n\\f]+")).cast("long")
+    val sentences = regexp_count(col(textCol), lit("[.!?]+")).cast("long")
+    val syllables =
+      regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    docs.select(col(idCol), words.as("words"), sentences.as("sentences"),
+        syllables.as("syllables"))
+      .withColumn("grade_centi",
+        expr("39 * words div greatest(1L, sentences)" +
+          " + 1180 * syllables div greatest(1L, words) - 1559"))
+  }
 }

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Behavior, Graph, TextAnalysis}
+
+/** Hand-computed cases for the behavioral-analytics family
+  * (retention cohorts, z-score anomalies, transition matrix, RFM) and
+  * the round-6c graph additions (neighbor-Jaccard link prediction,
+  * k-core peeling), plus the readability grade.
+  */
+class BehaviorGraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  test("retentionCohorts: planted first-weeks and return offsets") {
+    // u1 first week 0, returns weeks 1 and 2 (twice in week 1 — the
+    // distinct collapses it); u2 only week 0; u3 first week 1
+    val ev = Seq(
+      (1L, 0L), (1L, WeekUs + 5L), (1L, WeekUs + 9L), (1L, 2 * WeekUs),
+      (2L, 100L),
+      (3L, WeekUs + 1L)
+    ).toDF("user_id", "ts_us")
+    val got = Behavior.retentionCohorts(ev, "user_id", "ts_us")
+      .orderBy("cohort_week", "week_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L)))
+  }
+
+  test("anomalyZscore: exact integer moment test incl. the boundary tie") {
+    // bucket A: four 10s and one 90 → n=5, S1=130, S2=8500;
+    // for x=90: (n·x−S1)² = 320² = 102400 and n·S2−S1² = 25600, so
+    // k=1 flags it (102400 > 25600), while k=2 lands EXACTLY on the
+    // tie (4·25600 = 102400) and the strict > must NOT flag;
+    // bucket B: all-equal values → σ = 0, dev = 0, never flagged;
+    // bucket C: a single row → n < 2, excluded
+    val ev = Seq(
+      (1L, "A", 10L), (2L, "A", 10L), (3L, "A", 10L), (4L, "A", 10L),
+      (5L, "A", 90L),
+      (6L, "B", 7L), (7L, "B", 7L), (8L, "B", 7L),
+      (9L, "C", 1000L)
+    ).toDF("event_id", "bucket", "value_milli")
+    val k1 = Behavior.anomalyZscore(ev, Seq("bucket"), "value_milli", 1)
+      .select("event_id").as[Long].collect().toSeq
+    assert(k1 == Seq(5L))
+    assert(Behavior.anomalyZscore(ev, Seq("bucket"), "value_milli", 2)
+      .count() == 0L)
+  }
+
+  test("eventTransitions: tie-broken ordering, permille shares") {
+    // u1: A,B,A,C (B and the second A share ts — event_id breaks the
+    // tie deterministically); u2: B,A
+    val ev = Seq(
+      (1L, 10L, 100L, "A"), (1L, 20L, 200L, "B"), (1L, 21L, 200L, "A"),
+      (1L, 30L, 300L, "C"),
+      (2L, 40L, 100L, "B"), (2L, 50L, 150L, "A")
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    val got = Behavior
+      .eventTransitions(ev, "user_id", "ts_us", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // from A: A→B, A→C (500 each); from B: B→A twice (1000)
+    assert(got == Seq(("A", "B", 1L, 500L), ("A", "C", 1L, 500L),
+      ("B", "A", 2L, 1000L)))
+  }
+
+  test("eventTransitions: permille shares sum to ~1000 per from_type") {
+    val ev = Seq.tabulate(60) { i =>
+      (i.toLong % 5, i.toLong, i.toLong * 10,
+        Seq("A", "B", "C")((i * 7) % 3))
+    }.toDF("user_id", "event_id", "ts_us", "event_type")
+    val sums = Behavior
+      .eventTransitions(ev, "user_id", "ts_us", "event_id", "event_type")
+      .groupBy("from_type").agg(sum("permille").as("s"))
+      .select("s").as[Long].collect()
+    // truncating div: each from-row loses < 1 permille
+    assert(sums.forall(s => s >= 997L && s <= 1000L))
+  }
+
+  test("rfmSegments: hand-computed quartile scores on 4 customers") {
+    val day = 86400L * 1000000L
+    // cust → (last day, n orders, cents): thresholds under the type-1
+    // rank rule on n=4 are the 1st/2nd/3rd sorted values
+    val orders = Seq(
+      (1L, 0L * day, 100L),
+      (2L, 0L * day, 120L), (2L, 1L * day, 80L),
+      (3L, 0L * day, 100L), (3L, 1L * day, 100L), (3L, 2L * day, 100L),
+      (4L, 0L * day, 100L), (4L, 1L * day, 100L), (4L, 2L * day, 100L),
+      (4L, 3L * day, 100L)
+    ).toDF("cust", "order_us", "cents")
+    val got = Behavior.rfmSegments(orders, "cust", "order_us", "cents")
+      .orderBy("cust")
+      .as[(Long, Long, Long, Long, Int, Int, Int, Int)].collect().toSeq
+    // recency_days: c1=3 c2=2 c3=1 c4=0 → q=(0,1,2) → scores 4,4,3,2
+    // frequency: 1,2,3,4 → q=(1,2,3) → scores 2,3,4,4
+    // monetary: 100,200,300,400 → q=(100,200,300) → scores 2,3,4,4
+    assert(got == Seq(
+      (1L, 3L, 1L, 100L, 4, 2, 2, 422),
+      (2L, 2L, 2L, 200L, 4, 3, 3, 433),
+      (3L, 1L, 3L, 300L, 3, 4, 4, 344),
+      (4L, 0L, 4L, 400L, 2, 4, 4, 244)))
+  }
+
+  test("jaccardNeighbors: hand graphs, adjacency exclusion, hub cap") {
+    // triangle 1-2-3 with pendant 4 on node 3: candidate pairs are
+    // (1,4) and (2,4) through center 3 (deg 2 vs 1 → 1000/2 = 500);
+    // (1,2),(1,3),(2,3) are adjacent and excluded
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("s", "t")
+    val got = Graph.jaccardNeighbors(tri, "s", "t")
+      .orderBy("id_a", "id_b").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 1L, 500L), (2L, 4L, 1L, 500L)))
+
+    // square 1-2-3-4-1: diagonals share BOTH neighbors → jaccard 1000
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "t")
+    val gotSq = Graph.jaccardNeighbors(sq, "s", "t")
+      .orderBy("id_a", "id_b").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(gotSq == Seq((1L, 3L, 2L, 1000L), (2L, 4L, 2L, 1000L)))
+
+    // hub cap: maxDegree=1 excludes every center in the triangle
+    // graph (all have degree ≥ 2) → no candidates at all
+    assert(Graph.jaccardNeighbors(tri, "s", "t", maxDegree = 1).count() == 0L)
+    // threshold filter
+    assert(Graph.jaccardNeighbors(tri, "s", "t", minPermille = 501)
+      .count() == 0L)
+  }
+
+  test("kCore: pendant chain erodes onto the cycle core; empty when k too big") {
+    // chain 1-2-3-4-5 feeding triangle 5-6-7: the 2-core is exactly
+    // the triangle, reached after 4 peel rounds
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (5L, 7L)).toDF("s", "t")
+    val got = Graph.kCore(g, "s", "t", k = 2, maxRounds = 6)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 2L), (6L, 2L), (7L, 2L)))
+    // k=3: the triangle's degree-2 nodes all drop in one round
+    assert(Graph.kCore(g, "s", "t", k = 3, maxRounds = 3).count() == 0L)
+  }
+
+  test("kCore: maxRounds truncation equals the same-depth unroll") {
+    // after exactly 2 rounds nodes 1,2 are gone; node 3 survives the
+    // round-2 CUT (its round-2 degree still counted node 2) and shows
+    // its UNCONVERGED degree 1 in the round-2 state
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (5L, 7L)).toDF("s", "t")
+    val got = Graph.kCore(g, "s", "t", k = 2, maxRounds = 2)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 1L), (4L, 2L), (5L, 3L), (6L, 2L), (7L, 2L)))
+  }
+
+  test("kCore and jaccardNeighbors: layout invariance") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (5L, 7L), (1L, 7L), (2L, 6L)).toDF("s", "t")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().toSeq
+    assert(canon(Graph.kCore(g.repartition(7), "s", "t", 2, 6)) ==
+      canon(Graph.kCore(g.coalesce(1), "s", "t", 2, 6)))
+    assert(canon(Graph.jaccardNeighbors(g.repartition(5), "s", "t")) ==
+      canon(Graph.jaccardNeighbors(g.coalesce(1), "s", "t")))
+  }
+
+  test("readability: hand-counted words/sentences/syllables") {
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"),
+      (2L, ""),
+      (3L, "Extraordinary!!! Yes?")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc1: W=5 S=2 Syl=5 → 39·5 div 2 + 1180·5 div 5 − 1559 = −282
+    // doc2: empty → 0 + 0 − 1559
+    // doc3: W=2 S=2; syllables e-ao-i-a-y|e (extraordinary → e,ao,i,a,y
+    //   = 5 groups; yes → e... 'y' leads: "yes" = [ye]s → 1 group) = 6
+    //   → 39·2 div 2 + 1180·6 div 2 − 1559 = 39 + 3540 − 1559 = 2020
+    assert(got == Seq((1L, 5L, 2L, 5L, -282L), (2L, 0L, 0L, 0L, -1559L),
+      (3L, 2L, 2L, 6L, 2020L)))
+  }
+}

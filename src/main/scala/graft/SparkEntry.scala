@@ -468,6 +468,26 @@ object SparkEntry {
       Graph.kCore(pairs, "p", "p2", k = 2, maxRounds = 6)
     }),
 
+    // C61: multi-source BFS hop distances over the same thinned graph
+    // (seed nodes ≡ 0 mod 97) — frontier rounds, each one adjacency
+    // join + one anti-join; maxHops = 5 and the oracle unrolls exactly
+    // 5 frontier rounds (sf0.001 exhausts earlier — early exit equals
+    // the longer unroll by identity)
+    "hop_distance" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.filter(col("l_partkey") % 7 < 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2") &&
+          (col("p") * 31 + col("p2")) % 13 === 0)
+      val nodes = pairs.select(col("p").as("id"))
+        .union(pairs.select(col("p2").as("id"))).distinct()
+      val sources = nodes.filter(col("id") % 97 === 0)
+      Graph.hopDistance(pairs, "p", "p2", sources, "id", maxHops = 5)
+    }),
+
     // C12: N-records-per-chunk split (split_jsonl.py)
     "split_n_per_file" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -1948,6 +1968,17 @@ object SparkEntry {
         "event_type")
     }),
 
+    // C62: rolling active-user reach — DAU / trailing 7-day WAU /
+    // 28-day MAU + stickiness permille from per-day KMV sketch
+    // partials (fact scanned ONCE; windows are sketch unions over the
+    // days-sized frame); k = 2^17 keeps every window in the exact
+    // regime at test SFs ≡ SQL COUNT(DISTINCT)
+    "active_users_rolling" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      Behavior.activeUsersRolling(ev, "user_id", "ts_us", k = 1 << 17)
+    }),
+
     // C60: RFM value segmentation — per-customer recency/frequency/
     // monetary rollup scored into exact quartiles via the KLL sketch
     // in its exact regime (thresholds are a 1-row broadcast; the
@@ -2278,6 +2309,53 @@ object SparkEntry {
                 JOIN a6 x ON c.a = x.id JOIN a6 y ON c.b = y.id)
          SELECT id, count(*) AS core_degree FROM (
            SELECT a AS id FROM e7 UNION ALL SELECT b FROM e7) GROUP BY 1""",
+
+    // exactly maxHops = 5 unrolled frontier rounds, same device as
+    // k_core: an exhausted Spark run equals the longer unroll
+    "hop_distance" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 7 < 2),
+         canon AS MATERIALIZED (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+             AND (a.p * 31 + b.p) % 13 = 0),
+         adj AS MATERIALIZED (
+           SELECT a AS c, b AS x FROM canon
+           UNION ALL SELECT b, a FROM canon),
+         s0 AS MATERIALIZED (
+           SELECT id FROM (SELECT a AS id FROM canon
+                           UNION SELECT b FROM canon)
+           WHERE id % 97 = 0),
+         f1 AS MATERIALIZED (
+           SELECT DISTINCT x AS id FROM adj JOIN s0 ON c = s0.id
+           WHERE x NOT IN (SELECT id FROM s0)),
+         v1 AS MATERIALIZED (
+           SELECT id FROM s0 UNION ALL SELECT id FROM f1),
+         f2 AS MATERIALIZED (
+           SELECT DISTINCT x AS id FROM adj JOIN f1 ON c = f1.id
+           WHERE x NOT IN (SELECT id FROM v1)),
+         v2 AS MATERIALIZED (
+           SELECT id FROM v1 UNION ALL SELECT id FROM f2),
+         f3 AS MATERIALIZED (
+           SELECT DISTINCT x AS id FROM adj JOIN f2 ON c = f2.id
+           WHERE x NOT IN (SELECT id FROM v2)),
+         v3 AS MATERIALIZED (
+           SELECT id FROM v2 UNION ALL SELECT id FROM f3),
+         f4 AS MATERIALIZED (
+           SELECT DISTINCT x AS id FROM adj JOIN f3 ON c = f3.id
+           WHERE x NOT IN (SELECT id FROM v3)),
+         v4 AS MATERIALIZED (
+           SELECT id FROM v3 UNION ALL SELECT id FROM f4),
+         f5 AS MATERIALIZED (
+           SELECT DISTINCT x AS id FROM adj JOIN f4 ON c = f4.id
+           WHERE x NOT IN (SELECT id FROM v4))
+         SELECT id, 0 AS dist FROM s0
+         UNION ALL SELECT id, 1 FROM f1
+         UNION ALL SELECT id, 2 FROM f2
+         UNION ALL SELECT id, 3 FROM f3
+         UNION ALL SELECT id, 4 FROM f4
+         UNION ALL SELECT id, 5 FROM f5""",
 
     "link_rank" ->
       """WITH e0 AS (
@@ -4425,6 +4503,26 @@ FROM decided""",
                 CAST(n * 1000 // sum(n) OVER (PARTITION BY from_type)
                      AS BIGINT) AS permille
          FROM c""",
+
+    // exact-regime KMV ≡ COUNT(DISTINCT); windows anchored on
+    // observed days only
+    "active_users_rolling" ->
+      """WITH e AS (SELECT DISTINCT
+                      CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                      user_id
+                    FROM events),
+         days AS (SELECT DISTINCT day FROM e),
+         dau AS (SELECT day, count(DISTINCT user_id) AS dau
+                 FROM e GROUP BY 1),
+         wau AS (SELECT d.day, count(DISTINCT e.user_id) AS wau_7d
+                 FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+                 GROUP BY 1),
+         mau AS (SELECT d.day, count(DISTINCT e.user_id) AS mau_28d
+                 FROM days d JOIN e ON e.day BETWEEN d.day - 27 AND d.day
+                 GROUP BY 1)
+         SELECT day, dau, wau_7d, mau_28d,
+                CAST(dau * 1000 // mau_28d AS BIGINT) AS stickiness_permille
+         FROM dau JOIN wau USING (day) JOIN mau USING (day)""",
 
     // quantile_disc = the KLL sketch's exact-regime rank rule (the
     // quantile_sketch parity); scores recomputed from the thresholds

@@ -116,6 +116,50 @@ object Behavior {
       expr("n * 1000 div sum(n) over (partition by from_type)"))
   }
 
+  /** Rolling active-user reach: per observed day, DAU plus trailing
+    * 7-day WAU and 28-day MAU distinct-user counts and the DAU/MAU
+    * stickiness ratio in integer permille — the engagement dashboard
+    * primitive, built the only way it stays incremental at scale:
+    * COUNT(DISTINCT) does not sum across days, so each day holds a
+    * KMV theta-sketch partial ([[graft.functions.KmvSketchAgg]]) and
+    * every window is a sketch UNION ([[graft.functions.KmvMergeAgg]])
+    * — the [[Relational]] distinct-store argument applied to sliding
+    * windows.
+    *
+    * Scale shape: the fact table is scanned ONCE (day-keyed sketch
+    * agg, map-side combine, state O(k) per day); the daily frame is
+    * days-sized, so the three window fan-outs (`explode(sequence)` of
+    * 1/7/28 anchors), the observed-day semi-join, and the merges are
+    * all trivially small regardless of corpus size. Exact below k
+    * retained hashes per window (the driver-verified regime ≡ SQL
+    * COUNT(DISTINCT)); (k−1)/u_k beyond, with the merge still a pure
+    * function of the underlying user set (layout/replay invariant).
+    * Days are integer epoch-day indexes; only OBSERVED days emit.
+    */
+  def activeUsersRolling(events: DataFrame, userCol: String,
+                         tsUsCol: String, k: Int): DataFrame = {
+    import graft.functions.{KmvMergeAgg, KmvSketchAgg}
+    val daily = events
+      .select(expr(s"$tsUsCol div ${DayUs}L").as("day"),
+        col(userCol).as("__u"))
+      .groupBy("day").agg(KmvSketchAgg(col("__u"), k).as("__sk"))
+    val days = daily.select(col("day").as("anchor"))
+    def rolled(span: Int, name: String): DataFrame =
+      daily.select(col("__sk"),
+          explode(sequence(col("day"), col("day") + lit(span - 1).cast("long")))
+            .as("anchor"))
+        .join(broadcast(days), Seq("anchor"), "left_semi")
+        .groupBy("anchor")
+        .agg(KmvMergeAgg(col("__sk"), k).as("__m"))
+        .select(col("anchor"), col("__m.n_distinct").as(name))
+    rolled(1, "dau")
+      .join(rolled(7, "wau_7d"), "anchor")
+      .join(rolled(28, "mau_28d"), "anchor")
+      .select(col("anchor").as("day"), col("dau"), col("wau_7d"),
+        col("mau_28d"),
+        expr("dau * 1000 div mau_28d").as("stickiness_permille"))
+  }
+
   /** RFM value segmentation over an order fact table: per customer,
     * Recency (days since last order, relative to the corpus max
     * date), Frequency (order count), Monetary (lifetime cents), each

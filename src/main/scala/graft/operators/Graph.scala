@@ -198,6 +198,62 @@ object Graph {
       .filter(col("jaccard_permille") >= minPermille)
   }
 
+  /** Multi-source BFS hop distance over an undirected edge list:
+    * every node within `maxHops` of the source set, labeled with its
+    * exact hop distance — the reachability/crawl-depth primitive
+    * (seed-page distance in crawl curation, blast-radius queries in
+    * warehouse lineage graphs).
+    *
+    * Frontier algorithm, one round per hop: neighbors of the current
+    * frontier not yet labeled get distance r (simultaneous, so the
+    * label IS the true shortest hop count — BFS order is the only
+    * order). Each round is one adjacency join + one anti-join against
+    * the settled set, both key-partitioned; the settled/frontier
+    * frames are node-sized and localCheckpoint-truncated per round
+    * (the CC loop discipline — the round count is data-dependent and
+    * the frontier count doubles as the empty-fixpoint test). Same
+    * verifiability device as [[kCore]]: the result after r rounds is
+    * a pure function of (edges, sources, r) and an early-converged
+    * run equals any longer unroll, so a SQL oracle unrolls exactly
+    * `maxHops` rounds.
+    *
+    * Output: `(id, dist)` — sources at 0 (deduped; sources outside
+    * the edge list simply stay isolated at 0), reached nodes ≤
+    * maxHops.
+    */
+  def hopDistance(edges: DataFrame, srcCol: String, dstCol: String,
+                  sources: DataFrame, sourceIdCol: String,
+                  maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops in [1,64], got $maxHops")
+    val base = edges
+      .select(col(srcCol).cast("long").as("c"), col(dstCol).cast("long").as("x"))
+      .filter(col("c") =!= col("x"))
+    val adj = base
+      .unionAll(base.select(col("x").as("c"), col("c").as("x")))
+      .distinct().persist()
+    var settled = sources.select(col(sourceIdCol).cast("long").as("id"))
+      .distinct().select(col("id"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = settled.select("id")
+    var r = 1
+    var exhausted = false
+    while (!exhausted && r <= maxHops) {
+      val next = adj.join(frontier.withColumnRenamed("id", "c"), "c")
+        .select(col("x").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .select(col("id"), lit(r).as("dist"))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        settled = settled.unionAll(next).localCheckpoint(true)
+        frontier = next.select("id")
+        r += 1
+      }
+    }
+    adj.unpersist()
+    settled
+  }
+
   /** k-core membership by iterated peeling: rounds of "drop every
     * node whose degree in the SURVIVING subgraph is < k"
     * (simultaneous removal per round) until fixpoint or `maxRounds`.

@@ -531,4 +531,48 @@ object Streams {
               (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
                 .as("gap_us"))
   }
+
+  case class UserEvent(user_id: Long, event_id: Long, ts_us: Long,
+                       event_type: String)
+  case class LastEvent(ts_us: Long, event_id: Long, event_type: String)
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** D14: streaming first-order event transitions — the streaming
+    * twin of [[graft.operators.Behavior.eventTransitions]]. Keyed
+    * state holds ONE row per user (the last event under the total
+    * order `(ts_us, event_id)` — the same tiebreak as the batch
+    * window), each micro-batch folds its rows per user in that order
+    * and emits one `(from_type, to_type)` pair per consecutive step,
+    * including the cross-batch boundary pair from the held state.
+    * Counting the emitted pairs therefore equals the batch operator
+    * over the concatenated in-order input.
+    *
+    * Replay/straggler discipline (the D1 guard): an event at-or-below
+    * the held state's `(ts_us, event_id)` is dropped, so an
+    * at-least-once replay of already-folded rows emits NOTHING — the
+    * downstream count needs no dedup. The cost: a genuinely late
+    * out-of-order event loses its transitions (bounded-state
+    * streaming can't retroactively splice a sequence — the batch twin
+    * is the backfill path, the house lambda split).
+    */
+  def streamEventTransitions(events: Dataset[UserEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[LastEvent]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (last.forall(l =>
+                l.ts_us < e.ts_us ||
+                  (l.ts_us == e.ts_us && l.event_id < e.event_id))) {
+              last.foreach(l => out += Transition(uid, l.event_type, e.event_type))
+              last = Some(LastEvent(e.ts_us, e.event_id, e.event_type))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -162,6 +162,51 @@ class BehaviorGraphSpec extends AnyFunSuite {
       canon(Graph.jaccardNeighbors(g.coalesce(1), "s", "t")))
   }
 
+  test("hopDistance: multi-source BFS labels, truncation, isolated source") {
+    // path 1-2-3-4-5, separate edge 6-7
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("s", "t")
+    def run(src: Seq[Long], hops: Int) =
+      Graph.hopDistance(g, "s", "t", src.toDF("id"), "id", hops)
+        .orderBy("dist", "id").as[(Long, Int)].collect().toSeq
+    // single source, truncated at 3 hops: node 5 not yet reached
+    assert(run(Seq(1L), 3) ==
+      Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3)))
+    // enough hops: exhausts at distance 4; 6,7 unreachable — absent
+    assert(run(Seq(1L), 10) ==
+      Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3), (5L, 4)))
+    // multi-source: both ends at once, meet in the middle
+    assert(run(Seq(1L, 5L), 10) ==
+      Seq((1L, 0), (5L, 0), (2L, 1), (4L, 1), (3L, 2)))
+    // a source with no edges stays isolated at distance 0
+    assert(run(Seq(99L), 4) == Seq((99L, 0)))
+  }
+
+  test("activeUsersRolling: hand-computed DAU/WAU/MAU and stickiness") {
+    val day = 86400L * 1000000L
+    // day 0: users {1,2}; day 1: {2,3}; day 8: {1}
+    val ev = Seq((1L, 0L), (2L, 10L), (2L, day + 1L), (3L, day + 2L),
+      (1L, 8 * day + 3L)).toDF("user_id", "ts_us")
+    val got = Behavior.activeUsersRolling(ev, "user_id", "ts_us", k = 64)
+      .orderBy("day").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // wau(1) spans days −5..1 → {1,2,3}; wau(8) spans 2..8 → {1};
+    // mau(8) spans −19..8 → everyone
+    assert(got == Seq(
+      (0L, 2L, 2L, 2L, 1000L),
+      (1L, 2L, 3L, 3L, 666L),
+      (8L, 1L, 1L, 3L, 333L)))
+  }
+
+  test("activeUsersRolling: layout invariance") {
+    val ev = Seq.tabulate(300)(i =>
+      ((i * 13L) % 40L, i.toLong * 9999999L)).toDF("user_id", "ts_us")
+    val a = Behavior.activeUsersRolling(ev.repartition(7), "user_id", "ts_us",
+      1 << 10).orderBy("day").collect().toSeq
+    val b = Behavior.activeUsersRolling(ev.coalesce(1), "user_id", "ts_us",
+      1 << 10).orderBy("day").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("readability: hand-counted words/sentences/syllables") {
     val docs = Seq(
       (1L, "The cat sat. It ran!"),

@@ -125,4 +125,43 @@ class StreamAggSpec extends AnyFunSuite {
     assert(Relational.readAggStore(spark, store, Seq("key"))
       .orderBy("key").collect().map(_.toSeq).toSeq == after)
   }
+
+  test("streamEventTransitions (D14): stream counts ≡ batch twin, " +
+       "boundary pairs cross batches, replays emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Behavior
+    import graft.streaming.Streams.UserEvent
+    val input = MemoryStream[UserEvent]
+    val q = graft.streaming.Streams.streamEventTransitions(input.toDS())
+      .writeStream.format("memory").queryName("d14_transitions")
+      .outputMode("append").start()
+    val b1 = Seq(UserEvent(1L, 10L, 100L, "A"), UserEvent(1L, 20L, 200L, "B"),
+      UserEvent(2L, 30L, 50L, "C"))
+    val b2 = Seq(UserEvent(1L, 40L, 300L, "A"), UserEvent(2L, 50L, 60L, "D"),
+      UserEvent(2L, 60L, 70L, "C"))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // at-least-once replay of batch 2's rows: all at-or-below the
+      // held state → dropped, zero new transitions
+      val before = spark.table("d14_transitions").count()
+      input.addData(b2: _*); q.processAllAvailable()
+      assert(spark.table("d14_transitions").count() == before)
+    } finally q.stop()
+    val streamed = spark.table("d14_transitions")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long)].collect().toSeq
+    val batch = Behavior.eventTransitions(
+        (b1 ++ b2).toDF("user_id", "event_id", "ts_us", "event_type"),
+        "user_id", "ts_us", "event_id", "event_type")
+      .select("from_type", "to_type", "n")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long)].collect().toSeq
+    // u1: A→B (batch 1), B→A (ACROSS the batch boundary);
+    // u2: C→D, D→C
+    assert(streamed == Seq(("A", "B", 1L), ("B", "A", 1L),
+      ("C", "D", 1L), ("D", "C", 1L)))
+    assert(streamed == batch)
+  }
 }

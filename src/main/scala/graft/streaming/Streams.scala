@@ -331,6 +331,40 @@ object Streams {
       }
       .start()
 
+  /** D15: streaming incremental DISTINCT-COUNT-store maintenance —
+    * the streaming half of C50 completing the store-family symmetry
+    * (D9↔C44 counts/sums, D13↔C48 distributions, this↔C50 set
+    * cardinality): each micro-batch appends one KMV theta-sketch
+    * partial per key ([[graft.operators.Relational.extendDistinctStore]]).
+    * Byte-purity needs NO secondary-sort device here — the k smallest
+    * distinct hashes are a pure function of the batch's value SET —
+    * so an at-least-once replay appends a byte-identical row that the
+    * read's `(key, batch_id)` dedup collapses; running per-key
+    * distinct counts stay exact below k retained hashes and carry the
+    * (k−1)/u_k estimate beyond, while fact rows never persist and
+    * history is never rescanned. `compactEvery` folds committed
+    * batches with the shared swap + recover protocol.
+    */
+  def streamDistinctMaintain(measures: Dataset[Measure], storeDir: String,
+                             checkpointDir: String, k: Int,
+                             compactEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    measures.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Measure], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Relational.extendDistinctStore(
+            batch.toDF, storeDir, Seq("key"), "value", k, batchId)
+          compactEvery.foreach { n =>
+            if (n > 0 && (batchId + 1) % n == 0)
+              graft.operators.Relational.compactDistinctStore(
+                batch.sparkSession, storeDir, Seq("key"), k, batchId)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** One cycle unit of the incremental near-dedup stream: dedup the
     * batch against the index, append the duplicate decisions, admit
     * the survivors. Exposed (package-private) so replay/backfill

@@ -77,4 +77,35 @@ class DistinctStoreSpec extends AnyFunSuite {
     val est = got.getLong(1).toDouble
     assert(math.abs(est / n - 1.0) < 0.5, s"estimate $est vs $n")
   }
+
+  test("streamDistinctMaintain (D15): streamed batches land as store " +
+       "partials; read ≡ exact distinct; mid-stream compaction folds") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    val store = freshDir()
+    val ckpt = Files.createTempDirectory("graft_dsckpt").toFile.getAbsolutePath
+    val input = MemoryStream[Streams.Measure]
+    // compactEvery = 2: after batch 1 commits, batch 0 folds to -1
+    val q = Streams.streamDistinctMaintain(input.toDS(), store, ckpt,
+      k = 64, compactEvery = Some(2))
+    val b1 = Seq("a" -> 10L, "a" -> 30L, "a" -> 10L, "b" -> 5L)
+    val b2 = Seq("a" -> 30L, "b" -> 1L, "b" -> 5L, "a" -> 40L)
+    try {
+      input.addData(b1.map { case (k, v) => Streams.Measure(k, v) }: _*)
+      q.processAllAvailable()
+      input.addData(b2.map { case (k, v) => Streams.Measure(k, v) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.operators.Relational
+      .readDistinctStore(spark, store, Seq("key"), 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    // exact regime: distinct over the UNION of both batches
+    assert(got == Map("a" -> ((3L, true)), "b" -> ((2L, true))))
+    // compaction ran: batch 0's partials folded into batch_id = -1
+    val batches = spark.read.parquet(s"$store/kmv")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(batches == Set(-1L, 1L), batches.toString)
+  }
 }

@@ -870,6 +870,14 @@ object SparkEntry {
       TextAnalysis.fimTransform(Tables(s, dir).documents, "doc_id", "text",
         fimPermille = 500)),
 
+    // E60: T5/UL2 span corruption — fingerprint-gated 500‰ of docs
+    // get two disjoint fingerprint-placed spans masked with <X0>/<X1>
+    // sentinels (corrupted input + sentinel target); same no-RNG
+    // substring algebra the oracle re-derives
+    "span_corruption" -> ((s, dir) =>
+      TextAnalysis.spanCorruption(Tables(s, dir).documents, "doc_id", "text",
+        permille = 500)),
+
     // E57: per-document n-gram novelty vs the rest of the corpus —
     // planted exact copies (and their sources) score 0, soup docs
     // spread by how much phrasing they share; df is one gram-keyed
@@ -2952,6 +2960,40 @@ FROM decided""",
                   '<SUF>' || substring(text, hi + 1, len - hi) ||
                   '<MID>' || substring(text, lo + 1, hi - lo)
                 ELSE text END AS text_out
+         FROM d""",
+
+    "span_corruption" ->
+      """WITH fp AS (
+           SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(ascii(text[i]) AS BIGINT))),
+                    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+           FROM documents),
+         c AS (
+           SELECT doc_id, text, len,
+                  (fp % 1000 < 500 AND len >= 16) AS app,
+                  len // 2 AS h,
+                  1 + fp % (len // 2) AS a1,
+                  fp, least(1 + fp % (len // 2) + 1 + (fp // 7) % 4,
+                            len // 2) AS e1,
+                  len // 2 + 1 + (fp // 1000) % (len - len // 2) AS a2
+           FROM fp),
+         d AS (
+           SELECT doc_id, text, len, app, a1, e1, a2,
+                  least(a2 + 1 + (fp // 31) % 4, len) AS e2
+           FROM c)
+         SELECT doc_id, app AS span_applied,
+                CASE WHEN app THEN
+                  substring(text, 1, a1 - 1) || '<X0>' ||
+                  substring(text, e1 + 1, a2 - e1 - 1) || '<X1>' ||
+                  substring(text, e2 + 1, len - e2)
+                ELSE text END AS corrupted,
+                CASE WHEN app THEN
+                  '<X0>' || substring(text, a1, e1 - a1 + 1) ||
+                  '<X1>' || substring(text, a2, e2 - a2 + 1)
+                ELSE '' END AS target
          FROM d""",
 
     "ngram_novelty" ->

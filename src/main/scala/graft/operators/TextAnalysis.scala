@@ -123,6 +123,53 @@ object TextAnalysis {
         .otherwise(col("__t")).as("text_out"))
   }
 
+  /** Span-corruption transformation (the T5/UL2 denoising objective):
+    * a gated fraction of documents have two character spans masked
+    * with typed sentinels — `corrupted` = text with spans replaced by
+    * `<X0>`/`<X1>`, `target` = the sentinel-prefixed masked spans —
+    * so the model learns to reconstruct deleted content; the rest
+    * pass through with an empty target.
+    *
+    * Same no-RNG discipline as [[fimTransform]]: the gate
+    * (`fp % 1000 < permille`) and all four span coordinates derive
+    * from the content [[fingerprint]]. Disjointness by construction —
+    * span 1 lives in the first half `[1, h]`, span 2 in the second
+    * `[h+1, L]` (`h = L div 2`): `a1 = 1 + fp % h`,
+    * `e1 = min(a1 + 1 + (fp div 7) % 4, h)` (2–5 chars before
+    * clipping), `a2 = h + 1 + (fp div 1000) % (L − h)`,
+    * `e2 = min(a2 + 1 + (fp div 31) % 4, L)`. Every substring length
+    * is ≥ 0 by construction so both engines' `substr` agree without
+    * clamps. Docs shorter than `minChars` never transform. Pure
+    * map-side column arithmetic, zero shuffle, codegen'd.
+    */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+                     permille: Int, minChars: Int = 16): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille must be in [0,1000], got $permille")
+    require(minChars >= 8, s"minChars must be >= 8, got $minChars")
+    val staged = docs.select(col(idCol), col(textCol).as("__t"),
+      fingerprint(col(textCol)).as("__fp"),
+      length(col(textCol)).cast("long").as("__len"))
+    val apply_ = expr(s"__fp % 1000 < $permille") && col("__len") >= minChars
+    val h = expr("CAST(__len div 2 AS INT)")
+    val a1 = expr("CAST(1 + __fp % (__len div 2) AS INT)")
+    val e1 = least(a1 + lit(1) + expr("CAST((__fp div 7) % 4 AS INT)"), h)
+    val a2 = h + lit(1) +
+      expr("CAST((__fp div 1000) % (__len - __len div 2) AS INT)")
+    val e2 = least(a2 + lit(1) + expr("CAST((__fp div 31) % 4 AS INT)"),
+      col("__len").cast("int"))
+    val t = col("__t")
+    val corrupted = concat(
+      t.substr(lit(1), a1 - 1), lit("<X0>"),
+      t.substr(e1 + 1, a2 - e1 - 1), lit("<X1>"),
+      t.substr(e2 + 1, col("__len").cast("int") - e2))
+    val target = concat(lit("<X0>"), t.substr(a1, e1 - a1 + 1),
+      lit("<X1>"), t.substr(a2, e2 - a2 + 1))
+    staged.select(col(idCol), apply_.as("span_applied"),
+      when(apply_, corrupted).otherwise(t).as("corrupted"),
+      when(apply_, target).otherwise(lit("")).as("target"))
+  }
+
   /** PII redaction for training corpora: emails, bare URLs and
     * long digit runs (phone/ID-ish) replaced with typed sentinels.
     * Pure regexp_replace chain — codegen'd, map-side, order matters

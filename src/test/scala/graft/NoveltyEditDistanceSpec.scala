@@ -135,4 +135,52 @@ class NoveltyEditDistanceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
     assert(a.sameElements(b))
   }
+
+  test("spanCorruption: corrupted + target reassemble the original; " +
+       "spans are disjoint, in order, and half-bounded") {
+    val docs = (1L to 200L)
+      .map(i => (i, s"doc $i " + ("abcdefghij" * 5))).toDF("doc_id", "text")
+      .unionByName(Seq((900L, "tiny doc")).toDF("doc_id", "text"))
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextAnalysis.spanCorruption(docs, "doc_id", "text",
+        permille = 500, minChars = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2), r.getString(3)))
+    assert(out.length == 201)
+    val (applied, passed) = out.partition(_._2)
+    assert(applied.length > 50 && applied.length < 150, applied.length)
+    passed.foreach { case (id, _, c, t) =>
+      assert(c == orig(id) && t.isEmpty, s"doc $id")
+    }
+    val cShape = raw"(?s)(.*)<X0>(.*)<X1>(.*)".r
+    val tShape = raw"(?s)<X0>(.*)<X1>(.*)".r
+    applied.foreach { case (id, _, c, t) =>
+      (c, t) match {
+        case (cShape(pre, mid, post), tShape(s1, s2)) =>
+          // stitching masked spans back yields the original
+          assert(pre + s1 + mid + s2 + post == orig(id), s"doc $id")
+          // spans are 2-5 chars (before half-clipping) and non-empty
+          assert(s1.length >= 1 && s1.length <= 5, s"doc $id s1")
+          assert(s2.length >= 1 && s2.length <= 5, s"doc $id s2")
+          // span 1 ends inside the first half, span 2 starts after it
+          val h = orig(id).length / 2
+          assert(pre.length + s1.length <= h, s"doc $id half bound")
+          assert(pre.length + s1.length + mid.length >= h, s"doc $id order")
+        case _ => fail(s"doc $id: not span-shaped: c=$c t=$t")
+      }
+    }
+    assert(out.find(_._1 == 900L).get._3 == "tiny doc")
+  }
+
+  test("spanCorruption is a pure function of content (layout + rerun)") {
+    val docs = (1L to 100L)
+      .map(i => (i, s"span content $i " + ("uvw " * 12))).toDF("doc_id", "text")
+    val a = TextAnalysis.spanCorruption(docs.repartition(7), "doc_id", "text", 700)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val b = TextAnalysis.spanCorruption(docs.repartition(1), "doc_id", "text", 700)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(a.sameElements(b))
+  }
 }

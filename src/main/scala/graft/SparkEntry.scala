@@ -1826,6 +1826,26 @@ object SparkEntry {
                           Seq("view_event_id", "view_value"))
     }),
 
+    // C63: point-in-time feature attachment (the feature-store
+    // training-set primitive): each purchase gets the user's latest
+    // view-engagement feature at-or-before its timestamp, nulled past
+    // a 2-day freshness SLA — leakage-free by the ASOF direction,
+    // staleness-bounded by the SLA; one keyed window, no per-example
+    // probe
+    "pit_features" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts_ns div 1000").as("ts_us"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("value_milli"))
+      val spine = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val feats = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us").as("feat_ts_us"))
+        .agg(max(col("value_milli")).as("view_value_milli"))
+      Relational.pointInTimeFeatures(spine, Seq("user_id"), "ts_us",
+        feats, "feat_ts_us", Seq("view_value_milli"),
+        maxStalenessUs = 2L * 86400L * 1000000L)
+    }),
+
     // D7: the same sessions via Spark's NATIVE merging session windows
     // (streaming-capable; batch here) — cross-validates C34's
     // lag/running-sum construction through a different mechanism
@@ -4360,6 +4380,26 @@ FROM decided""",
                 v.view_value AS asof_view_value
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "pit_features" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                           CAST(round(value * 1000) AS BIGINT) AS value_milli
+                    FROM events),
+         p AS (SELECT user_id, event_id, ts_us
+               FROM e WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts_us AS feat_ts_us,
+                      max(value_milli) AS view_value_milli
+               FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.user_id, p.event_id, p.ts_us,
+                CASE WHEN v.feat_ts_us IS NOT NULL
+                      AND p.ts_us - v.feat_ts_us <= 172800000000
+                     THEN v.view_value_milli END AS feat_view_value_milli,
+                CASE WHEN v.feat_ts_us IS NOT NULL
+                      AND p.ts_us - v.feat_ts_us <= 172800000000
+                     THEN p.ts_us - v.feat_ts_us END AS feature_age_us
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND v.feat_ts_us <= p.ts_us""",
 
     "iqr_outliers" ->
       """WITH v AS (

@@ -196,6 +196,48 @@ object Relational {
               rightCols.map(c => col("__last_rv")(c).as(s"asof_$c")): _*)
   }
 
+  /** Point-in-time feature attachment — the feature-store primitive
+    * that builds LEAKAGE-FREE training sets: each spine row (a
+    * training example at `spineTs`) gets the latest feature row
+    * at-or-before its timestamp ([[asofJoin]] — so a feature computed
+    * AFTER the example can never leak in), and features older than
+    * `maxStalenessUs` are nulled rather than silently served stale
+    * (the freshness SLA half of the contract). `feature_age_us`
+    * reports the served feature's age; null when absent or stale.
+    *
+    * Composition contract: one feature GROUP per call (they share a
+    * timestamp column); fold calls for multi-group training frames —
+    * each fold is one key-partitioned window pass, never a rescan of
+    * previously attached groups. Ties: a feature stamped exactly at
+    * `spineTs` IS visible (≤ — matches the warehouse ASOF
+    * convention); callers must dedupe the feature side to one row per
+    * (keys, ts) or the tie winner is undefined, same as any ASOF.
+    *
+    * Scale shape: inherits [[asofJoin]]'s single merge — union the
+    * two frames, ONE window over (keys) ordered by (ts, side-tag),
+    * `last(ignoreNulls)` carries the feature forward; no range
+    * explosion, no per-example probe. 100 TB: the window partitions
+    * on the entity key; skewed hot entities are the caller's salting
+    * decision as with every keyed window here.
+    */
+  def pointInTimeFeatures(spine: DataFrame, keys: Seq[String],
+                          spineTs: String, features: DataFrame,
+                          featureTs: String, featureCols: Seq[String],
+                          maxStalenessUs: Long): DataFrame = {
+    require(maxStalenessUs > 0, s"maxStalenessUs must be > 0")
+    require(featureTs != spineTs,
+      "feature ts column must be named differently from the spine's")
+    val joined = asofJoin(spine, features, keys, spineTs, featureTs,
+      featureCols :+ featureTs)
+    val age = col(spineTs) - col(s"asof_$featureTs")
+    val fresh = col(s"asof_$featureTs").isNotNull && age <= maxStalenessUs
+    joined.select(
+      spine.columns.map(col) ++
+      featureCols.map(c =>
+        when(fresh, col(s"asof_$c")).as(s"feat_$c")) ++
+      Seq(when(fresh, age).as("feature_age_us")): _*)
+  }
+
   /** Range (interval-containment) join without a nested loop: Catalyst
     * plans `point BETWEEN lo AND hi` as BroadcastNestedLoopJoin, which
     * dies when neither side broadcasts. Bucketize instead: intervals

@@ -102,6 +102,27 @@ class OpsSpec extends AnyFunSuite {
       "p3" -> None))         // right row is later → no match
   }
 
+  test("pointInTimeFeatures: leakage-free, tie-visible, staleness-nulled") {
+    val spine = Seq((1L, "x1", 100L), (1L, "x2", 200L), (2L, "x3", 50L),
+      (3L, "x4", 500L)).toDF("k", "name", "ts")
+    val feats = Seq(
+      (1L, 100L, 7L),   // exactly at x1's ts → visible (<=)
+      (1L, 150L, 8L),   // latest for x2, age 50 → fresh
+      (2L, 60L, 9L),    // AFTER x3 → must never leak backward
+      (3L, 100L, 4L)    // age 400 > maxStaleness 300 → nulled
+    ).toDF("k", "fts", "v")
+    val out = Relational.pointInTimeFeatures(spine, Seq("k"), "ts",
+        feats, "fts", Seq("v"), maxStalenessUs = 300L)
+      .select("name", "feat_v", "feature_age_us")
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      "x1" -> ((Some(7L), Some(0L))),
+      "x2" -> ((Some(8L), Some(50L))),
+      "x3" -> ((None, None)),
+      "x4" -> ((None, None))))
+  }
+
   test("sessionize: gap starts a new session, boundary-equal gap stays") {
     val ev = Seq(
       (1L, 100L, 1L),   // s1

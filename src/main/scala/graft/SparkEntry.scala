@@ -1178,6 +1178,16 @@ object SparkEntry {
                                "vec_id", "embedding", k = 5)
     }),
 
+    // E61: Matryoshka truncation sweep — recall@5 of prefix-truncated
+    // cosine search (8/16/32 of 64 dims) vs the full-width exact
+    // graph; decides how far the embedding column can be cut for
+    // first-stage retrieval
+    "matryoshka_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.matryoshkaRecall(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, dims = Seq(8, 16, 32))
+    }),
+
     // E44: contrastive hard-negative mining — top-k nearest DIFFERENT-
     // label vectors per query; label mismatch prunes inside the
     // broadcast join condition, before any cosine is scored
@@ -2081,6 +2091,20 @@ object SparkEntry {
     "column_stats_index" -> ((s, dir) => {
       Layout.columnStatsIndex(Tables(s, dir).lineitem, "l_orderkey",
         blockSize = 1000L, valueCols = Seq("l_extendedprice", "l_discount"))
+    }),
+
+    // C64: small-file compaction plan — per-table in-order packing of
+    // file stats into ~target-sized merge groups via a windowed
+    // exclusive prefix sum (order-preserving: compacting out of order
+    // would destroy paid-for clustering); the frame is file-metadata-
+    // sized regardless of data volume
+    "compaction_plan" -> ((s, dir) => {
+      val files = Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag").as("tbl"),
+          expr("l_orderkey div 1000").as("file_id"))
+        .agg((count(lit(1)) * 100L).as("size_bytes"))
+      Layout.compactionPlan(files, "tbl", "file_id", "size_bytes",
+        targetBytes = 50000L)
     }),
 
     // C47: expectation-suite validation report — column-local checks
@@ -4128,6 +4152,52 @@ FROM decided""",
              ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
          WHERE rk <= 5""",
 
+    "matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                      neighbor_id) AS rk
+           FROM q JOIN c ON neighbor_id != query_id) WHERE rk <= 5),
+         a8 AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv[1:8], cv[1:8]), 6)
+                      DESC, neighbor_id) AS rk
+           FROM q JOIN c ON neighbor_id != query_id) WHERE rk <= 5),
+         a16 AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv[1:16], cv[1:16]), 6)
+                      DESC, neighbor_id) AS rk
+           FROM q JOIN c ON neighbor_id != query_id) WHERE rk <= 5),
+         a32 AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv[1:32], cv[1:32]), 6)
+                      DESC, neighbor_id) AS rk
+           FROM q JOIN c ON neighbor_id != query_id) WHERE rk <= 5),
+         n AS (SELECT count(*) AS n_exact FROM exact)
+         SELECT dims, hits, n_exact,
+                CAST(hits * 1000 // n_exact AS BIGINT) AS recall_permille
+         FROM (
+           SELECT 8 AS dims,
+             (SELECT count(*) FROM (SELECT * FROM exact
+                                    INTERSECT SELECT * FROM a8)) AS hits,
+             n_exact FROM n
+           UNION ALL SELECT 16,
+             (SELECT count(*) FROM (SELECT * FROM exact
+                                    INTERSECT SELECT * FROM a16)), n_exact
+           FROM n
+           UNION ALL SELECT 32,
+             (SELECT count(*) FROM (SELECT * FROM exact
+                                    INTERSECT SELECT * FROM a32)), n_exact
+           FROM n)""",
+
     "hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
                            label AS ql
@@ -4728,6 +4798,16 @@ FROM decided""",
                 CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
                      AS BIGINT) AS nulls_l_discount
          FROM lineitem GROUP BY 1""",
+
+    "compaction_plan" ->
+      """WITH f AS (SELECT l_returnflag AS tbl, l_orderkey // 1000 AS file_id,
+                           CAST(count(*) * 100 AS BIGINT) AS size_bytes
+                    FROM lineitem GROUP BY 1, 2)
+         SELECT tbl, file_id, size_bytes,
+                CAST(coalesce(sum(size_bytes) OVER (PARTITION BY tbl
+                  ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) // 50000 AS BIGINT) AS group_ix
+         FROM f""",
 
     "validate_orders" ->
       """SELECT 'not_null:o_custkey' AS check_name,

@@ -140,4 +140,34 @@ object Layout {
       .mode("overwrite")
       .saveAsTable(table)
   }
+
+  /** Small-file compaction PLAN: assign each file to a merge group so
+    * groups approximate `targetBytes` — the answer to the operational
+    * question every 100 TB table eventually asks (streaming ingest and
+    * per-batch stores leave thousands of KB-files whose open/footer
+    * overhead dominates scans).
+    *
+    * Deterministic in-order packing, chosen over first-fit-decreasing
+    * because it (a) preserves the table's existing sort/ingest order —
+    * compacting OUT of order would destroy the clustering that
+    * [[writeZordered]]-style layouts paid for — and (b) is a pure
+    * windowed prefix-sum both engines re-derive identically:
+    * `group_ix = (cumulative size EXCLUSIVE of this file) div target`,
+    * so a group closes once its prefix crosses a target multiple and
+    * an oversized file simply spans its own group(s). Per-table
+    * window, ordered by the file id — partition-keyed, never global;
+    * the frame is file-METADATA-sized regardless of data volume.
+    *
+    * Output: `(table, file_id, size_bytes, group_ix)` — `group_ix`
+    * numbers merge groups within each table from 0.
+    */
+  def compactionPlan(files: DataFrame, tableCol: String, fileIdCol: String,
+                     sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    files.select(col(tableCol), col(fileIdCol), col(sizeCol))
+      .withColumn("group_ix",
+        expr(s"coalesce(sum($sizeCol) over (partition by $tableCol " +
+          s"order by $fileIdCol rows between unbounded preceding " +
+          s"and 1 preceding), 0L) div ${targetBytes}L"))
+  }
 }

@@ -556,6 +556,48 @@ object Similarity {
     * recall 0 — an index that drops a query must not inflate the mean.
     * One semi-join + two aggregates; the scalar result is model-sized.
     */
+  /** Matryoshka (MRL) truncation sweep: for each prefix dimensionality
+    * in `dims`, the top-k recall of TRUNCATED-vector cosine search
+    * against the full-dimension exact graph — the evaluation that
+    * decides how far an MRL-trained embedding column can be cut for
+    * cheap first-stage retrieval before reranking at full width.
+    *
+    * One row per tested width: `(dims, hits, n_exact,
+    * recall_permille)`, integer permille over the POOLED top-k pair
+    * sets (micro-averaged). Both sides score with the same rounded
+    * cosine + id tie rule as [[annBruteForce]], so the pair sets are
+    * deterministic and the oracle re-derives them exactly.
+    *
+    * Scale shape: each width is one [[annBruteForce]] pass (corpus
+    * map-side against broadcast queries into bounded heaps) plus a
+    * pair-keyed semi-join of two k·|queries|-sized frames; |dims|+1
+    * corpus scans total. At 100 TB substitute [[annIvf]] for the
+    * approx side (compose-over-ANN, same contract as mutual_knn_ann)
+    * — the recall then folds in the index's own loss, which is
+    * exactly what you want measured before committing to a width.
+    */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be >= 1")
+    val exact = annBruteForce(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val frames = dims.map { d =>
+      val tc = corpus.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      val tq = queries.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      val approx = annBruteForce(tc, tq, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(lit(d).as("dims"), col("hits"), col("n_exact"),
+          expr("hits * 1000 div n_exact").as("recall_permille"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
     val g = exact.select(col("query_id"), col("neighbor_id"))
     val hits = g.join(approx.select(col("query_id"), col("neighbor_id")),

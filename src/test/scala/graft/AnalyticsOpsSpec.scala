@@ -75,6 +75,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       a < b && nbrs((a, b)) && nbrs((b, a)) })
   }
 
+  test("matryoshkaRecall: full width recalls 1000; prefix-separable " +
+       "clusters recall 1000 at the separating width") {
+    // 2D prefix separates the two clusters; dims beyond carry noise
+    // that never flips the top-1 (margins are wide)
+    val vecs = Seq(
+      (1L, Array(10f, 0f, 0.1f, 0.2f)), (2L, Array(9f, 1f, -0.2f, 0.1f)),
+      (3L, Array(0f, 10f, 0.3f, -0.1f)), (4L, Array(1f, 9f, 0.1f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaRecall(vecs, vecs, "vec_id", "embedding",
+        k = 1, dims = Seq(2, 4))
+      .orderBy("dims").as[(Int, Long, Long, Long)].collect().toSeq
+    // top-1 of each: its cluster partner, at every width ≥ 2
+    assert(out == Seq((2, 4L, 4L, 1000L), (4, 4L, 4L, 1000L)))
+  }
+
+  test("matryoshkaRecall: a hostile prefix can lose neighbors (recall < 1000)") {
+    // first dim is ANTI-correlated with the true neighborhood
+    val vecs = Seq(
+      (1L, Array(1f, 10f, 10f)), (2L, Array(-1f, 10f, 10f)),
+      (3L, Array(1f, -10f, -10f)), (4L, Array(-1f, -10f, -10f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaRecall(vecs, vecs, "vec_id", "embedding",
+        k = 1, dims = Seq(1, 3))
+      .orderBy("dims").as[(Int, Long, Long, Long)].collect().toSeq
+    // at width 1, vec 1's nearest is 3 (same sign) not its true
+    // partner 2 → every query misses; full width restores 1000
+    assert(out.head._1 == 1 && out.head._4 == 0L)
+    assert(out.last == ((3, 4L, 4L, 1000L)))
+  }
+
   // --- zipfFit -----------------------------------------------------------
 
   test("zipfFit matches an independent driver-side regression") {

@@ -230,4 +230,28 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       10L * 1024 * 1024)
   }
+
+  test("compactionPlan: in-order packing, oversized files, per-table reset") {
+    val files = Seq(
+      ("t1", 1L, 30L), ("t1", 2L, 30L), ("t1", 3L, 30L), ("t1", 4L, 30L),
+      // oversized file spans group indexes on its own
+      ("t2", 1L, 120L), ("t2", 2L, 10L), ("t2", 3L, 45L),
+      ("t3", 9L, 5L)
+    ).toDF("tbl", "file_id", "size_bytes")
+    val got = Layout.compactionPlan(files, "tbl", "file_id", "size_bytes",
+        targetBytes = 50L)
+      .orderBy("tbl", "file_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // t1 exclusive prefixes 0,30,60,90 → groups 0,0,1,1
+    // t2: 0,120,130 → groups 0,2,2; t3 restarts at 0
+    assert(got == Seq(
+      ("t1", 1L, 30L, 0L), ("t1", 2L, 30L, 0L),
+      ("t1", 3L, 30L, 1L), ("t1", 4L, 30L, 1L),
+      ("t2", 1L, 120L, 0L), ("t2", 2L, 10L, 2L), ("t2", 3L, 45L, 2L),
+      ("t3", 9L, 5L, 0L)))
+    // every non-final group of t1 reaches the target once closed
+    val t1 = got.filter(_._1 == "t1").groupBy(_._4).view
+      .mapValues(_.map(_._3).sum).toMap
+    assert(t1(0L) >= 50L)
+  }
 }

@@ -822,6 +822,22 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables(s, dir).documents, "text", "doc_id")),
 
+    // E62: URL canonicalization dedup (the crawl first stage) — three
+    // planted cosmetic variants per doc (case+www+default-port+utm+
+    // fragment, bare, case+trailing-slash) collapse to one canonical
+    // group of 3; the redact_pii planting device
+    "dedup_url" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val urls = d.select(concat(lit("HTTPS://WWW.Example.com:443/Path/"),
+          col("doc_id"), lit("?utm_source=feed&utm_campaign=x#frag"))
+          .as("url"))
+        .unionByName(d.select(concat(lit("https://example.com/Path/"),
+          col("doc_id")).as("url")))
+        .unionByName(d.select(concat(lit("https://Example.COM/Path/"),
+          col("doc_id"), lit("/")).as("url")))
+      TextAnalysis.urlDupGroups(urls, "url")
+    }),
+
     // E9b: PII redaction over planted emails/urls/ids
     "redact_pii" -> ((s, dir) => {
       val d = Tables(s, dir).documents
@@ -2832,6 +2848,42 @@ FROM decided""",
                        / len(string_split(text, ' '))
                   ELSE 0.0 END, 6) AS avg_token_len
          FROM d""",
+
+    // same chain, RE2 '\1' replacements and an explicit 'g' flag
+    // where Spark's regexp_replace is implicitly global
+    "dedup_url" ->
+      """WITH u AS (
+           SELECT 'HTTPS://WWW.Example.com:443/Path/' || doc_id
+                  || '?utm_source=feed&utm_campaign=x#frag' AS url
+           FROM documents
+           UNION ALL
+           SELECT 'https://example.com/Path/' || doc_id FROM documents
+           UNION ALL
+           SELECT 'https://Example.COM/Path/' || doc_id || '/'
+           FROM documents),
+         s1 AS (SELECT url, regexp_replace(url, '#.*', '') AS a FROM u),
+         s2 AS (SELECT url,
+                  CASE WHEN length(regexp_extract(a,
+                         '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) > 0
+                       THEN lower(regexp_extract(a,
+                              '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                            || regexp_replace(a,
+                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+                       ELSE a END AS a FROM s1),
+         s3 AS (SELECT url,
+                  regexp_replace(a, '^(https?://)www\.', '\1') AS a FROM s2),
+         s4 AS (SELECT url, regexp_replace(a,
+                  '^(http://[^/:?#]*):80([/?]|$)', '\1\2') AS a FROM s3),
+         s5 AS (SELECT url, regexp_replace(a,
+                  '^(https://[^/:?#]*):443([/?]|$)', '\1\2') AS a FROM s4),
+         s6 AS (SELECT url, regexp_replace(a,
+                  'utm_[A-Za-z0-9_]*=[^&#]*&?', '', 'g') AS a FROM s5),
+         s7 AS (SELECT url, regexp_replace(
+                  regexp_replace(a, '\?&', '?'), '[?&]+$', '') AS a FROM s6),
+         c AS (SELECT url,
+                 regexp_replace(a, '/+$', '') AS canonical_url FROM s7)
+         SELECT canonical_url, min(url) AS keep_url, count(*) AS n_urls
+         FROM c GROUP BY 1""",
 
     "redact_pii" ->
       """WITH t AS (

@@ -182,6 +182,47 @@ object TextAnalysis {
     regexp_replace(url, "\\d{7,}", "<NUM>")
   }
 
+  /** URL canonicalization for crawl dedup (the CCNet/Dolma first
+    * stage: most crawl duplicates are the SAME page under cosmetic
+    * URL variation, collapsed here before any content hashing runs):
+    * drop the fragment, lowercase scheme+authority (path/query stay
+    * case-sensitive — they are), strip a leading `www.`, strip the
+    * scheme's DEFAULT port only (`http…:80`, `https…:443` — a
+    * non-default port is a different origin), remove `utm_*` tracking
+    * parameters, tidy the leftover `?`/`&` punctuation, and drop
+    * trailing slashes. A schemeless string passes through with only
+    * the fragment/utm/slash rules applied.
+    *
+    * Pure regexp_replace chain (codegen, map-side, zero shuffle);
+    * transform ORDER is part of the contract — the oracle re-derives
+    * the identical chain (with RE2's `\1` replacement syntax in
+    * place of Java's `$1`).
+    */
+  def urlCanonicalize(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val prefix = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val lowered = when(length(prefix) > 0, concat(lower(prefix), rest))
+      .otherwise(noFrag)
+    // no lookahead anywhere (RE2, the oracle's engine, lacks it):
+    // "default port" = :80/:443 followed by /, ?, or end-of-authority
+    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    val noP80 = regexp_replace(noWww, "^(http://[^/:?#]*):80([/?]|$)", "$1$2")
+    val noPort = regexp_replace(noP80,
+      "^(https://[^/:?#]*):443([/?]|$)", "$1$2")
+    val noUtm = regexp_replace(noPort, "utm_[A-Za-z0-9_]*=[^&#]*&?", "")
+    val tidy = regexp_replace(regexp_replace(noUtm, "\\?&", "?"), "[?&]+$", "")
+    regexp_replace(tidy, "/+$", "")
+  }
+
+  /** Exact URL dedup groups after [[urlCanonicalize]]: canonical URL →
+    * representative (min original string) + variant count. One shuffle
+    * on the canonical key, partial aggregation map-side.
+    */
+  def urlDupGroups(docs: DataFrame, urlCol: String): DataFrame =
+    docs.groupBy(urlCanonicalize(col(urlCol)).as("canonical_url"))
+      .agg(min(col(urlCol)).as("keep_url"), count(lit(1)).as("n_urls"))
+
   /** Corpus vocabulary statistics: per-token document frequency, total
     * count, and share of the token stream — the input to vocab pruning
     * and contamination checks. One explode + one aggregation.

@@ -136,6 +136,34 @@ class NoveltyEditDistanceSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("urlCanonicalize: each rule isolated; non-default port and " +
+       "path case preserved; schemeless passthrough") {
+    val cases = Seq(
+      // fragment, case, www, default port, utm, tidy, trailing slash
+      ("https://example.com/a#frag", "https://example.com/a"),
+      ("HTTPS://Example.COM/MixedPath", "https://example.com/MixedPath"),
+      ("https://www.example.com/a", "https://example.com/a"),
+      ("http://example.com:80/a", "http://example.com/a"),
+      ("https://example.com:443/a", "https://example.com/a"),
+      ("https://example.com/a?utm_source=x&q=1", "https://example.com/a?q=1"),
+      ("https://example.com/a?utm_source=x&utm_b=2", "https://example.com/a"),
+      ("https://example.com/a/", "https://example.com/a"),
+      // NOT normalized: non-default port, mismatched scheme-port pair,
+      // case inside the path/query, non-utm params
+      ("https://example.com:8443/a", "https://example.com:8443/a"),
+      ("https://example.com:80/a", "https://example.com:80/a"),
+      ("https://example.com/a?Q=Case", "https://example.com/a?Q=Case"),
+      // schemeless: only fragment/utm/slash rules apply
+      ("example.com/a/#f", "example.com/a"),
+      ("", ""))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.urlCanonicalize(col("url")).as("c"))
+      .as[String].collect().toSeq
+    cases.zip(got).foreach { case ((in, want), have) =>
+      assert(have == want, s"input '$in'")
+    }
+  }
+
   test("spanCorruption: corrupted + target reassemble the original; " +
        "spans are disjoint, in order, and half-bounded") {
     val docs = (1L to 200L)

@@ -1955,6 +1955,36 @@ object SparkEntry {
                              Seq("view", "click", "purchase"))
     }),
 
+    // C65: time-bounded funnel — same cascade ANCHORED at the user's
+    // earliest view, later steps must land within 2 days of entry;
+    // completed-prefix level emitted
+    "window_funnel" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"),
+                expr("ts_ns div 1000").as("ts_us"))
+      Relational.windowFunnel(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 2L * 86400L * 1000000L)
+    }),
+
+    // C66: third-order user journeys (Sankey feed) — two leads on the
+    // user-partitioned window, triple counts with in-plan tail prune
+    "path_trigrams" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      Behavior.pathTrigrams(ev, "user_id", "ts_us", "event_id",
+        "event_type", minCount = 5L)
+    }),
+
+    // C67: week-over-week trend deltas per event type — lag over the
+    // weekly AGGREGATE only; gap weeks and zero bases yield null, not
+    // a fabricated ratio
+    "wow_change" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("value_milli"))
+      Behavior.weekOverWeek(ev, "event_type", "ts_us", "value_milli")
+    }),
+
     // C40: wide per-cohort event profile via Spark pivot — values list
     // pinned (no extra distinct pass); counts zero-filled to match SQL
     // FILTER semantics on empty combos
@@ -4630,6 +4660,61 @@ FROM decided""",
                  AND e.event_type = 'purchase' AND e.ts_us >= s2.click_ts
                 GROUP BY 1, 2, 3)
          SELECT user_id, view_ts, click_ts, purchase_ts FROM s3""",
+
+    "window_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           FROM events),
+         s1 AS (SELECT user_id, min(ts_us) AS view_ts
+                FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, s1.view_ts, min(e.ts_us) AS click_ts
+                FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+                 AND e.event_type = 'click' AND e.ts_us >= s1.view_ts
+                 AND e.ts_us <= s1.view_ts + 172800000000
+                GROUP BY 1, 2),
+         s3 AS (SELECT s2.user_id, s2.view_ts, s2.click_ts,
+                       min(e.ts_us) AS purchase_ts
+                FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+                 AND e.event_type = 'purchase' AND e.ts_us >= s2.click_ts
+                 AND e.ts_us <= s2.view_ts + 172800000000
+                GROUP BY 1, 2, 3)
+         SELECT user_id, view_ts, click_ts, purchase_ts,
+                CAST((view_ts IS NOT NULL) AS INT)
+                  + CAST((click_ts IS NOT NULL) AS INT)
+                  + CAST((purchase_ts IS NOT NULL) AS INT) AS level
+         FROM s3""",
+
+    "path_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                    FROM events),
+         p AS (SELECT event_type AS e1,
+                      lead(event_type, 1) OVER w AS e2,
+                      lead(event_type, 2) OVER w AS e3
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id))
+         SELECT e1, e2, e3, count(*) AS n
+         FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         GROUP BY 1, 2, 3 HAVING count(*) >= 5""",
+
+    "wow_change" ->
+      """WITH e AS (SELECT event_type,
+                      CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS week,
+                      CAST(round(value * 1000) AS BIGINT) AS value_milli
+                    FROM events),
+         wk AS (SELECT event_type, week, count(*) AS n_events,
+                       CAST(sum(value_milli) AS BIGINT) AS value_milli
+                FROM e GROUP BY 1, 2),
+         lagd AS (SELECT *, lag(week) OVER w AS pw,
+                         lag(value_milli) OVER w AS pv
+                  FROM wk WINDOW w AS (PARTITION BY event_type
+                                       ORDER BY week))
+         SELECT event_type, week, n_events, value_milli,
+                CASE WHEN pw = week - 1 AND pv > 0
+                     THEN CAST((value_milli - pv) * 1000 // pv AS BIGINT)
+                END AS delta_permille
+         FROM lagd""",
 
     "pivot_event_stats" ->
       """SELECT user_id % 10 AS cohort,

@@ -116,6 +116,54 @@ object Behavior {
       expr("n * 1000 div sum(n) over (partition by from_type)"))
   }
 
+  /** Third-order user journeys (the Sankey/path-analysis feed):
+    * counts of consecutive event TRIPLES per user sequence under the
+    * same `(ts, tiebreak)` total order as [[eventTransitions]], tail
+    * pruned by `minCount` in-plan. One user-partitioned window with
+    * two leads, one map-side-combined count — the #types³ result
+    * frame is tiny at any corpus size.
+    */
+  def pathTrigrams(events: DataFrame, userCol: String, tsUsCol: String,
+                   tiebreakCol: String, typeCol: String,
+                   minCount: Long = 1L): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsUsCol), col(tiebreakCol))
+    events
+      .select(col(typeCol).as("e1"),
+        lead(col(typeCol), 1).over(w).as("e2"),
+        lead(col(typeCol), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** Week-over-week metric deltas per segment (the dashboard
+    * trend primitive): weekly integer-milli value sums + event counts
+    * per key, with the previous CONSECUTIVE week's value and the
+    * change in integer permille — `lag` over the weekly AGGREGATE
+    * (weeks-sized per key, never the fact table), delta emitted only
+    * when the previous observed week is exactly `week − 1` and
+    * positive (a gap week or a zero base has no meaningful ratio —
+    * null, not a fabricated number).
+    */
+  def weekOverWeek(events: DataFrame, keyCol: String, tsUsCol: String,
+                   valueMilliCol: String): DataFrame = {
+    val weekly = events
+      .select(col(keyCol), expr(s"$tsUsCol div ${WeekUs}L").as("week"),
+        col(valueMilliCol))
+      .groupBy(col(keyCol), col("week"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueMilliCol)).as("value_milli"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("week"))
+    weekly
+      .withColumn("__pw", lag(col("week"), 1).over(w))
+      .withColumn("__pv", lag(col("value_milli"), 1).over(w))
+      .withColumn("delta_permille",
+        when(col("__pw") === col("week") - 1 && col("__pv") > 0,
+          expr("(value_milli - __pv) * 1000 div __pv")))
+      .drop("__pw", "__pv")
+  }
+
   /** Rolling active-user reach: per observed day, DAU plus trailing
     * 7-day WAU and 28-day MAU distinct-user counts and the DAU/MAU
     * stickiness ratio in integer permille — the engagement dashboard

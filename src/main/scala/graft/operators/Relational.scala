@@ -874,6 +874,46 @@ object Relational {
     * scan to one event type before its shuffle. Same-instant events
     * satisfy `>=`, so a step can share its predecessor's timestamp.
     */
+  /** Time-bounded conversion funnel (the windowFunnel analytics
+    * primitive): like [[funnelSteps]] but each later step must land
+    * within `windowUs` of the ANCHOR — the user's earliest first-step
+    * event — and the completed-prefix `level` is emitted. Anchored
+    * semantics stated explicitly (some engines slide the anchor to
+    * the best-converting chain; this one pins it to the earliest
+    * entry, which is the cohort-faithful reading: "of users who
+    * ENTERED the funnel, how far did they get within T of entry").
+    *
+    * Same scale shape as the unbounded funnel: k−1 filtered min-agg +
+    * equi-join rounds all partitioned on the user key, no windows, no
+    * per-user history collection; the window bound rides the join
+    * condition. Null cascade is monotone (a missed step nulls all
+    * later steps), so `level` is a plain sum of non-null step flags.
+    */
+  def windowFunnel(events: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   windowUs: Long): DataFrame = {
+    require(steps.size >= 2, s"need at least 2 funnel steps, got $steps")
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    val stepCol = (s: String) => s"${s}_ts"
+    val anchor = stepCol(steps.head)
+    var acc = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as(anchor))
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      val prev = stepCol(steps(i))
+      val ev = events.filter(col(typeCol) === step)
+        .select(col(keyCol).as("__k"), col(tsCol).as("__ts"))
+      val doneCols = steps.take(i + 1).map(s => col(stepCol(s)))
+      acc = acc.join(ev,
+          acc(keyCol) === col("__k") && col("__ts") >= col(prev) &&
+            col("__ts") <= col(anchor) + windowUs, "left")
+        .groupBy((col(keyCol) +: doneCols): _*)
+        .agg(min(col("__ts")).as(stepCol(step)))
+    }
+    acc.withColumn("level",
+      steps.map(s => when(col(stepCol(s)).isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+  }
+
   def funnelSteps(events: DataFrame, keyCol: String, tsCol: String,
                   typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, s"need at least 2 funnel steps, got $steps")

@@ -365,6 +365,51 @@ object Streams {
       }
       .start()
 
+  case class BucketObs(bucket: String, obs_id: Long, x: Long)
+  // BigInt state: arbitrary-precision arithmetic (scala BigDecimal ops
+  // round at DECIMAL128's 34 digits — the squared terms can pass that);
+  // the encoder stores it as DECIMAL(38,0), headroom ~10³⁸
+  case class MomentState(n: Long, s1: BigInt, s2: BigInt)
+  case class Anomaly(bucket: String, obs_id: Long, x: Long)
+
+  /** D16: streaming PREQUENTIAL z-score anomalies — the streaming
+    * reading of [[graft.operators.Behavior.anomalyZscore]], with the
+    * semantics difference stated up front: each observation is scored
+    * against the bucket's moments SO FAR (state before it, including
+    * earlier rows of its own batch folded in deterministic
+    * `(x, obs_id)` order), then folded in — the online/test-then-train
+    * discipline a monitor actually wants (the batch twin's global
+    * moments need the whole day before they exist; backfill with it,
+    * the house lambda split). Same exact integer test,
+    * `(n·x−S1)² > k²·(n·S2−S1²)`, over exact BigInt moment sums;
+    * state is three numbers per bucket, forever.
+    */
+  def streamAnomalyZscore(obs: Dataset[BucketObs],
+                          kSigma: Int): Dataset[Anomaly] = {
+    import obs.sparkSession.implicits._
+    require(kSigma >= 1 && kSigma <= 100, s"kSigma in [1,100], got $kSigma")
+    val k2 = BigInt(kSigma.toLong * kSigma)
+    obs.groupByKey(_.bucket)
+      .flatMapGroupsWithState[MomentState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: String, rows: Iterator[BucketObs],
+         state: GroupState[MomentState]) =>
+          var st = state.getOption.getOrElse(
+            MomentState(0L, BigInt(0), BigInt(0)))
+          val out = Seq.newBuilder[Anomaly]
+          rows.toSeq.sortBy(r => (r.x, r.obs_id)).foreach { r =>
+            val x = BigInt(r.x)
+            val dev = BigInt(st.n) * x - st.s1
+            val varN2 = BigInt(st.n) * st.s2 - st.s1 * st.s1
+            if (st.n >= 2 && dev * dev > k2 * varN2)
+              out += Anomaly(bucket, r.obs_id, r.x)
+            st = MomentState(st.n + 1, st.s1 + x, st.s2 + x * x)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** One cycle unit of the incremental near-dedup stream: dedup the
     * batch against the index, append the duplicate decisions, admit
     * the survivors. Exposed (package-private) so replay/backfill

@@ -162,6 +162,64 @@ class BehaviorGraphSpec extends AnyFunSuite {
       canon(Graph.jaccardNeighbors(g.coalesce(1), "s", "t")))
   }
 
+  test("windowFunnel: in-window converts, out-of-window blocked, anchor " +
+       "pinned to the earliest entry") {
+    import graft.operators.Relational
+    val T = 100L
+    val ev = Seq(
+      // u1: full conversion inside the window
+      (1L, 0L, "view"), (1L, 50L, "click"), (1L, 90L, "purchase"),
+      // u2: click lands past anchor+T → level 1 (purchase unreachable)
+      (2L, 0L, "view"), (2L, 150L, "click"), (2L, 160L, "purchase"),
+      // u3: anchor is the EARLIEST view; the later view at 100 does
+      // not re-anchor, so the click at 180 is out of window
+      (3L, 0L, "view"), (3L, 100L, "view"), (3L, 180L, "click"),
+      // u4: click before the view doesn't count; none after → level 1
+      (4L, 10L, "click"), (4L, 20L, "view")
+    ).toDF("user_id", "ts_us", "event_type")
+    val got = Relational.windowFunnel(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), windowUs = T)
+      .select("user_id", "level").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1))
+  }
+
+  test("pathTrigrams: hand-counted triples with tail prune") {
+    val ev = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 20L, "B"), (1L, 3L, 30L, "C"),
+      (1L, 4L, 40L, "A"), (1L, 5L, 50L, "B"), (1L, 6L, 60L, "C"),
+      (2L, 7L, 10L, "A"), (2L, 8L, 20L, "B"), (2L, 9L, 30L, "C")
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    val all = Behavior.pathTrigrams(ev, "user_id", "ts_us", "event_id",
+        "event_type").orderBy("e1", "e2", "e3")
+      .as[(String, String, String, Long)].collect().toSeq
+    // u1: ABC, BCA, CAB, ABC; u2: ABC → ABC×3, BCA, CAB
+    assert(all == Seq(("A", "B", "C", 3L), ("B", "C", "A", 1L),
+      ("C", "A", "B", 1L)))
+    val pruned = Behavior.pathTrigrams(ev, "user_id", "ts_us", "event_id",
+        "event_type", minCount = 2L)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(pruned == Seq(("A", "B", "C", 3L)))
+  }
+
+  test("weekOverWeek: consecutive delta, gap week null, zero base null") {
+    val wk = WeekUs
+    val ev = Seq(
+      // type A: weeks 0 (1000), 1 (1500), 3 (900) — gap at 2
+      ("A", 0L, 1000L), ("A", wk, 1500L), ("A", 3 * wk, 900L),
+      // type B: week 0 sums to 0 → week 1 has a zero base
+      ("B", 0L, 5L), ("B", 1L, -5L), ("B", wk, 70L)
+    ).toDF("event_type", "ts_us", "value_milli")
+    val got = Behavior.weekOverWeek(ev, "event_type", "ts_us", "value_milli")
+      .orderBy("event_type", "week")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("A", 0L, 1L, 1000L, None),
+      ("A", 1L, 1L, 1500L, Some(500L)),   // +50.0%
+      ("A", 3L, 1L, 900L, None),          // gap week
+      ("B", 0L, 2L, 0L, None),
+      ("B", 1L, 1L, 70L, None)))          // zero base
+  }
+
   test("hopDistance: multi-source BFS labels, truncation, isolated source") {
     // path 1-2-3-4-5, separate edge 6-7
     val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))

@@ -126,6 +126,33 @@ class StreamAggSpec extends AnyFunSuite {
       .orderBy("key").collect().map(_.toSeq).toSeq == after)
   }
 
+  test("streamAnomalyZscore (D16): prequential test-then-train, " +
+       "deterministic in-batch order, exact boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.BucketObs
+    val input = MemoryStream[BucketObs]
+    val q = graft.streaming.Streams.streamAnomalyZscore(input.toDS(), kSigma = 1)
+      .writeStream.format("memory").queryName("d16_anomalies")
+      .outputMode("append").start()
+    try {
+      // batch 1 folds in (x, obs_id) order: 10, 10, 10 — the first two
+      // have n < 2 state, the third sees dev = 0; nothing flags
+      input.addData(BucketObs("A", 3L, 10L), BucketObs("A", 1L, 10L),
+        BucketObs("A", 2L, 10L))
+      q.processAllAvailable()
+      assert(spark.table("d16_anomalies").count() == 0L)
+      // batch 2 folds sorted (10 first, then 70): the 10 sees dev = 0
+      // against (n=3, S1=30) → no flag, folds to (n=4, S1=40, S2=400);
+      // the 70 then sees dev = 4·70−40 = 240, 240² > 1·(4·400−40²) = 0
+      // → flags. Exactly the 70.
+      input.addData(BucketObs("A", 5L, 70L), BucketObs("A", 4L, 10L))
+      q.processAllAvailable()
+      val got = spark.table("d16_anomalies")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == Seq(("A", 5L, 70L)))
+    } finally q.stop()
+  }
+
   test("streamEventTransitions (D14): stream counts ≡ batch twin, " +
        "boundary pairs cross batches, replays emit nothing") {
     implicit val sqlCtx = spark.sqlContext

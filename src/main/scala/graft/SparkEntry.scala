@@ -822,6 +822,12 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables(s, dir).documents, "text", "doc_id")),
 
+    // E63: SFT prompt/completion pairs — split at the first sentence
+    // boundary at-or-after the midpoint; content-pure, no RNG;
+    // unsplittable docs pass through flagged false
+    "sft_pairs" -> ((s, dir) =>
+      TextAnalysis.sftPairs(Tables(s, dir).documents, "doc_id", "text")),
+
     // E62: URL canonicalization dedup (the crawl first stage) — three
     // planted cosmetic variants per doc (case+www+default-port+utm+
     // fragment, bare, case+trailing-slash) collapse to one canonical
@@ -2878,6 +2884,27 @@ FROM decided""",
                        / len(string_split(text, ' '))
                   ELSE 0.0 END, 6) AS avg_token_len
          FROM d""",
+
+    "sft_pairs" ->
+      """WITH s AS (
+           SELECT doc_id, text, CAST(length(text) AS INT) AS len,
+                  CAST(length(text) AS INT) // 2 AS h
+           FROM documents),
+         b AS (
+           SELECT *, length(regexp_extract(
+                    substring(text, h + 1, len - h),
+                    '^[^.!?]*[.!?]+', 0)) AS blen
+           FROM s),
+         c AS (
+           SELECT doc_id, text, len, h + blen AS cut,
+                  (len >= 16 AND blen > 0 AND h + blen < len) AS app
+           FROM b)
+         SELECT doc_id, app AS sft_applied,
+                CASE WHEN app THEN substring(text, 1, cut)
+                     ELSE text END AS prompt,
+                CASE WHEN app THEN substring(text, cut + 1, len - cut)
+                     ELSE '' END AS completion
+         FROM c""",
 
     // same chain, RE2 '\1' replacements and an explicit 'g' flag
     // where Spark's regexp_replace is implicitly global

@@ -187,10 +187,16 @@ object Behavior {
   def activeUsersRolling(events: DataFrame, userCol: String,
                          tsUsCol: String, k: Int): DataFrame = {
     import graft.functions.{KmvMergeAgg, KmvSketchAgg}
+    // eager localCheckpoint: the daily frame is referenced SIX times
+    // downstream (three windows × sketch + anchor sides) — without it
+    // the lazy plan re-derives the fact aggregation per reference and
+    // the fact table is scanned six times (caught by PlanQualitySpec);
+    // checkpointing the days-sized frame pins the scan count at one
     val daily = events
       .select(expr(s"$tsUsCol div ${DayUs}L").as("day"),
         col(userCol).as("__u"))
       .groupBy("day").agg(KmvSketchAgg(col("__u"), k).as("__sk"))
+      .localCheckpoint(true)
     val days = daily.select(col("day").as("anchor"))
     def rolled(span: Int, name: String): DataFrame =
       daily.select(col("__sk"),

@@ -182,6 +182,38 @@ object TextAnalysis {
     regexp_replace(url, "\\d{7,}", "<NUM>")
   }
 
+  /** Prompt/completion pair extraction for SFT-style corpora: split
+    * each document at the first sentence terminator run (`[.!?]+`)
+    * AT-OR-AFTER the midpoint — prompt = everything through the
+    * boundary, completion = the rest — so the pair is a pure function
+    * of content (no RNG, the [[fimTransform]] discipline) and the
+    * completion is never the document's trailing whitespace tail.
+    * Documents with no terminator after the midpoint, with nothing
+    * after the boundary, or shorter than `minChars` pass through
+    * unsplit with an empty completion and `sft_applied = false`.
+    *
+    * Pure map-side substring + one regexp_extract (the boundary is
+    * found by extracting `^[^.!?]*[.!?]+` from the midpoint tail and
+    * measuring its length — both engines re-derive it identically);
+    * zero shuffle, codegen'd.
+    */
+  def sftPairs(docs: DataFrame, idCol: String, textCol: String,
+               minChars: Int = 16): DataFrame = {
+    require(minChars >= 2, s"minChars must be >= 2, got $minChars")
+    val staged = docs.select(col(idCol), col(textCol).as("__t"),
+      length(col(textCol)).cast("int").as("__len"))
+    val h = expr("CAST(__len div 2 AS INT)")
+    val tail = col("__t").substr(h + 1, col("__len") - h)
+    val blen = length(regexp_extract(tail, "^[^.!?]*[.!?]+", 0))
+    val cut = h + blen
+    val applied = col("__len") >= minChars && blen > 0 && cut < col("__len")
+    staged.select(col(idCol), applied.as("sft_applied"),
+      when(applied, col("__t").substr(lit(1), cut))
+        .otherwise(col("__t")).as("prompt"),
+      when(applied, col("__t").substr(cut + 1, col("__len") - cut))
+        .otherwise(lit("")).as("completion"))
+  }
+
   /** URL canonicalization for crawl dedup (the CCNet/Dolma first
     * stage: most crawl duplicates are the SAME page under cosmetic
     * URL variation, collapsed here before any content hashing runs):

@@ -136,6 +136,37 @@ class NoveltyEditDistanceSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("sftPairs: boundary at-or-after midpoint, reassembly, pass-throughs") {
+    val docs = Seq(
+      // len 40, h 20: first terminator after midpoint is the '.' at
+      // the end of "sentence." — prompt ends exactly there
+      (1L, "A first clause here. Second sentence. end"),
+      (2L, "no terminators anywhere in this text at all"),
+      (3L, "Ends exactly at the last character, see."),
+      (4L, "tiny. x")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sftPairs(docs, "doc_id", "text", minChars = 16)
+      .orderBy("doc_id")
+      .as[(Long, Boolean, String, String)].collect().toSeq
+    val orig = docs.as[(Long, String)].collect().toMap
+    // applied rows reassemble; prompt ends with a terminator run at or
+    // past the midpoint; completion non-empty
+    got.filter(_._2).foreach { case (id, _, p, c) =>
+      assert(p + c == orig(id), s"doc $id")
+      assert(p.length >= orig(id).length / 2, s"doc $id boundary")
+      assert("[.!?]$".r.findFirstIn(p).isDefined, s"doc $id terminator")
+      assert(c.nonEmpty, s"doc $id completion")
+    }
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // pass-throughs keep the text as prompt with empty completion
+    got.filterNot(_._2).foreach { case (id, _, p, c) =>
+      assert(p == orig(id) && c.isEmpty, s"doc $id")
+    }
+    // doc 1 splits at "…Second sentence." exactly
+    assert(got.head._3 == "A first clause here. Second sentence.")
+  }
+
   test("urlCanonicalize: each rule isolated; non-default port and " +
        "path case preserved; schemeless passthrough") {
     val cases = Seq(

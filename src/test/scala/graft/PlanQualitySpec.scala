@@ -286,4 +286,46 @@ class PlanQualitySpec extends AnyFunSuite {
       plan)
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
   }
+
+  test("anomaly_zscore: bucket stats broadcast back — the fact scan " +
+       "never shuffles") {
+    val plan = formatted(SparkEntry.queries("anomaly_zscore")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exactly ONE exchange (the tiny bucket aggregation); the probe
+    // side reaches the join straight from its scan
+    assert(raw"(?m)^\(\d+\) Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("active_users_rolling: the fact table is scanned ONCE — every " +
+       "window is a sketch union over the days-sized frame") {
+    // the single scan happens inside the operator's eager checkpoint
+    // of the days-sized daily-sketch frame; the returned plan must
+    // reference only the checkpoint (ZERO fact scans) — without the
+    // checkpoint the six downstream references each re-derived the
+    // fact aggregation (6 scans, caught here)
+    val plan = formatted(
+      SparkEntry.queries("active_users_rolling")(spark, sf))
+    val factScans = raw"Scan parquet[\s\S]*?events\.parquet".r
+      .findAllIn(plan).size
+    assert(factScans == 0, s"expected 0 events scans, got $factScans\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("retention_cohorts and wow_change: no cartesian, aggregates " +
+       "combine map-side") {
+    Seq("retention_cohorts", "wow_change").foreach { k =>
+      val plan = formatted(SparkEntry.queries(k)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$k:\n$plan")
+      assert(plan.contains("partial_"), s"$k lacks partial aggs:\n$plan")
+    }
+  }
+
+  test("pit_features: ONE keyed window merge — no per-example range " +
+       "probe, no cartesian") {
+    val plan = formatted(SparkEntry.queries("pit_features")(spark, sf))
+    assert(raw"(?m)^\(\d+\) Window".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

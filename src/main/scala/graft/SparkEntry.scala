@@ -448,6 +448,24 @@ object SparkEntry {
       Graph.jaccardNeighbors(pairs, "p", "p2", minPermille = 100)
     }),
 
+    // C68: item families from co-purchase structure — connected
+    // components over the PREDICTED similarity graph (neighbor-Jaccard
+    // ≥ 100‰ pairs), the composed "related items → catalog families"
+    // pipeline; min-label CC, community = min member id
+    "jaccard_communities" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.filter(col("l_partkey") % 7 < 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2"))
+      val pred = Graph.jaccardNeighbors(pairs, "p", "p2", minPermille = 100)
+        .select(col("id_a").as("left_id"), col("id_b").as("right_id"))
+      Dedup.connectedComponents(pred)
+        .select(col("doc_id").as("id"), col("keep_id").as("community"))
+    }),
+
     // C59: 2-core membership by iterated peeling over a THINNED
     // co-purchase graph (the dense natural graph has min degree 12 —
     // nothing would peel; the deterministic edge-hash thin leaves
@@ -2367,6 +2385,46 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM canon
                            WHERE canon.a = scored.id_a
                              AND canon.b = scored.id_b)""",
+
+    // the predicted-pair derivation of jaccard_neighbors + the
+    // recursive-CTE transitive closure of dedup_clusters
+    "jaccard_communities" ->
+      """WITH RECURSIVE items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 7 < 2),
+         canon AS MATERIALIZED (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         adj AS MATERIALIZED (
+           SELECT a AS c, b AS x FROM canon
+           UNION ALL SELECT b, a FROM canon),
+         deg AS MATERIALIZED (SELECT c, count(*) AS d FROM adj GROUP BY 1),
+         common AS (
+           SELECT l.x AS id_a, r.x AS id_b, count(*) AS common_neighbors
+           FROM adj l JOIN adj r ON l.c = r.c AND l.x < r.x
+           GROUP BY 1, 2),
+         scored AS MATERIALIZED (
+           SELECT id_a, id_b,
+                  CAST(1000 * common_neighbors
+                       // (da.d + db.d - common_neighbors) AS BIGINT)
+                    AS jaccard_permille
+           FROM common JOIN deg da ON da.c = id_a
+                       JOIN deg db ON db.c = id_b),
+         pred AS MATERIALIZED (
+           SELECT id_a, id_b FROM scored
+           WHERE jaccard_permille >= 100
+             AND NOT EXISTS (SELECT 1 FROM canon
+                             WHERE canon.a = scored.id_a
+                               AND canon.b = scored.id_b)),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pred
+           UNION SELECT id_b, id_a FROM pred),
+         reach(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         SELECT a AS id, least(a, min(b)) AS community
+         FROM reach GROUP BY a""",
 
     // exactly maxRounds = 6 unrolled peel rounds — a converged Spark
     // run (early fixpoint exit) equals any longer unroll by identity

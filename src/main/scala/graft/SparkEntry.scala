@@ -918,6 +918,13 @@ object SparkEntry {
       TextAnalysis.spanCorruption(Tables(s, dir).documents, "doc_id", "text",
         permille = 500)),
 
+    // E64: cross-source trigram overlap matrix — the contamination
+    // question at source granularity; gram-keyed self-join fan-out
+    // bounded by #sources² per gram
+    "source_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceOverlap(Tables(s, dir).documents, "source",
+        "text", n = 3)),
+
     // E57: per-document n-gram novelty vs the rest of the corpus —
     // planted exact copies (and their sources) score 0, soup docs
     // spread by how much phrasing they share; df is one gram-keyed
@@ -2087,6 +2094,17 @@ object SparkEntry {
       Behavior.activeUsersRolling(ev, "user_id", "ts_us", k = 1 << 17)
     }),
 
+    // C69: cohort LTV curves — retention's revenue sibling: per
+    // (first-purchase week, offset) active customers, period revenue,
+    // cumulative revenue in integer cents; cumsum over the tiny
+    // cohort×offset aggregate only
+    "cohort_ltv" -> ((s, dir) => {
+      val o = Tables(s, dir).orders.select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp_ltz")).as("order_us"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      Behavior.cohortLtv(o, "o_custkey", "order_us", "cents")
+    }),
+
     // C60: RFM value segmentation — per-customer recency/frequency/
     // monetary rollup scored into exact quartiles via the KLL sketch
     // in its exact regime (thresholds are a 1-row broadcast; the
@@ -3206,6 +3224,47 @@ FROM decided""",
                   '<X1>' || substring(text, a2, e2 - a2 + 1)
                 ELSE '' END AS target
          FROM d""",
+
+    "source_overlap" ->
+      """WITH toks AS (
+           SELECT source,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT DISTINCT source,
+                  array_to_string(ts[i : i + 2], ' ') AS gram
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+           WHERE len(ts) >= 3),
+         sz AS (SELECT source, count(*) AS sz FROM g GROUP BY 1),
+         common AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+                  count(*) AS common_grams
+           FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source_a, source_b, common_grams,
+                CAST(1000 * common_grams
+                     // (sa.sz + sb.sz - common_grams) AS BIGINT)
+                  AS jaccard_permille
+         FROM common JOIN sz sa ON sa.source = source_a
+                     JOIN sz sb ON sb.source = source_b""",
+
+    "cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey AS c,
+                      CAST(epoch_us(o_orderdate) AS BIGINT)
+                        // 604800000000 AS w,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders),
+         f AS (SELECT c, min(w) AS cohort_week FROM o GROUP BY 1),
+         per AS (SELECT cohort_week, o.w - f.cohort_week AS week_offset,
+                        count(DISTINCT o.c) AS n_customers,
+                        CAST(sum(cents) AS BIGINT) AS revenue_cents
+                 FROM o JOIN f ON o.c = f.c GROUP BY 1, 2)
+         SELECT cohort_week, week_offset, n_customers, revenue_cents,
+                CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+                  ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS cum_revenue_cents
+         FROM per""",
 
     "ngram_novelty" ->
       """WITH corpus AS (

@@ -116,6 +116,32 @@ object Behavior {
       expr("n * 1000 div sum(n) over (partition by from_type)"))
   }
 
+  /** Cohort lifetime-value curves — [[retentionCohorts]]'s revenue
+    * sibling: per (first-purchase week, week offset), active-customer
+    * count, period revenue, and CUMULATIVE revenue in integer cents —
+    * the "how much has the week-W cohort spent by offset k" table LTV
+    * projections read off.
+    *
+    * Shape: one customer-keyed min-week agg, an exchange-aligned join
+    * back, one (cohort, offset)-keyed aggregation, then the cumulative
+    * sum as a window over the AGGREGATE (cohorts × offsets — tiny;
+    * partitioned by cohort, never global). Integer cents end-to-end.
+    */
+  def cohortLtv(orders: DataFrame, custCol: String, tsUsCol: String,
+                centsCol: String): DataFrame = {
+    val o = orders.select(col(custCol).as("__c"),
+      expr(s"$tsUsCol div ${WeekUs}L").as("__w"), col(centsCol).as("__cents"))
+    val first = o.groupBy(col("__c")).agg(min(col("__w")).as("cohort_week"))
+    val per = o.join(first, "__c")
+      .groupBy(col("cohort_week"), (col("__w") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("__c")).as("n_customers"),
+        sum(col("__cents")).as("revenue_cents"))
+    per.withColumn("cum_revenue_cents",
+      expr("sum(revenue_cents) over (partition by cohort_week " +
+        "order by week_offset rows between unbounded preceding " +
+        "and current row)"))
+  }
+
   /** Third-order user journeys (the Sankey/path-analysis feed):
     * counts of consecutive event TRIPLES per user sequence under the
     * same `(ts, tiebreak)` total order as [[eventTransitions]], tail

@@ -511,6 +511,48 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+  /** Cross-source n-gram overlap matrix — the contamination question
+    * asked at SOURCE granularity ("how much does train-source A share
+    * with eval-source B") instead of per-document ([[decontaminate]])
+    * or per-doc-vs-corpus ([[ngramNovelty]]): for every source pair,
+    * the count of shared DISTINCT n-grams and the Jaccard of the two
+    * sources' gram sets in integer permille.
+    *
+    * Shape: distinct `(source, gram)` projection (map-side gram gen +
+    * one gram-keyed distinct), per-source set sizes (one agg), then a
+    * gram-keyed self-join generates each sharing pair once under
+    * `source_a < source_b` — per-gram fan-out is bounded by
+    * #sources², and #sources is a catalog-sized dimension (tens to
+    * thousands), never corpus-sized. Integer permille; ties/layout
+    * irrelevant (pure set algebra).
+    */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = filter(split(trim(col(textCol)), "\\s+"),
+      x => length(x) > 0)
+    val grams = docs.select(col(srcCol).as("__src"), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("__src"),
+        explode(transform(sequence(lit(0), size(col("__t")) - n),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("__src")).agg(count(lit(1)).as("__sz"))
+    val common = grams
+      .join(grams.select(col("__src").as("__src2"), col("gram")), "gram")
+      .filter(col("__src") < col("__src2"))
+      .groupBy(col("__src").as("source_a"), col("__src2").as("source_b"))
+      .agg(count(lit(1)).as("common_grams"))
+    common
+      .join(sizes.select(col("__src").as("source_a"), col("__sz").as("__sa")),
+        "source_a")
+      .join(sizes.select(col("__src").as("source_b"), col("__sz").as("__sb")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("common_grams"),
+        expr("1000 * common_grams div (__sa + __sb - common_grams)")
+          .as("jaccard_permille"))
+  }
+
   /** Per-document n-gram NOVELTY against the rest of the corpus (the
     * inverse of boilerplate: how much of this document's phrasing
     * exists nowhere else) — a selection signal for dedup-adjacent

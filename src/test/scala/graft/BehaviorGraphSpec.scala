@@ -265,6 +265,38 @@ class BehaviorGraphSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("cohortLtv: hand-computed cumulative revenue per cohort") {
+    val wk = WeekUs
+    val o = Seq(
+      // c1 enters week 0, buys again weeks 0 and 2; c2 enters week 0;
+      // c3 enters week 1
+      (1L, 0L, 100L), (1L, 5L, 50L), (1L, 2 * wk, 25L),
+      (2L, wk - 1, 40L),
+      (3L, wk, 60L)
+    ).toDF("cust", "order_us", "cents")
+    val got = Behavior.cohortLtv(o, "cust", "order_us", "cents")
+      .orderBy("cohort_week", "week_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 190L, 190L),   // c1 (100+50) + c2 (40)
+      (0L, 2L, 1L, 25L, 215L),    // c1's week-2 order, cumulative
+      (1L, 0L, 1L, 60L, 60L)))
+  }
+
+  test("sourceOverlap: hand-computed shared trigrams and jaccard") {
+    val docs = Seq(
+      ("A", "one two three four"),     // grams: {one two three, two three four}
+      ("B", "one two three"),          // {one two three}
+      ("B", "zz yy xx"),               // {zz yy xx}
+      ("C", "totally different words here") // 2 grams, none shared
+    ).toDF("source", "text")
+    val got = TextAnalysis.sourceOverlap(docs, "source", "text", n = 3)
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // A∩B = {one two three}: |A|=2, |B|=2 → 1000·1/(2+2−1) = 333
+    assert(got == Seq(("A", "B", 1L, 333L)))
+  }
+
   test("readability: hand-counted words/sentences/syllables") {
     val docs = Seq(
       (1L, "The cat sat. It ran!"),

@@ -37,7 +37,8 @@ object DynamicOracles {
       "embedding_clusters" -> (() => embeddingClusters(spark, dir)),
       "quality_classifier" -> (() => qualityClassifier(spark, dir)),
       "dedup_simhash" -> (() => dedupSimhash(spark, dir)),
-      "cluster_balanced_sample" -> (() => clusterBalancedSample(spark, dir))
+      "cluster_balanced_sample" -> (() => clusterBalancedSample(spark, dir)),
+      "cluster_topics" -> (() => clusterTopics(spark, dir))
     ).flatMap { case (k, f) =>
       scala.util.Try(f()).toOption.map(k -> _)
     }.toMap
@@ -217,6 +218,29 @@ FROM (
          row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
   FROM (${clusterAssignSql(spark, dir)}) a) r
 WHERE rk <= 10"""
+
+  /** Cluster-topics twin: the assignment subquery joined to documents
+    * (doc_id = vec_id), then the SAME two-step bounded-integer rate
+    * arithmetic as the engine (ppb rates, then permille lift). */
+  def clusterTopics(spark: SparkSession, dir: String): String =
+    raw"""WITH assign AS (${clusterAssignSql(spark, dir)}),
+toks AS (SELECT doc_id,
+           unnest(list_filter(
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+             x -> x <> '')) AS token
+         FROM documents),
+j AS (SELECT a.cell, t.token FROM toks t JOIN assign a ON t.doc_id = a.vec_id),
+ct AS (SELECT cell, token, count(*) AS n FROM j GROUP BY 1, 2),
+celltot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS ctot FROM ct GROUP BY 1),
+corp AS (SELECT token, CAST(sum(n) AS BIGINT) AS cn FROM ct GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ct),
+r AS (SELECT cell, token, n,
+        n * 1000000000 // ctot AS rc,
+        cn * 1000000000 // t AS rt
+      FROM ct JOIN celltot USING (cell) JOIN corp USING (token), tot)
+SELECT cell, token, n, CAST(rc * 1000 // rt AS BIGINT) AS lift_permille
+FROM r
+WHERE rt > 0 AND n >= 5 AND rc * 1000 // rt >= 2000"""
 
   /** SimHash near-dup twin. The "hash-seed-dependent" barrier
     * dissolves the same way the tokenizer merge tables did: the

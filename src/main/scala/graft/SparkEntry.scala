@@ -1442,6 +1442,21 @@ object SparkEntry {
           .cast("long").as("cell"))
     }),
 
+    // E65: discriminative terms per embedding cluster — E54's
+    // assignment joined to documents (doc_id = vec_id), token lift in
+    // bounded-integer parts-per-billion rates; dynamic oracle embeds
+    // the same trained centroids
+    "cluster_topics" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val centroids = Similarity.trainCentroidsLloyd(
+        e, "vec_id", "embedding", nlist = 16, iters = 3)
+      val assign = e.select(col("vec_id"),
+        element_at(graft.functions.NearestCells(col("embedding"), centroids, 1), 1)
+          .cast("long").as("cell"))
+      TextAnalysis.clusterTopics(Tables(s, dir).documents, "doc_id", "text",
+        assign, "vec_id", "cell", minCount = 5L, minLiftPermille = 2000L)
+    }),
+
     // E55: cluster-balanced sampling — the cluster-then-curate
     // composition as one executable key: E54's assignment feeding a
     // per-cell bounded k-smallest-id heap (GroupedTopKAgg, never a

@@ -511,6 +511,52 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+  /** Discriminative terms per document cluster — the
+    * corpus-understanding step after [[Similarity]] k-means
+    * (embedding_clusters): for each (cluster, token), the count and
+    * the LIFT of the token's in-cluster rate over its corpus rate,
+    * kept when both clear thresholds. What a topic label is made of.
+    *
+    * Integer discipline with BOUNDED intermediates at any corpus
+    * size: rates in parts-per-billion first (`n·10⁹ div cell_total`,
+    * `cn·10⁹ div T` — each ≤ 10⁹ regardless of scale), then
+    * `lift_permille = rate_cell·1000 div rate_corpus` (≤ 10¹²) — the
+    * same two-step truncation on both engines IS the contract, and
+    * nothing ever needs more than a long (the naive `n·T·1000`
+    * overflows at 100 TB). Tokens rarer than 1-per-billion fall below
+    * the rate resolution and are excluded (lift is meaningless at
+    * that rarity).
+    *
+    * Shape: map-side tokenize, one id-keyed join to the assignment
+    * frame, one (cell, token) agg; cell totals broadcast (cells are
+    * model-sized), corpus totals one token-keyed join, T a 1-row
+    * scalar.
+    */
+  def clusterTopics(docs: DataFrame, idCol: String, textCol: String,
+                    assign: DataFrame, assignIdCol: String, cellCol: String,
+                    minCount: Long, minLiftPermille: Long): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val j = toks.join(
+      assign.select(col(assignIdCol).as("__id"), col(cellCol).as("cell")),
+      "__id")
+    val ct = j.groupBy(col("cell"), col("token")).agg(count(lit(1)).as("n"))
+    val cellTot = ct.groupBy("cell").agg(sum(col("n")).as("__ct"))
+    val corp = ct.groupBy("token").agg(sum(col("n")).as("__cn"))
+    val tot = ct.agg(sum(col("n")).as("__T"))
+    ct.join(broadcast(cellTot), "cell")
+      .join(corp, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("__rc", expr("n * 1000000000L div __ct"))
+      .withColumn("__rt", expr("__cn * 1000000000L div __T"))
+      .filter(col("__rt") > 0)
+      .withColumn("lift_permille", expr("__rc * 1000 div __rt"))
+      .filter(col("n") >= minCount &&
+        col("lift_permille") >= minLiftPermille)
+      .select(col("cell"), col("token"), col("n"), col("lift_permille"))
+  }
+
   /** Cross-source n-gram overlap matrix — the contamination question
     * asked at SOURCE granularity ("how much does train-source A share
     * with eval-source B") instead of per-document ([[decontaminate]])

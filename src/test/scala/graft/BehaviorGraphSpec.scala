@@ -283,6 +283,28 @@ class BehaviorGraphSpec extends AnyFunSuite {
       (1L, 0L, 1L, 60L, 60L)))
   }
 
+  test("clusterTopics: hand-computed ppb-rate lift, thresholds") {
+    // cell 0 docs are all "apple"; cell 1 docs all "banana" — each
+    // token's in-cell rate is 10⁹ ppb vs corpus rate 5·10⁸ ppb →
+    // lift exactly 2000; common token "the" everywhere → lift 1000
+    val docs = Seq(
+      (1L, "apple apple apple apple the"),
+      (2L, "apple apple apple apple the"),
+      (3L, "banana banana banana banana the"),
+      (4L, "banana banana banana banana the")
+    ).toDF("doc_id", "text")
+    val assign = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("vec_id", "cell")
+    val got = TextAnalysis.clusterTopics(docs, "doc_id", "text",
+        assign, "vec_id", "cell", minCount = 5L, minLiftPermille = 1500L)
+      .orderBy("cell", "token")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // per cell: 8 apples (or bananas) + 2 "the" = 10 tokens; corpus
+    // T = 20; apple rate_cell = 8·10⁹/10, rate_corp = 8·10⁹/20 →
+    // lift 2000; "the" lift 1000 (< 1500, excluded); counts < 5 gone
+    assert(got == Seq((0L, "apple", 8L, 2000L), (1L, "banana", 8L, 2000L)))
+  }
+
   test("sourceOverlap: hand-computed shared trigrams and jaccard") {
     val docs = Seq(
       ("A", "one two three four"),     // grams: {one two three, two three four}

@@ -2065,6 +2065,17 @@ object SparkEntry {
                 (col("click_us") - col("view_us")).as("gap_us"))
     }),
 
+    // C70: linear multi-touch attribution — views within 1h before a
+    // same-user purchase split the credit equally in integer permille,
+    // remainder to the earliest touch (credits sum to exactly 1000)
+    "attribution_linear" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      Behavior.attributionLinear(ev, "user_id", "ts_us", "event_id",
+        "event_type", touchType = "view", convType = "purchase",
+        lookbackUs = 3600000000L)
+    }),
+
     // C55: cohort retention triangle — users bucketed by first-activity
     // epoch-week, counted per return-week offset; two user-keyed aggs
     // with an exchange-reusing join between them
@@ -4906,6 +4917,28 @@ FROM decided""",
                 click_us - view_us AS gap_us
          FROM v JOIN c ON v.user_id = c.user_id
          WHERE view_us BETWEEN click_us - 3600000000 AND click_us""",
+
+    "attribution_linear" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                    FROM events),
+         p AS (SELECT user_id, event_id AS purchase_event_id,
+                      ts_us AS pts
+               FROM e WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, event_id AS view_event_id, ts_us AS vts
+               FROM e WHERE event_type = 'view'),
+         pairs AS (
+           SELECT purchase_event_id, view_event_id, vts,
+                  count(*) OVER (PARTITION BY purchase_event_id) AS k,
+                  row_number() OVER (PARTITION BY purchase_event_id
+                    ORDER BY vts, view_event_id) AS r
+           FROM p JOIN v ON p.user_id = v.user_id
+           WHERE vts BETWEEN pts - 3600000000 AND pts)
+         SELECT purchase_event_id, view_event_id,
+                CAST(1000 // k + CASE WHEN r = 1
+                  THEN 1000 - k * (1000 // k) ELSE 0 END AS BIGINT)
+                  AS credit_permille
+         FROM pairs""",
 
     "retention_cohorts" ->
       """WITH e AS (SELECT user_id,

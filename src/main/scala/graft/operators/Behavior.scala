@@ -116,6 +116,45 @@ object Behavior {
       expr("n * 1000 div sum(n) over (partition by from_type)"))
   }
 
+  /** Linear multi-touch attribution: every view inside the lookback
+    * window before a same-user purchase shares the conversion credit
+    * equally — in integer permille, with the division remainder
+    * assigned to the EARLIEST touch (deterministic; credits sum to
+    * exactly 1000 per converted purchase, no fractional leakage).
+    * The martech sibling of the D10 pair join.
+    *
+    * Shape: one user-keyed equi-join + range filter builds the
+    * (purchase, touch) pairs — the click_attribution shape — then a
+    * purchase-keyed count window and a rank window assign the split;
+    * both windows partition on the purchase id (bounded by touches
+    * per purchase, never global).
+    */
+  def attributionLinear(events: DataFrame, userCol: String, tsUsCol: String,
+                        idCol: String, typeCol: String,
+                        touchType: String, convType: String,
+                        lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 0, s"lookbackUs must be > 0")
+    val p = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(idCol).as("purchase_event_id"),
+        col(tsUsCol).as("__pts"))
+    val v = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("__u"), col(idCol).as("view_event_id"),
+        col(tsUsCol).as("__vts"))
+    val pairs = p.join(v, "__u")
+      .filter(col("__vts") >= col("__pts") - lookbackUs &&
+        col("__vts") <= col("__pts"))
+    val wCount = Window.partitionBy(col("purchase_event_id"))
+    val wRank = Window.partitionBy(col("purchase_event_id"))
+      .orderBy(col("__vts"), col("view_event_id"))
+    pairs
+      .withColumn("__k", count(lit(1)).over(wCount))
+      .withColumn("__r", row_number().over(wRank))
+      .select(col("purchase_event_id"), col("view_event_id"),
+        (expr("1000 div __k") +
+          when(col("__r") === 1, expr("1000 - __k * (1000 div __k)"))
+            .otherwise(lit(0L))).as("credit_permille"))
+  }
+
   /** Cohort lifetime-value curves — [[retentionCohorts]]'s revenue
     * sibling: per (first-purchase week, week offset), active-customer
     * count, period revenue, and CUMULATIVE revenue in integer cents —

@@ -283,6 +283,29 @@ class BehaviorGraphSpec extends AnyFunSuite {
       (1L, 0L, 1L, 60L, 60L)))
   }
 
+  test("attributionLinear: equal split, remainder to first touch, " +
+       "credits sum to exactly 1000") {
+    import graft.operators.Behavior
+    val ev = Seq(
+      // purchase 100 at t=1000 with 3 views in window → 334/333/333
+      (1L, 10L, 400L, "view"), (1L, 11L, 500L, "view"),
+      (1L, 12L, 900L, "view"), (1L, 100L, 1000L, "purchase"),
+      // view outside the lookback (t=keep window 100) excluded
+      (2L, 20L, 1L, "view"), (2L, 21L, 950L, "view"),
+      (2L, 200L, 1000L, "purchase"),
+      // purchase with no touches emits nothing
+      (3L, 300L, 1000L, "purchase")
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    val got = Behavior.attributionLinear(ev, "user_id", "ts_us", "event_id",
+        "event_type", "view", "purchase", lookbackUs = 600L)
+      .orderBy("purchase_event_id", "view_event_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 10L, 334L), (100L, 11L, 333L),
+      (100L, 12L, 333L), (200L, 21L, 1000L)))
+    val sums = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(sums.values.forall(_ == 1000L))
+  }
+
   test("clusterTopics: hand-computed ppb-rate lift, thresholds") {
     // cell 0 docs are all "apple"; cell 1 docs all "banana" — each
     // token's in-cell rate is 10⁹ ppb vs corpus rate 5·10⁸ ppb →

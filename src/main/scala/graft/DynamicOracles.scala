@@ -240,7 +240,7 @@ r AS (SELECT cell, token, n,
       FROM ct JOIN celltot USING (cell) JOIN corp USING (token), tot)
 SELECT cell, token, n, CAST(rc * 1000 // rt AS BIGINT) AS lift_permille
 FROM r
-WHERE rt > 0 AND n >= 5 AND rc * 1000 // rt >= 2000"""
+WHERE rt > 0 AND n >= 3 AND rc * 1000 // rt >= 1200"""
 
   /** SimHash near-dup twin. The "hash-seed-dependent" barrier
     * dissolves the same way the tokenizer merge tables did: the

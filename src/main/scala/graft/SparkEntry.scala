@@ -1454,7 +1454,7 @@ object SparkEntry {
         element_at(graft.functions.NearestCells(col("embedding"), centroids, 1), 1)
           .cast("long").as("cell"))
       TextAnalysis.clusterTopics(Tables(s, dir).documents, "doc_id", "text",
-        assign, "vec_id", "cell", minCount = 5L, minLiftPermille = 2000L)
+        assign, "vec_id", "cell", minCount = 3L, minLiftPermille = 1200L)
     }),
 
     // E55: cluster-balanced sampling — the cluster-then-curate
@@ -5183,7 +5183,7 @@ FROM decided""",
   val dynamicOracleQueries: Set[String] =
     Set("bpe_tokenize", "unigram_tokenize", "embedding_pca",
         "embedding_clusters", "quality_classifier", "dedup_simhash",
-        "cluster_balanced_sample")
+        "cluster_balanced_sample", "cluster_topics")
 
   /** Queries intentionally without a DuckDB oracle (hash-seed-dependent
     * or iteratively-trained outputs SQL cannot re-derive) — driver

@@ -2189,6 +2189,48 @@ object SparkEntry {
         "o_totalprice")
     }),
 
+    // C71: incremental JOIN-view maintenance — the orders⋈customer
+    // view maintained from TWO snapshotDiff change sets (fact churn:
+    // %97 deletes, %13 status changes, %19 fk REPOINTS, %11 inserts;
+    // dim churn: %89 deletes, %17 segment changes, %23 unreferenced
+    // inserts) without re-joining the full fact; the oracle recomputes
+    // the post-apply join from scratch, so the driver checks the
+    // maintain ≡ recompute identity itself
+    "join_maintain" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val aOld = t.orders.select(col("o_orderkey"), col("o_custkey"),
+                                 col("o_orderstatus"))
+      val aNew = aOld.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 19 === 0, col("o_custkey") % 100 + 1)
+            .otherwise(col("o_custkey")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 13 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(aOld.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+                  col("o_custkey"), lit("N").as("o_orderstatus")))
+      val bOld = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      val bNew = bOld.filter(col("c_custkey") % 89 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 17 === 0, lit("UPDATED"))
+            .otherwise(col("c_mktsegment")))
+        .unionByName(bOld.filter(col("c_custkey") % 23 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+                  lit("NEWSEG").as("c_mktsegment")))
+      val dA = Relational.snapshotDiff(aOld, aNew, Seq("o_orderkey"),
+                                       Seq("o_custkey", "o_orderstatus"))
+      val dB = Relational.snapshotDiff(bOld, bNew, Seq("c_custkey"),
+                                       Seq("c_mktsegment"))
+      val viewOld = aOld.join(bOld,
+          aOld("o_custkey") === bOld("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                col("c_mktsegment"))
+      Relational.joinMaintain(viewOld, aOld, dA, bOld, dB,
+        "o_orderkey", "o_custkey", "c_custkey",
+        Seq("o_custkey", "o_orderstatus"), Seq("c_mktsegment"))
+    }),
+
     // C45: Z-order layout diagnostic — per equal-width Z-block row
     // counts and BOTH columns' min/max (the data-skipping index a
     // Z-clustered table would store per file)
@@ -2205,6 +2247,25 @@ object SparkEntry {
     "column_stats_index" -> ((s, dir) => {
       Layout.columnStatsIndex(Tables(s, dir).lineitem, "l_orderkey",
         blockSize = 1000L, valueCols = Seq("l_extendedprice", "l_discount"))
+    }),
+
+    // C72: per-file Bloom index + point-lookup probe — equality
+    // pruning where min/max spans are useless; probes mix present
+    // keys (%997 — no false negatives, property-spec'd) and absent
+    // ones ('x'-prefixed, %1993) whose candidate lists are the
+    // filter's deterministic false positives, identical in any
+    // engine because the hashes are seed-free
+    "bloom_index" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), expr("l_orderkey div 1000").as("file_id"))
+      val idx = Layout.bloomFileIndex(li, "file_id",
+        col("l_orderkey").cast("string"), mBits = 8192, k = 3)
+      val keys = li.select(col("l_orderkey")).distinct()
+      val probes = keys.filter(col("l_orderkey") % 997 === 0)
+        .select(col("l_orderkey").cast("string").as("probe"))
+        .unionByName(keys.filter(col("l_orderkey") % 1993 === 0)
+          .select(concat(lit("x"), col("l_orderkey")).as("probe")))
+      Layout.bloomProbe(idx, probes, "probe", mBits = 8192, k = 3)
     }),
 
     // C64: small-file compaction plan — per-table in-order packing of
@@ -5085,6 +5146,28 @@ FROM decided""",
            FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
          WHERE change_type IS NOT NULL""",
 
+    "join_maintain" ->
+      """WITH a_new AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 19 = 0 THEN (o_custkey % 100) + 1
+                       ELSE o_custkey END AS o_custkey,
+                  CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                       ELSE o_orderstatus END AS o_orderstatus
+           FROM orders WHERE o_orderkey % 97 != 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, 'N'
+           FROM orders WHERE o_orderkey % 11 = 0),
+         b_new AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 17 = 0 THEN 'UPDATED'
+                       ELSE c_mktsegment END AS c_mktsegment
+           FROM customer WHERE c_custkey % 89 != 0
+           UNION ALL
+           SELECT c_custkey + 10000000, 'NEWSEG'
+           FROM customer WHERE c_custkey % 23 = 0)
+         SELECT a.o_orderkey, a.o_custkey, a.o_orderstatus, b.c_mktsegment
+         FROM a_new a JOIN b_new b ON a.o_custkey = b.c_custkey""",
+
     "agg_maintain" ->
       """SELECT o_custkey, count(*) AS n,
                 CAST(sum(CAST(round(o_totalprice * 1000) AS BIGINT))
@@ -5127,6 +5210,54 @@ FROM decided""",
                 CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
                      AS BIGINT) AS nulls_l_discount
          FROM lineitem GROUP BY 1""",
+
+    "bloom_index" ->
+      """WITH vals AS (
+           SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v,
+                  l_orderkey // 1000 AS file_id
+           FROM lineitem),
+         vh AS (
+           SELECT v, file_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(v) + 1),
+                                   i -> CAST(ascii(v[i]) AS BIGINT))),
+                    (x, y) -> (x * 31 + y) % 1000000007) AS h1,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(v) + 1),
+                                   i -> CAST(ascii(v[i]) AS BIGINT))),
+                    (x, y) -> (x * 131 + y) % 1000000009) AS h2
+           FROM vals),
+         fb AS (
+           SELECT DISTINCT file_id, (h1 + t.i * (h2 + 1)) % 8192 AS bit
+           FROM vh, range(0, 3) t(i)),
+         probes AS (
+           SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS probe
+           FROM lineitem WHERE l_orderkey % 997 = 0
+           UNION
+           SELECT DISTINCT 'x' || CAST(l_orderkey AS VARCHAR)
+           FROM lineitem WHERE l_orderkey % 1993 = 0),
+         ph AS (
+           SELECT probe,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(probe) + 1),
+                                   i -> CAST(ascii(probe[i]) AS BIGINT))),
+                    (x, y) -> (x * 31 + y) % 1000000007) AS h1,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(probe) + 1),
+                                   i -> CAST(ascii(probe[i]) AS BIGINT))),
+                    (x, y) -> (x * 131 + y) % 1000000009) AS h2
+           FROM probes),
+         pb AS (
+           SELECT DISTINCT probe, (h1 + t.i * (h2 + 1)) % 8192 AS bit
+           FROM ph, range(0, 3) t(i)),
+         pn AS (SELECT probe, count(*) AS nb FROM pb GROUP BY 1),
+         cand AS (
+           SELECT p.probe, f.file_id, count(*) AS hits
+           FROM pb p JOIN fb f USING (bit)
+           GROUP BY 1, 2)
+         SELECT c.probe, c.file_id
+         FROM cand c JOIN pn USING (probe)
+         WHERE c.hits = pn.nb""",
 
     "compaction_plan" ->
       """WITH f AS (SELECT l_returnflag AS tbl, l_orderkey // 1000 AS file_id,

@@ -170,4 +170,75 @@ object Layout {
           s"order by $fileIdCol rows between unbounded preceding " +
           s"and 1 preceding), 0L) div ${targetBytes}L"))
   }
+
+  /** The `k` Bloom bit positions of a string value under classic
+    * double hashing (Kirsch–Mitzenmatcher: `bit_i = (h1 + i·(h2+1))
+    * mod m`): two independent polynomial rolling hashes
+    * (base 31 mod 1e9+7, base 131 mod 1e9+9 — both < 2^30, so the
+    * product term stays far from Long overflow at any sane `k`), the
+    * `+1` keeps the stride non-zero when `h2 ≡ 0`. Codegen'd map-side
+    * integer arithmetic end-to-end; any engine with a fold re-derives
+    * the positions exactly (DuckDB `list_reduce` twin).
+    */
+  def bloomBits(value: Column, mBits: Int, k: Int): Column = {
+    require(mBits > 1, s"mBits must be > 1, got $mBits")
+    require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+    bloomBitsFromHashes(
+      graft.functions.RollingHashExpr(value, 31L, 1000000007L),
+      graft.functions.RollingHashExpr(value, 131L, 1000000009L), mBits, k)
+  }
+
+  // the two hashes arrive as already-projected columns in the
+  // index/probe paths, so each evaluates ONCE per row rather than once
+  // per array element
+  private def bloomBitsFromHashes(h1: Column, h2: Column,
+                                  mBits: Int, k: Int): Column =
+    array((0 until k).map(i =>
+      pmod(h1 + lit(i.toLong) * (h2 + lit(1L)), lit(mBits.toLong))): _*)
+
+  /** Per-file Bloom-filter index for EQUALITY pruning — the third leg
+    * of the data-skipping family: [[zorderStats]] clusters,
+    * [[columnStatsIndex]] prunes ranges via min/max, and this prunes
+    * point lookups on high-cardinality columns where min/max spans are
+    * useless (a needle key's file range covers everything). One row
+    * per file with the SORTED distinct set-bit positions of every
+    * value's [[bloomBits]] — the parquet `bloom_filter` footer shape
+    * as a queryable frame.
+    *
+    * Scale shape: bits are generated map-side (explode of a k-element
+    * array), then ONE file-keyed aggregation (map-side combined via
+    * `collect_set`); the index is `files × ≤mBits` — metadata-sized,
+    * broadcastable. No false negatives by construction (a present
+    * value's bits are all set — property-spec'd); false-positive rate
+    * is the standard `(1 − e^{−kn/m})^k`, deterministic here because
+    * the hashes are seed-free.
+    */
+  def bloomFileIndex(df: DataFrame, fileIdCol: String, value: Column,
+                     mBits: Int, k: Int): DataFrame =
+    df.select(col(fileIdCol).as("file_id"),
+        graft.functions.RollingHashExpr(value, 31L, 1000000007L).as("__h1"),
+        graft.functions.RollingHashExpr(value, 131L, 1000000009L).as("__h2"))
+      .select(col("file_id"),
+        explode(bloomBitsFromHashes(col("__h1"), col("__h2"), mBits, k))
+          .as("bit"))
+      .groupBy("file_id")
+      .agg(sort_array(collect_set(col("bit"))).as("bits"))
+
+  /** Probe a [[bloomFileIndex]]: for each probe value, the files that
+    * MIGHT contain it (every probe bit set in the file's Bloom set).
+    * The index side is broadcast (metadata-sized), probes stream
+    * map-side — a point-lookup planner that reads zero data files.
+    */
+  def bloomProbe(index: DataFrame, probes: DataFrame, probeCol: String,
+                 mBits: Int, k: Int): DataFrame =
+    probes.select(col(probeCol),
+        graft.functions.RollingHashExpr(col(probeCol), 31L, 1000000007L)
+          .as("__h1"),
+        graft.functions.RollingHashExpr(col(probeCol), 131L, 1000000009L)
+          .as("__h2"))
+      .select(col(probeCol),
+        bloomBitsFromHashes(col("__h1"), col("__h2"), mBits, k).as("__pb"))
+      .crossJoin(broadcast(index))
+      .filter(size(array_except(col("__pb"), col("bits"))) === 0)
+      .select(col(probeCol), col("file_id"))
 }

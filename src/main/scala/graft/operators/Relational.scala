@@ -932,4 +932,68 @@ object Relational {
     }
     acc
   }
+
+  /** Incremental JOIN-view maintenance — the two-table completion of
+    * the CDC family ([[snapshotDiff]] produces the change sets,
+    * [[applySnapshotDiff]] maintains a TABLE, this maintains a JOIN):
+    * given the materialized inner-join view `V = A ⋈ B` (fact `A`
+    * keyed by `aKey` carrying foreign key `fk`; dimension `B` keyed by
+    * `bKey`) and one [[snapshotDiff]] change set per side, produce the
+    * view AFTER both change sets apply — WITHOUT re-joining the full
+    * fact. The maintained identity (property-spec'd and the driver
+    * oracle's mechanism):
+    * `joinMaintain(V, …) ≡ applySnapshotDiff(A,dA) ⋈ applySnapshotDiff(B,dB)`.
+    *
+    * Delta algebra for keyed relations (each key at most once per
+    * change set — [[snapshotDiff]]'s contract): a view row is stale
+    * iff its fact key is in `dA` OR its foreign key is in `dB`; every
+    * replacement row joins a post-apply fact row from that same
+    * affected set against the post-apply dimension. So:
+    *  1. evict stale rows: two ANTI joins of `V` against the
+    *     BROADCAST change-key sets (change-sized, never fact-sized);
+    *  2. rebuild affected fact rows: `A` rows whose key ∈ dA-keys or
+    *     fk ∈ dB-keys (one scan of `A` probed by broadcast key sets —
+    *     with `A` bucketed or clustered on either key this prunes;
+    *     the frame that comes OUT is churn+fanout-sized), with `dA`
+    *     applied on top (re-pointed foreign keys land correctly
+    *     because the apply happens before the re-join);
+    *  3. re-join ONLY those rows against the post-apply dimension
+    *     (dimension-sized, broadcastable) and union back.
+    *
+    * The 100 TB view is touched only by the two broadcast anti-joins
+    * (map-side, no shuffle of `V`); the fact contributes one probed
+    * scan; nothing fact-sized shuffles. A dimension delete orphans its
+    * referencing facts out of the inner view (evicted, never rebuilt)
+    * — the [[orphans]] semantics falling out of the algebra.
+    */
+  def joinMaintain(viewOld: DataFrame,
+                   aOld: DataFrame, dA: DataFrame,
+                   bOld: DataFrame, dB: DataFrame,
+                   aKey: String, fk: String, bKey: String,
+                   aCols: Seq[String], bCols: Seq[String]): DataFrame = {
+    require(aCols.contains(fk), s"fk $fk must be one of aCols so the view carries it")
+    val dAKeys = dA.select(col(aKey)).distinct()
+    val dBKeys = dB.select(col(bKey)).distinct()
+    // 1. evict every view row either change set could have touched
+    val evicted = viewOld
+      .join(broadcast(dAKeys), Seq(aKey), "left_anti")
+      .join(broadcast(dBKeys.withColumnRenamed(bKey, fk)), Seq(fk), "left_anti")
+    // 2. affected fact rows, post-apply: keys in dA (changed/removed/
+    // added ride the apply's full-outer) plus untouched rows whose
+    // dimension side changed
+    val aTouched = aOld.join(broadcast(dAKeys), Seq(aKey), "left_semi")
+    val aFanout = aOld
+      .join(broadcast(dBKeys.withColumnRenamed(bKey, fk)), Seq(fk), "left_semi")
+      .join(broadcast(dAKeys), Seq(aKey), "left_anti")
+      .select((col(aKey) +: aCols.map(col)): _*)
+    val aRebuilt = applySnapshotDiff(aTouched, dA, Seq(aKey), aCols)
+      .unionByName(aFanout)
+    // 3. post-apply dimension (catalog-sized) joined to the affected set
+    val bNew = applySnapshotDiff(bOld, dB, Seq(bKey), bCols)
+    val delta = aRebuilt.join(broadcast(bNew),
+      aRebuilt(fk) === bNew(bKey), "inner")
+      .select((col(aKey) +: aCols.map(col)) ++ bCols.map(col): _*)
+    evicted.select((col(aKey) +: aCols.map(col)) ++ bCols.map(col): _*)
+      .unionByName(delta)
+  }
 }

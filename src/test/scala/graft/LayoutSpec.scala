@@ -254,4 +254,36 @@ class LayoutSpec extends AnyFunSuite {
       .mapValues(_.map(_._3).sum).toMap
     assert(t1(0L) >= 50L)
   }
+
+  test("bloomFileIndex/bloomProbe: no false negatives, pruning pays, " +
+       "hand-checked bit positions") {
+    val rows = spark.range(0, 2000).select(
+      col("id"), (col("id") % 20).as("file_id"), col("id").cast("string").as("v"))
+    val idx = Layout.bloomFileIndex(rows, "file_id", col("v"),
+      mBits = 4096, k = 3)
+    // every present value must be a candidate for its own file
+    val present = rows.filter(col("id") % 117 === 0)
+      .select(col("v").as("probe"), col("file_id"))
+    val cand = Layout.bloomProbe(idx, present.select("probe"),
+      "probe", mBits = 4096, k = 3)
+    val missed = present.join(cand,
+      Seq("probe", "file_id"), "left_anti").count()
+    assert(missed == 0L, "a Bloom filter must never false-negative")
+    // pruning pays: a present value's candidate list is far smaller
+    // than the 20-file full scan (false positives allowed, most pruned)
+    val avgCand = cand.groupBy("probe").count()
+      .agg(avg("count")).as[Double].head()
+    assert(avgCand < 6.0, s"expected most files pruned, got avg $avgCand")
+    // hand-checked double hashing: value "7" → h1 = 55 (codepoint),
+    // h2 = 55; bits (55 + i·56) mod 4096 = 55, 111, 167
+    val bits = Layout.bloomProbe(
+      Layout.bloomFileIndex(
+        Seq((0L, "7")).toDF("file_id", "v"), "file_id", col("v"), 4096, 3),
+      Seq("7").toDF("probe"), "probe", 4096, 3)
+    assert(bits.count() == 1L)
+    val storedBits = Layout.bloomFileIndex(
+        Seq((0L, "7")).toDF("file_id", "v"), "file_id", col("v"), 4096, 3)
+      .select(explode(col("bits"))).as[Long].collect().toSet
+    assert(storedBits == Set(55L, 111L, 167L))
+  }
 }

@@ -290,4 +290,66 @@ class SnapshotRollingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(gotSet == want)
   }
+
+  // --- joinMaintain ------------------------------------------------------
+
+  test("joinMaintain: every churn class lands where the algebra says") {
+    // fact (key, fk, v): 1 untouched, 2 value-changed, 3 deleted,
+    // 4 fk-REPOINTED 20→21, 5 references dim row that changes,
+    // 6 references dim row that is deleted (must orphan out),
+    // 7 inserted referencing a dim row INSERTED in the same batch
+    val aOld = Seq((1L, 20L, "a"), (2L, 20L, "b"), (3L, 21L, "c"),
+                   (4L, 20L, "d"), (5L, 22L, "e"), (6L, 23L, "f"))
+      .toDF("k", "fk", "v")
+    val aNew = Seq((1L, 20L, "a"), (2L, 20L, "B"), (4L, 21L, "d"),
+                   (5L, 22L, "e"), (6L, 23L, "f"), (7L, 24L, "g"))
+      .toDF("k", "fk", "v")
+    val bOld = Seq((20L, "x"), (21L, "y"), (22L, "z"), (23L, "w"))
+      .toDF("bk", "seg")
+    val bNew = Seq((20L, "x"), (21L, "y"), (22L, "Z"), (24L, "n"))
+      .toDF("bk", "seg")
+    val dA = Relational.snapshotDiff(aOld, aNew, Seq("k"), Seq("fk", "v"))
+    val dB = Relational.snapshotDiff(bOld, bNew, Seq("bk"), Seq("seg"))
+    val viewOld = aOld.join(bOld, aOld("fk") === bOld("bk"))
+      .select(col("k"), col("fk"), col("v"), col("seg"))
+    val got = Relational.joinMaintain(viewOld, aOld, dA, bOld, dB,
+        "k", "fk", "bk", Seq("fk", "v"), Seq("seg"))
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, 20L, "a", "x"),   // untouched both sides
+      (2L, 20L, "B", "x"),   // fact value change
+      (4L, 21L, "d", "y"),   // repointed fk joins the NEW target
+      (5L, 22L, "e", "Z"),   // dim change fans out to its facts
+      (7L, 24L, "g", "n")))  // same-batch fact+dim insert pair joins
+    // 3 (fact delete) and 6 (dim delete orphan) are gone
+  }
+
+  test("joinMaintain ≡ full recompute on seeded churn (property)") {
+    val aOld = spark.range(1, 400).select(col("id").as("k"),
+      (col("id") % 37).as("fk"),
+      concat(lit("v"), (col("id") % 11)).as("v"))
+    val aNew = aOld.filter(col("k") % 13 =!= 0)
+      .withColumn("fk", when(col("k") % 7 === 0, (col("fk") + 5) % 37)
+        .otherwise(col("fk")))
+      .withColumn("v", when(col("k") % 5 === 0, lit("CH")).otherwise(col("v")))
+      .unionByName(aOld.filter(col("k") % 17 === 0)
+        .select((col("k") + 1000L).as("k"), col("fk"), lit("NEW").as("v")))
+    val bOld = spark.range(0, 37).select(col("id").as("bk"),
+      concat(lit("s"), col("id") % 4).as("seg"))
+    val bNew = bOld.filter(col("bk") % 11 =!= 3)
+      .withColumn("seg", when(col("bk") % 6 === 1, lit("UP"))
+        .otherwise(col("seg")))
+    val dA = Relational.snapshotDiff(aOld, aNew, Seq("k"), Seq("fk", "v"))
+    val dB = Relational.snapshotDiff(bOld, bNew, Seq("bk"), Seq("seg"))
+    val viewOld = aOld.join(bOld, aOld("fk") === bOld("bk"))
+      .select(col("k"), col("fk"), col("v"), col("seg"))
+    val got = Relational.joinMaintain(viewOld, aOld, dA, bOld, dB,
+        "k", "fk", "bk", Seq("fk", "v"), Seq("seg"))
+      .as[(Long, Long, String, String)].collect().toSet
+    val want = aNew.join(bNew, aNew("fk") === bNew("bk"))
+      .select(col("k"), col("fk"), col("v"), col("seg"))
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }

@@ -1235,6 +1235,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dims = Seq(8, 16, 32))
     }),
 
+    // E66: margin-based bitext mining (CCMatrix/LASER) — per even-id
+    // "source" vector, its best odd-id "target" match by RATIO margin
+    // (cosine over both sides' mean-kNN cosine, integer permille);
+    // hub vectors that are everyone's neighbor are exactly what the
+    // margin demotes
+    "bitext_mine" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.bitextMine(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMarginPermille = 1050L)
+    }),
+
     // E44: contrastive hard-negative mining — top-k nearest DIFFERENT-
     // label vectors per query; label mismatch prunes inside the
     // broadcast join condition, before any cosine is scored
@@ -4510,6 +4522,34 @@ FROM decided""",
              (SELECT count(*) FROM (SELECT * FROM exact
                                     INTERSECT SELECT * FROM a32)), n_exact
            FROM n)""",
+
+    "bitext_mine" ->
+      """WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv
+                    FROM embeddings WHERE vec_id % 2 = 0),
+         t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tv
+               FROM embeddings WHERE vec_id % 2 = 1),
+         xs AS (SELECT src_id, tgt_id,
+                       round(list_cosine_similarity(sv, tv), 6) AS c6
+                FROM s CROSS JOIN t),
+         fwd AS (SELECT src_id, tgt_id, CAST(round(c6 * 1e6) AS BIGINT) AS cm
+                 FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                         ORDER BY c6 DESC, tgt_id) AS rk FROM xs)
+                 WHERE rk <= 4),
+         bwd AS (SELECT src_id, tgt_id, CAST(round(c6 * 1e6) AS BIGINT) AS cm
+                 FROM (SELECT *, row_number() OVER (PARTITION BY tgt_id
+                         ORDER BY c6 DESC, src_id) AS rk FROM xs)
+                 WHERE rk <= 4),
+         ss AS (SELECT src_id, sum(cm) AS sum_s FROM fwd GROUP BY 1),
+         st AS (SELECT tgt_id, sum(cm) AS sum_t FROM bwd GROUP BY 1),
+         sc AS (SELECT f.src_id, f.tgt_id, f.cm,
+                       (f.cm * 8000) // (ss.sum_s + st.sum_t) AS margin
+                FROM fwd f JOIN ss USING (src_id) JOIN st USING (tgt_id)
+                WHERE f.cm >= 0 AND ss.sum_s + st.sum_t > 0),
+         best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                    ORDER BY margin DESC, tgt_id) AS brk FROM sc)
+         SELECT src_id, tgt_id, cm / 1e6 AS cos,
+                CAST(margin AS BIGINT) AS margin_permille
+         FROM best WHERE brk = 1 AND margin >= 1050""",
 
     "hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,

@@ -356,6 +356,54 @@ object Similarity {
     topKByCos(scored, k)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * CCMatrix/LASER parallel-corpus construction step): for each
+    * source vector, its best target match scored by the RATIO margin
+    * `cos(x,y) / (Σ_{z∈NNk(x)} cos(x,z)/2k + Σ_{z∈NNk(y)} cos(y,z)/2k)`
+    * — raw cosine over-fires on "hub" sentences that are everyone's
+    * neighbor; dividing by both sides' average-kNN similarity keeps
+    * only pairs that are MUTUALLY exceptional. Pairs whose margin
+    * clears `minMarginPermille` survive.
+    *
+    * Integer discipline: cosines ride as the [[annBruteForce]]
+    * micro-units, the margin is `(cos_micro · 2k · 1000) div
+    * (Σ_src + Σ_tgt)` — exact integer arithmetic on non-negative
+    * operands (negative-cosine candidates and non-positive
+    * denominators are dropped up front, so truncating division agrees
+    * cross-engine), tie-break by target id.
+    *
+    * Scale shape: two exact kNN passes ([[annBruteForce]] bounded
+    * heaps — the n² FLOPs never materialize as rows), two k-bounded
+    * per-id sum aggregations, one candidate join, one per-source
+    * top-1 window over k rows. At 100 TB swap both kNN passes for
+    * [[annIvf]]/[[annLsh]] under the [[mutualKnn]] composition
+    * contract — margins then fold in the index's own recall loss.
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int,
+                 minMarginPermille: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val micro = (c: Column) => round(c * lit(1e6)).cast("long")
+    val fwd = annBruteForce(tgt, src, idCol, vecCol, k)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+              micro(col("cos")).as("__cm"))
+    val bwd = annBruteForce(src, tgt, idCol, vecCol, k)
+      .select(col("query_id").as("tgt_id"), micro(col("cos")).as("__cm"))
+    val sumS = fwd.groupBy("src_id").agg(sum("__cm").as("__sum_s"))
+    val sumT = bwd.groupBy("tgt_id").agg(sum("__cm").as("__sum_t"))
+    val scored = fwd.join(sumS, "src_id").join(sumT, "tgt_id")
+      .filter(col("__cm") >= 0 && col("__sum_s") + col("__sum_t") > 0)
+      .withColumn("margin_permille",
+        expr(s"(__cm * ${2 * k * 1000}L) div (__sum_s + __sum_t)"))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("margin_permille").desc, col("tgt_id"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1 &&
+              col("margin_permille") >= minMarginPermille)
+      .select(col("src_id"), col("tgt_id"),
+              (col("__cm") / lit(1e6)).as("cos"), col("margin_permille"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: both sides bucketed,
     * equal-bucket join on any of `tables` signatures → candidates →
     * exact cosine → per-query top-k. The scale path: the corpus scan

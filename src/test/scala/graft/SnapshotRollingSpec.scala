@@ -291,6 +291,69 @@ class SnapshotRollingSpec extends AnyFunSuite {
     assert(gotSet == want)
   }
 
+  // --- bitextMine --------------------------------------------------------
+
+  test("bitextMine ≡ plain-Scala margin twin; margin argmax can differ " +
+       "from raw-cosine argmax; threshold drops sub-margin sources") {
+    def n4(v: (Double, Double, Double, Double)): Array[Float] = {
+      val m = math.sqrt(v._1 * v._1 + v._2 * v._2 + v._3 * v._3 + v._4 * v._4)
+      Array((v._1 / m).toFloat, (v._2 / m).toFloat,
+            (v._3 / m).toFloat, (v._4 / m).toFloat)
+    }
+    // even ids = sources, odd = targets; t3 is the near-mean "hub"
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> n4((1, 0, 0, 0)), 2L -> n4((0.92, 0.39, 0, 0)),
+      4L -> n4((0.39, 0.92, 0, 0)), 6L -> n4((0, 1, 0, 0)),
+      1L -> n4((0.995, -0.0998, 0, 0)),
+      3L -> n4((0.6715, 0.6715, 0, 0)),   // hub ≈ normalized source mean
+      5L -> n4((0.05, 0.999, 0, 0)), 7L -> n4((0, 0, 1, 0)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 2
+    val got = Similarity.bitextMine(df.filter(col("vec_id") % 2 === 0),
+        df.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        k = k, minMarginPermille = 1000L)
+      .select(col("src_id"), col("tgt_id"), col("margin_permille"))
+      .as[(Long, Long, Long)].collect().toSet
+    // plain-Scala twin: same cosine formula (sequential fold,
+    // float→double), same 6-digit rounding, same integer margin
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def micro(c: Double): Long = math.round(c * 1e6)
+    val srcs = vecs.filter(_._1 % 2 == 0).toMap
+    val tgts = vecs.filter(_._1 % 2 == 1).toMap
+    def knn(q: Array[Float], pool: Map[Long, Array[Float]]) =
+      pool.toSeq.map { case (id, v) => (cos6(q, v), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(k)
+    val sumS = srcs.map { case (id, v) =>
+      id -> knn(v, tgts).map(p => micro(p._1)).sum }
+    val sumT = tgts.map { case (id, v) =>
+      id -> knn(v, srcs).map(p => micro(p._1)).sum }
+    val want = srcs.flatMap { case (sid, sv) =>
+      val cands = knn(sv, tgts).map { case (c, tid) =>
+        (micro(c) * 2 * k * 1000 / (sumS(sid) + sumT(tid)), tid)
+      }.sortBy { case (m, tid) => (-m, tid) }
+      cands.headOption.filter(_._1 >= 1000L).map(m => (sid, m._2, m._1))
+    }.toSet
+    assert(got == want)
+    // fixture sanity: for at least one source, the margin winner is
+    // NOT the raw-cosine winner (the hub demotion the margin exists
+    // for), and at least one source fails the threshold entirely
+    val rawBest = srcs.map { case (sid, sv) => sid -> knn(sv, tgts).head._2 }
+    val marginBest = want.map(r => r._1 -> r._2).toMap
+    assert(marginBest.exists { case (sid, tid) => rawBest(sid) != tid } ||
+           srcs.keySet.diff(marginBest.keySet).nonEmpty)
+    assert(srcs.keySet.diff(marginBest.keySet).nonEmpty,
+      "expected at least one source below the margin threshold")
+  }
+
   // --- joinMaintain ------------------------------------------------------
 
   test("joinMaintain: every churn class lands where the algebra says") {

@@ -2043,6 +2043,20 @@ object SparkEntry {
       Behavior.weekOverWeek(ev, "event_type", "ts_us", "value_milli")
     }),
 
+    // C73: per-type EWMA trend of the daily event count — integer
+    // milli-state with truncating division every step, so the whole
+    // smoothed trajectory is engine-exact (oracle unrolls the same
+    // recurrence as a recursive CTE); the fold runs over the
+    // calendar-sized daily series, never the raw events
+    "ewma_smooth" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Behavior.ewmaSmooth(daily, Seq("event_type"), "day", "n",
+        alphaPermille = 300L)
+    }),
+
     // C40: wide per-cohort event profile via Spark pivot — values list
     // pinned (no extra distinct pass); counts zero-filled to match SQL
     // FILTER semantics on empty combos
@@ -4986,6 +5000,24 @@ FROM decided""",
                      THEN CAST((value_milli - pv) * 1000 // pv AS BIGINT)
                 END AS delta_permille
          FROM lagd""",
+
+    "ewma_smooth" ->
+      """WITH RECURSIVE d AS (
+           SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         dr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS rn FROM d),
+         r AS (
+           SELECT event_type, day, rn, x * 1000 AS ewma_milli
+           FROM dr WHERE rn = 1
+           UNION ALL
+           SELECT dr.event_type, dr.day, dr.rn,
+                  (300 * dr.x * 1000 + 700 * r.ewma_milli) // 1000
+           FROM dr JOIN r ON dr.event_type = r.event_type
+                         AND dr.rn = r.rn + 1)
+         SELECT event_type, day, ewma_milli FROM r""",
 
     "pivot_event_stats" ->
       """SELECT user_id % 10 AS cohort,

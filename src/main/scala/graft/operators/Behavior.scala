@@ -328,4 +328,43 @@ object Behavior {
       .withColumn("segment",
         col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
   }
+
+  /** Per-key EWMA smoothing of a daily metric — the trend line under
+    * every ops dashboard and the forecast baseline `s_i = α·x_i +
+    * (1−α)·s_{i−1}` with `s_0 = x_0`. Exact integer arithmetic: the
+    * state rides in MILLI-units and each step is `(α·x_i·1000 +
+    * (1000−α)·s_{i−1}) div 1000` with a permille `α` — truncating
+    * division on non-negative operands every step, so the whole
+    * trajectory is bit-identical in any engine (the DuckDB oracle
+    * unrolls it as a recursive CTE).
+    *
+    * Scale shape: an EWMA is an inherently sequential prefix fold, so
+    * it runs over each key's COLLECTED day series — one key-grouped
+    * aggregation, then a map-side HOF fold + posexplode. The series is
+    * calendar-sized (days per key), never event-sized: aggregate the
+    * raw events to daily grain FIRST (that aggregation is the same
+    * shuffle this one rides). Gaps carry the state unchanged across
+    * missing days (the fold is over observed days in order).
+    */
+  def ewmaSmooth(daily: DataFrame, keyCols: Seq[String], dayCol: String,
+                 valueCol: String, alphaPermille: Long): DataFrame = {
+    require(alphaPermille >= 0 && alphaPermille <= 1000,
+      s"alphaPermille must be in [0,1000], got $alphaPermille")
+    val a = alphaPermille
+    val sorted = daily.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        col(dayCol).cast("long").as("day"),
+        col(valueCol).cast("long").as("x")))).as("__s"))
+    val folded = sorted.withColumn("__e",
+      expr(s"""aggregate(__s,
+        CAST(array() AS ARRAY<STRUCT<day: BIGINT, ewma_milli: BIGINT>>),
+        (acc, el) -> array_append(acc, struct(el.day AS day,
+          CASE WHEN size(acc) = 0 THEN el.x * 1000L
+               ELSE ($a * el.x * 1000L +
+                     ${1000 - a} * element_at(acc, -1).ewma_milli) div 1000L
+          END AS ewma_milli)))"""))
+    folded.select((keyCols.map(col) :+ explode(col("__e")).as("__r")): _*)
+      .select((keyCols.map(col) ++ Seq(col("__r.day").as("day"),
+        col("__r.ewma_milli").as("ewma_milli"))): _*)
+  }
 }

@@ -358,4 +358,26 @@ class BehaviorGraphSpec extends AnyFunSuite {
     assert(got == Seq((1L, 5L, 2L, 5L, -282L), (2L, 0L, 0L, 0L, -1559L),
       (3L, 2L, 2L, 6L, 2020L)))
   }
+
+  test("ewmaSmooth: hand-folded trajectory, gap carry, truncation, " +
+       "key isolation") {
+    // key A: days 0,1,3 (gap at 2) values 10,20,0 with alpha=500:
+    //   s(0)=10000; s(1)=(500*20*1000+500*10000)/1000=15000;
+    //   s(3)=(0+500*15000)/1000=7500 (gap carries state unchanged)
+    // key B: impulse 1 then zeros with alpha=300: 1000, 700, 490,
+    //   (300*0+700*490)/1000=343 — truncating division each step
+    val a = Seq(("A", 0L, 10L), ("A", 1L, 20L), ("A", 3L, 0L))
+      .toDF("k", "day", "n")
+    val gotA = Behavior.ewmaSmooth(a, Seq("k"), "day", "n", 500L)
+      .orderBy("day").as[(String, Long, Long)].collect().toSeq
+    assert(gotA == Seq(("A", 0L, 10000L), ("A", 1L, 15000L),
+      ("A", 3L, 7500L)))
+    val b = Seq(("B", 0L, 1L), ("B", 1L, 0L), ("B", 2L, 0L),
+      ("B", 3L, 0L), ("A", 0L, 5L))
+      .toDF("k", "day", "n")
+    val gotB = Behavior.ewmaSmooth(b, Seq("k"), "day", "n", 300L)
+      .orderBy("k", "day").as[(String, Long, Long)].collect().toSeq
+    assert(gotB == Seq(("A", 0L, 5000L), ("B", 0L, 1000L),
+      ("B", 1L, 700L), ("B", 2L, 490L), ("B", 3L, 343L)))
+  }
 }

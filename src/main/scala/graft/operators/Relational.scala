@@ -996,4 +996,51 @@ object Relational {
     evicted.select((col(aKey) +: aCols.map(col)) ++ bCols.map(col): _*)
       .unionByName(delta)
   }
+
+  /** One micro-batch of the PERSISTED join-view store (D17's batch
+    * body, exposed for direct replay testing): `storeDir` holds three
+    * parquet tables — `fact`, `dim`, and the maintained `view` —
+    * seeded by the caller with consistent initial snapshots. The
+    * batch is a single CDC frame carrying BOTH sides' [[snapshotDiff]]
+    * rows (`side` ∈ fact|dim — the one-topic Debezium shape), applied
+    * atomically-enough via the shared swap+recover protocol.
+    *
+    * Replay contract — IDEMPOTENT APPLY, not `(key, batch_id)` dedup:
+    * [[applySnapshotDiff]] is idempotent (re-removing an absent key is
+    * a no-op; re-adding / re-changing overwrites with the same
+    * values), and [[joinMaintain]] of an already-maintained view
+    * evicts and rebuilds the same rows. So an at-least-once replay of
+    * the in-flight batch converges to the identical store from ANY
+    * crash point in the view → fact → dim swap sequence (each swap is
+    * individually crash-safe via recover; the view is written first
+    * because it reads the PRE-apply fact/dim).
+    */
+  def joinMaintainApply(batch: DataFrame, storeDir: String,
+                        aKey: String, fk: String, bKey: String,
+                        aCols: Seq[String], bCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    Seq("fact", "dim", "view")
+      .foreach(IndexFiles.recoverTable(spark, storeDir, _))
+    val aOld = spark.read.parquet(s"$storeDir/fact")
+    val bOld = spark.read.parquet(s"$storeDir/dim")
+    val vOld = spark.read.parquet(s"$storeDir/view")
+    val dA = batch.filter(col("side") === "fact")
+      .select(col(aKey) +: (aCols.flatMap(c =>
+        Seq(col("old_" + c), col("new_" + c))) :+ col("change_type")): _*)
+    val dB = batch.filter(col("side") === "dim")
+      .select(col(bKey) +: (bCols.flatMap(c =>
+        Seq(col("old_" + c), col("new_" + c))) :+ col("change_type")): _*)
+    val vNew = joinMaintain(vOld, aOld, dA, bOld, dB,
+      aKey, fk, bKey, aCols, bCols)
+    // each swapIn materializes its frame into the tmp dir BEFORE the
+    // live dir is touched, so the lazy reads above stay valid
+    IndexFiles.swapIn(spark, storeDir, "view") { tmp =>
+      vNew.write.parquet(tmp) }
+    val aNew = applySnapshotDiff(aOld, dA, Seq(aKey), aCols)
+    IndexFiles.swapIn(spark, storeDir, "fact") { tmp =>
+      aNew.write.parquet(tmp) }
+    val bNew = applySnapshotDiff(bOld, dB, Seq(bKey), bCols)
+    IndexFiles.swapIn(spark, storeDir, "dim") { tmp =>
+      bNew.write.parquet(tmp) }
+  }
 }

@@ -365,6 +365,46 @@ object Streams {
       }
       .start()
 
+  /** One CDC row of the D17 join-view stream: both sides'
+    * [[graft.operators.Relational.snapshotDiff]] columns unioned with
+    * a `side` discriminator (fields of the other side ride null). */
+  case class JoinChange(side: String, change_type: String,
+      k: Option[Long], old_fk: Option[Long], new_fk: Option[Long],
+      old_v: Option[String], new_v: Option[String],
+      bk: Option[Long], old_seg: Option[String], new_seg: Option[String])
+
+  /** D17: streaming JOIN-view-store maintenance — the streaming half
+    * of C71 exactly as D9/D13/D15 are of C44/C48/C50, completing the
+    * store symmetry for MATERIALIZED JOINS: one CDC stream carries
+    * both sides' [[graft.operators.Relational.snapshotDiff]] rows
+    * (`side` ∈ fact|dim, the one-topic Debezium shape) and each
+    * micro-batch maintains the persisted `view` (plus the `fact`/`dim`
+    * base snapshots) via
+    * [[graft.operators.Relational.joinMaintainApply]] — the 100 TB
+    * fact history is never re-joined, only churn-sized frames move.
+    *
+    * Unlike the sketch stores there is no `(key, batch_id)` dedup:
+    * replay-exactness comes from the apply being IDEMPOTENT (see
+    * [[graft.operators.Relational.joinMaintainApply]]'s crash-point
+    * argument), which the spec exercises by re-applying a committed
+    * batch from every swap stage.
+    */
+  def streamJoinMaintain(changes: DataFrame, storeDir: String,
+                         checkpointDir: String,
+                         aKey: String, fk: String, bKey: String,
+                         aCols: Seq[String], bCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Relational.joinMaintainApply(
+              batch.toDF, storeDir, aKey, fk, bKey, aCols, bCols)
+          ()
+      }
+      .start()
+
   case class BucketObs(bucket: String, obs_id: Long, x: Long)
   // BigInt state: arbitrary-precision arithmetic (scala BigDecimal ops
   // round at DECIMAL128's 34 digits — the squared terms can pass that);

@@ -191,4 +191,89 @@ class StreamAggSpec extends AnyFunSuite {
       ("C", "D", 1L), ("D", "C", 1L)))
     assert(streamed == batch)
   }
+
+  // --- D17: streaming join-view-store maintenance ------------------------
+
+  test("streamJoinMaintain: two CDC batches maintain the view store; " +
+       "replays from EVERY swap crash point converge") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmpDir("graft_jvstore")
+    val ckpt = tmpDir("graft_jvckpt")
+    def writeTbl(sub: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$store/$sub")
+    def readTbl(sub: String) =
+      spark.read.parquet(s"$store/$sub").collect()
+        .map(_.toSeq).toSet
+    // seed consistent snapshots
+    val fact0 = Seq((1L, 20L, "a"), (2L, 20L, "b"), (3L, 21L, "c"),
+      (4L, 20L, "d"), (5L, 22L, "e"), (6L, 23L, "f")).toDF("k", "fk", "v")
+    val dim0 = Seq((20L, "x"), (21L, "y"), (22L, "z"), (23L, "w"))
+      .toDF("bk", "seg")
+    writeTbl("fact", fact0)
+    writeTbl("dim", dim0)
+    writeTbl("view", fact0.join(dim0, fact0("fk") === dim0("bk"))
+      .select(col("k"), col("fk"), col("v"), col("seg")))
+    val b1 = Seq(
+      Streams.JoinChange("fact", "changed", Some(2L), Some(20L), Some(20L),
+        Some("b"), Some("B"), None, None, None),
+      Streams.JoinChange("fact", "removed", Some(3L), Some(21L), None,
+        Some("c"), None, None, None, None),
+      Streams.JoinChange("fact", "changed", Some(4L), Some(20L), Some(21L),
+        Some("d"), Some("d"), None, None, None),
+      Streams.JoinChange("fact", "added", Some(7L), None, Some(24L),
+        None, Some("g"), None, None, None),
+      Streams.JoinChange("dim", "changed", None, None, None, None, None,
+        Some(22L), Some("z"), Some("Z")),
+      Streams.JoinChange("dim", "added", None, None, None, None, None,
+        Some(24L), None, Some("n")))
+    val b2 = Seq(
+      Streams.JoinChange("dim", "removed", None, None, None, None, None,
+        Some(23L), Some("w"), None),
+      Streams.JoinChange("fact", "added", Some(8L), None, Some(20L),
+        None, Some("h"), None, None, None))
+    val input = MemoryStream[Streams.JoinChange]
+    val q = Streams.streamJoinMaintain(input.toDF(), store, ckpt,
+      "k", "fk", "bk", Seq("fk", "v"), Seq("seg"))
+    val view1 = Set(Seq(1L, 20L, "a", "x"), Seq(2L, 20L, "B", "x"),
+      Seq(4L, 21L, "d", "y"), Seq(5L, 22L, "e", "Z"),
+      Seq(6L, 23L, "f", "w"), Seq(7L, 24L, "g", "n"))
+    val view2 = Set(Seq(1L, 20L, "a", "x"), Seq(2L, 20L, "B", "x"),
+      Seq(4L, 21L, "d", "y"), Seq(5L, 22L, "e", "Z"),
+      Seq(7L, 24L, "g", "n"), Seq(8L, 20L, "h", "x"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(readTbl("view") == view1)
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(readTbl("view") == view2)
+    } finally q.stop()
+    val fact2 = readTbl("fact"); val dim2 = readTbl("dim")
+    assert(fact2.contains(Seq(8L, 20L, "h")) && !dim2.exists(_.head == 23L))
+    // pre-batch2 base snapshots, for crash-point restores
+    val fact1 = fact2 - Seq(8L, 20L, "h")
+    val dim1 = dim2 + Seq(23L, "w")
+    def applyB2(): Unit = Relational.joinMaintainApply(
+      b2.toDF(), store, "k", "fk", "bk", Seq("fk", "v"), Seq("seg"))
+    def toDF3(s: Set[Seq[Any]]) = s.toSeq
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[String])).toDF("k", "fk", "v")
+    def toDF2(s: Set[Seq[Any]]) = s.toSeq
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[String]))
+      .toDF("bk", "seg")
+    // crash point A: nothing swapped yet (plain full replay)
+    applyB2()
+    assert(readTbl("view") == view2 && readTbl("fact") == fact2 &&
+           readTbl("dim") == dim2)
+    // crash point B: view swapped, fact/dim not — restore both bases
+    writeTbl("fact", toDF3(fact1)); writeTbl("dim", toDF2(dim1))
+    applyB2()
+    assert(readTbl("view") == view2 && readTbl("fact") == fact2 &&
+           readTbl("dim") == dim2)
+    // crash point C: view+fact swapped, dim not — restore dim only
+    writeTbl("dim", toDF2(dim1))
+    applyB2()
+    assert(readTbl("view") == view2 && readTbl("fact") == fact2 &&
+           readTbl("dim") == dim2)
+  }
 }

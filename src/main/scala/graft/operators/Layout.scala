@@ -225,20 +225,37 @@ object Layout {
       .agg(sort_array(collect_set(col("bit"))).as("bits"))
 
   /** Probe a [[bloomFileIndex]]: for each probe value, the files that
-    * MIGHT contain it (every probe bit set in the file's Bloom set).
-    * The index side is broadcast (metadata-sized), probes stream
-    * map-side — a point-lookup planner that reads zero data files.
+    * MIGHT contain it (every probe bit set in the file's Bloom set) —
+    * a point-lookup planner that reads zero data files.
+    *
+    * Shape: BIT-KEYED equi-join, not probe×file cross product. The
+    * naive `crossJoin(index) + array_except` does O(set bits per
+    * file) work for EVERY (probe, file) pair — quadratic in disguise
+    * when the probe set grows with the table (measured at the 10×
+    * rehearsal: 296s → the probe side below). Instead: explode probe
+    * bits (k rows each) and file bits once, equi-join on the bit,
+    * count distinct-bit hits per (probe, file), keep full-house
+    * matches. Candidates that share NO bit never meet; per-candidate
+    * work is O(1); both shuffles are linear in the exploded frames
+    * and AQE handles bit-key skew.
     */
   def bloomProbe(index: DataFrame, probes: DataFrame, probeCol: String,
-                 mBits: Int, k: Int): DataFrame =
-    probes.select(col(probeCol),
+                 mBits: Int, k: Int): DataFrame = {
+    val pb = probes.select(col(probeCol),
         graft.functions.RollingHashExpr(col(probeCol), 31L, 1000000007L)
           .as("__h1"),
         graft.functions.RollingHashExpr(col(probeCol), 131L, 1000000009L)
           .as("__h2"))
       .select(col(probeCol),
-        bloomBitsFromHashes(col("__h1"), col("__h2"), mBits, k).as("__pb"))
-      .crossJoin(broadcast(index))
-      .filter(size(array_except(col("__pb"), col("bits"))) === 0)
+        array_distinct(bloomBitsFromHashes(col("__h1"), col("__h2"),
+          mBits, k)).as("__pb"))
+      .select(col(probeCol), size(col("__pb")).as("__nb"),
+        explode(col("__pb")).as("bit"))
+    val fb = index.select(col("file_id"), explode(col("bits")).as("bit"))
+    pb.join(fb, "bit")
+      .groupBy(col(probeCol), col("file_id"), col("__nb"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === col("__nb"))
       .select(col(probeCol), col("file_id"))
+  }
 }

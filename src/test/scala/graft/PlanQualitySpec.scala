@@ -328,4 +328,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("join_maintain: view eviction rides BROADCAST anti-joins — the " +
+       "view-sized frame never shuffles; no cartesian anywhere") {
+    val plan = formatted(SparkEntry.queries("join_maintain")(spark, sf))
+    // the two anti-joins against the change-key sets must be broadcast
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // deliberate broadcast devices only: no SMJ anti of the view
+    assert(!"SortMergeJoin.*LeftAnti".r.findAllIn(plan).hasNext, plan)
+  }
+
+  test("bloom_index: probe is a bit-keyed EQUI-join — no nested-loop, " +
+       "no cartesian (the quadratic probe shape the 10x rehearsal killed)") {
+    val plan = formatted(SparkEntry.queries("bloom_index")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ewma_smooth: no window at all — the fold is a key-grouped HOF " +
+       "over the collected daily series, not a corpus-sized running sum") {
+    val plan = formatted(SparkEntry.queries("ewma_smooth")(spark, sf))
+    assert(!raw"(?m)^\(\d+\) Window".r.findAllIn(plan).hasNext, plan)
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

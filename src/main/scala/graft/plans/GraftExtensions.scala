@@ -499,5 +499,23 @@ object GraftFunctions {
             ShiftLeft(BitwiseAnd(ShiftRightUnsigned(yl, Literal(i)),
               Literal(1L)), Literal(2 * i + 1)))
         }.reduce[Expression]((a, b) => Add(a, b))
+      }),
+
+    fn("graft_bloom_bits", 3,
+       "_FUNC_(value, m_bits, k) - the k Bloom bit positions of a string " +
+       "value under seed-free double hashing (Layout.bloomBits parity)")(
+      args => {
+        val m = intLit(args(1), "graft_bloom_bits", "m_bits")
+        val k = intLit(args(2), "graft_bloom_bits", "k")
+        if (m < 2) throw new IllegalArgumentException(
+          s"graft_bloom_bits: m_bits must be > 1, got $m")
+        if (k < 1 || k > 64) throw new IllegalArgumentException(
+          s"graft_bloom_bits: k must be in [1,64], got $k")
+        val h1 = graft.functions.RollingHashExpr(args.head, 31L, 1000000007L)
+        val h2 = graft.functions.RollingHashExpr(args.head, 131L, 1000000009L)
+        CreateArray((0 until k).map { i =>
+          Pmod(Add(h1, Multiply(Literal(i.toLong),
+            Add(h2, Literal(1L)))), Literal(m.toLong))
+        })
       }))
 }

@@ -227,4 +227,30 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(merged == direct)
     assert(merged.getLong(0) == 300L && merged.getLong(1) == 0L)
   }
+
+  test("graft_bloom_bits from SQL ≡ Layout.bloomBits and hand-computed " +
+       "positions; m_bits/k must be literals") {
+    // "7" → h1 = h2 = 55; bits (55 + i·56) mod 4096 = 55, 111, 167
+    val one = spark.sql("SELECT graft_bloom_bits('7', 4096, 3) AS b")
+      .selectExpr("b[0]", "b[1]", "b[2]").head()
+    assert(one.getLong(0) == 55L && one.getLong(1) == 111L &&
+           one.getLong(2) == 167L)
+    docsView()
+    val viaSql = spark.sql("""
+      SELECT doc_id, graft_bloom_bits(CAST(doc_id AS STRING), 8192, 3) AS b
+      FROM sql_fn_docs""").selectExpr("doc_id", "b")
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val viaCol = spark.table("sql_fn_docs")
+      .select(col("doc_id"),
+        graft.operators.Layout.bloomBits(
+          col("doc_id").cast("string"), 8192, 3).as("b"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(viaSql.toSeq == viaCol.toSeq)
+    val bad = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_bloom_bits('x', 4096, CAST(doc_id AS INT)) FROM sql_fn_docs")
+        .collect()
+    }
+    assert(bad.getMessage.contains("graft_bloom_bits"))
+  }
 }

@@ -38,7 +38,8 @@ object DynamicOracles {
       "quality_classifier" -> (() => qualityClassifier(spark, dir)),
       "dedup_simhash" -> (() => dedupSimhash(spark, dir)),
       "cluster_balanced_sample" -> (() => clusterBalancedSample(spark, dir)),
-      "cluster_topics" -> (() => clusterTopics(spark, dir))
+      "cluster_topics" -> (() => clusterTopics(spark, dir)),
+      "tokenizer_stats" -> (() => tokenizerStats(spark, dir))
     ).flatMap { case (k, f) =>
       scala.util.Try(f()).toOption.map(k -> _)
     }.toMap
@@ -55,6 +56,46 @@ object DynamicOracles {
     * first encode loop of [[graft.operators.Bpe.encodeWord]] exactly
     * (validated symbol-for-symbol over the corpus).
     */
+  /** E67: per-language tokenizer report under the SAME trained merge
+    * table as [[bpeTokenize]] — the oracle re-runs the embedded merge
+    * chain per distinct word and aggregates fertility / subword-length
+    * ratios with the identical integer truncation. */
+  def tokenizerStats(spark: SparkSession, dir: String): String = {
+    val merges = Bpe.train(Tables(spark, dir).documents, "text",
+      numMerges = 30)
+    val chain = merges.sortBy(_.rank).foldLeft("s0") { (acc, m) =>
+      val pat = lit(" " + m.left + " " + m.right + " ")
+      val rep = lit(" " + m.left + m.right + " ")
+      s"replace(replace($acc, $pat, $rep), $pat, $rep)"
+    }
+    raw"""WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS t
+  FROM documents),
+w AS (SELECT doc_id, lang, t[i] AS word
+      FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)),
+dw AS (SELECT DISTINCT word FROM w),
+spread AS (SELECT word,
+    ' ' || regexp_replace(trim(regexp_replace(word, '(.)', '\1 ', 'g')),
+                          '([^ ]+)$$', '\1</w>') || ' ' AS s0
+  FROM dw),
+enc AS (SELECT word, trim($chain) AS e FROM spread),
+j AS (SELECT w.lang, enc.e FROM w JOIN enc USING (word)),
+sub AS (SELECT lang,
+    CAST(sum(len(string_split(e, ' '))) AS BIGINT) AS n_subwords,
+    CAST(sum(len(replace(e, ' ', ''))) AS BIGINT) AS n_subword_chars
+  FROM j GROUP BY 1),
+wd AS (SELECT lang, CAST(sum(len(t)) AS BIGINT) AS n_words
+       FROM toks GROUP BY 1)
+SELECT wd.lang, wd.n_words, sub.n_subwords, sub.n_subword_chars,
+       CAST(sub.n_subwords * 1000 // wd.n_words AS BIGINT)
+         AS fertility_permille,
+       CAST(sub.n_subword_chars * 1000 // sub.n_subwords AS BIGINT)
+         AS chars_per_subword_milli
+FROM wd JOIN sub USING (lang)
+WHERE wd.n_words > 0"""
+  }
+
   def bpeTokenize(spark: SparkSession, dir: String): String = {
     val merges = Bpe.train(Tables(spark, dir).documents, "text",
       numMerges = 30)

@@ -1422,6 +1422,18 @@ object SparkEntry {
             w => length(w) > 0)).cast("long").as("n_words"))
     }),
 
+    // E67: tokenizer evaluation report — per-language FERTILITY
+    // (subwords per word, permille) and mean subword length (milli)
+    // under the learned BPE table: the "how well does this tokenizer
+    // fit each language slice" question every multilingual corpus
+    // asks before committing to a vocabulary; one encode pass +
+    // one language-keyed aggregation, exact integer ratios
+    "tokenizer_stats" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val merges = Bpe.train(docs, "text", numMerges = 30)
+      Bpe.tokenizerStats(docs, "lang", "text", merges)
+    }),
+
     // E36: distributed PCA over the embedding corpus — ONE
     // VectorMomentsAgg pass (exact integer micro-unit moments, O(dim²)
     // state), driver-side deterministic Jacobi eigensolve, map-side
@@ -5386,7 +5398,7 @@ FROM decided""",
   val dynamicOracleQueries: Set[String] =
     Set("bpe_tokenize", "unigram_tokenize", "embedding_pca",
         "embedding_clusters", "quality_classifier", "dedup_simhash",
-        "cluster_balanced_sample", "cluster_topics")
+        "cluster_balanced_sample", "cluster_topics", "tokenizer_stats")
 
   /** Queries intentionally without a DuckDB oracle (hash-seed-dependent
     * or iteratively-trained outputs SQL cannot re-derive) — driver

@@ -159,4 +159,36 @@ object Bpe {
   def encode(text: org.apache.spark.sql.Column,
              merges: Seq[Merge]): org.apache.spark.sql.Column =
     graft.functions.BpeEncodeExpr(text, merges.map(m => (m.left, m.right, m.rank)))
+
+  /** E67: per-language tokenizer evaluation under a learned merge
+    * table — FERTILITY (subwords per word, integer permille) and mean
+    * emitted-symbol length (milli-chars, `</w>` markers counted as
+    * written): the "does this vocabulary fit each language slice"
+    * report a multilingual corpus runs before committing to a
+    * tokenizer. One encode pass (map-side native expression) + one
+    * language-keyed aggregation; ratios are truncating integer
+    * division on non-negative operands (engine-exact; the dynamic
+    * oracle re-runs the embedded merge chain and the same algebra).
+    * Languages with zero words are dropped (a ratio over nothing).
+    */
+  def tokenizerStats(docs: org.apache.spark.sql.DataFrame, langCol: String,
+                     textCol: String, merges: Seq[Merge])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.withColumn("__t", Bpe.encode(col(textCol), merges))
+      .select(col(langCol).as("lang"),
+        size(filter(split(trim(col(textCol)), "\\s+"),
+          w => length(w) > 0)).cast("long").as("__w"),
+        size(col("__t")).cast("long").as("__s"),
+        expr("aggregate(__t, 0L, (acc, x) -> acc + CAST(length(x) AS LONG))")
+          .as("__ch"))
+      .groupBy("lang")
+      .agg(sum("__w").as("n_words"), sum("__s").as("n_subwords"),
+           sum("__ch").as("n_subword_chars"))
+      .filter(col("n_words") > 0)
+      .withColumn("fertility_permille",
+        expr("n_subwords * 1000L div n_words"))
+      .withColumn("chars_per_subword_milli",
+        expr("n_subword_chars * 1000L div n_subwords"))
+  }
 }

@@ -75,4 +75,25 @@ class BpeSpec extends AnyFunSuite {
     assert(subwords >= words, s"subwords=$subwords words=$words")
     assert(subwords < chars / 2, s"subwords=$subwords chars=$chars")
   }
+
+  test("tokenizerStats: hand-computed fertility and symbol-length " +
+       "ratios per language; zero-word languages dropped") {
+    // corpus: words "ab" (x2), "b", "a" -> the single merge fuses
+    // ("a","b</w>") so "ab" encodes as ONE symbol "ab</w>" (6 chars),
+    // "a"/"b" stay single symbols "a</w>"/"b</w>" (5 chars each)
+    val docs = Seq(("aa", "ab ab"), ("bb", "b a"), ("cc", "  "))
+      .toDF("lang", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 1)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b</w>")))
+    val got = Bpe.tokenizerStats(docs, "lang", "text", merges)
+      .orderBy("lang")
+      .select("lang", "n_words", "n_subwords", "n_subword_chars",
+              "fertility_permille", "chars_per_subword_milli")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // aa: 2 words -> 2 symbols, 12 chars -> fertility 1000, cps 6000
+    // bb: 2 words -> 2 symbols ("b</w>","a</w>"), 10 chars -> cps 5000
+    // cc: whitespace-only -> zero words -> dropped
+    assert(got == Seq(("aa", 2L, 2L, 12L, 1000L, 6000L),
+                      ("bb", 2L, 2L, 10L, 1000L, 5000L)))
+  }
 }

@@ -694,4 +694,50 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** One daily observation of the D18 EWMA stream. */
+  case class DailyMetric(key: String, day: Long, x: Long)
+  /** D18 state: last folded day + running milli-state. */
+  case class EwmaState(day: Long, ewma_milli: Long)
+  /** One smoothed point emitted by [[streamEwma]]. */
+  case class EwmaPoint(key: String, day: Long, ewma_milli: Long)
+
+  /** D18: streaming per-key EWMA — the streaming half of C73 exactly
+    * as D14 is of C57: keyed state holds TWO longs (last folded day +
+    * running milli-state) forever, each batch folds its days in
+    * ascending order through the identical integer recurrence
+    * `(α·x·1000 + (1000−α)·s) div 1000`, so per-batch emissions equal
+    * the batch operator on the concatenated input. The D1/D14
+    * at-or-below-state guard (days ≤ the folded frontier are dropped)
+    * makes an at-least-once replay emit NOTHING — no downstream
+    * dedup. Gaps carry state unchanged, exactly the batch contract.
+    */
+  def streamEwma(metrics: Dataset[DailyMetric], alphaPermille: Long)
+      : Dataset[EwmaPoint] = {
+    require(alphaPermille >= 0 && alphaPermille <= 1000,
+      s"alphaPermille must be in [0,1000], got $alphaPermille")
+    import metrics.sparkSession.implicits._
+    val a = alphaPermille
+    metrics.groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DailyMetric],
+         state: GroupState[EwmaState]) =>
+          var st = state.getOption
+          val out = Seq.newBuilder[EwmaPoint]
+          rows.toSeq.sortBy(_.day).foreach { m =>
+            if (st.forall(_.day < m.day)) {
+              val next = st match {
+                case None => m.x * 1000L
+                case Some(s) =>
+                  (a * m.x * 1000L + (1000L - a) * s.ewma_milli) / 1000L
+              }
+              st = Some(EwmaState(m.day, next))
+              out += EwmaPoint(key, m.day, next)
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

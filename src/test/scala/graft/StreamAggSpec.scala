@@ -276,4 +276,38 @@ class StreamAggSpec extends AnyFunSuite {
     assert(readTbl("view") == view2 && readTbl("fact") == fact2 &&
            readTbl("dim") == dim2)
   }
+
+  // --- D18: streaming EWMA ------------------------------------------------
+
+  test("streamEwma: per-batch emissions equal the batch fold on the " +
+       "concatenated input; replays emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.DailyMetric]
+    val q = input.toDS().transform(ds => Streams.streamEwma(ds, 300L))
+      .writeStream.format("memory").queryName("ewma_sink")
+      .outputMode("append").start()
+    val b1 = Seq(Streams.DailyMetric("A", 0L, 1L),
+      Streams.DailyMetric("A", 1L, 0L), Streams.DailyMetric("B", 0L, 10L))
+    val b2 = Seq(Streams.DailyMetric("A", 3L, 0L),   // gap at day 2
+      Streams.DailyMetric("B", 1L, 20L),
+      Streams.DailyMetric("A", 1L, 99L))             // replayed day: dropped
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // full replay of b2: every day at-or-below the frontier
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_sink")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    // batch twin on the concatenated deduped input
+    val daily = Seq(("A", 0L, 1L), ("A", 1L, 0L), ("B", 0L, 10L),
+      ("A", 3L, 0L), ("B", 1L, 20L)).toDF("key", "day", "x")
+    val want = graft.operators.Behavior
+      .ewmaSmooth(daily, Seq("key"), "day", "x", 300L)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(got == want)
+    // hand-check the A trajectory incl. the gap carry: 1000, 700,
+    // then day 3 folds against 700 -> 490 (no decay for missing day 2)
+    assert(got.filter(_._1 == "A").map(_._3) == Seq(1000L, 700L, 490L))
+  }
 }

@@ -2269,6 +2269,23 @@ object SparkEntry {
         Seq("o_custkey", "o_orderstatus"), Seq("c_mktsegment"))
     }),
 
+    // C74: FK/containment profiling — three true FKs (containment
+    // 1000) and one incidental small-domain overlap
+    // (nationkey→regionkey, containment 200) the profiler must NOT
+    // call a foreign key
+    "fk_profile" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.fkProfile(Seq(
+        (t.lineitem, "l_orderkey", t.orders, "o_orderkey",
+         "lineitem.l_orderkey->orders.o_orderkey"),
+        (t.lineitem, "l_suppkey", t.supplier, "s_suppkey",
+         "lineitem.l_suppkey->supplier.s_suppkey"),
+        (t.orders, "o_custkey", t.customer, "c_custkey",
+         "orders.o_custkey->customer.c_custkey"),
+        (t.customer, "c_nationkey", t.region, "r_regionkey",
+         "customer.c_nationkey->region.r_regionkey")))
+    }),
+
     // C45: Z-order layout diagnostic — per equal-width Z-block row
     // counts and BOTH columns' min/max (the data-skipping index a
     // Z-clustered table would store per file)
@@ -5251,6 +5268,40 @@ FROM decided""",
            FROM customer WHERE c_custkey % 23 = 0)
          SELECT a.o_orderkey, a.o_custkey, a.o_orderstatus, b.c_mktsegment
          FROM a_new a JOIN b_new b ON a.o_custkey = b.c_custkey""",
+
+    "fk_profile" ->
+      """WITH p AS (
+           SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS rel,
+                  (SELECT list(DISTINCT l_orderkey) FROM lineitem
+                   WHERE l_orderkey IS NOT NULL) AS cs,
+                  (SELECT list(DISTINCT o_orderkey) FROM orders
+                   WHERE o_orderkey IS NOT NULL) AS ps
+           UNION ALL
+           SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+                  (SELECT list(DISTINCT l_suppkey) FROM lineitem
+                   WHERE l_suppkey IS NOT NULL),
+                  (SELECT list(DISTINCT s_suppkey) FROM supplier
+                   WHERE s_suppkey IS NOT NULL)
+           UNION ALL
+           SELECT 'orders.o_custkey->customer.c_custkey',
+                  (SELECT list(DISTINCT o_custkey) FROM orders
+                   WHERE o_custkey IS NOT NULL),
+                  (SELECT list(DISTINCT c_custkey) FROM customer
+                   WHERE c_custkey IS NOT NULL)
+           UNION ALL
+           SELECT 'customer.c_nationkey->region.r_regionkey',
+                  (SELECT list(DISTINCT c_nationkey) FROM customer
+                   WHERE c_nationkey IS NOT NULL),
+                  (SELECT list(DISTINCT r_regionkey) FROM region
+                   WHERE r_regionkey IS NOT NULL)),
+         c AS (SELECT rel, CAST(len(cs) AS BIGINT) AS n_child,
+                      CAST(len(ps) AS BIGINT) AS n_parent,
+                      CAST(len(list_intersect(cs, ps)) AS BIGINT) AS n_shared
+               FROM p)
+         SELECT rel, n_child, n_parent, n_shared,
+                CAST(n_shared * 1000 // n_child AS BIGINT)
+                  AS containment_permille
+         FROM c""",
 
     "agg_maintain" ->
       """SELECT o_custkey, count(*) AS n,

@@ -1015,6 +1015,41 @@ object Relational {
     * individually crash-safe via recover; the view is written first
     * because it reads the PRE-apply fact/dim).
     */
+  /** Foreign-key / containment profiling (C74) — the data-profiling
+    * question schema discovery asks of every candidate column pair:
+    * how much of the child column's DISTINCT value set lives inside
+    * the parent's? `containment_permille = 1000` with a plausible
+    * cardinality ratio is FK-shaped; partial containment flags
+    * incidental overlap (small integer domains). Orphans
+    * (`n_child − n_shared`) are C47's referential check as a COUNT
+    * rather than a pass/fail.
+    *
+    * Scale shape: per pair, one distinct-projection per side (the
+    * aggregation combines map-side) and ONE key equi-join of the two
+    * distinct sets — never the raw tables. Each pair's report is a
+    * single row; the union is pairs-sized. At 100 TB profile breadth
+    * first with the sketch pair ([[skewReport]]/[[joinCardinality]]
+    * machinery — KMV intersection estimates containment without the
+    * join) and reserve this exact operator for the shortlist.
+    */
+  def fkProfile(pairs: Seq[(DataFrame, String, DataFrame, String, String)])
+      : DataFrame = {
+    require(pairs.nonEmpty, "fkProfile needs at least one candidate pair")
+    pairs.map { case (child, childCol, parent, parentCol, label) =>
+      val cd = child.select(col(childCol).cast("long").as("__v"))
+        .na.drop().distinct()
+      val pd = parent.select(col(parentCol).cast("long").as("__v"))
+        .na.drop().distinct()
+      cd.join(pd.withColumn("__p", lit(1)), Seq("__v"), "left")
+        .agg(count(lit(1)).as("n_child"),
+             sum(when(col("__p").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+        .crossJoin(broadcast(pd.agg(count(lit(1)).as("n_parent"))))
+        .select(lit(label).as("rel"), col("n_child"), col("n_parent"),
+                col("n_shared"),
+                expr("n_shared * 1000L div n_child").as("containment_permille"))
+    }.reduce(_ unionByName _)
+  }
+
   def joinMaintainApply(batch: DataFrame, storeDir: String,
                         aKey: String, fk: String, bKey: String,
                         aCols: Seq[String], bCols: Seq[String]): Unit = {

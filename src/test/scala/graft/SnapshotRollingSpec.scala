@@ -415,4 +415,22 @@ class SnapshotRollingSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  // --- fkProfile ---------------------------------------------------------
+
+  test("fkProfile: containment/orphan arithmetic, null and duplicate " +
+       "hygiene, non-FK overlap stays partial") {
+    val child = Seq[java.lang.Long](1L, 1L, 2L, 3L, null, 9L)
+      .toDF("ck")
+    val parent = Seq[java.lang.Long](1L, 2L, 3L, 4L, 5L, null)
+      .toDF("pk")
+    val got = Relational.fkProfile(Seq((child, "ck", parent, "pk", "c->p")))
+      .as[(String, Long, Long, Long, Long)].head()
+    // child distinct non-null {1,2,3,9}: 3 of 4 inside parent {1..5}
+    assert(got == (("c->p", 4L, 5L, 3L, 750L)))
+    val full = Relational.fkProfile(Seq(
+      (child.filter(col("ck") =!= 9L), "ck", parent, "pk", "fk")))
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(full == (("fk", 3L, 5L, 3L, 1000L)))
+  }
 }

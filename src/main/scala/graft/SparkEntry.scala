@@ -2286,6 +2286,20 @@ object SparkEntry {
          "customer.c_nationkey->region.r_regionkey")))
     }),
 
+    // C75: CUSUM drift detection over the daily event-count series —
+    // the sustained-shift complement of anomaly_zscore (spikes) and
+    // ewma_smooth (trend); reference mean = first 7 observed days
+    // (causal), slack 2 events, threshold 50 events, all in exact
+    // integer millis
+    "cusum_changepoints" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Behavior.cusumChangepoints(daily, Seq("event_type"), "day", "n",
+        refDays = 7, slackMilli = 2000L, thresholdMilli = 50000L)
+    }),
+
     // C45: Z-order layout diagnostic — per equal-width Z-block row
     // counts and BOTH columns' min/max (the data-skipping index a
     // Z-clustered table would store per file)
@@ -5047,6 +5061,40 @@ FROM decided""",
            FROM dr JOIN r ON dr.event_type = r.event_type
                          AND dr.rn = r.rn + 1)
          SELECT event_type, day, ewma_milli FROM r""",
+
+    "cusum_changepoints" ->
+      """WITH RECURSIVE d AS (
+           SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         dr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS rn FROM d),
+         mu AS (SELECT event_type,
+                  CAST(sum(x) FILTER (WHERE rn <= 7) * 1000
+                       // least(count(*), 7) AS BIGINT) AS mu_milli
+                FROM dr GROUP BY 1),
+         r AS (
+           SELECT dr.event_type, dr.day, dr.rn, dr.x,
+                  greatest(CAST(0 AS BIGINT),
+                    dr.x * 1000 - mu.mu_milli - 2000) AS sp,
+                  greatest(CAST(0 AS BIGINT),
+                    mu.mu_milli - dr.x * 1000 - 2000) AS sn
+           FROM dr JOIN mu USING (event_type) WHERE rn = 1
+           UNION ALL
+           SELECT dr.event_type, dr.day, dr.rn, dr.x,
+                  greatest(CAST(0 AS BIGINT),
+                    r.sp + dr.x * 1000 - mu.mu_milli - 2000),
+                  greatest(CAST(0 AS BIGINT),
+                    r.sn + mu.mu_milli - dr.x * 1000 - 2000)
+           FROM dr JOIN r ON dr.event_type = r.event_type
+                         AND dr.rn = r.rn + 1
+                   JOIN mu ON mu.event_type = dr.event_type)
+         SELECT r.event_type, r.day, r.x, mu.mu_milli,
+                CAST(r.sp AS BIGINT) AS cusum_up_milli,
+                CAST(r.sn AS BIGINT) AS cusum_down_milli,
+                r.sp > 50000 AS shift_up, r.sn > 50000 AS shift_down
+         FROM r JOIN mu USING (event_type)""",
 
     "pivot_event_stats" ->
       """SELECT user_id % 10 AS cohort,

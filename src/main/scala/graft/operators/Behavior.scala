@@ -346,6 +346,56 @@ object Behavior {
     * shuffle this one rides). Gaps carry the state unchanged across
     * missing days (the fold is over observed days in order).
     */
+  /** Per-key CUSUM drift detection (C75) — the sustained-shift
+    * complement of [[anomalyZscore]] (point outliers) and
+    * [[ewmaSmooth]] (trend): the classic one-sided pair
+    * `s⁺_i = max(0, s⁺_{i−1} + (x_i − μ − slack))` /
+    * `s⁻_i = max(0, s⁻_{i−1} + (μ − x_i − slack))` accumulates only
+    * CONSISTENT drift above/below the reference mean — a single spike
+    * resets, a level shift integrates until the threshold trips.
+    *
+    * Exact integer arithmetic throughout: values ride in millis, the
+    * reference mean is the first `refDays` observed days' truncating
+    * integer mean (a causal reference window, not a peek at the whole
+    * series), and both recurrences are max/add on longs — the
+    * trajectory is engine-exact and the oracle unrolls it as a
+    * recursive CTE. Same scale shape as [[ewmaSmooth]]: sequential by
+    * nature, so the fold runs over each key's COLLECTED calendar-sized
+    * daily series; events aggregate to daily grain first.
+    */
+  def cusumChangepoints(daily: DataFrame, keyCols: Seq[String],
+                        dayCol: String, valueCol: String, refDays: Int,
+                        slackMilli: Long, thresholdMilli: Long): DataFrame = {
+    require(refDays >= 1, s"refDays must be >= 1, got $refDays")
+    val sorted = daily.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        col(dayCol).cast("long").as("day"),
+        col(valueCol).cast("long").as("x")))).as("__s"))
+      .withColumn("__mu", expr(
+        s"""aggregate(slice(__s, 1, $refDays), 0L, (a, e) -> a + e.x)
+            * 1000L div least(size(__s), $refDays)"""))
+    val folded = sorted.withColumn("__c", expr(s"""aggregate(__s,
+      struct(CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+             CAST(array() AS ARRAY<STRUCT<day: BIGINT, x: BIGINT,
+                                          sp: BIGINT, sn: BIGINT>>) AS out),
+      (acc, el) -> struct(
+        greatest(0L, acc.sp + el.x * 1000L - __mu - ${slackMilli}L) AS sp,
+        greatest(0L, acc.sn + __mu - el.x * 1000L - ${slackMilli}L) AS sn,
+        array_append(acc.out, struct(el.day AS day, el.x AS x,
+          greatest(0L, acc.sp + el.x * 1000L - __mu - ${slackMilli}L) AS sp,
+          greatest(0L, acc.sn + __mu - el.x * 1000L - ${slackMilli}L) AS sn))
+          AS out))"""))
+    folded.select((keyCols.map(col) ++ Seq(col("__mu").as("mu_milli"),
+        explode(col("__c.out")).as("__r"))): _*)
+      .select((keyCols.map(col) ++ Seq(
+        col("__r.day").as("day"), col("__r.x").as("x"),
+        col("mu_milli"),
+        col("__r.sp").as("cusum_up_milli"),
+        col("__r.sn").as("cusum_down_milli"),
+        (col("__r.sp") > thresholdMilli).as("shift_up"),
+        (col("__r.sn") > thresholdMilli).as("shift_down"))): _*)
+  }
+
   def ewmaSmooth(daily: DataFrame, keyCols: Seq[String], dayCol: String,
                  valueCol: String, alphaPermille: Long): DataFrame = {
     require(alphaPermille >= 0 && alphaPermille <= 1000,

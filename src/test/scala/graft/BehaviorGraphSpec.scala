@@ -380,4 +380,46 @@ class BehaviorGraphSpec extends AnyFunSuite {
     assert(gotB == Seq(("A", 0L, 5000L), ("B", 0L, 1000L),
       ("B", 1L, 700L), ("B", 2L, 490L), ("B", 3L, 343L)))
   }
+
+  test("cusumChangepoints: hand-folded up/down trajectories, causal " +
+       "reference mean, spike-vs-shift behavior") {
+    // A: level UP shift at day 3 (10,10,10 -> 20,20,20), refDays=3 so
+    // mu=10000 milli; slack 1000: sp = 0,0,0 then 9000,18000,27000 —
+    // threshold 12000 trips from day 4. sn stays 0 throughout.
+    // B: DOWN shift (10,10,10 -> 2,2): sn = 7000,14000 — trips day 4.
+    val daily = Seq(
+      ("A", 0L, 10L), ("A", 1L, 10L), ("A", 2L, 10L),
+      ("A", 3L, 20L), ("A", 4L, 20L), ("A", 5L, 20L),
+      ("B", 0L, 10L), ("B", 1L, 10L), ("B", 2L, 10L),
+      ("B", 3L, 2L), ("B", 4L, 2L)).toDF("k", "day", "n")
+    val got = Behavior.cusumChangepoints(daily, Seq("k"), "day", "n",
+        refDays = 3, slackMilli = 1000L, thresholdMilli = 12000L)
+      .orderBy("k", "day")
+      .select("k", "day", "mu_milli", "cusum_up_milli", "cusum_down_milli",
+              "shift_up", "shift_down")
+      .as[(String, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("A", 0L, 10000L, 0L, 0L, false, false),
+      ("A", 1L, 10000L, 0L, 0L, false, false),
+      ("A", 2L, 10000L, 0L, 0L, false, false),
+      ("A", 3L, 10000L, 9000L, 0L, false, false),
+      ("A", 4L, 10000L, 18000L, 0L, true, false),
+      ("A", 5L, 10000L, 27000L, 0L, true, false),
+      ("B", 0L, 10000L, 0L, 0L, false, false),
+      ("B", 1L, 10000L, 0L, 0L, false, false),
+      ("B", 2L, 10000L, 0L, 0L, false, false),
+      ("B", 3L, 10000L, 0L, 7000L, false, false),
+      ("B", 4L, 10000L, 0L, 14000L, false, true)))
+    // a single spike then recovery: integrates once, then drains —
+    // never trips (the point-anomaly case belongs to anomaly_zscore)
+    val spike = Seq(("S", 0L, 10L), ("S", 1L, 10L), ("S", 2L, 10L),
+      ("S", 3L, 25L), ("S", 4L, 10L), ("S", 5L, 10L)).toDF("k", "day", "n")
+    val sp = Behavior.cusumChangepoints(spike, Seq("k"), "day", "n",
+        refDays = 3, slackMilli = 1000L, thresholdMilli = 15000L)
+      .orderBy("day").select("cusum_up_milli", "shift_up")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(sp.map(_._1) == Seq(0L, 0L, 0L, 14000L, 13000L, 12000L))
+    assert(sp.forall(!_._2))
+  }
 }

@@ -896,6 +896,15 @@ object SparkEntry {
     "readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables(s, dir).documents, "doc_id", "text")),
 
+    // E68: heuristic code-vs-prose routing signal — four integer
+    // permille signals (terminator lines, indent lines, code keywords
+    // per token, symbol density) blended with fixed weights; a mixed
+    // crawl routes code away from the prose pipeline before
+    // language-ID or quality scoring
+    "code_detect" -> ((s, dir) =>
+      TextAnalysis.codeDetect(Tables(s, dir).documents, "doc_id", "text",
+        thresholdPermille = 150L)),
+
     // E48: KenLM-style corpus trigram counts with cutoff — map-side
     // gram generation, one combined aggregation, tail pruned in-plan
     "ngram_counts" -> ((s, dir) =>
@@ -3307,6 +3316,45 @@ FROM decided""",
 
     // regex classes spelled out so Java and RE2 agree; `//` floors =
     // Spark's `div` truncation on the non-negative operands here
+    "code_detect" ->
+      """WITH sig AS (
+           SELECT doc_id,
+             CAST(length(list_filter(string_split(text, chr(10)),
+                  l -> length(trim(l)) > 0)) AS BIGINT) AS n_lines,
+             CAST(length(regexp_extract_all(text, '(?m)[;{})] *$'))
+                  AS BIGINT) AS pl,
+             CAST(length(regexp_extract_all(text, '(?m)^(    |\t)'))
+                  AS BIGINT) AS il,
+             CAST(length(regexp_extract_all(text,
+                  '\b(def|class|import|return|function|const|void|public|static)\b'))
+                  AS BIGINT) AS kw,
+             CAST(length(regexp_extract_all(text, '[^ \t\r\n\f]+'))
+                  AS BIGINT) AS w,
+             CAST(length(text) - length(translate(text, '{}();=<>', ''))
+                  AS BIGINT) AS sym,
+             CAST(length(text) AS BIGINT) AS ch
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_lines,
+             CASE WHEN n_lines > 0 THEN pl * 1000 // n_lines ELSE 0 END
+               AS punct_line_permille,
+             CASE WHEN n_lines > 0 THEN il * 1000 // n_lines ELSE 0 END
+               AS indent_line_permille,
+             CASE WHEN w > 0 THEN least(1000, kw * 1000 // w) ELSE 0 END
+               AS kw_permille,
+             CASE WHEN ch > 0 THEN sym * 1000 // ch ELSE 0 END
+               AS symbol_permille
+           FROM sig)
+         SELECT doc_id, n_lines, punct_line_permille, indent_line_permille,
+                kw_permille, symbol_permille,
+                CAST((3 * punct_line_permille + 2 * indent_line_permille +
+                      3 * kw_permille + 2 * symbol_permille) // 10
+                     AS BIGINT) AS score_permille,
+                (3 * punct_line_permille + 2 * indent_line_permille +
+                 3 * kw_permille + 2 * symbol_permille) // 10 >= 150
+                  AS is_code
+         FROM r""",
+
     "readability" ->
       """SELECT doc_id, words, sentences, syllables,
                 39 * words // greatest(1, sentences)

@@ -1348,4 +1348,58 @@ object TextAnalysis {
         expr("39 * words div greatest(1L, sentences)" +
           " + 1180 * syllables div greatest(1L, words) - 1559"))
   }
+
+  /** Heuristic code-vs-prose detection (E68) — the routing signal a
+    * mixed crawl needs before language-ID, quality scoring, or
+    * tokenizer choice (code wants a different pipeline than prose):
+    * four integer-permille signals blended with fixed weights —
+    *  - `punct_line_permille`: non-blank lines ending in `; { } )`
+    *    (statement/block terminators; trailing spaces tolerated);
+    *  - `indent_line_permille`: lines opening with 4 spaces or a tab;
+    *  - `kw_permille`: code-keyword hits (`def class import return
+    *    function const void public static`) per whitespace token,
+    *    capped at 1000;
+    *  - `symbol_permille`: `{}();=<>` characters per character
+    *    (counted via `translate`, no regex).
+    * `score_permille = (3·punct + 2·indent + 3·kw + 2·symbol) div 10`,
+    * `is_code = score ≥ threshold`. Every regex is RE2-safe (no `\s`/
+    * `\S` classes — the house vertical-tab lesson; `\b` is ASCII-safe
+    * in both engines), all ratios truncating division on non-negative
+    * operands — bit-identical cross-engine. Purely map-side.
+    */
+  def codeDetect(docs: DataFrame, idCol: String, textCol: String,
+                 thresholdPermille: Long): DataFrame = {
+    val t = col(textCol)
+    val nLines = size(filter(split(t, "\n"), l => length(trim(l)) > 0))
+      .cast("long")
+    val punctLines =
+      regexp_count(t, lit("(?m)[;{})] *$")).cast("long")
+    val indentLines =
+      regexp_count(t, lit("(?m)^(    |\t)")).cast("long")
+    val kwHits = regexp_count(t, lit(
+      "\\b(def|class|import|return|function|const|void|public|static)\\b"))
+      .cast("long")
+    val nWords = regexp_count(t, lit("[^ \\t\\r\\n\\f]+")).cast("long")
+    val symChars = (length(t) - length(translate(t, "{}();=<>", "")))
+      .cast("long")
+    val nChars = length(t).cast("long")
+    docs.select(col(idCol),
+        nLines.as("n_lines"), punctLines.as("__pl"),
+        indentLines.as("__il"), kwHits.as("__kw"), nWords.as("__w"),
+        symChars.as("__sym"), nChars.as("__ch"))
+      .withColumn("punct_line_permille",
+        expr("CASE WHEN n_lines > 0 THEN __pl * 1000L div n_lines ELSE 0L END"))
+      .withColumn("indent_line_permille",
+        expr("CASE WHEN n_lines > 0 THEN __il * 1000L div n_lines ELSE 0L END"))
+      .withColumn("kw_permille",
+        expr("CASE WHEN __w > 0 THEN least(1000L, __kw * 1000L div __w) " +
+             "ELSE 0L END"))
+      .withColumn("symbol_permille",
+        expr("CASE WHEN __ch > 0 THEN __sym * 1000L div __ch ELSE 0L END"))
+      .withColumn("score_permille",
+        expr("(3L * punct_line_permille + 2L * indent_line_permille + " +
+             "3L * kw_permille + 2L * symbol_permille) div 10L"))
+      .withColumn("is_code", col("score_permille") >= thresholdPermille)
+      .drop("__pl", "__il", "__kw", "__w", "__sym", "__ch")
+  }
 }

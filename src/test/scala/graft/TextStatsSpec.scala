@@ -446,4 +446,32 @@ class TextStatsSpec extends AnyFunSuite {
     assert(gen.contains("graft.functions.MultiMatchExpr"),
       "matcher fell out of codegen")
   }
+
+  test("codeDetect: code fixture scores high on all four signals, " +
+       "prose scores low, empty doc is all zeros") {
+    val code = "def f(x):\n    return x + 1;\n    y = {1: 2};\nclass A {\n}"
+    val prose = "The quick brown fox jumps over the lazy dog. " +
+      "It was the best of times and nothing else happened that day."
+    val docs = Seq((1L, code), (2L, prose), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeDetect(docs, "doc_id", "text", 150L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "punct_line_permille",
+        "indent_line_permille", "kw_permille", "symbol_permille",
+        "score_permille", "is_code")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    val (c, p, e) = (got(0), got(1), got(2))
+    // code: 5 lines; ";" x2 + "}" x2 end 4 of 5 lines (line 1 ends ":")
+    //   -> 800; indent 2/5 -> 400; keywords def/return/class = 3 of 14
+    //   tokens -> 214; score = (2400 + 800 + 642 + 2*sym) div 10
+    assert(c._2 == 5L && c._3 == 800L && c._4 == 400L)
+    assert(c._7 >= 150L && c._8, s"code fixture must flag: $c")
+    // prose: no terminator lines, no indent, no keywords ("It"/"the"
+    //   are not in the list), near-zero symbols
+    assert(p._3 == 0L && p._4 == 0L && p._5 == 0L && p._6 == 0L)
+    assert(p._7 == 0L && !p._8)
+    // empty: zero everything, not a division error
+    assert(e == ((3L, 0L, 0L, 0L, 0L, 0L, 0L, false)))
+  }
 }

@@ -2295,6 +2295,18 @@ object SparkEntry {
          "customer.c_nationkey->region.r_regionkey")))
     }),
 
+    // C76: day-of-week seasonality index — per event type, each
+    // weekday's mean daily volume vs the overall mean as an exact
+    // integer cross-ratio (1000 = flat week); epoch day mod 7, no
+    // timezone/locale surface
+    "seasonality_dow" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Behavior.seasonalityDow(daily, Seq("event_type"), "day", "n")
+    }),
+
     // C75: CUSUM drift detection over the daily event-count series —
     // the sustained-shift complement of anomaly_zscore (spikes) and
     // ewma_smooth (trend); reference mean = first 7 observed days
@@ -5109,6 +5121,27 @@ FROM decided""",
            FROM dr JOIN r ON dr.event_type = r.event_type
                          AND dr.rn = r.rn + 1)
          SELECT event_type, day, ewma_milli FROM r""",
+
+    "seasonality_dow" ->
+      """WITH d AS (
+           SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         bydow AS (
+           SELECT event_type, day % 7 AS dow,
+                  CAST(count(*) AS BIGINT) AS dow_days,
+                  CAST(sum(n) AS BIGINT) AS dow_total
+           FROM d GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(n) AS BIGINT) AS total
+           FROM d GROUP BY 1)
+         SELECT b.event_type, b.dow, b.dow_days, b.dow_total,
+                CAST(b.dow_total * t.n_days * 1000
+                     // (t.total * b.dow_days) AS BIGINT) AS index_permille
+         FROM bydow b JOIN tot t USING (event_type)
+         WHERE t.total > 0""",
 
     "cusum_changepoints" ->
       """WITH RECURSIVE d AS (

@@ -346,6 +346,39 @@ object Behavior {
     * shuffle this one rides). Gaps carry the state unchanged across
     * missing days (the fold is over observed days in order).
     */
+  /** Day-of-week seasonality index (C76) — the calendar-shape
+    * companion of [[ewmaSmooth]]/[[cusumChangepoints]]: per key and
+    * weekday, how that weekday's mean daily volume compares to the
+    * key's overall mean, in integer permille (1000 = a flat week).
+    * Exact integer cross-ratio — `(dow_total · n_days · 1000) div
+    * (total · dow_days)` — so no floating mean ever materializes;
+    * truncating division on non-negative operands.
+    *
+    * Scale shape: one daily-grain aggregation (map-side combined),
+    * one (key, dow) aggregation over the calendar-sized daily frame,
+    * one key-level total broadcast back. Weekday numbering is epoch
+    * `day mod 7` (day 0 = Thursday) — a pure function of the day
+    * integer, engine-identical with no timezone/locale surface.
+    */
+  def seasonalityDow(daily: DataFrame, keyCols: Seq[String],
+                     dayCol: String, valueCol: String): DataFrame = {
+    val byDow = daily
+      .select((keyCols.map(col) :+ (col(dayCol) % 7).cast("long").as("dow") :+
+        col(valueCol).cast("long").as("__x")): _*)
+      .groupBy((keyCols.map(col) :+ col("dow")): _*)
+      .agg(count(lit(1)).as("dow_days"), sum("__x").as("dow_total"))
+    val totals = daily
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_days"),
+           sum(col(valueCol).cast("long")).as("total"))
+    byDow.join(broadcast(totals), keyCols)
+      .filter(col("total") > 0)
+      .withColumn("index_permille",
+        expr("dow_total * n_days * 1000L div (total * dow_days)"))
+      .select((keyCols.map(col) ++ Seq(col("dow"), col("dow_days"),
+        col("dow_total"), col("index_permille"))): _*)
+  }
+
   /** Per-key CUSUM drift detection (C75) — the sustained-shift
     * complement of [[anomalyZscore]] (point outliers) and
     * [[ewmaSmooth]] (trend): the classic one-sided pair

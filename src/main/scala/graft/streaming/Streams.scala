@@ -702,6 +702,68 @@ object Streams {
   /** One smoothed point emitted by [[streamEwma]]. */
   case class EwmaPoint(key: String, day: Long, ewma_milli: Long)
 
+  /** D19 state: buffered reference days (bounded by `refDays`), the
+    * fixed mean once known, the folded frontier, and both CUSUM arms. */
+  case class CusumState(buf: List[(Long, Long)], mu: Option[Long],
+                        lastDay: Long, sp: Long, sn: Long)
+  /** One scored day emitted by [[streamCusum]]. */
+  case class CusumPoint(key: String, day: Long, x: Long, mu_milli: Long,
+                        cusum_up_milli: Long, cusum_down_milli: Long,
+                        shift_up: Boolean, shift_down: Boolean)
+
+  /** D19: streaming CUSUM drift detection — the streaming half of C75
+    * with the one semantics difference stated up front: the batch
+    * operator's reference mean uses `min(refDays, series length)`
+    * days, but a stream cannot know a series ended, so scoring BEGINS
+    * when the `refDays`-th day arrives (the buffered reference days
+    * then flush through the recurrence in order — state is bounded by
+    * `refDays + 3` longs per key). On any series with ≥ `refDays`
+    * days the emissions equal the batch operator exactly. The
+    * D1/D14/D18 at-or-below-frontier guard makes at-least-once
+    * replays emit NOTHING; days arriving while the reference window
+    * is still open advance the frontier too (a replay of a buffered
+    * day cannot double-count the mean).
+    */
+  def streamCusum(metrics: Dataset[DailyMetric], refDays: Int,
+                  slackMilli: Long, thresholdMilli: Long)
+      : Dataset[CusumPoint] = {
+    require(refDays >= 1, s"refDays must be >= 1, got $refDays")
+    import metrics.sparkSession.implicits._
+    metrics.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DailyMetric],
+         state: GroupState[CusumState]) =>
+          var st = state.getOption
+            .getOrElse(CusumState(Nil, None, Long.MinValue, 0L, 0L))
+          val out = Seq.newBuilder[CusumPoint]
+          def score(day: Long, x: Long, mu: Long): Unit = {
+            val sp = math.max(0L, st.sp + x * 1000L - mu - slackMilli)
+            val sn = math.max(0L, st.sn + mu - x * 1000L - slackMilli)
+            st = st.copy(lastDay = day, sp = sp, sn = sn)
+            out += CusumPoint(key, day, x, mu, sp, sn,
+              sp > thresholdMilli, sn > thresholdMilli)
+          }
+          rows.toSeq.sortBy(_.day).foreach { m =>
+            if (st.lastDay < m.day) {
+              st.mu match {
+                case Some(mu) => score(m.day, m.x, mu)
+                case None =>
+                  val buf = st.buf :+ (m.day, m.x)
+                  st = st.copy(buf = buf, lastDay = m.day)
+                  if (buf.size == refDays) {
+                    val mu = buf.map(_._2).sum * 1000L / refDays
+                    st = st.copy(buf = Nil, mu = Some(mu))
+                    buf.foreach { case (d, x) => score(d, x, mu) }
+                  }
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** D18: streaming per-key EWMA — the streaming half of C73 exactly
     * as D14 is of C57: keyed state holds TWO longs (last folded day +
     * running milli-state) forever, each batch folds its days in

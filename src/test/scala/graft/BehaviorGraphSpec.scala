@@ -422,4 +422,23 @@ class BehaviorGraphSpec extends AnyFunSuite {
     assert(sp.map(_._1) == Seq(0L, 0L, 0L, 14000L, 13000L, 12000L))
     assert(sp.forall(!_._2))
   }
+
+  test("seasonalityDow: exact cross-ratio index, flat week reads 1000") {
+    // 14 days; days 0 and 7 (dow 0) carry 2, every other day 1:
+    // dow0 index = 4*14*1000 div (16*2) = 1750; others = 875
+    val daily = (0L until 14L)
+      .map(d => ("A", d, if (d % 7 == 0) 2L else 1L))
+      .toDF("k", "day", "n")
+    val got = Behavior.seasonalityDow(daily, Seq("k"), "day", "n")
+      .orderBy("dow")
+      .select("dow", "dow_days", "dow_total", "index_permille")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.head == ((0L, 2L, 4L, 1750L)))
+    assert(got.tail.forall(r => r._2 == 2L && r._3 == 2L && r._4 == 875L))
+    // flat series -> every weekday indexes exactly 1000
+    val flat = (0L until 21L).map(d => ("B", d, 5L)).toDF("k", "day", "n")
+    val f = Behavior.seasonalityDow(flat, Seq("k"), "day", "n")
+      .select("index_permille").as[Long].collect().toSeq
+    assert(f.size == 7 && f.forall(_ == 1000L))
+  }
 }

@@ -310,4 +310,47 @@ class StreamAggSpec extends AnyFunSuite {
     // then day 3 folds against 700 -> 490 (no decay for missing day 2)
     assert(got.filter(_._1 == "A").map(_._3) == Seq(1000L, 700L, 490L))
   }
+
+  // --- D19: streaming CUSUM ----------------------------------------------
+
+  test("streamCusum: emissions flush when the reference window fills " +
+       "and equal the batch operator; replays and short series emit " +
+       "nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.DailyMetric]
+    val q = input.toDS()
+      .transform(ds => Streams.streamCusum(ds, refDays = 3,
+        slackMilli = 1000L, thresholdMilli = 12000L))
+      .writeStream.format("memory").queryName("cusum_sink")
+      .outputMode("append").start()
+    def m(k: String, d: Long, x: Long) = Streams.DailyMetric(k, d, x)
+    try {
+      // batch 1: reference window still open -> NOTHING emitted
+      input.addData(m("A", 0L, 10L), m("A", 1L, 10L), m("C", 0L, 5L))
+      q.processAllAvailable()
+      assert(spark.table("cusum_sink").isEmpty)
+      // batch 2: day 2 completes A's window -> days 0..2 flush, 3,4 score
+      input.addData(m("A", 2L, 10L), m("A", 3L, 20L), m("A", 4L, 20L),
+        m("C", 1L, 5L))
+      q.processAllAvailable()
+      // batch 3: day 5 + full replay of batch 2 (all at-or-below frontier)
+      input.addData(m("A", 5L, 20L), m("A", 3L, 20L), m("A", 4L, 20L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cusum_sink")
+      .as[(String, Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().toSeq.sorted
+    // C never reaches 3 days -> absent entirely
+    assert(got.forall(_._1 == "A"))
+    val daily = Seq(("A", 0L, 10L), ("A", 1L, 10L), ("A", 2L, 10L),
+      ("A", 3L, 20L), ("A", 4L, 20L), ("A", 5L, 20L)).toDF("k", "day", "n")
+    val want = graft.operators.Behavior
+      .cusumChangepoints(daily, Seq("k"), "day", "n",
+        refDays = 3, slackMilli = 1000L, thresholdMilli = 12000L)
+      .select("k", "day", "x", "mu_milli", "cusum_up_milli",
+        "cusum_down_milli", "shift_up", "shift_down")
+      .as[(String, Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().toSeq.sorted
+    assert(got == want)
+  }
 }

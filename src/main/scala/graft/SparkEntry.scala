@@ -2295,6 +2295,18 @@ object SparkEntry {
          "customer.c_nationkey->region.r_regionkey")))
     }),
 
+    // C77: missing-partition detection — deterministically thinned
+    // daily presence (days ≡ 3 mod 5 and ≡ 2 mod 7 dropped) so the
+    // gap detector reports 1- and 2-day runs; a year-long gap would
+    // be ONE row, not 365 (no generate-and-anti-join blowup)
+    "partition_gaps" -> ((s, dir) => {
+      val present = Tables(s, dir).events
+        .select(col("event_type"),
+          expr("ts_ns div 86400000000000").as("day"))
+        .filter(col("day") % 5 =!= 3 && col("day") % 7 =!= 2)
+      Relational.partitionGaps(present, Seq("event_type"), "day")
+    }),
+
     // C76: day-of-week seasonality index — per event type, each
     // weekday's mean daily volume vs the overall mean as an exact
     // integer cross-ratio (1000 = flat week); epoch day mod 7, no
@@ -5121,6 +5133,20 @@ FROM decided""",
            FROM dr JOIN r ON dr.event_type = r.event_type
                          AND dr.rn = r.rn + 1)
          SELECT event_type, day, ewma_milli FROM r""",
+
+    "partition_gaps" ->
+      """WITH p AS (
+           SELECT DISTINCT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+           FROM events),
+         f AS (SELECT * FROM p WHERE day % 5 != 3 AND day % 7 != 2),
+         l AS (SELECT event_type, day,
+                      lag(day) OVER (PARTITION BY event_type
+                                     ORDER BY day) AS prev
+               FROM f)
+         SELECT event_type, prev + 1 AS gap_start, day - 1 AS gap_end,
+                day - prev - 1 AS gap_days
+         FROM l WHERE prev IS NOT NULL AND day - prev > 1""",
 
     "seasonality_dow" ->
       """WITH d AS (

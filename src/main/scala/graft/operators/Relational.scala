@@ -1015,6 +1015,30 @@ object Relational {
     * individually crash-safe via recover; the view is written first
     * because it reads the PRE-apply fact/dim).
     */
+  /** Missing-partition detection (C77) — the operational health check
+    * every dated table needs (did ingest skip a day?): per key, every
+    * RUN of absent days strictly between the key's first and last
+    * observed day, as `(gap_start, gap_end, gap_days)` rows. The
+    * classic gaps-and-islands shape: distinct observed days, one
+    * key-partitioned `lag` window, a gap row wherever the step
+    * exceeds 1 — the frame is calendar-sized per key, never
+    * row-sized, and there is no generate-all-days-and-anti-join
+    * blowup (a year-long gap is ONE row, not 365).
+    */
+  def partitionGaps(present: DataFrame, keyCols: Seq[String],
+                    dayCol: String): DataFrame = {
+    present.select((keyCols.map(col) :+ col(dayCol).cast("long")
+        .as("__day")): _*)
+      .distinct()
+      .withColumn("__prev", lag(col("__day"), 1).over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col("__day"))))
+      .filter(col("__prev").isNotNull && col("__day") - col("__prev") > 1)
+      .select((keyCols.map(col) ++ Seq(
+        (col("__prev") + 1).as("gap_start"),
+        (col("__day") - 1).as("gap_end"),
+        (col("__day") - col("__prev") - 1).as("gap_days"))): _*)
+  }
+
   /** Foreign-key / containment profiling (C74) — the data-profiling
     * question schema discovery asks of every candidate column pair:
     * how much of the child column's DISTINCT value set lives inside

@@ -433,4 +433,18 @@ class SnapshotRollingSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long)].head()
     assert(full == (("fk", 3L, 5L, 3L, 1000L)))
   }
+
+  // --- partitionGaps -----------------------------------------------------
+
+  test("partitionGaps: runs coalesce to one row, edges are exclusive, " +
+       "duplicate presence rows are hygiene-deduped") {
+    // key A present: 0,1,4,5,9 (dup 5) -> gaps [2,3] and [6,8]
+    // key B present: 3 only -> no gap (nothing between first and last)
+    val present = Seq(("A", 0L), ("A", 1L), ("A", 4L), ("A", 5L),
+      ("A", 5L), ("A", 9L), ("B", 3L)).toDF("k", "day")
+    val got = Relational.partitionGaps(present, Seq("k"), "day")
+      .orderBy("k", "gap_start")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 2L, 3L, 2L), ("A", 6L, 8L, 3L)))
+  }
 }

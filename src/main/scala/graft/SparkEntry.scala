@@ -2295,6 +2295,16 @@ object SparkEntry {
          "customer.c_nationkey->region.r_regionkey")))
     }),
 
+    // C78: percentile winsorization report — exact per-stratum P5/P95
+    // order statistics from the distinct-value distribution window
+    // (the corpus never sorts), clip counts + raw vs clipped sums in
+    // integer millis
+    "clip_outliers" -> ((s, dir) =>
+      Relational.clipOutliers(
+        Tables(s, dir).lineitem.select(col("l_returnflag"),
+          col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice", pLow = 5, pHigh = 95)),
+
     // C77: missing-partition detection — deterministically thinned
     // daily presence (days ≡ 3 mod 5 and ≡ 2 mod 7 dropped) so the
     // gap detector reports 1- and 2-day runs; a year-long gap would
@@ -5133,6 +5143,34 @@ FROM decided""",
            FROM dr JOIN r ON dr.event_type = r.event_type
                          AND dr.rn = r.rn + 1)
          SELECT event_type, day, ewma_milli FROM r""",
+
+    "clip_outliers" ->
+      """WITH rws AS (
+           SELECT l_returnflag AS stratum,
+                  CAST(round(l_extendedprice * 1000) AS BIGINT) AS v
+           FROM lineitem),
+         dist AS (SELECT stratum, v, CAST(count(*) AS BIGINT) AS c
+                  FROM rws GROUP BY 1, 2),
+         cum AS (SELECT stratum, v, c,
+                   sum(c) OVER (PARTITION BY stratum ORDER BY v) AS cumc,
+                   sum(c) OVER (PARTITION BY stratum) AS n
+                 FROM dist),
+         thr AS (SELECT stratum,
+                   min(CASE WHEN cumc * 100 >= 5 * n THEN v END) AS lo_milli,
+                   min(CASE WHEN cumc * 100 >= 95 * n THEN v END) AS hi_milli
+                 FROM cum GROUP BY 1)
+         SELECT r.stratum, CAST(t.lo_milli AS BIGINT) AS lo_milli,
+                CAST(t.hi_milli AS BIGINT) AS hi_milli,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN r.v < t.lo_milli THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clipped_low,
+                CAST(sum(CASE WHEN r.v > t.hi_milli THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clipped_high,
+                CAST(sum(r.v) AS BIGINT) AS sum_raw_milli,
+                CAST(sum(greatest(t.lo_milli, least(t.hi_milli, r.v)))
+                     AS BIGINT) AS sum_clipped_milli
+         FROM rws r JOIN thr t USING (stratum)
+         GROUP BY 1, 2, 3""",
 
     "partition_gaps" ->
       """WITH p AS (

@@ -1015,6 +1015,49 @@ object Relational {
     * individually crash-safe via recover; the view is written first
     * because it reads the PRE-apply fact/dim).
     */
+  /** Percentile winsorization report (C78) — outlier clipping at
+    * exact per-stratum percentile thresholds, the feature-hygiene
+    * step before any mean-based model sees a long-tailed column. The
+    * thresholds are EXACT order statistics in integer millis:
+    * `lo = min{v : cum(v)·100 ≥ pLow·n}`,
+    * `hi = min{v : cum(v)·100 ≥ pHigh·n}` over the per-stratum
+    * distinct-value distribution — the E42 device: the cumulative
+    * window runs over the (stratum, value) DISTRIBUTION table
+    * (bounded by value cardinality), the corpus never sorts. Output
+    * is the per-stratum report (thresholds, clip counts, raw vs
+    * clipped integer-milli sums); the same broadcast-threshold join
+    * applied row-wise is the clipped-column writer.
+    */
+  def clipOutliers(df: DataFrame, stratumCol: String, valueCol: String,
+                   pLow: Int, pHigh: Int): DataFrame = {
+    require(0 <= pLow && pLow < pHigh && pHigh <= 100,
+      s"need 0 <= pLow < pHigh <= 100, got ($pLow, $pHigh)")
+    val rows = df.select(col(stratumCol).as("stratum"),
+      round(col(valueCol) * 1000).cast("long").as("__v"))
+    val dist = rows.groupBy("stratum", "__v").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("stratum").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thresholds = dist
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("stratum")))
+      .groupBy("stratum")
+      .agg(min(when(col("__cum") * 100 >= lit(pLow) * col("__n"), col("__v")))
+             .as("lo_milli"),
+           min(when(col("__cum") * 100 >= lit(pHigh) * col("__n"), col("__v")))
+             .as("hi_milli"))
+    rows.join(broadcast(thresholds), Seq("stratum"))
+      .groupBy("stratum")
+      .agg(first("lo_milli").as("lo_milli"), first("hi_milli").as("hi_milli"),
+           count(lit(1)).as("n"),
+           sum(when(col("__v") < col("lo_milli"), 1L).otherwise(0L))
+             .as("n_clipped_low"),
+           sum(when(col("__v") > col("hi_milli"), 1L).otherwise(0L))
+             .as("n_clipped_high"),
+           sum(col("__v")).as("sum_raw_milli"),
+           sum(greatest(col("lo_milli"), least(col("hi_milli"), col("__v"))))
+             .as("sum_clipped_milli"))
+  }
+
   /** Missing-partition detection (C77) — the operational health check
     * every dated table needs (did ingest skip a day?): per key, every
     * RUN of absent days strictly between the key's first and last

@@ -447,4 +447,25 @@ class SnapshotRollingSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("A", 2L, 3L, 2L), ("A", 6L, 8L, 3L)))
   }
+
+  // --- clipOutliers ------------------------------------------------------
+
+  test("clipOutliers: exact order-statistic thresholds, clip counts, " +
+       "clipped sum arithmetic") {
+    // stratum A: 1..20 (milli 1000..20000); P5 = first v with
+    // cum*100 >= 5*20 (cum >= 1) -> 1000; P95: cum >= 19 -> 19000.
+    // So only 20 clips high (20000 -> 19000): sum drops by 1000.
+    val df = (1 to 20).map(i => ("A", i.toDouble)).toDF("s", "v")
+    val got = Relational.clipOutliers(df, "s", "v", 5, 95)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == (("A", 1000L, 19000L, 20L, 0L, 1L, 210000L, 209000L)))
+    // heavy duplicate mass: 10x value 5, one 100 -> P95 threshold is
+    // 100 itself only when cum crosses at it; with n=11, 95*n/100 =
+    // 10.45 -> cum(5)=10 < 10.45, cum(100)=11 -> hi = 100000, nothing
+    // clips; lo: 5*11/100 = 0.55 -> cum(5)=10 >= 0.55*... lo = 5000
+    val dup = (Seq.fill(10)(5.0) :+ 100.0).map(("B", _)).toDF("s", "v")
+    val g2 = Relational.clipOutliers(dup, "s", "v", 5, 95)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(g2 == (("B", 5000L, 100000L, 11L, 0L, 0L, 150000L, 150000L)))
+  }
 }

@@ -896,6 +896,13 @@ object SparkEntry {
     "readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables(s, dir).documents, "doc_id", "text")),
 
+    // E69: sentence segmentation — one row per maximal terminator-run
+    // sentence with index/char/token counts; unterminated tails ride
+    // along flagged rather than silently dropping
+    "sentence_segment" -> ((s, dir) =>
+      TextAnalysis.sentenceSegment(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // E68: heuristic code-vs-prose routing signal — four integer
     // permille signals (terminator lines, indent lines, code keywords
     // per token, symbol density) blended with fixed weights; a mixed
@@ -3350,6 +3357,29 @@ FROM decided""",
 
     // regex classes spelled out so Java and RE2 agree; `//` floors =
     // Spark's `div` truncation on the non-negative operands here
+    "sentence_segment" ->
+      """WITH segs AS (
+           SELECT doc_id,
+             list_concat(regexp_extract_all(text, '[^.!?]+[.!?]+'),
+               CASE WHEN coalesce(regexp_extract(text, '[^.!?]+$'), '') != ''
+                    THEN [regexp_extract(text, '[^.!?]+$')]
+                    ELSE [] END) AS s
+           FROM documents),
+         ex AS (
+           SELECT doc_id, i AS ix, s[i] AS raw
+           FROM segs, UNNEST(generate_series(1, len(s))) AS g(i)),
+         f AS (
+           SELECT doc_id, CAST(ix AS BIGINT) AS sent_ix,
+                  trim(raw) AS sentence,
+                  length(regexp_extract_all(raw, '[.!?]+ *$')) AS term
+           FROM ex)
+         SELECT doc_id, sent_ix, sentence,
+                CAST(length(sentence) AS BIGINT) AS n_chars,
+                CAST(length(regexp_extract_all(sentence, '[^ \t\r\n\f]+'))
+                     AS BIGINT) AS n_words,
+                term > 0 AS terminated
+         FROM f WHERE length(sentence) > 0""",
+
     "code_detect" ->
       """WITH sig AS (
            SELECT doc_id,

@@ -1349,6 +1349,39 @@ object TextAnalysis {
           " + 1180 * syllables div greatest(1L, words) - 1559"))
   }
 
+  /** Sentence segmentation (E69) — the span primitive under
+    * [[readability]]'s counts and `sft_pairs`' boundary search: one
+    * row per sentence with its 1-based index, trimmed text, char and
+    * house-token counts, and whether a terminator closed it (the
+    * trailing fragment of an unterminated doc rides along flagged
+    * `terminated = false` — dropping it would silently lose tail
+    * text). Sentences are maximal `[^.!?]+[.!?]+` runs — the same
+    * RE2-safe terminator class the readability/SFT family uses, no
+    * lookbehind (RE2 has none). All-space fragments vanish; a doc of
+    * only terminators emits nothing. Purely map-side
+    * (regexp_extract_all + posexplode), zero shuffle.
+    */
+  def sentenceSegment(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val closed = regexp_extract_all(t, lit("[^.!?]+[.!?]+"), lit(0))
+    val trailing = regexp_extract(t, "[^.!?]+$", 0)
+    docs.select(col(idCol),
+        concat(closed,
+          when(trailing =!= "", array(trailing))
+            .otherwise(array().cast("array<string>"))).as("__s"))
+      .select(col(idCol), posexplode(col("__s")).as(Seq("__ix", "__raw")))
+      .select(col(idCol), (col("__ix") + 1).cast("long").as("sent_ix"),
+        trim(col("__raw")).as("sentence"),
+        regexp_count(col("__raw"), lit("[.!?]+ *$")).cast("long").as("__term"))
+      .filter(length(col("sentence")) > 0)
+      .select(col(idCol), col("sent_ix"), col("sentence"),
+        length(col("sentence")).cast("long").as("n_chars"),
+        regexp_count(col("sentence"), lit("[^ \\t\\r\\n\\f]+")).cast("long")
+          .as("n_words"),
+        (col("__term") > 0).as("terminated"))
+  }
+
   /** Heuristic code-vs-prose detection (E68) — the routing signal a
     * mixed crawl needs before language-ID, quality scoring, or
     * tokenizer choice (code wants a different pipeline than prose):

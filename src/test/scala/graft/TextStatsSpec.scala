@@ -474,4 +474,21 @@ class TextStatsSpec extends AnyFunSuite {
     // empty: zero everything, not a division error
     assert(e == ((3L, 0L, 0L, 0L, 0L, 0L, 0L, false)))
   }
+
+  test("sentenceSegment: indices, terminator runs, unterminated tail " +
+       "flagged, degenerate docs emit nothing") {
+    val docs = Seq(
+      (1L, "One two. Three?! Four no end"),
+      (2L, "..."),            // only terminators -> nothing
+      (3L, ""),               // empty -> nothing
+      (4L, "Hi.")).toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceSegment(docs, "doc_id", "text")
+      .orderBy("doc_id", "sent_ix")
+      .as[(Long, Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "One two.", 8L, 2L, true),
+      (1L, 2L, "Three?!", 7L, 1L, true),
+      (1L, 3L, "Four no end", 11L, 3L, false),
+      (4L, 1L, "Hi.", 3L, 1L, true)))
+  }
 }

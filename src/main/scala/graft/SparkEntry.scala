@@ -2302,6 +2302,16 @@ object SparkEntry {
          "customer.c_nationkey->region.r_regionkey")))
     }),
 
+    // C79: Benford first-digit audit — observed vs log10(1+1/d)
+    // permilles per stratum, first digit from the value's decimal
+    // string (no float log); the fabricated-data / broken-ETL smell
+    // test as one aggregation
+    "benford_check" -> ((s, dir) =>
+      Relational.benfordCheck(
+        Tables(s, dir).lineitem.select(col("l_returnflag"),
+          col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice")),
+
     // C78: percentile winsorization report — exact per-stratum P5/P95
     // order statistics from the distinct-value distribution window
     // (the corpus never sorts), clip counts + raw vs clipped sums in
@@ -5173,6 +5183,28 @@ FROM decided""",
            FROM dr JOIN r ON dr.event_type = r.event_type
                          AND dr.rn = r.rn + 1)
          SELECT event_type, day, ewma_milli FROM r""",
+
+    "benford_check" ->
+      """WITH d AS (
+           SELECT l_returnflag AS stratum,
+                  substr(CAST(CAST(round(l_extendedprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS digit
+           FROM lineitem
+           WHERE CAST(round(l_extendedprice) AS BIGINT) >= 1),
+         c AS (SELECT stratum, digit, CAST(count(*) AS BIGINT) AS n
+               FROM d GROUP BY 1, 2),
+         t AS (SELECT *, sum(n) OVER (PARTITION BY stratum) AS tot FROM c),
+         e(digit, benford_permille) AS (VALUES
+           ('1', 301), ('2', 176), ('3', 125), ('4', 97), ('5', 79),
+           ('6', 67), ('7', 58), ('8', 51), ('9', 46))
+         SELECT t.stratum, t.digit, t.n,
+                CAST(t.n * 1000 // t.tot AS BIGINT) AS obs_permille,
+                CAST(coalesce(e.benford_permille, 0) AS BIGINT)
+                  AS benford_permille,
+                CAST(abs(t.n * 1000 // t.tot
+                         - coalesce(e.benford_permille, 0)) AS BIGINT)
+                  AS dev_permille
+         FROM t LEFT JOIN e USING (digit)""",
 
     "clip_outliers" ->
       """WITH rws AS (

@@ -1015,6 +1015,42 @@ object Relational {
     * individually crash-safe via recover; the view is written first
     * because it reads the PRE-apply fact/dim).
     */
+  /** Benford first-digit audit (C79) — the classic fabricated-data /
+    * broken-ETL smell test: naturally-occurring multiplicative
+    * quantities put digit d first with probability `log10(1+1/d)`;
+    * uniform or hand-typed data does not. Per stratum and digit:
+    * observed count, observed vs expected integer permille, and the
+    * absolute deviation — all exact integers (the expected permilles
+    * are the rounded constants 301..46; the first digit comes from
+    * the value's DECIMAL STRING, no float log anywhere). One
+    * (stratum, digit) aggregation over a map-side digit extraction;
+    * values below 1 are excluded (no leading digit).
+    */
+  def benfordCheck(df: DataFrame, stratumCol: String,
+                   valueCol: String): DataFrame = {
+    val benford = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+    val expected = benford.zipWithIndex
+      .map { case (p, i) => (i + 1).toString -> p }
+      .foldLeft(lit(0L): Column) { case (acc, (d, p)) =>
+        when(col("digit") === d, lit(p)).otherwise(acc) }
+    val digits = df
+      .select(col(stratumCol).as("stratum"),
+        round(col(valueCol)).cast("long").as("__v"))
+      .filter(col("__v") >= 1L)
+      .select(col("stratum"), substring(col("__v").cast("string"), 1, 1)
+        .as("digit"))
+    val counts = digits.groupBy("stratum", "digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot",
+        sum("n").over(Window.partitionBy("stratum")))
+    counts
+      .withColumn("obs_permille", expr("n * 1000L div __tot"))
+      .withColumn("benford_permille", expected)
+      .withColumn("dev_permille",
+        abs(col("obs_permille") - col("benford_permille")))
+      .drop("__tot")
+  }
+
   /** Percentile winsorization report (C78) — outlier clipping at
     * exact per-stratum percentile thresholds, the feature-hygiene
     * step before any mean-based model sees a long-tailed column. The

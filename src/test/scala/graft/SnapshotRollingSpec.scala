@@ -468,4 +468,23 @@ class SnapshotRollingSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
     assert(g2 == (("B", 5000L, 100000L, 11L, 0L, 0L, 150000L, 150000L)))
   }
+
+  // --- benfordCheck ------------------------------------------------------
+
+  test("benfordCheck: digit extraction, permilles, expected constants, " +
+       "sub-1 values excluded") {
+    // 10 values: digit 1 x5 (1, 10, 150, 1.2->1, 19), digit 2 x3,
+    // digit 9 x2; 0.4 rounds to 0 -> excluded
+    val df = Seq(1.0, 10.0, 150.0, 1.2, 19.0, 2.0, 25.0, 200.0,
+      9.0, 90.0, 0.4).map(("A", _)).toDF("s", "v")
+    val got = Relational.benfordCheck(df, "s", "v")
+      .orderBy("digit")
+      .select("digit", "n", "obs_permille", "benford_permille",
+        "dev_permille")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("1", 5L, 500L, 301L, 199L),
+      ("2", 3L, 300L, 176L, 124L),
+      ("9", 2L, 200L, 46L, 154L)))
+  }
 }

@@ -2302,6 +2302,15 @@ object SparkEntry {
          "customer.c_nationkey->region.r_regionkey")))
     }),
 
+    // C80: equi-depth histogram — k bins of ~equal row count from the
+    // distinct-value distribution window; duplicates never split
+    // across bins, heavy values own their bin outright
+    "equidepth_histogram" -> ((s, dir) =>
+      Relational.equiDepthHistogram(
+        Tables(s, dir).lineitem.select(col("l_returnflag"),
+          col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice", k = 16)),
+
     // C79: Benford first-digit audit — observed vs log10(1+1/d)
     // permilles per stratum, first digit from the value's decimal
     // string (no float log); the fabricated-data / broken-ETL smell
@@ -5183,6 +5192,23 @@ FROM decided""",
            FROM dr JOIN r ON dr.event_type = r.event_type
                          AND dr.rn = r.rn + 1)
          SELECT event_type, day, ewma_milli FROM r""",
+
+    "equidepth_histogram" ->
+      """WITH rws AS (
+           SELECT l_returnflag AS stratum,
+                  CAST(round(l_extendedprice * 1000) AS BIGINT) AS v
+           FROM lineitem),
+         dist AS (SELECT stratum, v, CAST(count(*) AS BIGINT) AS c
+                  FROM rws GROUP BY 1, 2),
+         cum AS (SELECT stratum, v, c,
+                   sum(c) OVER (PARTITION BY stratum ORDER BY v) AS cumc,
+                   sum(c) OVER (PARTITION BY stratum) AS n
+                 FROM dist)
+         SELECT stratum, CAST((cumc - c) * 16 // n AS BIGINT) AS bin,
+                min(v) AS lo_milli, max(v) AS hi_milli,
+                CAST(sum(c) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_distinct
+         FROM cum GROUP BY 1, 2""",
 
     "benford_check" ->
       """WITH d AS (

@@ -1015,6 +1015,37 @@ object Relational {
     * individually crash-safe via recover; the view is written first
     * because it reads the PRE-apply fact/dim).
     */
+  /** Equi-DEPTH histogram (C80) — the optimizer's-eye view of a
+    * column that [[clipOutliers]]'s cousin `value_histogram`
+    * (equi-width) distorts under skew: `k` bins holding ~equal row
+    * counts, so dense regions get narrow bins and the long tail
+    * collapses into wide ones. A distinct value belongs WHOLLY to the
+    * bin of its exclusive-prefix position — `bin = (cum(v) − c(v)) ·
+    * k div n` — duplicates never split across bins, so bin counts are
+    * exact integers and a heavy value may own its bin outright
+    * (counts then exceed n/k — the honest equi-depth behavior, not a
+    * defect). Same scale shape as [[clipOutliers]]: the cumulative
+    * window runs over the per-stratum DISTINCT-VALUE distribution,
+    * the corpus never sorts.
+    */
+  def equiDepthHistogram(df: DataFrame, stratumCol: String,
+                         valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rows = df.select(col(stratumCol).as("stratum"),
+      round(col(valueCol) * 1000).cast("long").as("__v"))
+    val dist = rows.groupBy("stratum", "__v").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("stratum").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("stratum")))
+      .withColumn("bin",
+        expr(s"(__cum - __c) * ${k}L div __n"))
+      .groupBy("stratum", "bin")
+      .agg(min("__v").as("lo_milli"), max("__v").as("hi_milli"),
+           sum("__c").as("n_rows"), count(lit(1)).as("n_distinct"))
+  }
+
   /** Benford first-digit audit (C79) — the classic fabricated-data /
     * broken-ETL smell test: naturally-occurring multiplicative
     * quantities put digit d first with probability `log10(1+1/d)`;

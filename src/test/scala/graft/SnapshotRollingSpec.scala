@@ -487,4 +487,28 @@ class SnapshotRollingSpec extends AnyFunSuite {
       ("2", 3L, 300L, 176L, 124L),
       ("9", 2L, 200L, 46L, 154L)))
   }
+
+  // --- equiDepthHistogram ------------------------------------------------
+
+  test("equiDepthHistogram: equal-depth bins, whole-value assignment, " +
+       "heavy value owns its bin") {
+    // 8 distinct values 1..8, one row each, k=4 -> bins of exactly 2
+    val even = (1 to 8).map(i => ("A", i.toDouble)).toDF("s", "v")
+    val g1 = Relational.equiDepthHistogram(even, "s", "v", 4)
+      .orderBy("bin")
+      .select("bin", "lo_milli", "hi_milli", "n_rows", "n_distinct")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g1 == Seq((0L, 1000L, 2000L, 2L, 2L), (1L, 3000L, 4000L, 2L, 2L),
+      (2L, 5000L, 6000L, 2L, 2L), (3L, 7000L, 8000L, 2L, 2L)))
+    // heavy value: 10x value 5 + values 1,9; k=3, n=12.
+    // exclusive prefixes: 1->0 (bin 0), 5->1 (bin 0), 9->11 (bin 2):
+    // value 5's 10 rows stay WHOLE in bin 0; bin 1 is simply absent
+    val heavy = (Seq(1.0, 9.0) ++ Seq.fill(10)(5.0)).map(("B", _))
+      .toDF("s", "v")
+    val g2 = Relational.equiDepthHistogram(heavy, "s", "v", 3)
+      .orderBy("bin")
+      .select("bin", "lo_milli", "hi_milli", "n_rows", "n_distinct")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq((0L, 1000L, 5000L, 11L, 2L), (2L, 9000L, 9000L, 1L, 1L)))
+  }
 }

@@ -896,6 +896,19 @@ object SparkEntry {
     "readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables(s, dir).documents, "doc_id", "text")),
 
+    // E70: log-template mining (Drain-lite) — event rows rendered as
+    // log lines, variable parts masked (hex >= 8 then digit runs),
+    // one row per surviving template with count + lexicographically
+    // first example
+    "log_templates" -> ((s, dir) => {
+      val lines = Tables(s, dir).events.select(concat(
+        lit("evt type="), col("event_type"),
+        lit(" user="), col("user_id"),
+        lit(" value_milli="),
+        expr("CAST(round(value * 1000) AS LONG)")).as("line"))
+      TextAnalysis.logTemplates(lines, "line", minCount = 2L)
+    }),
+
     // E69: sentence segmentation — one row per maximal terminator-run
     // sentence with index/char/token counts; unterminated tails ride
     // along flagged rather than silently dropping
@@ -3376,6 +3389,23 @@ FROM decided""",
 
     // regex classes spelled out so Java and RE2 agree; `//` floors =
     // Spark's `div` truncation on the non-negative operands here
+    "log_templates" ->
+      """WITH lines AS (
+           SELECT 'evt type=' || event_type || ' user=' ||
+                  CAST(user_id AS VARCHAR) || ' value_milli=' ||
+                  CAST(CAST(round(value * 1000) AS BIGINT) AS VARCHAR)
+                    AS raw
+           FROM events),
+         t AS (
+           SELECT raw,
+                  regexp_replace(
+                    regexp_replace(raw, '[0-9a-f]{8,}', '<H>', 'g'),
+                    '[0-9]+', '<N>', 'g') AS template
+           FROM lines WHERE length(trim(raw)) > 0)
+         SELECT template, CAST(count(*) AS BIGINT) AS n,
+                min(raw) AS example
+         FROM t GROUP BY 1 HAVING count(*) >= 2""",
+
     "sentence_segment" ->
       """WITH segs AS (
            SELECT doc_id,

@@ -1349,6 +1349,32 @@ object TextAnalysis {
           " + 1180 * syllables div greatest(1L, words) - 1559"))
   }
 
+  /** Log-template mining (E70, Drain-lite) — the ops-log
+    * understanding step: lines collapse to TEMPLATES by masking the
+    * variable parts (hex runs ≥ 8 first — else `deadbeef1234` decays to
+    * digit fragments; 8 keeps short all-digit ids like `1234` in the
+    * `<N>` class — then digit runs to `<N>`),
+    * then one template-keyed count with the lexicographically first
+    * raw line kept as the example. Order of the two masks is part of
+    * the contract; both classes are RE2-safe. Map-side explode +
+    * split, ONE template-keyed aggregation (map-side combined);
+    * blank lines drop.
+    */
+  def logTemplates(docs: DataFrame, textCol: String,
+                   minCount: Long): DataFrame = {
+    val line = trim(col("__line"))
+    docs.select(explode(split(col(textCol), "\n")).as("__line"))
+      .select(line.as("__raw"))
+      .filter(length(col("__raw")) > 0)
+      .withColumn("template",
+        regexp_replace(
+          regexp_replace(col("__raw"), "[0-9a-f]{8,}", "<H>"),
+          "[0-9]+", "<N>"))
+      .groupBy("template")
+      .agg(count(lit(1)).as("n"), min("__raw").as("example"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Sentence segmentation (E69) — the span primitive under
     * [[readability]]'s counts and `sft_pairs`' boundary search: one
     * row per sentence with its 1-based index, trimmed text, char and

@@ -491,4 +491,20 @@ class TextStatsSpec extends AnyFunSuite {
       (1L, 3L, "Four no end", 11L, 3L, false),
       (4L, 1L, "Hi.", 3L, 1L, true)))
   }
+
+  test("logTemplates: hex-before-digit masking, multi-line docs, " +
+       "min-count filter, lexicographic example") {
+    val docs = Seq(
+      "GET /api/v2/user/123 took 45ms\nGET /api/v2/user/9 took 3ms",
+      "session deadbeef01 expired\nsession cafebabe99 expired",
+      "   \nonce-only line 7").toDF("text")
+    val got = TextAnalysis.logTemplates(docs, "text", minCount = 2L)
+      .orderBy("template")
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("GET /api/v<N>/user/<N> took <N>ms", 2L,
+       "GET /api/v2/user/123 took 45ms"),
+      ("session <H> expired", 2L, "session cafebabe99 expired")))
+    // blank line dropped; the once-only line fails minCount
+  }
 }

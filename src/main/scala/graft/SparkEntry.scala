@@ -2315,6 +2315,24 @@ object SparkEntry {
          "customer.c_nationkey->region.r_regionkey")))
     }),
 
+    // C81: PSI drift monitor — even orderkeys are the base snapshot,
+    // odd the current, with the 1-URGENT stratum's prices tripled in
+    // current so exactly one stratum crosses the 0.2-nat drift line;
+    // bins are equi-width over the BASE stratum range, Laplace-
+    // smoothed micro proportions, micro-nat quantized log
+    "psi_drift" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+      val cur = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderpriority"),
+          when(col("o_orderpriority") === "1-URGENT",
+            col("o_totalprice") * 3).otherwise(col("o_totalprice"))
+            .as("o_totalprice"))
+      Relational.psiDrift(base, cur, "o_orderpriority", "o_totalprice",
+        k = 10)
+    }),
+
     // C80: equi-depth histogram — k bins of ~equal row count from the
     // distinct-value distribution window; duplicates never split
     // across bins, heavy values own their bin outright
@@ -5222,6 +5240,59 @@ FROM decided""",
            FROM dr JOIN r ON dr.event_type = r.event_type
                          AND dr.rn = r.rn + 1)
          SELECT event_type, day, ewma_milli FROM r""",
+
+    "psi_drift" ->
+      """WITH b AS (
+           SELECT o_orderpriority AS stratum,
+                  CAST(round(o_totalprice * 1000) AS BIGINT) AS v
+           FROM orders WHERE o_orderkey % 2 = 0),
+         c AS (
+           SELECT o_orderpriority AS stratum,
+                  CAST(round((CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice * 3 ELSE o_totalprice END)
+                             * 1000) AS BIGINT) AS v
+           FROM orders WHERE o_orderkey % 2 = 1),
+         stats AS (SELECT stratum, min(v) AS lo, max(v) AS hi
+                   FROM b GROUP BY 1),
+         bb AS (
+           SELECT b.stratum,
+                  CASE WHEN s.hi = s.lo THEN 0
+                       ELSE greatest(0, least(9,
+                         (b.v - s.lo) * 10 // (s.hi - s.lo + 1))) END AS bin,
+                  CAST(count(*) AS BIGINT) AS n_base
+           FROM b JOIN stats s USING (stratum) GROUP BY 1, 2),
+         cc AS (
+           SELECT c.stratum,
+                  CASE WHEN s.hi = s.lo THEN 0
+                       ELSE greatest(0, least(9,
+                         (c.v - s.lo) * 10 // (s.hi - s.lo + 1))) END AS bin,
+                  CAST(count(*) AS BIGINT) AS n_cur
+           FROM c JOIN stats s USING (stratum) GROUP BY 1, 2),
+         ab AS (SELECT stratum, t.i AS bin
+                FROM stats, range(0, 10) t(i)),
+         j AS (
+           SELECT ab.stratum, ab.bin,
+                  coalesce(bb.n_base, 0) AS n_base,
+                  coalesce(cc.n_cur, 0) AS n_cur
+           FROM ab LEFT JOIN bb USING (stratum, bin)
+                   LEFT JOIN cc USING (stratum, bin)),
+         tot AS (SELECT stratum, sum(n_base) AS tb, sum(n_cur) AS tc
+                 FROM j GROUP BY 1),
+         terms AS (
+           SELECT j.stratum, j.n_base, j.n_cur,
+                  (j.n_base + 1) * 1000000 // (t.tb + 10) AS q,
+                  (j.n_cur + 1) * 1000000 // (t.tc + 10) AS p
+           FROM j JOIN tot t USING (stratum)),
+         scored AS (
+           SELECT stratum, n_base, n_cur, p, q,
+                  CAST(round(ln(CAST(p AS DOUBLE) / CAST(q AS DOUBLE))
+                             * 1e6) AS BIGINT) AS lnm
+           FROM terms)
+         SELECT stratum, CAST(sum(n_base) AS BIGINT) AS n_base,
+                CAST(sum(n_cur) AS BIGINT) AS n_cur,
+                CAST(sum((p - q) * lnm) // 1000000 AS BIGINT) AS psi_micro,
+                sum((p - q) * lnm) // 1000000 >= 200000 AS drift
+         FROM scored GROUP BY 1""",
 
     "equidepth_histogram" ->
       """WITH rws AS (

@@ -1015,6 +1015,65 @@ object Relational {
     * individually crash-safe via recover; the view is written first
     * because it reads the PRE-apply fact/dim).
     */
+  /** Population Stability Index (C81) — the ML-ops drift monitor:
+    * how far the CURRENT snapshot's value distribution has moved from
+    * the BASE snapshot's, per stratum, as
+    * `PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)` (≥ 0.2 nats is the
+    * textbook "investigate" line). Determinism discipline:
+    *  - bins are k equi-width cells over the BASE stratum's
+    *    [min, max] (broadcast, 1 row per stratum); current values
+    *    outside clamp to the edge bins — drift INTO the tails is
+    *    what the monitor exists to see;
+    *  - proportions are Laplace-smoothed integer MICRO units
+    *    `(c+1)·1e6 div (n+k)` (no empty-bin infinities), and every
+    *    one of the k bins contributes per stratum — two-sided-absent
+    *    bins still carry a (tiny) term because the smoothed masses
+    *    differ, which both engines compute identically;
+    *  - `ln(p/q)` rides the unigramLm micro-nat device (rounded to
+    *    integer micro-nats from the same integer ratio both engines
+    *    form), so `psi_micro` (micro-nats) is exact integer
+    *    arithmetic after the one quantized log.
+    * Scale shape: two distribution-sized (stratum, bin) aggregations,
+    * a stratum-sized bin frame (strata × k), broadcast stats — the
+    * snapshots are scanned once each and never sorted.
+    */
+  def psiDrift(base: DataFrame, current: DataFrame, stratumCol: String,
+               valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def milli(df: DataFrame) = df.select(col(stratumCol).as("stratum"),
+      round(col(valueCol) * 1000).cast("long").as("__v"))
+    val b = milli(base); val c = milli(current)
+    val stats = b.groupBy("stratum")
+      .agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    def binned(df: DataFrame) = df.join(broadcast(stats), Seq("stratum"))
+      .withColumn("bin", expr(
+        s"""CASE WHEN __hi = __lo THEN 0L
+            ELSE greatest(0L, least(${k - 1}L,
+              (__v - __lo) * ${k}L div (__hi - __lo + 1)))
+            END"""))
+      .groupBy("stratum", "bin").agg(count(lit(1)).as("n"))
+    val bb = binned(b).withColumnRenamed("n", "n_base")
+    val cc = binned(c).withColumnRenamed("n", "n_cur")
+    val allBins = stats.select(col("stratum"),
+      explode(sequence(lit(0L), lit((k - 1).toLong))).as("bin"))
+    val joined = allBins
+      .join(bb, Seq("stratum", "bin"), "left")
+      .join(cc, Seq("stratum", "bin"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val totals = joined.groupBy("stratum")
+      .agg(sum("n_base").as("__tb"), sum("n_cur").as("__tc"))
+    joined.join(broadcast(totals), Seq("stratum"))
+      .withColumn("__q", expr(s"(n_base + 1L) * 1000000L div (__tb + ${k}L)"))
+      .withColumn("__p", expr(s"(n_cur + 1L) * 1000000L div (__tc + ${k}L)"))
+      .withColumn("__lnm",
+        round(log(col("__p").cast("double") / col("__q").cast("double"))
+          * 1e6).cast("long"))
+      .groupBy("stratum")
+      .agg(sum("n_base").as("n_base"), sum("n_cur").as("n_cur"),
+           expr("sum((__p - __q) * __lnm) div 1000000L").as("psi_micro"))
+      .withColumn("drift", col("psi_micro") >= 200000L)
+  }
+
   /** Equi-DEPTH histogram (C80) — the optimizer's-eye view of a
     * column that [[clipOutliers]]'s cousin `value_histogram`
     * (equi-width) distorts under skew: `k` bins holding ~equal row

@@ -511,4 +511,31 @@ class SnapshotRollingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(g2 == Seq((0L, 1000L, 5000L, 11L, 2L), (2L, 9000L, 9000L, 1L, 1L)))
   }
+
+  // --- psiDrift ----------------------------------------------------------
+
+  test("psiDrift: identical snapshots score zero, a clamped-tail shift " +
+       "matches the plain-Scala twin and trips the 0.2-nat line") {
+    val base = Seq(1.0, 1.0, 2.0, 2.0).map(("A", _)).toDF("s", "v")
+    val same = Relational.psiDrift(base, base, "s", "v", 10)
+      .as[(String, Long, Long, Long, Boolean)].head()
+    assert(same == (("A", 4L, 4L, 0L, false)))
+    // every current value far above the base range -> clamps to bin 9
+    val cur = Seq.fill(4)(("A", 100.0)).toDF("s", "v")
+    val got = Relational.psiDrift(base, cur, "s", "v", 10)
+      .as[(String, Long, Long, Long, Boolean)].head()
+    // plain twin: base bins {0: 2, 9: 2}, cur {9: 4}, k=10, n=4
+    def prop(c: Long) = (c + 1L) * 1000000L / 14L
+    def lnm(p: Long, q: Long) =
+      math.round(math.log(p.toDouble / q.toDouble) * 1e6)
+    val bins = (0 until 10).map { i =>
+      val nb = if (i == 0 || i == 9) 2L else 0L
+      val nc = if (i == 9) 4L else 0L
+      val (pp, qq) = (prop(nc), prop(nb))
+      (pp - qq) * lnm(pp, qq)
+    }
+    val want = bins.sum / 1000000L
+    assert(got == (("A", 4L, 4L, want, want >= 200000L)))
+    assert(got._5, "a full-mass tail shift must trip the drift line")
+  }
 }

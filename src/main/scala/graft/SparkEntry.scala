@@ -2315,6 +2315,22 @@ object SparkEntry {
          "customer.c_nationkey->region.r_regionkey")))
     }),
 
+    // C82: two-proportion A/B guardrail — variant = user parity,
+    // success = value above a cutoff that is deliberately EASIER for
+    // signup's B arm, so exactly that stratum should flag at z=1.96
+    // (z² permyriad 38416); exact squared-inequality integers, no
+    // sqrt, no float
+    "ab_test" -> ((s, dir) => {
+      val e = Tables(s, dir).events.select(
+        col("event_type"),
+        (col("user_id") % 2).as("variant"),
+        (col("value") > when(col("event_type") === "signup" &&
+           col("user_id") % 2 === 1, 50.0).otherwise(100.0))
+          .as("converted"))
+      Behavior.abTest(e, "event_type", "variant", "converted",
+        z2Permyriad = 38416L)
+    }),
+
     // C81: PSI drift monitor — even orderkeys are the base snapshot,
     // odd the current, with the 1-URGENT stratum's prices tripled in
     // current so exactly one stratum crosses the 0.2-nat drift line;
@@ -5240,6 +5256,40 @@ FROM decided""",
            FROM dr JOIN r ON dr.event_type = r.event_type
                          AND dr.rn = r.rn + 1)
          SELECT event_type, day, ewma_milli FROM r""",
+
+    "ab_test" ->
+      """WITH e AS (
+           SELECT event_type,
+                  user_id % 2 AS variant,
+                  value > (CASE WHEN event_type = 'signup'
+                                 AND user_id % 2 = 1
+                            THEN 50.0 ELSE 100.0 END) AS converted
+           FROM events),
+         g AS (
+           SELECT event_type AS stratum,
+                  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN variant = 0 AND converted
+                            THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+                  CAST(sum(CASE WHEN variant != 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN variant != 0 AND converted
+                            THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+           FROM e GROUP BY 1),
+         h AS (
+           SELECT *,
+                  CAST(conv_a AS HUGEINT) * n_b
+                    - CAST(conv_b AS HUGEINT) * n_a AS d,
+                  CAST(n_a AS HUGEINT) + n_b AS nn,
+                  CAST(conv_a AS HUGEINT) + conv_b AS cc
+           FROM g WHERE n_a > 0 AND n_b > 0)
+         SELECT stratum, n_a, conv_a, n_b, conv_b,
+                CAST(conv_a * 1000000 // n_a AS BIGINT) AS p_a_micro,
+                CAST(conv_b * 1000000 // n_b AS BIGINT) AS p_b_micro,
+                d * d * nn * 10000 >
+                  38416 * cc * (nn - cc)
+                    * CAST(n_a AS HUGEINT) * n_b AS significant
+         FROM h""",
 
     "psi_drift" ->
       """WITH b AS (

@@ -346,6 +346,43 @@ object Behavior {
     * shuffle this one rides). Gaps carry the state unchanged across
     * missing days (the fold is over observed days in order).
     */
+  /** Two-proportion A/B guardrail (C82) — the experimentation
+    * primitive: per stratum, is variant B's conversion rate
+    * significantly different from A's at the given z? The pooled
+    * two-proportion z-test with NO square root and NO float anywhere
+    * — the [[anomalyZscore]] device applied to the squared
+    * inequality: with `d = c_a·n_b − c_b·n_a`, `N = n_a+n_b`,
+    * `C = c_a+c_b`,
+    * `|p_a−p_b| > z·√(p̄(1−p̄)(1/n_a+1/n_b))  ⟺
+    *  d²·N·10⁴ > z²_permyriad·C·(N−C)·n_a·n_b`
+    * evaluated in DECIMAL(38,0) (Spark) vs HUGEINT (oracle) — exact
+    * integers end-to-end, so the boundary case is decided identically
+    * in both engines. One stratum-keyed aggregation (map-side
+    * combined); strata missing an arm are dropped (no test exists).
+    */
+  def abTest(df: DataFrame, stratumCol: String, variantCol: String,
+             successCol: String, z2Permyriad: Long): DataFrame = {
+    require(z2Permyriad > 0, s"z2Permyriad must be > 0, got $z2Permyriad")
+    val v = col(variantCol); val s = col(successCol)
+    val g = df.groupBy(col(stratumCol).as("stratum")).agg(
+      sum(when(v === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(v === 0 && s, 1L).otherwise(0L)).as("conv_a"),
+      sum(when(v =!= 0, 1L).otherwise(0L)).as("n_b"),
+      sum(when(v =!= 0 && s, 1L).otherwise(0L)).as("conv_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val d = d38(col("conv_a")) * d38(col("n_b")) -
+            d38(col("conv_b")) * d38(col("n_a"))
+    val bigN = d38(col("n_a")) + d38(col("n_b"))
+    val bigC = d38(col("conv_a")) + d38(col("conv_b"))
+    g.withColumn("p_a_micro", expr("conv_a * 1000000L div n_a"))
+      .withColumn("p_b_micro", expr("conv_b * 1000000L div n_b"))
+      .withColumn("significant",
+        d * d * bigN * lit(10000L) >
+          lit(z2Permyriad) * bigC * (bigN - bigC) *
+            d38(col("n_a")) * d38(col("n_b")))
+  }
+
   /** Day-of-week seasonality index (C76) — the calendar-shape
     * companion of [[ewmaSmooth]]/[[cusumChangepoints]]: per key and
     * weekday, how that weekday's mean daily volume compares to the

@@ -441,4 +441,23 @@ class BehaviorGraphSpec extends AnyFunSuite {
       .select("index_permille").as[Long].collect().toSeq
     assert(f.size == 7 && f.forall(_ == 1000L))
   }
+
+  test("abTest: exact squared-boundary decision, micro rates, " +
+       "single-arm strata dropped") {
+    // n_a=n_b=10, c_a=8, c_b=2: d=60, N=20, C=10 ->
+    // d^2*N*1e4 = 7.2e8 and C(N-C)*n_a*n_b = 1e4, so the boundary
+    // z^2 permyriad is EXACTLY 72000: strict > must not fire there
+    // and must fire one permyriad below
+    val rows = (0 until 10).map(i => ("x", 0L, i < 8)) ++
+      (0 until 10).map(i => ("x", 1L, i < 2)) ++
+      Seq(("solo", 0L, true)) // one-arm stratum: no test exists
+    val df = rows.toDF("stratum", "variant", "ok")
+    val at = Behavior.abTest(df, "stratum", "variant", "ok", 72000L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(at == Seq(("x", 10L, 8L, 10L, 2L, 800000L, 200000L, false)))
+    val below = Behavior.abTest(df, "stratum", "variant", "ok", 71999L)
+      .select("significant").as[Boolean].head()
+    assert(below)
+  }
 }

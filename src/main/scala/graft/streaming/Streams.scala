@@ -702,6 +702,65 @@ object Streams {
   /** One smoothed point emitted by [[streamEwma]]. */
   case class EwmaPoint(key: String, day: Long, ewma_milli: Long)
 
+  /** One observation of the D20 experiment stream. */
+  case class AbObs(stratum: String, ts_us: Long, obs_id: Long,
+                   variant: Long, converted: Boolean)
+  /** D20 state: four counters + the processed frontier. */
+  case class AbState(nA: Long, cA: Long, nB: Long, cB: Long,
+                     lastTs: Long, lastId: Long)
+  /** The running test emitted per stratum per batch. */
+  case class AbResult(stratum: String, n_a: Long, conv_a: Long,
+                      n_b: Long, conv_b: Long, significant: Boolean)
+
+  /** D20: streaming two-proportion A/B monitor — the streaming half
+    * of C82: keyed state is FOUR counters plus the `(ts_us, obs_id)`
+    * frontier, each batch folds its observations in that total order
+    * dropping at-or-below-frontier rows (the D1/D14 guard — an
+    * at-least-once replay cannot double-count an arm), and the
+    * stratum emits its UPDATED running test after every batch that
+    * touched it. The significance decision is the same exact squared
+    * inequality as the batch operator, computed here in BigInt —
+    * no sqrt, no float, and no overflow at any stream length.
+    */
+  def streamAbTest(obs: Dataset[AbObs], z2Permyriad: Long)
+      : Dataset[AbResult] = {
+    require(z2Permyriad > 0, s"z2Permyriad must be > 0, got $z2Permyriad")
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.stratum)
+      .flatMapGroupsWithState[AbState, AbResult](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (stratum: String, rows: Iterator[AbObs],
+         state: GroupState[AbState]) =>
+          var st = state.getOption
+            .getOrElse(AbState(0L, 0L, 0L, 0L, Long.MinValue, Long.MinValue))
+          var touched = false
+          rows.toSeq.sortBy(o => (o.ts_us, o.obs_id)).foreach { o =>
+            if (st.lastTs < o.ts_us ||
+                (st.lastTs == o.ts_us && st.lastId < o.obs_id)) {
+              st =
+                if (o.variant == 0L)
+                  st.copy(nA = st.nA + 1, cA = st.cA + (if (o.converted) 1L else 0L),
+                    lastTs = o.ts_us, lastId = o.obs_id)
+                else
+                  st.copy(nB = st.nB + 1, cB = st.cB + (if (o.converted) 1L else 0L),
+                    lastTs = o.ts_us, lastId = o.obs_id)
+              touched = true
+            }
+          }
+          state.update(st)
+          if (!touched || st.nA == 0 || st.nB == 0) Iterator.empty
+          else {
+            val (na, ca, nb, cb) =
+              (BigInt(st.nA), BigInt(st.cA), BigInt(st.nB), BigInt(st.cB))
+            val d = ca * nb - cb * na
+            val n = na + nb; val c = ca + cb
+            val sig = d * d * n * 10000 >
+              BigInt(z2Permyriad) * c * (n - c) * na * nb
+            Iterator.single(AbResult(stratum, st.nA, st.cA, st.nB, st.cB, sig))
+          }
+      }
+  }
+
   /** D19 state: buffered reference days (bounded by `refDays`), the
     * fixed mean once known, the folded frontier, and both CUSUM arms. */
   case class CusumState(buf: List[(Long, Long)], mu: Option[Long],

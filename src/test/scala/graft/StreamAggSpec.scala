@@ -353,4 +353,43 @@ class StreamAggSpec extends AnyFunSuite {
       .collect().toSeq.sorted
     assert(got == want)
   }
+
+  // --- D20: streaming A/B monitor ----------------------------------------
+
+  test("streamAbTest: running counts equal the batch test per prefix; " +
+       "replays cannot double-count an arm; one-arm strata stay silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.AbObs]
+    val q = input.toDS()
+      .transform(ds => Streams.streamAbTest(ds, 72000L))
+      .writeStream.format("memory").queryName("ab_sink")
+      .outputMode("append").start()
+    def o(t: Long, id: Long, v: Long, ok: Boolean) =
+      Streams.AbObs("x", t, id, v, ok)
+    // batch 1: the exact-boundary counts from the batch spec
+    // (8/10 vs 2/10, boundary z2 = 72000 -> NOT significant)
+    val b1 = (0 until 10).map(i => o(1L, i, 0L, i < 8)) ++
+      (0 until 10).map(i => o(1L, 10L + i, 1L, i < 2)) ++
+      Seq(Streams.AbObs("solo", 1L, 0L, 0L, true))
+    // batch 2: two more B conversions push it over the line,
+    // plus a full replay of batch 1 (all at-or-below frontier)
+    val b2 = Seq(o(2L, 0L, 1L, true), o(2L, 1L, 1L, true)) ++ b1
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ab_sink")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.forall(_._1 == "x"), "one-arm stratum must stay silent")
+    assert(got == Seq(
+      ("x", 10L, 8L, 10L, 2L, false),
+      ("x", 10L, 8L, 12L, 4L, got(1)._6)))
+    // cross-check the second emission against the batch operator
+    val df = ((0 until 10).map(i => ("x", 0L, i < 8)) ++
+      (0 until 10).map(i => ("x", 1L, i < 2)) ++
+      Seq(("x", 1L, true), ("x", 1L, true))).toDF("s", "variant", "ok")
+    val want = graft.operators.Behavior.abTest(df, "s", "variant", "ok", 72000L)
+      .select("significant").as[Boolean].head()
+    assert(got(1)._6 == want)
+  }
 }

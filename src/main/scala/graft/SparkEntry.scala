@@ -2315,6 +2315,19 @@ object SparkEntry {
          "customer.c_nationkey->region.r_regionkey")))
     }),
 
+    // C83: sample-ratio-mismatch gate — user-parity assignment with
+    // the error stratum's B arm deliberately thinned (user_id%10<3
+    // dropped), so exactly that stratum flags a broken split at the
+    // SRM convention chi2 = 10.828 (permyriad 108280)
+    "srm_check" -> ((s, dir) => {
+      val e = Tables(s, dir).events.select(col("event_type"),
+          (col("user_id") % 2).as("variant"), col("user_id"))
+        .filter(!(col("event_type") === "error" &&
+          col("variant") === 1 && col("user_id") % 10 < 3))
+      Behavior.srmCheck(e, "event_type", "variant",
+        chi2Permyriad = 108280L)
+    }),
+
     // C82: two-proportion A/B guardrail — variant = user parity,
     // success = value above a cutoff that is deliberately EASIER for
     // signup's B arm, so exactly that stratum should flag at z=1.96
@@ -5256,6 +5269,24 @@ FROM decided""",
            FROM dr JOIN r ON dr.event_type = r.event_type
                          AND dr.rn = r.rn + 1)
          SELECT event_type, day, ewma_milli FROM r""",
+
+    "srm_check" ->
+      """WITH e AS (
+           SELECT event_type, user_id % 2 AS variant, user_id
+           FROM events
+           WHERE NOT (event_type = 'error' AND user_id % 2 = 1
+                      AND user_id % 10 < 3)),
+         g AS (
+           SELECT event_type AS stratum,
+                  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN variant != 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_b
+           FROM e GROUP BY 1)
+         SELECT stratum, n_a, n_b, n_a - n_b AS delta,
+                (n_a - n_b) * (n_a - n_b) * 10000 > 108280 * (n_a + n_b)
+                  AS srm
+         FROM g""",
 
     "ab_test" ->
       """WITH e AS (

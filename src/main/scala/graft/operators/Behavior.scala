@@ -383,6 +383,28 @@ object Behavior {
             d38(col("n_a")) * d38(col("n_b")))
   }
 
+  /** Sample-ratio-mismatch check (C83) — the health gate that must
+    * pass BEFORE [[abTest]]'s verdict means anything: under a 50/50
+    * assignment, is the observed arm split plausible? One-df
+    * chi-square `(n_a−n_b)²/N` as the same no-sqrt no-float squared
+    * inequality: `srm ⟺ (n_a−n_b)²·10⁴ > χ²_permyriad·N` (the SRM
+    * convention tests at p ≈ 0.001 ⇒ χ² = 10.828 ⇒ permyriad
+    * 108280). A flagged stratum means the ASSIGNMENT is broken
+    * (logging loss, bot filter bias) — its test result is garbage
+    * regardless of significance. One stratum-keyed count aggregation.
+    */
+  def srmCheck(df: DataFrame, stratumCol: String, variantCol: String,
+               chi2Permyriad: Long): DataFrame = {
+    require(chi2Permyriad > 0, s"chi2Permyriad must be > 0, got $chi2Permyriad")
+    val v = col(variantCol)
+    df.groupBy(col(stratumCol).as("stratum")).agg(
+        sum(when(v === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(v =!= 0, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("delta", col("n_a") - col("n_b"))
+      .withColumn("srm",
+        expr(s"delta * delta * 10000L > ${chi2Permyriad}L * (n_a + n_b)"))
+  }
+
   /** Day-of-week seasonality index (C76) — the calendar-shape
     * companion of [[ewmaSmooth]]/[[cusumChangepoints]]: per key and
     * weekday, how that weekday's mean daily volume compares to the

@@ -460,4 +460,18 @@ class BehaviorGraphSpec extends AnyFunSuite {
       .select("significant").as[Boolean].head()
     assert(below)
   }
+
+  test("srmCheck: exact chi-square boundary on both sides") {
+    // n_a=64, n_b=36: delta=28, N=100 -> delta^2*1e4 = 7.84e6,
+    // boundary chi2 permyriad = 7.84e6/100 = 78400 exactly
+    val rows = (0 until 64).map(_ => ("x", 0L)) ++
+      (0 until 36).map(_ => ("x", 1L))
+    val df = rows.toDF("s", "variant")
+    val at = Behavior.srmCheck(df, "s", "variant", 78400L)
+      .as[(String, Long, Long, Long, Boolean)].head()
+    assert(at == (("x", 64L, 36L, 28L, false)))
+    val below = Behavior.srmCheck(df, "s", "variant", 78399L)
+      .select("srm").as[Boolean].head()
+    assert(below)
+  }
 }

@@ -896,6 +896,13 @@ object SparkEntry {
     "readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables(s, dir).documents, "doc_id", "text")),
 
+    // E71: vocabulary growth curve (Heaps-law observable) — distinct
+    // tokens first seen at or before each of 10 id-range slices; one
+    // corpus pass, windows only over the 10-row aggregated frame
+    "vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables(s, dir).documents, "doc_id",
+        "text", nBuckets = 10)),
+
     // E70: log-template mining (Drain-lite) — event rows rendered as
     // log lines, variable parts masked (hex >= 8 then digit runs),
     // one row per surviving template with count + lexicographically
@@ -3436,6 +3443,33 @@ FROM decided""",
 
     // regex classes spelled out so Java and RE2 agree; `//` floors =
     // Spark's `div` truncation on the non-negative operands here
+    "vocab_growth" ->
+      """WITH st AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+                     FROM documents),
+         b AS (SELECT doc_id, text,
+                      (doc_id - st.lo) * 10 // (st.hi - st.lo + 1) AS bucket
+               FROM documents, st),
+         tk AS (SELECT bucket,
+                       unnest(list_filter(
+                         string_split_regex(trim(text), '\s+'),
+                         x -> x != '')) AS token
+                FROM b),
+         fs AS (SELECT token, min(bucket) AS fb FROM tk GROUP BY 1),
+         pb AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_tokens
+                FROM fs GROUP BY 1),
+         tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_tokens
+                FROM tk GROUP BY 1),
+         j AS (SELECT coalesce(pb.bucket, tc.bucket) AS bucket,
+                      coalesce(new_tokens, 0) AS new_tokens,
+                      coalesce(bucket_tokens, 0) AS bucket_tokens
+               FROM pb FULL OUTER JOIN tc ON pb.bucket = tc.bucket)
+         SELECT bucket, new_tokens, bucket_tokens,
+                CAST(sum(new_tokens) OVER (ORDER BY bucket) AS BIGINT)
+                  AS vocab,
+                CAST(sum(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT)
+                  AS corpus_tokens
+         FROM j""",
+
     "log_templates" ->
       """WITH lines AS (
            SELECT 'evt type=' || event_type || ' user=' ||

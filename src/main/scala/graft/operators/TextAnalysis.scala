@@ -1349,6 +1349,44 @@ object TextAnalysis {
           " + 1180 * syllables div greatest(1L, words) - 1559"))
   }
 
+  /** Vocabulary growth curve (E71, the Heaps-law observable) — how
+    * fast the distinct-token vocabulary grows as the corpus grows,
+    * the curve that sizes tokenizer vocabularies and predicts
+    * OOV-rate decay: corpus order is the document id, the axis is
+    * `nBuckets` equal id-RANGE slices (`(id − lo)·n div (hi−lo+1)` —
+    * min/max broadcast, map-side, NO rank and NO corpus sort; slices
+    * are equal-count when ids are dense, which the loader contract
+    * guarantees here), and the vocab at slice b counts tokens FIRST
+    * SEEN at or before b. One pass: per-token `min(bucket)` (map-side
+    * combined), a bucket-sized count, and a running sum over the
+    * nBuckets-row aggregated frame (the only windows in the plan run
+    * over that tiny frame — nothing token-sized is ever windowed).
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val base = docs.select(col(idCol).cast("long").as("__id"),
+      col(textCol).as("__t"))
+    val stats = base.agg(min("__id").as("__lo"), max("__id").as("__hi"))
+    val bucketed = base.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        expr(s"(__id - __lo) * ${nBuckets}L div (__hi - __lo + 1)"))
+    val toks = bucketed.select(col("bucket"),
+        explode(array_remove(split(trim(col("__t")), "\\s+"), ""))
+          .as("token"))
+    val firstSeen = toks.groupBy("token").agg(min("bucket").as("__fb"))
+    val perBucket = firstSeen.groupBy(col("__fb").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val tokCounts = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("bucket_tokens"))
+    val w = Window.partitionBy(lit(1)).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(tokCounts, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("new_tokens", "bucket_tokens"))
+      .withColumn("vocab", sum("new_tokens").over(w))
+      .withColumn("corpus_tokens", sum("bucket_tokens").over(w))
+  }
+
   /** Log-template mining (E70, Drain-lite) — the ops-log
     * understanding step: lines collapse to TEMPLATES by masking the
     * variable parts (hex runs ≥ 8 first — else `deadbeef1234` decays to

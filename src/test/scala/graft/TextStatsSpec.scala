@@ -507,4 +507,25 @@ class TextStatsSpec extends AnyFunSuite {
       ("session <H> expired", 2L, "session cafebabe99 expired")))
     // blank line dropped; the once-only line fails minCount
   }
+
+  test("vocabGrowth: first-seen accounting, monotone vocab, cumulative " +
+       "token totals, empty-bucket zeros") {
+    // ids 0..9, 2 buckets (0-4, 5-9). tokens: a b in bucket 0; b c in
+    // bucket 1 -> new: {0: a,b}, {1: c}; vocab 2 then 3
+    val docs = Seq((0L, "a b"), (4L, "b a"), (5L, "b c"), (9L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text", 2)
+      .orderBy("bucket")
+      .select("bucket", "new_tokens", "bucket_tokens", "vocab",
+        "corpus_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 4L, 2L, 4L), (1L, 1L, 3L, 3L, 7L)))
+    // all vocabulary in the first slice: later buckets add zero new
+    val flat = Seq((0L, "x y z"), (5L, "x"), (9L, "y z"))
+      .toDF("doc_id", "text")
+    val f = TextAnalysis.vocabGrowth(flat, "doc_id", "text", 2)
+      .orderBy("bucket").select("new_tokens", "vocab")
+      .as[(Long, Long)].collect().toSeq
+    assert(f == Seq((3L, 3L), (0L, 3L)))
+  }
 }

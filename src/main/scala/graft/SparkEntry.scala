@@ -2322,6 +2322,16 @@ object SparkEntry {
          "customer.c_nationkey->region.r_regionkey")))
     }),
 
+    // C84: effective-sample-size report — Kish ESS of price-weighted
+    // sampling per priority stratum, exact decimal(38,0)/HUGEINT
+    // integers; the weight-degeneracy check behind every weighted
+    // pipeline
+    "ess_report" -> ((s, dir) =>
+      Relational.essReport(
+        Tables(s, dir).orders.select(col("o_orderpriority"),
+          col("o_totalprice")),
+        "o_orderpriority", "o_totalprice")),
+
     // C83: sample-ratio-mismatch gate — user-parity assignment with
     // the error stratum's B arm deliberately thinned (user_id%10<3
     // dropped), so exactly that stratum flags a broken split at the
@@ -5303,6 +5313,22 @@ FROM decided""",
            FROM dr JOIN r ON dr.event_type = r.event_type
                          AND dr.rn = r.rn + 1)
          SELECT event_type, day, ewma_milli FROM r""",
+
+    "ess_report" ->
+      """WITH w AS (
+           SELECT o_orderpriority AS stratum,
+                  CAST(round(o_totalprice * 1000) AS HUGEINT) AS w
+           FROM orders
+           WHERE CAST(round(o_totalprice * 1000) AS HUGEINT) > 0),
+         g AS (
+           SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+                  sum(w) AS s1, sum(w * w) AS s2
+           FROM w GROUP BY 1)
+         SELECT stratum, n,
+                CAST((s1 * s1 * 1000) // s2 AS BIGINT) AS ess_milli,
+                CAST((s1 * s1 * 1000) // (s2 * n) AS BIGINT)
+                  AS ess_ratio_permille
+         FROM g""",
 
     "srm_check" ->
       """WITH e AS (

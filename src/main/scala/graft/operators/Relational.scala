@@ -1015,6 +1015,33 @@ object Relational {
     * individually crash-safe via recover; the view is written first
     * because it reads the PRE-apply fact/dim).
     */
+  /** Effective-sample-size report (C84) — the weight-degeneracy
+    * diagnostic for every weighted pipeline (importance resampling,
+    * survey weights, loss weighting): Kish's
+    * `ESS = (Σw)² / Σw²` — n for uniform weights, → 1 as one weight
+    * dominates. Exact integers end-to-end: weights ride in MILLIS,
+    * the squared sums in decimal(38,0) (HUGEINT in the oracle), and
+    * `ess_milli = (Σw)²·1000 div Σw²` plus
+    * `ess_ratio_permille = (Σw)²·1000 div (Σw²·n)` — a ratio under
+    * ~500‰ means half the nominal sample is doing the work. One
+    * stratum-keyed aggregation, map-side combined; non-positive
+    * weights are excluded (they have no sampling interpretation).
+    */
+  def essReport(df: DataFrame, stratumCol: String,
+                weightCol: String): DataFrame = {
+    val wMilli = round(col(weightCol) * 1000).cast("decimal(38,0)")
+    df.select(col(stratumCol).as("stratum"), wMilli.as("__w"))
+      .filter(col("__w") > 0)
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n"), sum("__w").as("__s1"),
+           sum(col("__w") * col("__w")).as("__s2"))
+      .withColumn("ess_milli",
+        expr("(__s1 * __s1 * 1000) div __s2").cast("long"))
+      .withColumn("ess_ratio_permille",
+        expr("(__s1 * __s1 * 1000) div (__s2 * n)").cast("long"))
+      .drop("__s1", "__s2")
+  }
+
   /** Population Stability Index (C81) — the ML-ops drift monitor:
     * how far the CURRENT snapshot's value distribution has moved from
     * the BASE snapshot's, per stratum, as

@@ -538,4 +538,25 @@ class SnapshotRollingSpec extends AnyFunSuite {
     assert(got == (("A", 4L, 4L, want, want >= 200000L)))
     assert(got._5, "a full-mass tail shift must trip the drift line")
   }
+
+  // --- essReport ---------------------------------------------------------
+
+  test("essReport: uniform weights give ESS = n, a dominant weight " +
+       "collapses it toward 1, non-positive weights excluded") {
+    val uni = Seq.fill(8)(("A", 2.5)).toDF("s", "w")
+    val u = Relational.essReport(uni, "s", "w")
+      .as[(String, Long, Long, Long)].head()
+    assert(u == (("A", 8L, 8000L, 1000L)))
+    // weights 1,1,1,1000 (milli 1000x3, 1000000): ESS =
+    // 1003000^2*1000 div (3*1e6 + 1e12) = 1006008009 div 1000003 = 1005 (milli)
+    val dom = Seq(("B", 1.0), ("B", 1.0), ("B", 1.0), ("B", 1000.0),
+      ("B", 0.0), ("B", -2.0)).toDF("s", "w")
+    val d = Relational.essReport(dom, "s", "w")
+      .as[(String, Long, Long, Long)].head()
+    val s1 = BigInt(1003000); val s2 = BigInt(3) * 1000000 + BigInt("1000000000000")
+    val essMilli = (s1 * s1 * 1000 / s2).toLong
+    val ratio = (s1 * s1 * 1000 / (s2 * 4)).toLong
+    assert(d == (("B", 4L, essMilli, ratio)))
+    assert(essMilli < 1100L, s"dominant weight must collapse ESS: $essMilli")
+  }
 }

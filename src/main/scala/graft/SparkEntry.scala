@@ -1261,6 +1261,23 @@ object SparkEntry {
                                "vec_id", "embedding", k = 5)
     }),
 
+    // E72: ranking-quality metrics — MRR + binary NDCG@5 of the
+    // 16-dim prefix-truncated ranking against the full-width exact
+    // truth (recall says how many truth items surfaced; these say
+    // WHERE); discounts are pre-rounded integer constants, no float
+    // at runtime
+    "rank_metrics" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") % 100 === 0)
+      def cut(df: DataFrame) =
+        df.withColumn("embedding", expr("slice(embedding, 1, 16)"))
+      val truth = Similarity.annBruteForce(e, q, "vec_id", "embedding",
+        k = 5)
+      val approx = Similarity.annBruteForce(cut(e), cut(q), "vec_id",
+        "embedding", k = 5)
+      Similarity.rankMetrics(truth, approx, k = 5)
+    }),
+
     // E61: Matryoshka truncation sweep — recall@5 of prefix-truncated
     // cosine search (8/16/32 of 64 dims) vs the full-width exact
     // graph; decides how far the embedding column can be cut for
@@ -4831,6 +4848,49 @@ FROM decided""",
              (SELECT count(*) FROM (SELECT * FROM exact
                                     INTERSECT SELECT * FROM a32)), n_exact
            FROM n)""",
+
+    "rank_metrics" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+                           CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         exact AS (SELECT query_id, neighbor_id, rk FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                      neighbor_id) AS rk
+           FROM q JOIN c ON neighbor_id != query_id) WHERE rk <= 5),
+         approx AS (SELECT query_id, neighbor_id, rk FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv[1:16], cv[1:16]), 6)
+                      DESC, neighbor_id) AS rk
+           FROM q JOIN c ON neighbor_id != query_id) WHERE rk <= 5),
+         tn AS (SELECT query_id, count(*) AS tn FROM exact GROUP BY 1),
+         rel AS (SELECT a.query_id, a.rk
+                 FROM approx a JOIN exact e
+                   ON a.query_id = e.query_id
+                  AND a.neighbor_id = e.neighbor_id),
+         pq AS (SELECT query_id, min(rk) AS fr,
+                  sum(CASE rk WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+                       WHEN 3 THEN 500000 WHEN 4 THEN 430677
+                       WHEN 5 THEN 386853 END) AS dcg
+                FROM rel GROUP BY 1),
+         j AS (SELECT tn.query_id, tn.tn,
+                      coalesce(pq.fr, 0) AS fr, coalesce(pq.dcg, 0) AS dcg
+               FROM tn LEFT JOIN pq USING (query_id)),
+         m AS (SELECT query_id,
+                 CASE WHEN fr > 0 THEN 1000 // fr ELSE 0 END AS mrr,
+                 dcg * 1000 // (CASE tn WHEN 1 THEN 1000000
+                   WHEN 2 THEN 1630930 WHEN 3 THEN 2130930
+                   WHEN 4 THEN 2561607 WHEN 5 THEN 2948460 END) AS ndcgp
+               FROM j)
+         SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                CAST(sum(mrr) // count(*) AS BIGINT) AS mrr_permille,
+                CAST(sum(ndcgp) // count(*) AS BIGINT) AS ndcg_permille
+         FROM m""",
 
     "bitext_mine" ->
       """WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv

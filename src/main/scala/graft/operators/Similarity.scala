@@ -356,6 +356,51 @@ object Similarity {
     topKByCos(scored, k)
   }
 
+  /** Ranking-quality metrics (E72) — MRR and binary NDCG@k of an
+    * approximate ranking against the exact top-k truth, completing
+    * the retrieval-eval family next to `recallAtK`: recall says HOW
+    * MANY truth items surfaced, these say WHERE (early hits matter).
+    * Zero floats at runtime: the DCG discounts are the PRE-ROUNDED
+    * integer constants `round(1e6/log2(r+1))` embedded identically in
+    * both engines, per-query `mrr_permille = 1000 div first_rel_rank`
+    * and `ndcg_permille = dcg·1000 div idcg` (idcg truncated to the
+    * query's truth-list size), and the corpus-level row is the
+    * truncating integer mean over ALL truth queries — a query the
+    * ranking missed entirely contributes zeros, not absence.
+    * Scale shape: one (query, neighbor) equi-join of two k·|queries|
+    * frames + two query-keyed aggregations; nothing corpus-sized.
+    */
+  def rankMetrics(truth: DataFrame, ranking: DataFrame,
+                  k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+    // round(1e6 / log2(r+1)) — derived once, embedded as literals
+    val w: Map[Int, Long] = (1 to k).map(r =>
+      r -> math.round(1e6 / (math.log(r + 1) / math.log(2)))).toMap
+    val wExpr = (1 to k).foldLeft(lit(0L): Column) { (acc, r) =>
+      when(col("rank") === r, lit(w(r))).otherwise(acc) }
+    val t = truth.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("__trank"))
+    val truthN = t.groupBy("query_id")
+      .agg(count(lit(1)).cast("int").as("__tn"))
+    val idcgExpr = (1 to k).foldLeft(lit(0L): Column) { (acc, n) =>
+      when(col("__tn") === n, lit((1 to n).map(w).sum)).otherwise(acc) }
+    val rel = ranking.select(col("query_id"), col("neighbor_id"),
+        col("rank"))
+      .join(t.drop("__trank"), Seq("query_id", "neighbor_id"), "left_semi")
+    val perQuery = rel.groupBy("query_id")
+      .agg(min("rank").as("__first"), sum(wExpr).as("__dcg"))
+    truthN.join(perQuery, Seq("query_id"), "left")
+      .na.fill(0L, Seq("__dcg"))
+      .withColumn("__mrr",
+        when(col("__first").isNull, lit(0L))
+          .otherwise(expr("1000L div __first")))
+      .withColumn("__idcg", idcgExpr)
+      .withColumn("__ndcgp", expr("(__dcg * 1000L) div __idcg"))
+      .agg(count(lit(1)).as("n_queries"),
+           expr("sum(__mrr) div count(1)").as("mrr_permille"),
+           expr("sum(__ndcgp) div count(1)").as("ndcg_permille"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     * CCMatrix/LASER parallel-corpus construction step): for each
     * source vector, its best target match scored by the RATIO margin

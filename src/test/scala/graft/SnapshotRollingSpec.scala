@@ -559,4 +559,29 @@ class SnapshotRollingSpec extends AnyFunSuite {
     assert(d == (("B", 4L, essMilli, ratio)))
     assert(essMilli < 1100L, s"dominant weight must collapse ESS: $essMilli")
   }
+
+  // --- rankMetrics -------------------------------------------------------
+
+  test("rankMetrics: hand-computed MRR and NDCG, missed queries " +
+       "contribute zeros, short truth lists truncate the ideal") {
+    def fr(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("query_id", "neighbor_id", "rank")
+    // q1 truth: 5 items; approx hits them at ranks 2 and 5
+    // q2 truth: 5 items; approx hits none -> zero contribution
+    val truth = fr((1 to 5).map(r => (1L, 100L + r, r.toLong)) ++
+      (1 to 5).map(r => (2L, 200L + r, r.toLong)))
+    val approx = fr(Seq((1L, 999L, 1L), (1L, 102L, 2L), (1L, 998L, 3L),
+      (1L, 997L, 4L), (1L, 103L, 5L),
+      (2L, 996L, 1L), (2L, 995L, 2L)))
+    val got = Similarity.rankMetrics(truth, approx, k = 5)
+      .as[(Long, Long, Long)].head()
+    // q1: mrr = 1000 div 2 = 500; dcg = 630930 + 386853 = 1017783;
+    // idcg(5) = 2948460 -> ndcg = 345; q2: 0, 0
+    assert(got == ((2L, 250L, 172L)))
+    // single-item truth found at rank 1: perfect 1000/1000
+    val t1 = fr(Seq((7L, 70L, 1L)))
+    val a1 = fr(Seq((7L, 70L, 1L), (7L, 71L, 2L)))
+    assert(Similarity.rankMetrics(t1, a1, 5)
+      .as[(Long, Long, Long)].head() == ((1L, 1000L, 1000L)))
+  }
 }

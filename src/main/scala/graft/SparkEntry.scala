@@ -1136,6 +1136,20 @@ object SparkEntry {
                          shingleN = 3, k = 64, bands = 16, threshold = 0.7)
     }),
 
+    // E73: pair-set evaluation — does the CHEAP word-set Jaccard
+    // predictor find the pairs the trigram-shingle metric defines?
+    // Both sides exact prefix-filtered joins (no hashing), so
+    // precision AND recall are deterministic engine-exact permilles
+    "near_dup_eval" -> ((s, dir) => {
+      val docs = plantedDocs(Tables(s, dir))
+      val truth = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      val pred = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+        shingleN = 1, threshold = 0.7)
+      Dedup.pairSetEval(pred.select("left_id", "right_id"),
+        truth.select("left_id", "right_id"))
+    }),
+
     // E2d: asymmetric containment pairs — every 13th doc also appears
     // TRUNCATED to its first half (the quote/excerpt shape: containment
     // ≈ 1, Jaccard ≈ 0.5 — below the minhash threshold); exact
@@ -4279,6 +4293,67 @@ FROM decided""",
          JOIN base x ON x.doc_id = f.id_a
          JOIN base y ON y.doc_id = f.id_b
          WHERE levenshtein(x.text, y.text) <= 10""",
+
+    "near_dup_eval" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' appended' FROM documents
+           WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents
+           WHERE doc_id % 11 = 0),
+         toks AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+                    'g'))), ' ') AS w
+           FROM corpus),
+         sh3 AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' ')))) AS s
+           FROM toks),
+         sh1 AS (
+           SELECT doc_id, list_sort(list_distinct(w)) AS s FROM toks),
+         p3 AS (SELECT doc_id,
+                  unnest(s[1 : greatest(len(s)
+                    - CAST(ceil(0.7 * len(s)) AS INT) + 1, 1)]) AS g
+                FROM sh3 WHERE len(s) > 0),
+         c3 AS (SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
+                FROM p3 a JOIN p3 b
+                  ON a.g = b.g AND a.doc_id < b.doc_id),
+         t3 AS (SELECT lid, rid
+                FROM c3 JOIN sh3 a ON lid = a.doc_id
+                        JOIN sh3 b ON rid = b.doc_id
+                WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.s, b.s))), 6)
+                      >= 0.7),
+         p1 AS (SELECT doc_id,
+                  unnest(s[1 : greatest(len(s)
+                    - CAST(ceil(0.7 * len(s)) AS INT) + 1, 1)]) AS g
+                FROM sh1 WHERE len(s) > 0),
+         c1 AS (SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
+                FROM p1 a JOIN p1 b
+                  ON a.g = b.g AND a.doc_id < b.doc_id),
+         t1 AS (SELECT lid, rid
+                FROM c1 JOIN sh1 a ON lid = a.doc_id
+                        JOIN sh1 b ON rid = b.doc_id
+                WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.s, b.s))), 6)
+                      >= 0.7),
+         agg AS (
+           SELECT (SELECT count(*) FROM t1) AS n_pred,
+                  (SELECT count(*) FROM t3) AS n_truth,
+                  (SELECT count(*) FROM
+                    (SELECT * FROM t1 INTERSECT SELECT * FROM t3)) AS n_hit)
+         SELECT CAST(n_pred AS BIGINT) AS n_pred,
+                CAST(n_truth AS BIGINT) AS n_truth,
+                CAST(n_hit AS BIGINT) AS n_hit,
+                CAST(CASE WHEN n_pred > 0 THEN n_hit * 1000 // n_pred
+                     ELSE 0 END AS BIGINT) AS precision_permille,
+                CAST(CASE WHEN n_truth > 0 THEN n_hit * 1000 // n_truth
+                     ELSE 0 END AS BIGINT) AS recall_permille
+         FROM agg""",
 
     "dedup_minhash" ->
       """WITH corpus AS (

@@ -148,6 +148,72 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** EXACT Jaccard pairs via the lossless prefix filter (E73's truth
+    * half, and the deterministic exact counterpart of
+    * [[minhashPairs]]): every pair with shingle-set Jaccard ≥
+    * `threshold`, no hashing anywhere. A pair at Jaccard ≥ t must
+    * share a gram within the first `len − ⌈t·len⌉ + 1` SORTED grams
+    * of each side, so the candidate join runs prefix-against-prefix
+    * — the same device the dedup_minhash oracle uses, here as a
+    * first-class Spark operator. One gram-keyed join over the
+    * prefix frames, distinct pairs, exact verify.
+    */
+  def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold in (0,1], got $threshold")
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+              array_sort(shingles(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val plen = greatest(
+      size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + 1,
+      lit(1))
+    val pref = sh.select(col("doc_id"),
+      explode(slice(col("sh"), lit(1), plen)).as("g"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("left_id"), col("sh").as("sh_l")),
+        "left_id")
+      .join(sh.select(col("doc_id").as("right_id"), col("sh").as("sh_r")),
+        "right_id")
+      .select(col("left_id"), col("right_id"),
+        round(size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_l"), col("sh_r"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Pair-set evaluation (E73) — precision/recall of a predicted
+    * pair set against a truth pair set in integer permille, the
+    * dedup family's analogue of the retrieval family's
+    * `rankMetrics`: does the CHEAP signal (word-set Jaccard, a
+    * sketch, an ANN bucket) find the pairs the REAL metric defines?
+    * Pairs canonicalize to (min, max) and dedupe before counting, so
+    * orientation and duplicates cannot inflate either side. Three
+    * counts + two truncating ratios; empty prediction sets read
+    * precision 0, not a division error.
+    */
+  def pairSetEval(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+        least(col("left_id"), col("right_id")).as("a"),
+        greatest(col("left_id"), col("right_id")).as("b"))
+      .distinct()
+    val p = canon(predicted); val t = canon(truth)
+    val hits = p.join(t, Seq("a", "b"), "left_semi")
+    p.agg(count(lit(1)).as("n_pred"))
+      .crossJoin(t.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .withColumn("precision_permille",
+        expr("CASE WHEN n_pred > 0 THEN n_hit * 1000L div n_pred " +
+             "ELSE 0L END"))
+      .withColumn("recall_permille",
+        expr("CASE WHEN n_truth > 0 THEN n_hit * 1000L div n_truth " +
+             "ELSE 0L END"))
+  }
+
   /** 64-bit SimHash over the token multiset: per-bit vote of each
     * token's xxh64, sign → bit. Native one-pass expression
     * ([[graft.functions.SimHash64Expr]]).

@@ -1379,12 +1379,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("new_tokens"))
     val tokCounts = toks.groupBy("bucket")
       .agg(count(lit(1)).as("bucket_tokens"))
-    val w = Window.partitionBy(lit(1)).orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // running sums via the ewma HOF-fold device, NOT a window: a
+    // constant partition key would be constant-folded into a global
+    // window (single-partition killer); the fold runs over the
+    // collected nBuckets-row frame instead
     perBucket.join(tokCounts, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("new_tokens", "bucket_tokens"))
-      .withColumn("vocab", sum("new_tokens").over(w))
-      .withColumn("corpus_tokens", sum("bucket_tokens").over(w))
+      .agg(array_sort(collect_list(struct(col("bucket"),
+        col("new_tokens"), col("bucket_tokens")))).as("__s"))
+      .select(explode(expr("""aggregate(__s,
+        CAST(array() AS ARRAY<STRUCT<bucket: BIGINT, new_tokens: BIGINT,
+          bucket_tokens: BIGINT, vocab: BIGINT, corpus_tokens: BIGINT>>),
+        (acc, el) -> array_append(acc, struct(
+          el.bucket AS bucket, el.new_tokens AS new_tokens,
+          el.bucket_tokens AS bucket_tokens,
+          CASE WHEN size(acc) = 0 THEN el.new_tokens
+               ELSE element_at(acc, -1).vocab + el.new_tokens
+          END AS vocab,
+          CASE WHEN size(acc) = 0 THEN el.bucket_tokens
+               ELSE element_at(acc, -1).corpus_tokens + el.bucket_tokens
+          END AS corpus_tokens)))""")).as("__r"))
+      .select(col("__r.bucket").as("bucket"),
+        col("__r.new_tokens").as("new_tokens"),
+        col("__r.bucket_tokens").as("bucket_tokens"),
+        col("__r.vocab").as("vocab"),
+        col("__r.corpus_tokens").as("corpus_tokens"))
   }
 
   /** Log-template mining (E70, Drain-lite) — the ops-log

@@ -403,4 +403,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(TrimPunctuation.trim(in) == want, s"input '$in'")
     }
   }
+
+  test("jaccardPairsExact: lossless prefix filter finds exactly the " +
+       "above-threshold pairs; pairSetEval arithmetic") {
+    import graft.operators.Dedup
+    // doc1/doc2: 4-word overlap of 5 distinct words each ->
+    // word-jaccard = 4/6 = 0.667 < 0.7; doc1/doc3 identical -> 1.0;
+    // doc4 disjoint
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a b c d e"),
+      (4L, "x y z w q")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+        shingleN = 1, threshold = 0.7)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)))
+    // lower threshold admits the 2/3-overlap pairs
+    val loose = Dedup.jaccardPairsExact(docs, "doc_id", "text", 1, 0.6)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // eval: predicted has 1 hit, 1 miss-pair, truth has 2
+    val pred = Seq((3L, 1L), (9L, 8L)).toDF("left_id", "right_id")
+    val truth = Seq((1L, 3L), (5L, 6L)).toDF("left_id", "right_id")
+    val ev = Dedup.pairSetEval(pred, truth)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(ev == ((2L, 2L, 1L, 500L, 500L)))
+    // empty prediction: precision 0, no division error
+    val e0 = Dedup.pairSetEval(pred.filter(col("left_id") < 0), truth)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(e0 == ((0L, 2L, 0L, 0L, 0L)))
+  }
 }

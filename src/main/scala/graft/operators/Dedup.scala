@@ -166,11 +166,25 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
               array_sort(shingles(col(textCol), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
+    // prefixes in DOCUMENT-FREQUENCY-ascending order (the
+    // containmentPairs lesson, measured again here: the lexicographic
+    // prefix puts stop-words in every prefix and the candidate join
+    // explodes — 88s → 2.3s at sf0.1 for the word-gram predictor):
+    // any canonical order shared by both sides keeps the filter
+    // lossless, so put the RAREST grams in the prefix; (df, gram) is
+    // a deterministic total order both engines reproduce
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("__df"))
+    val ranked = ex.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("__df"), col("g"))))
+        .as("rs"))
     val plen = greatest(
-      size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + 1,
+      size(col("rs")) - ceil(lit(threshold) * size(col("rs"))).cast("int") + 1,
       lit(1))
-    val pref = sh.select(col("doc_id"),
-      explode(slice(col("sh"), lit(1), plen)).as("g"))
+    val pref = ranked.select(col("doc_id"),
+      explode(transform(slice(col("rs"), lit(1), plen),
+        s => s.getField("g"))).as("g"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))

@@ -896,6 +896,14 @@ object SparkEntry {
     "readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables(s, dir).documents, "doc_id", "text")),
 
+    // E74: top-gram coverage curve — how much corpus mass the top-50
+    // trigrams account for (the boilerplate/template-soup signal);
+    // deterministic (count desc, gram asc) top-k, cumulative permille
+    // via the HOF fold, no global window
+    "ngram_coverage" -> ((s, dir) =>
+      TextAnalysis.ngramCoverage(Tables(s, dir).documents, "text",
+        n = 3, k = 50)),
+
     // E71: vocabulary growth curve (Heaps-law observable) — distinct
     // tokens first seen at or before each of 10 id-range slices; one
     // corpus pass, windows only over the 10-row aggregated frame
@@ -3734,6 +3742,27 @@ FROM decided""",
                 CAST((count(*) - sum(CASE WHEN df > 1 THEN 1 ELSE 0 END))
                      * 1000 // count(*) AS BIGINT) AS novelty_permille
          FROM g JOIN df USING (gram) GROUP BY doc_id""",
+
+    "ngram_coverage" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT array_to_string(ts[i : i + 2], ' ') AS gram
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)),
+         c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n
+               FROM g GROUP BY 1),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+         top AS (SELECT gram, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, gram)
+                        AS BIGINT) AS rank
+                 FROM c)
+         SELECT rank, gram, n,
+                CAST(n * 1000 // tt.t AS BIGINT) AS permille,
+                CAST(sum(n * 1000 // tt.t)
+                     OVER (ORDER BY rank) AS BIGINT) AS cum_permille
+         FROM top, tt WHERE rank <= 50""",
 
     "ngram_counts" ->
       """WITH toks AS (

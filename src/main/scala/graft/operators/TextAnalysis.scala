@@ -1349,6 +1349,41 @@ object TextAnalysis {
           " + 1180 * syllables div greatest(1L, words) - 1559"))
   }
 
+  /** Top-gram coverage curve (E74) — how much of the corpus the k
+    * most frequent n-grams account for: the compression-potential /
+    * boilerplate signal (a crawl whose top-100 trigrams cover 40% of
+    * token mass is template soup, not prose). Deterministic top-k by
+    * `(count desc, gram asc)`, each gram's own and CUMULATIVE
+    * coverage in integer permille of TOTAL gram instances. One
+    * gram-keyed count (map-side combined), a k-bounded
+    * TakeOrdered, and the HOF running-sum fold over the collected
+    * k-row frame — no global window, nothing gram-sized sorted.
+    */
+  def ngramCoverage(docs: DataFrame, textCol: String, n: Int,
+                    k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n,k >= 1, got ($n, $k)")
+    val counts = ngramCounts(docs, textCol, n, minCount = 1L)
+      .withColumnRenamed("gram", "g")
+    val total = counts.agg(sum("n").as("__t"))
+    val top = counts.orderBy(col("n").desc, col("g")).limit(k)
+    top.crossJoin(broadcast(total))
+      .agg(array_sort(collect_list(struct((-col("n")).as("negn"),
+        col("g"), col("n"), col("__t")))).as("__s"))
+      .select(explode(expr("""aggregate(__s,
+        CAST(array() AS ARRAY<STRUCT<rank: BIGINT, gram: STRING,
+          n: BIGINT, permille: BIGINT, cum_permille: BIGINT>>),
+        (acc, el) -> array_append(acc, struct(
+          CAST(size(acc) + 1 AS BIGINT) AS rank, el.g AS gram,
+          el.n AS n, el.n * 1000L div el.__t AS permille,
+          CASE WHEN size(acc) = 0 THEN el.n * 1000L div el.__t
+               ELSE element_at(acc, -1).cum_permille
+                    + el.n * 1000L div el.__t
+          END AS cum_permille)))""")).as("__r"))
+      .select(col("__r.rank").as("rank"), col("__r.gram").as("gram"),
+        col("__r.n").as("n"), col("__r.permille").as("permille"),
+        col("__r.cum_permille").as("cum_permille"))
+  }
+
   /** Vocabulary growth curve (E71, the Heaps-law observable) — how
     * fast the distinct-token vocabulary grows as the corpus grows,
     * the curve that sizes tokenizer vocabularies and predicts

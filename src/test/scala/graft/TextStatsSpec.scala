@@ -528,4 +528,20 @@ class TextStatsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(f == Seq((3L, 3L), (0L, 3L)))
   }
+
+  test("ngramCoverage: deterministic ranking, per-gram and cumulative " +
+       "permilles, tie break by gram") {
+    // bigrams over "a b a b c": (a b)x2, (b a), (b c) -> total 4
+    val docs = Seq("a b a b c").toDF("text")
+    val got = TextAnalysis.ngramCoverage(docs, "text", n = 2, k = 3)
+      .orderBy("rank")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a b", 2L, 500L, 500L),
+      (2L, "b a", 1L, 250L, 750L),
+      (3L, "b c", 1L, 250L, 1000L)))
+    // k larger than distinct grams: just returns them all
+    val all = TextAnalysis.ngramCoverage(docs, "text", 2, 100)
+    assert(all.count() == 3L)
+  }
 }

@@ -1149,13 +1149,16 @@ object SparkEntry {
     // Both sides exact prefix-filtered joins (no hashing), so
     // precision AND recall are deterministic engine-exact permilles
     "near_dup_eval" -> ((s, dir) => {
-      // deterministic 10% evaluation sample (copy ids are base+1e6/2e6,
-      // so base%10 selection keeps every planted near-dup pair whole):
-      // this corpus's shared vocabulary makes MOST pairs word-similar,
-      // so the predictor frame is true-pair-bound — the eval runs on a
-      // sample by design, like any offline metric job
+      // deterministic evaluation sample (copy ids are base+1e6/2e6, so
+      // base-component selection keeps every planted near-dup pair
+      // whole): %10 thins, and the first-shard cap (ids under the
+      // ScaleUp copy offset) FIXES the sample size so the quadratic
+      // true-pair-bound verify cannot grow with the corpus — a no-op
+      // at driver SFs where every id is below the offset; eval jobs
+      // are fixed-budget by contract, like any offline metric
       val docs = plantedDocs(Tables(s, dir))
-        .filter(col("doc_id") % 10 === 0)
+        .filter(col("doc_id") % 10 === 0 &&
+          expr("doc_id div 100000000L") === 0L)
       val truth = Dedup.jaccardPairsExact(docs, "doc_id", "text",
         shingleN = 3, threshold = 0.7)
       val pred = Dedup.jaccardPairsExact(docs, "doc_id", "text",
@@ -4338,7 +4341,8 @@ FROM decided""",
            UNION ALL
            SELECT doc_id + 2000000, text FROM documents
            WHERE doc_id % 11 = 0),
-         corpus AS (SELECT * FROM corpus0 WHERE doc_id % 10 = 0),
+         corpus AS (SELECT * FROM corpus0
+                    WHERE doc_id % 10 = 0 AND doc_id // 100000000 = 0),
          toks AS (
            SELECT doc_id,
                   string_split(lower(trim(regexp_replace(text, '\s+', ' ',

@@ -1309,6 +1309,23 @@ object SparkEntry {
       Similarity.rankMetrics(truth, approx, k = 5)
     }),
 
+    // E75: reciprocal-rank fusion — the hybrid-retrieval combiner:
+    // fuse the full-width exact ranking with the cheap 16-dim prefix
+    // ranking by rank position (1e6 div (60 + rank), integer
+    // micro-units), top-5 fused per query; rank-based, so the two
+    // retrievers' incomparable scores never need calibration
+    "rrf_fuse" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") % 100 === 0)
+      def cut(df: DataFrame) =
+        df.withColumn("embedding", expr("slice(embedding, 1, 16)"))
+      val dense = Similarity.annBruteForce(e, q, "vec_id", "embedding",
+        k = 10)
+      val cheap = Similarity.annBruteForce(cut(e), cut(q), "vec_id",
+        "embedding", k = 10)
+      Similarity.rrfFuse(Seq(dense, cheap), kConst = 60L, topK = 5)
+    }),
+
     // E61: Matryoshka truncation sweep — recall@5 of prefix-truncated
     // cosine search (8/16/32 of 64 dims) vs the full-width exact
     // graph; decides how far the embedding column can be cut for
@@ -5014,6 +5031,40 @@ FROM decided""",
                 CAST(sum(mrr) // count(*) AS BIGINT) AS mrr_permille,
                 CAST(sum(ndcgp) // count(*) AS BIGINT) AS ndcg_permille
          FROM m""",
+
+    "rrf_fuse" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+                           CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         dense AS (SELECT query_id, neighbor_id, rk FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                      neighbor_id) AS rk
+           FROM q JOIN c ON neighbor_id != query_id) WHERE rk <= 10),
+         cheap AS (SELECT query_id, neighbor_id, rk FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv[1:16], cv[1:16]), 6)
+                      DESC, neighbor_id) AS rk
+           FROM q JOIN c ON neighbor_id != query_id) WHERE rk <= 10),
+         contrib AS (
+           SELECT query_id, neighbor_id, 1000000 // (60 + rk) AS c
+           FROM dense
+           UNION ALL
+           SELECT query_id, neighbor_id, 1000000 // (60 + rk) AS c
+           FROM cheap),
+         fused AS (SELECT query_id, neighbor_id,
+                          CAST(sum(c) AS BIGINT) AS rrf_micro
+                   FROM contrib GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, rrf_micro,
+                CAST(rk AS BIGINT) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_micro DESC, neighbor_id) AS rk FROM fused)
+         WHERE rk <= 5""",
 
     "bitext_mine" ->
       """WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv

@@ -401,6 +401,46 @@ object Similarity {
            expr("sum(__ndcgp) div count(1)").as("ndcg_permille"))
   }
 
+  /** Reciprocal-rank fusion (E75, Cormack et al. 2009 — the standard
+    * hybrid-retrieval combiner): fuse any number of per-query rankings
+    * (lexical BM25, dense cosine, a prefix-truncated cheap pass, …)
+    * into one list by `Σ_lists 1e6 div (kConst + rank)` — rank-based,
+    * so incomparable scores (BM25 log-units vs cosine) never need
+    * calibration, and a document missing from a list contributes 0.
+    * `kConst` (classically 60) damps the head so one list's rank-1
+    * cannot dictate the fusion alone.
+    *
+    * Integer discipline: contributions are truncating `div` on exact
+    * longs, the fused score stays in integer micro-units end-to-end —
+    * bit-identical cross-engine. Ties break by neighbor id.
+    *
+    * Scale shape: inputs are k-bounded per query (k·|queries| rows
+    * each — already heap-reduced by whatever retriever made them), so
+    * everything here is query-frame-sized: one (query, neighbor)
+    * hash aggregation (map-side combined) and one bounded
+    * [[graft.functions.GroupedTopKAgg]] heap per query. Nothing
+    * corpus-sized shuffles, no windows.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Long,
+              topK: Int): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kConst >= 0 && topK >= 1,
+      s"need kConst >= 0 and topK >= 1, got ($kConst, $topK)")
+    val contrib = rankings.map(_.select(col("query_id"),
+        col("neighbor_id"),
+        expr(s"1000000L div (${kConst}L + rank)").as("__c")))
+      .reduce(_.unionByName(_))
+    contrib.groupBy("query_id", "neighbor_id")
+      .agg(sum("__c").cast("long").as("__s"))
+      .groupBy("query_id")
+      .agg(graft.functions.GroupedTopKAgg(
+        -col("__s"), col("neighbor_id"), topK).as("__t"))
+      .select(col("query_id"), posexplode(col("__t")).as(Seq("__pos", "__p")))
+      .select(col("query_id"), col("__p.payload").as("neighbor_id"),
+              (-col("__p.key")).as("rrf_micro"),
+              (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     * CCMatrix/LASER parallel-corpus construction step): for each
     * source vector, its best target match scored by the RATIO margin

@@ -584,4 +584,31 @@ class SnapshotRollingSpec extends AnyFunSuite {
     assert(Similarity.rankMetrics(t1, a1, 5)
       .as[(Long, Long, Long)].head() == ((1L, 1000L, 1000L)))
   }
+
+  // --- rrfFuse -----------------------------------------------------------
+
+  test("rrfFuse: hand-computed fusion, single-list docs, id tiebreak, " +
+       "pool smaller than topK") {
+    def fr(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("query_id", "neighbor_id", "rank")
+    // contributions at kConst=60: r1=16393 r2=16129 r3=15873 r4=15625
+    val a = fr(Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+                   (2L, 21L, 1L)))
+    val b = fr(Seq((1L, 11L, 1L), (1L, 13L, 2L), (1L, 10L, 3L),
+                   (2L, 20L, 1L)))
+    val got = Similarity.rrfFuse(Seq(a, b), kConst = 60L, topK = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // q1: 11=16129+16393=32522, 10=16393+15873=32266, then the
+      // single-list docs 13 (16129) > 12 (15873)
+      (1L, 11L, 32522L, 1L), (1L, 10L, 32266L, 2L),
+      (1L, 13L, 16129L, 3L), (1L, 12L, 15873L, 4L),
+      // q2: both rank-1 in one list each -> tied 16393, id ascending
+      (2L, 20L, 16393L, 1L), (2L, 21L, 16393L, 2L)))
+    // topK caps the fused list
+    val top1 = Similarity.rrfFuse(Seq(a, b), 60L, topK = 1)
+      .orderBy("query_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(top1 == Seq((1L, 11L, 32522L, 1L), (2L, 20L, 16393L, 1L)))
+  }
 }

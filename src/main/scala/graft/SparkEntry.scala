@@ -2511,6 +2511,18 @@ object SparkEntry {
         refDays = 7, slackMilli = 2000L, thresholdMilli = 50000L)
     }),
 
+    // C85: sample autocorrelation at lags 1..7 of the daily series —
+    // the period FINDER under seasonality_dow (which assumes 7):
+    // exact integers via mean-clearing (c_t = n·x_t − T), permille is
+    // truncate-toward-zero on |num| with the sign re-attached
+    "acf_lags" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Behavior.acfLags(daily, Seq("event_type"), "day", "n", maxLag = 7)
+    }),
+
     // C45: Z-order layout diagnostic — per equal-width Z-block row
     // counts and BOTH columns' min/max (the data-skipping index a
     // Z-clustered table would store per file)
@@ -5804,6 +5816,33 @@ FROM decided""",
                 CAST(r.sn AS BIGINT) AS cusum_down_milli,
                 r.sp > 50000 AS shift_up, r.sn > 50000 AS shift_down
          FROM r JOIN mu USING (event_type)""",
+
+    "acf_lags" ->
+      """WITH d AS (
+           SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, count(*) AS n, sum(x) AS t
+                 FROM d GROUP BY 1),
+         cen AS (SELECT d.event_type, d.day, d.x * tot.n - tot.t AS c
+                 FROM d JOIN tot USING (event_type)),
+         den AS (SELECT event_type, sum(c * c) AS den
+                 FROM cen GROUP BY 1 HAVING sum(c * c) > 0),
+         lags AS (SELECT unnest(range(1, 8)) AS lag),
+         num AS (SELECT l.event_type, lags.lag,
+                        count(*) AS n_pairs, sum(l.c * r.c) AS num
+                 FROM cen l CROSS JOIN lags
+                 JOIN cen r ON r.event_type = l.event_type
+                           AND r.day = l.day + lags.lag
+                 GROUP BY 1, 2)
+         SELECT num.event_type, CAST(num.lag AS BIGINT) AS lag,
+                CAST(num.n_pairs AS BIGINT) AS n_pairs,
+                CAST(CASE WHEN num.num < 0
+                       THEN -((-num.num) * 1000 // den.den)
+                       ELSE (num.num * 1000) // den.den
+                     END AS BIGINT) AS acf_permille
+         FROM num JOIN den USING (event_type)""",
 
     "pivot_event_stats" ->
       """SELECT user_id % 10 AS cohort,

@@ -438,6 +438,62 @@ object Behavior {
         col("dow_total"), col("index_permille"))): _*)
   }
 
+  /** Per-key autocorrelation function (C85) — sample ACF at lags
+    * 1..`maxLag` over each key's daily series: THE seasonality/
+    * persistence detector under [[seasonalityDow]] (which assumes the
+    * period is 7; ACF finds the period) and the memory diagnostic
+    * behind anomaly thresholds. `r_h = Σ(x_t−x̄)(x_{t+h}−x̄) / Σ(x_t−x̄)²`
+    * — computed in exact integers by clearing the rational mean:
+    * centered values ride as `c_t = n·x_t − T` (so `r_h = Σ c_t·c_{t+h}
+    * div Σ c_t²` exactly), and the permille applies truncate-toward-
+    * zero division to |num| with the sign re-attached, a form both
+    * engines agree on for negative correlations. Lag pairs are
+    * OBSERVED days (d, d+h) — a missing day simply contributes no
+    * pair; the denominator sums over all observed days (the standard
+    * biased estimator). Magnitude contract: `1000·Σc²` must fit a
+    * long — fine for daily counts (|c| ≤ n·max(x)); pre-scale values
+    * if n·max(x) exceeds ~3e6.
+    *
+    * Scale shape: one daily-grain aggregation upstream, one key-sized
+    * totals broadcast back, then the lag self-join on (key, day) —
+    * co-partitioned equi-join of calendar-sized frames (maxLag rows
+    * per observed day on the probe side), and two key-grain
+    * aggregations. Nothing event-sized shuffles twice, no windows.
+    */
+  def acfLags(daily: DataFrame, keyCols: Seq[String], dayCol: String,
+              valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val base = daily.select((keyCols.map(col) :+
+      col(dayCol).cast("long").as("__d") :+
+      col(valueCol).cast("long").as("__x")): _*)
+    val totals = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__T"))
+    val centered = base.join(broadcast(totals), keyCols)
+      .withColumn("__c", expr("__n * __x - __T"))
+      .select((keyCols.map(col) :+ col("__d") :+ col("__c")): _*)
+    val den = centered.groupBy(keyCols.map(col): _*)
+      .agg(sum(expr("__c * __c")).as("__den"))
+      .filter(col("__den") > 0)
+    val probe = centered
+      .withColumn("lag", explode(expr(s"sequence(1L, ${maxLag}L)")))
+      .withColumn("__d2", col("__d") + col("lag"))
+      .select((keyCols.map(col) :+ col("lag") :+ col("__d2") :+
+        col("__c").as("__cl")): _*)
+    val build = centered.select((keyCols.map(col) :+
+      col("__d").as("__d2") :+ col("__c").as("__cr")): _*)
+    probe.join(build, keyCols :+ "__d2")
+      .groupBy((keyCols.map(col) :+ col("lag")): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(expr("__cl * __cr")).as("__num"))
+      .join(broadcast(den), keyCols)
+      .withColumn("acf_permille",
+        expr("""CASE WHEN __num < 0
+                  THEN -((-__num) * 1000L div __den)
+                  ELSE (__num * 1000L) div __den END"""))
+      .select((keyCols.map(col) ++ Seq(col("lag"), col("n_pairs"),
+        col("acf_permille"))): _*)
+  }
+
   /** Per-key CUSUM drift detection (C75) — the sustained-shift
     * complement of [[anomalyZscore]] (point outliers) and
     * [[ewmaSmooth]] (trend): the classic one-sided pair

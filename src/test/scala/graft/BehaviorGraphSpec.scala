@@ -423,6 +423,28 @@ class BehaviorGraphSpec extends AnyFunSuite {
     assert(sp.forall(!_._2))
   }
 
+  test("acfLags: alternating series reads period 2, missing days pair " +
+       "by observed (d, d+h), constant series (den=0) drops out") {
+    // A alternates 10,20 (period 2): c = 6x-90 = ∓30; den = 5400.
+    //   lag1: 5 pairs of -900 -> -(4500000 div 5400) = -833
+    //   lag2: 4 pairs of +900 ->   3600000 div 5400  =  666
+    //   lag3: 3 pairs of -900 -> -(2700000 div 5400) = -500
+    // B days 0,1,3 values 1,2,4: c = 3x-7 = -4,-1,5; den = 42.
+    //   lag1 (0,1): 4 -> 95; lag2 (1,3): -5 -> -119; lag3 (0,3): -20 -> -476
+    // C constant: all c = 0 -> den 0 -> no rows.
+    val daily = (Seq.tabulate(6)(d =>
+        ("A", d.toLong, if (d % 2 == 0) 10L else 20L)) ++
+      Seq(("B", 0L, 1L), ("B", 1L, 2L), ("B", 3L, 4L),
+          ("C", 0L, 5L), ("C", 1L, 5L), ("C", 2L, 5L)))
+      .toDF("k", "day", "n")
+    val got = Behavior.acfLags(daily, Seq("k"), "day", "n", maxLag = 3)
+      .orderBy("k", "lag")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 1L, 5L, -833L), ("A", 2L, 4L, 666L), ("A", 3L, 3L, -500L),
+      ("B", 1L, 1L, 95L), ("B", 2L, 1L, -119L), ("B", 3L, 1L, -476L)))
+  }
+
   test("seasonalityDow: exact cross-ratio index, flat week reads 1000") {
     // 14 days; days 0 and 7 (dow 0) carry 2, every other day 1:
     // dow0 index = 4*14*1000 div (16*2) = 1750; others = 875

@@ -2426,6 +2426,22 @@ object SparkEntry {
         z2Permyriad = 38416L)
     }),
 
+    // C86: CUPED variance reduction — per user, view count is the
+    // pre-period covariate for the purchase-count metric (heavy
+    // browsers buy more, so the covariate carries real variance);
+    // variant = user parity; exact pooled moments on longs, quantized
+    // theta/rho2, sign-explicit truncation throughout
+    "cuped_adjust" -> ((s, dir) => {
+      val units = Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+               .as("x"),
+             sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("y"))
+        .withColumn("variant", col("user_id") % 2)
+      Behavior.cupedAdjust(units, "variant", "x", "y")
+    }),
+
     // C81: PSI drift monitor — even orderkeys are the base snapshot,
     // odd the current, with the 1-URGENT stratum's prices tripled in
     // current so exactly one stratum crosses the 0.2-nat drift line;
@@ -5627,6 +5643,59 @@ FROM decided""",
                   38416 * cc * (nn - cc)
                     * CAST(n_a AS HUGEINT) * n_b AS significant
          FROM h""",
+
+    "cuped_adjust" ->
+      """WITH u AS (
+           SELECT user_id, user_id % 2 AS variant,
+                  CAST(sum(CASE WHEN event_type = 'view'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * x) AS BIGINT) AS sxxr,
+                      CAST(sum(y * y) AS BIGINT) AS syyr,
+                      CAST(sum(x * y) AS BIGINT) AS sxyr
+               FROM u),
+         m AS (SELECT n, sx, sy,
+                      n * sxxr - sx * sx AS sxx,
+                      n * syyr - sy * sy AS syy,
+                      n * sxyr - sx * sy AS sxy
+               FROM p
+               WHERE n * sxxr - sx * sx > 0 AND n * syyr - sy * sy > 0),
+         v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_units,
+                      CAST(sum(x) AS BIGINT) AS sxv,
+                      CAST(sum(y) AS BIGINT) AS syv
+               FROM u GROUP BY 1),
+         j AS (SELECT v.*, m.*,
+                      CASE WHEN 10000 * m.sxy < 0
+                        THEN -((-(10000 * m.sxy)) // m.sxx)
+                        ELSE (10000 * m.sxy) // m.sxx END AS theta,
+                      CASE WHEN 1000 * v.syv < 0
+                        THEN -((-(1000 * v.syv)) // v.n_units)
+                        ELSE (1000 * v.syv) // v.n_units
+                      END AS mean_post
+               FROM v CROSS JOIN m)
+         SELECT CAST(variant AS BIGINT) AS variant, n_units,
+                CAST(mean_post AS BIGINT) AS mean_post_milli,
+                CAST(mean_post -
+                  (CASE WHEN theta * (n * sxv - n_units * sx) * 1000 < 0
+                     THEN -((-(theta * (n * sxv - n_units * sx) * 1000))
+                            // (10000 * n_units * n))
+                     ELSE (theta * (n * sxv - n_units * sx) * 1000)
+                          // (10000 * n_units * n)
+                   END) AS BIGINT) AS adj_mean_post_milli,
+                CAST(theta AS BIGINT) AS theta_permyriad,
+                CAST((CASE WHEN 100 * sxy < 0
+                        THEN -((-(100 * sxy)) // sxx)
+                        ELSE (100 * sxy) // sxx END) *
+                     (CASE WHEN 100 * sxy < 0
+                        THEN -((-(100 * sxy)) // syy)
+                        ELSE (100 * sxy) // syy END)
+                     AS BIGINT) AS rho2_permyriad
+         FROM j""",
 
     "psi_drift" ->
       """WITH b AS (

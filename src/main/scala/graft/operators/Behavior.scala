@@ -405,6 +405,72 @@ object Behavior {
         expr(s"delta * delta * 10000L > ${chi2Permyriad}L * (n_a + n_b)"))
   }
 
+  /** CUPED variance reduction (C86, Deng et al. 2013 — the standard
+    * pre-experiment-covariate adjustment): per unit, a pre-period
+    * covariate `x` predicts the experiment metric `y`; subtracting
+    * `θ·(x − x̄)` with `θ = cov(x,y)/var(x)` removes the covariate's
+    * share of the variance, shrinking confidence intervals without
+    * touching the treatment effect (the covariate predates
+    * assignment). Completes the experimentation family: [[srmCheck]]
+    * gates the assignment, [[abTest]] reads significance, this makes
+    * the metric testable at smaller n.
+    *
+    * Exact-integer discipline: pooled moments clear the rational
+    * means (`Sxy = n·Σxy − Σx·Σy`, `Sxx`, `Syy` likewise — all
+    * longs), `theta_permyriad = sign-trunc(10⁴·Sxy / Sxx)`, and the
+    * variance-reduction readout is the QUANTIZED composition
+    * `rho2_permyriad = trunc(10²·Sxy/Sxx) · trunc(10²·Sxy/Syy)` (≥ 0:
+    * both factors carry Sxy's sign) — a documented estimator, not the
+    * unquantized ρ², so no Sxy² ever forms. Per-variant adjusted mean
+    * applies the already-quantized θ: `adj = mean_y_milli −
+    * sign-trunc(θ_pm·(n·Σx_v − n_v·Σx)·1000 / (10⁴·n_v·n))`. All
+    * divisions are sign-explicit truncate-toward-zero, identical both
+    * engines. Magnitude contract: `10⁴·|Sxy|` and `θ_pm·n·Σx_v·1000`
+    * must fit a long — counts or pre-scaled metrics, like [[acfLags]].
+    *
+    * Scale shape: one unit-grain aggregation upstream of the caller,
+    * then ONE global moment row (map-side combined) broadcast back
+    * over a variant-sized frame — nothing unit-sized shuffles twice.
+    * Units with zero covariate variance pool-wide (Sxx or Syy = 0)
+    * make adjustment meaningless: the result is empty by contract.
+    */
+  def cupedAdjust(units: DataFrame, variantCol: String, preCol: String,
+                  postCol: String): DataFrame = {
+    val base = units.select(col(variantCol).cast("long").as("variant"),
+      col(preCol).cast("long").as("__x"),
+      col(postCol).cast("long").as("__y"))
+    val pooled = base.agg(
+      count(lit(1)).as("__n"), sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(expr("__x * __x")).as("__sxx_r"),
+      sum(expr("__y * __y")).as("__syy_r"),
+      sum(expr("__x * __y")).as("__sxy_r"))
+      .withColumn("__sxx", expr("__n * __sxx_r - __sx * __sx"))
+      .withColumn("__syy", expr("__n * __syy_r - __sy * __sy"))
+      .withColumn("__sxy", expr("__n * __sxy_r - __sx * __sy"))
+      .filter(col("__sxx") > 0 && col("__syy") > 0)
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    val perVariant = base.groupBy("variant").agg(
+      count(lit(1)).as("n_units"),
+      sum("__x").as("__sxv"), sum("__y").as("__syv"))
+    perVariant.crossJoin(broadcast(pooled))
+      .withColumn("theta_permyriad",
+        expr(strunc("10000L * __sxy", "__sxx")))
+      .withColumn("rho2_permyriad",
+        expr(strunc("100L * __sxy", "__sxx")) *
+          expr(strunc("100L * __sxy", "__syy")))
+      .withColumn("mean_post_milli",
+        expr(strunc("1000L * __syv", "n_units")))
+      .withColumn("adj_mean_post_milli",
+        col("mean_post_milli") - expr(strunc(
+          "theta_permyriad * (__n * __sxv - n_units * __sx) * 1000L",
+          "10000L * n_units * __n")))
+      .select(col("variant"), col("n_units"), col("mean_post_milli"),
+        col("adj_mean_post_milli"), col("theta_permyriad"),
+        col("rho2_permyriad"))
+  }
+
   /** Day-of-week seasonality index (C76) — the calendar-shape
     * companion of [[ewmaSmooth]]/[[cusumChangepoints]]: per key and
     * weekday, how that weekday's mean daily volume compares to the

@@ -464,6 +464,30 @@ class BehaviorGraphSpec extends AnyFunSuite {
     assert(f.size == 7 && f.forall(_ == 1000L))
   }
 
+  test("cupedAdjust: hand-computed theta and adjusted means, covariate " +
+       "imbalance removed, zero-variance pool is empty by contract") {
+    // A: (x,y) = (1,11),(2,12),(3,13); B: (3,23),(4,24),(5,25)
+    // pooled n=6 sx=18 sy=108: sxx=60, syy=1320, sxy=240
+    // theta = 2400000 div 60 = 40000; rho2 = (24000 div 60)*(24000 div 1320)
+    //       = 400*18 = 7200
+    // A: mean=12000; n*sxv-nv*sx = 36-54 = -18 -> adj 12000+4000 = 16000
+    // B: mean=24000; +18 -> adj 24000-4000 = 20000
+    val units = Seq((0L, 1L, 11L), (0L, 2L, 12L), (0L, 3L, 13L),
+                    (1L, 3L, 23L), (1L, 4L, 24L), (1L, 5L, 25L))
+      .toDF("variant", "x", "y")
+    val got = Behavior.cupedAdjust(units, "variant", "x", "y")
+      .orderBy("variant")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 12000L, 16000L, 40000L, 7200L),
+                      (1L, 3L, 24000L, 20000L, 40000L, 7200L)))
+    // adjustment moved the arm means toward each other but kept the
+    // pooled total: 16000+20000 == 12000+24000
+    assert(got.map(_._4).sum == got.map(_._3).sum)
+    // constant covariate -> sxx = 0 -> empty result
+    val flat = Seq((0L, 5L, 1L), (1L, 5L, 9L)).toDF("variant", "x", "y")
+    assert(Behavior.cupedAdjust(flat, "variant", "x", "y").count() == 0L)
+  }
+
   test("abTest: exact squared-boundary decision, micro rates, " +
        "single-arm strata dropped") {
     // n_a=n_b=10, c_a=8, c_b=2: d=60, N=20, C=10 ->

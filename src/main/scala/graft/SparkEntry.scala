@@ -49,6 +49,21 @@ object SparkEntry {
     * (doc_id+1000000). The dedup operators must recover exactly these
     * pairs (the base corpus is random word soup with no near-dups).
     */
+  /** Terminator-bearing corpus device: the synthetic documents carry
+    * no sentence terminators, so the segmentation family would only
+    * ever see one unterminated fragment per doc at SF scale. Plant
+    * them deterministically — '.', '!', '?' after three common corpus
+    * words (plain all-occurrence `replace`, no regex, identical
+    * semantics both engines); words at end-of-string stay bare, so
+    * unterminated tails still occur. Purely map-side.
+    */
+  private[graft] def sentencedDocs(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+      expr("""replace(replace(replace(text,
+                'join ', 'join. '),
+                'merge ', 'merge! '),
+                'scan ', 'scan? ')""").as("text"))
+
   private[graft] def plantedDocs(t: Tables): DataFrame = {
     val d = t.documents.select(col("doc_id"), col("text"))
     d.unionByName(
@@ -892,9 +907,12 @@ object SparkEntry {
 
     // E59: readability grade (FK-shaped, integer centi-grades) —
     // regexp-count heuristics both engines re-derive identically;
-    // purely map-side, zero shuffle
+    // purely map-side, zero shuffle. Runs over the sentenced corpus
+    // (deterministic planted terminators) so the sentence term of the
+    // grade formula is exercised at SF scale, not pinned at 0
     "readability" -> ((s, dir) =>
-      TextAnalysis.readability(Tables(s, dir).documents, "doc_id", "text")),
+      TextAnalysis.readability(sentencedDocs(Tables(s, dir)),
+        "doc_id", "text")),
 
     // E74: top-gram coverage curve — how much corpus mass the top-50
     // trigrams account for (the boilerplate/template-soup signal);
@@ -926,9 +944,12 @@ object SparkEntry {
 
     // E69: sentence segmentation — one row per maximal terminator-run
     // sentence with index/char/token counts; unterminated tails ride
-    // along flagged rather than silently dropping
+    // along flagged rather than silently dropping. Runs over the
+    // sentenced corpus (planted '.', '!', '?' after three common
+    // words) so multi-sentence docs, all three terminators, AND
+    // unterminated tails all appear at SF scale
     "sentence_segment" -> ((s, dir) =>
-      TextAnalysis.sentenceSegment(Tables(s, dir).documents,
+      TextAnalysis.sentenceSegment(sentencedDocs(Tables(s, dir)),
         "doc_id", "text")),
 
     // E68: heuristic code-vs-prose routing signal — four integer
@@ -3591,13 +3612,20 @@ FROM decided""",
          FROM t GROUP BY 1 HAVING count(*) >= 2""",
 
     "sentence_segment" ->
-      """WITH segs AS (
+      """WITH sdocs AS (
+           SELECT doc_id,
+                  replace(replace(replace(text,
+                    'join ', 'join. '),
+                    'merge ', 'merge! '),
+                    'scan ', 'scan? ') AS text
+           FROM documents),
+         segs AS (
            SELECT doc_id,
              list_concat(regexp_extract_all(text, '[^.!?]+[.!?]+'),
                CASE WHEN coalesce(regexp_extract(text, '[^.!?]+$'), '') != ''
                     THEN [regexp_extract(text, '[^.!?]+$')]
                     ELSE [] END) AS s
-           FROM documents),
+           FROM sdocs),
          ex AS (
            SELECT doc_id, i AS ix, s[i] AS raw
            FROM segs, UNNEST(generate_series(1, len(s))) AS g(i)),
@@ -3653,7 +3681,14 @@ FROM decided""",
          FROM r""",
 
     "readability" ->
-      """SELECT doc_id, words, sentences, syllables,
+      """WITH sdocs AS (
+           SELECT doc_id,
+                  replace(replace(replace(text,
+                    'join ', 'join. '),
+                    'merge ', 'merge! '),
+                    'scan ', 'scan? ') AS text
+           FROM documents)
+         SELECT doc_id, words, sentences, syllables,
                 39 * words // greatest(1, sentences)
                   + 1180 * syllables // greatest(1, words) - 1559
                   AS grade_centi
@@ -3664,7 +3699,7 @@ FROM decided""",
                       AS BIGINT) AS sentences,
                  CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
                       AS BIGINT) AS syllables
-               FROM documents)""",
+               FROM sdocs)""",
 
     "fim_transform" ->
       """WITH fp AS (

@@ -692,6 +692,44 @@ object SparkEntry {
         Seq("c_nationkey"), "c_acctbal")
     }),
 
+    // C87: FUZZY entity resolution — the weighted-score complement of
+    // C54 (which matches by canonicalized equality and documents why
+    // bare edit distance is unsafe on ID-like names): a typo'd
+    // re-entry (every 7th, 'Customer'→'Custmer', balance off 3 cents)
+    // matches because the name DIGITS agree and carry the decisive
+    // weight (500 of the 800 threshold); an UPPERCASED re-entry with
+    // a wildly different balance (every 13th) stays below threshold —
+    // name similarity alone cannot merge; distinct customers one
+    // digit apart never pair (digits differ, max score 483)
+    "fuzzy_entities" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      def base(df: DataFrame) = df.select(
+        col("c_custkey").cast("long").as("rec_id"),
+        col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      val b = base(c)
+      val recs = b
+        .unionByName(b.filter(col("rec_id") % 7 === 0).select(
+          (col("rec_id") + 1000000L).as("rec_id"),
+          expr("replace(name, 'Customer', 'Custmer')").as("name"),
+          col("nation"), col("segment"),
+          (col("bal_cents") + 3L).as("bal_cents")))
+        .unionByName(b.filter(col("rec_id") % 13 === 0).select(
+          (col("rec_id") + 2000000L).as("rec_id"),
+          upper(col("name")).as("name"),
+          col("nation"), col("segment"),
+          (col("bal_cents") + 100000L).as("bal_cents")))
+        .withColumn("name_digits",
+          regexp_replace(col("name"), "[^0-9]", ""))
+      Relational.fuzzyEntityResolution(recs, "rec_id",
+        Seq("nation", "segment"), "name_digits", "name",
+        "bal_cents", numTol = 500L,
+        wExact = 500L, wName = 300L, wNum = 200L,
+        thresholdPermille = 800L)
+    }),
+
     // C14: run metrics (alma_publish_parser.py:302-308)
     "run_metrics" -> ((s, dir) => {
       Tables(s, dir).events.groupBy(col("event_type"))
@@ -3054,6 +3092,56 @@ object SparkEntry {
                 CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
                   AS total_cents
          FROM k GROUP BY nk, c_nationkey""",
+
+    "fuzzy_entities" ->
+      """WITH RECURSIVE recs AS (
+           SELECT c_custkey AS rec_id, c_name AS name,
+                  CAST(c_nationkey AS BIGINT) AS nation,
+                  c_mktsegment AS segment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 1000000,
+                  replace(c_name, 'Customer', 'Custmer'),
+                  CAST(c_nationkey AS BIGINT), c_mktsegment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) + 3
+           FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 2000000, upper(c_name),
+                  CAST(c_nationkey AS BIGINT), c_mktsegment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+           FROM customer WHERE c_custkey % 13 = 0),
+         r2 AS (SELECT *,
+                  regexp_replace(name, '[^0-9]', '', 'g') AS dig,
+                  CAST(length(name) AS BIGINT) AS ln
+                FROM recs),
+         pairs AS (
+           SELECT a.rec_id AS l, b.rec_id AS r
+           FROM r2 a JOIN r2 b
+             ON a.nation = b.nation AND a.segment = b.segment
+            AND a.rec_id < b.rec_id
+           WHERE (CASE WHEN a.dig = b.dig THEN 500 ELSE 0 END)
+               + (300 * greatest(0, 1000 - levenshtein(a.name, b.name)
+                    * 1000 // greatest(greatest(a.ln, b.ln), 1))) // 1000
+               + (CASE WHEN abs(a.bal_cents - b.bal_cents) <= 500
+                  THEN 200 ELSE 0 END) >= 800),
+         edges AS (SELECT l AS src, r AS dst FROM pairs
+                   UNION SELECT r, l FROM pairs),
+         reach(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         lab AS (SELECT a AS rec_id, least(a, min(b)) AS ent
+                 FROM reach GROUP BY a),
+         ent AS (SELECT r2.rec_id,
+                        coalesce(lab.ent, r2.rec_id) AS entity_id
+                 FROM r2 LEFT JOIN lab USING (rec_id)),
+         sz AS (SELECT entity_id, count(*) AS cluster_size
+                FROM ent GROUP BY 1)
+         SELECT CAST(ent.rec_id AS BIGINT) AS rec_id,
+                CAST(ent.entity_id AS BIGINT) AS entity_id,
+                CAST(sz.cluster_size AS BIGINT) AS cluster_size
+         FROM ent JOIN sz USING (entity_id)""",
 
     // exact regime ⇒ Σ cA·cB over matched keys is the true join size
     "join_cardinality" ->

@@ -1298,4 +1298,77 @@ object Relational {
     IndexFiles.swapIn(spark, storeDir, "dim") { tmp =>
       bNew.write.parquet(tmp) }
   }
+
+  /** Fuzzy entity resolution (C87) — the WEIGHTED-score complement of
+    * [[resolveEntities]] (C54, the canonicalized-equality matcher):
+    * block → score candidate pairs with Fellegi-Sunter-style weighted
+    * field agreement → threshold → connected components → every
+    * record labeled with its entity's MIN record id (singletons label
+    * themselves). C54's contract documents WHY naive edit-distance
+    * matching is off by default there: ID-like names put distinct
+    * entities one typo apart. This operator is how fuzziness is
+    * enabled SAFELY — a normalized exact identifier (digits of the
+    * name, a tax id, a normalized phone) carries the decisive weight,
+    * so name typos merge only when the identifier agrees, and
+    * identifier-different records cannot clear the threshold on name
+    * similarity alone (set `wName + wNum < threshold ≤ wExact + …`).
+    *
+    * Score (integer permille, exact):
+    *   `wExact·[exactCol equal] + (wName·name_sim) div 1000 +
+    *    wNum·[|numCol diff| ≤ numTol]`
+    * with `name_sim = max(0, 1000 − 1000·lev(a,b) div max(len_a,
+    * len_b, 1))` — Levenshtein is exact integer in both engines, so
+    * the match decision is engine-identical; weights/threshold are
+    * caller policy.
+    *
+    * Scale shape: candidates come ONLY from equal blocking keys — the
+    * self-join is a key-partitioned equi-join, never a cross join;
+    * pair volume is Σ block², so blocking keys must bound block size
+    * (the caller's schema knowledge — same contract as every blocked
+    * dedup here; a hot block is AQE-skew territory, or add a salt
+    * column to the block key). Matched pairs are match-sized;
+    * [[Dedup.connectedComponents]] runs pointer-jumped min-label over
+    * them (O(log n) rounds); the final labeling is one record-sized
+    * left join + one entity-sized count join.
+    */
+  def fuzzyEntityResolution(records: DataFrame, idCol: String,
+                       blockCols: Seq[String], exactCol: String,
+                       nameCol: String, numCol: String, numTol: Long,
+                       wExact: Long, wName: Long, wNum: Long,
+                       thresholdPermille: Long,
+                       maxIter: Int = 15): DataFrame = {
+    require(blockCols.nonEmpty, "entityResolution needs blocking columns")
+    require(numTol >= 0 && wExact >= 0 && wName >= 0 && wNum >= 0,
+      "weights and tolerance must be non-negative")
+    val base = records.select(col(idCol).cast("long").as("__id"),
+      struct(blockCols.map(col): _*).as("__blk"),
+      col(exactCol).as("__ex"), col(nameCol).as("__nm"),
+      length(col(nameCol)).cast("long").as("__ln"),
+      col(numCol).cast("long").as("__num"))
+    val a = base.alias("a")
+    val b = base.alias("b")
+    val nameSim = greatest(lit(0L),
+      expr("""1000L - CAST(levenshtein(a.__nm, b.__nm) AS BIGINT) * 1000L
+              div greatest(greatest(a.__ln, b.__ln), 1L)"""))
+    val score =
+      when(col("a.__ex") === col("b.__ex"), lit(wExact)).otherwise(lit(0L)) +
+      expr(s"(${wName}L * __nsim) div 1000L") +
+      when(abs(col("a.__num") - col("b.__num")) <= numTol, lit(wNum))
+        .otherwise(lit(0L))
+    val pairs = a.join(b,
+        col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
+      .withColumn("__nsim", nameSim)
+      .withColumn("__score", score)
+      .filter(col("__score") >= thresholdPermille)
+      .select(col("a.__id").as("left_id"), col("b.__id").as("right_id"))
+    val labels = Dedup.connectedComponents(pairs, maxIter)
+      .select(col("doc_id").as("__id"), col("keep_id").as("__ent"))
+    val ent = base.join(labels, Seq("__id"), "left")
+      .select(col("__id").as("rec_id"),
+              coalesce(col("__ent"), col("__id")).as("entity_id"))
+    val sizes = ent.groupBy("entity_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    ent.join(sizes, Seq("entity_id"))
+      .select(col("rec_id"), col("entity_id"), col("cluster_size"))
+  }
 }

@@ -337,6 +337,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("fuzzyEntityResolution: id-backed typo merges, name similarity " +
+       "alone cannot, blocks isolate, chain closes transitively") {
+    // weights 500/300/200, threshold 800, tol 500 — the verified key's
+    // policy. Scores in comments are hand-computed.
+    val recs = Seq(
+      (1L, "Widget#100", 1L, 1000L),  // base
+      (2L, "Widgt#100", 1L, 1003L),   // typo: 500+270+200=970 -> merges w/ 1
+      (3L, "Widget#101", 1L, 1000L),  // distinct id vs 1: 0+270+200=470
+      (4L, "WIDGET#100", 1L, 99999L), // same id, name 650 w/o bal -> apart
+      (5L, "Widget#100", 2L, 1000L),  // other block: never paired with 1
+      (6L, "Gadget#200", 1L, 5000L),  // 6~7 (970), 7~8 (1000), 6~8 only 770
+      (7L, "Gadgt#200", 1L, 5100L),   //   -> one entity via closure
+      (8L, "Gadgt#200", 1L, 5550L))
+      .toDF("rec_id", "name", "nation", "bal_cents")
+      .withColumn("dig", regexp_replace(col("name"), "[^0-9]", ""))
+    val got = Relational.fuzzyEntityResolution(recs, "rec_id",
+        Seq("nation"), "dig", "name", "bal_cents", numTol = 500L,
+        wExact = 500L, wName = 300L, wNum = 200L,
+        thresholdPermille = 800L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 2L)), 2L -> ((1L, 2L)),
+      3L -> ((3L, 1L)), 4L -> ((4L, 1L)), 5L -> ((5L, 1L)),
+      6L -> ((6L, 3L)), 7L -> ((6L, 3L)), 8L -> ((6L, 3L))))
+  }
+
   test("skewReport: planted hot key reported first with exact share") {
     // 700 of 1000 rows share key "hot"; second column is near-uniform
     val df = (1 to 1000).map { i =>

@@ -2586,6 +2586,28 @@ object SparkEntry {
         refDays = 7, slackMilli = 2000L, thresholdMilli = 50000L)
     }),
 
+    // C88: smoothed target encoding — order priority encoded by mean
+    // total price (milli-cents target), pseudo-count 100 shrinks rare
+    // categories toward the global prior; exact integer milli means
+    "target_encode" -> ((s, dir) => {
+      val o = Tables(s, dir).orders.select(
+        col("o_orderpriority").as("cat"),
+        expr("CAST(round(o_totalprice * 1000) AS BIGINT)").as("y_milli"))
+      Behavior.targetEncode(o, "cat", "y_milli", pseudoCount = 100L)
+    }),
+
+    // C89: seasonal-naive forecast backtest — x̂_t = x_{t−7} over the
+    // per-type daily series; MAE + signed bias in exact integer
+    // millis, the baseline any real forecaster must beat
+    "forecast_baseline" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Behavior.forecastBaseline(daily, Seq("event_type"), "day", "n",
+        period = 7L)
+    }),
+
     // C85: sample autocorrelation at lags 1..7 of the daily series —
     // the period FINDER under seasonality_dow (which assumes 7):
     // exact integers via mean-clearing (c_t = n·x_t − T), permille is
@@ -6008,6 +6030,47 @@ FROM decided""",
                 CAST(r.sn AS BIGINT) AS cusum_down_milli,
                 r.sp > 50000 AS shift_up, r.sn > 50000 AS shift_down
          FROM r JOIN mu USING (event_type)""",
+
+    "target_encode" ->
+      """WITH o AS (SELECT o_orderpriority AS cat,
+                           CAST(round(o_totalprice * 1000) AS BIGINT) AS y
+                    FROM orders),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+                      CAST(sum(y) AS BIGINT) AS gy FROM o),
+         c AS (SELECT cat AS category, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(y) AS BIGINT) AS sy
+               FROM o GROUP BY 1)
+         SELECT category, n,
+                CAST(CASE WHEN gy < 0 THEN -((-gy) // gn)
+                          ELSE gy // gn END AS BIGINT) AS prior_milli,
+                CAST(CASE WHEN sy + 100 * (CASE WHEN gy < 0
+                            THEN -((-gy) // gn) ELSE gy // gn END) < 0
+                       THEN -((-(sy + 100 * (CASE WHEN gy < 0
+                              THEN -((-gy) // gn) ELSE gy // gn END)))
+                              // (n + 100))
+                       ELSE (sy + 100 * (CASE WHEN gy < 0
+                              THEN -((-gy) // gn) ELSE gy // gn END))
+                            // (n + 100)
+                     END AS BIGINT) AS enc_milli
+         FROM c CROSS JOIN g""",
+
+    "forecast_baseline" ->
+      """WITH d AS (
+           SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         j AS (SELECT a.event_type, a.x, b.x AS f
+               FROM d a JOIN d b ON b.event_type = a.event_type
+                                AND b.day = a.day - 7)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+                CAST((1000 * sum(abs(x - f))) // count(*) AS BIGINT)
+                  AS mae_milli,
+                CAST(CASE WHEN 1000 * sum(x - f) < 0
+                       THEN -((-(1000 * sum(x - f))) // count(*))
+                       ELSE (1000 * sum(x - f)) // count(*)
+                     END AS BIGINT) AS bias_milli
+         FROM j GROUP BY 1""",
 
     "acf_lags" ->
       """WITH d AS (

@@ -405,6 +405,74 @@ object Behavior {
         expr(s"delta * delta * 10000L > ${chi2Permyriad}L * (n_a + n_b)"))
   }
 
+  /** Smoothed target encoding (C88 — the standard high-cardinality
+    * categorical feature for tabular ML): each category's target mean
+    * shrunk toward the global mean by pseudo-count `m`
+    * (`enc = (Σy_c + m·ȳ) / (n_c + m)`) — rare categories read as the
+    * prior instead of memorizing their handful of labels. Exact
+    * integers: the prior is the truncating global milli-mean, the
+    * encoding `sign-trunc(Σy_c + m·prior_milli·?, n_c + m)` — all in
+    * milli target units, sign-explicit truncation, engine-identical.
+    * Leave-one-out/CV variants compose upstream (filter the fold out
+    * before calling). Scale shape: one category-keyed aggregation
+    * (map-side combined) + ONE global row broadcast back over the
+    * category-sized frame — the fact table shuffles once.
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetMilliCol: String,
+                   pseudoCount: Long): DataFrame = {
+    require(pseudoCount >= 0, s"pseudoCount must be >= 0, got $pseudoCount")
+    val y = col(targetMilliCol).cast("long")
+    val perCat = df.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"), sum(y).as("__sy"))
+    val global = df.agg(count(lit(1)).as("__gn"), sum(y).as("__gy"))
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    perCat.crossJoin(broadcast(global))
+      .withColumn("prior_milli", expr(strunc("__gy", "__gn")))
+      .withColumn("enc_milli", expr(strunc(
+        s"__sy + ${pseudoCount}L * prior_milli",
+        s"n + ${pseudoCount}L")))
+      .select(col("category"), col("n"), col("prior_milli"),
+              col("enc_milli"))
+  }
+
+  /** Seasonal-naive forecast backtest (C89 — the baseline every
+    * forecasting pipeline must beat, and the cheapest drift alarm):
+    * forecast each day as the value `period` days earlier and score
+    * the residuals per key — `n_scored` days with both observations,
+    * `mae_milli = trunc(1000·Σ|x_t − x_{t−p}| / n)`, and signed
+    * `bias_milli` (systematic growth reads positive). Exact integer
+    * arithmetic; sign-explicit truncation on the bias.
+    *
+    * Scale shape: one co-partitioned (key, day) self-join of the
+    * calendar-sized daily frame + one key-grain aggregation — the
+    * same shape as [[acfLags]] at a single lag. No windows.
+    */
+  def forecastBaseline(daily: DataFrame, keyCols: Seq[String],
+                       dayCol: String, valueCol: String,
+                       period: Long): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    val base = daily.select((keyCols.map(col) :+
+      col(dayCol).cast("long").as("__d") :+
+      col(valueCol).cast("long").as("__x")): _*)
+    val prior = base.select((keyCols.map(col) :+
+      (col("__d") + period).as("__d") :+ col("__x").as("__f")): _*)
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    base.join(prior, keyCols :+ "__d")
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_scored"),
+           sum(abs(col("__x") - col("__f"))).as("__sae"),
+           sum(col("__x") - col("__f")).as("__sbias"))
+      .withColumn("mae_milli", expr("(1000L * __sae) div n_scored"))
+      .withColumn("bias_milli",
+        expr(strunc("1000L * __sbias", "n_scored")))
+      .select((keyCols.map(col) ++ Seq(col("n_scored"), col("mae_milli"),
+        col("bias_milli"))): _*)
+  }
+
   /** CUPED variance reduction (C86, Deng et al. 2013 — the standard
     * pre-experiment-covariate adjustment): per unit, a pre-period
     * covariate `x` predicts the experiment metric `y`; subtracting

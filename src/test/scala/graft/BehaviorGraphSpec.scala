@@ -464,6 +464,38 @@ class BehaviorGraphSpec extends AnyFunSuite {
     assert(f.size == 7 && f.forall(_ == 1000L))
   }
 
+  test("targetEncode: rare category shrinks toward the global prior, " +
+       "big category barely moves") {
+    // global: n=4, sum=16000 -> prior 4000; m=2
+    // A (n=3, sum=6000): enc = (6000 + 8000) div 5 = 2800
+    // B (n=1, sum=10000): enc = (10000 + 8000) div 3 = 6000 (raw 10000
+    //   pulled hard toward 4000; A's raw 2000 moved to 2800)
+    val df = Seq(("A", 1000L), ("A", 2000L), ("A", 3000L), ("B", 10000L))
+      .toDF("cat", "y")
+    val got = Behavior.targetEncode(df, "cat", "y", pseudoCount = 2L)
+      .orderBy("category")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 3L, 4000L, 2800L), ("B", 1L, 4000L, 6000L)))
+    // m = 0 degenerates to the raw category mean
+    val raw = Behavior.targetEncode(df, "cat", "y", pseudoCount = 0L)
+      .orderBy("category").as[(String, Long, Long, Long)].collect().toSeq
+    assert(raw.map(_._4) == Seq(2000L, 10000L))
+  }
+
+  test("forecastBaseline: seasonal-naive residuals, signed bias, " +
+       "missing prior days score nothing") {
+    val daily = (Seq.tabulate(10)(d => ("K", d.toLong, 10L + d)) ++
+      Seq(("L", 0L, 20L), ("L", 7L, 5L), ("L", 20L, 9L)))
+      .toDF("k", "day", "n")
+    val got = Behavior.forecastBaseline(daily, Seq("k"), "day", "n",
+        period = 7L)
+      .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+    // K: days 7,8,9 score vs 0,1,2 -> residual +7 each
+    // L: only day 7 has a prior (day 0) -> residual -15; day 20 has none
+    assert(got == Seq(("K", 3L, 7000L, 7000L),
+                      ("L", 1L, 15000L, -15000L)))
+  }
+
   test("cupedAdjust: hand-computed theta and adjusted means, covariate " +
        "imbalance removed, zero-variance pool is empty by contract") {
     // A: (x,y) = (1,11),(2,12),(3,13); B: (3,23),(4,24),(5,25)

@@ -896,8 +896,12 @@ object SparkEntry {
     // E63: SFT prompt/completion pairs — split at the first sentence
     // boundary at-or-after the midpoint; content-pure, no RNG;
     // unsplittable docs pass through flagged false
+    // r6e: runs over the sentenced corpus so real splits happen at SF
+    // scale (the raw corpus has no terminators — every doc passed
+    // through flagged false before)
     "sft_pairs" -> ((s, dir) =>
-      TextAnalysis.sftPairs(Tables(s, dir).documents, "doc_id", "text")),
+      TextAnalysis.sftPairs(sentencedDocs(Tables(s, dir)),
+        "doc_id", "text")),
 
     // E62: URL canonicalization dedup (the crawl first stage) — three
     // planted cosmetic variants per doc (case+www+default-port+utm+
@@ -3488,10 +3492,17 @@ FROM decided""",
          FROM d""",
 
     "sft_pairs" ->
-      """WITH s AS (
+      """WITH sdocs AS (
+           SELECT doc_id,
+                  replace(replace(replace(text,
+                    'join ', 'join. '),
+                    'merge ', 'merge! '),
+                    'scan ', 'scan? ') AS text
+           FROM documents),
+         s AS (
            SELECT doc_id, text, CAST(length(text) AS INT) AS len,
                   CAST(length(text) AS INT) // 2 AS h
-           FROM documents),
+           FROM sdocs),
          b AS (
            SELECT *, length(regexp_extract(
                     substring(text, h + 1, len - h),

@@ -2590,6 +2590,19 @@ object SparkEntry {
         refDays = 7, slackMilli = 2000L, thresholdMilli = 50000L)
     }),
 
+    // C90: k-anonymity audit — (user, event_type) as the quasi-
+    // identifier; summary row: groups, violations, rows at risk,
+    // risk permille
+    "k_anonymity" -> ((s, dir) =>
+      Relational.kAnonymity(Tables(s, dir).events,
+        Seq("user_id", "event_type"), k = 3L)),
+
+    // C90b: the concrete combinations to suppress first — 20 smallest
+    // violating groups, deterministic (count, keys) order
+    "k_anonymity_groups" -> ((s, dir) =>
+      Relational.kAnonymityViolations(Tables(s, dir).events,
+        Seq("user_id", "event_type"), k = 3L, topN = 20)),
+
     // C88: smoothed target encoding — order priority encoded by mean
     // total price (milli-cents target), pseudo-count 100 shrinks rare
     // categories toward the global prior; exact integer milli means
@@ -6041,6 +6054,25 @@ FROM decided""",
                 CAST(r.sn AS BIGINT) AS cusum_down_milli,
                 r.sp > 50000 AS shift_up, r.sn > 50000 AS shift_down
          FROM r JOIN mu USING (event_type)""",
+
+    "k_anonymity" ->
+      """WITH g AS (SELECT user_id, event_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+         s AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                      CAST(count(*) AS BIGINT) AS n_groups,
+                      CAST(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS violating_groups,
+                      CAST(sum(CASE WHEN n < 3 THEN n ELSE 0 END)
+                           AS BIGINT) AS rows_at_risk
+               FROM g)
+         SELECT *, (rows_at_risk * 1000) // n_rows AS risk_permille
+         FROM s""",
+
+    "k_anonymity_groups" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2 HAVING count(*) < 3
+         ORDER BY n, user_id, event_type LIMIT 20""",
 
     "target_encode" ->
       """WITH o AS (SELECT o_orderpriority AS cat,

@@ -1299,6 +1299,49 @@ object Relational {
       bNew.write.parquet(tmp) }
   }
 
+  /** k-anonymity audit (C90 — the privacy gate before a dataset with
+    * quasi-identifiers leaves the warehouse): a row is re-identifiable
+    * when its quasi-identifier combination is shared by fewer than `k`
+    * rows. One-row summary: group counts, violating groups, rows at
+    * risk, and the risk permille (truncating, non-negative). One
+    * quasi-keyed aggregation (map-side combined) + one tiny rollup —
+    * the fact table shuffles once, nothing group-sized reaches the
+    * driver.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(sum("__n").as("n_rows"),
+           count(lit(1)).as("n_groups"),
+           sum(when(col("__n") < k, 1L).otherwise(0L))
+             .as("violating_groups"),
+           sum(when(col("__n") < k, col("__n")).otherwise(0L))
+             .as("rows_at_risk"))
+      .withColumn("risk_permille",
+        expr("(rows_at_risk * 1000L) div n_rows"))
+  }
+
+  /** The group-level half of [[kAnonymity]]: the `topN` SMALLEST
+    * quasi-identifier groups below `k` (the concrete combinations to
+    * suppress or generalize first), deterministically ordered by
+    * (count asc, quasi values asc). TakeOrdered-shaped: the violating
+    * frame never fully sorts — only topN rows survive per partition
+    * and reach the driver-side merge.
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           k: Long, topN: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2 && topN >= 1,
+      s"need quasi cols, k >= 2, topN >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+      .orderBy((col("n") +: quasiCols.map(col)): _*)
+      .limit(topN)
+  }
+
   /** Fuzzy entity resolution (C87) — the WEIGHTED-score complement of
     * [[resolveEntities]] (C54, the canonicalized-equality matcher):
     * block → score candidate pairs with Fellegi-Sunter-style weighted

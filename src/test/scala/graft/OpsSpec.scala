@@ -337,6 +337,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("kAnonymity: summary arithmetic and deterministic smallest-first " +
+       "violation list with topN cap") {
+    // groups: (a,x)=1 row, (a,y)=2, (b,x)=3, (b,y)=5 -> k=3 flags 2
+    // groups, 3 rows at risk of 11 -> 272 permille
+    val df = (Seq(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(3)(("b", "x")) ++ Seq.fill(5)(("b", "y"))).toDF("q1", "q2")
+    val s = Relational.kAnonymity(df, Seq("q1", "q2"), k = 3L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(s == ((11L, 4L, 2L, 3L, 272L)))
+    val v = Relational.kAnonymityViolations(df, Seq("q1", "q2"), 3L, 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(v == Seq(("a", "x", 1L), ("a", "y", 2L)))
+    assert(Relational.kAnonymityViolations(df, Seq("q1", "q2"), 3L, 1)
+      .as[(String, String, Long)].collect().toSeq == Seq(("a", "x", 1L)))
+  }
+
   test("fuzzyEntityResolution: id-backed typo merges, name similarity " +
        "alone cannot, blocks isolate, chain closes transitively") {
     // weights 500/300/200, threshold 800, tol 500 — the verified key's

@@ -2590,6 +2590,20 @@ object SparkEntry {
         refDays = 7, slackMilli = 2000L, thresholdMilli = 50000L)
     }),
 
+    // C91: calibration reliability bins — a length-derived permille
+    // score "predicts" whether a doc mentions 'join' (longer docs are
+    // likelier to); 10 equi-depth bins read mean predicted vs
+    // observed rate and the signed gap — the reliability diagram as
+    // a frame; score domain bounded (≤1001), one corpus-sized agg
+    "calibration_bins" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("score"),
+        col("text").contains("join").as("label"))
+      Behavior.calibrationBins(d, "score", "label", nBins = 10)
+    }),
+
     // C90: k-anonymity audit — (user, event_type) as the quasi-
     // identifier; summary row: groups, violations, rows at risk,
     // risk permille
@@ -6054,6 +6068,33 @@ FROM decided""",
                 CAST(r.sn AS BIGINT) AS cusum_down_milli,
                 r.sp > 50000 AS shift_up, r.sn > 50000 AS shift_down
          FROM r JOIN mu USING (event_type)""",
+
+    "calibration_bins" ->
+      """WITH d AS (
+           SELECT least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS s,
+                  text LIKE '%join%' AS lbl
+           FROM documents),
+         ps AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END)
+                            AS BIGINT) AS p
+                FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ps),
+         c AS (SELECT *, CAST(coalesce(sum(n) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum0
+               FROM ps),
+         b AS (SELECT (cum0 * 10) // t.t AS bin, s, n, p
+               FROM c CROSS JOIN t)
+         SELECT CAST(bin AS BIGINT) AS bin,
+                CAST(sum(n) AS BIGINT) AS n_rows,
+                CAST(sum(s * n) // sum(n) AS BIGINT)
+                  AS mean_score_permille,
+                CAST((1000 * sum(p)) // sum(n) AS BIGINT)
+                  AS observed_permille,
+                CAST((1000 * sum(p)) // sum(n)
+                     - sum(s * n) // sum(n) AS BIGINT) AS gap_permille
+         FROM b GROUP BY 1""",
 
     "k_anonymity" ->
       """WITH g AS (SELECT user_id, event_type,

@@ -405,6 +405,58 @@ object Behavior {
         expr(s"delta * delta * 10000L > ${chi2Permyriad}L * (n_a + n_b)"))
   }
 
+  /** Calibration reliability bins (C91 — the diagram every score
+    * consumer should read before thresholding: a classifier saying
+    * "700 permille" should be right ~70% of the time): rows sort into
+    * `nBins` equi-DEPTH bins by score (equal row counts, so sparse
+    * score regions don't make empty cells), each bin reporting mean
+    * predicted score vs observed positive rate and the signed gap —
+    * all integer permille, truncating division on non-negative
+    * operands.
+    *
+    * Contract: `scorePermilleCol` has a BOUNDED domain (permille
+    * scores: ≤ 1001 distinct values) — the per-score aggregated frame
+    * is domain-sized, so the equi-depth assignment runs as the HOF
+    * fold over the COLLECTED distribution (the vocab_growth device —
+    * no constant-key window, nothing corpus-sized sorts). Duplicate
+    * scores stay whole in one bin (the [[Relational.equiDepthHistogram]]
+    * exclusive-prefix rule), so bins are exact and layout-invariant.
+    * Scale shape: ONE corpus-sized score-keyed aggregation (map-side
+    * combined); everything after runs on ≤ |domain| rows.
+    */
+  def calibrationBins(df: DataFrame, scorePermilleCol: String,
+                      labelCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val perScore = df.groupBy(col(scorePermilleCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__n"),
+           sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"))
+    val total = perScore.agg(sum("__n").as("__t"))
+    perScore.crossJoin(broadcast(total))
+      .agg(array_sort(collect_list(struct(col("__s"), col("__n"),
+        col("__p"), col("__t")))).as("__a"))
+      .select(explode(expr("""aggregate(__a,
+        CAST(array() AS ARRAY<STRUCT<s: BIGINT, n: BIGINT, p: BIGINT,
+          t: BIGINT, cum0: BIGINT>>),
+        (acc, el) -> array_append(acc, struct(
+          el.__s AS s, el.__n AS n, el.__p AS p, el.__t AS t,
+          CASE WHEN size(acc) = 0 THEN CAST(0 AS BIGINT)
+               ELSE element_at(acc, -1).cum0 + element_at(acc, -1).n
+          END AS cum0)))""")).as("__r"))
+      .select(col("__r.s").as("__s"), col("__r.n").as("__n"),
+        col("__r.p").as("__p"), col("__r.t").as("__t"),
+        col("__r.cum0").as("__cum0"))
+      .withColumn("bin", expr(s"__cum0 * ${nBins}L div __t"))
+      .groupBy("bin")
+      .agg(sum("__n").as("n_rows"), sum(expr("__s * __n")).as("__ss"),
+           sum("__p").as("__pp"))
+      .withColumn("mean_score_permille", expr("__ss div n_rows"))
+      .withColumn("observed_permille", expr("(1000L * __pp) div n_rows"))
+      .withColumn("gap_permille",
+        col("observed_permille") - col("mean_score_permille"))
+      .select(col("bin"), col("n_rows"), col("mean_score_permille"),
+        col("observed_permille"), col("gap_permille"))
+  }
+
   /** Smoothed target encoding (C88 — the standard high-cardinality
     * categorical feature for tabular ML): each category's target mean
     * shrunk toward the global mean by pseudo-count `m`

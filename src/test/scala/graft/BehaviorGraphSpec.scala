@@ -464,6 +464,28 @@ class BehaviorGraphSpec extends AnyFunSuite {
     assert(f.size == 7 && f.forall(_ == 1000L))
   }
 
+  test("calibrationBins: equi-depth assignment, permille arithmetic, " +
+       "duplicate scores stay whole in one bin") {
+    // scores/labels: 100×3 (1 pos), 200×1 (0), 300×2 (2), 400×2 (1)
+    // total 8, nBins=2: cum0 = 0,3,4,6 -> bins 0,0,1,1
+    // bin0: n=4 mean=(300+200)/4=125 obs=250 gap=125
+    // bin1: n=4 mean=(600+800)/4=350 obs=750 gap=400
+    val d = (Seq.fill(3)((100L, false)).updated(0, (100L, true)) ++
+      Seq((200L, false)) ++ Seq.fill(2)((300L, true)) ++
+      Seq((400L, true), (400L, false))).toDF("score", "label")
+    val got = Behavior.calibrationBins(d, "score", "label", nBins = 2)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 4L, 125L, 250L, 125L),
+                      (1L, 4L, 350L, 750L, 400L)))
+    // a heavy score spanning the depth boundary stays whole
+    val heavy = (Seq.fill(5)((500L, true)) ++ Seq((600L, false)))
+      .toDF("score", "label")
+    val hb = Behavior.calibrationBins(heavy, "score", "label", nBins = 2)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(hb == Seq((0L, 5L, 500L, 1000L, 500L),
+                     (1L, 1L, 600L, 0L, -600L)))
+  }
+
   test("targetEncode: rare category shrinks toward the global prior, " +
        "big category barely moves") {
     // global: n=4, sum=16000 -> prior 4000; m=2

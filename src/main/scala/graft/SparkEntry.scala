@@ -2590,6 +2590,34 @@ object SparkEntry {
         refDays = 7, slackMilli = 2000L, thresholdMilli = 50000L)
     }),
 
+    // C92: schema/profile drift report — the data-contract monitor
+    // between runs: even orders are the old snapshot, odd the new
+    // with o_orderstatus DROPPED, a clerk column ADDED, and
+    // o_orderpriority nulled for '1-URGENT' (a ~200-permille null
+    // jump that crosses the 100-permille gate); dtype columns are
+    // Spark metadata, so the verified projection is the data-level
+    // report (type_changed is spec territory)
+    "schema_drift" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+      val old = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+                col("o_totalprice"))
+      val neu = o.filter(col("o_orderkey") % 2 === 1)
+        .select(
+          when(col("o_orderpriority") === "1-URGENT", lit(null))
+            .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+          col("o_totalprice"),
+          concat(lit("Clerk#"), (col("o_custkey") % 100).cast("string"))
+            .as("o_clerk"))
+      Relational.schemaDrift(
+          old, Seq("o_orderstatus", "o_orderpriority", "o_totalprice"),
+          neu, Seq("o_orderpriority", "o_totalprice", "o_clerk"),
+          nullDeltaPermille = 100L)
+        .select("col_name", "status", "n_old", "n_new", "null_pm_old",
+          "null_pm_new", "null_delta_pm", "distinct_old", "distinct_new",
+          "drift")
+    }),
+
     // C91: calibration reliability bins — a length-derived permille
     // score "predicts" whether a doc mentions 'join' (longer docs are
     // likelier to); 10 equi-depth bins read mean predicted vs
@@ -6068,6 +6096,77 @@ FROM decided""",
                 CAST(r.sn AS BIGINT) AS cusum_down_milli,
                 r.sp > 50000 AS shift_up, r.sn > 50000 AS shift_down
          FROM r JOIN mu USING (event_type)""",
+
+    "schema_drift" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         n AS (SELECT nullif(o_orderpriority, '1-URGENT')
+                        AS o_orderpriority,
+                      o_totalprice,
+                      'Clerk#' || CAST(o_custkey % 100 AS VARCHAR)
+                        AS o_clerk
+               FROM orders WHERE o_orderkey % 2 = 1),
+         po AS (
+           SELECT 'o_orderstatus' AS col_name,
+                  CAST(count(*) AS BIGINT) AS n_old,
+                  CAST(sum(CASE WHEN o_orderstatus IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nulls_old,
+                  CAST(count(DISTINCT CAST(o_orderstatus AS VARCHAR))
+                       AS BIGINT) AS distinct_old
+           FROM o
+           UNION ALL
+           SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN o_orderpriority IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT CAST(o_orderpriority AS VARCHAR))
+                       AS BIGINT)
+           FROM o
+           UNION ALL
+           SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN o_totalprice IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT CAST(o_totalprice AS VARCHAR))
+                       AS BIGINT)
+           FROM o),
+         pn AS (
+           SELECT 'o_orderpriority' AS col_name,
+                  CAST(count(*) AS BIGINT) AS n_new,
+                  CAST(sum(CASE WHEN o_orderpriority IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nulls_new,
+                  CAST(count(DISTINCT CAST(o_orderpriority AS VARCHAR))
+                       AS BIGINT) AS distinct_new
+           FROM n
+           UNION ALL
+           SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN o_totalprice IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT CAST(o_totalprice AS VARCHAR))
+                       AS BIGINT)
+           FROM n
+           UNION ALL
+           SELECT 'o_clerk', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN o_clerk IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT CAST(o_clerk AS VARCHAR))
+                       AS BIGINT)
+           FROM n),
+         j AS (
+           SELECT coalesce(po.col_name, pn.col_name) AS col_name,
+                  CASE WHEN po.col_name IS NULL THEN 'added'
+                       WHEN pn.col_name IS NULL THEN 'removed'
+                       ELSE 'common' END AS status,
+                  coalesce(n_old, 0) AS n_old,
+                  coalesce(n_new, 0) AS n_new,
+                  coalesce((nulls_old * 1000) // n_old, 0) AS null_pm_old,
+                  coalesce((nulls_new * 1000) // n_new, 0) AS null_pm_new,
+                  coalesce(distinct_old, 0) AS distinct_old,
+                  coalesce(distinct_new, 0) AS distinct_new
+           FROM po FULL OUTER JOIN pn ON po.col_name = pn.col_name)
+         SELECT col_name, status, n_old, n_new, null_pm_old, null_pm_new,
+                null_pm_new - null_pm_old AS null_delta_pm,
+                distinct_old, distinct_new,
+                (status != 'common'
+                 OR abs(null_pm_new - null_pm_old) >= 100) AS drift
+         FROM j""",
 
     "calibration_bins" ->
       """WITH d AS (

@@ -1299,6 +1299,76 @@ object Relational {
       bNew.write.parquet(tmp) }
   }
 
+  /** Per-column data profile (the [[schemaDrift]] half-product, also
+    * useful alone): one row per column with row/null/exact-distinct
+    * counts plus the Spark dtype string. Values profile through their
+    * STRING casts so one stack-unpivot covers heterogeneous types —
+    * the scan reads each row once and emits |cols| pairs map-side;
+    * distinct counting is the standard two-level aggregation. Cost
+    * contract: the shuffle carries |cols|·rows pairs — profile the
+    * columns you care about, not `*`, on wide tables.
+    */
+  def schemaProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "schemaProfile needs at least one column")
+    val fields = df.schema.fields.map(f => f.name -> f.dataType.typeName)
+      .toMap
+    val pairs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val dtypes = cols.map(c => (c, fields.getOrElse(c,
+      sys.error(s"schemaProfile: no column $c"))))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meta = dtypes.toDF("col_name", "dtype")
+    df.selectExpr(s"stack(${cols.size}, $pairs) AS (col_name, __v)")
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+           countDistinct(col("__v")).as("n_distinct"))
+      .join(broadcast(meta), Seq("col_name"))
+  }
+
+  /** Schema/profile drift report (C92 — the data-contract monitor
+    * between pipeline runs: a column that vanished, changed type, or
+    * went 30% null upstream should page BEFORE the join downstream
+    * silently inner-drops half its rows): full-outer compare of two
+    * [[schemaProfile]]s. Per column: status (common/added/removed),
+    * both dtypes + `type_changed`, both null permilles + signed delta,
+    * both distinct counts, and the `drift` verdict — added/removed/
+    * type-changed columns always drift; common ones drift when
+    * `|null delta| ≥ nullDeltaPermille`. Absent-side counts read 0
+    * (not null) so the frame is arithmetic-safe. Everything after the
+    * two profiles is column-count-sized.
+    */
+  def schemaDrift(oldDf: DataFrame, oldCols: Seq[String],
+                  newDf: DataFrame, newCols: Seq[String],
+                  nullDeltaPermille: Long): DataFrame = {
+    require(nullDeltaPermille >= 0, "nullDeltaPermille must be >= 0")
+    def side(df: DataFrame, cols: Seq[String], sfx: String) =
+      schemaProfile(df, cols).select(col("col_name"),
+        col("n_rows").as(s"n_$sfx"), col("n_nulls").as(s"nulls_$sfx"),
+        col("n_distinct").as(s"distinct_$sfx"),
+        col("dtype").as(s"dtype_$sfx"),
+        expr(s"(n_nulls * 1000L) div n_rows").as(s"null_pm_$sfx"))
+    side(oldDf, oldCols, "old")
+      .join(side(newDf, newCols, "new"), Seq("col_name"), "full_outer")
+      .withColumn("status",
+        when(col("n_old").isNull, lit("added"))
+          .when(col("n_new").isNull, lit("removed"))
+          .otherwise(lit("common")))
+      .na.fill(0L, Seq("n_old", "nulls_old", "distinct_old", "null_pm_old",
+                       "n_new", "nulls_new", "distinct_new", "null_pm_new"))
+      .withColumn("type_changed",
+        col("status") === "common" && col("dtype_old") =!= col("dtype_new"))
+      .withColumn("null_delta_pm",
+        col("null_pm_new") - col("null_pm_old"))
+      .withColumn("drift",
+        col("status") =!= "common" || col("type_changed") ||
+          abs(col("null_delta_pm")) >= nullDeltaPermille)
+      .select(col("col_name"), col("status"), col("dtype_old"),
+        col("dtype_new"), col("type_changed"), col("n_old"), col("n_new"),
+        col("null_pm_old"), col("null_pm_new"), col("null_delta_pm"),
+        col("distinct_old"), col("distinct_new"), col("drift"))
+  }
+
   /** k-anonymity audit (C90 — the privacy gate before a dataset with
     * quasi-identifiers leaves the warehouse): a row is re-identifiable
     * when its quasi-identifier combination is shared by fewer than `k`

@@ -337,6 +337,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("schemaDrift: added/removed/type-changed/null-jump columns all " +
+       "flag; stable column does not") {
+    val old = Seq((1L, "x", Some("k")), (2L, "y", None),
+                  (3L, "z", Some("k"))).toDF("a", "b", "gone")
+    val neu = Seq(("1", "x", 7L), ("2", None.orNull, 8L),
+                  ("3", None.orNull, 9L))
+      .toDF("a", "b", "added")
+    val got = Relational.schemaDrift(old, Seq("a", "b", "gone"),
+        neu, Seq("a", "b", "added"), nullDeltaPermille = 300L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getBoolean(4), r.getLong(9), r.getBoolean(12))))
+      .toMap
+    // a: common, long -> string = type change (null delta 0)
+    assert(got("a") == (("common", true, 0L, true)))
+    // b: common, same type, nulls 0/3 -> 2/3 = +666 >= 300 -> drift
+    assert(got("b") == (("common", false, 666L, true)))
+    // removed: the absent side reads 0, so the delta is -old rate
+    assert(got("gone") == (("removed", false, -333L, true)))
+    assert(got("added") == (("added", false, 0L, true)))
+    // stable: same frame both sides -> nothing drifts
+    val stable = Relational.schemaDrift(old, Seq("a", "b"),
+        old, Seq("a", "b"), 300L)
+    assert(stable.filter(col("drift")).count() == 0L)
+    // profile arithmetic: distinct excludes nulls, counts exact
+    val p = Relational.schemaProfile(old, Seq("gone"))
+      .as[(String, Long, Long, Long, String)].head()
+    assert(p == (("gone", 3L, 1L, 1L, "string")))
+  }
+
   test("kAnonymity: summary arithmetic and deterministic smallest-first " +
        "violation list with topN cap") {
     // groups: (a,x)=1 row, (a,y)=2, (b,x)=3, (b,y)=5 -> k=3 flags 2

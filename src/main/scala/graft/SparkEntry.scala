@@ -700,7 +700,11 @@ object SparkEntry {
     // weight (500 of the 800 threshold); an UPPERCASED re-entry with
     // a wildly different balance (every 13th) stays below threshold —
     // name similarity alone cannot merge; distinct customers one
-    // digit apart never pair (digits differ, max score 483)
+    // digit apart never pair (digits differ, max score 483).
+    // Blocking = (nation, segment, LAST-4 id digits) — the standard
+    // stable-key-fragment blocking that keeps Σblock² linear in the
+    // corpus (10× probe: 225.6s→1.7s; digit-noise tolerance is the
+    // usual multi-pass-blocking story, documented in the operator)
     "fuzzy_entities" -> ((s, dir) => {
       val c = Tables(s, dir).customer
       def base(df: DataFrame) = df.select(
@@ -723,8 +727,11 @@ object SparkEntry {
           (col("bal_cents") + 100000L).as("bal_cents")))
         .withColumn("name_digits",
           regexp_replace(col("name"), "[^0-9]", ""))
+        .withColumn("blk4",
+          expr("""substring(name_digits,
+                    greatest(length(name_digits) - 3, 1), 4)"""))
       Relational.fuzzyEntityResolution(recs, "rec_id",
-        Seq("nation", "segment"), "name_digits", "name",
+        Seq("nation", "segment", "blk4"), "name_digits", "name",
         "bal_cents", numTol = 500L,
         wExact = 500L, wName = 300L, wNum = 200L,
         thresholdPermille = 800L)
@@ -3194,12 +3201,16 @@ object SparkEntry {
            FROM customer WHERE c_custkey % 13 = 0),
          r2 AS (SELECT *,
                   regexp_replace(name, '[^0-9]', '', 'g') AS dig,
+                  substring(regexp_replace(name, '[^0-9]', '', 'g'),
+                    greatest(length(regexp_replace(name, '[^0-9]', '',
+                      'g')) - 3, 1), 4) AS blk4,
                   CAST(length(name) AS BIGINT) AS ln
                 FROM recs),
          pairs AS (
            SELECT a.rec_id AS l, b.rec_id AS r
            FROM r2 a JOIN r2 b
              ON a.nation = b.nation AND a.segment = b.segment
+            AND a.blk4 = b.blk4
             AND a.rec_id < b.rec_id
            WHERE (CASE WHEN a.dig = b.dig THEN 500 ELSE 0 END)
                + (300 * greatest(0, 1000 - levenshtein(a.name, b.name)

@@ -353,4 +353,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("fuzzy_entities: candidates from an equi-join on the blocking " +
+       "key — never a nested loop or cartesian on the record table") {
+    val plan = formatted(SparkEntry.queries("fuzzy_entities")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("calibration_bins: no window — equi-depth assignment rides the " +
+       "HOF fold over the collected domain-sized distribution") {
+    val plan = formatted(SparkEntry.queries("calibration_bins")(spark, sf))
+    assert(!raw"(?m)^\(\d+\) Window".r.findAllIn(plan).hasNext, plan)
+  }
+
+  test("acf_lags and forecast_baseline: lag pairing is a co-partitioned " +
+       "equi-join, no window, no nested loop") {
+    Seq("acf_lags", "forecast_baseline").foreach { k =>
+      val plan = formatted(SparkEntry.queries(k)(spark, sf))
+      assert(!raw"(?m)^\(\d+\) Window".r.findAllIn(plan).hasNext, s"$k\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"), s"$k\n$plan")
+    }
+  }
+
+  test("k_anonymity_groups: TakeOrdered caps the violation list — the " +
+       "group frame never fully sorts") {
+    val plan = formatted(SparkEntry.queries("k_anonymity_groups")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

@@ -64,6 +64,18 @@ object SparkEntry {
                 'merge ', 'merge! '),
                 'scan ', 'scan? ')""").as("text"))
 
+  /** Line-structured corpus device (the [[sentencedDocs]] sibling for
+    * line-unit operators): newlines planted after the same three
+    * common words — line boundaries, and naturally repeated lines,
+    * appear at SF scale.
+    */
+  private[graft] def linedDocs(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+      expr("""replace(replace(replace(text,
+                'join ', concat('join', chr(10))),
+                'merge ', concat('merge', chr(10))),
+                'scan ', concat('scan', chr(10)))""").as("text"))
+
   private[graft] def plantedDocs(t: Tables): DataFrame = {
     val d = t.documents.select(col("doc_id"), col("text"))
     d.unionByName(
@@ -999,6 +1011,14 @@ object SparkEntry {
     // unterminated tails all appear at SF scale
     "sentence_segment" -> ((s, dir) =>
       TextAnalysis.sentenceSegment(sentencedDocs(Tables(s, dir)),
+        "doc_id", "text")),
+
+    // E76: intra-doc repeated-line removal (the C4 cleaning rule) —
+    // first occurrence of each exact line kept in order, the rest
+    // dropped; runs over the lined corpus so boundaries and natural
+    // repeats exist at SF scale
+    "dedup_lines" -> ((s, dir) =>
+      TextAnalysis.dedupLines(linedDocs(Tables(s, dir)),
         "doc_id", "text")),
 
     // E68: heuristic code-vs-prose routing signal — four integer
@@ -2639,18 +2659,23 @@ object SparkEntry {
       Behavior.calibrationBins(d, "score", "label", nBins = 10)
     }),
 
-    // C90: k-anonymity audit — (user, event_type) as the quasi-
-    // identifier; summary row: groups, violations, rows at risk,
-    // risk permille
+    // C90: k-anonymity audit — (user, event_type, day) as the quasi-
+    // identifier (daily-grain quasi-identifiers are re-identifying:
+    // the real-world lesson); summary row: groups, violations, rows
+    // at risk, risk permille
     "k_anonymity" -> ((s, dir) =>
-      Relational.kAnonymity(Tables(s, dir).events,
-        Seq("user_id", "event_type"), k = 3L)),
+      Relational.kAnonymity(
+        Tables(s, dir).events
+          .withColumn("day", expr("ts_ns div 86400000000000")),
+        Seq("user_id", "event_type", "day"), k = 3L)),
 
     // C90b: the concrete combinations to suppress first — 20 smallest
     // violating groups, deterministic (count, keys) order
     "k_anonymity_groups" -> ((s, dir) =>
-      Relational.kAnonymityViolations(Tables(s, dir).events,
-        Seq("user_id", "event_type"), k = 3L, topN = 20)),
+      Relational.kAnonymityViolations(
+        Tables(s, dir).events
+          .withColumn("day", expr("ts_ns div 86400000000000")),
+        Seq("user_id", "event_type", "day"), k = 3L, topN = 20)),
 
     // C88: smoothed target encoding — order priority encoded by mean
     // total price (milli-cents target), pseudo-count 100 shrinks rare
@@ -3556,6 +3581,26 @@ FROM decided""",
                        / len(string_split(text, ' '))
                   ELSE 0.0 END, 6) AS avg_token_len
          FROM d""",
+
+    "dedup_lines" ->
+      """WITH ldocs AS (
+           SELECT doc_id,
+                  replace(replace(replace(text,
+                    'join ', 'join' || chr(10)),
+                    'merge ', 'merge' || chr(10)),
+                    'scan ', 'scan' || chr(10)) AS text
+           FROM documents),
+         sp AS (SELECT doc_id, string_split(text, chr(10)) AS s
+                FROM ldocs),
+         l AS (SELECT doc_id, s[i] AS line, i AS pos
+               FROM sp, UNNEST(generate_series(1, len(s))) AS g(i)),
+         f AS (SELECT doc_id, line, min(pos) AS p, count(*) AS c
+               FROM l GROUP BY 1, 2)
+         SELECT doc_id,
+                string_agg(line, chr(10) ORDER BY p) AS text,
+                CAST(sum(c) AS BIGINT) AS n_lines,
+                CAST(sum(c) - count(*) AS BIGINT) AS n_removed
+         FROM f GROUP BY doc_id""",
 
     "sft_pairs" ->
       """WITH sdocs AS (
@@ -6208,8 +6253,10 @@ FROM decided""",
 
     "k_anonymity" ->
       """WITH g AS (SELECT user_id, event_type,
+                           CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                             AS day,
                            CAST(count(*) AS BIGINT) AS n
-                    FROM events GROUP BY 1, 2),
+                    FROM events GROUP BY 1, 2, 3),
          s AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
                       CAST(count(*) AS BIGINT) AS n_groups,
                       CAST(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END)
@@ -6221,9 +6268,11 @@ FROM decided""",
          FROM s""",
 
     "k_anonymity_groups" ->
-      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1, 2 HAVING count(*) < 3
-         ORDER BY n, user_id, event_type LIMIT 20""",
+      """SELECT user_id, event_type,
+                CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2, 3 HAVING count(*) < 3
+         ORDER BY n, user_id, event_type, day LIMIT 20""",
 
     "target_encode" ->
       """WITH o AS (SELECT o_orderpriority AS cat,

@@ -1441,6 +1441,37 @@ object TextAnalysis {
         col("__r.corpus_tokens").as("corpus_tokens"))
   }
 
+  /** Intra-document repeated-line removal (E76 — the C4 cleaning rule:
+    * navigation menus, cookie banners, and templated footers repeat
+    * VERBATIM within a page; keep the first occurrence of each exact
+    * line, preserve order, drop the rest). The intra-doc complement of
+    * [[segmentDedup]] (which dedups across documents). Emits the
+    * cleaned text plus line/removal counts so the Gopher-style
+    * duplicate-line-fraction gate falls out as `n_removed div n_lines`.
+    *
+    * Scale shape: lines explode map-side with their positions; first
+    * occurrence is one (doc, line)-keyed min aggregation (map-side
+    * combined), reassembly one doc-keyed sort-of-collected-lines agg —
+    * both shuffles carry the line frame, nothing is windowed, and
+    * per-doc state is bounded by the doc's own line count.
+    */
+  def dedupLines(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val first = lines.groupBy(col(idCol), col("__line"))
+      .agg(min("__pos").as("__p"), count(lit(1)).as("__c"))
+    first.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__line"))))
+             .as("__a"),
+           sum("__c").as("n_lines"),
+           (sum("__c") - count(lit(1))).as("n_removed"))
+      .select(col(idCol),
+        array_join(expr("transform(__a, x -> x.__line)"), "\n")
+          .as("text"),
+        col("n_lines"), col("n_removed"))
+  }
+
   /** Log-template mining (E70, Drain-lite) — the ops-log
     * understanding step: lines collapse to TEMPLATES by masking the
     * variable parts (hex runs ≥ 8 first — else `deadbeef1234` decays to

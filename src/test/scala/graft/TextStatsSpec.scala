@@ -529,6 +529,21 @@ class TextStatsSpec extends AnyFunSuite {
     assert(f == Seq((3L, 3L), (0L, 3L)))
   }
 
+  test("dedupLines: first occurrence kept in order, counts exact, " +
+       "clean docs pass through, empty lines dedup too") {
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb\na"),   // -> a,b,c ; 6 lines, 3 removed
+      (2L, "x\ny\nz"),            // clean -> unchanged
+      (3L, "a\n\nb\n\na"))        // empties dedup -> a,"",b
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a\nb\nc", 6L, 3L),
+      (2L, "x\ny\nz", 3L, 0L),
+      (3L, "a\n\nb", 5L, 2L)))
+  }
+
   test("ngramCoverage: deterministic ranking, per-gram and cumulative " +
        "permilles, tie break by gram") {
     // bigrams over "a b a b c": (a b)x2, (b a), (b c) -> total 4

@@ -1013,6 +1013,14 @@ object SparkEntry {
       TextAnalysis.sentenceSegment(sentencedDocs(Tables(s, dir)),
         "doc_id", "text")),
 
+    // E77: token-budget truncation — keep the first 40 house tokens
+    // with canonical single-space rejoin; original count, flag, and
+    // tokens lost ride along (docs run 30-80 tokens, so both branches
+    // exercise at SF scale); purely map-side
+    "truncate_tokens" -> ((s, dir) =>
+      TextAnalysis.truncateTokens(Tables(s, dir).documents,
+        "doc_id", "text", maxTokens = 40)),
+
     // E76: intra-doc repeated-line removal (the C4 cleaning rule) —
     // first occurrence of each exact line kept in order, the rest
     // dropped; runs over the lined corpus so boundaries and natural
@@ -3581,6 +3589,18 @@ FROM decided""",
                        / len(string_split(text, ' '))
                   ELSE 0.0 END, 6) AS avg_token_len
          FROM d""",
+
+    "truncate_tokens" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  regexp_extract_all(text, '[^ \t\r\n\f]+') AS toks
+           FROM documents)
+         SELECT doc_id,
+                array_to_string(toks[1:40], ' ') AS text,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                len(toks) > 40 AS truncated,
+                CAST(greatest(0, len(toks) - 40) AS BIGINT) AS tokens_lost
+         FROM t""",
 
     "dedup_lines" ->
       """WITH ldocs AS (

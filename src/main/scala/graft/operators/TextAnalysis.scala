@@ -1441,6 +1441,29 @@ object TextAnalysis {
         col("__r.corpus_tokens").as("corpus_tokens"))
   }
 
+  /** Token-budget truncation (E77 — context-window enforcement with
+    * loss accounting, the gate before [[packSequences]] when a single
+    * document can exceed the window): keep the first `maxTokens`
+    * house tokens, rejoin with single spaces (the canonical-whitespace
+    * normalization every tokenizer here applies), and report original
+    * token count, the truncation flag, and tokens lost — so the
+    * corpus-level truncation loss (`sum(tokens_lost)/sum(n_tokens)`)
+    * is one aggregation away. Purely map-side, zero shuffle.
+    */
+  def truncateTokens(docs: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val toks = regexp_extract_all(col(textCol),
+      lit("[^ \\t\\r\\n\\f]+"), lit(0))
+    docs.select(col(idCol), toks.as("__t"))
+      .select(col(idCol),
+        array_join(slice(col("__t"), 1, maxTokens), " ").as("text"),
+        size(col("__t")).cast("long").as("n_tokens"))
+      .withColumn("truncated", col("n_tokens") > maxTokens)
+      .withColumn("tokens_lost",
+        greatest(lit(0L), col("n_tokens") - maxTokens))
+  }
+
   /** Intra-document repeated-line removal (E76 — the C4 cleaning rule:
     * navigation menus, cookie banners, and templated footers repeat
     * VERBATIM within a page; keep the first occurrence of each exact

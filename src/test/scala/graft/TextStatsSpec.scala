@@ -529,6 +529,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(f == Seq((3L, 3L), (0L, 3L)))
   }
 
+  test("truncateTokens: budget enforced with canonical rejoin, short " +
+       "docs pass through, whitespace runs collapse") {
+    val docs = Seq(
+      (1L, "a b  c\td e"),        // 5 tokens, max 3 -> "a b c", lost 2
+      (2L, "one two"),            // under budget -> unchanged, lost 0
+      (3L, "  x  ")).toDF("doc_id", "text")
+    val got = TextAnalysis.truncateTokens(docs, "doc_id", "text",
+        maxTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Boolean, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a b c", 5L, true, 2L),
+      (2L, "one two", 2L, false, 0L),
+      (3L, "x", 1L, false, 0L)))
+  }
+
   test("dedupLines: first occurrence kept in order, counts exact, " +
        "clean docs pass through, empty lines dedup too") {
     val docs = Seq(

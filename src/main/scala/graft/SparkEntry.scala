@@ -2667,6 +2667,28 @@ object SparkEntry {
       Behavior.calibrationBins(d, "score", "label", nBins = 10)
     }),
 
+    // E78: HyperLogLog distinct estimate — engine-exact by
+    // construction: splitmix64 registers (p=8, m=256), integral
+    // alpha·m²·2^57/Z estimator, micro-nat-quantized linear counting
+    // under the standard 5m/2 gate; the 'tiny' stratum (every 997th
+    // orderkey) exercises the LC branch, the priorities the raw HLL
+    // branch; the DuckDB twin re-derives the registers from pure
+    // HUGEINT arithmetic and a string-based first-one position
+    "hll_distinct" -> ((s, dir) => {
+      val o = Tables(s, dir).orders.select(
+        when(col("o_orderkey") % 997 === 0, lit("tiny"))
+          .otherwise(col("o_orderpriority")).as("stratum"),
+        col("o_custkey"))
+      o.groupBy("stratum")
+        .agg(graft.functions.HllSketch.sketch(col("o_custkey"), 8)
+          .as("regs"))
+        .select(col("stratum"),
+          graft.functions.HllSketch.estimateExpr("regs", 8)
+            .as("n_distinct_est"),
+          expr("size(filter(regs, x -> x = 0))").cast("long")
+            .as("zero_registers"))
+    }),
+
     // C90: k-anonymity audit — (user, event_type, day) as the quasi-
     // identifier (daily-grain quasi-identifiers are re-identifying:
     // the real-world lesson); summary row: groups, violations, rows
@@ -6270,6 +6292,66 @@ FROM decided""",
                 CAST((1000 * sum(p)) // sum(n)
                      - sum(s * n) // sum(n) AS BIGINT) AS gap_permille
          FROM b GROUP BY 1""",
+
+    "hll_distinct" ->
+      """WITH src AS (
+           SELECT CASE WHEN o_orderkey % 997 = 0 THEN 'tiny'
+                       ELSE o_orderpriority END AS stratum,
+                  CAST(o_custkey AS HUGEINT) AS v
+           FROM orders),
+         s0 AS (SELECT stratum,
+                  (v + 11400714819323198485) % 18446744073709551616 AS z
+                FROM src),
+         a1 AS (SELECT stratum, xor(z, z // 1073741824) AS x FROM s0),
+         s1 AS (SELECT stratum,
+                  (((x // 4294967296) * 13787848793156543929)
+                     % 4294967296 * 4294967296
+                   + ((x % 4294967296) * 13787848793156543929)
+                     % 18446744073709551616)
+                  % 18446744073709551616 AS z
+                FROM a1),
+         a2 AS (SELECT stratum, xor(z, z // 134217728) AS x FROM s1),
+         s2 AS (SELECT stratum,
+                  (((x // 4294967296) * 10723151780598845931)
+                     % 4294967296 * 4294967296
+                   + ((x % 4294967296) * 10723151780598845931)
+                     % 18446744073709551616)
+                  % 18446744073709551616 AS z
+                FROM a2),
+         h AS (SELECT stratum, xor(z, z // 2147483648) AS h FROM s2),
+         rr AS (SELECT stratum, CAST(h % 256 AS BIGINT) AS idx,
+                       CAST(h // 256 AS BIGINT) AS bits
+                FROM h),
+         rho AS (SELECT stratum, idx,
+                   CASE WHEN bits = 0 THEN 57
+                        ELSE strpos(lpad(bin(bits), 56, '0'), '1')
+                   END AS rho
+                 FROM rr),
+         reg0 AS (SELECT stratum, idx, max(rho) AS r
+                  FROM rho GROUP BY 1, 2),
+         allreg AS (SELECT st.stratum, g.i AS idx
+                    FROM (SELECT DISTINCT stratum FROM src) st,
+                    UNNEST(generate_series(0, 255)) AS g(i)),
+         regs AS (SELECT a.stratum, a.idx, coalesce(reg0.r, 0) AS r
+                  FROM allreg a LEFT JOIN reg0
+                    ON a.stratum = reg0.stratum AND a.idx = reg0.idx),
+         agg AS (SELECT stratum,
+                   CAST(sum(CAST(CAST(1 AS BIGINT)
+                        << (57 - least(r, 57)) AS HUGEINT)) AS HUGEINT)
+                     AS z,
+                   sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v0
+                 FROM regs GROUP BY 1),
+         est AS (SELECT stratum, v0,
+                   CAST(CAST(67841516892905323139956736 AS HUGEINT)
+                        // (10000 * z) AS BIGINT) AS raw
+                 FROM agg)
+         SELECT stratum,
+                CAST(CASE WHEN v0 > 0 AND raw <= 640
+                       THEN (256 * CAST(round(ln(256.0 / v0) * 1000000.0)
+                             AS BIGINT)) // 1000000
+                       ELSE raw END AS BIGINT) AS n_distinct_est,
+                CAST(v0 AS BIGINT) AS zero_registers
+         FROM est""",
 
     "k_anonymity" ->
       """WITH g AS (SELECT user_id, event_type,

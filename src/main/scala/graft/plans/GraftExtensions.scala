@@ -479,6 +479,15 @@ object GraftFunctions {
        "distinct store's read half); struct(n_distinct, is_exact)")(
       args => graft.functions.KmvMergeAgg(args(0),
         intLit(args(1), "graft_kmv_merge", "k"))),
+    fn("graft_hll_sketch", 2,
+       "_FUNC_(col, p) - HyperLogLog register aggregate (m = 2^p); " +
+       "array<long> of max first-one positions, elementwise-max mergeable")(
+      args => graft.functions.HllSketchAgg(args(0),
+        intLit(args(1), "graft_hll_sketch", "p"))),
+    fn("graft_hll_merge", 2,
+       "_FUNC_(registers, p) - merge HLL register arrays (elementwise max)")(
+      args => graft.functions.HllMergeAgg(args(0),
+        intLit(args(1), "graft_hll_merge", "p"))),
     fn("graft_zorder", 3,
        "_FUNC_(x, y, bits) - Morton/Z-order interleave of two non-negative " +
        "integer columns over the low `bits` bits of each")(

@@ -73,4 +73,40 @@ class SetSketchSpec extends AnyFunSuite {
     // require the right order of magnitude (deterministic input)
     assert(est >= 0 && est <= 200, s"intersect est=$est (true 50)")
   }
+
+  // --- HLL ---------------------------------------------------------------
+
+  test("hll: merged partials equal the union sketch byte-identically " +
+       "across partition layouts") {
+    import graft.functions.HllSketch
+    val a = spark.range(0, 3000)
+    val b = spark.range(2000, 5000) // overlap 1000
+    val direct = a.union(b).repartition(7)
+      .agg(HllSketch.sketch(col("id"), 8).as("r")).as[Seq[Long]].head()
+    val pa = a.repartition(3).agg(HllSketch.sketch(col("id"), 8).as("r"))
+      .as[Seq[Long]].head()
+    val pb = b.coalesce(1).agg(HllSketch.sketch(col("id"), 8).as("r"))
+      .as[Seq[Long]].head()
+    val merged = Seq(pa, pb).toDF("r")
+      .agg(HllSketch.merge(col("r"), 8).as("r")).as[Seq[Long]].head()
+    assert(merged == direct)
+  }
+
+  test("hll: estimate within the m=256 error envelope on the raw " +
+       "branch, linear counting near-exact on the small branch") {
+    import graft.functions.HllSketch
+    def est(n: Long) = spark.range(n)
+      .agg(HllSketch.sketch(col("id"), 8).as("r"))
+      .select(HllSketch.estimateExpr("r", 8).as("e"))
+      .as[Long].head()
+    val big = est(5000) // sigma ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(big - 5000) <= 1000, s"hll est $big for 5000")
+    val small = est(50) // LC at 20% fill: near-exact
+    assert(math.abs(small - 50) <= 8, s"lc est $small for 50")
+    // empty register array -> V = m -> ln(1) = 0 -> estimate 0
+    val none = spark.range(0)
+      .agg(HllSketch.sketch(col("id"), 8).as("r"))
+      .select(HllSketch.estimateExpr("r", 8).as("e")).as[Long].head()
+    assert(none == 0L)
+  }
 }

@@ -205,6 +205,25 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(per == truth)
   }
 
+  test("graft_hll_sketch/merge from SQL ≡ Column API registers") {
+    val df = (1 to 800).map(i => (s"g${i % 2}", (i % 300).toLong))
+      .toDF("g", "v")
+    df.createOrReplaceTempView("sql_fn_hll")
+    // merged per-group partials equal one direct sketch over all rows
+    val merged = spark.sql("""
+      SELECT graft_hll_merge(sk, 8) AS r FROM (
+        SELECT g, graft_hll_sketch(v, 8) AS sk
+        FROM sql_fn_hll GROUP BY g)""").as[Seq[Long]].head()
+    val direct = df.agg(
+      graft.functions.HllSketch.sketch(col("v"), 8).as("r"))
+      .as[Seq[Long]].head()
+    assert(merged == direct)
+    // literal-arg validation mirrors the other sketch fns
+    intercept[Exception] {
+      spark.sql("SELECT graft_hll_sketch(v, v) FROM sql_fn_hll").collect()
+    }
+  }
+
   test("graft_kll_merge from SQL folds store partials ≡ direct sketch") {
     // store-shaped partials (one sketch per (key, half)) built by the
     // operator path, merged from SQL — must equal one direct

@@ -2653,6 +2653,21 @@ object SparkEntry {
           "drift")
     }),
 
+    // C93: U-shaped multi-touch attribution — every view/click
+    // preceding a purchase gets an integer-permille credit share
+    // (400 first / 400 last / 200 over the middles, remainders pinned
+    // so each conversion sums to exactly 1000); the batch complement
+    // of the last-touch streaming click_attribution
+    "attribution_credits" -> ((s, dir) => {
+      val e = Tables(s, dir).events.select(col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"),
+        col("event_type"))
+      Behavior.attributionCredits(e, "user_id", "ts_us", "event_id",
+        "event_type", convType = "purchase",
+        touchTypes = Seq("view", "click"), model = "u_shape")
+        .withColumnRenamed("user", "user_id")
+    }),
+
     // C91: calibration reliability bins — a length-derived permille
     // score "predicts" whether a doc mentions 'join' (longer docs are
     // likelier to); 10 equi-depth bins read mean predicted vs
@@ -6265,6 +6280,47 @@ FROM decided""",
                 (status != 'common'
                  OR abs(null_pm_new - null_pm_old) >= 100) AS drift
          FROM j""",
+
+    "attribution_credits" ->
+      """WITH e AS (
+           SELECT user_id AS user, CAST(epoch_us(ts) AS BIGINT) AS ts,
+                  event_id AS id, event_type AS ty,
+                  event_type = 'purchase' AS conv
+           FROM events
+           WHERE event_type IN ('purchase', 'view', 'click')),
+         g AS (SELECT *,
+                 coalesce(sum(CASE WHEN conv THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user ORDER BY ts, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS grp
+               FROM e),
+         a AS (SELECT *,
+                 max(CASE WHEN conv THEN id END)
+                   OVER (PARTITION BY user, grp) AS conv_id,
+                 max(CASE WHEN conv THEN ts END)
+                   OVER (PARTITION BY user, grp) AS conv_ts
+               FROM g),
+         t AS (SELECT user, conv_ts, conv_id, ts AS touch_ts,
+                      id AS touch_id, ty AS touch_type
+               FROM a WHERE NOT conv AND conv_id IS NOT NULL),
+         r AS (SELECT *,
+                 CAST(row_number() OVER (PARTITION BY user, conv_id
+                   ORDER BY touch_ts, touch_id) AS BIGINT) AS position,
+                 CAST(count(*) OVER (PARTITION BY user, conv_id)
+                   AS BIGINT) AS n_touches
+               FROM t)
+         SELECT user AS user_id, conv_ts, conv_id, touch_ts, touch_id,
+                touch_type, position, n_touches,
+                CAST(CASE WHEN n_touches = 1 THEN 1000
+                       WHEN n_touches = 2 THEN 500
+                       WHEN position = 1 OR position = n_touches THEN 400
+                       WHEN position = n_touches - 1
+                       THEN 200 // (n_touches - 2)
+                            + 200 - (200 // (n_touches - 2))
+                              * (n_touches - 2)
+                       ELSE 200 // (n_touches - 2) END AS BIGINT)
+                  AS credit_permille
+         FROM r""",
 
     "calibration_bins" ->
       """WITH d AS (

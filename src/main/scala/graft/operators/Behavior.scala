@@ -405,6 +405,81 @@ object Behavior {
         expr(s"delta * delta * 10000L > ${chi2Permyriad}L * (n_a + n_b)"))
   }
 
+  /** Multi-touch attribution credits (C93 — the batch complement of
+    * the last-touch streaming `click_attribution`): every touchpoint
+    * preceding a conversion gets an integer-permille share of that
+    * conversion's credit, under either classic model:
+    *  - `linear`: `1000 div n` each, remainder to the LAST touch so
+    *    every conversion's credits sum to exactly 1000;
+    *  - `u_shape`: 400 first / 400 last / 200 split over the middles
+    *    (`200 div (n−2)` each, remainder to the last middle); n=1 →
+    *    1000, n=2 → 500/500.
+    * A touch belongs to the NEXT conversion of its user in strict
+    * `(ts, event_id)` order (the deterministic tiebreak); touches
+    * after the user's final conversion earn nothing.
+    *
+    * Scale shape: the conversion-GROUP device — a user-partitioned
+    * running count of prior conversions puts every touch and its
+    * following conversion in one (user, group) cell (the conversion is
+    * always last in `(ts, id)` order), so conv attach is a plain
+    * max-over-group window, no self-join and no struct-min; then one
+    * (user, conversion) ranking window + pure expression credit
+    * rules. All windows share the user key family: one shuffle,
+    * bounded per-user state.
+    */
+  def attributionCredits(events: DataFrame, userCol: String,
+                         tsCol: String, idCol: String, typeCol: String,
+                         convType: String, touchTypes: Seq[String],
+                         model: String): DataFrame = {
+    require(model == "linear" || model == "u_shape",
+      s"model must be linear|u_shape, got $model")
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touchTypes must be non-empty and exclude convType")
+    val base = events.select(col(userCol).as("user"),
+        col(tsCol).cast("long").as("__ts"), col(idCol).cast("long").as("__id"),
+        col(typeCol).as("__ty"))
+      .filter(col("__ty") === convType || col("__ty").isin(touchTypes: _*))
+      .withColumn("__conv", col("__ty") === convType)
+    val wOrd = Window.partitionBy("user")
+      .orderBy(col("__ts"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grp = base.withColumn("__grp",
+      coalesce(sum(when(col("__conv"), 1L).otherwise(0L)).over(wOrd),
+        lit(0L)))
+    val wg = Window.partitionBy("user", "__grp")
+    val attach = grp
+      .withColumn("conv_id", max(when(col("__conv"), col("__id"))).over(wg))
+      .withColumn("conv_ts", max(when(col("__conv"), col("__ts"))).over(wg))
+    val touches = attach
+      .filter(!col("__conv") && col("conv_id").isNotNull)
+      .select(col("user"), col("conv_ts"), col("conv_id"),
+        col("__ts").as("touch_ts"), col("__id").as("touch_id"),
+        col("__ty").as("touch_type"))
+    val wRank = Window.partitionBy("user", "conv_id")
+      .orderBy(col("touch_ts"), col("touch_id"))
+    val ranked = touches
+      .withColumn("position", row_number().over(wRank).cast("long"))
+      .withColumn("n_touches",
+        count(lit(1)).over(Window.partitionBy("user", "conv_id"))
+          .cast("long"))
+    val credit = model match {
+      case "linear" => expr(
+        """1000L div n_touches +
+           CASE WHEN position = n_touches
+                THEN 1000L - (1000L div n_touches) * n_touches
+                ELSE 0L END""")
+      case "u_shape" => expr(
+        """CASE WHEN n_touches = 1 THEN 1000L
+                WHEN n_touches = 2 THEN 500L
+                WHEN position = 1 OR position = n_touches THEN 400L
+                WHEN position = n_touches - 1
+                THEN 200L div (n_touches - 2)
+                     + 200L - (200L div (n_touches - 2)) * (n_touches - 2)
+                ELSE 200L div (n_touches - 2) END""")
+    }
+    ranked.withColumn("credit_permille", credit)
+  }
+
   /** Calibration reliability bins (C91 — the diagram every score
     * consumer should read before thresholding: a classifier saying
     * "700 permille" should be right ~70% of the time): rows sort into

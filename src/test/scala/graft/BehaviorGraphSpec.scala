@@ -464,6 +464,43 @@ class BehaviorGraphSpec extends AnyFunSuite {
     assert(f.size == 7 && f.forall(_ == 1000L))
   }
 
+  test("attributionCredits: u-shape and linear hand cases, conversions " +
+       "sum to exactly 1000, ties break by id, trailing touches drop") {
+    val e = Seq(
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"), (1L, 3L, 3L, "view"),
+      (1L, 4L, 4L, "purchase"), (1L, 5L, 5L, "view"),
+      (1L, 6L, 6L, "purchase"), (1L, 7L, 7L, "view"),   // trailing: drops
+      (2L, 10L, 11L, "view"), (2L, 10L, 12L, "purchase"), // tie: id order
+      (3L, 20L, 22L, "view"), (3L, 20L, 21L, "purchase")) // conv first: drop
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    def run(model: String) =
+      Behavior.attributionCredits(e, "user_id", "ts_us", "event_id",
+          "event_type", "purchase", Seq("view", "click"), model)
+        .orderBy("user", "conv_id", "position")
+        .select("user", "conv_id", "touch_id", "position", "n_touches",
+          "credit_permille")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(run("u_shape") == Seq(
+      (1L, 4L, 1L, 1L, 3L, 400L), (1L, 4L, 2L, 2L, 3L, 200L),
+      (1L, 4L, 3L, 3L, 3L, 400L), (1L, 6L, 5L, 1L, 1L, 1000L),
+      (2L, 12L, 11L, 1L, 1L, 1000L)))
+    assert(run("linear") == Seq(
+      (1L, 4L, 1L, 1L, 3L, 333L), (1L, 4L, 2L, 2L, 3L, 333L),
+      (1L, 4L, 3L, 3L, 3L, 334L), (1L, 6L, 5L, 1L, 1L, 1000L),
+      (2L, 12L, 11L, 1L, 1L, 1000L)))
+    // exact-sum invariant at an awkward n (5 touches: 400,66,66,68,400)
+    val five = (1 to 5).map(i => (9L, i.toLong, i.toLong, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .unionByName(Seq((9L, 9L, 9L, "purchase"))
+        .toDF("user_id", "ts_us", "event_id", "event_type"))
+    val creds = Behavior.attributionCredits(five, "user_id", "ts_us",
+        "event_id", "event_type", "purchase", Seq("view"), "u_shape")
+      .orderBy("position").select("credit_permille")
+      .as[Long].collect().toSeq
+    assert(creds == Seq(400L, 66L, 66L, 68L, 400L))
+    assert(creds.sum == 1000L)
+  }
+
   test("calibrationBins: equi-depth assignment, permille arithmetic, " +
        "duplicate scores stay whole in one bin") {
     // scores/labels: 100×3 (1 pos), 200×1 (0), 300×2 (2), 400×2 (1)

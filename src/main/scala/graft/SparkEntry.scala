@@ -2653,6 +2653,29 @@ object SparkEntry {
           "drift")
     }),
 
+    // C94: SCD2 fact enrichment — THE warehouse composition: facts
+    // (purchases) joined to the dimension VERSION valid at event time
+    // (scd2_history over the non-purchase activity stream, as-of
+    // attached) — leakage-free point-in-time semantics from two
+    // already-verified primitives; equal-ts events dedup first (the
+    // asof ambiguity guard the asof_join key documents)
+    "fact_enrich_scd2" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"),
+        col("event_type"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"))
+      val stream = Relational.latestPerKey(
+        ev.filter(col("event_type") =!= "purchase"),
+        Seq("user_id", "ts_us"), Seq(col("event_id")))
+      val dim = Relational.scd2History(stream, Seq("user_id"), "ts_us",
+          Seq("event_type"), Seq(col("event_id")))
+        .select(col("user_id"), col("event_type").as("status"),
+                col("valid_from"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      Relational.asofJoin(facts, dim, Seq("user_id"), "ts_us",
+        "valid_from", Seq("status", "valid_from"))
+    }),
+
     // C93: U-shaped multi-touch attribution — every view/click
     // preceding a purchase gets an integer-permille credit share
     // (400 first / 400 last / 200 over the middles, remainders pinned
@@ -6280,6 +6303,30 @@ FROM decided""",
                 (status != 'common'
                  OR abs(null_pm_new - null_pm_old) >= 100) AS drift
          FROM j""",
+
+    "fact_enrich_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           FROM events),
+         s AS (SELECT * FROM e WHERE event_type <> 'purchase'
+               QUALIFY row_number() OVER (PARTITION BY user_id, ts_us
+                 ORDER BY event_id DESC) = 1),
+         ch AS (
+           SELECT *, lag(event_type) OVER w AS __prev
+           FROM s WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts_us, event_id)
+           QUALIFY __prev IS NULL OR __prev <> event_type),
+         dim AS (SELECT user_id, event_type AS status,
+                        ts_us AS valid_from
+                 FROM ch),
+         p AS (SELECT user_id, event_id, ts_us FROM e
+               WHERE event_type = 'purchase')
+         SELECT p.user_id, p.event_id, p.ts_us,
+                dim.status AS asof_status,
+                dim.valid_from AS asof_valid_from
+         FROM p ASOF LEFT JOIN dim
+           ON p.user_id = dim.user_id AND p.ts_us >= dim.valid_from""",
 
     "attribution_credits" ->
       """WITH e AS (

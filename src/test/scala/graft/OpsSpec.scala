@@ -337,6 +337,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("scd2 fact enrichment: each fact reads the dimension version " +
+       "valid at ITS time — later versions never leak back") {
+    // status stream: A@10, B@30, A@50; facts at 20, 30, 40, 60, 5
+    val dimSrc = Seq((1L, 10L, 1L, "A"), (1L, 30L, 2L, "B"),
+        (1L, 50L, 3L, "A"))
+      .toDF("u", "ts", "id", "st")
+    val dim = Relational.scd2History(dimSrc, Seq("u"), "ts", Seq("st"),
+        Seq(col("id")))
+      .select(col("u"), col("st").as("status"), col("valid_from"))
+    val facts = Seq((1L, 101L, 20L), (1L, 102L, 30L), (1L, 103L, 40L),
+        (1L, 104L, 60L), (1L, 105L, 5L))
+      .toDF("u", "fact_id", "ts")
+    val got = Relational.asofJoin(facts, dim, Seq("u"), "ts",
+        "valid_from", Seq("status", "valid_from"))
+      .orderBy("fact_id")
+      .select("fact_id", "asof_status", "asof_valid_from")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    assert(got == Seq(
+      (101L, Some("A"), Some(10L)),  // between A@10 and B@30
+      (102L, Some("B"), Some(30L)),  // exactly at the change: inclusive
+      (103L, Some("B"), Some(30L)),
+      (104L, Some("A"), Some(50L)),  // the re-entered A version
+      (105L, None, None)))           // before any version: null, no leak
+  }
+
   test("schemaDrift: added/removed/type-changed/null-jump columns all " +
        "flag; stable column does not") {
     val old = Seq((1L, "x", Some("k")), (2L, "y", None),

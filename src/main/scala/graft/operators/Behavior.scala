@@ -427,6 +427,27 @@ object Behavior {
     * rules. All windows share the user key family: one shuffle,
     * bounded per-user state.
     */
+  /** The shared integer credit rule (see [[attributionCredits]]) —
+    * the streaming twin applies it row-at-a-time; the batch SQL
+    * expressions encode the identical arithmetic (pinned together by
+    * the stream ≡ batch spec). */
+  def creditPermille(model: String, position: Long, n: Long): Long =
+    model match {
+      case "linear" =>
+        val base = 1000L / n
+        if (position == n) base + (1000L - base * n) else base
+      case "u_shape" =>
+        if (n == 1) 1000L
+        else if (n == 2) 500L
+        else if (position == 1 || position == n) 400L
+        else {
+          val mid = 200L / (n - 2)
+          if (position == n - 1) mid + (200L - mid * (n - 2)) else mid
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown model $other")
+    }
+
   def attributionCredits(events: DataFrame, userCol: String,
                          tsCol: String, idCol: String, typeCol: String,
                          convType: String, touchTypes: Seq[String],

@@ -861,4 +861,56 @@ object Streams {
           out.result().iterator
       }
   }
+
+  case class Touch(user_id: Long, ts_us: Long, event_id: Long,
+                   event_type: String)
+  case class TouchBuffer(touches: Seq[Touch])
+  case class Credit(user_id: Long, conv_id: Long, conv_ts: Long,
+                    touch_id: Long, touch_ts: Long, touch_type: String,
+                    position: Long, n_touches: Long,
+                    credit_permille: Long)
+
+  /** Streaming multi-touch attribution (D21) — the streaming half of
+    * [[graft.operators.Behavior.attributionCredits]]: per-user touch
+    * buffers ride keyed state; a conversion emits every buffered
+    * touch's credit (the shared
+    * [[graft.operators.Behavior.creditPermille]] integer rule — the
+    * stream ≡ batch-twin spec pins the two implementations together)
+    * and clears the buffer, so each conversion's credits appear in
+    * the micro-batch its conversion arrives in and sum to exactly
+    * 1000. Within a batch events process in `(ts, id)` order — the
+    * batch twin's deterministic tiebreak. `maxTouches` bounds state
+    * per user (the NEWEST touches are kept — a bounded-attention
+    * contract for unbounded streams); non-touch, non-conversion types
+    * pass through unbuffered. Run on the RocksDB state store at
+    * corpus scale.
+    */
+  def streamAttribution(events: Dataset[Touch], convType: String,
+                        touchTypes: Set[String], model: String,
+                        maxTouches: Int = 1024): Dataset[Credit] = {
+    require(maxTouches >= 1, s"maxTouches must be >= 1, got $maxTouches")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchBuffer, Credit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Touch], state: GroupState[TouchBuffer]) =>
+          var buf = state.getOption.map(_.touches).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[Credit]
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.event_type == convType) {
+              val n = buf.size.toLong
+              buf.zipWithIndex.foreach { case (t, i) =>
+                out += Credit(user, e.event_id, e.ts_us, t.event_id,
+                  t.ts_us, t.event_type, i + 1L, n,
+                  graft.operators.Behavior.creditPermille(model, i + 1L, n))
+              }
+              buf = Seq.empty
+            } else if (touchTypes.contains(e.event_type)) {
+              buf = (buf :+ e).takeRight(maxTouches)
+            }
+          }
+          state.update(TouchBuffer(buf))
+          out.result().iterator
+      }
+  }
 }

@@ -392,4 +392,44 @@ class StreamAggSpec extends AnyFunSuite {
       .select("significant").as[Boolean].head()
     assert(got(1)._6 == want)
   }
+
+  test("streamAttribution: touches buffer across batches, credits land " +
+       "in the conversion's batch and equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Touch]
+    val q = Streams.streamAttribution(input.toDS(), "purchase",
+        Set("view", "click"), "u_shape")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Streams.Touch(1L, 1L, 1L, "view"),
+        Streams.Touch(1L, 2L, 2L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("attr_out").count() == 0L) // no conversion yet
+      input.addData(Streams.Touch(1L, 3L, 3L, "view"),
+        Streams.Touch(1L, 4L, 4L, "purchase"),
+        Streams.Touch(2L, 5L, 5L, "purchase"), // no touches: emits none
+        Streams.Touch(1L, 6L, 6L, "view"))     // after conv: re-buffers
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_out")
+      .select("user_id", "conv_id", "touch_id", "position", "n_touches",
+        "credit_permille")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // batch-1 touches credited by batch-2's conversion: state crossed
+    assert(got == Set((1L, 4L, 1L, 1L, 3L, 400L),
+      (1L, 4L, 2L, 2L, 3L, 200L), (1L, 4L, 3L, 3L, 3L, 400L)))
+    // the batch twin over the full event log agrees exactly
+    val log = Seq((1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"),
+        (1L, 3L, 3L, "view"), (1L, 4L, 4L, "purchase"),
+        (2L, 5L, 5L, "purchase"), (1L, 6L, 6L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val twin = graft.operators.Behavior.attributionCredits(log, "user_id",
+        "ts_us", "event_id", "event_type", "purchase",
+        Seq("view", "click"), "u_shape")
+      .select(col("user").as("user_id"), col("conv_id"), col("touch_id"),
+        col("position"), col("n_touches"), col("credit_permille"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(twin == got)
+  }
 }

@@ -2653,6 +2653,19 @@ object SparkEntry {
           "drift")
     }),
 
+    // E79: AUC of the calibration_bins score/label pair — exact
+    // integer Mann-Whitney with tie correction; the cumulative
+    // negatives ride the HOF fold over the bounded score domain, not
+    // a corpus ranking window
+    "auc_score" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("score"),
+        col("text").contains("join").as("label"))
+      Behavior.aucScore(d, "score", "label")
+    }),
+
     // C94: SCD2 fact enrichment — THE warehouse composition: facts
     // (purchases) joined to the dimension VERSION valid at event time
     // (scd2_history over the non-purchase activity stream, as-of
@@ -6303,6 +6316,35 @@ FROM decided""",
                 (status != 'common'
                  OR abs(null_pm_new - null_pm_old) >= 100) AS drift
          FROM j""",
+
+    "auc_score" ->
+      """WITH d AS (
+           SELECT least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS s,
+                  text LIKE '%join%' AS lbl
+           FROM documents),
+         ps AS (SELECT s,
+                  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT)
+                    AS p,
+                  CAST(sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS BIGINT)
+                    AS n
+                FROM d GROUP BY 1),
+         c AS (SELECT *,
+                 CAST(coalesce(sum(n) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS neglt
+               FROM ps),
+         agg AS (SELECT CAST(sum(p) AS BIGINT) AS np,
+                        CAST(sum(n) AS BIGINT) AS nn,
+                        CAST(sum(CAST(p AS HUGEINT) * (2 * neglt + n))
+                             AS HUGEINT) AS u2
+                 FROM c)
+         SELECT np AS n_pos, nn AS n_neg,
+                CAST(CASE WHEN np > 0 AND nn > 0
+                       THEN (1000 * u2)
+                            // (2 * CAST(np AS HUGEINT) * nn)
+                       ELSE NULL END AS BIGINT) AS auc_permille
+         FROM agg""",
 
     "fact_enrich_scd2" ->
       """WITH e AS (

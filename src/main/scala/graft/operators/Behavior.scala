@@ -553,6 +553,45 @@ object Behavior {
         col("observed_permille"), col("gap_permille"))
   }
 
+  /** AUC (E79 — the ranking-quality number under every binary
+    * classifier, completing the eval family next to
+    * [[calibrationBins]]: calibration says whether the scores MEAN
+    * what they say, AUC whether they ORDER correctly): the
+    * Mann-Whitney U form with the standard tie correction, computed
+    * EXACTLY in integers — `2U = Σ_s pos_s·(2·neg_below(s) +
+    * neg_at(s))` (ties count half, so doubling clears the fraction),
+    * `auc_permille = (1000·2U) div (2·n_pos·n_neg)` with the final
+    * ratio in DECIMAL(38,0) so corpus-scale products cannot overflow.
+    *
+    * Same contract as [[calibrationBins]]: the score domain is
+    * BOUNDED (permille scores), so after ONE corpus-sized score-keyed
+    * aggregation everything runs on the ≤|domain|-row frame — the
+    * cumulative negative count rides the HOF fold over the collected
+    * distribution, NOT a corpus ranking window (the global-sort
+    * killer a naive rank-based AUC plans).
+    */
+  def aucScore(df: DataFrame, scorePermilleCol: String,
+               labelCol: String): DataFrame = {
+    val perScore = df.groupBy(col(scorePermilleCol).cast("long").as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+           sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
+    perScore
+      .agg(array_sort(collect_list(struct(col("__s"), col("__p"),
+        col("__n")))).as("__a"))
+      .select(expr("""aggregate(__a,
+        struct(CAST(0 AS BIGINT) AS neglt, CAST(0 AS DECIMAL(38,0)) AS u2,
+               CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS nn),
+        (acc, el) -> struct(acc.neglt + el.__n AS neglt,
+          acc.u2 + CAST(el.__p AS DECIMAL(38,0))
+            * (2 * acc.neglt + el.__n) AS u2,
+          acc.np + el.__p AS np, acc.nn + el.__n AS nn))""").as("__r"))
+      .select(col("__r.np").as("n_pos"), col("__r.nn").as("n_neg"),
+        expr("""CAST(CASE WHEN __r.np > 0 AND __r.nn > 0
+                  THEN (1000 * __r.u2) div
+                       (2 * CAST(__r.np AS DECIMAL(38,0)) * __r.nn)
+                  ELSE NULL END AS BIGINT)""").as("auc_permille"))
+  }
+
   /** Smoothed target encoding (C88 — the standard high-cardinality
     * categorical feature for tabular ML): each category's target mean
     * shrunk toward the global mean by pseudo-count `m`

@@ -464,6 +464,26 @@ class BehaviorGraphSpec extends AnyFunSuite {
     assert(f.size == 7 && f.forall(_ == 1000L))
   }
 
+  test("aucScore: hand-computed tie-corrected U, perfect and inverted " +
+       "separation, degenerate single-class reads null") {
+    // pos@300, pos@200; neg@100 x2, neg@300: U = 4.5 of 6 -> 750
+    val d = Seq((300L, true), (200L, true), (100L, false), (100L, false),
+      (300L, false)).toDF("score", "label")
+    val got = Behavior.aucScore(d, "score", "label")
+      .as[(Long, Long, Option[Long])].head()
+    assert(got == ((2L, 3L, Some(750L))))
+    val perfect = Seq((900L, true), (901L, true), (100L, false))
+      .toDF("score", "label")
+    assert(Behavior.aucScore(perfect, "score", "label")
+      .as[(Long, Long, Option[Long])].head() == ((2L, 1L, Some(1000L))))
+    val inverted = Seq((100L, true), (900L, false)).toDF("score", "label")
+    assert(Behavior.aucScore(inverted, "score", "label")
+      .as[(Long, Long, Option[Long])].head() == ((1L, 1L, Some(0L))))
+    val oneClass = Seq((100L, true), (200L, true)).toDF("score", "label")
+    assert(Behavior.aucScore(oneClass, "score", "label")
+      .as[(Long, Long, Option[Long])].head() == ((2L, 0L, None)))
+  }
+
   test("attributionCredits: u-shape and linear hand cases, conversions " +
        "sum to exactly 1000, ties break by id, trailing touches drop") {
     val e = Seq(

@@ -922,6 +922,18 @@ object SparkEntry {
       TextAnalysis.sftPairs(sentencedDocs(Tables(s, dir)),
         "doc_id", "text")),
 
+    // E82: chat-template rendering of the SFT pairs + the
+    // special-token injection guard — unsplit pairs and
+    // sentinel-carrying content are rejected with typed reasons, the
+    // rest render as system/user/assistant turns; map-side, zero
+    // shuffle
+    "chat_format" -> ((s, dir) =>
+      TextAnalysis.chatFormat(
+        TextAnalysis.sftPairs(sentencedDocs(Tables(s, dir)),
+          "doc_id", "text"),
+        "doc_id", "sft_applied", "prompt", "completion",
+        systemText = "You are a helpful assistant.")),
+
     // E62: URL canonicalization dedup (the crawl first stage) — three
     // planted cosmetic variants per doc (case+www+default-port+utm+
     // fragment, bare, case+trailing-slash) collapse to one canonical
@@ -2666,6 +2678,62 @@ object SparkEntry {
       Behavior.aucScore(d, "score", "label")
     }),
 
+    // E80: two-sample KS drift between the en and non-en length-score
+    // distributions — binning-free supremum CDF distance, exact
+    // integer cross-products over the bounded score domain (the
+    // psi_drift companion that needs no bin choice)
+    "ks_drift" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("score"),
+        (col("lang") === "en").as("base"))
+      Behavior.ksDrift(d, "score", "base")
+    }),
+
+    // E81: cumulative gains / lift deciles of the auc_score pair —
+    // what acting on the top k/N of the ranked list earns; descending
+    // equi-depth bins via the exclusive-prefix rule, both cumulative
+    // passes as HOF folds (the corpus never sorts)
+    "lift_curve" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("score"),
+        col("text").contains("join").as("label"))
+      Behavior.liftCurve(d, "score", "label", nBins = 10)
+    }),
+
+    // C95: market-basket association rules over order → brand
+    // baskets — pair support / confidence / lift in exact integers;
+    // pair gen is basket-keyed (Σ C(|basket|,2), degenerate baskets
+    // dropped by the cap — a no-op at driver SFs)
+    "basket_rules" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem
+        .join(t.part, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      Behavior.basketRules(items, "basket", "item",
+        minSupport = 10L, maxBasketSize = 30L)
+    }),
+
+    // C96: pairwise Pearson correlation matrix over the lineitem
+    // numeric columns in integer centi-units — ONE moment aggregation
+    // for all pairs, sign + quantized corr² (the cuped ρ² device: no
+    // Sxy² ever forms, no float sqrt)
+    "corr_matrix" -> ((s, dir) => {
+      val d = Tables(s, dir).lineitem.select(
+        expr("CAST(round(l_quantity * 100) AS BIGINT)")
+          .as("quantity_centi"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          .as("price_centi"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)")
+          .as("discount_centi"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax_centi"))
+      Behavior.corrMatrix(d, Seq("quantity_centi", "price_centi",
+        "discount_centi", "tax_centi"))
+    }),
+
     // C94: SCD2 fact enrichment — THE warehouse composition: facts
     // (purchases) joined to the dimension VERSION valid at event time
     // (scd2_history over the non-purchase activity stream, as-of
@@ -3722,6 +3790,60 @@ FROM decided""",
                 CASE WHEN app THEN substring(text, cut + 1, len - cut)
                      ELSE '' END AS completion
          FROM c""",
+
+    // the sft_pairs twin extended by the render + injection guard
+    "chat_format" ->
+      """WITH sdocs AS (
+           SELECT doc_id,
+                  replace(replace(replace(text,
+                    'join ', 'join. '),
+                    'merge ', 'merge! '),
+                    'scan ', 'scan? ') AS text
+           FROM documents),
+         s AS (
+           SELECT doc_id, text, CAST(length(text) AS INT) AS len,
+                  CAST(length(text) AS INT) // 2 AS h
+           FROM sdocs),
+         b AS (
+           SELECT *, length(regexp_extract(
+                    substring(text, h + 1, len - h),
+                    '^[^.!?]*[.!?]+', 0)) AS blen
+           FROM s),
+         c AS (
+           SELECT doc_id, text, len, h + blen AS cut,
+                  (len >= 16 AND blen > 0 AND h + blen < len) AS app
+           FROM b),
+         pairs AS (
+           SELECT doc_id, app AS sft_applied,
+                  CASE WHEN app THEN substring(text, 1, cut)
+                       ELSE text END AS prompt,
+                  CASE WHEN app THEN substring(text, cut + 1, len - cut)
+                       ELSE '' END AS completion
+           FROM c),
+         g AS (
+           SELECT doc_id, sft_applied, prompt, completion,
+                  (contains(prompt, '<|im_')
+                   OR contains(completion, '<|im_')) AS coll
+           FROM pairs),
+         r AS (
+           SELECT doc_id, (sft_applied AND NOT coll) AS valid,
+                  CASE WHEN NOT sft_applied THEN 'unsplit'
+                       WHEN coll THEN 'sentinel_collision' END
+                    AS reject_reason,
+                  CASE WHEN sft_applied AND NOT coll THEN
+                    '<|im_start|>system' || chr(10)
+                    || 'You are a helpful assistant.<|im_end|>'
+                    || chr(10) || '<|im_start|>user' || chr(10)
+                    || prompt || '<|im_end|>' || chr(10)
+                    || '<|im_start|>assistant' || chr(10)
+                    || completion || '<|im_end|>'
+                  END AS rendered
+           FROM g)
+         SELECT doc_id, valid, reject_reason, rendered,
+                CASE WHEN valid
+                  THEN CAST(length(rendered) AS BIGINT)
+                END AS n_chars_rendered
+         FROM r""",
 
     // same chain, RE2 '\1' replacements and an explicit 'g' flag
     // where Spark's regexp_replace is implicitly global
@@ -6345,6 +6467,150 @@ FROM decided""",
                             // (2 * CAST(np AS HUGEINT) * nn)
                        ELSE NULL END AS BIGINT) AS auc_permille
          FROM agg""",
+
+    "ks_drift" ->
+      """WITH d AS (
+           SELECT least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS s,
+                  lang = 'en' AS base
+           FROM documents),
+         ps AS (SELECT s,
+                  CAST(sum(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT)
+                    AS b,
+                  CAST(sum(CASE WHEN base THEN 0 ELSE 1 END) AS BIGINT)
+                    AS c
+                FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(b) AS BIGINT) AS nb,
+                      CAST(sum(c) AS BIGINT) AS nc FROM ps),
+         cum AS (SELECT s,
+                   CAST(sum(b) OVER (ORDER BY s) AS HUGEINT) AS cb,
+                   CAST(sum(c) OVER (ORDER BY s) AS HUGEINT) AS cc
+                 FROM ps),
+         diffs AS (SELECT s, abs(cb * nc - cc * nb) AS d
+                   FROM cum, t),
+         best AS (SELECT d, s FROM diffs ORDER BY d DESC, s ASC LIMIT 1)
+         SELECT nb AS n_base, nc AS n_cur,
+                CAST(CASE WHEN nb > 0 AND nc > 0
+                       THEN (1000000 * d)
+                            // (CAST(nb AS HUGEINT) * nc)
+                     END AS BIGINT) AS ks_micro,
+                CASE WHEN nb > 0 AND nc > 0 THEN s END AS ks_at_score
+         FROM best, t""",
+
+    "lift_curve" ->
+      """WITH d AS (
+           SELECT least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS s,
+                  text LIKE '%join%' AS lbl
+           FROM documents),
+         ps AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT)
+                    AS p
+                FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                      CAST(sum(p) AS BIGINT) AS pt FROM ps),
+         c AS (SELECT *,
+                 CAST(coalesce(sum(n) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum0
+               FROM ps),
+         b AS (SELECT cum0 * 10 // t AS bin,
+                 CAST(sum(n) AS BIGINT) AS n_rows,
+                 CAST(sum(p) AS BIGINT) AS n_pos
+               FROM c, t GROUP BY 1),
+         cb AS (SELECT bin, n_rows, n_pos,
+                  CAST(sum(n_rows) OVER (ORDER BY bin) AS BIGINT)
+                    AS cum_rows,
+                  CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT)
+                    AS cum_pos
+                FROM b)
+         SELECT bin, n_rows, n_pos, cum_rows, cum_pos,
+                CASE WHEN pt > 0
+                  THEN (1000 * cum_pos) // pt END AS gain_permille,
+                CAST(CASE WHEN pt > 0
+                  THEN (1000 * CAST(cum_pos AS HUGEINT) * t)
+                       // (CAST(cum_rows AS HUGEINT) * pt)
+                END AS BIGINT) AS lift_permille
+         FROM cb, t""",
+
+    "basket_rules" ->
+      """WITH b0 AS (SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+                     FROM lineitem l
+                     JOIN part p ON l.l_partkey = p.p_partkey),
+         kept AS (SELECT bk FROM b0 GROUP BY bk HAVING count(*) <= 30),
+         b AS (SELECT b0.* FROM b0 JOIN kept USING (bk)),
+         t AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM b),
+         ic AS (SELECT it, CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY 1),
+         pr AS (SELECT x.it AS a, y.it AS b2,
+                  CAST(count(*) AS BIGINT) AS nboth
+                FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+                GROUP BY 1, 2 HAVING count(*) >= 10),
+         dir AS (SELECT a AS antecedent, b2 AS consequent, nboth FROM pr
+                 UNION ALL
+                 SELECT b2 AS antecedent, a AS consequent, nboth FROM pr)
+         SELECT d.antecedent, d.consequent, d.nboth AS n_both,
+                ia.n AS n_ant, ix.n AS n_cons,
+                (1000 * d.nboth) // ia.n AS confidence_permille,
+                CAST((1000000 * CAST(d.nboth AS HUGEINT) * t.nb)
+                     // (CAST(ia.n AS HUGEINT) * ix.n) AS BIGINT)
+                  AS lift_micro
+         FROM dir d JOIN ic ia ON d.antecedent = ia.it
+                    JOIN ic ix ON d.consequent = ix.it, t""",
+
+    "corr_matrix" ->
+      """WITH v AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                  CAST(round(l_discount * 100) AS BIGINT) AS d,
+                  CAST(round(l_tax * 100) AS BIGINT) AS t
+           FROM lineitem),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(q AS HUGEINT)) AS sq,
+                 sum(CAST(p AS HUGEINT)) AS sp,
+                 sum(CAST(d AS HUGEINT)) AS sd,
+                 sum(CAST(t AS HUGEINT)) AS st,
+                 sum(CAST(q AS HUGEINT) * q) AS sqq,
+                 sum(CAST(p AS HUGEINT) * p) AS spp,
+                 sum(CAST(d AS HUGEINT) * d) AS sdd,
+                 sum(CAST(t AS HUGEINT) * t) AS stt,
+                 sum(CAST(q AS HUGEINT) * p) AS sqp,
+                 sum(CAST(q AS HUGEINT) * d) AS sqd,
+                 sum(CAST(q AS HUGEINT) * t) AS sqt,
+                 sum(CAST(p AS HUGEINT) * d) AS spd,
+                 sum(CAST(p AS HUGEINT) * t) AS spt,
+                 sum(CAST(d AS HUGEINT) * t) AS sdt
+               FROM v),
+         u AS (
+           SELECT 'quantity_centi' AS col_a, 'price_centi' AS col_b,
+                  n, sq AS sa, sp AS sb, sqq AS ssa, spp AS ssb,
+                  sqp AS sab FROM m
+           UNION ALL SELECT 'quantity_centi', 'discount_centi',
+                  n, sq, sd, sqq, sdd, sqd FROM m
+           UNION ALL SELECT 'quantity_centi', 'tax_centi',
+                  n, sq, st, sqq, stt, sqt FROM m
+           UNION ALL SELECT 'price_centi', 'discount_centi',
+                  n, sp, sd, spp, sdd, spd FROM m
+           UNION ALL SELECT 'price_centi', 'tax_centi',
+                  n, sp, st, spp, stt, spt FROM m
+           UNION ALL SELECT 'discount_centi', 'tax_centi',
+                  n, sd, st, sdd, stt, sdt FROM m),
+         c AS (SELECT col_a, col_b, n,
+                 n * ssa - sa * sa AS sxx,
+                 n * ssb - sb * sb AS syy,
+                 n * sab - sa * sb AS sxy
+               FROM u)
+         SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+                CAST(CASE WHEN sxx > 0 AND syy > 0
+                       THEN sign(sxy) END AS BIGINT) AS corr_sign,
+                CAST(CASE WHEN sxx > 0 AND syy > 0 THEN
+                  (CASE WHEN 100 * sxy < 0
+                        THEN -((-(100 * sxy)) // sxx)
+                        ELSE (100 * sxy) // sxx END)
+                  * (CASE WHEN 100 * sxy < 0
+                          THEN -((-(100 * sxy)) // syy)
+                          ELSE (100 * sxy) // syy END)
+                END AS BIGINT) AS corr2_permyriad
+         FROM c""",
 
     "fact_enrich_scd2" ->
       """WITH e AS (

@@ -592,6 +592,126 @@ object Behavior {
                   ELSE NULL END AS BIGINT)""").as("auc_permille"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift statistic (E80 — the
+    * distribution-drift monitor next to [[psi_drift]]: PSI needs a
+    * binning choice, KS is the binning-free supremum
+    * `D = max_s |F_base(s) − F_cur(s)|` and the number every
+    * score-drift alarm thresholds on). Computed EXACTLY in integers:
+    * at each observed score `diff = |cum_base·n_cur − cum_cur·n_base|`
+    * (DECIMAL(38,0) — corpus-scale cum·n products cannot overflow),
+    * `ks_micro = (10⁶·max diff) div (n_base·n_cur)`, and `ks_at_score`
+    * is the LOWEST score attaining the max (explicit tie rule, so the
+    * argmax is engine-stable). Either side empty → both read null.
+    *
+    * Same bounded-score-domain contract as [[aucScore]]: one
+    * corpus-sized score-keyed aggregation, then every CDF step rides
+    * the HOF fold over the collected ≤|domain|-row distribution —
+    * never a corpus ranking window.
+    */
+  def ksDrift(df: DataFrame, scorePermilleCol: String,
+              baseCol: String): DataFrame = {
+    val perScore = df.groupBy(col(scorePermilleCol).cast("long").as("__s"))
+      .agg(sum(when(col(baseCol), 1L).otherwise(0L)).as("__b"),
+           sum(when(col(baseCol), 0L).otherwise(1L)).as("__c"))
+    perScore
+      .agg(array_sort(collect_list(struct(col("__s"), col("__b"),
+        col("__c")))).as("__a"))
+      .select(col("__a"),
+        expr("aggregate(__a, CAST(0 AS BIGINT), (a, e) -> a + e.__b)")
+          .as("__nb"),
+        expr("aggregate(__a, CAST(0 AS BIGINT), (a, e) -> a + e.__c)")
+          .as("__nc"))
+      // one CDF pass: per score, |cumB·nc − cumC·nb| with −s riding
+      // the struct so array_max's lexicographic order breaks diff
+      // ties toward the LOWEST score
+      .select(col("__nb"), col("__nc"), array_max(expr("""aggregate(__a,
+        struct(CAST(0 AS BIGINT) AS cb, CAST(0 AS BIGINT) AS cc,
+               CAST(array() AS ARRAY<STRUCT<d: DECIMAL(38,0),
+                 ns: BIGINT>>) AS ds),
+        (acc, el) -> struct(acc.cb + el.__b AS cb, acc.cc + el.__c AS cc,
+          array_append(acc.ds, struct(
+            abs(CAST(acc.cb + el.__b AS DECIMAL(38,0)) * __nc
+              - CAST(acc.cc + el.__c AS DECIMAL(38,0)) * __nb) AS d,
+            -el.__s AS ns)) AS ds)).ds""")).as("__m"))
+      .select(col("__nb").as("n_base"), col("__nc").as("n_cur"),
+        expr("""CASE WHEN __nb > 0 AND __nc > 0
+                  THEN CAST((1000000 * __m.d) div
+                    (CAST(__nb AS DECIMAL(38,0)) * __nc) AS BIGINT)
+                END""").as("ks_micro"),
+        expr("CASE WHEN __nb > 0 AND __nc > 0 THEN -__m.ns END")
+          .as("ks_at_score"))
+  }
+
+  /** Cumulative gains / lift table (E81 — the campaign-targeting and
+    * ranking-quality view under every scored list, completing the
+    * eval family: [[calibrationBins]] says what scores MEAN,
+    * [[aucScore]] whether they ORDER, this says what acting on the
+    * top k/N EARNS): rows ranked by score DESCENDING into `nBins`
+    * equi-depth bins (bin 0 = highest scores; a distinct score
+    * belongs WHOLLY to the bin of its exclusive-prefix position — the
+    * [[equidepth_histogram]] rule, so duplicates never split), each
+    * bin reporting its own and cumulative rows/positives plus
+    * `gain_permille = 1000·cum_pos div total_pos` and
+    * `lift_permille = (1000·cum_pos·n) div (cum_rows·total_pos)`
+    * (DECIMAL(38,0) products; zero positives → both null).
+    *
+    * Scale shape: one score-keyed aggregation, then the binning and
+    * BOTH cumulative passes ride HOF folds over the collected
+    * distribution / the ≤nBins bin frame — the corpus never sorts and
+    * no window appears anywhere.
+    */
+  def liftCurve(df: DataFrame, scorePermilleCol: String, labelCol: String,
+                nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val perScore = df.groupBy(col(scorePermilleCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__n"),
+           sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"))
+    perScore
+      // sort key −s: ascending array_sort = descending score
+      .agg(array_sort(collect_list(struct((-col("__s")).as("__ds"),
+        col("__n"), col("__p")))).as("__a"))
+      .select(col("__a"),
+        expr("aggregate(__a, CAST(0 AS BIGINT), (a, e) -> a + e.__n)")
+          .as("__t"),
+        expr("aggregate(__a, CAST(0 AS BIGINT), (a, e) -> a + e.__p)")
+          .as("__pt"))
+      .select(col("__t"), col("__pt"), explode(expr(s"""aggregate(__a,
+        struct(CAST(0 AS BIGINT) AS cum0,
+               CAST(array() AS ARRAY<STRUCT<bin: BIGINT, n: BIGINT,
+                 p: BIGINT>>) AS bs),
+        (acc, el) -> struct(acc.cum0 + el.__n AS cum0,
+          array_append(acc.bs, struct(
+            acc.cum0 * ${nBins}L div __t AS bin,
+            el.__n AS n, el.__p AS p)) AS bs)).bs""")).as("__e"))
+      .groupBy(col("__e.bin").as("bin"))
+      .agg(first(col("__t")).as("__t"), first(col("__pt")).as("__pt"),
+           sum(col("__e.n")).as("n_rows"), sum(col("__e.p")).as("n_pos"))
+      // cumulative over the ≤nBins bin frame: collect + fold again
+      .agg(array_sort(collect_list(struct(col("bin"), col("__t"),
+        col("__pt"), col("n_rows"), col("n_pos")))).as("__b"))
+      .select(explode(expr("""aggregate(__b,
+        struct(CAST(0 AS BIGINT) AS cr, CAST(0 AS BIGINT) AS cp,
+               CAST(array() AS ARRAY<STRUCT<bin: BIGINT, n_rows: BIGINT,
+                 n_pos: BIGINT, cum_rows: BIGINT, cum_pos: BIGINT,
+                 t: BIGINT, pt: BIGINT>>) AS out),
+        (acc, el) -> struct(acc.cr + el.n_rows AS cr,
+          acc.cp + el.n_pos AS cp,
+          array_append(acc.out, struct(el.bin AS bin,
+            el.n_rows AS n_rows, el.n_pos AS n_pos,
+            acc.cr + el.n_rows AS cum_rows, acc.cp + el.n_pos AS cum_pos,
+            el.__t AS t, el.__pt AS pt)) AS out)).out""")).as("__r"))
+      .select(col("__r.bin").as("bin"), col("__r.n_rows").as("n_rows"),
+        col("__r.n_pos").as("n_pos"), col("__r.cum_rows").as("cum_rows"),
+        col("__r.cum_pos").as("cum_pos"),
+        expr("""CASE WHEN __r.pt > 0
+                  THEN (1000 * __r.cum_pos) div __r.pt END""")
+          .as("gain_permille"),
+        expr("""CASE WHEN __r.pt > 0
+                  THEN CAST((1000 * CAST(__r.cum_pos AS DECIMAL(38,0))
+                    * __r.t) div (CAST(__r.cum_rows AS DECIMAL(38,0))
+                    * __r.pt) AS BIGINT) END""").as("lift_permille"))
+  }
+
   /** Smoothed target encoding (C88 — the standard high-cardinality
     * categorical feature for tabular ML): each category's target mean
     * shrunk toward the global mean by pseudo-count `m`
@@ -885,5 +1005,107 @@ object Behavior {
     folded.select((keyCols.map(col) :+ explode(col("__e")).as("__r")): _*)
       .select((keyCols.map(col) ++ Seq(col("__r.day").as("day"),
         col("__r.ewma_milli").as("ewma_milli"))): _*)
+  }
+
+  /** Market-basket association rules (C95 — the recommender /
+    * assortment classic: "baskets with A also hold B"): for every
+    * co-occurring item pair at support ≥ `minSupport`, BOTH directed
+    * rules with `confidence_permille = 1000·n_both div n_ant` and
+    * `lift_micro = (10⁶·n_both·n_baskets) div (n_ant·n_cons)`
+    * (DECIMAL(38,0) products — lift > 10⁶ means A lifts B above its
+    * base rate). Exact integers throughout.
+    *
+    * Scale shape: baskets dedupe in one (basket,item)-keyed shuffle;
+    * pair generation is a basket-keyed self-join under `itemA <
+    * itemB` — Σ C(|basket|,2) pairs, bounded because `maxBasketSize`
+    * DROPS degenerate everything-baskets up front (a basket holding
+    * the whole catalog generates quadratic pairs and zero signal —
+    * same honesty contract as jaccard_neighbors' hub cap; the default
+    * is a no-op at driver SFs). Item counts and the basket total are
+    * item-sized / 1-row broadcasts; the pair frame is ≤|vocabulary|²
+    * rows regardless of corpus size.
+    */
+  def basketRules(items: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long, maxBasketSize: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2,
+      s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val b0 = items.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+    val kept = b0.groupBy("__bk").agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize).select("__bk")
+    val b = b0.join(kept, "__bk")
+    val total = b.agg(countDistinct("__bk").as("__nb"))
+    val itemCounts = b.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.__bk") === col("y.__bk") && col("x.__it") < col("y.__it"))
+      .groupBy(col("x.__it").as("__a"), col("y.__it").as("__b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    val directed = pairs.select(col("__a").as("antecedent"),
+        col("__b").as("consequent"), col("n_both"))
+      .unionAll(pairs.select(col("__b").as("antecedent"),
+        col("__a").as("consequent"), col("n_both")))
+    directed
+      .join(broadcast(itemCounts).withColumnRenamed("__it", "antecedent")
+        .withColumnRenamed("__ni", "n_ant"), "antecedent")
+      .join(broadcast(itemCounts).withColumnRenamed("__it", "consequent")
+        .withColumnRenamed("__ni", "n_cons"), "consequent")
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ant"), col("n_cons"),
+        expr("(1000 * n_both) div n_ant").as("confidence_permille"),
+        expr("""CAST((1000000 * CAST(n_both AS DECIMAL(38,0)) * __nb)
+                div (CAST(n_ant AS DECIMAL(38,0)) * n_cons) AS BIGINT)""")
+          .as("lift_micro"))
+  }
+
+  /** Pairwise Pearson correlation matrix (C96 — the data-profiling /
+    * feature-selection primitive): for every column pair, the sign
+    * and the QUANTIZED squared correlation
+    * `corr2_permyriad = trunc(100·Sxy div Sxx) · trunc(100·Sxy div
+    * Syy)` over exact centered integer moments `Sxy = n·Σxy − Σx·Σy`
+    * — the [[cupedAdjust]] ρ² device: no Sxy² ever forms (which would
+    * overflow DECIMAL(38,0) at corpus scale) and no float sqrt
+    * appears, so the number is bit-identical cross-engine. Zero
+    * variance on either side → sign and corr² read null.
+    *
+    * Scale shape: ONE aggregation over the fact scan computes every
+    * sum/square/cross-product moment (map-side combined, DECIMAL
+    * (38,0) accumulators — headroom contract: |value| ≤ 10⁷ integer
+    * units at ≤ 10¹⁰ rows keeps n·Σx² under 10³⁸); the pair unpivot
+    * and ratio arithmetic run on the single moment row.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    def d38(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    val base = df.select(cols.map(c => col(c).cast("long").as(c)): _*)
+    val moments =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("__n")) ++
+      cols.map(c => sum(expr(d38(c))).as(s"__s_$c")) ++
+      cols.map(c => sum(expr(s"${d38(c)} * $c")).as(s"__ss_$c")) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum(expr(s"${d38(a)} * $b")).as(s"__sp_${a}_$b") }.toSeq
+    val m = base.agg(moments.head, moments.tail: _*)
+    val pairs = cols.combinations(2).toSeq
+    val stackArgs = pairs.map { case Seq(a, b) =>
+      s"'$a', '$b', __s_$a, __s_$b, __ss_$a, __ss_$b, __sp_${a}_$b"
+    }.mkString(", ")
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    m.select(col("__n"), expr(s"""stack(${pairs.size}, $stackArgs)
+        AS (col_a, col_b, __sa, __sb, __ssa, __ssb, __sab)"""))
+      .withColumn("__sxx", expr("__n * __ssa - __sa * __sa"))
+      .withColumn("__syy", expr("__n * __ssb - __sb * __sb"))
+      .withColumn("__sxy", expr("__n * __sab - __sa * __sb"))
+      .select(col("col_a"), col("col_b"), col("__n").cast("long").as("n"),
+        expr("""CASE WHEN __sxx > 0 AND __syy > 0 THEN
+                  CAST(sign(__sxy) AS BIGINT) END""").as("corr_sign"),
+        expr(s"""CASE WHEN __sxx > 0 AND __syy > 0 THEN
+                  CAST((${strunc("100 * __sxy", "__sxx")}) *
+                       (${strunc("100 * __sxy", "__syy")}) AS BIGINT)
+                END""").as("corr2_permyriad"))
   }
 }

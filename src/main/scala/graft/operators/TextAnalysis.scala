@@ -214,6 +214,38 @@ object TextAnalysis {
         .otherwise(lit("")).as("completion"))
   }
 
+  /** Chat-template rendering + injection guard (E82 — the last step
+    * before SFT data ships: turn a prompt/completion pair into the
+    * model's chat format and REJECT rows that would corrupt training):
+    * renders `<|im_start|>role\n…<|im_end|>` turns (system/user/
+    * assistant), rejecting pairs that never split (`unsplit`) and —
+    * the guard that matters — pairs whose CONTENT already contains the
+    * template sentinel (`sentinel_collision`: a document carrying
+    * `<|im_` would fake turn boundaries inside the training example;
+    * the classic special-token injection). Reject precedence is
+    * stated: unsplit before collision. Pure map-side concat +
+    * contains, codegen'd, zero shuffle.
+    */
+  def chatFormat(pairs: DataFrame, idCol: String, appliedCol: String,
+                 promptCol: String, completionCol: String,
+                 systemText: String): DataFrame = {
+    require(!systemText.contains("<|im_"),
+      "systemText must not contain the template sentinel")
+    val collision = col(promptCol).contains("<|im_") ||
+      col(completionCol).contains("<|im_")
+    val valid = col(appliedCol) && !collision
+    val rendered = concat(
+      lit(s"<|im_start|>system\n$systemText<|im_end|>\n<|im_start|>user\n"),
+      col(promptCol),
+      lit("<|im_end|>\n<|im_start|>assistant\n"),
+      col(completionCol), lit("<|im_end|>"))
+    pairs.select(col(idCol), valid.as("valid"),
+      when(!col(appliedCol), "unsplit")
+        .when(collision, "sentinel_collision").as("reject_reason"),
+      when(valid, rendered).as("rendered"),
+      when(valid, length(rendered).cast("long")).as("n_chars_rendered"))
+  }
+
   /** URL canonicalization for crawl dedup (the CCNet/Dolma first
     * stage: most crawl duplicates are the SAME page under cosmetic
     * URL variation, collapsed here before any content hashing runs):

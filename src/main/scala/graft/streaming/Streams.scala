@@ -913,4 +913,61 @@ object Streams {
           out.result().iterator
       }
   }
+
+  case class ScoreObs(key: String, score: Long)
+  case class KsCounts(scores: Map[Long, Long])
+  case class KsRow(key: String, n_base: Long, n_cur: Long,
+                   ks_micro: Long, ks_at_score: Long)
+
+  /** D22: streaming KS drift monitor — [[graft.operators.Behavior
+    * .ksDrift]]'s streaming half: each key's LIVE score distribution
+    * is tested after every micro-batch against a FIXED base histogram
+    * (the reference window a drift alarm compares to), emitting the
+    * same exact-integer statistic as the batch operator —
+    * `ks_micro = (10⁶·max_s |cum_base·n_cur − cum_cur·n_base|) div
+    * (n_base·n_cur)` with the lowest-attaining-score tie rule, BigInt
+    * cross-products so corpus-scale counts cannot overflow.
+    *
+    * State per key is the score histogram — BOUNDED by the permille
+    * score domain (≤ |domain| counters forever, the
+    * bounded-score-domain contract), never the observation history.
+    * Pure-count state is replay-friendlier than the sorted-fold ops:
+    * state' is a function of the batch's content MULTISET (addition
+    * commutes), so an at-least-once re-execution of the same batch
+    * rebuilds identical state with no ordering device at all. Output
+    * (Update mode): one row per touched key per batch. Run on the
+    * RocksDB state store at corpus scale.
+    */
+  def streamKsDrift(obs: Dataset[ScoreObs],
+                    base: Map[Long, Long]): Dataset[KsRow] = {
+    require(base.nonEmpty, "base histogram must be non-empty")
+    require(base.values.forall(_ > 0), "base counts must be positive")
+    import obs.sparkSession.implicits._
+    val nb = base.values.sum
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[KsCounts, KsRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[ScoreObs],
+         state: GroupState[KsCounts]) =>
+          val cur = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(s => cur ++= s.scores)
+          rows.foreach { r =>
+            cur.update(r.score, cur.getOrElse(r.score, 0L) + 1L)
+          }
+          state.update(KsCounts(cur.toMap))
+          val nc = cur.valuesIterator.sum
+          val domain = (base.keySet ++ cur.keySet).toSeq.sorted
+          var cb = BigInt(0); var cc = BigInt(0)
+          var best = BigInt(-1); var bestAt = 0L
+          domain.foreach { s =>
+            cb += BigInt(base.getOrElse(s, 0L))
+            cc += BigInt(cur.getOrElse(s, 0L))
+            val d = (cb * nc - cc * nb).abs
+            if (d > best) { best = d; bestAt = s }
+          }
+          val ks = (BigInt(1000000) * best /
+            (BigInt(nb) * BigInt(nc))).toLong
+          Iterator.single(KsRow(key, nb, nc, ks, bestAt))
+      }
+  }
 }

@@ -484,6 +484,114 @@ class BehaviorGraphSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Long])].head() == ((2L, 0L, None)))
   }
 
+  test("ksDrift: hand-computed supremum, lowest-score tie rule, " +
+       "identical distributions read 0, one-sided reads null") {
+    // base {100, 300}, cur {300}: D = |1/2 - 0/1| = 1/2 at s=100
+    val d = Seq((100L, true), (300L, true), (300L, false))
+      .toDF("score", "base")
+    assert(Behavior.ksDrift(d, "score", "base")
+      .as[(Long, Long, Option[Long], Option[Long])].head() ==
+      ((2L, 1L, Some(500000L), Some(100L))))
+    // identical distributions: every CDF step ties at diff 0 -> the
+    // lowest observed score is the argmax by the explicit tie rule
+    val same = Seq((100L, true), (200L, true), (100L, false),
+      (200L, false)).toDF("score", "base")
+    assert(Behavior.ksDrift(same, "score", "base")
+      .as[(Long, Long, Option[Long], Option[Long])].head() ==
+      ((2L, 2L, Some(0L), Some(100L))))
+    // disjoint supports: full separation, D = 1
+    val apart = Seq((100L, true), (200L, false)).toDF("score", "base")
+    assert(Behavior.ksDrift(apart, "score", "base")
+      .as[(Long, Long, Option[Long], Option[Long])].head() ==
+      ((1L, 1L, Some(1000000L), Some(100L))))
+    val oneSided = Seq((100L, true), (200L, true)).toDF("score", "base")
+    assert(Behavior.ksDrift(oneSided, "score", "base")
+      .as[(Long, Long, Option[Long], Option[Long])].head() ==
+      ((2L, 0L, None, None)))
+  }
+
+  test("liftCurve: hand-computed descending deciles, duplicates stay " +
+       "whole, cumulative gain/lift, zero-positive reads null") {
+    // desc: 900 x2 (2 pos) -> bin 0; 500, 100 (1 pos) -> bin 1
+    val d = Seq((900L, true), (900L, true), (500L, false), (100L, true))
+      .toDF("score", "label")
+    val got = Behavior.liftCurve(d, "score", "label", nBins = 2)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 2L, 2L, Some(666L), Some(1333L)),
+      (1L, 2L, 1L, 4L, 3L, Some(1000L), Some(1000L))))
+    // a heavy duplicate score owns its bin outright (never splits)
+    val dup = Seq((700L, true), (700L, false), (700L, true),
+      (600L, false)).toDF("score", "label")
+    val bins = Behavior.liftCurve(dup, "score", "label", nBins = 2)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long, Option[Long],
+        Option[Long])].collect().toSeq
+    assert(bins == Seq(
+      (0L, 3L, 2L, 3L, 2L, Some(1000L), Some(1333L)),
+      (1L, 1L, 0L, 4L, 2L, Some(1000L), Some(1000L))))
+    // zero positives: gain/lift unread, counts still real
+    val noPos = Seq((900L, false), (100L, false)).toDF("score", "label")
+    val np = Behavior.liftCurve(noPos, "score", "label", nBins = 2)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long, Option[Long],
+        Option[Long])].collect().toSeq
+    assert(np == Seq(
+      (0L, 1L, 0L, 1L, 0L, None, None),
+      (1L, 1L, 0L, 2L, 0L, None, None)))
+  }
+
+  test("basketRules: hand-computed support/confidence/lift, duplicate " +
+       "item rows collapse, support prune, degenerate-basket cap") {
+    // b1 {A,B,C} (A twice -> distinct), b2 {A,B}, b3 {A,C}, b4 {B}
+    val items = Seq((1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (3L, "A"), (3L, "C"), (4L, "B"))
+      .toDF("basket", "item")
+    val got = Behavior.basketRules(items, "basket", "item",
+        minSupport = 2L, maxBasketSize = 30L)
+      .orderBy("antecedent", "consequent")
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // nb=4; n(A)=3 n(B)=3 n(C)=2; AB support 2, AC support 2, BC 1
+    assert(got == Seq(
+      ("A", "B", 2L, 3L, 3L, 666L, 888888L),
+      ("A", "C", 2L, 3L, 2L, 666L, 1333333L),
+      ("B", "A", 2L, 3L, 3L, 666L, 888888L),
+      ("C", "A", 2L, 2L, 3L, 1000L, 1333333L)))
+    // a basket over the cap is dropped wholesale: adding a 5-item
+    // basket under cap 4 changes nothing
+    val withGiant = items.unionAll(Seq((5L, "A"), (5L, "B"), (5L, "C"),
+      (5L, "D"), (5L, "E")).toDF("basket", "item"))
+    val capped = Behavior.basketRules(withGiant, "basket", "item",
+        minSupport = 2L, maxBasketSize = 4L)
+      .orderBy("antecedent", "consequent")
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(capped == got)
+  }
+
+  test("corrMatrix: perfect / inverted / half correlation in quantized " +
+       "corr-squared, zero-variance pairs read null") {
+    val d = Seq((1L, 1L, -1L, 5L), (2L, 2L, -2L, 5L), (3L, 3L, -3L, 5L))
+      .toDF("x", "y", "z", "w")
+    val got = Behavior.corrMatrix(d, Seq("x", "y", "z", "w"))
+      .orderBy("col_a", "col_b")
+      .as[(String, String, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("x", "w", 3L, None, None),
+      ("x", "y", 3L, Some(1L), Some(10000L)),
+      ("x", "z", 3L, Some(-1L), Some(10000L)),
+      ("y", "w", 3L, None, None),
+      ("y", "z", 3L, Some(-1L), Some(10000L)),
+      ("z", "w", 3L, None, None)))
+    // x=(1,2,3), u=(1,3,2): Sxy=3, Sxx=Syy=6 -> corr=0.5, corr2=2500
+    val half = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("x", "u")
+    val h = Behavior.corrMatrix(half, Seq("x", "u"))
+      .as[(String, String, Long, Option[Long], Option[Long])].head()
+    assert(h == (("x", "u", 3L, Some(1L), Some(2500L))))
+  }
+
   test("attributionCredits: u-shape and linear hand cases, conversions " +
        "sum to exactly 1000, ties break by id, trailing touches drop") {
     val e = Seq(

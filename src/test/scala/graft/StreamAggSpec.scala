@@ -432,4 +432,47 @@ class StreamAggSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(twin == got)
   }
+
+  test("streamKsDrift (D22): per-batch emission ≡ batch ksDrift on " +
+       "the prefix, keys isolate, empty/zero base rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Behavior
+    import graft.streaming.Streams.ScoreObs
+    val base = Map(100L -> 2L, 300L -> 1L)
+    // the batch twin over (base ∪ prefix) as one flagged frame
+    def twin(cur: Seq[Long]): (String, Long, Long, Long, Long) = {
+      val rows = base.toSeq.flatMap { case (s, n) =>
+        Seq.fill(n.toInt)((s, true)) } ++ cur.map((_, false))
+      val t = Behavior.ksDrift(rows.toDF("score", "base"),
+        "score", "base")
+        .as[(Long, Long, Option[Long], Option[Long])].head()
+      ("", t._1, t._2, t._3.get, t._4.get)
+    }
+    val input = MemoryStream[ScoreObs]
+    val q = Streams.streamKsDrift(input.toDS(), base)
+      .writeStream.format("memory").queryName("d22_ks")
+      .outputMode("update").start()
+    try {
+      input.addData(ScoreObs("A", 100L), ScoreObs("A", 500L))
+      q.processAllAvailable()
+      val r1 = spark.table("d22_ks")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(r1 == Seq(twin(Seq(100L, 500L)).copy(_1 = "A")))
+      // batch 2 extends A's histogram and opens key B
+      input.addData(ScoreObs("A", 500L), ScoreObs("B", 300L))
+      q.processAllAvailable()
+      val r2 = spark.table("d22_ks")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(r2 == Set(
+        twin(Seq(100L, 500L)).copy(_1 = "A"),
+        twin(Seq(100L, 500L, 500L)).copy(_1 = "A"),
+        twin(Seq(300L)).copy(_1 = "B")))
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      Streams.streamKsDrift(input.toDS(), Map.empty[Long, Long])
+    }
+    intercept[IllegalArgumentException] {
+      Streams.streamKsDrift(input.toDS(), Map(1L -> 0L))
+    }
+  }
 }

@@ -382,4 +382,36 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = formatted(SparkEntry.queries("k_anonymity_groups")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("ks_drift / lift_curve / auc_score: no window anywhere — CDF " +
+       "and binning sweeps ride HOF folds over the collected domain") {
+    Seq("ks_drift", "lift_curve", "auc_score").foreach { k =>
+      val plan = formatted(SparkEntry.queries(k)(spark, sf))
+      assert(!raw"(?m)^\(\d+\) Window".r.findAllIn(plan).hasNext,
+        s"$k\n$plan")
+    }
+  }
+
+  test("basket_rules: pair generation is a basket-keyed EQUI-join; the " +
+       "only nested loop is the 1-row basket-total broadcast") {
+    val plan = formatted(SparkEntry.queries("basket_rules")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // detail-header lines only — formatted output also repeats each
+    // node name in the tree rendering
+    assert(raw"(?m)^\(\d+\) BroadcastNestedLoopJoin".r
+      .findAllIn(plan).size <= 1, plan)
+  }
+
+  test("corr_matrix: every moment rides ONE aggregation over one scan " +
+       "— no join, no window, a single fact-table read") {
+    val plan = formatted(SparkEntry.queries("corr_matrix")(spark, sf))
+    assert(!raw"(?m)^\(\d+\) .*Join".r.findAllIn(plan).hasNext, plan)
+    assert(!raw"(?m)^\(\d+\) Window".r.findAllIn(plan).hasNext, plan)
+    assert(raw"(?m)^\(\d+\) Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("chat_format: map-side only — no exchange in the render") {
+    val plan = formatted(SparkEntry.queries("chat_format")(spark, sf))
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

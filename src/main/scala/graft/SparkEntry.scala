@@ -2734,6 +2734,29 @@ object SparkEntry {
         "discount_centi", "tax_centi"))
     }),
 
+    // C97: frequent 2-sequences ("A then later B") — distinct-user
+    // support via the first(A) < last(B) collapse: one (user,type)
+    // min/max agg, user-keyed self-join on the types-sized frame,
+    // map-side-combined support count
+    "sequential_patterns" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"),
+        col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      Behavior.sequentialPatterns(ev, "user_id", "ts_us", "event_type",
+        minSupport = 5L)
+    }),
+
+    // E83: kNN-distance outliers over the exact neighbor graph —
+    // vectors whose 5th neighbor is kSigma below the corpus mean
+    // cosine (integer moment rule); composes over annIvf at corpus
+    // scale, the mutual_knn contract
+    "knn_outliers" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.knnOutliers(
+        Similarity.annBruteForceBlocked(e, e, "vec_id", "embedding",
+          k = 5),
+        k = 5, kSigma = 2)
+    }),
+
     // C94: SCD2 fact enrichment — THE warehouse composition: facts
     // (purchases) joined to the dimension VERSION valid at event time
     // (scd2_history over the non-purchase activity stream, as-of
@@ -6611,6 +6634,49 @@ FROM decided""",
                           ELSE (100 * sxy) // syy END)
                 END AS BIGINT) AS corr2_permyriad
          FROM c""",
+
+    "sequential_patterns" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                    FROM events),
+         ut AS (SELECT user_id, event_type,
+                  min(ts_us) AS f, max(ts_us) AS l
+                FROM e GROUP BY 1, 2),
+         t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+               FROM ut),
+         pr AS (SELECT a.event_type AS first_type,
+                  b.event_type AS then_type,
+                  CAST(count(*) AS BIGINT) AS support
+                FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id
+                 AND a.event_type <> b.event_type
+                 AND a.f < b.l
+                GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT first_type, then_type, support,
+                (1000 * support) // nu AS support_permille
+         FROM pr, t""",
+
+    "knn_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         s AS (SELECT a.vec_id AS q,
+                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
+               FROM e a JOIN e b ON a.vec_id != b.vec_id),
+         k AS (SELECT q, cos, row_number() OVER (PARTITION BY q
+                 ORDER BY cos DESC) AS rk FROM s),
+         kc AS (SELECT q AS vec_id,
+                  CAST(round(cos * 1000000) AS BIGINT) AS kth_cos_micro
+                FROM k WHERE rk = 5),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(kth_cos_micro AS HUGEINT)) AS s1,
+                 sum(CAST(kth_cos_micro AS HUGEINT) * kth_cos_micro)
+                   AS s2
+               FROM kc)
+         SELECT vec_id, kth_cos_micro,
+                (n >= 2 AND n * kth_cos_micro < s1 AND
+                 (n * kth_cos_micro - s1) * (n * kth_cos_micro - s1)
+                   > 4 * (n * s2 - s1 * s1)) AS is_outlier
+         FROM kc, m""",
 
     "fact_enrich_scd2" ->
       """WITH e AS (

@@ -1060,6 +1060,43 @@ object Behavior {
           .as("lift_micro"))
   }
 
+  /** Frequent sequential patterns (C97 — the "A then later B"
+    * complement of [[basketRules]]' same-basket co-occurrence and
+    * [[eventTransitions]]' CONSECUTIVE pairs): for every ordered type
+    * pair, the number of users with SOME occurrence of `first_type`
+    * strictly before SOME occurrence of `then_type` (the classic
+    * 2-sequence support of GSP/PrefixSpan, which no adjacency or
+    * session boundary can hide), pruned at `minSupport`, with
+    * `support_permille` of the active-user base. Equal-timestamp
+    * occurrences do NOT order (strict `<` — stated, engine-stable).
+    *
+    * The device that keeps it linear: "exists a < b" over full
+    * histories collapses to `first_ts(A) < last_ts(B)` — so ONE
+    * (user,type)-keyed min/max aggregation reduces each user to a
+    * ≤|types|-row frame, the pair self-join runs user-keyed on that
+    * compact frame (≤|types|² rows per user), and the support count
+    * combines map-side. The event table shuffles once; nothing
+    * corpus-sized ever pairs.
+    */
+  def sequentialPatterns(events: DataFrame, userCol: String,
+                         tsUsCol: String, typeCol: String,
+                         minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val ut = events.groupBy(col(userCol).as("__u"), col(typeCol).as("__t"))
+      .agg(min(col(tsUsCol).cast("long")).as("__f"),
+           max(col(tsUsCol).cast("long")).as("__l"))
+    val total = ut.agg(countDistinct("__u").as("__nu"))
+    ut.as("a").join(ut.as("b"),
+        col("a.__u") === col("b.__u") &&
+        col("a.__t") =!= col("b.__t") && col("a.__f") < col("b.__l"))
+      .groupBy(col("a.__t").as("first_type"), col("b.__t").as("then_type"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .crossJoin(broadcast(total))
+      .select(col("first_type"), col("then_type"), col("support"),
+        expr("(1000 * support) div __nu").as("support_permille"))
+  }
+
   /** Pairwise Pearson correlation matrix (C96 — the data-profiling /
     * feature-selection primitive): for every column pair, the sign
     * and the QUANTIZED squared correlation

@@ -1048,4 +1048,43 @@ object Similarity {
           .otherwise(floor(col("__x") * lit(127.0d) / col("__mx") + lit(0.5d)))
           .as("code"))
   }
+
+  /** kNN-distance outliers (E83 — the Knorr-Ng/Ramaswamy
+    * distance-based outlier detector in embedding space: a vector
+    * whose k-th nearest neighbor is unusually FAR sits in no cluster
+    * — the curation signal for mis-embedded, off-domain, or garbage
+    * documents that similarity dedup will never touch because nothing
+    * is near them). Input is any `(query_id, neighbor_id, cos, rank)`
+    * neighbor frame ([[annBruteForceBlocked]] for the exact graph,
+    * [[annIvf]] composed at corpus scale — the [[mutualKnn]]
+    * contract); a vector is flagged when its k-th-neighbor cosine
+    * falls `kSigma` standard deviations BELOW the corpus mean, tested
+    * with the exact integer moment rule (the anomaly_zscore device:
+    * `(n·x − S1)² > k²·(n·S2 − S1²)` with `n·x < S1`, DECIMAL(38,0)
+    * cross-products, no float sqrt) — a relative rule, so it adapts
+    * to the density growth that breaks any fixed distance threshold.
+    *
+    * Scale shape: one query-keyed k-th extraction (rank = k filter —
+    * already grouped in the neighbor frame), one 1-row moment
+    * aggregate broadcast back over the vector-sized frame. Nothing
+    * corpus-sized sorts or collects.
+    */
+  def knnOutliers(neighbors: DataFrame, k: Int, kSigma: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kSigma >= 1 && kSigma <= 100,
+      s"kSigma must be in [1,100], got $kSigma")
+    val kth = neighbors.filter(col("rank") === k.toLong)
+      .select(col("query_id").as("vec_id"),
+        expr("CAST(round(cos * 1000000) AS BIGINT)").as("kth_cos_micro"))
+    val mom = kth.agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+      sum(col("kth_cos_micro").cast("decimal(38,0)")).as("__s1"),
+      sum(expr("CAST(kth_cos_micro AS DECIMAL(38,0)) * kth_cos_micro"))
+        .as("__s2"))
+    val k2 = kSigma.toLong * kSigma
+    kth.crossJoin(broadcast(mom))
+      .select(col("vec_id"), col("kth_cos_micro"),
+        expr(s"""__n >= 2 AND __n * kth_cos_micro < __s1 AND
+          (__n * kth_cos_micro - __s1) * (__n * kth_cos_micro - __s1)
+            > $k2 * (__n * __s2 - __s1 * __s1)""").as("is_outlier"))
+  }
 }

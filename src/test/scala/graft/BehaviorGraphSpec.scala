@@ -541,6 +541,25 @@ class BehaviorGraphSpec extends AnyFunSuite {
       (1L, 1L, 0L, 2L, 0L, None, None)))
   }
 
+  test("sequentialPatterns: first<last collapse, distinct-user " +
+       "support, equal timestamps never order, support prune") {
+    // u1: A@1 B@2 A@5 -> both A-then-B and B-then-A exist
+    // u2: B@5 A@10 -> only B-then-A; u3: A only; u4: A@3 B@3 (tie)
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 5L, "A"),
+      (2L, 10L, "A"), (2L, 5L, "B"), (3L, 7L, "A"),
+      (4L, 3L, "A"), (4L, 3L, "B"))
+      .toDF("user_id", "ts_us", "event_type")
+    val got = Behavior.sequentialPatterns(ev, "user_id", "ts_us",
+        "event_type", minSupport = 1L)
+      .orderBy("first_type", "then_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 1L, 250L), ("B", "A", 2L, 500L)))
+    assert(Behavior.sequentialPatterns(ev, "user_id", "ts_us",
+        "event_type", minSupport = 2L)
+      .as[(String, String, Long, Long)].collect().toSeq ==
+      Seq(("B", "A", 2L, 500L)))
+  }
+
   test("basketRules: hand-computed support/confidence/lift, duplicate " +
        "item rows collapse, support prune, degenerate-basket cap") {
     // b1 {A,B,C} (A twice -> distinct), b2 {A,B}, b3 {A,C}, b4 {B}

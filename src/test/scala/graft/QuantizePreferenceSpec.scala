@@ -116,4 +116,29 @@ class QuantizePreferenceSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet
     assert(run(1) == run(13))
   }
+
+  test("knnOutliers: kSigma-below-mean flags via the exact integer " +
+       "moment rule; rank filter; single-vector corpus never flags") {
+    import graft.operators.Similarity
+    // k=2: kth cos 0.9, 0.9, 0.9, 0.1 -> only the 0.1 is 1 sigma low
+    // (rank-1 rows are decoys the rank filter must skip)
+    val nbrs = Seq(
+      (1L, 11L, 0.99, 1L), (1L, 12L, 0.9, 2L),
+      (2L, 11L, 0.99, 1L), (2L, 13L, 0.9, 2L),
+      (3L, 11L, 0.99, 1L), (3L, 14L, 0.9, 2L),
+      (4L, 11L, 0.15, 1L), (4L, 15L, 0.1, 2L))
+      .toDF("query_id", "neighbor_id", "cos", "rank")
+    val got = Similarity.knnOutliers(nbrs, k = 2, kSigma = 1)
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 900000L, false), (2L, 900000L, false),
+      (3L, 900000L, false), (4L, 100000L, true)))
+    // kSigma=2 tightens: with n=4 the outlier inflates sigma past the
+    // deviation, nothing flags (hand-checked: 5.76e12 < 4*1.92e12)
+    assert(Similarity.knnOutliers(nbrs, k = 2, kSigma = 2)
+      .filter(col("is_outlier")).count() == 0L)
+    val single = Seq((1L, 11L, 0.2, 1L))
+      .toDF("query_id", "neighbor_id", "cos", "rank")
+    assert(Similarity.knnOutliers(single, k = 1, kSigma = 1)
+      .filter(col("is_outlier")).count() == 0L)
+  }
 }

@@ -2757,6 +2757,55 @@ object SparkEntry {
         k = 5, kSigma = 2)
     }),
 
+    // E84: per-class P/R/F1 + confusion counts over the lang-id task
+    // proxy — truth = lang, pred = truth with a deterministic 1-in-7
+    // confusion toward the majority class
+    "classification_report" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("lang").as("truth"),
+        when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang"))
+          .as("pred"))
+      Behavior.classificationReport(d, "truth", "pred")
+    }),
+
+    // E85: inter-annotator agreement per source — rater A = lang,
+    // rater B = the same deterministic 1-in-7 perturbation
+    "cohens_kappa" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("source"),
+        col("lang").as("ra"),
+        when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang"))
+          .as("rb"))
+      Behavior.cohensKappa(d, "source", "ra", "rb")
+    }),
+
+    // E86: mutual information source ↔ lang (categorical feature
+    // selection — the corr_matrix companion for categoricals)
+    "feature_mi" -> ((s, dir) =>
+      Behavior.featureMi(Tables(s, dir).documents, "source", "lang")),
+
+    // C98: Kaplan-Meier survival under right-censoring — entity =
+    // user, terminal event = the deterministic event_id % 97 == 0
+    // synthetic churn signal (observed for ~half the users at every
+    // SF; the rest censor at their last activity), duration in days
+    // from first activity, cohorts = user parity
+    "survival_curve" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"),
+        col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      val u = ev.groupBy("user_id").agg(
+        min("ts_us").as("__t0"), max("ts_us").as("__tmax"),
+        min(when(col("event_id") % 97 === 0, col("ts_us"))).as("__te"))
+      val perUser = u.select(
+        concat(lit("c"), col("user_id") % 2).as("cohort"),
+        expr("(coalesce(__te, __tmax) - __t0) div 86400000000")
+          .as("dur_days"),
+        col("__te").isNotNull.as("event"))
+      Behavior.survivalCurve(perUser, "cohort", "dur_days", "event")
+    }),
+
+    // C99: Gini + top-1%/10% value concentration per event type
+    "concentration_report" -> ((s, dir) =>
+      Relational.concentrationReport(Tables(s, dir).events,
+        "event_type", "value")),
+
     // C94: SCD2 fact enrichment — THE warehouse composition: facts
     // (purchases) joined to the dimension VERSION valid at event time
     // (scd2_history over the non-purchase activity stream, as-of
@@ -6677,6 +6726,181 @@ FROM decided""",
                  (n * kth_cos_micro - s1) * (n * kth_cos_micro - s1)
                    > 4 * (n * s2 - s1 * s1)) AS is_outlier
          FROM kc, m""",
+
+    "classification_report" ->
+      """WITH d AS (SELECT lang AS truth,
+           CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS pred
+           FROM documents),
+         cells AS (SELECT truth, pred, CAST(count(*) AS BIGINT) AS n
+                   FROM d GROUP BY 1, 2),
+         bt AS (SELECT truth AS cls, CAST(sum(n) AS BIGINT) AS support,
+                  CAST(sum(CASE WHEN pred = truth THEN n ELSE 0 END)
+                    AS BIGINT) AS tp
+                FROM cells GROUP BY 1),
+         bp AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS pred_n
+                FROM cells GROUP BY 1),
+         per AS (SELECT coalesce(bt.cls, bp.cls) AS cls,
+                   coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+                   coalesce(pred_n, 0) AS pred_n,
+                   coalesce(pred_n, 0) - coalesce(tp, 0) AS fp,
+                   coalesce(support, 0) - coalesce(tp, 0) AS fn
+                 FROM bt FULL JOIN bp ON bt.cls = bp.cls),
+         perm AS (SELECT cls, support, tp, pred_n, fp, fn,
+                    CASE WHEN pred_n > 0
+                      THEN (1000 * tp) // pred_n END AS precision_permille,
+                    CASE WHEN support > 0
+                      THEN (1000 * tp) // support END AS recall_permille,
+                    (2000 * tp) // (2 * tp + fp + fn) AS f1_permille
+                  FROM per)
+         SELECT cls, support, tp, pred_n, fp, fn,
+                CAST(precision_permille AS BIGINT) AS precision_permille,
+                CAST(recall_permille AS BIGINT) AS recall_permille,
+                CAST(f1_permille AS BIGINT) AS f1_permille
+         FROM perm
+         UNION ALL
+         SELECT '__macro__', CAST(sum(support) AS BIGINT),
+                CAST(sum(tp) AS BIGINT), CAST(sum(pred_n) AS BIGINT),
+                CAST(sum(fp) AS BIGINT), CAST(sum(fn) AS BIGINT),
+                CAST(sum(coalesce(precision_permille, 0)) // count(*)
+                  AS BIGINT),
+                CAST(sum(coalesce(recall_permille, 0)) // count(*)
+                  AS BIGINT),
+                CAST(sum(coalesce(f1_permille, 0)) // count(*) AS BIGINT)
+         FROM perm""",
+
+    "cohens_kappa" ->
+      """WITH d AS (SELECT source AS stratum, lang AS a,
+           CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS b
+           FROM documents),
+         cells AS (SELECT stratum, a, b, CAST(count(*) AS BIGINT) AS n
+                   FROM d GROUP BY 1, 2, 3),
+         ra AS (SELECT stratum, a AS lbl, sum(n) AS na
+                FROM cells GROUP BY 1, 2),
+         rb AS (SELECT stratum, b AS lbl, sum(n) AS nb
+                FROM cells GROUP BY 1, 2),
+         pe AS (SELECT stratum, sum(CAST(na AS HUGEINT) * nb) AS p
+                FROM ra JOIN rb USING (stratum, lbl) GROUP BY 1),
+         po AS (SELECT stratum, CAST(sum(n) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+                    AS agree
+                FROM cells GROUP BY 1)
+         SELECT po.stratum, n,
+                CAST((1000 * agree) // n AS BIGINT) AS agree_permille,
+                CASE WHEN CAST(n AS HUGEINT) * n > p THEN
+                  CAST(CASE WHEN 1000 * (CAST(n AS HUGEINT) * agree - p)
+                              < 0
+                    THEN -((-(1000 * (CAST(n AS HUGEINT) * agree - p)))
+                           // (CAST(n AS HUGEINT) * n - p))
+                    ELSE (1000 * (CAST(n AS HUGEINT) * agree - p))
+                         // (CAST(n AS HUGEINT) * n - p) END AS BIGINT)
+                END AS kappa_permille
+         FROM po JOIN pe ON po.stratum = pe.stratum""",
+
+    "feature_mi" ->
+      """WITH cells AS (SELECT source AS x, lang AS y,
+             CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+         mx AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx
+                FROM cells GROUP BY 1),
+         my AS (SELECT y, CAST(sum(n) AS BIGINT) AS ny
+                FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM cells),
+         mi AS (SELECT sum(n * CAST(round(ln(CAST(n AS DOUBLE) * tt
+                    / (CAST(nx AS DOUBLE) * ny)) * 1e6) AS BIGINT)) AS m,
+                  CAST(count(*) AS BIGINT) AS n_cells
+                FROM cells JOIN mx USING (x) JOIN my USING (y), t),
+         hx AS (SELECT sum(nx * CAST(round(ln(CAST(nx AS DOUBLE) / tt)
+                    * 1e6) AS BIGINT)) AS h FROM mx, t),
+         hy AS (SELECT sum(ny * CAST(round(ln(CAST(ny AS DOUBLE) / tt)
+                    * 1e6) AS BIGINT)) AS h FROM my, t)
+         SELECT tt AS n, n_cells,
+                CAST(CASE WHEN m < 0 THEN -((-m) // tt)
+                          ELSE m // tt END AS BIGINT) AS mi_micronat,
+                CAST(-(CASE WHEN hx.h < 0 THEN -((-hx.h) // tt)
+                            ELSE hx.h // tt END) AS BIGINT)
+                  AS h_feature_micronat,
+                CAST(-(CASE WHEN hy.h < 0 THEN -((-hy.h) // tt)
+                            ELSE hy.h // tt END) AS BIGINT)
+                  AS h_label_micronat
+         FROM mi, hx, hy, t""",
+
+    "survival_curve" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                    FROM events),
+         u AS (SELECT user_id, min(ts_us) AS t0, max(ts_us) AS tmax,
+                 min(CASE WHEN event_id % 97 = 0 THEN ts_us END) AS te
+               FROM e GROUP BY 1),
+         pu AS (SELECT 'c' || CAST(user_id % 2 AS VARCHAR) AS stratum,
+                  (coalesce(te, tmax) - t0) // 86400000000 AS d,
+                  te IS NOT NULL AS ev
+                FROM u),
+         dist AS (SELECT stratum, CAST(d AS BIGINT) AS d,
+                    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                      AS ev_n,
+                    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+                      AS cn_n
+                  FROM pu GROUP BY 1, 2),
+         tot AS (SELECT stratum, CAST(sum(ev_n + cn_n) AS BIGINT) AS nn
+                 FROM dist GROUP BY 1),
+         r AS (SELECT dist.*, CAST(nn - coalesce(sum(ev_n + cn_n)
+                 OVER (PARTITION BY dist.stratum ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+               FROM dist JOIN tot USING (stratum)),
+         s AS (SELECT stratum, d, n_risk, ev_n, cn_n,
+                 CASE WHEN ev_n < n_risk THEN
+                   CAST(round(ln(CAST(n_risk - ev_n AS DOUBLE)
+                     / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+                 END AS term
+               FROM r WHERE ev_n > 0),
+         c AS (SELECT *, sum(coalesce(term, 0))
+                 OVER (PARTITION BY stratum ORDER BY d) AS lns
+               FROM s)
+         SELECT stratum, d AS t, n_risk, ev_n AS n_event,
+                cn_n AS n_censored,
+                CASE WHEN term IS NOT NULL THEN CAST(lns AS BIGINT)
+                END AS ln_surv_micro,
+                CASE WHEN term IS NULL THEN CAST(0 AS BIGINT)
+                     ELSE CAST(round(exp(CAST(lns AS DOUBLE) / 1e6)
+                       * 1000) AS BIGINT)
+                END AS surv_permille
+         FROM c""",
+
+    "concentration_report" ->
+      """WITH d AS (SELECT event_type AS stratum,
+             CAST(round(value * 1000) AS BIGINT) AS v
+           FROM events),
+         dist AS (SELECT stratum, v, CAST(count(*) AS BIGINT) AS c
+                  FROM d GROUP BY 1, 2),
+         tot AS (SELECT stratum, CAST(sum(c) AS BIGINT) AS n,
+                   sum(CAST(v AS HUGEINT) * c) AS s
+                 FROM dist GROUP BY 1),
+         cums AS (SELECT *, CAST(sum(c) OVER (PARTITION BY stratum
+                    ORDER BY v) AS BIGINT) AS cum,
+                  CAST(coalesce(sum(c) OVER (PARTITION BY stratum
+                    ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS above
+                  FROM dist),
+         g AS (SELECT cums.stratum,
+                 sum(CAST(v AS HUGEINT) * c
+                     * (2 * (cum - c) + c - n)) AS gnum,
+                 sum(CAST(v AS HUGEINT)
+                     * least(c, greatest(n // 100 - above, 0))) AS s1,
+                 sum(CAST(v AS HUGEINT)
+                     * least(c, greatest(n // 10 - above, 0))) AS s10
+               FROM cums JOIN tot USING (stratum) GROUP BY 1)
+         SELECT tot.stratum, n, CAST(s AS BIGINT) AS total_milli,
+                CASE WHEN n > 0 AND s > 0 THEN
+                  CAST((10000 * gnum) // (CAST(n AS HUGEINT) * s)
+                    AS BIGINT) END AS gini_permyriad,
+                CASE WHEN n >= 100 AND s > 0 THEN
+                  CAST((1000 * s1) // s AS BIGINT)
+                END AS top1_share_permille,
+                CASE WHEN n >= 10 AND s > 0 THEN
+                  CAST((1000 * s10) // s AS BIGINT)
+                END AS top10_share_permille
+         FROM tot JOIN g USING (stratum)""",
 
     "fact_enrich_scd2" ->
       """WITH e AS (

@@ -1145,4 +1145,234 @@ object Behavior {
                        (${strunc("100 * __sxy", "__syy")}) AS BIGINT)
                 END""").as("corr2_permyriad"))
   }
+
+  /** Per-class classification report (E84 — the confusion-matrix view
+    * completing the eval family: [[calibrationBins]] says what scores
+    * MEAN, [[aucScore]] whether they ORDER, [[liftCurve]] what acting
+    * on the top-k EARNS — this says where a HARD classifier actually
+    * errs, class by class): for every class observed as truth or
+    * prediction, `tp / fp / fn / support / pred_n` plus exact-integer
+    * `precision_permille = (1000·tp) div pred_n` (null when never
+    * predicted), `recall_permille = (1000·tp) div support` (null when
+    * no true rows), and `f1_permille = (2000·tp) div (2·tp + fp + fn)`
+    * — the harmonic mean computed WITHOUT forming precision/recall, so
+    * no nested truncation. A final `__macro__` row carries the summed
+    * counts (its recall is micro-accuracy) and the unweighted means of
+    * the per-class permilles (absent sides as 0 — the sklearn
+    * zero-division convention), `div`-truncated over the class count.
+    *
+    * Scale shape: ONE (truth, pred) cell aggregation (map-side
+    * combined, ≤|classes|² rows); everything downstream — marginals,
+    * the full-outer class union, the macro fold — runs on the
+    * cell-sized frame. The corpus is scanned once, never sorted.
+    */
+  def classificationReport(df: DataFrame, truthCol: String,
+                           predCol: String): DataFrame = {
+    val cells = df.groupBy(col(truthCol).cast("string").as("__t"),
+        col(predCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val byTruth = cells.groupBy(col("__t").as("cls"))
+      .agg(sum("__n").as("support"),
+           sum(when(col("__p") === col("__t"), col("__n"))
+             .otherwise(0L)).as("tp"))
+    val byPred = cells.groupBy(col("__p").as("cls"))
+      .agg(sum("__n").as("pred_n"))
+    val per = byTruth.join(byPred, Seq("cls"), "full")
+      .na.fill(0L, Seq("support", "tp", "pred_n"))
+      .withColumn("fp", col("pred_n") - col("tp"))
+      .withColumn("fn", col("support") - col("tp"))
+      .withColumn("precision_permille",
+        expr("CASE WHEN pred_n > 0 THEN (1000 * tp) div pred_n END"))
+      .withColumn("recall_permille",
+        expr("CASE WHEN support > 0 THEN (1000 * tp) div support END"))
+      .withColumn("f1_permille",
+        expr("(2000 * tp) div (2 * tp + fp + fn)"))
+    val macroRow = per.agg(
+        count(lit(1)).as("__k"), sum("support").as("support"),
+        sum("tp").as("tp"), sum("pred_n").as("pred_n"),
+        sum("fp").as("fp"), sum("fn").as("fn"),
+        sum(coalesce(col("precision_permille"), lit(0L))).as("__sp"),
+        sum(coalesce(col("recall_permille"), lit(0L))).as("__sr"),
+        sum(coalesce(col("f1_permille"), lit(0L))).as("__sf"))
+      .select(lit("__macro__").as("cls"), col("support"), col("tp"),
+        col("pred_n"), col("fp"), col("fn"),
+        expr("__sp div __k").as("precision_permille"),
+        expr("__sr div __k").as("recall_permille"),
+        expr("__sf div __k").as("f1_permille"))
+    per.select(col("cls"), col("support"), col("tp"), col("pred_n"),
+        col("fp"), col("fn"), col("precision_permille"),
+        col("recall_permille"), col("f1_permille"))
+      .unionByName(macroRow)
+  }
+
+  /** Cohen's kappa (E85 — the inter-annotator agreement number every
+    * labeling pipeline gates on before its labels are trusted:
+    * raw agreement corrected for the agreement two raters would reach
+    * BY CHANCE from their marginal label rates — two raters who both
+    * answer 'en' 90% of the time agree 81% by luck alone): per
+    * stratum, `kappa = (p_o − p_e) / (1 − p_e)` computed exactly in
+    * integers as `kappa_permille = sign-trunc(1000·(N·agree − P),
+    * N² − P)` with `P = Σ_label rowA_label·colB_label` in
+    * DECIMAL(38,0) — kappa is legitimately NEGATIVE when raters agree
+    * less than chance, so truncation is sign-explicit
+    * (engine-identical under DuckDB's flooring `//`). Degenerate
+    * `N² = P` (marginals fully concentrated) reads null; raw
+    * `agree_permille` rides along.
+    *
+    * Scale shape: ONE (stratum, labelA, labelB) cell aggregation
+    * (map-side combined); marginals, the chance-product join, and the
+    * kappa arithmetic all run on the cell-sized frame joined
+    * stratum+label-keyed. The corpus is scanned once.
+    */
+  def cohensKappa(df: DataFrame, stratumCol: String, raterACol: String,
+                  raterBCol: String): DataFrame = {
+    val cells = df.groupBy(col(stratumCol).as("stratum"),
+        col(raterACol).cast("string").as("__a"),
+        col(raterBCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val ra = cells.groupBy(col("stratum"), col("__a").as("__lbl"))
+      .agg(sum("__n").as("__na"))
+    val rb = cells.groupBy(col("stratum"), col("__b").as("__lbl"))
+      .agg(sum("__n").as("__nb"))
+    val pe = ra.join(rb, Seq("stratum", "__lbl"))
+      .groupBy("stratum")
+      .agg(sum(expr("CAST(__na AS DECIMAL(38,0)) * __nb")).as("__pe"))
+    val po = cells.groupBy("stratum")
+      .agg(sum("__n").as("n"),
+           sum(when(col("__a") === col("__b"), col("__n"))
+             .otherwise(0L)).as("__agree"))
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    po.join(pe, Seq("stratum"))
+      .select(col("stratum"), col("n"),
+        expr("(1000 * __agree) div n").as("agree_permille"),
+        expr(s"""CASE WHEN CAST(n AS DECIMAL(38,0)) * n > __pe THEN
+                  CAST(${strunc(
+                    "1000 * (CAST(n AS DECIMAL(38,0)) * __agree - __pe)",
+                    "CAST(n AS DECIMAL(38,0)) * n - __pe")} AS BIGINT)
+                END""").as("kappa_permille"))
+  }
+
+  /** Mutual information between a categorical feature and a label
+    * (E86 — the feature-selection companion of [[corrMatrix]] for
+    * CATEGORICAL columns, where Pearson is meaningless: how many nats
+    * does knowing the feature tell you about the label?). Plugin MI
+    * over observed cells, quantized on the repo's micro-nat device:
+    * `mi_micronat = sign-trunc(Σ_cells c·round(ln(c·N/(c_x·c_y))·10⁶),
+    * N)` — each cell's log-ratio forms from exact integer counts both
+    * engines hold, so the one rounded log is engine-identical (the
+    * psi_drift discipline); the quantized sum can dip epsilon-negative
+    * near independence, hence sign-explicit truncation. Marginal
+    * entropies `h_feature_micronat` / `h_label_micronat` ride along
+    * (same device), so normalized MI is one division away.
+    *
+    * Scale shape: ONE (feature, label) cell aggregation; marginals
+    * and the MI sum run on the cell-sized frame (broadcast 1-row
+    * total). The corpus is scanned once, never sorted.
+    */
+  def featureMi(df: DataFrame, featureCol: String,
+                labelCol: String): DataFrame = {
+    val cells = df.groupBy(col(featureCol).cast("string").as("__x"),
+        col(labelCol).cast("string").as("__y"))
+      .agg(count(lit(1)).as("__n"))
+    val mx = cells.groupBy("__x").agg(sum("__n").as("__nx"))
+    val my = cells.groupBy("__y").agg(sum("__n").as("__ny"))
+    val tot = cells.agg(sum("__n").as("__t"))
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    def hTerm(cnt: String) =
+      s"""sum($cnt * CAST(round(ln(CAST($cnt AS DOUBLE) / __t) * 1e6)
+            AS BIGINT))"""
+    val h = mx.crossJoin(broadcast(tot))
+      .agg(expr(s"${hTerm("__nx")}").as("__hx"), max("__t").as("__t"))
+      .crossJoin(broadcast(my.crossJoin(broadcast(tot))
+        .agg(expr(s"${hTerm("__ny")}").as("__hy"))))
+    cells.join(broadcast(mx), Seq("__x")).join(broadcast(my), Seq("__y"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(expr("""__n * CAST(round(ln(CAST(__n AS DOUBLE) * __t
+            / (CAST(__nx AS DOUBLE) * __ny)) * 1e6) AS BIGINT)"""))
+        .as("__mi"), count(lit(1)).as("n_cells"))
+      .crossJoin(broadcast(h))
+      .select(col("__t").as("n"), col("n_cells"),
+        expr(s"CAST(${strunc("__mi", "__t")} AS BIGINT)")
+          .as("mi_micronat"),
+        expr(s"CAST(-(${strunc("__hx", "__t")}) AS BIGINT)")
+          .as("h_feature_micronat"),
+        expr(s"CAST(-(${strunc("__hy", "__t")}) AS BIGINT)")
+          .as("h_label_micronat"))
+  }
+
+  /** Kaplan-Meier survival curve (C98 — THE churn/retention estimator
+    * under right-censoring: entities still alive at observation end
+    * are not failures, and dropping them (or counting them as deaths)
+    * biases every lifetime number — KM is the standard answer). Input
+    * is one row per entity: duration + whether the terminal event was
+    * OBSERVED (false = censored at that duration). At each distinct
+    * duration with ≥1 observed event: entities at risk, events,
+    * same-time censorings (at-risk AT their duration — the standard
+    * censored-after-events-at-t convention), and the survival estimate
+    * `S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)` carried in log space on the
+    * micro-nat device — `ln_surv_micro = Σ round(ln((n_i−d_i)/n_i)·
+    * 10⁶)` (exact integer sum after the per-step quantized log of a
+    * ratio both engines form from exact integers — the psi_drift
+    * discipline), with `surv_permille` re-materialized by one quantized
+    * exp. Everyone dying at a step (d = n) reads ln null /
+    * surv_permille 0 — S hits exact zero, and no rows can follow.
+    *
+    * Scale shape: one (stratum, duration) distribution aggregation
+    * (map-side combined), then the entire at-risk/cumulative-hazard
+    * sweep rides a HOF fold over the collected per-stratum
+    * distribution (durations are integer day grains — bounded domain
+    * contract). The entity frame is scanned once, never sorted, and
+    * nothing corpus-sized reaches the driver.
+    */
+  def survivalCurve(df: DataFrame, stratumCol: String, durationCol: String,
+                    eventCol: String): DataFrame = {
+    val dist = df.groupBy(col(stratumCol).as("stratum"),
+        col(durationCol).cast("long").as("__t"))
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("__ev"),
+           sum(when(col(eventCol), 0L).otherwise(1L)).as("__cn"))
+    dist.groupBy("stratum")
+      .agg(array_sort(collect_list(struct(col("__t"), col("__ev"),
+        col("__cn")))).as("__a"),
+        sum(expr("__ev + __cn")).as("__n"))
+      // fold 1: carry the at-risk count down the sorted duration axis,
+      // emitting one row per event-bearing duration with its quantized
+      // per-step log-survival term (null = S hits exact zero)
+      .select(col("stratum"), expr("""aggregate(__a,
+        struct(__n AS risk,
+               CAST(array() AS ARRAY<STRUCT<t: BIGINT, n_risk: BIGINT,
+                 n_event: BIGINT, n_censored: BIGINT,
+                 term: BIGINT>>) AS out),
+        (acc, el) -> struct(acc.risk - el.__ev - el.__cn AS risk,
+          CASE WHEN el.__ev > 0 THEN array_append(acc.out, struct(
+            el.__t AS t, acc.risk AS n_risk, el.__ev AS n_event,
+            el.__cn AS n_censored,
+            CASE WHEN el.__ev < acc.risk THEN
+              CAST(round(ln(CAST(acc.risk - el.__ev AS DOUBLE)
+                / CAST(acc.risk AS DOUBLE)) * 1e6) AS BIGINT)
+            END AS term)) ELSE acc.out END AS out)).out""").as("__rows"))
+      // fold 2: cumulative log-survival over the event-time rows
+      .select(col("stratum"), explode(expr("""aggregate(__rows,
+        struct(CAST(0 AS BIGINT) AS lns,
+               CAST(array() AS ARRAY<STRUCT<t: BIGINT, n_risk: BIGINT,
+                 n_event: BIGINT, n_censored: BIGINT,
+                 ln_surv_micro: BIGINT, surv_permille: BIGINT>>) AS out),
+        (acc, el) -> struct(acc.lns + coalesce(el.term, 0L) AS lns,
+          array_append(acc.out, struct(el.t AS t, el.n_risk AS n_risk,
+            el.n_event AS n_event, el.n_censored AS n_censored,
+            CASE WHEN el.term IS NOT NULL THEN acc.lns + el.term
+            END AS ln_surv_micro,
+            CASE WHEN el.term IS NULL THEN CAST(0 AS BIGINT)
+                 ELSE CAST(round(exp(CAST(acc.lns + el.term AS DOUBLE)
+                   / 1e6) * 1000) AS BIGINT)
+            END AS surv_permille)) AS out)).out""")).as("__r"))
+      .select(col("stratum"), col("__r.t").as("t"),
+        col("__r.n_risk").as("n_risk"), col("__r.n_event").as("n_event"),
+        col("__r.n_censored").as("n_censored"),
+        col("__r.ln_surv_micro").as("ln_surv_micro"),
+        col("__r.surv_permille").as("surv_permille"))
+  }
 }

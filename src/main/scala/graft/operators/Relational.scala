@@ -1484,4 +1484,67 @@ object Relational {
     ent.join(sizes, Seq("entity_id"))
       .select(col("rec_id"), col("entity_id"), col("cluster_size"))
   }
+
+  /** Concentration / inequality report (C99 — the "how skewed is the
+    * business" profiling number next to [[equiDepthHistogram]]'s
+    * shape view: revenue concentration, whale dependence, content
+    * popularity inequality): per stratum, the EXACT Gini coefficient
+    * `gini_permyriad = (10⁴·Σ_v x_v·c_v·(2m_v + c_v − n)) div
+    * (n·Σx)` — the sorted-index identity Σ(2i−n−1)x_(i) with ties
+    * grouped in closed form (m_v = rows strictly below v), so
+    * duplicates never need per-row positions — plus the share of
+    * total value held by the top 1% and top 10% OF ROWS
+    * (`n div 100` / `n div 10` rows, the boundary value split
+    * fractionally: `take = min(c, k − rows_above)` — exact integers;
+    * null when the prefix rounds to zero rows). Values are expected
+    * non-negative measures (amounts, counts); Gini over signed data
+    * is not meaningful and the caller owns that contract.
+    *
+    * Scale shape: one (stratum, value) distribution aggregation
+    * (map-side combined), then BOTH sweeps — the ascending Gini sum
+    * and the descending top-k take — ride HOF folds over the collected
+    * per-stratum distribution (milli-quantized bounded domain
+    * contract). The corpus never sorts; DECIMAL(38,0) products.
+    */
+  def concentrationReport(df: DataFrame, stratumCol: String,
+                          valueCol: String): DataFrame = {
+    val dist = df.groupBy(col(stratumCol).as("stratum"),
+        round(col(valueCol) * 1000).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    dist.groupBy("stratum")
+      .agg(array_sort(collect_list(struct(col("__v"), col("__c"))))
+        .as("__a"),
+        sum("__c").as("__n"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __c")).as("__sum"))
+      // ascending fold: Gini numerator with ties in closed form
+      .withColumn("__g", expr("""aggregate(__a,
+        struct(CAST(0 AS BIGINT) AS m, CAST(0 AS DECIMAL(38,0)) AS s),
+        (acc, el) -> struct(acc.m + el.__c AS m,
+          acc.s + CAST(el.__v AS DECIMAL(38,0)) * el.__c
+            * (2 * acc.m + el.__c - __n) AS s)).s"""))
+      // descending fold: value taken by the top-k rows (reverse(__a))
+      .withColumn("__top", expr("""aggregate(reverse(__a),
+        struct(CAST(__n div 100 AS BIGINT) AS r1,
+               CAST(__n div 10 AS BIGINT) AS r10,
+               CAST(0 AS DECIMAL(38,0)) AS s1,
+               CAST(0 AS DECIMAL(38,0)) AS s10),
+        (acc, el) -> struct(
+          greatest(acc.r1 - el.__c, 0L) AS r1,
+          greatest(acc.r10 - el.__c, 0L) AS r10,
+          acc.s1 + CAST(el.__v AS DECIMAL(38,0)) * least(el.__c, acc.r1)
+            AS s1,
+          acc.s10 + CAST(el.__v AS DECIMAL(38,0)) * least(el.__c, acc.r10)
+            AS s10))"""))
+      .select(col("stratum"), col("__n").as("n"),
+        col("__sum").cast("long").as("total_milli"),
+        expr("""CASE WHEN __n > 0 AND __sum > 0 THEN
+                  CAST((10000 * __g) div (__n * __sum) AS BIGINT)
+                END""").as("gini_permyriad"),
+        expr("""CASE WHEN __n >= 100 AND __sum > 0 THEN
+                  CAST((1000 * __top.s1) div __sum AS BIGINT)
+                END""").as("top1_share_permille"),
+        expr("""CASE WHEN __n >= 10 AND __sum > 0 THEN
+                  CAST((1000 * __top.s10) div __sum AS BIGINT)
+                END""").as("top10_share_permille"))
+  }
 }

@@ -758,4 +758,78 @@ class BehaviorGraphSpec extends AnyFunSuite {
       .select("srm").as[Boolean].head()
     assert(below)
   }
+
+  test("classificationReport: hand-computed confusion incl. a " +
+       "never-predicted class, a predicted-only class, and the macro row") {
+    val d = Seq(("A", "A"), ("A", "B"), ("B", "B"), ("B", "B"),
+      ("B", "A"), ("C", "D")).toDF("truth", "pred")
+    val got = Behavior.classificationReport(d, "truth", "pred")
+      .orderBy("cls")
+      .as[(String, Long, Long, Long, Long, Long,
+           Option[Long], Option[Long], Long)].collect().toSeq
+    assert(got == Seq(
+      // cls, support, tp, pred_n, fp, fn, prec, rec, f1
+      ("A", 2L, 1L, 2L, 1L, 1L, Some(500L), Some(500L), 500L),
+      ("B", 3L, 2L, 3L, 1L, 1L, Some(666L), Some(666L), 666L),
+      ("C", 1L, 0L, 0L, 0L, 1L, None, Some(0L), 0L),
+      ("D", 0L, 0L, 1L, 1L, 0L, Some(0L), None, 0L),
+      // macro: sums + unweighted means over 4 classes (absent -> 0)
+      ("__macro__", 6L, 3L, 6L, 3L, 3L, Some(291L), Some(291L), 291L)))
+  }
+
+  test("cohensKappa: hand-computed chance correction, negative kappa, " +
+       "degenerate concentrated marginals read null") {
+    // s1: N=5 agree=4, P = 4*3 + 1*2 = 14 -> 1000*(20-14)/(25-14) = 545
+    // s2: perfect systematic disagreement -> kappa = -1000
+    // s3: both raters constant -> N^2 = P -> null, agreement 1000
+    val d = Seq(
+      ("s1", "A", "A"), ("s1", "A", "A"), ("s1", "A", "A"),
+      ("s1", "B", "B"), ("s1", "A", "B"),
+      ("s2", "A", "B"), ("s2", "B", "A"),
+      ("s3", "A", "A"), ("s3", "A", "A"))
+      .toDF("stratum", "ra", "rb")
+    val got = Behavior.cohensKappa(d, "stratum", "ra", "rb")
+      .orderBy("stratum")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("s1", 5L, 800L, Some(545L)),
+      ("s2", 2L, 0L, Some(-1000L)), ("s3", 2L, 1000L, None)))
+  }
+
+  test("featureMi: perfect dependence reads H(label), independence " +
+       "reads zero, entropies in micro-nats") {
+    // ln 2 = 0.6931472 -> 693147 micro-nats
+    val dep = Seq(("x1", "y1"), ("x1", "y1"), ("x2", "y2"), ("x2", "y2"))
+      .toDF("f", "l")
+    val gotDep = Behavior.featureMi(dep, "f", "l")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(gotDep == ((4L, 2L, 693147L, 693147L, 693147L)))
+    val ind = Seq(("x1", "y1"), ("x1", "y2"), ("x2", "y1"), ("x2", "y2"))
+      .toDF("f", "l")
+    val gotInd = Behavior.featureMi(ind, "f", "l")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(gotInd == ((4L, 4L, 0L, 693147L, 693147L)))
+  }
+
+  test("survivalCurve: hand-computed KM steps — censoring shrinks the " +
+       "risk set without a step, same-time censor is at risk, " +
+       "everyone-dies step reads ln null / surv 0") {
+    // n=5: event@1, censor@2, event@3 + censor@3, event@5
+    val d = Seq(("a", 1L, true), ("a", 2L, false), ("a", 3L, true),
+      ("a", 3L, false), ("a", 5L, true))
+      .toDF("cohort", "dur", "ev")
+    val got = Behavior.survivalCurve(d, "cohort", "dur", "ev")
+      .orderBy("t")
+      .as[(String, Long, Long, Long, Long, Option[Long], Long)]
+      .collect().toSeq
+    // ln(4/5) -> -223144; ln(2/3) -> -405465; exp back: 800, 533
+    assert(got == Seq(
+      ("a", 1L, 5L, 1L, 0L, Some(-223144L), 800L),
+      ("a", 3L, 3L, 1L, 1L, Some(-628609L), 533L),
+      ("a", 5L, 1L, 1L, 0L, None, 0L)))
+    // all-censored stratum emits no steps
+    val cen = Seq(("b", 4L, false), ("b", 7L, false))
+      .toDF("cohort", "dur", "ev")
+    assert(Behavior.survivalCurve(cen, "cohort", "dur", "ev")
+      .count() == 0L)
+  }
 }

@@ -611,4 +611,26 @@ class SnapshotRollingSpec extends AnyFunSuite {
       .orderBy("query_id").as[(Long, Long, Long, Long)].collect().toSeq
     assert(top1 == Seq((1L, 11L, 32522L, 1L), (2L, 20L, 16393L, 1L)))
   }
+
+  // --- concentrationReport -------------------------------------------------
+
+  test("concentrationReport: uniform reads gini 0, a whale stratum " +
+       "hand-computes, small strata null their top shares") {
+    // u: 10 equal values -> gini 0, top-10% (1 row) holds 100 permille
+    // k: nine 0.001s + one 10.0 -> gnum = -9 + 90000 = 89991,
+    //    gini = 10000*89991 div (10*10009) = 8991; top-10% = 999
+    // q: 3 rows -> n < 10 -> both shares null
+    val d = (Seq.fill(10)(("u", 1.0)) ++
+      Seq.fill(9)(("k", 0.001)) ++ Seq(("k", 10.0)) ++
+      Seq(("q", 2.0), ("q", 3.0), ("q", 4.0)))
+      .toDF("stratum", "value")
+    val got = Relational.concentrationReport(d, "stratum", "value")
+      .orderBy("stratum")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("k", 10L, 10009L, Some(8991L), None, Some(999L)),
+      ("q", 3L, 9000L, Some(1481L), None, None),
+      ("u", 10L, 10000L, Some(0L), None, Some(100L))))
+  }
 }

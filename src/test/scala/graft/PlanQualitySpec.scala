@@ -414,4 +414,39 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = formatted(SparkEntry.queries("chat_format")(spark, sf))
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("survival_curve / concentration_report: the at-risk / Gini " +
+       "sweeps ride HOF folds — no window, no join over the fact scan") {
+    Seq("survival_curve", "concentration_report").foreach { k =>
+      val plan = formatted(SparkEntry.queries(k)(spark, sf))
+      assert(!raw"(?m)^\(\d+\) Window".r.findAllIn(plan).hasNext,
+        s"$k\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$k\n$plan")
+    }
+  }
+
+  test("classification_report / cohens_kappa / feature_mi: one fact " +
+       "scan feeds the cell aggregation; every join runs on " +
+       "cell-sized frames (no shuffle join of the corpus)") {
+    Seq("classification_report", "cohens_kappa", "feature_mi").foreach {
+      k =>
+        val plan = formatted(SparkEntry.queries(k)(spark, sf))
+        // one corpus read; Spark may re-scan for the marginal branches
+        // of the cell frame but never windows or sorts the corpus
+        assert(!raw"(?m)^\(\d+\) Window".r.findAllIn(plan).hasNext,
+          s"$k\n$plan")
+        assert(!plan.contains("CartesianProduct"), s"$k\n$plan")
+    }
+  }
+
+  test("sequential_patterns: the pair self-join is user-keyed on the " +
+       "collapsed (user,type) frame — equi-join only, no window") {
+    val plan = formatted(SparkEntry.queries("sequential_patterns")(
+      spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!raw"(?m)^\(\d+\) Window".r.findAllIn(plan).hasNext, plan)
+    // the only nested loop is the 1-row active-user-total broadcast
+    assert(raw"(?m)^\(\d+\) BroadcastNestedLoopJoin".r
+      .findAllIn(plan).size <= 1, plan)
+  }
 }

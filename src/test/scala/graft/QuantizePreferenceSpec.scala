@@ -141,4 +141,36 @@ class QuantizePreferenceSpec extends AnyFunSuite {
     assert(Similarity.knnOutliers(single, k = 1, kSigma = 1)
       .filter(col("is_outlier")).count() == 0L)
   }
+
+  test("knnOutliers composes over annIvf (the 100 TB path): full-probe " +
+       "IVF graph flags the isolated vectors identically to the exact " +
+       "graph") {
+    import graft.operators.Similarity
+    // 40 near-identical cluster vectors + 3 isolated near-orthogonal
+    // ones: each isolated vector's 3rd neighbor is far, the cluster's
+    // is ~1.0
+    val rnd = new scala.util.Random(7)
+    val cluster = (0 until 40).map { i =>
+      val base = Array.fill(8)(0f); base(0) = 1f
+      base(1 + i % 4) = 0.02f * (i % 5)
+      (i.toLong, base)
+    }
+    val isolated = Seq(
+      (100L, Array(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 0f, 0f, 0f, 0f, 1f, 0.1f, 0f)),
+      (102L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f)))
+    val e = (cluster ++ isolated).toDF("vec_id", "embedding")
+    def flags(nbrs: org.apache.spark.sql.DataFrame) =
+      Similarity.knnOutliers(nbrs, k = 3, kSigma = 1)
+        .filter(col("is_outlier")).select("vec_id")
+        .as[Long].collect().toSet
+    val exact = flags(
+      Similarity.annBruteForceBlocked(e, e, "vec_id", "embedding", k = 3))
+    // nprobe = nlist probes every cell: IVF plumbing, exact recall
+    val ann = flags(
+      Similarity.annIvf(e, e, "vec_id", "embedding", k = 3,
+        nlist = 4, nprobe = 4, lloydIters = 2))
+    assert(exact == Set(100L, 101L, 102L))
+    assert(ann == exact)
+  }
 }

@@ -2806,6 +2806,32 @@ object SparkEntry {
       Relational.concentrationReport(Tables(s, dir).events,
         "event_type", "value")),
 
+    // C100: synchronous label-propagation communities over the thinned
+    // co-purchase graph (the k_core graph) — 3 lockstep rounds,
+    // lowest-label ties; the oracle unrolls exactly 3 rounds
+    "label_propagation" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.filter(col("l_partkey") % 7 < 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2") &&
+          (col("p") * 31 + col("p2")) % 13 === 0)
+      Graph.labelPropagation(pairs, "p", "p2", rounds = 3)
+    }),
+
+    // E87: isotonic (PAV) calibration of the length-score → 'join'
+    // label map — the fitter completing calibration_bins' diagnosis
+    "isotonic_calibrate" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("score"),
+        col("text").contains("join").as("label"))
+      Behavior.isotonicCalibrate(d, "score", "label", nBins = 20)
+    }),
+
     // C94: SCD2 fact enrichment — THE warehouse composition: facts
     // (purchases) joined to the dimension VERSION valid at event time
     // (scd2_history over the non-purchase activity stream, as-of
@@ -6901,6 +6927,63 @@ FROM decided""",
                   CAST((1000 * s10) // s AS BIGINT)
                 END AS top10_share_permille
          FROM tot JOIN g USING (stratum)""",
+
+    "label_propagation" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 7 < 2),
+         canon AS MATERIALIZED (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+             AND (a.p * 31 + b.p) % 13 = 0),
+         adj AS MATERIALIZED (
+           SELECT a, b FROM canon UNION SELECT b, a FROM canon),
+         l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM adj),
+         r1 AS (SELECT adj.a AS id, l0.lbl, count(*) AS c
+                FROM adj JOIN l0 ON adj.b = l0.id GROUP BY 1, 2),
+         l1 AS MATERIALIZED (SELECT id, lbl FROM (
+                SELECT id, lbl, row_number() OVER (PARTITION BY id
+                  ORDER BY c DESC, lbl ASC) AS rk FROM r1) WHERE rk = 1),
+         r2 AS (SELECT adj.a AS id, l1.lbl, count(*) AS c
+                FROM adj JOIN l1 ON adj.b = l1.id GROUP BY 1, 2),
+         l2 AS MATERIALIZED (SELECT id, lbl FROM (
+                SELECT id, lbl, row_number() OVER (PARTITION BY id
+                  ORDER BY c DESC, lbl ASC) AS rk FROM r2) WHERE rk = 1),
+         r3 AS (SELECT adj.a AS id, l2.lbl, count(*) AS c
+                FROM adj JOIN l2 ON adj.b = l2.id GROUP BY 1, 2),
+         l3 AS (SELECT id, lbl FROM (
+                SELECT id, lbl, row_number() OVER (PARTITION BY id
+                  ORDER BY c DESC, lbl ASC) AS rk FROM r3) WHERE rk = 1)
+         SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS community
+         FROM l3""",
+
+    "isotonic_calibrate" ->
+      """WITH d AS (
+           SELECT least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS s,
+                  text LIKE '%join%' AS lbl
+           FROM documents),
+         pb AS (SELECT (s * 20) // 1001 AS bin,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT)
+                    AS p
+                FROM d GROUP BY 1),
+         ord AS (SELECT *, row_number() OVER (ORDER BY bin) AS j
+                 FROM pb),
+         pre AS (SELECT j, bin, n, p,
+                   CAST(sum(n) OVER (ORDER BY j) AS BIGINT) AS cn,
+                   CAST(sum(p) OVER (ORDER BY j) AS BIGINT) AS cp
+                 FROM ord),
+         trip AS (SELECT a.j, i.j AS i,
+                    CAST(k.cp - (i.cp - i.p) AS DOUBLE)
+                      / CAST(k.cn - (i.cn - i.n) AS DOUBLE) AS avg
+                  FROM pre a JOIN pre i ON i.j <= a.j
+                             JOIN pre k ON k.j >= a.j),
+         m AS (SELECT j, i, min(avg) AS mn FROM trip GROUP BY 1, 2),
+         fit AS (SELECT j, max(mn) AS f FROM m GROUP BY 1)
+         SELECT bin, n, p, (1000 * p) // n AS raw_rate_permille,
+                CAST(round(f * 1000) AS BIGINT) AS calibrated_permille
+         FROM pre JOIN fit USING (j)""",
 
     "fact_enrich_scd2" ->
       """WITH e AS (

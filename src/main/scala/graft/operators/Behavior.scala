@@ -1304,6 +1304,61 @@ object Behavior {
           .as("h_label_micronat"))
   }
 
+  /** Isotonic calibration (E87 — the standard calibration FITTER
+    * completing [[calibrationBins]]' diagnosis: pool-adjacent-
+    * violators regression fits the best monotone map score → rate,
+    * the step function every production calibrator (Platt's rival)
+    * actually ships). Computed through the exact minimax identity
+    * `fit_j = max_{i≤j} min_{k≥j} avg(pos, i..k)` over `nBins`
+    * equi-width permille bins — O(d³) on the ≤nBins bin frame, zero
+    * corpus cost. Determinism: the block averages are IEEE binary64
+    * divisions of exact integer prefix-sums both engines hold —
+    * bit-identical cross-engine (IEEE 754 specifies the quotient), and
+    * min/max over VALUES need no tie rule; one final
+    * `round(fit·1000)` quantization. Output is monotone by
+    * construction; `raw_rate_permille` rides along so the violation
+    * the fit repaired is visible.
+    *
+    * Scale shape: ONE bin-keyed corpus aggregation (map-side
+    * combined), then prefix sums and the whole minimax ride HOF folds
+    * over the collected ≤nBins distribution. The corpus never sorts.
+    */
+  def isotonicCalibrate(df: DataFrame, scorePermilleCol: String,
+                        labelCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 64,
+      s"nBins must be in [2,64], got $nBins")
+    val perBin = df.groupBy(
+        expr(s"(CAST($scorePermilleCol AS BIGINT) * $nBins) div 1001")
+          .as("bin"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col(labelCol), 1L).otherwise(0L)).as("p"))
+    perBin
+      .agg(array_sort(collect_list(struct(col("bin"), col("n"),
+        col("p")))).as("__a"))
+      .withColumn("__cn", expr("""aggregate(__a,
+        array(CAST(0 AS BIGINT)),
+        (acc, el) -> array_append(acc, element_at(acc, -1) + el.n))"""))
+      .withColumn("__cp", expr("""aggregate(__a,
+        array(CAST(0 AS BIGINT)),
+        (acc, el) -> array_append(acc, element_at(acc, -1) + el.p))"""))
+      .select(explode(expr("""transform(sequence(1, size(__a)),
+        j -> struct(
+          element_at(__a, j).bin AS bin,
+          element_at(__a, j).n AS n,
+          element_at(__a, j).p AS p,
+          array_max(transform(sequence(1, j), i ->
+            array_min(transform(sequence(j, size(__a)), k ->
+              CAST(element_at(__cp, k + 1) - element_at(__cp, i)
+                AS DOUBLE)
+              / CAST(element_at(__cn, k + 1) - element_at(__cn, i)
+                AS DOUBLE))))) AS fit))""")).as("__r"))
+      .select(col("__r.bin").as("bin"), col("__r.n").as("n"),
+        col("__r.p").as("p"),
+        expr("(1000 * __r.p) div __r.n").as("raw_rate_permille"),
+        expr("CAST(round(__r.fit * 1000) AS BIGINT)")
+          .as("calibrated_permille"))
+  }
+
   /** Kaplan-Meier survival curve (C98 — THE churn/retention estimator
     * under right-censoring: entities still alive at observation end
     * are not failures, and dropping them (or counting them as deaths)

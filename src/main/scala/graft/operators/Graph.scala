@@ -309,4 +309,59 @@ object Graph {
     canon.unpersist()
     out
   }
+
+  /** Synchronous label propagation (C100 — community detection, the
+    * missing member of the graph family: [[linkRank]] ranks,
+    * [[kCore]] filters cohesion, [[triangle_count]] measures it,
+    * [[jaccardNeighbors]] predicts links — this PARTITIONS the graph
+    * into densely-connected communities, the clustering every
+    * link-farm / co-purchase / citation analysis wants first): every
+    * node starts labeled with its own id; each round, every node
+    * simultaneously adopts the label most frequent among its
+    * neighbors, ties broken toward the LOWEST label (the determinism
+    * rule — classic async LP is run-order-dependent and unverifiable).
+    *
+    * Determinism/verifiability contract (the [[kCore]] device): the
+    * output after exactly `rounds` synchronous rounds is a pure
+    * function of (edges, rounds) — the SQL oracle unrolls exactly that
+    * many rounds. Note synchronous LP on bipartite-ish structures can
+    * 2-cycle rather than converge; a FIXED round count sidesteps the
+    * question and keeps both engines in lockstep.
+    *
+    * Scale shape per round: one adjacency⋈labels equi-join (both
+    * node/edge-keyed, the same exchange reused), one (node, label)
+    * count, one per-node argmax via struct max — all map-side
+    * combined; the label frame is node-sized and localCheckpoint-
+    * truncated every round (the Pregel lineage discipline of
+    * [[linkRank]]). Nothing corpus-sized reaches the driver.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16], got $rounds")
+    val base = edges
+      .select(col(srcCol).cast("long").as("a"),
+              col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val adj = base
+      .unionAll(base.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = adj.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("community"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      labels = adj
+        .join(labels.select(col("id").as("b"),
+          col("community").as("__nl")), "b")
+        .groupBy(col("a").as("id"), col("__nl"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("id")
+        .agg(max(struct(col("__c"), (-col("__nl")).as("__m")))
+          .as("__best"))
+        .select(col("id"), (-col("__best.__m")).as("community"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist()
+    labels
+  }
 }

@@ -832,4 +832,39 @@ class BehaviorGraphSpec extends AnyFunSuite {
     assert(Behavior.survivalCurve(cen, "cohort", "dur", "ev")
       .count() == 0L)
   }
+
+  test("labelPropagation: two triangles + a bridge resolve to two " +
+       "communities in 3 synchronous rounds (lowest-label ties)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // hand-unrolled: r1 = (2,1,1,3,4,4), r2 = (1,1,1,4,3,3),
+    // r3 = (1,1,1,3,3,3)
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 3L), (5L, 3L), (6L, 3L)))
+    // round 1 alone reproduces the hand-computed first sweep
+    assert(Graph.labelPropagation(edges, "src", "dst", rounds = 1)
+      .orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 3L), (5L, 4L), (6L, 4L)))
+  }
+
+  test("isotonicCalibrate: PAV merges the violating block pair, " +
+       "monotone input passes through, raw rates ride along") {
+    // 4 bins, n=5 each, rates .2 .6 .4 .8 -> PAV pools bins 1,2 to .5
+    def mk(ps: Seq[Int]) = ps.zipWithIndex.flatMap { case (p, b) =>
+      val s = Seq(100L, 350L, 600L, 900L)(b)
+      Seq.fill(p)((s, true)) ++ Seq.fill(5 - p)((s, false))
+    }.toDF("score", "label")
+    val got = Behavior.isotonicCalibrate(mk(Seq(1, 3, 2, 4)),
+        "score", "label", nBins = 4)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 5L, 1L, 200L, 200L), (1L, 5L, 3L, 600L, 500L),
+      (2L, 5L, 2L, 400L, 500L), (3L, 5L, 4L, 800L, 800L)))
+    val mono = Behavior.isotonicCalibrate(mk(Seq(1, 2, 3, 4)),
+        "score", "label", nBins = 4)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(mono.map(_._5) == Seq(200L, 400L, 600L, 800L))
+  }
 }

@@ -2821,6 +2821,23 @@ object SparkEntry {
       Graph.labelPropagation(pairs, "p", "p2", rounds = 3)
     }),
 
+    // C101: Holt double exponential smoothing of the daily event
+    // counts — the trend-aware sibling of ewma_smooth (same daily
+    // frame, level+trend state, one-step forecast rides along)
+    "holt_smooth" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Behavior.holtSmooth(daily, Seq("event_type"), "day", "n",
+        alphaPermille = 300L, betaPermille = 200L)
+    }),
+
+    // E88: B-cubed partition quality of source-as-clustering against
+    // the lang classes — the dedup-family clustering metric
+    "cluster_eval" -> ((s, dir) =>
+      Behavior.clusterEval(Tables(s, dir).documents, "source", "lang")),
+
     // E87: isotonic (PAV) calibration of the length-score → 'join'
     // label map — the fitter completing calibration_bins' diagnosis
     "isotonic_calibrate" -> ((s, dir) => {
@@ -6956,6 +6973,63 @@ FROM decided""",
                   ORDER BY c DESC, lbl ASC) AS rk FROM r3) WHERE rk = 1)
          SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS community
          FROM l3""",
+
+    "holt_smooth" -> {
+      // the new level, duplicated where trend needs it (the fold's
+      // struct cannot see its sibling either — stated in the operator)
+      val lvl = """CASE WHEN (300 * dr.x * 1000
+            + 700 * (r.level_milli + r.trend_milli)) < 0
+          THEN -((-(300 * dr.x * 1000
+            + 700 * (r.level_milli + r.trend_milli))) // 1000)
+          ELSE (300 * dr.x * 1000
+            + 700 * (r.level_milli + r.trend_milli)) // 1000 END"""
+      s"""WITH RECURSIVE d AS (
+           SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         dr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS rn FROM d),
+         r AS (
+           SELECT event_type, day, rn, x * 1000 AS level_milli,
+                  CAST(0 AS BIGINT) AS trend_milli
+           FROM dr WHERE rn = 1
+           UNION ALL
+           SELECT dr.event_type, dr.day, dr.rn,
+                  CAST($lvl AS BIGINT),
+                  CAST(CASE WHEN (200 * (($lvl) - r.level_milli)
+                        + 800 * r.trend_milli) < 0
+                    THEN -((-(200 * (($lvl) - r.level_milli)
+                        + 800 * r.trend_milli)) // 1000)
+                    ELSE (200 * (($lvl) - r.level_milli)
+                        + 800 * r.trend_milli) // 1000 END AS BIGINT)
+           FROM dr JOIN r ON dr.event_type = r.event_type
+                         AND dr.rn = r.rn + 1)
+         SELECT event_type, day, level_milli, trend_milli,
+                level_milli + trend_milli AS forecast_milli FROM r"""
+    },
+
+    "cluster_eval" ->
+      """WITH cells AS (SELECT source AS c, lang AS t,
+             CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+         cs AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc
+                FROM cells GROUP BY 1),
+         ts AS (SELECT t, CAST(sum(n) AS BIGINT) AS nt
+                FROM cells GROUP BY 1),
+         ag AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                  sum(CAST(n AS HUGEINT)
+                    * ((1000000 * CAST(n AS HUGEINT)) // nc)) AS sp,
+                  sum(CAST(n AS HUGEINT)
+                    * ((1000000 * CAST(n AS HUGEINT)) // nt)) AS sr
+                FROM cells JOIN cs USING (c) JOIN ts USING (t))
+         SELECT n, CAST(sp // n AS BIGINT) AS b3_precision_micro,
+                CAST(sr // n AS BIGINT) AS b3_recall_micro,
+                CASE WHEN (sp // n) + (sr // n) > 0 THEN
+                  CAST((2 * (sp // n) * (sr // n))
+                    // ((sp // n) + (sr // n)) AS BIGINT)
+                END AS b3_f1_micro
+         FROM ag""",
 
     "isotonic_calibrate" ->
       """WITH d AS (

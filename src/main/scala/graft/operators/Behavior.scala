@@ -1007,6 +1007,109 @@ object Behavior {
         col("__r.ewma_milli").as("ewma_milli"))): _*)
   }
 
+  /** Holt double exponential smoothing (C101 — the trend-aware member
+    * of the smoothing family: [[ewmaSmooth]] tracks level only and
+    * lags any trending series by design; Holt carries level AND trend
+    * state so the one-step forecast `level + trend` stays on a ramp —
+    * the standard next rung before full Holt-Winters). Exact integer
+    * recurrences in milli units with α, β as permilles:
+    * `l_t = strunc(α·x_t·1000 + (1000−α)·(l_{t−1}+b_{t−1}), 1000)`,
+    * `b_t = strunc(β·(l_t−l_{t−1}) + (1000−β)·b_{t−1}, 1000)` —
+    * trend is legitimately negative on declining series, so every
+    * division is sign-explicit (engine-identical under DuckDB's
+    * flooring `//`); init `l_1 = x_1·1000, b_1 = 0` (stated).
+    * `forecast_milli = l_t + b_t` (the one-step-ahead prediction made
+    * AT t) rides along.
+    *
+    * Scale shape: the [[ewmaSmooth]] contract — one key-partitioned
+    * aggregation collects each key's day-grain series (calendar-
+    * bounded domain), the recurrence rides the HOF fold. No windows.
+    */
+  def holtSmooth(daily: DataFrame, keyCols: Seq[String], dayCol: String,
+                 valueCol: String, alphaPermille: Long,
+                 betaPermille: Long): DataFrame = {
+    require(alphaPermille >= 0 && alphaPermille <= 1000,
+      s"alphaPermille must be in [0,1000], got $alphaPermille")
+    require(betaPermille >= 0 && betaPermille <= 1000,
+      s"betaPermille must be in [0,1000], got $betaPermille")
+    val a = alphaPermille; val b = betaPermille
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    // the new level, phrased over the fold accumulator — referenced
+    // twice below (a struct field cannot see its sibling), duplicated
+    // identically in the oracle
+    val lvl = strunc(
+      s"$a * el.x * 1000L + ${1000 - a} * (element_at(acc, -1).level_milli"
+        + " + element_at(acc, -1).trend_milli)", "1000L")
+    val sorted = daily.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        col(dayCol).cast("long").as("day"),
+        col(valueCol).cast("long").as("x")))).as("__s"))
+    val folded = sorted.withColumn("__e",
+      expr(s"""aggregate(__s,
+        CAST(array() AS ARRAY<STRUCT<day: BIGINT, level_milli: BIGINT,
+          trend_milli: BIGINT>>),
+        (acc, el) -> array_append(acc, CASE WHEN size(acc) = 0
+          THEN struct(el.day AS day, el.x * 1000L AS level_milli,
+                      CAST(0 AS BIGINT) AS trend_milli)
+          ELSE struct(el.day AS day, ($lvl) AS level_milli,
+            (${strunc(
+              s"$b * (($lvl) - element_at(acc, -1).level_milli) + " +
+                s"${1000 - b} * element_at(acc, -1).trend_milli",
+              "1000L")}) AS trend_milli)
+          END))"""))
+    folded.select((keyCols.map(col) :+ explode(col("__e")).as("__r")): _*)
+      .select((keyCols.map(col) ++ Seq(col("__r.day").as("day"),
+        col("__r.level_milli").as("level_milli"),
+        col("__r.trend_milli").as("trend_milli"),
+        (col("__r.level_milli") + col("__r.trend_milli"))
+          .as("forecast_milli"))): _*)
+  }
+
+  /** B-cubed cluster-vs-truth evaluation (E88 — the clustering-quality
+    * number for the dedup family: [[near_dup_eval]] scores PAIR
+    * retrieval, this scores the final PARTITION against labeled truth
+    * — per element, what fraction of its cluster shares its class
+    * (precision) and what fraction of its class shares its cluster
+    * (recall), averaged; the standard entity-resolution/dedup metric
+    * because, unlike pair-F1, singletons and giant clusters are
+    * weighted by the elements they actually contain). Per-element
+    * ratios are quantized on the micro device — `q(a,b) = (10⁶·a) div
+    * b` per (cluster,class) CELL (every element in a cell shares both
+    * ratios, so the per-element average is the cell-weighted average —
+    * exact), then `b3_*_micro = sign-free div by N`;
+    * `b3_f1_micro = (2·P·R) div (P+R)` from the stated quantized P, R.
+    * DECIMAL(38,0) cross-products throughout.
+    *
+    * Scale shape: ONE (cluster, class) cell aggregation over the
+    * labeled frame; cluster/class sizes and the final sums run on the
+    * cell-sized frame (broadcast joins). Nothing corpus-sized sorts.
+    */
+  def clusterEval(df: DataFrame, clusterCol: String,
+                  truthCol: String): DataFrame = {
+    val cells = df.groupBy(col(clusterCol).cast("string").as("__c"),
+        col(truthCol).cast("string").as("__t"))
+      .agg(count(lit(1)).as("__n"))
+    val cs = cells.groupBy("__c").agg(sum("__n").as("__nc"))
+    val ts = cells.groupBy("__t").agg(sum("__n").as("__nt"))
+    cells.join(broadcast(cs), Seq("__c")).join(broadcast(ts), Seq("__t"))
+      .agg(sum("__n").as("n"),
+        sum(expr("""CAST(__n AS DECIMAL(38,0))
+          * ((1000000 * CAST(__n AS DECIMAL(38,0))) div __nc)"""))
+          .as("__sp"),
+        sum(expr("""CAST(__n AS DECIMAL(38,0))
+          * ((1000000 * CAST(__n AS DECIMAL(38,0))) div __nt)"""))
+          .as("__sr"))
+      .select(col("n"),
+        expr("CAST(__sp div n AS BIGINT)").as("b3_precision_micro"),
+        expr("CAST(__sr div n AS BIGINT)").as("b3_recall_micro"),
+        expr("""CASE WHEN (__sp div n) + (__sr div n) > 0 THEN
+          CAST((2 * (__sp div n) * (__sr div n))
+            div ((__sp div n) + (__sr div n)) AS BIGINT) END""")
+          .as("b3_f1_micro"))
+  }
+
   /** Market-basket association rules (C95 — the recommender /
     * assortment classic: "baskets with A also hold B"): for every
     * co-occurring item pair at support ≥ `minSupport`, BOTH directed

@@ -938,6 +938,35 @@ object Streams {
     * (Update mode): one row per touched key per batch. Run on the
     * RocksDB state store at corpus scale.
     */
+  case class LabeledPred(truth: String, pred: String)
+  case class CellCount(n: Long)
+  case class CellRow(truth: String, pred: String, n: Long)
+
+  /** Streaming confusion-cell maintenance (D23 — E84
+    * `classification_report`'s streaming half: the report is a trivial
+    * batch view over the (truth, pred) cell counts, so the streaming
+    * job maintains the CELLS and emits every touched cell's updated
+    * running count per micro-batch). State per (truth, pred) key is
+    * ONE long — bounded by |classes|² forever, and pure-COUNT state
+    * needs no ordering device (the [[streamKsDrift]] contract:
+    * addition commutes, a batch's content multiset rebuilds identical
+    * state under replay, and state commits align with batch commits).
+    * Update-mode emission; RocksDB store at scale.
+    */
+  def streamConfusionCells(
+      preds: Dataset[LabeledPred]): Dataset[CellRow] = {
+    import preds.sparkSession.implicits._
+    preds.groupByKey(p => (p.truth, p.pred))
+      .flatMapGroupsWithState[CellCount, CellRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, String), rows: Iterator[LabeledPred],
+         state: GroupState[CellCount]) =>
+          val n = state.getOption.map(_.n).getOrElse(0L) + rows.size
+          state.update(CellCount(n))
+          Iterator.single(CellRow(key._1, key._2, n))
+      }
+  }
+
   def streamKsDrift(obs: Dataset[ScoreObs],
                     base: Map[Long, Long]): Dataset[KsRow] = {
     require(base.nonEmpty, "base histogram must be non-empty")

@@ -833,6 +833,43 @@ class BehaviorGraphSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("holtSmooth: hand-computed level/trend recurrence on a ramp, " +
+       "negative trend on a decline (sign-explicit truncation)") {
+    // ramp 10,20,30 at alpha=beta=500
+    val ramp = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 30L))
+      .toDF("key", "day", "x")
+    val got = Behavior.holtSmooth(ramp, Seq("key"), "day", "x",
+        alphaPermille = 500L, betaPermille = 500L)
+      .orderBy("day").as[(String, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("k", 1L, 10000L, 0L, 10000L),
+      ("k", 2L, 15000L, 2500L, 17500L),
+      ("k", 3L, 23750L, 5625L, 29375L)))
+    // decline 30,10: trend goes negative
+    val dec = Seq(("k", 1L, 30L), ("k", 2L, 10L)).toDF("key", "day", "x")
+    val gd = Behavior.holtSmooth(dec, Seq("key"), "day", "x",
+        alphaPermille = 500L, betaPermille = 500L)
+      .orderBy("day").as[(String, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(gd == Seq(("k", 1L, 30000L, 0L, 30000L),
+      ("k", 2L, 20000L, -5000L, 15000L)))
+  }
+
+  test("clusterEval: hand-computed B-cubed over a mixed partition; " +
+       "the perfect partition reads 10^6 across the board") {
+    // c1 = {A,A,B}, c2 = {B,B}: P = R = 3666665 div 5 = 733333
+    val d = Seq(("c1", "A"), ("c1", "A"), ("c1", "B"),
+      ("c2", "B"), ("c2", "B")).toDF("cluster", "truth")
+    val got = Behavior.clusterEval(d, "cluster", "truth")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((5L, 733333L, 733333L, 733333L)))
+    val perfect = Seq(("x", "A"), ("x", "A"), ("y", "B"))
+      .toDF("cluster", "truth")
+    assert(Behavior.clusterEval(perfect, "cluster", "truth")
+      .as[(Long, Long, Long, Long)].head() ==
+      ((3L, 1000000L, 1000000L, 1000000L)))
+  }
+
   test("labelPropagation: two triangles + a bridge resolve to two " +
        "communities in 3 synchronous rounds (lowest-label ties)") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),

@@ -475,4 +475,46 @@ class StreamAggSpec extends AnyFunSuite {
       Streams.streamKsDrift(input.toDS(), Map(1L -> 0L))
     }
   }
+
+  test("streamConfusionCells (D23): running cell counts across " +
+       "batches; the report rebuilt from latest cells ≡ batch " +
+       "classificationReport on the prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.LabeledPred
+    val input = MemoryStream[LabeledPred]
+    val q = Streams.streamConfusionCells(input.toDS())
+      .writeStream.format("memory").queryName("d23_cells")
+      .outputMode("update").start()
+    def latestCells(): Seq[(String, String, Long)] =
+      spark.table("d23_cells").groupBy("truth", "pred")
+        .agg(max("n").as("n")) // running counts only grow
+        .as[(String, String, Long)].collect().toSeq
+    try {
+      input.addData(LabeledPred("A", "A"), LabeledPred("A", "B"),
+        LabeledPred("B", "B"))
+      q.processAllAvailable()
+      assert(latestCells().toSet ==
+        Set(("A", "A", 1L), ("A", "B", 1L), ("B", "B", 1L)))
+      input.addData(LabeledPred("A", "A"), LabeledPred("B", "B"),
+        LabeledPred("B", "B"), LabeledPred("C", "D"))
+      q.processAllAvailable()
+      // rebuild the report from the maintained cells and compare to
+      // the batch operator over the full prefix
+      val cells = latestCells()
+      val fromCells = graft.operators.Behavior.classificationReport(
+          cells.flatMap { case (t, p, n) =>
+            Seq.fill(n.toInt)((t, p)) }.toDF("truth", "pred"),
+          "truth", "pred")
+        .as[(String, Long, Long, Long, Long, Long,
+             Option[Long], Option[Long], Long)].collect().toSet
+      val prefix = Seq(("A", "A"), ("A", "B"), ("B", "B"),
+        ("A", "A"), ("B", "B"), ("B", "B"), ("C", "D"))
+        .toDF("truth", "pred")
+      val twin = graft.operators.Behavior.classificationReport(
+          prefix, "truth", "pred")
+        .as[(String, Long, Long, Long, Long, Long,
+             Option[Long], Option[Long], Long)].collect().toSet
+      assert(fromCells == twin)
+    } finally q.stop()
+  }
 }

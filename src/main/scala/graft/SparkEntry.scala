@@ -2821,6 +2821,34 @@ object SparkEntry {
       Graph.labelPropagation(pairs, "p", "p2", rounds = 3)
     }),
 
+    // E89: nDCG@10 / MRR / precision@10 of each user's event feed
+    // order against engagement gains (purchase=2, click=1) — the
+    // ranking-quality numbers over a per-user (bounded) window rank
+    "ranking_eval" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val ranked = Tables(s, dir).events.select(col("user_id"),
+          col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_type"))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("gain", expr("""CASE WHEN event_type = 'purchase'
+          THEN 2L WHEN event_type = 'click' THEN 1L ELSE 0L END"""))
+      Behavior.rankingEval(ranked, "user_id", "rank", "gain", k = 10)
+    }),
+
+    // C102: MAD-based robust outlier flags over event values — the
+    // robust companion of anomaly_zscore/iqr_outliers (median/MAD are
+    // not dragged by the outliers they hunt)
+    "robust_zscore" -> ((s, dir) =>
+      Relational.robustZscore(Tables(s, dir).events, "event_type",
+        "event_id", "value", thresholdMilli = 3500L)),
+
+    // C103: functional-dependency audit — does o_custkey determine
+    // o_orderpriority? (it should not; the audit quantifies the fanout)
+    "fd_check" -> ((s, dir) =>
+      Relational.fdCheck(Tables(s, dir).orders, "o_custkey",
+        "o_orderpriority")),
+
     // C101: Holt double exponential smoothing of the daily event
     // counts — the trend-aware sibling of ewma_smooth (same daily
     // frame, level+trend state, one-step forecast rides along)
@@ -6973,6 +7001,99 @@ FROM decided""",
                   ORDER BY c DESC, lbl ASC) AS rk FROM r3) WHERE rk = 1)
          SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS community
          FROM l3""",
+
+    "ranking_eval" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                    FROM events),
+         r AS (SELECT user_id,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS rk,
+                 CASE WHEN event_type = 'purchase' THEN 2
+                      WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+               FROM e),
+         topk AS (SELECT user_id, CAST(rk AS BIGINT) AS rk,
+                    CAST(g AS BIGINT) AS g,
+                    CAST(round(1e6 * ln(2) / ln(rk + 1)) AS BIGINT)
+                      AS disc
+                  FROM r WHERE rk <= 10),
+         ideal AS (SELECT user_id, g,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY g DESC) AS pos
+                   FROM topk),
+         agg AS (SELECT user_id AS query,
+                   CAST(count(*) AS BIGINT) AS n_ranked,
+                   CAST(sum(g * disc) AS BIGINT) AS dcg_micro,
+                   CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS h,
+                   min(CASE WHEN g > 0 THEN rk END) AS fr
+                 FROM topk GROUP BY 1),
+         iagg AS (SELECT user_id AS query,
+                    CAST(sum(g * CAST(round(1e6 * ln(2) / ln(pos + 1))
+                      AS BIGINT)) AS BIGINT) AS idcg_micro
+                  FROM ideal GROUP BY 1)
+         SELECT agg.query, n_ranked, dcg_micro, idcg_micro,
+                CASE WHEN idcg_micro > 0 THEN
+                  (1000 * dcg_micro) // idcg_micro END AS ndcg_permille,
+                CASE WHEN fr IS NOT NULL THEN 1000000 // fr
+                END AS rr_micro,
+                (1000 * h) // 10 AS precision_at_k_permille
+         FROM agg JOIN iagg USING (query)""",
+
+    "robust_zscore" ->
+      """WITH rows0 AS (SELECT event_type AS stratum, event_id AS id,
+             CAST(round(value * 1000) AS BIGINT) AS value_milli
+           FROM events),
+         d1 AS (SELECT stratum, value_milli AS v,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM rows0 GROUP BY 1, 2),
+         c1 AS (SELECT stratum, v, c,
+                  sum(c) OVER (PARTITION BY stratum ORDER BY v) AS cum,
+                  sum(c) OVER (PARTITION BY stratum) AS n
+                FROM d1),
+         med AS (SELECT stratum,
+                   CAST(min(CASE WHEN cum * 2 >= n THEN v END)
+                     AS BIGINT) AS med
+                 FROM c1 GROUP BY 1),
+         dev AS (SELECT rows0.*, med,
+                   abs(value_milli - med) AS d
+                 FROM rows0 JOIN med USING (stratum)),
+         d2 AS (SELECT stratum, d, CAST(count(*) AS BIGINT) AS c
+                FROM dev GROUP BY 1, 2),
+         c2 AS (SELECT stratum, d, c,
+                  sum(c) OVER (PARTITION BY stratum ORDER BY d) AS cum,
+                  sum(c) OVER (PARTITION BY stratum) AS n
+                FROM d2),
+         mad AS (SELECT stratum,
+                   CAST(min(CASE WHEN cum * 2 >= n THEN d END)
+                     AS BIGINT) AS mad
+                 FROM c2 GROUP BY 1),
+         rz AS (SELECT dev.stratum, dev.id, dev.value_milli, dev.med,
+                  mad.mad,
+                  CASE WHEN mad > 0 THEN
+                    CASE WHEN 1000 * (value_milli - med) < 0
+                      THEN -((-(1000 * (value_milli - med))) // mad)
+                      ELSE (1000 * (value_milli - med)) // mad END
+                  END AS rz_milli
+                FROM dev JOIN mad USING (stratum))
+         SELECT stratum, id, value_milli, med AS median_milli,
+                mad AS mad_milli, CAST(rz_milli AS BIGINT) AS rz_milli
+         FROM rz
+         WHERE (mad > 0 AND abs(rz_milli) >= 3500)
+            OR (mad = 0 AND value_milli <> med)""",
+
+    "fd_check" ->
+      """WITH pd AS (SELECT o_custkey,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndep,
+             CAST(count(*) AS BIGINT) AS nrows
+           FROM orders GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_determinants,
+                CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violating,
+                CAST(sum(CASE WHEN ndep > 1 THEN nrows ELSE 0 END)
+                  AS BIGINT) AS n_violating_rows,
+                CAST(max(ndep) AS BIGINT) AS max_dependents
+         FROM pd""",
 
     "holt_smooth" -> {
       // the new level, duplicated where trend needs it (the fold's

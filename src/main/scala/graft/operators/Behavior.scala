@@ -1407,6 +1407,65 @@ object Behavior {
           .as("h_label_micronat"))
   }
 
+  /** Ranked-list evaluation (E89 — the retrieval/recommender metrics
+    * completing the search family: bm25/rrf PRODUCE rankings, this
+    * SCORES one against graded relevance — nDCG@k, MRR, precision@k,
+    * the numbers every ranking experiment reports): per query over the
+    * top-k rows, `dcg_micro = Σ gain·d(rank)` with the standard
+    * `1/log2(rank+1)` discount quantized once per position —
+    * `d(i) = round(10⁶·ln 2 / ln(i+1))`, an IEEE-deterministic double
+    * of an integer both engines hold (the isotonic discipline) —
+    * `idcg_micro` over the SAME gain multiset sorted descending
+    * (position ties carry equal discounts, so any stable order sums
+    * identically), `ndcg_permille = (1000·dcg) div idcg` (null when no
+    * relevant), `rr_micro = 10⁶ div first_relevant_rank` (exact; null
+    * when none), `precision_at_k_permille = (1000·hits) div k`. Ranks
+    * are expected unique per query (caller owns the contract).
+    *
+    * Scale shape: one query-keyed aggregation collects each query's
+    * ≤k-row list; every sweep (DCG, ideal DCG, first-hit) rides HOF
+    * folds over that bounded array. No corpus sort, no windows here —
+    * the RANKING itself comes from upstream (heap top-k or a
+    * query-partitioned window, both bounded).
+    */
+  def rankingEval(df: DataFrame, queryCol: String, rankCol: String,
+                  gainCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    val disc = "CAST(round(1e6 * ln(CAST(2 AS DOUBLE)) / " +
+      "ln(CAST(%s + 1 AS DOUBLE))) AS BIGINT)"
+    df.filter(col(rankCol).cast("long") <= k.toLong)
+      .select(col(queryCol).as("query"),
+        col(rankCol).cast("long").as("__r"),
+        col(gainCol).cast("long").as("__g"))
+      .groupBy("query")
+      .agg(array_sort(collect_list(struct(col("__r"), col("__g"))))
+        .as("__a"))
+      .select(col("query"),
+        expr("CAST(size(__a) AS BIGINT)").as("n_ranked"),
+        expr(s"""aggregate(__a, CAST(0 AS BIGINT),
+          (acc, el) -> acc + el.__g * ${disc.format("el.__r")})""")
+          .as("dcg_micro"),
+        expr(s"""aggregate(
+          reverse(array_sort(transform(__a, el -> el.__g))),
+          struct(CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS s),
+          (acc, el) -> struct(acc.i + 1 AS i,
+            acc.s + el * ${disc.format("acc.i + 1")} AS s)).s""")
+          .as("idcg_micro"),
+        expr("""aggregate(__a, CAST(NULL AS BIGINT),
+          (acc, el) -> CASE WHEN acc IS NOT NULL THEN acc
+                            WHEN el.__g > 0 THEN el.__r END)""")
+          .as("__fr"),
+        expr("aggregate(__a, CAST(0 AS BIGINT), (acc, el) -> " +
+          "acc + CASE WHEN el.__g > 0 THEN 1L ELSE 0L END)").as("__h"))
+      .select(col("query"), col("n_ranked"), col("dcg_micro"),
+        col("idcg_micro"),
+        expr("""CASE WHEN idcg_micro > 0 THEN
+          (1000 * dcg_micro) div idcg_micro END""").as("ndcg_permille"),
+        expr("CASE WHEN __fr IS NOT NULL THEN 1000000L div __fr END")
+          .as("rr_micro"),
+        expr(s"(1000 * __h) div ${k}L").as("precision_at_k_permille"))
+  }
+
   /** Isotonic calibration (E87 — the standard calibration FITTER
     * completing [[calibrationBins]]' diagnosis: pool-adjacent-
     * violators regression fits the best monotone map score → rate,

@@ -1485,6 +1485,84 @@ object Relational {
       .select(col("rec_id"), col("entity_id"), col("cluster_size"))
   }
 
+  /** Robust (MAD-based) outlier flags (C102 — the robust companion of
+    * [[anomalyZscore]] and [[iqr_outliers]]: mean/σ are themselves
+    * dragged by the outliers they hunt, the median/MAD pair is not —
+    * the standard robust-statistics detector): per stratum, the exact
+    * type-1 median and the median absolute deviation via TWO passes of
+    * the [[clipOutliers]] distribution-window rule (`min(v where
+    * 2·cum ≥ n)`), then per row `rz_milli = sign-trunc(1000·(v−med),
+    * mad)` — flagged when `|rz_milli| ≥ thresholdMilli` (3500 ≈ the
+    * textbook 3.5 MADs; no 1.4826 float constant — the threshold is IN
+    * MAD units, stated). Degenerate `mad = 0` (over half the stratum
+    * identical): rows with `v ≠ med` flag with rz null (infinitely
+    * deviant by the rule — stated).
+    *
+    * Scale shape: two (stratum, value) distribution aggregations with
+    * per-stratum distribution windows (bounded milli domain — the
+    * corpus never sorts), thresholds broadcast back, one flag scan.
+    */
+  def robustZscore(df: DataFrame, stratumCol: String, idCol: String,
+                   valueCol: String, thresholdMilli: Long): DataFrame = {
+    require(thresholdMilli >= 1,
+      s"thresholdMilli must be >= 1, got $thresholdMilli")
+    val rows = df.select(col(stratumCol).as("stratum"),
+      col(idCol).as("id"),
+      round(col(valueCol) * 1000).cast("long").as("value_milli"))
+    def median(d: DataFrame, vc: String) = {
+      val w = Window.partitionBy("stratum").orderBy(vc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.groupBy(col("stratum"), col(vc)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum("__c").over(w))
+        .withColumn("__n", sum("__c").over(Window.partitionBy("stratum")))
+        .groupBy("stratum")
+        .agg(min(when(col("__cum") * 2 >= col("__n"), col(vc)))
+          .as("__med"))
+    }
+    val med = median(rows, "value_milli")
+    val dev = rows.join(broadcast(med), Seq("stratum"))
+      .withColumn("__d", abs(col("value_milli") - col("__med")))
+    val mad = median(dev.select(col("stratum"), col("__d")), "__d")
+      .withColumnRenamed("__med", "__mad")
+    dev.join(broadcast(mad), Seq("stratum"))
+      .withColumn("rz_milli", expr(
+        """CASE WHEN __mad > 0 THEN
+             CASE WHEN 1000 * (value_milli - __med) < 0
+               THEN -((-(1000 * (value_milli - __med))) div __mad)
+               ELSE (1000 * (value_milli - __med)) div __mad END
+           END"""))
+      .filter(
+        (col("__mad") > 0 && abs(col("rz_milli")) >= thresholdMilli) ||
+        (col("__mad") === 0 && col("value_milli") =!= col("__med")))
+      .select(col("stratum"), col("id"), col("value_milli"),
+        col("__med").as("median_milli"), col("__mad").as("mad_milli"),
+        col("rz_milli"))
+  }
+
+  /** Functional-dependency audit (C103 — the data-contract primitive
+    * next to [[fk_profile]] and [[qualityReport]]: does column A
+    * determine column B? A violated FD is a silent join-fanout /
+    * dimension-drift bug waiting downstream): one summary row —
+    * determinant values, how many map to >1 dependent value, how many
+    * rows sit under violating determinants, and the worst fanout.
+    * Exact distinct counts (no sketch — the audit is the point).
+    *
+    * Scale shape: one (det, dep) pre-aggregation then one det-keyed
+    * distinct count (both map-side combined), one 1-row final agg.
+    */
+  def fdCheck(df: DataFrame, detCol: String, depCol: String): DataFrame = {
+    val perDet = df.groupBy(col(detCol).as("__det"),
+        col(depCol).as("__dep"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("__det")
+      .agg(count(lit(1)).as("__ndep"), sum("__n").as("__rows"))
+    perDet.agg(count(lit(1)).as("n_determinants"),
+      sum(when(col("__ndep") > 1, 1L).otherwise(0L)).as("n_violating"),
+      sum(when(col("__ndep") > 1, col("__rows")).otherwise(0L))
+        .as("n_violating_rows"),
+      max("__ndep").as("max_dependents"))
+  }
+
   /** Concentration / inequality report (C99 — the "how skewed is the
     * business" profiling number next to [[equiDepthHistogram]]'s
     * shape view: revenue concentration, whale dependence, content

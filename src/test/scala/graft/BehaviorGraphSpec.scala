@@ -833,6 +833,22 @@ class BehaviorGraphSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("rankingEval: hand-computed nDCG/MRR/precision@k, zero-gain " +
+       "query nulls, beyond-k rows ignored") {
+    // q1 top-3: gains 0,2,1 -> dcg = 2*630930 + 500000 = 1761860,
+    // ideal [2,1] -> idcg = 2630930, ndcg = 669; rr = 10^6/2
+    val d = Seq(("q1", 1L, 0L), ("q1", 2L, 2L), ("q1", 3L, 1L),
+      ("q1", 4L, 5L), // beyond k: must not affect anything
+      ("q2", 1L, 0L)).toDF("query", "rank", "gain")
+    val got = Behavior.rankingEval(d, "query", "rank", "gain", k = 3)
+      .orderBy("query")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("q1", 3L, 1761860L, 2630930L, Some(669L), Some(500000L), 666L),
+      ("q2", 1L, 0L, 0L, None, None, 0L)))
+  }
+
   test("holtSmooth: hand-computed level/trend recurrence on a ramp, " +
        "negative trend on a decline (sign-explicit truncation)") {
     // ramp 10,20,30 at alpha=beta=500

@@ -612,6 +612,38 @@ class SnapshotRollingSpec extends AnyFunSuite {
     assert(top1 == Seq((1L, 11L, 32522L, 1L), (2L, 20L, 16393L, 1L)))
   }
 
+  // --- robustZscore / fdCheck ----------------------------------------------
+
+  test("robustZscore: hand-computed median/MAD flags, sign-explicit " +
+       "rz, degenerate mad=0 stratum flags v != med with null rz") {
+    // 'a': 1..9 and 100 -> med 5000, mad 2000; only 100 flags (47500)
+    val a = (1 to 9).map(i => ("a", i.toLong, i.toDouble)) :+
+      (("a", 10L, 100.0))
+    // 'b': eight 5.0 + 5.2 + 50.0 -> mad 0 (majority identical)
+    val b = (11 to 18).map(i => ("b", i.toLong, 5.0)) ++
+      Seq(("b", 19L, 5.2), ("b", 20L, 50.0))
+    val got = Relational.robustZscore((a ++ b).toDF("s", "id", "v"),
+        "s", "id", "v", thresholdMilli = 3500L)
+      .orderBy("id")
+      .as[(String, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 10L, 100000L, 5000L, 2000L, Some(47500L)),
+      ("b", 19L, 5200L, 5000L, 0L, None),
+      ("b", 20L, 50000L, 5000L, 0L, None)))
+  }
+
+  test("fdCheck: violated FD quantifies fanout; a holding FD reads " +
+       "zero violations") {
+    val v = Seq(("A", "x"), ("A", "y"), ("A", "x"), ("B", "z"),
+      ("C", "z")).toDF("det", "dep")
+    assert(Relational.fdCheck(v, "det", "dep")
+      .as[(Long, Long, Long, Long)].head() == ((3L, 1L, 3L, 2L)))
+    val h = Seq(("A", "x"), ("B", "x")).toDF("det", "dep")
+    assert(Relational.fdCheck(h, "det", "dep")
+      .as[(Long, Long, Long, Long)].head() == ((2L, 0L, 0L, 1L)))
+  }
+
   // --- concentrationReport -------------------------------------------------
 
   test("concentrationReport: uniform reads gini 0, a whale stratum " +

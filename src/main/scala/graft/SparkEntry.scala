@@ -2821,6 +2821,32 @@ object SparkEntry {
       Graph.labelPropagation(pairs, "p", "p2", rounds = 3)
     }),
 
+    // C104: personalized PageRank from the mod-97 seed parts over the
+    // thinned co-purchase graph — 3 exact-integer rounds, oracle
+    // unrolls them (proximity-to-seeds recommendation walk)
+    "personalized_pagerank" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.filter(col("l_partkey") % 7 < 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2") &&
+          (col("p") * 31 + col("p2")) % 13 === 0)
+      val nodes = pairs.select(col("p").as("id"))
+        .union(pairs.select(col("p2").as("id"))).distinct()
+      Graph.personalizedPagerank(pairs, "p", "p2",
+        nodes.filter(col("id") % 97 === 0), "id", iterations = 3)
+    }),
+
+    // C105: l-diversity — user-days whose events are all ONE type
+    // reveal the activity k-anonymity cannot see (homogeneity attack)
+    "l_diversity" -> ((s, dir) =>
+      Relational.lDiversity(
+        Tables(s, dir).events
+          .withColumn("day", expr("ts_ns div 86400000000000")),
+        Seq("user_id", "day"), "event_type", l = 2L)),
+
     // E89: nDCG@10 / MRR / precision@10 of each user's event feed
     // order against engagement gains (purchase=2, click=1) — the
     // ranking-quality numbers over a per-user (bounded) window rank
@@ -7001,6 +7027,75 @@ FROM decided""",
                   ORDER BY c DESC, lbl ASC) AS rk FROM r3) WHERE rk = 1)
          SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS community
          FROM l3""",
+
+    "personalized_pagerank" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 7 < 2),
+         e AS MATERIALIZED (
+           SELECT DISTINCT a.p AS src, b.p AS dst
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+             AND (a.p * 31 + b.p) % 13 = 0),
+         nodes AS MATERIALIZED (
+           SELECT src AS id FROM e UNION SELECT dst FROM e),
+         od AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+                FROM e GROUP BY 1),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS k
+                FROM nodes WHERE id % 97 = 0),
+         r0 AS (SELECT id, CASE WHEN id % 97 = 0
+                  THEN 1000000 // k ELSE 0 END AS r
+                FROM nodes, ns),
+         s1 AS (SELECT e.dst AS id, CAST(sum(r0.r // od.od) AS BIGINT)
+                  AS s
+                FROM e JOIN r0 ON e.src = r0.id
+                       JOIN od ON e.src = od.src GROUP BY 1),
+         r1 AS MATERIALIZED (SELECT nodes.id,
+                  CASE WHEN nodes.id % 97 = 0
+                    THEN ((1000000 // k) * 15) // 100 ELSE 0 END
+                  + (85 * coalesce(s1.s, 0)) // 100 AS r
+                FROM nodes LEFT JOIN s1 ON nodes.id = s1.id, ns),
+         s2 AS (SELECT e.dst AS id, CAST(sum(r1.r // od.od) AS BIGINT)
+                  AS s
+                FROM e JOIN r1 ON e.src = r1.id
+                       JOIN od ON e.src = od.src GROUP BY 1),
+         r2 AS MATERIALIZED (SELECT nodes.id,
+                  CASE WHEN nodes.id % 97 = 0
+                    THEN ((1000000 // k) * 15) // 100 ELSE 0 END
+                  + (85 * coalesce(s2.s, 0)) // 100 AS r
+                FROM nodes LEFT JOIN s2 ON nodes.id = s2.id, ns),
+         s3 AS (SELECT e.dst AS id, CAST(sum(r2.r // od.od) AS BIGINT)
+                  AS s
+                FROM e JOIN r2 ON e.src = r2.id
+                       JOIN od ON e.src = od.src GROUP BY 1),
+         r3 AS (SELECT nodes.id,
+                  CASE WHEN nodes.id % 97 = 0
+                    THEN ((1000000 // k) * 15) // 100 ELSE 0 END
+                  + (85 * coalesce(s3.s, 0)) // 100 AS r
+                FROM nodes LEFT JOIN s3 ON nodes.id = s3.id, ns)
+         SELECT CAST(id AS BIGINT) AS id, CAST(r AS BIGINT) AS rank_micro
+         FROM r3""",
+
+    "l_diversity" ->
+      """WITH e AS (SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+             event_type
+           FROM events),
+         g AS (SELECT user_id, day, event_type,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY 1, 2, 3),
+         q AS (SELECT user_id, day, CAST(sum(n) AS BIGINT) AS rws,
+                 CAST(count(*) AS BIGINT) AS d
+               FROM g GROUP BY 1, 2)
+         SELECT CAST(sum(rws) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS violating_groups,
+                CAST(sum(CASE WHEN d < 2 THEN rws ELSE 0 END) AS BIGINT)
+                  AS rows_at_risk,
+                (CAST(sum(CASE WHEN d < 2 THEN rws ELSE 0 END)
+                  AS BIGINT) * 1000)
+                  // CAST(sum(rws) AS BIGINT) AS risk_permille
+         FROM q""",
 
     "ranking_eval" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -310,6 +310,70 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank (C104 — the SEEDED walk completing
+    * [[linkRank]]'s global ranking: teleport mass returns to a seed
+    * SET instead of everywhere, so rank measures proximity to the
+    * seeds — "more like these" recommendation, seed-expansion
+    * curation, related-entity discovery). Same integer micro-unit
+    * fixpoint discipline as [[linkRank]]: seeds start at
+    * `10⁶ div |S|`, non-seeds at 0; each round every node reads
+    * `d·Σ in-contribs + (seed ? (10⁶ div |S|)·(100−d) div 100 : 0)`
+    * — all exact integer arithmetic, so a fixed iteration count is a
+    * pure function of (edges, seeds, iterations) and the oracle
+    * unrolls exactly that many rounds. Dangling-node mass leaks (the
+    * [[linkRank]] convention, stated — ranks are a proximity ORDER,
+    * not a distribution).
+    *
+    * Scale shape per round: the [[linkRank]] shape — edge⋈rank and
+    * edge⋈outdeg key-aligned joins, map-side-combined contribution
+    * sum, node-sized rank frame, lineage truncated every 4th round.
+    */
+  def personalizedPagerank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedIdCol: String, iterations: Int,
+                           dampPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1,20], got $iterations")
+    require(dampPct >= 0 && dampPct <= 100,
+      s"dampPct in [0,100], got $dampPct")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    val seedIds = seeds.select(col(seedIdCol).cast("long").as("id"))
+      .distinct().persist()
+    val nS = seedIds.count()
+    require(nS > 0, "empty seed set")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(seedIds.select(col("id"), lit(true).as("__seed")),
+        Seq("id"), "left")
+      .na.fill(false, Seq("__seed")).persist()
+    val init = 1000000L / nS
+    val base = (init * (100 - dampPct)) / 100
+    var rank = nodes.select(col("id"), col("__seed"),
+      when(col("__seed"), init).otherwise(0L).as("rank_micro"))
+    for (i <- 1 to iterations) {
+      val sums = e
+        .join(rank.select(col("id").as("src"), col("rank_micro")), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("id"),
+          expr("rank_micro div __outdeg").as("__contrib"))
+        .groupBy(col("id")).agg(sum(col("__contrib")).as("__s"))
+      val next = nodes.join(sums, Seq("id"), "left")
+        .select(col("id"), col("__seed"),
+          (when(col("__seed"), base).otherwise(0L) +
+            expr(s"$dampPct * coalesce(__s, 0L) div 100"))
+            .as("rank_micro"))
+      rank = if (i % 4 == 0 && i < iterations) next.localCheckpoint(true)
+             else next
+    }
+    val out = rank.select(col("id"), col("rank_micro"))
+    e.unpersist(); seedIds.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Synchronous label propagation (C100 — community detection, the
     * missing member of the graph family: [[linkRank]] ranks,
     * [[kCore]] filters cohesion, [[triangle_count]] measures it,

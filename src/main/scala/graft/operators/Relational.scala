@@ -1412,6 +1412,37 @@ object Relational {
       .limit(topN)
   }
 
+  /** l-diversity audit (C105 — [[kAnonymity]]'s second rung: a group
+    * can be k-anonymous yet reveal everything when every member shares
+    * the SAME sensitive value — homogeneity is the attack k-anonymity
+    * cannot see; l-diversity requires ≥ l distinct sensitive values
+    * per quasi-identifier group): same one-row report shape as
+    * [[kAnonymity]] — groups, violating groups (distinct sensitive
+    * count < l), rows at risk, risk permille. Exact distinct counts
+    * (the audit is the point).
+    *
+    * Scale shape: one (quasi..., sensitive) pre-aggregation then one
+    * quasi-keyed distinct count — both map-side combined, the same
+    * two-level shape as [[fdCheck]].
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs quasi-identifier columns")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum("__n").as("__rows"), count(lit(1)).as("__d"))
+      .agg(sum("__rows").as("n_rows"),
+           count(lit(1)).as("n_groups"),
+           sum(when(col("__d") < l, 1L).otherwise(0L))
+             .as("violating_groups"),
+           sum(when(col("__d") < l, col("__rows")).otherwise(0L))
+             .as("rows_at_risk"))
+      .withColumn("risk_permille",
+        expr("(rows_at_risk * 1000L) div n_rows"))
+  }
+
   /** Fuzzy entity resolution (C87) — the WEIGHTED-score complement of
     * [[resolveEntities]] (C54, the canonicalized-equality matcher):
     * block → score candidate pairs with Fellegi-Sunter-style weighted

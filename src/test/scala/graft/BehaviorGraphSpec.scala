@@ -886,6 +886,21 @@ class BehaviorGraphSpec extends AnyFunSuite {
       ((3L, 1000000L, 1000000L, 1000000L)))
   }
 
+  test("personalizedPagerank: hand-computed seeded walk on a 3-cycle " +
+       "— teleport mass returns only to the seed; empty seeds reject") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    // r1: 1=150000, 2=850000, 3=0; r2: 1=150000, 2=127500, 3=722500
+    val got = Graph.personalizedPagerank(edges, "src", "dst",
+        seeds, "id", iterations = 2)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 150000L), (2L, 127500L), (3L, 722500L)))
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPagerank(edges, "src", "dst",
+        Seq.empty[Tuple1[Long]].toDF("id"), "id", iterations = 1)
+    }
+  }
+
   test("labelPropagation: two triangles + a bridge resolve to two " +
        "communities in 3 synchronous rounds (lowest-label ties)") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),

@@ -633,6 +633,19 @@ class SnapshotRollingSpec extends AnyFunSuite {
       ("b", 20L, 50000L, 5000L, 0L, None)))
   }
 
+  test("lDiversity: homogeneous groups violate, diverse groups pass, " +
+       "risk permille over the full row count") {
+    // (u1,d1) types {A,A,B} ok; (u2,d1) {A,A} violates (2 rows);
+    // (u3,d2) {C} violates (1 row) -> risk = 3000/6 = 500
+    val d = Seq((1L, 1L, "A"), (1L, 1L, "A"), (1L, 1L, "B"),
+      (2L, 1L, "A"), (2L, 1L, "A"), (3L, 2L, "C"))
+      .toDF("user_id", "day", "event_type")
+    val got = Relational.lDiversity(d, Seq("user_id", "day"),
+        "event_type", l = 2L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((6L, 3L, 2L, 3L, 500L)))
+  }
+
   test("fdCheck: violated FD quantifies fanout; a holding FD reads " +
        "zero violations") {
     val v = Seq(("A", "x"), ("A", "y"), ("A", "x"), ("B", "z"),

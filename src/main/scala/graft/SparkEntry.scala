@@ -2821,6 +2821,23 @@ object SparkEntry {
       Graph.labelPropagation(pairs, "p", "p2", rounds = 3)
     }),
 
+    // E91: BLEU-2 of a rotated-prefix "generation" against the full
+    // doc — clipped n-gram precisions exercise real data (the seam
+    // breaks adjacency), the truncation exercises the brevity penalty
+    "bleu_pairs" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .withColumn("__t",
+          expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')"))
+        .filter(expr("size(__t) >= 6"))
+        .withColumn("__k", expr("CAST(2 * size(__t) div 3 AS INT)"))
+        .withColumn("__h", expr("__k div 2"))
+        .select(col("doc_id"),
+          expr("""concat_ws(' ', concat(slice(__t, __h + 1, __k - __h),
+            slice(__t, 1, __h)))""").as("cand"),
+          col("text").as("ref"))
+      TextAnalysis.bleuPairs(d, "doc_id", "cand", "ref")
+    }),
+
     // C104: personalized PageRank from the mod-97 seed parts over the
     // thinned co-purchase graph — 3 exact-integer rounds, oracle
     // unrolls them (proximity-to-seeds recommendation walk)
@@ -7027,6 +7044,79 @@ FROM decided""",
                   ORDER BY c DESC, lbl ASC) AS rk FROM r3) WHERE rk = 1)
          SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS community
          FROM l3""",
+
+    "bleu_pairs" ->
+      """WITH t0 AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '') AS rt
+           FROM documents),
+         t1 AS (SELECT doc_id, rt, len(rt) AS rl FROM t0
+                WHERE len(rt) >= 6),
+         kk AS (SELECT doc_id, rt, rl, (2 * rl) // 3 AS k,
+                  ((2 * rl) // 3) // 2 AS h
+                FROM t1),
+         l AS (SELECT doc_id, list_concat(rt[h+1:k], rt[1:h]) AS ct,
+                 rt, CAST(k AS BIGINT) AS cl, CAST(rl AS BIGINT) AS rl
+               FROM kk),
+         cu AS (SELECT doc_id, unnest(ct) AS g FROM l),
+         cuc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                 FROM cu GROUP BY 1, 2),
+         ru AS (SELECT doc_id, unnest(rt) AS g FROM l),
+         ruc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                 FROM ru GROUP BY 1, 2),
+         c1 AS (SELECT cuc.doc_id,
+                  CAST(sum(least(cuc.c, coalesce(ruc.c, 0))) AS BIGINT)
+                    AS clip1
+                FROM cuc LEFT JOIN ruc ON cuc.doc_id = ruc.doc_id
+                  AND cuc.g = ruc.g
+                GROUP BY 1),
+         cb0 AS (SELECT doc_id, ct, unnest(range(1, len(ct))) AS i
+                 FROM l),
+         cb AS (SELECT doc_id, ct[i] || ' ' || ct[i+1] AS g FROM cb0),
+         cbc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                 FROM cb GROUP BY 1, 2),
+         rb0 AS (SELECT doc_id, rt, unnest(range(1, len(rt))) AS i
+                 FROM l),
+         rb AS (SELECT doc_id, rt[i] || ' ' || rt[i+1] AS g FROM rb0),
+         rbc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                 FROM rb GROUP BY 1, 2),
+         c2 AS (SELECT cbc.doc_id,
+                  CAST(sum(least(cbc.c, coalesce(rbc.c, 0))) AS BIGINT)
+                    AS clip2
+                FROM cbc LEFT JOIN rbc ON cbc.doc_id = rbc.doc_id
+                  AND cbc.g = rbc.g
+                GROUP BY 1),
+         agg AS (SELECT l.doc_id, cl AS cand_len, rl AS ref_len,
+                   coalesce(c1.clip1, 0) AS clip1,
+                   coalesce(c2.clip2, 0) AS clip2
+                 FROM l LEFT JOIN c1 ON l.doc_id = c1.doc_id
+                        LEFT JOIN c2 ON l.doc_id = c2.doc_id),
+         fin AS (SELECT *,
+                   CASE WHEN clip1 > 0 THEN
+                     CAST(round(ln(CAST(clip1 AS DOUBLE) / cand_len)
+                       * 1e6) AS BIGINT) END AS lnp1_micro,
+                   CASE WHEN clip2 > 0 THEN
+                     CAST(round(ln(CAST(clip2 AS DOUBLE)
+                       / (cand_len - 1)) * 1e6) AS BIGINT)
+                   END AS lnp2_micro
+                 FROM agg),
+         fin2 AS (SELECT *, CASE WHEN clip1 > 0 AND clip2 > 0 THEN
+                    (CASE WHEN cand_len >= ref_len THEN 0
+                       ELSE -((1000000 * (ref_len - cand_len))
+                         // cand_len) END)
+                    + (CASE WHEN lnp1_micro + lnp2_micro < 0
+                         THEN -((-(lnp1_micro + lnp2_micro)) // 2)
+                         ELSE (lnp1_micro + lnp2_micro) // 2 END)
+                  END AS ln_bleu_micro FROM fin)
+         SELECT doc_id, CAST(clip1 AS BIGINT) AS clip1,
+                CAST(clip2 AS BIGINT) AS clip2, cand_len, ref_len,
+                lnp1_micro, lnp2_micro,
+                CAST(ln_bleu_micro AS BIGINT) AS ln_bleu_micro,
+                CASE WHEN ln_bleu_micro IS NULL THEN CAST(0 AS BIGINT)
+                     ELSE CAST(round(exp(CAST(ln_bleu_micro AS DOUBLE)
+                       / 1e6) * 1000) AS BIGINT)
+                END AS bleu_permille
+         FROM fin2""",
 
     "personalized_pagerank" ->
       """WITH items AS (

@@ -325,4 +325,115 @@ object Multimodal {
               pmod(col("asset_id"), lit(65536)).cast("int").as("frame_ix"),
               col("features"), col("decode_error"))
   }
+
+  /** dHash perceptual image hash (E90 — the near-duplicate signal for
+    * the IMAGE modality, the pixel-space sibling of the text family's
+    * simhash: re-encoded, recompressed, or lightly-edited copies of
+    * the same picture land within a few bits): decode, average-pool
+    * the integer milli-luma (299r+587g+114b) onto a 9×8 grid with
+    * integer block bounds (`x0 = gx·w div 9` — OWN pooling, not
+    * Graphics2D resampling, whose bilinear kernel is not
+    * bit-specified; integer average pooling over exact pixel sums is
+    * platform-exact for lossless formats, the repo's multimodal
+    * reproducibility contract), then 64 bits of horizontal gradient
+    * signs `cell(gx) < cell(gx+1)` packed row-major. Requires
+    * `w ≥ 9 && h ≥ 8` (smaller images have no 9×8 grid — throws, and
+    * [[imageNearDup]] turns that into an error row).
+    */
+  def imageDHash(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null)
+      throw new java.io.IOException("undecodable image payload")
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 9 || h < 8)
+      throw new java.io.IOException(s"image too small for dHash: ${w}x$h")
+    val cells = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+        var sum = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >> 16) & 0xFF) +
+              587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+            cnt += 1; x += 1
+          }
+          y += 1
+        }
+        cells(gy)(gx) = sum / cnt
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var bit = 0
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (cells(gy)(gx) < cells(gy)(gx + 1)) hash |= (1L << bit)
+        bit += 1; gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  private val DHashSchema = StructType(Seq(
+    StructField("asset_id", LongType), StructField("dhash", LongType),
+    StructField("decode_error", StringType)))
+
+  /** Near-duplicate image pairs via dHash banding: hash every image
+    * payload ([[imageDHash]]; failures become error ROWS, the
+    * [[featurize]] contract), then pair candidates through 4 exact
+    * 16-bit band buckets — pigeonhole: any pair within `maxHamming ≤ 3`
+    * bits shares at least one intact band, so the only shuffle is the
+    * band-keyed groupBy (the simhash blocking device; NO all-pairs) —
+    * and verify with the exact `popcount(xor) ≤ maxHamming`.
+    * Returns (pairs, errors).
+    */
+  def imageNearDup(assets: DataFrame, maxHamming: Int):
+      (DataFrame, DataFrame) = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0,3] (4-band pigeonhole), got $maxHamming")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(DHashSchema)
+    val hashed = assets.select("asset_id", "payload").mapPartitions {
+      rows =>
+        rows.map { r =>
+          try Row(r.getAs[Long]("asset_id"),
+            imageDHash(r.getAs[Array[Byte]]("payload")), null)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              Row(r.getAs[Long]("asset_id"), null,
+                String.valueOf(e.getMessage))
+          }
+        }
+    }(enc)
+    val ok = hashed.filter(col("dhash").isNotNull)
+      .select(col("asset_id"), col("dhash"))
+    val errors = hashed.filter(col("dhash").isNull)
+      .select(col("asset_id"), col("decode_error"))
+    val banded = ok.select(col("asset_id"), col("dhash"),
+      explode(expr("""transform(sequence(0, 3), b -> struct(b AS band,
+        shiftright(dhash, CAST(b * 16 AS INT)) & 65535 AS sig))"""))
+        .as("__b"))
+      .select(col("asset_id"), col("dhash"),
+        col("__b.band").as("band"), col("__b.sig").as("sig"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        expr("bit_count(a.dhash ^ b.dhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming.toLong)
+    (pairs, errors)
+  }
 }

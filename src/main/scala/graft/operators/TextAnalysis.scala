@@ -1639,4 +1639,63 @@ object TextAnalysis {
       .withColumn("is_code", col("score_permille") >= thresholdPermille)
       .drop("__pl", "__il", "__kw", "__w", "__sym", "__ch")
   }
+
+  /** BLEU-2 pair scoring (E91 — the generation-eval member of the eval
+    * family: every distillation / paraphrase / translation pipeline
+    * gates candidate text against a reference; BLEU's clipped n-gram
+    * precisions with the brevity penalty are the standard first
+    * number). Per pair, EXACTLY: clipped unigram/bigram matches
+    * (`Σ_g min(cand_count(g), ref_count(g))`), the log precisions on
+    * the micro-nat device (`round(ln(clip/total)·10⁶)` — one quantized
+    * log of an integer ratio both engines hold), `ln BP = (c−r)/c`
+    * EXACT in micro (no transcendental — sign-trunc, 0 when c ≥ r),
+    * `ln_bleu_micro = lnbp + sign-trunc(lnp1+lnp2, 2)` and one
+    * quantized exp back to `bleu_permille`. Any zero precision (or a
+    * sub-2-token candidate, which has no bigrams) reads the standard
+    * BLEU 0 with null logs (stated). House tokens: whitespace split.
+    *
+    * Scale shape: entirely map-side per pair — token arrays, n-gram
+    * HOF counts (O(len·distinct) per doc), no shuffle at all.
+    */
+  def bleuPairs(df: DataFrame, idCol: String, candCol: String,
+                refCol: String): DataFrame = {
+    def toks(c: String) =
+      s"filter(split(trim($c), '\\\\s+'), x -> x <> '')"
+    def grams2(a: String) =
+      s"""CASE WHEN size($a) >= 2 THEN transform(sequence(1, size($a) - 1),
+        i -> concat(element_at($a, i), ' ', element_at($a, i + 1)))
+        ELSE CAST(array() AS ARRAY<STRING>) END"""
+    def clipped(c: String, r: String) =
+      s"""aggregate(array_distinct($c), CAST(0 AS BIGINT),
+        (acc, t) -> acc + least(
+          CAST(size(filter($c, x -> x = t)) AS BIGINT),
+          CAST(size(filter($r, x -> x = t)) AS BIGINT)))"""
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    df.select(col(idCol),
+        expr(toks(candCol)).as("__c"), expr(toks(refCol)).as("__r"))
+      .withColumn("__c2", expr(grams2("__c")))
+      .withColumn("__r2", expr(grams2("__r")))
+      .select(col(idCol),
+        expr("CAST(size(__c) AS BIGINT)").as("cand_len"),
+        expr("CAST(size(__r) AS BIGINT)").as("ref_len"),
+        expr(clipped("__c", "__r")).as("clip1"),
+        expr(clipped("__c2", "__r2")).as("clip2"))
+      .withColumn("lnp1_micro", expr("""CASE WHEN clip1 > 0 THEN
+        CAST(round(ln(CAST(clip1 AS DOUBLE) / cand_len) * 1e6)
+          AS BIGINT) END"""))
+      .withColumn("lnp2_micro", expr("""CASE WHEN clip2 > 0 THEN
+        CAST(round(ln(CAST(clip2 AS DOUBLE) / (cand_len - 1)) * 1e6)
+          AS BIGINT) END"""))
+      .withColumn("ln_bleu_micro", expr(s"""CASE WHEN clip1 > 0
+          AND clip2 > 0 THEN
+        CASE WHEN cand_len >= ref_len THEN CAST(0 AS BIGINT)
+             ELSE -((1000000 * (ref_len - cand_len)) div cand_len) END
+        + (${strunc("lnp1_micro + lnp2_micro", "2")}) END"""))
+      .withColumn("bleu_permille", expr("""CASE WHEN ln_bleu_micro
+          IS NULL THEN CAST(0 AS BIGINT)
+        ELSE CAST(round(exp(CAST(ln_bleu_micro AS DOUBLE) / 1e6)
+          * 1000) AS BIGINT) END"""))
+  }
 }

@@ -886,6 +886,26 @@ class BehaviorGraphSpec extends AnyFunSuite {
       ((3L, 1000000L, 1000000L, 1000000L)))
   }
 
+  test("bleuPairs: hand-computed clipping + brevity penalty; zero " +
+       "unigram precision and a no-bigram candidate read BLEU 0") {
+    val d = Seq(
+      (1L, "a b c", "a b c d"), // perfect precisions, BP = exp(-1/3)
+      (2L, "a a b", "a b"),     // clipped: p1 = 2/3, p2 = 1/2, BP = 1
+      (3L, "x y", "a b"),       // clip1 = 0
+      (4L, "a", "a b")          // no bigrams
+    ).toDF("id", "cand", "ref")
+    val got = TextAnalysis.bleuPairs(d, "id", "cand", "ref")
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long],
+           Option[Long], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 4L, 3L, 2L, Some(0L), Some(0L), Some(-333333L), 717L),
+      (2L, 3L, 2L, 2L, 1L, Some(-405465L), Some(-693147L),
+        Some(-549306L), 577L),
+      (3L, 2L, 2L, 0L, 0L, None, None, None, 0L),
+      (4L, 1L, 2L, 1L, 0L, Some(0L), None, None, 0L)))
+  }
+
   test("personalizedPagerank: hand-computed seeded walk on a 3-cycle " +
        "— teleport mass returns only to the seed; empty seeds reject") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")

@@ -569,4 +569,47 @@ class StreamingSourcesSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("features")))
     assert(!out(2).isNullAt(out(2).fieldIndex("decode_error")))
   }
+
+  private def gradientPng(w: Int, h: Int, invert: Boolean,
+                          noise: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val base = (if (invert) (w - 1 - x) else x) * 255 / (w - 1)
+        val v = math.max(0, math.min(255,
+          base + (if (noise) (x + y) % 5 - 2 else 0)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("imageDHash + imageNearDup (E90): gradient reads all-ones, a " +
+       "noisy re-encode lands within hamming 3, the inverted copy " +
+       "does not; undecodable and too-small payloads become error rows") {
+    // strictly increasing luma left->right: every gradient bit set
+    val grad = gradientPng(90, 80, invert = false, noise = false)
+    assert(Multimodal.imageDHash(grad) == -1L)
+    val inv = gradientPng(90, 80, invert = true, noise = false)
+    assert(Multimodal.imageDHash(inv) == 0L)
+    val noisy = gradientPng(90, 80, invert = false, noise = true)
+    assert(java.lang.Long.bitCount(
+      Multimodal.imageDHash(grad) ^ Multimodal.imageDHash(noisy)) <= 3)
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "image", grad, null), Row(2L, "image", noisy, null),
+      Row(3L, "image", inv, null),
+      Row(4L, "image", "not an image".getBytes("UTF-8"), null),
+      Row(5L, "image", solidPng(4, 4, 9, 9, 9), null)) // too small
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.AssetSchema)
+    val (pairs, errors) = Multimodal.imageNearDup(assets, maxHamming = 3)
+    assert(pairs.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet == Set((1L, 2L)))
+    assert(errors.select("asset_id").as[Long].collect().toSet ==
+      Set(4L, 5L))
+  }
 }

@@ -449,4 +449,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(raw"(?m)^\(\d+\) BroadcastNestedLoopJoin".r
       .findAllIn(plan).size <= 1, plan)
   }
+
+  test("bleu_pairs: entirely map-side — no exchange anywhere") {
+    val plan = formatted(SparkEntry.queries("bleu_pairs")(spark, sf))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("holt_smooth / isotonic_calibrate / cluster_eval / l_diversity " +
+       "/ fd_check: recurrences and minimax ride folds — no window, " +
+       "no cartesian") {
+    Seq("holt_smooth", "isotonic_calibrate", "cluster_eval",
+        "l_diversity", "fd_check").foreach { k =>
+      val plan = formatted(SparkEntry.queries(k)(spark, sf))
+      assert(!raw"(?m)^\(\d+\) Window".r.findAllIn(plan).hasNext,
+        s"$k\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$k\n$plan")
+    }
+  }
+
+  test("ranking_eval / robust_zscore: every window is partition-keyed " +
+       "(per-user rank / per-stratum distribution) — no global sort") {
+    Seq("ranking_eval", "robust_zscore").foreach { k =>
+      val df = SparkEntry.queries(k)(spark, sf)
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"), s"$k\n$plan")
+      // partition-less windows would carry an empty partition spec —
+      // the global-sort shape the suite-wide sweep rejects
+      val details = plan.split("\n\n").filter(_.contains("Window"))
+      assert(!details.exists(_.contains("partitionBy=[]")),
+        s"$k\n$plan")
+    }
+  }
 }

@@ -6897,8 +6897,11 @@ FROM decided""",
          po AS (SELECT stratum, CAST(sum(n) AS BIGINT) AS n,
                   CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
                     AS agree
-                FROM cells GROUP BY 1)
-         SELECT po.stratum, n,
+                FROM cells GROUP BY 1),
+         pj AS (SELECT po.stratum, n, agree,
+                  coalesce(pe.p, 0) AS p
+                FROM po LEFT JOIN pe ON po.stratum = pe.stratum)
+         SELECT stratum, n,
                 CAST((1000 * agree) // n AS BIGINT) AS agree_permille,
                 CASE WHEN CAST(n AS HUGEINT) * n > p THEN
                   CAST(CASE WHEN 1000 * (CAST(n AS HUGEINT) * agree - p)
@@ -6908,7 +6911,7 @@ FROM decided""",
                     ELSE (1000 * (CAST(n AS HUGEINT) * agree - p))
                          // (CAST(n AS HUGEINT) * n - p) END AS BIGINT)
                 END AS kappa_permille
-         FROM po JOIN pe ON po.stratum = pe.stratum""",
+         FROM pj""",
 
     "feature_mi" ->
       """WITH cells AS (SELECT source AS x, lang AS y,

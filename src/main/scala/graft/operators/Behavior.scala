@@ -1347,7 +1347,12 @@ object Behavior {
     def strunc(num: String, den: String) =
       s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
                ELSE ($num) div ($den) END"""
-    po.join(pe, Seq("stratum"))
+    // left join: a stratum whose raters share NO label has P = 0 (the
+    // chance product sums over shared labels only) — it must still
+    // report, with kappa = 1000·agree/N (= 0, agreement is impossible)
+    po.join(pe, Seq("stratum"), "left")
+      .withColumn("__pe",
+        coalesce(col("__pe"), lit(0L).cast("decimal(38,0)")))
       .select(col("stratum"), col("n"),
         expr("(1000 * __agree) div n").as("agree_permille"),
         expr(s"""CASE WHEN CAST(n AS DECIMAL(38,0)) * n > __pe THEN

@@ -152,6 +152,167 @@ class AnalyticsFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("isotonicCalibrate fuzz: the minimax identity equals a classic " +
+       "pool-adjacent-violators STACK on every random input (the two " +
+       "constructions are independent)") {
+    val rnd = new scala.util.Random(53)
+    (0 until 12).foreach { round =>
+      val rows = (0 until (20 + rnd.nextInt(120))).map { _ =>
+        (rnd.nextInt(1001).toLong, rnd.nextBoolean()) }
+      val nBins = 4 + rnd.nextInt(12)
+      val got = Behavior.isotonicCalibrate(
+          rows.toDF("score", "label"), "score", "label", nBins)
+        .orderBy("bin")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      // reference: PAV merge stack over the same bins, exact rationals
+      val bins = rows.groupBy(r => r._1 * nBins / 1001).toSeq.sortBy(_._1)
+        .map { case (b, vs) =>
+          (b, vs.size.toLong, vs.count(_._2).toLong) }
+      val stack = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int)] // (p, n, binCount)
+      bins.foreach { case (_, n, p) =>
+        stack += ((p, n, 1))
+        while (stack.size >= 2 && {
+          val (p2, n2, _) = stack(stack.size - 1)
+          val (p1, n1, _) = stack(stack.size - 2)
+          BigInt(p1) * n2 >= BigInt(p2) * n1 // prev avg >= cur avg
+        }) {
+          val (p2, n2, c2) = stack.remove(stack.size - 1)
+          val (p1, n1, c1) = stack.remove(stack.size - 1)
+          stack += ((p1 + p2, n1 + n2, c1 + c2))
+        }
+      }
+      val fits = stack.flatMap { case (p, n, c) =>
+        Seq.fill(c)(halfUp(p.toDouble / n.toDouble * 1000)) }
+      assert(got.map(_._5) == fits.toSeq, s"round $round")
+      assert(got.map(g => (g._1, g._2, g._3)) ==
+        bins.map(b => (b._1, b._2, b._3)), s"round $round")
+      // monotone by construction
+      assert(got.map(_._5) == got.map(_._5).sorted, s"round $round")
+    }
+  }
+
+  test("bleuPairs fuzz: clipped n-gram precisions vs direct counting " +
+       "over random tiny-vocab pairs") {
+    val rnd = new scala.util.Random(61)
+    val vocab = Seq("a", "b", "c", "d")
+    def sentence(): String =
+      (0 until (1 + rnd.nextInt(12)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val rows = (0 until 80).map(i => (i.toLong, sentence(), sentence()))
+    val got = graft.operators.TextAnalysis.bleuPairs(
+        rows.toDF("id", "cand", "ref"), "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def grams(t: Seq[String], n: Int): Seq[String] =
+      if (t.size < n) Seq.empty else t.sliding(n).map(_.mkString(" ")).toSeq
+    def clip(c: Seq[String], r: Seq[String]): Long = {
+      val rc = r.groupBy(identity).map { case (k, v) => k -> v.size }
+      c.groupBy(identity).map { case (k, v) =>
+        math.min(v.size, rc.getOrElse(k, 0)) }.sum.toLong
+    }
+    rows.foreach { case (id, cand, ref) =>
+      val ct = cand.split("\\s+").toSeq.filter(_.nonEmpty)
+      val rt = ref.split("\\s+").toSeq.filter(_.nonEmpty)
+      val c1 = clip(grams(ct, 1), grams(rt, 1))
+      val c2 = clip(grams(ct, 2), grams(rt, 2))
+      val r = got(id)
+      assert(r.getLong(1) == ct.size.toLong &&
+        r.getLong(2) == rt.size.toLong, id)
+      assert(r.getLong(3) == c1 && r.getLong(4) == c2, id)
+      if (c1 > 0 && c2 > 0) {
+        val lnp1 = halfUp(math.log(c1.toDouble / ct.size) * 1e6)
+        val lnp2 = halfUp(math.log(c2.toDouble / (ct.size - 1)) * 1e6)
+        val lnbp = if (ct.size >= rt.size) 0L
+          else -(1000000L * (rt.size - ct.size) / ct.size)
+        val sum = lnp1 + lnp2
+        val ln = lnbp + (if (sum < 0) -((-sum) / 2) else sum / 2)
+        assert(r.getLong(7) == ln, id)
+        assert(r.getLong(8) ==
+          halfUp(math.exp(ln.toDouble / 1e6) * 1000), id)
+      } else {
+        assert(r.isNullAt(7) && r.getLong(8) == 0L, id)
+      }
+    }
+  }
+
+  test("holtSmooth fuzz: the fold equals the direct level/trend " +
+       "recurrence on random series") {
+    val rnd = new scala.util.Random(71)
+    def strunc(num: Long, den: Long): Long =
+      if (num < 0) -((-num) / den) else num / den
+    (0 until 8).foreach { round =>
+      val a = rnd.nextInt(1001).toLong; val b = rnd.nextInt(1001).toLong
+      val series = (1 to (2 + rnd.nextInt(20)))
+        .map(d => (d.toLong, rnd.nextInt(200).toLong))
+      val got = Behavior.holtSmooth(
+          series.map { case (d, x) => ("k", d, x) }.toDF("k", "d", "x"),
+          Seq("k"), "d", "x", a, b)
+        .orderBy("day").as[(String, Long, Long, Long, Long)]
+        .collect().toSeq
+      var l = series.head._2 * 1000L; var t = 0L
+      val exp = series.zipWithIndex.map { case ((d, x), i) =>
+        if (i > 0) {
+          val nl = strunc(a * x * 1000L + (1000 - a) * (l + t), 1000L)
+          t = strunc(b * (nl - l) + (1000 - b) * t, 1000L)
+          l = nl
+        }
+        ("k", d, l, t, l + t)
+      }
+      assert(got == exp, s"round $round alpha=$a beta=$b")
+    }
+  }
+
+  test("classificationReport + featureMi fuzz: confusion counts, " +
+       "permilles, macro row, MI micro-nats vs direct references") {
+    val rnd = new scala.util.Random(83)
+    val cls = Seq("p", "q", "r", "s")
+    val rows = (0 until 300).map(_ =>
+      (cls(rnd.nextInt(4)), cls(rnd.nextInt(4))))
+    val rep = Behavior.classificationReport(
+        rows.toDF("truth", "pred"), "truth", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val classes = (rows.map(_._1) ++ rows.map(_._2)).distinct
+    var sp = 0L; var sr = 0L; var sf = 0L
+    classes.foreach { c =>
+      val support = rows.count(_._1 == c).toLong
+      val predN = rows.count(_._2 == c).toLong
+      val tp = rows.count(v => v._1 == c && v._2 == c).toLong
+      val r = rep(c)
+      assert(r.getLong(1) == support && r.getLong(2) == tp &&
+        r.getLong(3) == predN, c)
+      val p = if (predN > 0) Some(1000 * tp / predN) else None
+      val rr = if (support > 0) Some(1000 * tp / support) else None
+      val f = 2000 * tp / (2 * tp + (predN - tp) + (support - tp))
+      assert((if (r.isNullAt(6)) None else Some(r.getLong(6))) == p, c)
+      assert((if (r.isNullAt(7)) None else Some(r.getLong(7))) == rr, c)
+      assert(r.getLong(8) == f, c)
+      sp += p.getOrElse(0L); sr += rr.getOrElse(0L); sf += f
+    }
+    val m = rep("__macro__")
+    assert(m.getLong(6) == sp / classes.size &&
+      m.getLong(7) == sr / classes.size &&
+      m.getLong(8) == sf / classes.size)
+    // featureMi on the same frame: MI + entropies vs direct sums
+    val mi = Behavior.featureMi(rows.toDF("f", "l"), "f", "l")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val n = rows.size.toLong
+    val cellsRef = rows.groupBy(identity).map { case ((x, y), v) =>
+      (x, y, v.size.toLong) }.toSeq
+    val nx = rows.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val ny = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    def struncL(num: Long, den: Long): Long =
+      if (num < 0) -((-num) / den) else num / den
+    val miSum = cellsRef.map { case (x, y, c) =>
+      c * halfUp(math.log(c.toDouble * n / (nx(x).toDouble * ny(y)))
+        * 1e6) }.sum
+    val hx = nx.values.map(c =>
+      c * halfUp(math.log(c.toDouble / n) * 1e6)).sum
+    val hy = ny.values.map(c =>
+      c * halfUp(math.log(c.toDouble / n) * 1e6)).sum
+    assert(mi == ((n, cellsRef.size.toLong, struncL(miSum, n),
+      -struncL(hx, n), -struncL(hy, n))))
+  }
+
   test("rankingEval fuzz: nDCG/MRR/precision vs the direct per-query " +
        "scan (same quantized discounts) over 40 random queries") {
     val rnd = new scala.util.Random(31)

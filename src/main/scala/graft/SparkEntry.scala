@@ -2838,6 +2838,17 @@ object SparkEntry {
       TextAnalysis.bleuPairs(d, "doc_id", "cand", "ref")
     }),
 
+    // C107: LOCF calendar gap fill over the sparse (mod-397 sampled)
+    // daily counts — the densify every time-series recurrence assumes
+    "gap_fill" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .filter(col("event_id") % 397 === 0)
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Relational.gapFill(daily, Seq("event_type"), "day", "n")
+    }),
+
     // C104: personalized PageRank from the mod-97 seed parts over the
     // thinned co-purchase graph — 3 exact-integer rounds, oracle
     // unrolls them (proximity-to-seeds recommendation walk)
@@ -7120,6 +7131,26 @@ FROM decided""",
                        / 1e6) * 1000) AS BIGINT)
                 END AS bleu_permille
          FROM fin2""",
+
+    "gap_fill" ->
+      """WITH d AS (SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE event_id % 397 = 0 GROUP BY 1, 2),
+         sp AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+                FROM d GROUP BY 1),
+         cal AS (SELECT event_type,
+                   CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS day
+                 FROM sp),
+         j AS (SELECT cal.event_type, cal.day, d.n
+               FROM cal LEFT JOIN d ON cal.event_type = d.event_type
+                 AND cal.day = d.day)
+         SELECT event_type, day,
+                CAST(last_value(n IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY day) AS BIGINT)
+                  AS value,
+                n IS NULL AS filled
+         FROM j""",
 
     "personalized_pagerank" ->
       """WITH items AS (

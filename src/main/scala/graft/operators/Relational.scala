@@ -1412,6 +1412,46 @@ object Relational {
       .limit(topN)
   }
 
+  /** Calendar gap fill with last-observation-carried-forward (C107 —
+    * the densify primitive every downstream time-series operator
+    * quietly assumes: [[ewmaSmooth]]/[[holtSmooth]]/C75/C85 recurse
+    * over PRESENT rows, so a sparse series weights a 10-day-old
+    * observation like yesterday's; LOCF densification is the standard
+    * repair, and [[partition_gaps]] only FINDS the holes — this fills
+    * them): per key, every day in `[min(day), max(day)]` emits a row —
+    * observed days carry their value with `filled = false`, gap days
+    * carry the last observed value with `filled = true`. Exact longs;
+    * leading gaps cannot exist (the span starts at the first
+    * observation — stated).
+    *
+    * Scale shape: one key-partitioned aggregation collects each key's
+    * observed series (calendar-bounded), then the whole densify rides
+    * a HOF fold emitting the calendar-sized array — no window, no
+    * calendar self-join, the fact table shuffles once.
+    */
+  def gapFill(daily: DataFrame, keyCols: Seq[String], dayCol: String,
+              valueCol: String): DataFrame = {
+    val sorted = daily.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        col(dayCol).cast("long").as("day"),
+        col(valueCol).cast("long").as("v")))).as("__s"))
+    sorted.select((keyCols.map(col) :+ explode(expr("""aggregate(__s,
+        struct(CAST(NULL AS BIGINT) AS pd, CAST(NULL AS BIGINT) AS pv,
+          CAST(array() AS ARRAY<STRUCT<day: BIGINT, value: BIGINT,
+            filled: BOOLEAN>>) AS out),
+        (acc, el) -> struct(el.day AS pd, el.v AS pv,
+          CASE WHEN acc.pd IS NULL
+            THEN array_append(acc.out,
+              struct(el.day AS day, el.v AS value, false AS filled))
+            ELSE concat(acc.out, transform(
+              sequence(acc.pd + 1, el.day), d -> struct(d AS day,
+                IF(d = el.day, el.v, acc.pv) AS value,
+                d <> el.day AS filled)))
+          END AS out)).out""")).as("__r")): _*)
+      .select((keyCols.map(col) ++ Seq(col("__r.day").as("day"),
+        col("__r.value").as("value"), col("__r.filled").as("filled"))): _*)
+  }
+
   /** l-diversity audit (C105 — [[kAnonymity]]'s second rung: a group
     * can be k-anonymous yet reveal everything when every member shares
     * the SAME sensitive value — homogeneity is the attack k-anonymity

@@ -633,6 +633,19 @@ class SnapshotRollingSpec extends AnyFunSuite {
       ("b", 20L, 50000L, 5000L, 0L, None)))
   }
 
+  test("gapFill: LOCF densify emits every span day — gaps carry the " +
+       "last observation flagged, singles pass through") {
+    val d = Seq(("a", 1L, 10L), ("a", 4L, 40L), ("a", 5L, 50L),
+      ("b", 7L, 70L)).toDF("k", "day", "v")
+    val got = Relational.gapFill(d, Seq("k"), "day", "v")
+      .orderBy("k", "day")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 10L, false), ("a", 2L, 10L, true), ("a", 3L, 10L, true),
+      ("a", 4L, 40L, false), ("a", 5L, 50L, false),
+      ("b", 7L, 70L, false)))
+  }
+
   test("lDiversity: homogeneous groups violate, diverse groups pass, " +
        "risk permille over the full row count") {
     // (u1,d1) types {A,A,B} ok; (u2,d1) {A,A} violates (2 rows);

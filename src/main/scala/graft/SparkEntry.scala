@@ -2838,6 +2838,18 @@ object SparkEntry {
       TextAnalysis.bleuPairs(d, "doc_id", "cand", "ref")
     }),
 
+    // E92: the classification_report composed over the REAL langId
+    // model — per-class P/R/F1 of naive-Bayes language ID against the
+    // lang column (an end-to-end model eval, not a synthetic
+    // perturbation; the prediction rule is the verified lang_id key)
+    "langid_eval" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val preds = LangId.selfLabelled(docs, "doc_id", "text", "lang")
+      val joined = docs.select(col("doc_id"), col("lang").as("truth"))
+        .join(preds.select(col("doc_id"), col("lang_pred")), "doc_id")
+      Behavior.classificationReport(joined, "truth", "lang_pred")
+    }),
+
     // C107: LOCF calendar gap fill over the sparse (mod-397 sampled)
     // daily counts — the densify every time-series recurrence assumes
     "gap_fill" -> ((s, dir) => {
@@ -7131,6 +7143,80 @@ FROM decided""",
                        / 1e6) * 1000) AS BIGINT)
                 END AS bleu_permille
          FROM fin2""",
+
+    "langid_eval" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, unnest(string_split(lower(trim(
+             regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+           FROM documents),
+         toks2 AS (SELECT * FROM toks WHERE length(word) > 0),
+         counts AS (SELECT lang, word, count(*) AS n FROM toks2
+                    GROUP BY 1, 2),
+         vocab AS (SELECT DISTINCT word FROM counts),
+         vs AS (SELECT count(*) AS v FROM vocab),
+         lt AS (SELECT lang, sum(n) AS lang_total FROM counts
+                GROUP BY 1),
+         grid AS (
+           SELECT lt.lang, vocab.word,
+                  ln(CAST(COALESCE(c.n, 0) + 1 AS DOUBLE)
+                    / (lt.lang_total + vs.v)) AS logp
+           FROM lt CROSS JOIN vocab CROSS JOIN vs
+           LEFT JOIN counts c ON c.lang = lt.lang
+             AND c.word = vocab.word),
+         priors AS (
+           SELECT lang, ln(CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM documents)) AS logprior
+           FROM documents GROUP BY 1),
+         scored AS (
+           SELECT t.doc_id, g.lang,
+                  round(sum(g.logp) + any_value(p.logprior), 4) AS score
+           FROM toks2 t JOIN grid g ON g.word = t.word
+           JOIN priors p ON p.lang = g.lang
+           GROUP BY 1, 2),
+         preds AS (
+           SELECT doc_id, lang AS pred FROM scored
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, lang) = 1),
+         d AS (SELECT documents.lang AS truth, preds.pred
+               FROM documents JOIN preds USING (doc_id)),
+         cells AS (SELECT truth, pred, CAST(count(*) AS BIGINT) AS n
+                   FROM d GROUP BY 1, 2),
+         bt AS (SELECT truth AS cls, CAST(sum(n) AS BIGINT) AS support,
+                  CAST(sum(CASE WHEN pred = truth THEN n ELSE 0 END)
+                    AS BIGINT) AS tp
+                FROM cells GROUP BY 1),
+         bp AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS pred_n
+                FROM cells GROUP BY 1),
+         per AS (SELECT coalesce(bt.cls, bp.cls) AS cls,
+                   coalesce(support, 0) AS support,
+                   coalesce(tp, 0) AS tp,
+                   coalesce(pred_n, 0) AS pred_n,
+                   coalesce(pred_n, 0) - coalesce(tp, 0) AS fp,
+                   coalesce(support, 0) - coalesce(tp, 0) AS fn
+                 FROM bt FULL JOIN bp ON bt.cls = bp.cls),
+         perm AS (SELECT cls, support, tp, pred_n, fp, fn,
+                    CASE WHEN pred_n > 0
+                      THEN (1000 * tp) // pred_n
+                    END AS precision_permille,
+                    CASE WHEN support > 0
+                      THEN (1000 * tp) // support END AS recall_permille,
+                    (2000 * tp) // (2 * tp + fp + fn) AS f1_permille
+                  FROM per)
+         SELECT cls, support, tp, pred_n, fp, fn,
+                CAST(precision_permille AS BIGINT) AS precision_permille,
+                CAST(recall_permille AS BIGINT) AS recall_permille,
+                CAST(f1_permille AS BIGINT) AS f1_permille
+         FROM perm
+         UNION ALL
+         SELECT '__macro__', CAST(sum(support) AS BIGINT),
+                CAST(sum(tp) AS BIGINT), CAST(sum(pred_n) AS BIGINT),
+                CAST(sum(fp) AS BIGINT), CAST(sum(fn) AS BIGINT),
+                CAST(sum(coalesce(precision_permille, 0)) // count(*)
+                  AS BIGINT),
+                CAST(sum(coalesce(recall_permille, 0)) // count(*)
+                  AS BIGINT),
+                CAST(sum(coalesce(f1_permille, 0)) // count(*) AS BIGINT)
+         FROM perm""",
 
     "gap_fill" ->
       """WITH d AS (SELECT event_type,

@@ -2838,6 +2838,15 @@ object SparkEntry {
       TextAnalysis.bleuPairs(d, "doc_id", "cand", "ref")
     }),
 
+    // C108: conversion-lag quartiles — how long from first touch of
+    // each type to first purchase (funnel timing; funnels only count)
+    "conversion_lag" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+      Behavior.conversionLag(ev, "user_id", "ts_us", "event_type",
+        "purchase")
+    }),
+
     // E92: the classification_report composed over the REAL langId
     // model — per-class P/R/F1 of naive-Bayes language ID against the
     // lang column (an end-to-end model eval, not a synthetic
@@ -7143,6 +7152,35 @@ FROM decided""",
                        / 1e6) * 1000) AS BIGINT)
                 END AS bleu_permille
          FROM fin2""",
+
+    "conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                    FROM events),
+         ft AS (SELECT user_id, event_type, min(ts_us) AS f
+                FROM e GROUP BY 1, 2),
+         cv AS (SELECT user_id, f AS ct FROM ft
+                WHERE event_type = 'purchase'),
+         lags AS (SELECT ft.event_type,
+                    (cv.ct - ft.f) // 86400000000 AS lag
+                  FROM ft JOIN cv USING (user_id)
+                  WHERE ft.event_type <> 'purchase' AND ft.f < cv.ct),
+         dist AS (SELECT event_type, CAST(lag AS BIGINT) AS lag,
+                    CAST(count(*) AS BIGINT) AS c
+                  FROM lags GROUP BY 1, 2),
+         cum AS (SELECT *, CAST(sum(c) OVER (PARTITION BY event_type
+                   ORDER BY lag) AS BIGINT) AS cumc,
+                   CAST(sum(c) OVER (PARTITION BY event_type)
+                     AS BIGINT) AS n
+                 FROM dist)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_converted,
+                CAST(min(CASE WHEN cumc * 4 >= n THEN lag END)
+                  AS BIGINT) AS q1_days,
+                CAST(min(CASE WHEN cumc * 2 >= n THEN lag END)
+                  AS BIGINT) AS median_days,
+                CAST(min(CASE WHEN cumc * 4 >= n * 3 THEN lag END)
+                  AS BIGINT) AS q3_days
+         FROM cum GROUP BY 1""",
 
     "langid_eval" ->
       """WITH toks AS (

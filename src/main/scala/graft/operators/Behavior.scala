@@ -1412,6 +1412,52 @@ object Behavior {
           .as("h_label_micronat"))
   }
 
+  /** Conversion-lag quartiles (C108 — the funnel TIMING view the
+    * counting funnels (event_funnel, window_funnel) cannot answer:
+    * not "how many users who viewed later purchased" but "how LONG
+    * did it take" — the payback/activation-latency number): per
+    * non-conversion event type, over users whose FIRST occurrence of
+    * that type strictly precedes their FIRST conversion, the lag in
+    * whole days — count and exact type-1 quartiles via the
+    * distribution rule (`min(v where 4·cum ≥ n)` etc. — the
+    * clip_outliers device, both engines share the convention).
+    *
+    * Scale shape: one (user, type) min aggregation + one user-keyed
+    * conversion attach (same exchange), one (type, lag) distribution
+    * aggregation with per-type distribution windows (bounded day
+    * domain — the corpus never sorts).
+    */
+  def conversionLag(events: DataFrame, userCol: String, tsUsCol: String,
+                    typeCol: String, convType: String): DataFrame = {
+    val ev = events.select(col(userCol).as("__u"),
+      col(tsUsCol).cast("long").as("__ts"), col(typeCol).as("__t"))
+    val firstByType = ev.groupBy("__u", "__t")
+      .agg(min("__ts").as("__ft"))
+    val conv = firstByType.filter(col("__t") === convType)
+      .select(col("__u"), col("__ft").as("__ct"))
+    val lags = firstByType.filter(col("__t") =!= convType)
+      .join(conv, Seq("__u"))
+      .filter(col("__ft") < col("__ct"))
+      .select(col("__t").as("event_type"),
+        expr(s"(__ct - __ft) div $DayUs").as("__lag"))
+    val dist = lags.groupBy("event_type", "__lag")
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("event_type").orderBy("__lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n",
+        sum("__c").over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("__n").as("n_converted"),
+        min(when(col("__cum") * 4 >= col("__n"), col("__lag")))
+          .as("q1_days"),
+        min(when(col("__cum") * 2 >= col("__n"), col("__lag")))
+          .as("median_days"),
+        min(when(col("__cum") * 4 >= col("__n") * 3, col("__lag")))
+          .as("q3_days"))
+  }
+
   /** Ranked-list evaluation (E89 — the retrieval/recommender metrics
     * completing the search family: bm25/rrf PRODUCE rankings, this
     * SCORES one against graded relevance — nDCG@k, MRR, precision@k,

@@ -886,6 +886,23 @@ class BehaviorGraphSpec extends AnyFunSuite {
       ((3L, 1000000L, 1000000L, 1000000L)))
   }
 
+  test("conversionLag: first-touch-to-first-conversion day quartiles; " +
+       "touches after conversion and non-converters excluded") {
+    val D = 86400000000L
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 2 * D, "purchase"),
+      (2L, 1 * D, "view"), (2L, 1 * D, "click"), (2L, 5 * D, "purchase"),
+      (3L, 3 * D, "view"), (3L, 2 * D, "purchase"), // view after conv
+      (4L, 0L, "view")                              // never converts
+    ).toDF("u", "ts", "t")
+    val got = Behavior.conversionLag(ev, "u", "ts", "t", "purchase")
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // view lags [2, 4] -> q1 2, median 2, q3 4; click [4] -> 4/4/4
+    assert(got == Seq(("click", 1L, 4L, 4L, 4L),
+      ("view", 2L, 2L, 2L, 4L)))
+  }
+
   test("bleuPairs: hand-computed clipping + brevity penalty; zero " +
        "unigram precision and a no-bigram candidate read BLEU 0") {
     val d = Seq(

@@ -313,6 +313,94 @@ class AnalyticsFuzzSpec extends AnyFunSuite {
       -struncL(hx, n), -struncL(hy, n))))
   }
 
+  test("gapFill fuzz: LOCF densify vs the direct scan — every span " +
+       "day present exactly once, gaps carry the last observation") {
+    val rnd = new scala.util.Random(97)
+    val rows = (0 until 25).flatMap { k =>
+      val days = rnd.shuffle((0 to 20).toList).take(1 + rnd.nextInt(8))
+      days.map(d => (s"k$k", d.toLong, rnd.nextInt(100).toLong))
+    }
+    val got = Relational.gapFill(rows.toDF("k", "day", "v"),
+        Seq("k"), "day", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val obs = vs.map(v => v._2 -> v._3).toMap
+      val lo = obs.keys.min; val hi = obs.keys.max
+      var last = 0L
+      (lo to hi).foreach { d =>
+        if (obs.contains(d)) last = obs(d)
+        assert(got((k, d)) == ((last, !obs.contains(d))), s"$k day $d")
+      }
+      assert(got.keys.count(_._1 == k) == (hi - lo + 1), k)
+    }
+  }
+
+  test("conversionLag fuzz: quartiles vs the direct first-touch scan " +
+       "over random user histories") {
+    val rnd = new scala.util.Random(101)
+    val D = 86400000000L
+    val types = Seq("view", "click", "buy")
+    val rows = (0 until 80).flatMap { u =>
+      (0 until (1 + rnd.nextInt(10))).map(_ =>
+        (u.toLong, rnd.nextInt(30).toLong * D + rnd.nextInt(1000),
+          types(rnd.nextInt(3))))
+    }
+    val got = Behavior.conversionLag(rows.toDF("u", "ts", "t"),
+        "u", "ts", "t", "buy")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val byUser = rows.groupBy(_._1)
+    Seq("view", "click").foreach { t =>
+      val lags = byUser.values.toSeq.flatMap { h =>
+        val ft = h.filter(_._3 == t).map(_._2).minOption
+        val ct = h.filter(_._3 == "buy").map(_._2).minOption
+        (ft, ct) match {
+          case (Some(f), Some(c)) if f < c => Some((c - f) / D)
+          case _ => None
+        }
+      }.sorted
+      if (lags.isEmpty) assert(!got.contains(t), t)
+      else {
+        val n = lags.size.toLong
+        def q(mult: Long, of: Long): Long =
+          lags(lags.indices.find(i =>
+            (i + 1).toLong * mult >= n * of).get)
+        assert(got(t) == ((n, q(4, 1), q(2, 1), q(4, 3))), t)
+      }
+    }
+  }
+
+  test("labelPropagation fuzz: the distributed rounds equal a direct " +
+       "synchronous simulation on random graphs") {
+    val rnd = new scala.util.Random(113)
+    (0 until 6).foreach { round =>
+      val nNodes = 8 + rnd.nextInt(12)
+      val edges = (0 until (nNodes * 2)).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val rounds = 1 + rnd.nextInt(4)
+        val got = graft.operators.Graph.labelPropagation(
+            edges.toDF("a", "b"), "a", "b", rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // direct synchronous simulation
+        val adj = (edges ++ edges.map(_.swap)).distinct
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        var lbl = adj.keys.map(n => n -> n).toMap
+        (1 to rounds).foreach { _ =>
+          lbl = adj.map { case (n, nbrs) =>
+            val counts = nbrs.groupBy(lbl).map { case (l, v) =>
+              l -> v.size }
+            val best = counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+            n -> best
+          }
+        }
+        assert(got == lbl, s"round $round rounds=$rounds")
+      }
+    }
+  }
+
   test("rankingEval fuzz: nDCG/MRR/precision vs the direct per-query " +
        "scan (same quantized discounts) over 40 random queries") {
     val rnd = new scala.util.Random(31)

@@ -2838,6 +2838,14 @@ object SparkEntry {
       TextAnalysis.bleuPairs(d, "doc_id", "cand", "ref")
     }),
 
+    // C109: quantity-weighted price quartiles per return flag — "the
+    // median UNIT" vs value_histogram's "the median order"
+    "weighted_quantiles" -> ((s, dir) =>
+      Relational.weightedQuantiles(Tables(s, dir).lineitem
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_quantity")),
+        "l_returnflag", "l_extendedprice", "l_quantity")),
+
     // C108: conversion-lag quartiles — how long from first touch of
     // each type to first purchase (funnel timing; funnels only count)
     "conversion_lag" -> ((s, dir) => {
@@ -7152,6 +7160,29 @@ FROM decided""",
                        / 1e6) * 1000) AS BIGINT)
                 END AS bleu_permille
          FROM fin2""",
+
+    "weighted_quantiles" ->
+      """WITH r AS (SELECT l_returnflag AS stratum,
+             CAST(round(l_extendedprice * 1000) AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem),
+         dist AS (SELECT stratum, v, CAST(sum(w) AS BIGINT) AS wc,
+                    CAST(count(*) AS BIGINT) AS c
+                  FROM r GROUP BY 1, 2),
+         cum AS (SELECT *, CAST(sum(wc) OVER (PARTITION BY stratum
+                   ORDER BY v) AS BIGINT) AS cumw,
+                   CAST(sum(wc) OVER (PARTITION BY stratum)
+                     AS BIGINT) AS tw
+                 FROM dist)
+         SELECT stratum, CAST(sum(c) AS BIGINT) AS n_rows,
+                CAST(max(tw) AS BIGINT) AS total_weight,
+                CAST(min(CASE WHEN cumw * 4 >= tw THEN v END)
+                  AS BIGINT) AS wq1_milli,
+                CAST(min(CASE WHEN cumw * 2 >= tw THEN v END)
+                  AS BIGINT) AS wmedian_milli,
+                CAST(min(CASE WHEN cumw * 4 >= tw * 3 THEN v END)
+                  AS BIGINT) AS wq3_milli
+         FROM cum GROUP BY 1""",
 
     "conversion_lag" ->
       """WITH e AS (SELECT user_id, event_type,

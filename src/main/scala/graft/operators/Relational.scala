@@ -1412,6 +1412,42 @@ object Relational {
       .limit(topN)
   }
 
+  /** Weight-exact quantiles (C109 — the WEIGHTED companion of the
+    * clip_outliers/robust_zscore distribution rule: "the median
+    * order" and "the median UNIT" differ whenever quantity varies —
+    * quantity-weighted price quartiles, revenue-weighted latency,
+    * token-weighted doc length): per stratum, type-1 quantiles over
+    * the weight mass — `min(v where 4·cum_w ≥ tot_w)` etc., exact
+    * integer weights (non-negative by contract, caller owns it).
+    *
+    * Scale shape: the clip_outliers contract — one (stratum, value)
+    * distribution aggregation summing weights map-side, per-stratum
+    * distribution windows over the bounded milli domain; the corpus
+    * never sorts.
+    */
+  def weightedQuantiles(df: DataFrame, stratumCol: String,
+                        valueCol: String, weightCol: String): DataFrame = {
+    val rows = df.select(col(stratumCol).as("stratum"),
+      round(col(valueCol) * 1000).cast("long").as("__v"),
+      col(weightCol).cast("long").as("__w"))
+    val dist = rows.groupBy("stratum", "__v")
+      .agg(sum("__w").as("__wc"), count(lit(1)).as("__c"))
+    val w = Window.partitionBy("stratum").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist
+      .withColumn("__cum", sum("__wc").over(w))
+      .withColumn("__tw",
+        sum("__wc").over(Window.partitionBy("stratum")))
+      .groupBy("stratum")
+      .agg(sum("__c").as("n_rows"), max("__tw").as("total_weight"),
+        min(when(col("__cum") * 4 >= col("__tw"), col("__v")))
+          .as("wq1_milli"),
+        min(when(col("__cum") * 2 >= col("__tw"), col("__v")))
+          .as("wmedian_milli"),
+        min(when(col("__cum") * 4 >= col("__tw") * 3, col("__v")))
+          .as("wq3_milli"))
+  }
+
   /** Calendar gap fill with last-observation-carried-forward (C107 —
     * the densify primitive every downstream time-series operator
     * quietly assumes: [[ewmaSmooth]]/[[holtSmooth]]/C75/C85 recurse

@@ -862,6 +862,59 @@ object Streams {
       }
   }
 
+  case class HoltState(day: Long, level_milli: Long, trend_milli: Long)
+  case class HoltPoint(key: String, day: Long, level_milli: Long,
+                       trend_milli: Long, forecast_milli: Long)
+
+  /** Streaming Holt smoothing (D24 — C101 `holt_smooth`'s streaming
+    * half, completing the recurrence-family symmetry D18↔ewma /
+    * D19↔cusum): keyed state is THREE longs (last day, level, trend);
+    * each batch folds its days in ascending order through the SHARED
+    * integer recurrence (sign-explicit truncation — trend is
+    * legitimately negative on declines), emitting one point per newly
+    * advanced day; stale or duplicate days (at or below the state's
+    * frontier) are ignored, so replays emit nothing and cannot
+    * corrupt state (the [[streamEwma]] ordering device). RocksDB
+    * state store at scale.
+    */
+  def streamHolt(metrics: Dataset[DailyMetric], alphaPermille: Long,
+                 betaPermille: Long): Dataset[HoltPoint] = {
+    require(alphaPermille >= 0 && alphaPermille <= 1000,
+      s"alphaPermille must be in [0,1000], got $alphaPermille")
+    require(betaPermille >= 0 && betaPermille <= 1000,
+      s"betaPermille must be in [0,1000], got $betaPermille")
+    import metrics.sparkSession.implicits._
+    val a = alphaPermille; val b = betaPermille
+    def strunc(num: Long, den: Long): Long =
+      if (num < 0) -((-num) / den) else num / den
+    metrics.groupByKey(_.key)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DailyMetric],
+         state: GroupState[HoltState]) =>
+          var st = state.getOption
+          val out = Seq.newBuilder[HoltPoint]
+          rows.toSeq.sortBy(_.day).foreach { m =>
+            if (st.forall(_.day < m.day)) {
+              val next = st match {
+                case None => HoltState(m.day, m.x * 1000L, 0L)
+                case Some(s) =>
+                  val nl = strunc(a * m.x * 1000L +
+                    (1000L - a) * (s.level_milli + s.trend_milli), 1000L)
+                  val nt = strunc(b * (nl - s.level_milli) +
+                    (1000L - b) * s.trend_milli, 1000L)
+                  HoltState(m.day, nl, nt)
+              }
+              st = Some(next)
+              out += HoltPoint(key, m.day, next.level_milli,
+                next.trend_milli, next.level_milli + next.trend_milli)
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class Touch(user_id: Long, ts_us: Long, event_id: Long,
                    event_type: String)
   case class TouchBuffer(touches: Seq[Touch])

@@ -633,6 +633,24 @@ class SnapshotRollingSpec extends AnyFunSuite {
       ("b", 20L, 50000L, 5000L, 0L, None)))
   }
 
+  test("weightedQuantiles: weight mass moves the median where row " +
+       "counts would not") {
+    // values 1,2,3 with weights 1,1,8: row-median is 2, the weighted
+    // median is 3 (cum 1,2,10 vs tot 10: 2*2 >= 10 fails, 2*10 >= 10)
+    val d = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 8L))
+      .toDF("s", "v", "w")
+    val got = Relational.weightedQuantiles(d, "s", "v", "w")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    // q1: 4*cum >= 10 first at v=3 (cum 2*4=8 < 10); q3 likewise
+    assert(got == (("a", 3L, 10L, 3000L, 3000L, 3000L)))
+    // equal weights collapse to the plain type-1 quantiles
+    val eq = Seq(("b", 1.0, 1L), ("b", 2.0, 1L), ("b", 3.0, 1L),
+      ("b", 4.0, 1L)).toDF("s", "v", "w")
+    assert(Relational.weightedQuantiles(eq, "s", "v", "w")
+      .as[(String, Long, Long, Long, Long, Long)].head() ==
+      (("b", 4L, 4L, 1000L, 2000L, 3000L)))
+  }
+
   test("gapFill: LOCF densify emits every span day — gaps carry the " +
        "last observation flagged, singles pass through") {
     val d = Seq(("a", 1L, 10L), ("a", 4L, 40L), ("a", 5L, 50L),

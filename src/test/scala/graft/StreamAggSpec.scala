@@ -311,6 +311,43 @@ class StreamAggSpec extends AnyFunSuite {
     assert(got.filter(_._1 == "A").map(_._3) == Seq(1000L, 700L, 490L))
   }
 
+  // --- D24: streaming Holt -------------------------------------------------
+
+  test("streamHolt (D24): per-batch emissions equal the batch " +
+       "level/trend fold on the concatenated input; replays emit " +
+       "nothing; trend survives batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.DailyMetric]
+    val q = input.toDS()
+      .transform(ds => Streams.streamHolt(ds, 500L, 500L))
+      .writeStream.format("memory").queryName("holt_sink")
+      .outputMode("append").start()
+    val b1 = Seq(Streams.DailyMetric("A", 1L, 10L),
+      Streams.DailyMetric("A", 2L, 20L))
+    val b2 = Seq(Streams.DailyMetric("A", 3L, 30L), // ramp continues
+      Streams.DailyMetric("A", 2L, 99L),            // replayed: dropped
+      Streams.DailyMetric("B", 1L, 30L), Streams.DailyMetric("B", 2L, 10L))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable() // full replay
+    } finally q.stop()
+    val got = spark.table("holt_sink")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    val daily = Seq(("A", 1L, 10L), ("A", 2L, 20L), ("A", 3L, 30L),
+      ("B", 1L, 30L), ("B", 2L, 10L)).toDF("key", "day", "x")
+    val want = graft.operators.Behavior
+      .holtSmooth(daily, Seq("key"), "day", "x", 500L, 500L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == want)
+    // the hand-computed ramp from the batch spec holds across batches
+    assert(got.filter(_._1 == "A").map(r => (r._3, r._4)) ==
+      Seq((10000L, 0L), (15000L, 2500L), (23750L, 5625L)))
+    // and the decline's negative trend
+    assert(got.filter(_._1 == "B").map(r => (r._3, r._4)) ==
+      Seq((30000L, 0L), (20000L, -5000L)))
+  }
+
   // --- D19: streaming CUSUM ----------------------------------------------
 
   test("streamCusum: emissions flush when the reference window fills " +

@@ -71,12 +71,20 @@ object Bench {
     // the headline number rides a COMPACT line FIRST *and* LAST: the
     // driver's capture is size-capped and has kept either the head or
     // the tail in different rounds (r4 lost the head, r5 lost the tail
-    // — at 127 keys the per-query map alone is ~3.3 KB). Totals survive
-    // either capture direction; the full per-query contract line rides
-    // in the middle.
+    // — at 230 keys the per-query map alone is ~6 KB and BOTH capture
+    // directions truncated it). Totals survive either capture
+    // direction; the FULL per-query map goes to a sidecar FILE so
+    // cross-round per-key regression tracking never depends on the
+    // stdout capture again — the full line still rides the middle of
+    // stdout as a belt-and-braces copy.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_perquery.json"), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     println(compact)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(full)
     println(compact)
     spark.stop()
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Shared file lifecycle for persisted index tables (dedup bands,
   * span windows, IVF-PQ cells): atomic-ish compaction swaps and
@@ -27,6 +28,34 @@ private[operators] object IndexFiles {
     fs.delete(live, true)
     if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"compact swap failed for $live")
+  }
+
+  /** Shared COMPACTION protocol for the batch-stamped sketch stores
+    * (agg counts/sums, KLL distributions, KMV distinct sets — any
+    * store whose rows are `keys… , payload, batch_id` partials with
+    * replay-exact `(keys, batch_id)` dedup): recover, then swap in a
+    * table where every batch strictly below `beforeBatch` is folded
+    * into ONE canonical `batch_id = −1` partial per key (`fold` is the
+    * store's merge aggregation — sum/min/max, KLL merge, KMV union —
+    * and gets the already-deduped below-threshold frame; the helper
+    * re-stamps its output) while in-flight batches ride through
+    * untouched. Only the in-flight batch can replay, so folding
+    * committed batches preserves replay exactness — the same argument
+    * each store used to make individually, now made once.
+    */
+  def compactFold(spark: SparkSession, storeDir: String, sub: String,
+                  keys: Seq[String], beforeBatch: Long, partitions: Int)
+                 (fold: DataFrame => DataFrame): Unit = {
+    recoverTable(spark, storeDir, sub)
+    swapIn(spark, storeDir, sub) { tmp =>
+      val all = spark.read.parquet(s"$storeDir/$sub")
+        .dropDuplicates(keys :+ "batch_id")
+      val folded = fold(all.filter(col("batch_id") < beforeBatch))
+        .withColumn("batch_id", lit(-1L))
+      folded.unionByName(all.filter(col("batch_id") >= beforeBatch))
+        .repartition(partitions)
+        .write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** Returns true if anything was repaired. */

@@ -550,21 +550,13 @@ object Relational {
 
   def compactAggStore(spark: org.apache.spark.sql.SparkSession,
                       storeDir: String, keys: Seq[String],
-                      beforeBatch: Long, partitions: Int = 1): Unit = {
-    IndexFiles.recoverTable(spark, storeDir, "agg")
-    IndexFiles.swapIn(spark, storeDir, "agg") { tmp =>
-      val all = spark.read.parquet(s"$storeDir/agg")
-        .dropDuplicates(keys :+ "batch_id")
-      val fold = all.filter(col("batch_id") < beforeBatch)
-        .groupBy(keys.map(col): _*)
+                      beforeBatch: Long, partitions: Int = 1): Unit =
+    IndexFiles.compactFold(spark, storeDir, "agg", keys, beforeBatch,
+        partitions) { below =>
+      below.groupBy(keys.map(col): _*)
         .agg(sum("n").as("n"), sum("sum_milli").as("sum_milli"),
              min("min_milli").as("min_milli"), max("max_milli").as("max_milli"))
-        .withColumn("batch_id", lit(-1L))
-      fold.unionByName(all.filter(col("batch_id") >= beforeBatch))
-        .repartition(partitions)
-        .write.mode("overwrite").parquet(tmp)
     }
-  }
 
   /** Persisted QUANTILE store — the [[extendAggStore]] lifecycle for
     * distribution (not just count/sum/min/max) history: per-key
@@ -653,20 +645,12 @@ object Relational {
 
   def compactQuantileStore(spark: org.apache.spark.sql.SparkSession,
                            storeDir: String, keys: Seq[String], k: Int,
-                           beforeBatch: Long, partitions: Int = 1): Unit = {
-    IndexFiles.recoverTable(spark, storeDir, "kll")
-    IndexFiles.swapIn(spark, storeDir, "kll") { tmp =>
-      val all = spark.read.parquet(s"$storeDir/kll")
-        .dropDuplicates(keys :+ "batch_id")
-      val fold = all.filter(col("batch_id") < beforeBatch)
-        .groupBy(keys.map(col): _*)
+                           beforeBatch: Long, partitions: Int = 1): Unit =
+    IndexFiles.compactFold(spark, storeDir, "kll", keys, beforeBatch,
+        partitions) { below =>
+      below.groupBy(keys.map(col): _*)
         .agg(graft.functions.KllMergeAgg.sketch(col("sketch"), k).as("sketch"))
-        .withColumn("batch_id", lit(-1L))
-      fold.unionByName(all.filter(col("batch_id") >= beforeBatch))
-        .repartition(partitions)
-        .write.mode("overwrite").parquet(tmp)
     }
-  }
 
   /** Persisted DISTINCT-COUNT store — the sketch-store lifecycle
     * ([[extendAggStore]] counts/sums, [[extendQuantileStore]]
@@ -708,21 +692,13 @@ object Relational {
 
   def compactDistinctStore(spark: org.apache.spark.sql.SparkSession,
                            storeDir: String, keys: Seq[String], k: Int,
-                           beforeBatch: Long, partitions: Int = 1): Unit = {
-    IndexFiles.recoverTable(spark, storeDir, "kmv")
-    IndexFiles.swapIn(spark, storeDir, "kmv") { tmp =>
-      val all = spark.read.parquet(s"$storeDir/kmv")
-        .dropDuplicates(keys :+ "batch_id")
-      val fold = all.filter(col("batch_id") < beforeBatch)
-        .groupBy(keys.map(col): _*)
+                           beforeBatch: Long, partitions: Int = 1): Unit =
+    IndexFiles.compactFold(spark, storeDir, "kmv", keys, beforeBatch,
+        partitions) { below =>
+      below.groupBy(keys.map(col): _*)
         .agg(graft.functions.KmvMergeAgg.sketch(col("sketch"), k)
           .as("sketch"))
-        .withColumn("batch_id", lit(-1L))
-      fold.unionByName(all.filter(col("batch_id") >= beforeBatch))
-        .repartition(partitions)
-        .write.mode("overwrite").parquet(tmp)
     }
-  }
 
   /** Join-key SKEW diagnostic (the planning input for [[saltedJoin]] /
     * AQE skew thresholds): for each candidate key column, the top-k
@@ -1182,11 +1158,17 @@ object Relational {
     * applied row-wise is the clipped-column writer.
     */
   def clipOutliers(df: DataFrame, stratumCol: String, valueCol: String,
-                   pLow: Int, pHigh: Int): DataFrame = {
+                   pLow: Int, pHigh: Int, quantMilli: Long = 1L): DataFrame = {
     require(0 <= pLow && pLow < pHigh && pHigh <= 100,
       s"need 0 <= pLow < pHigh <= 100, got ($pLow, $pHigh)")
-    val rows = df.select(col(stratumCol).as("stratum"),
-      round(col(valueCol) * 1000).cast("long").as("__v"))
+    require(quantMilli >= 1, s"quantMilli must be >= 1, got $quantMilli")
+    // distribution-window cardinality contract: see [[robustZscore]] —
+    // quantMilli > 1 floors values to multiples, bounding the
+    // per-stratum distinct table a continuous metric would inflate
+    val rawV = round(col(valueCol) * 1000).cast("long")
+    val qv = if (quantMilli == 1L) rawV
+             else rawV - pmod(rawV, lit(quantMilli))
+    val rows = df.select(col(stratumCol).as("stratum"), qv.as("__v"))
     val dist = rows.groupBy("stratum", "__v").agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy("stratum").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1608,14 +1590,30 @@ object Relational {
     * Scale shape: two (stratum, value) distribution aggregations with
     * per-stratum distribution windows (bounded milli domain — the
     * corpus never sorts), thresholds broadcast back, one flag scan.
+    *
+    * CARDINALITY CONTRACT (shared by the whole distribution-window
+    * family — [[clipOutliers]], `score_percentile`): the per-stratum
+    * window runs over the DISTINCT-value table, so its single-task
+    * sort is bounded by the stratum's distinct MILLI-value count, not
+    * its row count. Milli quantization bounds that for ratio/score
+    * metrics (≤ a few thousand distinct values); a high-cardinality
+    * CONTINUOUS metric (raw latencies, revenue cents) at 100× can
+    * still push one stratum's distinct count into the millions — pass
+    * `quantMilli > 1` to floor values to multiples of `quantMilli`
+    * (distinct count ≤ range/quantMilli; thresholds then exact on the
+    * coarsened distribution — the documented approximation).
     */
   def robustZscore(df: DataFrame, stratumCol: String, idCol: String,
-                   valueCol: String, thresholdMilli: Long): DataFrame = {
+                   valueCol: String, thresholdMilli: Long,
+                   quantMilli: Long = 1L): DataFrame = {
     require(thresholdMilli >= 1,
       s"thresholdMilli must be >= 1, got $thresholdMilli")
+    require(quantMilli >= 1, s"quantMilli must be >= 1, got $quantMilli")
+    val raw = round(col(valueCol) * 1000).cast("long")
+    val v = if (quantMilli == 1L) raw
+            else raw - pmod(raw, lit(quantMilli))
     val rows = df.select(col(stratumCol).as("stratum"),
-      col(idCol).as("id"),
-      round(col(valueCol) * 1000).cast("long").as("value_milli"))
+      col(idCol).as("id"), v.as("value_milli"))
     def median(d: DataFrame, vc: String) = {
       val w = Window.partitionBy("stratum").orderBy(vc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

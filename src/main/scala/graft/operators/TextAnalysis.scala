@@ -603,18 +603,40 @@ object TextAnalysis {
     * #sources², and #sources is a catalog-sized dimension (tens to
     * thousands), never corpus-sized. Integer permille; ties/layout
     * irrelevant (pure set algebra).
+    *
+    * Hub-gram cap (the [[graft.operators.Graph.jaccardNeighbors]]
+    * `maxDegree` device): a gram present in MORE than `maxSources`
+    * sources fans out ~df²/2 pair rows in the self-join, and at
+    * thousands of sources the boilerplate grams that every web source
+    * shares are exactly that worst case — while carrying ~zero
+    * distinguishing signal (a gram in nearly all sources tells you
+    * nothing about which PAIR overlaps). Grams with df > `maxSources`
+    * are dropped from the gram UNIVERSE before sizes and the join, so
+    * the Jaccard stays consistent set algebra on the capped universe
+    * — a documented approximation that only engages when a gram's df
+    * exceeds the cap (exact whenever #sources ≤ `maxSources`, the
+    * oracle regime; the fan-out bound becomes #pairs · maxSources²
+    * per gram instead of df²).
     */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
-                    n: Int = 3): DataFrame = {
+                    n: Int = 3, maxSources: Int = 1024): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(maxSources >= 2, s"maxSources must be >= 2, got $maxSources")
     val toks = filter(split(trim(col(textCol)), "\\s+"),
       x => length(x) > 0)
-    val grams = docs.select(col(srcCol).as("__src"), toks.as("__t"))
+    val allGrams = docs.select(col(srcCol).as("__src"), toks.as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col("__src"),
         explode(transform(sequence(lit(0), size(col("__t")) - n),
           i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))).as("gram"))
       .distinct()
+    // gram df over SOURCES (rows are already distinct per (src, gram))
+    // — one gram-keyed window-free agg + a semi-join-shaped filter
+    val keep = allGrams.groupBy("gram")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxSources)
+      .select("gram")
+    val grams = allGrams.join(keep, "gram")
     val sizes = grams.groupBy(col("__src")).agg(count(lit(1)).as("__sz"))
     val common = grams
       .join(grams.select(col("__src").as("__src2"), col("gram")), "gram")
@@ -1183,6 +1205,13 @@ object TextAnalysis {
     * combined), a window over that score-cardinality-bounded table,
     * then a broadcast join back onto the corpus. The corpus itself
     * never sorts and never passes through a window.
+    *
+    * Cardinality contract: the window's single-task sort is bounded
+    * by the stratum's DISTINCT score count — the caller owns the
+    * score's quantization (scores here are integer by signature). For
+    * a high-cardinality continuous score, coarsen it in the `score`
+    * expression (`score div q * q`) — the
+    * [[graft.operators.Relational.robustZscore]] `quantMilli` device.
     */
   def scorePercentile(docs: DataFrame, strataCol: String, idCol: String,
                       score: Column): DataFrame = {

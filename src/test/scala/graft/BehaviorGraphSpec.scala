@@ -342,6 +342,35 @@ class BehaviorGraphSpec extends AnyFunSuite {
     assert(got == Seq(("A", "B", 1L, 333L)))
   }
 
+  test("sourceOverlap: hub-gram cap drops grams shared by > maxSources " +
+       "sources from the whole universe; exact when df ≤ cap") {
+    // "hub hub hub" lives in ALL four sources (boilerplate); the
+    // distinguishing gram "one two three" only in A and B
+    val docs = Seq(
+      ("A", "hub hub hub"), ("A", "one two three"),
+      ("B", "hub hub hub"), ("B", "one two three"),
+      ("C", "hub hub hub"), ("C", "c only words here"),
+      ("D", "hub hub hub"), ("D", "d text quite unlike")
+    ).toDF("source", "text")
+    // cap 3 < df(hub)=4: hub gram leaves the universe entirely —
+    // C and D then share nothing and drop out; A∩B = {one two three}
+    // over capped sizes |A|=|B|=1 → jaccard 1000
+    val capped = TextAnalysis.sourceOverlap(docs, "source", "text",
+        n = 3, maxSources = 3)
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(capped == Seq(("A", "B", 1L, 1000L)))
+    // cap ≥ #sources: exact — identical to the uncapped algebra
+    // (every pair shares hub; A-B also share the trigram)
+    val exact = TextAnalysis.sourceOverlap(docs, "source", "text",
+        n = 3, maxSources = 1024)
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(exact == Seq(
+      ("A", "B", 2L, 1000L), ("A", "C", 1L, 250L), ("A", "D", 1L, 250L),
+      ("B", "C", 1L, 250L), ("B", "D", 1L, 250L), ("C", "D", 1L, 200L)))
+  }
+
   test("readability: hand-counted words/sentences/syllables") {
     val docs = Seq(
       (1L, "The cat sat. It ran!"),

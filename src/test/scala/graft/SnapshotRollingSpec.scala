@@ -633,6 +633,34 @@ class SnapshotRollingSpec extends AnyFunSuite {
       ("b", 20L, 50000L, 5000L, 0L, None)))
   }
 
+  test("robustZscore/clipOutliers quantMilli: coarse quantization " +
+       "bounds the distribution table and floors values to multiples " +
+       "(negatives included); flags stable when values sit on the grid") {
+    // continuous-ish values; quantMilli=1000 floors milli values to
+    // whole units: −1.2 → −2000 (floor, not truncate-toward-zero)
+    val d = Seq(("s", 1L, 1.0001), ("s", 2L, 1.0002), ("s", 3L, 1.0003),
+      ("s", 4L, 1.5), ("s", 5L, -1.2), ("s", 6L, 100.0))
+      .toDF("st", "id", "v")
+    val got = Relational.robustZscore(d, "st", "id", "v",
+        thresholdMilli = 3500L, quantMilli = 1000L)
+      .orderBy("id")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    // floored millis: 1000,1000,1000,1000,−2000,100000 → med 1000,
+    // mad 0 (majority identical) → v≠med rows flag with null rz
+    assert(got == Seq(("s", 5L, -2000L, 1000L, 0L, None),
+      ("s", 6L, 100000L, 1000L, 0L, None)))
+    // clipOutliers under the same grid: the distribution table has 3
+    // distinct floored values; thresholds are exact on the coarse grid
+    val co = Relational.clipOutliers(d, "st", "v", 5, 95,
+        quantMilli = 1000L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    // dist: −2000×1, 1000×4, 100000×1 (n=6): lo = min v with cum·100
+    // ≥ 5·6=30 → cum(−2000)=100 ≥ 30 → −2000; hi: cum·100 ≥ 570 →
+    // 1000 (cum 500·... 5·100=500 < 570) → 100000
+    assert(co == (("s", -2000L, 100000L, 6L, 0L, 0L,
+      100000L + 4000L - 2000L, 100000L + 4000L - 2000L)))
+  }
+
   test("weightedQuantiles: weight mass moves the median where row " +
        "counts would not") {
     // values 1,2,3 with weights 1,1,8: row-median is 2, the weighted

@@ -37,12 +37,83 @@ object DynamicOracles {
       "embedding_clusters" -> (() => embeddingClusters(spark, dir)),
       "quality_classifier" -> (() => qualityClassifier(spark, dir)),
       "dedup_simhash" -> (() => dedupSimhash(spark, dir)),
+      "knn_outliers" -> (() => knnOutliers(spark, dir)),
+      "bitext_mine_ann" -> (() => bitextMineAnn(spark, dir)),
       "cluster_balanced_sample" -> (() => clusterBalancedSample(spark, dir)),
       "cluster_topics" -> (() => clusterTopics(spark, dir)),
       "tokenizer_stats" -> (() => tokenizerStats(spark, dir))
     ).flatMap { case (k, f) =>
       scala.util.Try(f()).toOption.map(k -> _)
     }.toMap
+
+  /** E83 knn_outliers twin over the ANN-composed neighbor frame: the
+    * kth-cosine table is an INDEX ARTIFACT (same standing as the
+    * learned merge/piece tables — deterministic IVF run, replayed
+    * identically by the query key via
+    * [[SparkEntry.knnOutliersNeighbors]]), embedded as literals;
+    * DuckDB independently re-derives the HUGEINT moment rule and the
+    * flag set. The exact-graph twin stays the planted-data oracle in
+    * QuantizePreferenceSpec.
+    */
+  def knnOutliers(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.knnOutliersNeighbors(spark, dir)
+      .filter(col("rank") === 5L)
+      .selectExpr("query_id AS vec_id",
+        "CAST(round(cos * 1000000) AS BIGINT) AS kc")
+      .orderBy("vec_id").collect()
+    require(rows.nonEmpty, "knn_outliers: empty kth-neighbor frame")
+    val vals = rows.map(r => s"(${r.getLong(0)},${r.getLong(1)})")
+      .mkString(",")
+    raw"""WITH kc(vec_id, kth) AS (VALUES $vals),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        sum(CAST(kth AS HUGEINT)) AS s1,
+        sum(CAST(kth AS HUGEINT) * kth) AS s2 FROM kc)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(kth AS BIGINT) AS kth_cos_micro,
+       (n >= 2 AND n * kth < s1 AND
+        (n * kth - s1) * (n * kth - s1) > 4 * (n * s2 - s1 * s1))
+         AS is_outlier
+FROM kc, m"""
+  }
+
+  /** E66b bitext_mine_ann twin: the two IVF candidate lists are the
+    * index artifact (deterministic, regenerated identically by the
+    * query key via [[SparkEntry.bitextAnnLists]]); DuckDB re-derives
+    * kNN sums, ratio margins, the best-per-source pick, the
+    * distribution-window calibrated threshold (top-50-permille with
+    * ties), and the mined set — every piece of downstream integer
+    * math, independently.
+    */
+  def bitextMineAnn(spark: SparkSession, dir: String): String = {
+    val (fwd, bwd) = SparkEntry.bitextAnnLists(spark, dir)
+    val f = fwd.orderBy("src_id", "tgt_id").collect()
+      .map(r => s"(${r.getLong(0)},${r.getLong(1)},${r.getLong(2)})")
+    val b = bwd.orderBy("tgt_id", "__cm").collect()
+      .map(r => s"(${r.getLong(0)},${r.getLong(1)})")
+    require(f.nonEmpty && b.nonEmpty, "bitext_mine_ann: empty IVF lists")
+    raw"""WITH fwd(src_id, tgt_id, cm) AS (VALUES ${f.mkString(",")}),
+bwd(tgt_id, cm) AS (VALUES ${b.mkString(",")}),
+ss AS (SELECT src_id, sum(cm) AS sum_s FROM fwd GROUP BY 1),
+st AS (SELECT tgt_id, sum(cm) AS sum_t FROM bwd GROUP BY 1),
+sc AS (SELECT f.src_id, f.tgt_id, f.cm,
+         (CAST(f.cm AS BIGINT) * 8000) // (ss.sum_s + st.sum_t) AS margin
+       FROM fwd f JOIN ss USING (src_id) JOIN st USING (tgt_id)
+       WHERE f.cm >= 0 AND ss.sum_s + st.sum_t > 0),
+best AS (SELECT src_id, tgt_id, cm, margin FROM (
+           SELECT *, row_number() OVER (PARTITION BY src_id
+             ORDER BY margin DESC, tgt_id) AS rk FROM sc) WHERE rk = 1),
+n AS (SELECT count(*) AS nb FROM best),
+dist AS (SELECT margin, count(*) AS c FROM best GROUP BY 1),
+cum AS (SELECT margin, sum(c) OVER (ORDER BY margin DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge
+        FROM dist),
+thr AS (SELECT max(margin) AS t FROM cum, n
+        WHERE cge >= greatest(1, nb * 50 // 1000))
+SELECT CAST(src_id AS BIGINT) AS src_id, CAST(tgt_id AS BIGINT) AS tgt_id,
+       cm / 1e6 AS cos, CAST(margin AS BIGINT) AS margin_permille
+FROM best, thr WHERE margin >= t"""
+  }
 
   /** BPE encode twin. Per merge (rank order) the full-token
     * ` l r ` → ` lr ` replace is applied TWICE: a left-to-right

@@ -474,6 +474,23 @@ object Similarity {
               micro(col("cos")).as("__cm"))
     val bwd = annBruteForce(src, tgt, idCol, vecCol, k)
       .select(col("query_id").as("tgt_id"), micro(col("cos")).as("__cm"))
+    bitextBest(fwd, bwd, k)
+      .filter(col("margin_permille") >= minMarginPermille)
+      .select(col("src_id"), col("tgt_id"),
+              (col("__cm") / lit(1e6)).as("cos"), col("margin_permille"))
+  }
+
+  /** Shared margin scoring over ANY pair of neighbor LISTS (the
+    * composition seam that lets [[bitextMine]]'s exact heaps and
+    * [[bitextMineAnn]]'s IVF lists feed identical downstream math):
+    * `fwd` is (src_id, tgt_id, __cm) — each source's k candidate
+    * targets with micro-cosine; `bwd` is (tgt_id, __cm) — each
+    * target's k neighbor cosines on the source side. Returns the
+    * best-margin pair per source (`src_id, tgt_id, __cm,
+    * margin_permille`), ties broken by tgt_id.
+    */
+  private def bitextBest(fwd: DataFrame, bwd: DataFrame,
+                         k: Int): DataFrame = {
     val sumS = fwd.groupBy("src_id").agg(sum("__cm").as("__sum_s"))
     val sumT = bwd.groupBy("tgt_id").agg(sum("__cm").as("__sum_t"))
     val scored = fwd.join(sumS, "src_id").join(sumT, "tgt_id")
@@ -483,8 +500,78 @@ object Similarity {
     val w = Window.partitionBy("src_id")
       .orderBy(col("margin_permille").desc, col("tgt_id"))
     scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1 &&
-              col("margin_permille") >= minMarginPermille)
+      .filter(col("__rk") === 1)
+      .select(col("src_id"), col("tgt_id"), col("__cm"),
+              col("margin_permille"))
+  }
+
+  /** The 100 TB bitext miner made EXECUTABLE (the [[mutualKnn]] /
+    * `mutual_knn_ann` precedent): both kNN passes ride [[annIvf]]
+    * cell-probe candidate lists instead of exact heaps — n^1.5
+    * candidate volume with √n-scaled `nlist` — and the mining
+    * threshold is CORPUS-CALIBRATED instead of fixed: a fixed permille
+    * cut mines nothing when corpus density rises (every kNN sum grows
+    * — the r6 sf1 rehearsal measured exactly that: 0 rows mined at
+    * 10×), so the threshold is set from the margin distribution
+    * itself. `ratePermille` is the target mining rate over best-pairs
+    * (CCMatrix practice: pick the margin cut that yields the wanted
+    * parallel-corpus size): the threshold is the LARGEST margin value
+    * `t` with `count(margin ≥ t) ≥ max(1, n_best·rate div 1000)` —
+    * exact integer rule over the margin DISTRIBUTION table (margin
+    * cardinality is permille-bounded, so the one-task cumulative
+    * window never sees corpus-sized data; ties at the threshold are
+    * included, stated).
+    *
+    * Margin quality folds in the index's recall loss (the mutual_knn
+    * composition contract); BitextAnnSpec pins full-probe ≡ exact and
+    * a partial-probe recall floor on planted pairs. A source whose
+    * probed cells hold fewer than `k` candidates gets a short kNN sum
+    * (margin biased up — same n < k edge the exact miner has;
+    * calibration is within-corpus, stated).
+    */
+  def bitextMineAnn(src: DataFrame, tgt: DataFrame, idCol: String,
+                    vecCol: String, k: Int, ratePermille: Long,
+                    nprobe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(ratePermille >= 1 && ratePermille <= 1000,
+      s"ratePermille must be in [1,1000], got $ratePermille")
+    val micro = (c: Column) => round(c * lit(1e6)).cast("long")
+    val fwd = annIvf(tgt, src, idCol, vecCol, k,
+        nlist = ivfNlistFor(tgt.count()), nprobe = nprobe,
+        lloydIters = lloydIters)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+              micro(col("cos")).as("__cm"))
+    val bwd = annIvf(src, tgt, idCol, vecCol, k,
+        nlist = ivfNlistFor(src.count()), nprobe = nprobe,
+        lloydIters = lloydIters)
+      .select(col("query_id").as("tgt_id"), micro(col("cos")).as("__cm"))
+    bitextCalibrated(fwd, bwd, k, ratePermille)
+  }
+
+  /** Calibrated mining over prebuilt lists — see [[bitextMineAnn]];
+    * exposed at list granularity so Verify's dynamic oracle can replay
+    * the identical downstream math over the embedded lists.
+    */
+  private[graft] def bitextCalibrated(fwd: DataFrame, bwd: DataFrame,
+                                      k: Int,
+                                      ratePermille: Long): DataFrame = {
+    val best = bitextBest(fwd, bwd, k)
+    val dist = best.groupBy("margin_permille").agg(count(lit(1)).as("__c"))
+    // margin-cardinality-bounded distribution window (the
+    // clip_outliers device): cum count of best-pairs at or above each
+    // margin value, descending
+    val wDesc = Window.orderBy(col("margin_permille").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = dist
+      .withColumn("__cge", sum("__c").over(wDesc))
+      .withColumn("__n", sum("__c").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .agg(max(when(col("__cge") >= greatest(lit(1L),
+          expr(s"__n * ${ratePermille}L div 1000")), col("margin_permille")))
+        .as("__thr"))
+    best.crossJoin(broadcast(thr))
+      .filter(col("margin_permille") >= col("__thr"))
       .select(col("src_id"), col("tgt_id"),
               (col("__cm") / lit(1e6)).as("cos"), col("margin_permille"))
   }

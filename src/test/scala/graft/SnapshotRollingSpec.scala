@@ -354,6 +354,57 @@ class SnapshotRollingSpec extends AnyFunSuite {
       "expected at least one source below the margin threshold")
   }
 
+  test("bitextMineAnn: full-probe IVF ≡ exact miner; calibrated rate " +
+       "mines the top margin slice; partial-probe recall floor on " +
+       "planted pairs") {
+    import graft.operators.Similarity
+    val dim = 64; val nPairs = 40
+    // planted pair i: src = e_i, tgt = normalize(e_i + eps_i·e_{i+1})
+    // with eps varying by class so margins differ across pairs
+    def unit(i: Int, eps: Double): Array[Float] = {
+      val v = Array.fill(dim)(0.0)
+      v(i % dim) = 1.0; v((i + 1) % dim) += eps
+      val m = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / m).toFloat)
+    }
+    val vecs = (0 until nPairs).flatMap { i =>
+      Seq(((2 * i).toLong, unit(i, 0.0)),
+          ((2 * i + 1).toLong, unit(i, 0.01 * (1 + i % 5))))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val s = df.filter(col("vec_id") % 2 === 0)
+    val t = df.filter(col("vec_id") % 2 === 1)
+    val twins = (0 until nPairs)
+      .map(i => ((2 * i).toLong, (2 * i + 1).toLong)).toSet
+    val exact = Similarity.bitextMine(s, t, "vec_id", "embedding",
+        k = 3, minMarginPermille = 0L)
+      .select("src_id", "tgt_id", "margin_permille")
+      .as[(Long, Long, Long)].collect().toSet
+    // full probe (nprobe ≥ #cells) + rate 1000 (keep every best pair):
+    // IVF plumbing with exact recall ⇒ identical to the exact miner
+    val full = Similarity.bitextMineAnn(s, t, "vec_id", "embedding",
+        k = 3, ratePermille = 1000L, nprobe = 40, lloydIters = 2)
+      .select("src_id", "tgt_id", "margin_permille")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == exact)
+    assert(exact.map(r => (r._1, r._2)) == twins) // every best is the twin
+    // calibrated mining rate: top 100‰ of 40 best pairs → target 4,
+    // ties included — a strict top slice, never zero, never everything
+    val sliced = Similarity.bitextMineAnn(s, t, "vec_id", "embedding",
+        k = 3, ratePermille = 100L, nprobe = 40, lloydIters = 2)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(sliced.nonEmpty && sliced.size >= 4 && sliced.size < nPairs)
+    assert(sliced.subsetOf(twins))
+    // partial probe: margins fold in the index's recall loss — pin a
+    // floor on planted-pair recovery (the mutual_knn composition
+    // contract)
+    val partial = Similarity.bitextMineAnn(s, t, "vec_id", "embedding",
+        k = 3, ratePermille = 1000L, nprobe = 2, lloydIters = 2)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(partial.intersect(twins).size >= (nPairs * 3) / 4,
+      s"partial-probe recall too low: ${partial.intersect(twins).size}/$nPairs")
+  }
+
   // --- joinMaintain ------------------------------------------------------
 
   test("joinMaintain: every churn class lands where the algebra says") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Behavior, Bpe, CurateCorpus, Dedup, Graph, LangId, Layout, Pca, QualityClassifier, Relational, Retrieval, SetSketch, Similarity, TextAnalysis, Unigram, Upsert}
+import graft.operators.{Behavior, Bpe, CurateCorpus, Dedup, Graph, LangId, Layout, Multimodal, Pca, QualityClassifier, Relational, Retrieval, SetSketch, Similarity, TextAnalysis, Unigram, Upsert}
 import graft.functions.Normalize
 import graft.marc.{Extract, Iso2709, MarcCorpus, MarcXml, PublishSplit, TrimPunctuation}
 import graft.marc.PublishSplit.PublishRow
@@ -2792,6 +2792,37 @@ object SparkEntry {
         col("event_type"), expr("ts_ns div 1000").as("ts_us"))
       Behavior.sequentialPatterns(ev, "user_id", "ts_us", "event_type",
         minSupport = 5L)
+    }),
+
+    // E90: dHash image near-dup made DRIVER-VERIFIABLE (was spec-only
+    // — binary payloads have no DuckDB decode; the planted-PNG device
+    // closes that): every embeddings id gets a 9×8 synthetic PNG whose
+    // dHash IS splitmix64(id) exactly (syntheticDHashImage), and each
+    // id % 10 == 0 also gets a re-lit copy at id+1e6 with
+    // (id div 10) % 4 pattern bits flipped (bits 5/21/47 — ≤3 bands
+    // touched, the pigeonhole band stays intact) — so the near-dup
+    // pair set is EXACTLY the planted list with hamming = flip count
+    // (SQL-derivable), and any other pair would need a ~2⁻⁴⁵
+    // 3-bit-ball collision between independent 64-bit patterns. The
+    // decode → hash → band-block → popcount path is all REAL
+    "image_near_dup" -> ((s, dir) => {
+      val gen = udf((src: Long, flips: Int, luma: Int) => {
+        val mask = Seq(5, 21, 47).take(flips)
+          .foldLeft(0L)((m, b) => m | (1L << b))
+        Multimodal.syntheticDHashImage(
+          Multimodal.scramble64(src) ^ mask, luma)
+      })
+      val ids = Tables(s, dir).embeddings.select(col("vec_id"))
+      val base = ids.select(col("vec_id").as("asset_id"),
+        gen(col("vec_id"), lit(0), lit(128)).as("payload"))
+      val copies = ids.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("asset_id"),
+          gen(col("vec_id"),
+            expr("CAST((vec_id div 10) % 4 AS INT)"), lit(168))
+            .as("payload"))
+      val (pairs, _) =
+        Multimodal.imageNearDup(base.unionByName(copies), maxHamming = 3)
+      pairs
     }),
 
     // E83: kNN-distance outliers over the ANN-COMPOSED neighbor frame
@@ -6910,6 +6941,16 @@ FROM decided""",
     // the ANN-composed kth-cos frame rides as literals, DuckDB replays
     // the HUGEINT moment rule — the exact-graph twin lives in
     // QuantizePreferenceSpec as the planted-data oracle
+
+    // E90: the planted-pattern construction makes the image pair set
+    // structurally known — pair (v, v+1e6) exists iff v % 10 = 0, with
+    // hamming = the flip count (v div 10) % 4; non-planted pairs need
+    // a ~2⁻⁴⁵ pattern collision (absent, deterministically, at every
+    // test SF)
+    "image_near_dup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+                CAST((vec_id // 10) % 4 AS BIGINT) AS hamming
+         FROM embeddings WHERE vec_id % 10 = 0""",
 
     "classification_report" ->
       """WITH d AS (SELECT lang AS truth,

@@ -386,6 +386,55 @@ object Multimodal {
     hash
   }
 
+  /** Deterministic 9×8 grayscale PNG whose [[imageDHash]] equals
+    * `pattern` EXACTLY — the planted-corpus device that makes E90
+    * driver-verifiable (the mutual_knn_ann precedent: the oracle
+    * re-derives the planted pair set as literals): per row `gy` the
+    * cell value starts at `lumaBase` and steps +1 exactly where bit
+    * `gy·8+gx` of `pattern` is set, so `cell(gx) < cell(gx+1)` iff
+    * the bit is set (equal otherwise — NOT less) and the packed
+    * gradient signs reproduce `pattern` bit-for-bit. One pixel per
+    * grid cell (`w=9, h=8`, integer pooling is the identity), gray
+    * pixels make the milli-luma exact (`1000·v`), and PNG is lossless
+    * — so the hash survives any encoder byte layout. Two images with
+    * the same pattern but different `lumaBase` are distinct payloads
+    * with IDENTICAL dHash (hamming 0); flipping k bits of the pattern
+    * yields hamming exactly k.
+    */
+  def syntheticDHashImage(pattern: Long, lumaBase: Int): Array[Byte] = {
+    require(lumaBase >= 0 && lumaBase <= 246,
+      s"lumaBase must leave headroom for +8 steps, got $lumaBase")
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var gy = 0
+    while (gy < 8) {
+      var v = lumaBase
+      img.setRGB(0, gy, (v << 16) | (v << 8) | v)
+      var gx = 0
+      while (gx < 8) {
+        if (((pattern >>> (gy * 8 + gx)) & 1L) == 1L) v += 1
+        img.setRGB(gx + 1, gy, (v << 16) | (v << 8) | v)
+        gx += 1
+      }
+      gy += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** splitmix64 finalizer — the per-id 64-bit pattern source for the
+    * planted image corpus (bijective, so distinct ids never collide
+    * on the full pattern; 3-bit-ball collisions between INDEPENDENT
+    * patterns are ~2⁻⁴⁵ per pair, absent at every test SF).
+    */
+  def scramble64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   private val DHashSchema = StructType(Seq(
     StructField("asset_id", LongType), StructField("dhash", LongType),
     StructField("decode_error", StringType)))

@@ -612,4 +612,27 @@ class StreamingSourcesSpec extends AnyFunSuite {
     assert(errors.select("asset_id").as[Long].collect().toSet ==
       Set(4L, 5L))
   }
+
+  test("syntheticDHashImage: dHash round-trips the pattern exactly for " +
+       "arbitrary patterns and any lumaBase; flipped bits -> exact " +
+       "hamming; re-lit copy hashes identically") {
+    val pats = Seq(0L, -1L, 0x123456789ABCDEFL,
+      Multimodal.scramble64(7L), Multimodal.scramble64(-3L))
+    for (p <- pats; base <- Seq(0, 128, 246)) {
+      assert(Multimodal.imageDHash(
+        Multimodal.syntheticDHashImage(p, base)) == p,
+        s"pattern $p base $base")
+    }
+    // k flipped bits = hamming exactly k; different luma, same pattern
+    // = hamming 0 on a byte-distinct payload
+    val p = Multimodal.scramble64(42L)
+    val a = Multimodal.syntheticDHashImage(p, 128)
+    val b = Multimodal.syntheticDHashImage(
+      p ^ (1L << 5) ^ (1L << 21) ^ (1L << 47), 128)
+    assert(java.lang.Long.bitCount(
+      Multimodal.imageDHash(a) ^ Multimodal.imageDHash(b)) == 3)
+    val relit = Multimodal.syntheticDHashImage(p, 168)
+    assert(!java.util.Arrays.equals(a, relit))
+    assert(Multimodal.imageDHash(relit) == Multimodal.imageDHash(a))
+  }
 }

@@ -8269,7 +8269,8 @@ FROM decided""",
   val dynamicOracleQueries: Set[String] =
     Set("bpe_tokenize", "unigram_tokenize", "embedding_pca",
         "embedding_clusters", "quality_classifier", "dedup_simhash",
-        "cluster_balanced_sample", "cluster_topics", "tokenizer_stats")
+        "cluster_balanced_sample", "cluster_topics", "tokenizer_stats",
+        "knn_outliers", "bitext_mine_ann")
 
   /** Queries intentionally without a DuckDB oracle (hash-seed-dependent
     * or iteratively-trained outputs SQL cannot re-derive) — driver

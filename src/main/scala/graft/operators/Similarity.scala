@@ -557,18 +557,20 @@ object Similarity {
                                       ratePermille: Long): DataFrame = {
     val best = bitextBest(fwd, bwd, k)
     val dist = best.groupBy("margin_permille").agg(count(lit(1)).as("__c"))
-    // margin-cardinality-bounded distribution window (the
-    // clip_outliers device): cum count of best-pairs at or above each
-    // margin value, descending
-    val wDesc = Window.orderBy(col("margin_permille").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thr = dist
-      .withColumn("__cge", sum("__c").over(wDesc))
-      .withColumn("__n", sum("__c").over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+    // cum count of best-pairs at or above each margin value WITHOUT a
+    // partition-less window (the single-partition killer the plan
+    // gate bans): a broadcast triangular self-join of the margin
+    // DISTRIBUTION table — cardinality is permille-bounded, so the
+    // pair frame is distribution², never corpus-sized
+    val cge = dist.select(col("margin_permille").as("__m"))
+      .join(broadcast(dist.select(col("margin_permille").as("__m2"),
+          col("__c"))),
+        col("__m2") >= col("__m"))
+      .groupBy("__m").agg(sum("__c").as("__cge"))
+    val tot = dist.agg(sum("__c").as("__n"))
+    val thr = cge.crossJoin(broadcast(tot))
       .agg(max(when(col("__cge") >= greatest(lit(1L),
-          expr(s"__n * ${ratePermille}L div 1000")), col("margin_permille")))
+          expr(s"__n * ${ratePermille}L div 1000")), col("__m")))
         .as("__thr"))
     best.crossJoin(broadcast(thr))
       .filter(col("margin_permille") >= col("__thr"))

@@ -3252,6 +3252,132 @@ object SparkEntry {
         .groupBy((expr("ts_ns div 3600000000000") * 3600).as("hour_epoch"),
                  col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("total_value"))
+    }),
+
+    // E93: PR-AUC / average precision of the auc_score pair — the
+    // class-imbalance view ROC-AUC washes out; step AP with the
+    // stated floor-per-threshold quantization, HOF fold over the
+    // bounded score domain (the corpus never sorts)
+    "pr_auc" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("score"),
+        col("text").contains("join").as("label"))
+      Behavior.prAuc(d, "score", "label")
+    }),
+
+    // E94: Brier + ECE scalar calibration report over the
+    // calibration_bins pair — exact integer micro squared error, ECE
+    // off the same equi-depth bin fold
+    "brier_ece" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("score"),
+        col("text").contains("join").as("label"))
+      Behavior.brierEce(d, "score", "label", nBins = 10)
+    }),
+
+    // E95: McNemar paired-model comparison — two heuristic "models"
+    // predicting the contains-join label (word-mass vs char-length
+    // cut) on the SHARED eval set; discordant-pair χ² exact in milli
+    "mcnemar_check" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        col("text").contains("join").as("label"),
+        (least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L) >= 500L).as("pred_a"),
+        (col("n_chars") >= 2000L).as("pred_b"))
+      Behavior.mcnemarCheck(d, "label", "pred_a", "pred_b")
+    }),
+
+    // C111: Mann-Whitney rank-sum test — en vs non-en word-mass
+    // distributions; exact 2U + tie-corrected z² on the staged
+    // integer grid (the non-parametric leg of the ab_test family)
+    "mann_whitney" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        (col("lang") === "en").as("is_a"),
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("value"))
+      Behavior.mannWhitney(d, "is_a", "value")
+    }),
+
+    // C110: chi-square independence — does order status depend on
+    // priority; exact per-present-cell floors + per-row complement
+    // for absent cells, no R×C densification
+    "chi_square" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+      Behavior.chiSquareIndep(o, "o_orderstatus", "o_orderpriority")
+    }),
+
+    // C112: t-closeness — user-day groups whose event-type mix sits
+    // far (TVD > 300‰) from the table's global mix leak activity
+    // structure l-diversity cannot see
+    "t_closeness" -> ((s, dir) =>
+      Relational.tCloseness(
+        Tables(s, dir).events
+          .withColumn("day", expr("ts_ns div 86400000000000")),
+        Seq("user_id", "day"), "event_type", tPermille = 300L)),
+
+    // C113: per-supplier shipment-window coalescing — overlapping
+    // [ship_day, ship_day + orderkey%7] spans merge into maximal
+    // disjoint coverage islands (gaps-and-islands, key-partitioned)
+    "merge_intervals" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem.select(
+        col("l_suppkey"),
+        // NTZ→LTZ cast is wall-clock identity under the fixed UTC
+        // session zone, so unix_micros reads the same epoch DuckDB's
+        // epoch_us does (the conversion_lag device)
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP_LTZ))" +
+          " div 86400000000").as("start_day"))
+        .withColumn("end_day", col("start_day") + col("l_suppkey") % 7)
+      Relational.mergeIntervals(li, Seq("l_suppkey"), "start_day",
+        "end_day")
+    }),
+
+    // C114: HITS hubs/authorities over the DIRECTED link_rank graph
+    // (order→part): 3 fixed max-normalized integer rounds; the
+    // bipartite sides get their natural separate rankings
+    "hits_scores" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pk = col("l_partkey").cast("string")
+      val links = t.lineitem.filter(pk.startsWith("1") && pk.endsWith("3"))
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      Graph.hitsScores(links, "src", "dst", iterations = 3)
+    }),
+
+    // C115: item-item collaborative filtering over customer→part
+    // interactions (partkey-sampled) — co-count + squared-cosine +
+    // jaccard in exact integers; hub users dropped by maxBasket
+    "item_cf" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ui = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.filter(col("l_partkey") % 11 < 2)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+          "o_orderkey")
+        .select(col("o_custkey"), col("l_partkey"))
+      Graph.itemCf(ui, "o_custkey", "l_partkey", maxBasket = 256,
+        minCo = 2L)
+    }),
+
+    // E96: ROUGE-1/2 recall+F1 of the bleu_pairs fixture — the
+    // reference-coverage side of generation eval; exact integer
+    // ratios, entirely map-side
+    "rouge_pairs" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .withColumn("__t",
+          expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')"))
+        .filter(expr("size(__t) >= 6"))
+        .withColumn("__k", expr("CAST(2 * size(__t) div 3 AS INT)"))
+        .withColumn("__h", expr("__k div 2"))
+        .select(col("doc_id"),
+          expr("""concat_ws(' ', concat(slice(__t, __h + 1, __k - __h),
+            slice(__t, 1, __h)))""").as("cand"),
+          col("text").as("ref"))
+      TextAnalysis.rougeN(d, "doc_id", "cand", "ref")
     })
   )
 
@@ -8259,7 +8385,388 @@ FROM decided""",
                 event_type AS status
          FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id
-           ORDER BY epoch_us(ts) DESC, event_type ASC) = 1"""
+           ORDER BY epoch_us(ts) DESC, event_type ASC) = 1""",
+
+    "pr_auc" ->
+      """WITH d AS (
+           SELECT least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS s,
+                  text LIKE '%join%' AS lbl
+           FROM documents),
+         ps AS (SELECT s,
+                  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT)
+                    AS p,
+                  CAST(sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS BIGINT)
+                    AS n
+                FROM d GROUP BY 1),
+         c AS (SELECT *,
+                 CAST(sum(p) OVER (ORDER BY s DESC) AS HUGEINT) AS cp,
+                 CAST(sum(n) OVER (ORDER BY s DESC) AS HUGEINT) AS cn
+               FROM ps),
+         agg AS (SELECT CAST(sum(p) AS BIGINT) AS np,
+                        CAST(sum(n) AS BIGINT) AS nn,
+                        CAST(sum(CASE WHEN p > 0 THEN
+                          (1000000 * CAST(p AS HUGEINT) * cp)
+                            // (cp + cn) ELSE 0 END) AS HUGEINT)
+                          AS terms
+                 FROM c)
+         SELECT np AS n_pos, nn AS n_neg,
+                CAST(CASE WHEN np > 0 THEN terms // np END AS BIGINT)
+                  AS ap_micro
+         FROM agg""",
+
+    "brier_ece" ->
+      """WITH d AS (
+           SELECT least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS s,
+                  text LIKE '%join%' AS lbl
+           FROM documents),
+         br AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(s - 1000 * CASE WHEN lbl THEN 1 ELSE 0
+                      END AS HUGEINT)
+                    * (s - 1000 * CASE WHEN lbl THEN 1 ELSE 0 END))
+                    AS HUGEINT) AS se
+                FROM d),
+         ps AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END)
+                            AS BIGINT) AS p
+                FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ps),
+         c AS (SELECT *, CAST(coalesce(sum(n) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum0
+               FROM ps),
+         b AS (SELECT (cum0 * 10) // t.t AS bin, s, n, p
+               FROM c CROSS JOIN t),
+         bins AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n_rows,
+                    CAST((1000 * sum(p)) // sum(n)
+                         - sum(s * n) // sum(n) AS BIGINT) AS gap
+                  FROM b GROUP BY 1),
+         e AS (SELECT CAST(coalesce(sum(n_rows * abs(gap)), 0)
+                 AS HUGEINT) AS gaps FROM bins)
+         SELECT br.n AS n,
+                CASE WHEN br.n > 0
+                  THEN CAST(br.se // br.n AS BIGINT) END AS brier_micro,
+                CASE WHEN br.n > 0
+                  THEN CAST((1000 * e.gaps) // br.n AS BIGINT)
+                END AS ece_micro
+         FROM br, e""",
+
+    "mcnemar_check" ->
+      """WITH d AS (
+           SELECT text LIKE '%join%' AS lbl,
+                  least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) >= 500 AS pa,
+                  n_chars >= 2000 AS pb
+           FROM documents),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN pa = lbl AND pb = lbl
+                     THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+                   CAST(sum(CASE WHEN pa = lbl AND pb <> lbl
+                     THEN 1 ELSE 0 END) AS BIGINT) AS b_only_wrong,
+                   CAST(sum(CASE WHEN pa <> lbl AND pb = lbl
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a_only_wrong,
+                   CAST(sum(CASE WHEN pa <> lbl AND pb <> lbl
+                     THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+                 FROM d),
+         st AS (SELECT *,
+                  CASE WHEN b_only_wrong + a_only_wrong = 0 THEN NULL
+                       WHEN abs(b_only_wrong - a_only_wrong) <= 1
+                         THEN CAST(0 AS BIGINT)
+                       ELSE CAST((1000
+                         * (abs(b_only_wrong - a_only_wrong) - 1)
+                         * (abs(b_only_wrong - a_only_wrong) - 1))
+                         // (b_only_wrong + a_only_wrong) AS BIGINT)
+                  END AS chi2_milli
+                FROM agg)
+         SELECT n, both_right, b_only_wrong, a_only_wrong, both_wrong,
+                chi2_milli,
+                coalesce(chi2_milli > 3841, false) AS significant
+         FROM st""",
+
+    "mann_whitney" ->
+      """WITH d AS (
+           SELECT lang = 'en' AS ia,
+                  least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS v
+           FROM documents),
+         pv AS (SELECT v,
+                  CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+                    AS a,
+                  CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT)
+                    AS b
+                FROM d GROUP BY 1),
+         c AS (SELECT *,
+                 CAST(coalesce(sum(b) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS HUGEINT) AS blt
+               FROM pv),
+         agg AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+                        CAST(sum(b) AS BIGINT) AS nb,
+                        CAST(sum(CAST(a AS HUGEINT) * (2 * blt + b))
+                             AS HUGEINT) AS u2,
+                        CAST(sum(CAST(a + b AS HUGEINT) * (a + b)
+                               * (a + b) - (a + b)) AS HUGEINT) AS ties
+                 FROM c),
+         st AS (SELECT na, nb, u2, ties,
+                  CASE WHEN na > 0 AND nb > 0 THEN
+                    CAST((1000 * u2)
+                      // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT)
+                  END AS auc_permille,
+                  CASE WHEN na > 0 AND nb > 0 AND
+                      (na + nb + 1) * CAST(na + nb AS HUGEINT)
+                        * (na + nb - 1) - ties > 0 THEN
+                    CAST(((3000000
+                        * (u2 - CAST(na AS HUGEINT) * nb)
+                        * (u2 - CAST(na AS HUGEINT) * nb))
+                      // (CAST(na AS HUGEINT) * nb)
+                      * (CAST(na + nb AS HUGEINT) * (na + nb - 1)))
+                      // ((na + nb + 1) * CAST(na + nb AS HUGEINT)
+                          * (na + nb - 1) - ties) AS BIGINT)
+                  END AS z2_micro
+                FROM agg)
+         SELECT na AS n_a, nb AS n_b, CAST(u2 AS BIGINT) AS u2,
+                auc_permille, z2_micro,
+                coalesce(z2_micro > 3841459, false) AS significant
+         FROM st""",
+
+    "chi_square" ->
+      """WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM orders GROUP BY 1, 2),
+         rm AS (SELECT a, CAST(sum(n) AS BIGINT) AS r
+                FROM cells GROUP BY 1),
+         cm AS (SELECT b, CAST(sum(n) AS BIGINT) AS c
+                FROM cells GROUP BY 1),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                       CAST(count(DISTINCT a) AS BIGINT) AS ra,
+                       CAST(count(DISTINCT b) AS BIGINT) AS cb
+                FROM cells),
+         g AS (SELECT cells.a,
+                 CAST(sum((1000000
+                     * (CAST(cells.n AS HUGEINT) * tt.t
+                        - CAST(rm.r AS HUGEINT) * cm.c)
+                     * (CAST(cells.n AS HUGEINT) * tt.t
+                        - CAST(rm.r AS HUGEINT) * cm.c))
+                   // (CAST(tt.t AS HUGEINT) * rm.r * cm.c)) AS HUGEINT)
+                   AS present,
+                 CAST(sum(cm.c) AS BIGINT) AS cpres,
+                 any_value(rm.r) AS r, any_value(tt.t) AS t
+               FROM cells JOIN rm USING(a) JOIN cm USING(b)
+                 CROSS JOIN tt
+               GROUP BY 1),
+         fin AS (SELECT CAST(sum(present
+                   + (1000000 * CAST(r AS HUGEINT) * (t - cpres)) // t)
+                   AS HUGEINT) AS chi2,
+                 any_value(t) AS n
+                 FROM g)
+         SELECT n, (SELECT ra FROM tt) AS n_rows_a,
+                (SELECT cb FROM tt) AS n_cols_b,
+                ((SELECT ra FROM tt) - 1) * ((SELECT cb FROM tt) - 1)
+                  AS dof,
+                CAST(chi2 AS BIGINT) AS chi2_micro
+         FROM fin""",
+
+    "t_closeness" ->
+      """WITH e AS (SELECT user_id,
+                      CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                      event_type AS v
+                    FROM events),
+         cells AS (SELECT user_id, day, v, CAST(count(*) AS BIGINT) AS n
+                   FROM e GROUP BY 1, 2, 3),
+         g AS (SELECT user_id, day, CAST(sum(n) AS BIGINT) AS ng
+               FROM cells GROUP BY 1, 2),
+         gl AS (SELECT v, CAST(sum(n) AS BIGINT) AS nv
+                FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(nv) AS BIGINT) AS t FROM gl),
+         s AS (SELECT c.user_id, c.day, any_value(g.ng) AS ng,
+                 CAST(sum(abs(CAST(c.n AS HUGEINT) * t.t
+                   - CAST(gl.nv AS HUGEINT) * g.ng)) AS HUGEINT) AS s1,
+                 CAST(sum(gl.nv) AS BIGINT) AS nvpres,
+                 any_value(t.t) AS tt
+               FROM cells c
+                 JOIN g ON c.user_id = g.user_id AND c.day = g.day
+                 JOIN gl ON c.v = gl.v
+                 CROSS JOIN t
+               GROUP BY 1, 2)
+         SELECT user_id, day, ng AS n_rows,
+                CAST((500 * (s1 + CAST(ng AS HUGEINT) * (tt - nvpres)))
+                  // (CAST(ng AS HUGEINT) * tt) AS BIGINT)
+                  AS tvd_permille,
+                CAST((500 * (s1 + CAST(ng AS HUGEINT) * (tt - nvpres)))
+                  // (CAST(ng AS HUGEINT) * tt) AS BIGINT) > 300
+                  AS breach
+         FROM s""",
+
+    "merge_intervals" ->
+      """WITH iv AS (SELECT l_suppkey,
+                       CAST(epoch_us(l_shipdate) AS BIGINT)
+                         // 86400000000 AS start_day
+                     FROM lineitem),
+         iv2 AS (SELECT l_suppkey, start_day,
+                        start_day + l_suppkey % 7 AS end_day
+                 FROM iv),
+         m AS (SELECT *, max(end_day) OVER (PARTITION BY l_suppkey
+                 ORDER BY start_day, end_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+               FROM iv2),
+         f AS (SELECT *, CASE WHEN pm IS NULL OR start_day > pm
+                 THEN 1 ELSE 0 END AS flag
+               FROM m),
+         i AS (SELECT *, sum(flag) OVER (PARTITION BY l_suppkey
+                 ORDER BY start_day, end_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+               FROM f)
+         SELECT l_suppkey, CAST(island AS BIGINT) AS island,
+                min(start_day) AS span_start, max(end_day) AS span_end,
+                CAST(count(*) AS BIGINT) AS n_merged
+         FROM i GROUP BY 1, 2""",
+
+    "hits_scores" ->
+      """WITH e AS (
+           SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+           FROM lineitem
+           WHERE CAST(l_partkey AS VARCHAR) LIKE '1%'
+             AND CAST(l_partkey AS VARCHAR) LIKE '%3'),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         a1r AS (SELECT dst AS id, CAST(sum(CAST(1000000 AS BIGINT))
+                   AS BIGINT) AS a FROM e GROUP BY 1),
+         a1m AS (SELECT max(a) AS m FROM a1r),
+         a1 AS (SELECT n.id, CASE WHEN (SELECT m FROM a1m) > 0
+                  THEN (1000000 * coalesce(a1r.a, 0))
+                       // (SELECT m FROM a1m)
+                  ELSE CAST(0 AS BIGINT) END AS auth
+                FROM nodes n LEFT JOIN a1r ON n.id = a1r.id),
+         h1r AS (SELECT e.src AS id, CAST(sum(a1.auth) AS BIGINT) AS h
+                 FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1),
+         h1m AS (SELECT max(h) AS m FROM h1r),
+         h1 AS (SELECT n.id, CASE WHEN (SELECT m FROM h1m) > 0
+                  THEN (1000000 * coalesce(h1r.h, 0))
+                       // (SELECT m FROM h1m)
+                  ELSE CAST(0 AS BIGINT) END AS hub
+                FROM nodes n LEFT JOIN h1r ON n.id = h1r.id),
+         a2r AS (SELECT e.dst AS id, CAST(sum(h1.hub) AS BIGINT) AS a
+                 FROM e JOIN h1 ON e.src = h1.id GROUP BY 1),
+         a2m AS (SELECT max(a) AS m FROM a2r),
+         a2 AS (SELECT n.id, CASE WHEN (SELECT m FROM a2m) > 0
+                  THEN (1000000 * coalesce(a2r.a, 0))
+                       // (SELECT m FROM a2m)
+                  ELSE CAST(0 AS BIGINT) END AS auth
+                FROM nodes n LEFT JOIN a2r ON n.id = a2r.id),
+         h2r AS (SELECT e.src AS id, CAST(sum(a2.auth) AS BIGINT) AS h
+                 FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1),
+         h2m AS (SELECT max(h) AS m FROM h2r),
+         h2 AS (SELECT n.id, CASE WHEN (SELECT m FROM h2m) > 0
+                  THEN (1000000 * coalesce(h2r.h, 0))
+                       // (SELECT m FROM h2m)
+                  ELSE CAST(0 AS BIGINT) END AS hub
+                FROM nodes n LEFT JOIN h2r ON n.id = h2r.id),
+         a3r AS (SELECT e.dst AS id, CAST(sum(h2.hub) AS BIGINT) AS a
+                 FROM e JOIN h2 ON e.src = h2.id GROUP BY 1),
+         a3m AS (SELECT max(a) AS m FROM a3r),
+         a3 AS (SELECT n.id, CASE WHEN (SELECT m FROM a3m) > 0
+                  THEN (1000000 * coalesce(a3r.a, 0))
+                       // (SELECT m FROM a3m)
+                  ELSE CAST(0 AS BIGINT) END AS auth
+                FROM nodes n LEFT JOIN a3r ON n.id = a3r.id),
+         h3r AS (SELECT e.src AS id, CAST(sum(a3.auth) AS BIGINT) AS h
+                 FROM e JOIN a3 ON e.dst = a3.id GROUP BY 1),
+         h3m AS (SELECT max(h) AS m FROM h3r),
+         h3 AS (SELECT n.id, CASE WHEN (SELECT m FROM h3m) > 0
+                  THEN (1000000 * coalesce(h3r.h, 0))
+                       // (SELECT m FROM h3m)
+                  ELSE CAST(0 AS BIGINT) END AS hub
+                FROM nodes n LEFT JOIN h3r ON n.id = h3r.id)
+         SELECT h3.id, h3.hub AS hub_micro, a3.auth AS auth_micro
+         FROM h3 JOIN a3 ON h3.id = a3.id""",
+
+    "item_cf" ->
+      """WITH ui AS (
+           SELECT DISTINCT o_custkey AS u, l_partkey AS it
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE l_partkey % 11 < 2),
+         kept AS (SELECT u FROM ui GROUP BY u
+                  HAVING count(*) <= 256),
+         cui AS (SELECT ui.u, ui.it FROM ui JOIN kept USING (u)),
+         itn AS (SELECT it, CAST(count(*) AS BIGINT) AS n
+                 FROM cui GROUP BY 1),
+         p AS (SELECT a.it AS item_a, b.it AS item_b,
+                      CAST(count(*) AS BIGINT) AS co
+               FROM cui a JOIN cui b ON a.u = b.u AND a.it < b.it
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT item_a, item_b, co, na.n AS n_a, nb.n AS n_b,
+                CAST((1000000 * CAST(co AS HUGEINT) * co)
+                  // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT)
+                  AS cos2_micro,
+                (1000 * co) // (na.n + nb.n - co) AS jaccard_permille
+         FROM p JOIN itn na ON p.item_a = na.it
+                JOIN itn nb ON p.item_b = nb.it""",
+
+    "rouge_pairs" ->
+      """WITH t0 AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '') AS rt
+           FROM documents),
+         t1 AS (SELECT doc_id, rt, len(rt) AS rl FROM t0
+                WHERE len(rt) >= 6),
+         kk AS (SELECT doc_id, rt, rl, (2 * rl) // 3 AS k,
+                  ((2 * rl) // 3) // 2 AS h
+                FROM t1),
+         l AS (SELECT doc_id, list_concat(rt[h+1:k], rt[1:h]) AS ct,
+                 rt, CAST(k AS BIGINT) AS cl, CAST(rl AS BIGINT) AS rl
+               FROM kk),
+         cu AS (SELECT doc_id, unnest(ct) AS g FROM l),
+         cuc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                 FROM cu GROUP BY 1, 2),
+         ru AS (SELECT doc_id, unnest(rt) AS g FROM l),
+         ruc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                 FROM ru GROUP BY 1, 2),
+         c1 AS (SELECT cuc.doc_id,
+                  CAST(sum(least(cuc.c, coalesce(ruc.c, 0))) AS BIGINT)
+                    AS clip1
+                FROM cuc LEFT JOIN ruc ON cuc.doc_id = ruc.doc_id
+                  AND cuc.g = ruc.g
+                GROUP BY 1),
+         cb0 AS (SELECT doc_id, ct, unnest(range(1, len(ct))) AS i
+                 FROM l),
+         cb AS (SELECT doc_id, ct[i] || ' ' || ct[i+1] AS g FROM cb0),
+         cbc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                 FROM cb GROUP BY 1, 2),
+         rb0 AS (SELECT doc_id, rt, unnest(range(1, len(rt))) AS i
+                 FROM l),
+         rb AS (SELECT doc_id, rt[i] || ' ' || rt[i+1] AS g FROM rb0),
+         rbc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                 FROM rb GROUP BY 1, 2),
+         c2 AS (SELECT cbc.doc_id,
+                  CAST(sum(least(cbc.c, coalesce(rbc.c, 0))) AS BIGINT)
+                    AS clip2
+                FROM cbc LEFT JOIN rbc ON cbc.doc_id = rbc.doc_id
+                  AND cbc.g = rbc.g
+                GROUP BY 1),
+         agg AS (SELECT l.doc_id, cl AS cand_len, rl AS ref_len,
+                   coalesce(c1.clip1, 0) AS clip1,
+                   coalesce(c2.clip2, 0) AS clip2,
+                   CASE WHEN cl >= 2 THEN cl - 1 ELSE 0 END AS cl2,
+                   CASE WHEN rl >= 2 THEN rl - 1 ELSE 0 END AS rl2
+                 FROM l LEFT JOIN c1 ON l.doc_id = c1.doc_id
+                        LEFT JOIN c2 ON l.doc_id = c2.doc_id)
+         SELECT doc_id, cand_len, ref_len,
+                CAST(clip1 AS BIGINT) AS clip1,
+                CAST(clip2 AS BIGINT) AS clip2,
+                CASE WHEN ref_len > 0 THEN (1000 * clip1) // ref_len
+                     ELSE CAST(0 AS BIGINT) END
+                  AS rouge1_recall_permille,
+                CASE WHEN cand_len + ref_len > 0
+                  THEN (2000 * clip1) // (cand_len + ref_len)
+                  ELSE CAST(0 AS BIGINT) END AS rouge1_f1_permille,
+                CASE WHEN rl2 > 0 THEN (1000 * clip2) // rl2
+                     ELSE CAST(0 AS BIGINT) END
+                  AS rouge2_recall_permille,
+                CASE WHEN cl2 + rl2 > 0
+                  THEN (2000 * clip2) // (cl2 + rl2)
+                  ELSE CAST(0 AS BIGINT) END AS rouge2_f1_permille
+         FROM agg"""
   )
 
   /** Queries whose oracle SQL is generated at Verify time by

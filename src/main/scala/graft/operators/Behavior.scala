@@ -1643,4 +1643,251 @@ object Behavior {
         col("__r.ln_surv_micro").as("ln_surv_micro"),
         col("__r.surv_permille").as("surv_permille"))
   }
+
+  /** Average precision / PR-AUC (E93 — [[aucScore]]'s class-imbalance
+    * sibling: ROC-AUC saturates when negatives dominate — the usual
+    * shape of quality-filter and retrieval labels — while the
+    * precision-recall curve keeps discriminating; AP is its standard
+    * one-number summary). Step-interpolated AP with ties grouped per
+    * distinct score, EXACT under a stated quantization: descending
+    * the score axis, each score block with `p_s > 0` positives
+    * contributes `term = (10⁶·p_s·cumP) div (cumP+cumN)` (cum counts
+    * INCLUSIVE of the block — the "precision at this threshold" of
+    * the step curve), and `ap_micro = (Σ terms) div n_pos`. The floor
+    * per threshold is the engine rule (both engines replay the same
+    * integer ops), error ≤ 1 micro per distinct score. Zero positives
+    * → ap_micro null.
+    *
+    * Same bounded-score-domain contract as [[aucScore]]: one
+    * corpus-sized score-keyed aggregation, then the cumulative sweep
+    * rides the HOF fold over the collected ≤|domain|-row distribution
+    * — never a corpus ranking window. Products stay ≤ 10⁶·n² in
+    * DECIMAL(38,0): exact to n ~ 10¹⁶ rows.
+    */
+  def prAuc(df: DataFrame, scorePermilleCol: String,
+            labelCol: String): DataFrame = {
+    val perScore = df.groupBy(col(scorePermilleCol).cast("long").as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+           sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
+    perScore
+      // sort key −s: ascending array_sort = descending score
+      .agg(array_sort(collect_list(struct((-col("__s")).as("__ds"),
+        col("__p"), col("__n")))).as("__a"))
+      .select(expr("""aggregate(__a,
+        struct(CAST(0 AS DECIMAL(38,0)) AS cp, CAST(0 AS DECIMAL(38,0)) AS cn,
+               CAST(0 AS DECIMAL(38,0)) AS terms),
+        (acc, el) -> struct(acc.cp + el.__p AS cp, acc.cn + el.__n AS cn,
+          acc.terms + CASE WHEN el.__p > 0 THEN
+            (CAST(1000000 AS DECIMAL(38,0)) * el.__p * (acc.cp + el.__p))
+              div (acc.cp + el.__p + acc.cn + el.__n)
+            ELSE CAST(0 AS DECIMAL(38,0)) END AS terms))""").as("__r"))
+      .select(expr("CAST(__r.cp AS BIGINT)").as("n_pos"),
+        expr("CAST(__r.cn AS BIGINT)").as("n_neg"),
+        expr("""CASE WHEN __r.cp > 0
+                  THEN CAST(__r.terms div __r.cp AS BIGINT) END""")
+          .as("ap_micro"))
+  }
+
+  /** Brier score + expected calibration error in ONE report (E94 —
+    * the two scalar calibration numbers under [[calibrationBins]]'
+    * table: Brier is the proper scoring rule every probabilistic
+    * classifier optimizes against, ECE the number calibration papers
+    * headline; together with [[aucScore]] they close the
+    * scalar-eval triple ORDER / MEAN / SHARPNESS). Exact integers:
+    * scores are permille probabilities, so `(s − 1000·y)²` is the
+    * squared error in micro (10⁻⁶) probability² units and
+    * `brier_micro = Σ(s−1000y)² div n`; ECE reuses the EXACT
+    * [[calibrationBins]] equi-depth binning (same fold, same
+    * exclusive-prefix rule) and reads
+    * `ece_micro = (1000·Σ_b n_b·|obs_b − mean_s_b|) div n` off the
+    * per-bin permille gaps. Empty input → one row of nulls.
+    *
+    * Scale shape: Brier is one map-side scalar aggregation; ECE runs
+    * on [[calibrationBins]]' output (≤ nBins rows); the two 1-row
+    * frames broadcast-join. Nothing new touches the corpus.
+    */
+  def brierEce(df: DataFrame, scorePermilleCol: String, labelCol: String,
+               nBins: Int): DataFrame = {
+    val brier = df.agg(
+      count(lit(1)).as("__n"),
+      sum(expr(s"""CAST(($scorePermilleCol - 1000 *
+        CASE WHEN $labelCol THEN 1 ELSE 0 END) AS DECIMAL(38,0)) *
+        ($scorePermilleCol - 1000 *
+        CASE WHEN $labelCol THEN 1 ELSE 0 END)""")).as("__se"))
+    val ece = calibrationBins(df, scorePermilleCol, labelCol, nBins)
+      .agg(sum(expr("n_rows * abs(gap_permille)")).as("__gaps"))
+    brier.crossJoin(broadcast(ece))
+      .select(col("__n").as("n"),
+        expr("""CASE WHEN __n > 0
+                  THEN CAST(__se div __n AS BIGINT) END""").as("brier_micro"),
+        expr("""CASE WHEN __n > 0 THEN
+          CAST((1000 * CAST(__gaps AS DECIMAL(38,0))) div __n AS BIGINT)
+        END""").as("ece_micro"))
+  }
+
+  /** McNemar's paired test (E95 — the model-COMPARISON member of the
+    * eval family: accuracy deltas on a shared eval set are paired
+    * data, and the discordant-pair test is the standard significance
+    * check before declaring model B better than model A; comparing
+    * two unpaired accuracy CIs is the classic mistake this replaces).
+    * Counts the 2×2 agreement table exactly — `b` = A right / B
+    * wrong, `c` = A wrong / B right — and the continuity-corrected
+    * statistic in milli: `chi2_milli = (1000·(|b−c|−1)²) div (b+c)`
+    * (0 when |b−c| ≤ 1; null when b+c = 0 — the models never
+    * disagree, no evidence either way). `significant` compares
+    * against the χ²₍₁₎ 5% critical value on the same milli grid
+    * (3841: both engines compare the identical integers).
+    *
+    * Scale shape: one map-side scalar aggregation over the paired
+    * predictions — the cheapest operator in the family.
+    */
+  def mcnemarCheck(df: DataFrame, labelCol: String, predACol: String,
+                   predBCol: String): DataFrame = {
+    val aOk = s"($predACol) = ($labelCol)"
+    val bOk = s"($predBCol) = ($labelCol)"
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(expr(s"CASE WHEN $aOk AND $bOk THEN 1L ELSE 0L END"))
+          .as("both_right"),
+        sum(expr(s"CASE WHEN $aOk AND NOT ($bOk) THEN 1L ELSE 0L END"))
+          .as("b_only_wrong"),
+        sum(expr(s"CASE WHEN NOT ($aOk) AND $bOk THEN 1L ELSE 0L END"))
+          .as("a_only_wrong"),
+        sum(expr(s"CASE WHEN NOT ($aOk) AND NOT ($bOk) THEN 1L ELSE 0L END"))
+          .as("both_wrong"))
+      .withColumn("chi2_milli", expr(
+        """CASE WHEN b_only_wrong + a_only_wrong = 0 THEN NULL
+                WHEN abs(b_only_wrong - a_only_wrong) <= 1 THEN 0L
+                ELSE (1000 * (abs(b_only_wrong - a_only_wrong) - 1)
+                      * (abs(b_only_wrong - a_only_wrong) - 1))
+                     div (b_only_wrong + a_only_wrong) END"""))
+      .withColumn("significant",
+        expr("coalesce(chi2_milli > 3841, false)"))
+  }
+
+  /** Mann-Whitney U rank-sum test (C111 — the experimentation
+    * family's NON-parametric leg: [[abTest]]'s mean test assumes the
+    * metric averages well, but revenue/latency-style metrics are
+    * heavy-tailed and the rank test is what a stats reviewer asks for
+    * next; it is also exactly the statistic under [[aucScore]], which
+    * this reuses). Over a bounded-domain integer metric (the repo's
+    * quantization contract): `u2 = 2U_A = Σ_v a_v·(2·b_below(v) +
+    * b_at(v))` exact via the same distribution fold as [[aucScore]],
+    * effect size `auc_permille = (1000·u2) div (2·n_a·n_b)`, and the
+    * tie-corrected normal-approximation z² in micro:
+    * `z2_micro = ((3·10⁶·d²) div (n_a·n_b) · (n·(n−1))) div
+    * ((n+1)·n·(n−1) − T)` where `d = u2 − n_a·n_b` (= 2(U−μ)) and
+    * `T = Σ_ties (t³−t)`; `significant` compares z2_micro > 3841459
+    * (1.96² on the micro grid). Stated envelope: the staged products
+    * stay inside DECIMAL(38,0) for per-test n ≲ 8·10⁷ rows — beyond
+    * that pre-aggregate the metric (the z approximation saturated
+    * long before). All-tied data (T = full correction) → z2 null.
+    *
+    * Scale shape: one corpus-sized value-keyed aggregation, then the
+    * whole test rides a HOF fold over the collected distribution —
+    * [[aucScore]]'s shape with the variance fold added.
+    */
+  def mannWhitney(df: DataFrame, isACol: String,
+                  valueCol: String): DataFrame = {
+    val perValue = df.groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(sum(when(col(isACol), 1L).otherwise(0L)).as("__a"),
+           sum(when(col(isACol), 0L).otherwise(1L)).as("__b"))
+    perValue
+      .agg(array_sort(collect_list(struct(col("__v"), col("__a"),
+        col("__b")))).as("__d"))
+      .select(expr("""aggregate(__d,
+        struct(CAST(0 AS BIGINT) AS blt, CAST(0 AS DECIMAL(38,0)) AS u2,
+               CAST(0 AS BIGINT) AS na, CAST(0 AS BIGINT) AS nb,
+               CAST(0 AS DECIMAL(38,0)) AS ties),
+        (acc, el) -> struct(acc.blt + el.__b AS blt,
+          acc.u2 + CAST(el.__a AS DECIMAL(38,0))
+            * (2 * acc.blt + el.__b) AS u2,
+          acc.na + el.__a AS na, acc.nb + el.__b AS nb,
+          acc.ties + CAST(el.__a + el.__b AS DECIMAL(38,0))
+            * (el.__a + el.__b) * (el.__a + el.__b)
+            - (el.__a + el.__b) AS ties))""").as("__r"))
+      .select(col("__r.na").as("n_a"), col("__r.nb").as("n_b"),
+        expr("CAST(__r.u2 AS BIGINT)").as("u2"),
+        expr("""CASE WHEN __r.na > 0 AND __r.nb > 0 THEN
+          CAST((1000 * __r.u2) div
+            (2 * CAST(__r.na AS DECIMAL(38,0)) * __r.nb) AS BIGINT)
+        END""").as("auc_permille"),
+        expr("""CASE WHEN __r.na > 0 AND __r.nb > 0 AND
+            (__r.na + __r.nb + 1) * CAST(__r.na + __r.nb AS DECIMAL(38,0))
+              * (__r.na + __r.nb - 1) - __r.ties > 0 THEN
+          CAST(((CAST(3000000 AS DECIMAL(38,0))
+              * (__r.u2 - CAST(__r.na AS DECIMAL(38,0)) * __r.nb)
+              * (__r.u2 - CAST(__r.na AS DECIMAL(38,0)) * __r.nb))
+            div (CAST(__r.na AS DECIMAL(38,0)) * __r.nb)
+            * (CAST(__r.na + __r.nb AS DECIMAL(38,0))
+               * (__r.na + __r.nb - 1)))
+          div ((__r.na + __r.nb + 1)
+               * CAST(__r.na + __r.nb AS DECIMAL(38,0))
+               * (__r.na + __r.nb - 1) - __r.ties) AS BIGINT)
+        END""").as("z2_micro"))
+      .withColumn("significant", expr("coalesce(z2_micro > 3841459, false)"))
+  }
+
+  /** Pearson chi-square independence test over two categorical
+    * columns (C110 — the contingency question under segmentation
+    * dashboards: does status depend on priority / does variant depend
+    * on platform — and the categorical sibling of [[srmCheck]]'s
+    * goodness-of-fit). EXACT integer statistic under the stated
+    * per-cell quantization: with cell counts `n_ij`, margins `r_i`,
+    * `c_j`, total `N`, present cells contribute
+    * `(10⁶·(n_ij·N − r_i·c_j)²) div (N·r_i·c_j)` each, and the ABSENT
+    * cells of row i (n_ij = 0, expected-only mass) contribute their
+    * row's complement in ONE term:
+    * `(10⁶·r_i·(N − Σ_{j present in i} c_j)) div N` — no R×C
+    * densification ever materializes, and the floor-per-present-cell
+    * / floor-per-row-complement split is the stated engine rule (both
+    * engines replay it; error ≤ 1 micro per term). Reports
+    * dof = (R−1)(C−1); significance is the caller's dof-dependent
+    * threshold (not folded in — no χ² inverse on the integer grid).
+    *
+    * Scale shape: one (a,b) cell aggregation (map-side combined),
+    * margins as two ≤|domain| aggregations broadcast back, one
+    * row-grouped fold on the ≤|cells| frame, one final scalar agg.
+    * Envelope: products ≤ 10⁶·N⁴ ⇒ exact in DECIMAL(38,0) to
+    * N ~ 10⁸ rows per tested pair (contingency tests live far below;
+    * pre-aggregate beyond).
+    */
+  def chiSquareIndep(df: DataFrame, aCol: String,
+                     bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val rowM = cells.groupBy("__a").agg(sum("__n").as("__r"))
+    val colM = cells.groupBy("__b").agg(sum("__n").as("__c"))
+    val tot = cells.agg(sum("__n").as("__t"),
+      countDistinct(col("__a")).as("n_rows_a"),
+      countDistinct(col("__b")).as("n_cols_b"))
+    cells
+      .join(broadcast(rowM), "__a")
+      .join(broadcast(colM), "__b")
+      .crossJoin(broadcast(tot))
+      .groupBy("__a")
+      .agg(
+        sum(expr("""(CAST(1000000 AS DECIMAL(38,0))
+            * (CAST(__n AS DECIMAL(38,0)) * __t
+               - CAST(__r AS DECIMAL(38,0)) * __c)
+            * (CAST(__n AS DECIMAL(38,0)) * __t
+               - CAST(__r AS DECIMAL(38,0)) * __c))
+          div (CAST(__t AS DECIMAL(38,0)) * __r * __c)"""))
+          .as("__present"),
+        sum(col("__c")).as("__cpres"),
+        first(col("__r")).as("__r"), first(col("__t")).as("__t"),
+        first(col("n_rows_a")).as("n_rows_a"),
+        first(col("n_cols_b")).as("n_cols_b"))
+      .withColumn("__absent", expr(
+        """(CAST(1000000 AS DECIMAL(38,0)) * __r * (__t - __cpres))
+           div __t"""))
+      .agg(sum(expr("__present + __absent")).as("__chi2"),
+        first(col("__t")).as("__t"),
+        first(col("n_rows_a")).as("n_rows_a"),
+        first(col("n_cols_b")).as("n_cols_b"))
+      .select(col("__t").cast("long").as("n"),
+        col("n_rows_a"), col("n_cols_b"),
+        expr("(n_rows_a - 1) * (n_cols_b - 1)").as("dof"),
+        expr("CAST(__chi2 AS BIGINT)").as("chi2_micro"))
+  }
 }

@@ -428,4 +428,124 @@ object Graph {
     adj.unpersist()
     labels
   }
+
+  /** HITS hubs-and-authorities (C114 — [[linkRank]]'s directed-role
+    * sibling: PageRank ranks by generic endorsement, HITS separates
+    * CURATORS from CONTENT — on a bib→part / order→item / crawl
+    * link graph the hub score finds the aggregator records and the
+    * authority score the canonical targets; on bipartite graphs the
+    * two sides get their natural distinct rankings).
+    *
+    * Determinism contract (the [[linkRank]] device): scores live in
+    * integer MICRO-units; each of the FIXED `iterations` rounds runs
+    * `auth'_i = Σ_{j→i} hub_j` then rescales to
+    * `auth_i = (10⁶·auth'_i) div max(auth')` (max-normalization — the
+    * classic L2 norm is irrational; the max keeps every score in
+    * [0, 10⁶] with truncating div both engines replay), then the same
+    * for `hub'_j = Σ_{j→i} auth_i`. Init: every node 10⁶. Nodes with
+    * no in-edges read auth 0, no out-edges hub 0.
+    *
+    * Scale shape: per round, TWO edge-keyed equi-joins (hub attach on
+    * src, auth attach on dst) with map-side-combined sums, plus a
+    * 1-row max broadcast each — the Pregel shape of [[linkRank]] with
+    * the same fixed-round lineage discipline (localCheckpoint every
+    * 4th round). Nothing corpus-sized reaches the driver.
+    */
+  def hitsScores(edges: DataFrame, srcCol: String, dstCol: String,
+                 iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"iterations must be in [1,10], got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+              col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    require(nodes.limit(1).count() > 0, "empty graph")
+    var scores = nodes.select(col("id"),
+      lit(1000000L).as("hub_micro"), lit(1000000L).as("auth_micro"))
+    for (i <- 1 to iterations) {
+      val authRaw = e
+        .join(scores.select(col("id").as("src"), col("hub_micro")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum("hub_micro").as("__a"))
+      val authMax = authRaw.agg(max("__a").as("__am"))
+      val auth = nodes.join(authRaw, Seq("id"), "left")
+        .crossJoin(broadcast(authMax))
+        .select(col("id"), expr(
+          """CASE WHEN __am > 0
+               THEN (1000000 * coalesce(__a, 0L)) div __am
+               ELSE 0L END""").as("auth_micro"))
+      val hubRaw = e
+        .join(auth.select(col("id").as("dst"), col("auth_micro")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(sum("auth_micro").as("__h"))
+      val hubMax = hubRaw.agg(max("__h").as("__hm"))
+      val next = nodes.join(hubRaw, Seq("id"), "left")
+        .crossJoin(broadcast(hubMax))
+        .join(auth, "id")
+        .select(col("id"), expr(
+          """CASE WHEN __hm > 0
+               THEN (1000000 * coalesce(__h, 0L)) div __hm
+               ELSE 0L END""").as("hub_micro"),
+          col("auth_micro"))
+      scores = if (i % 4 == 0 && i < iterations) next.localCheckpoint(true)
+               else next
+    }
+    e.unpersist()
+    nodes.unpersist()
+    scores
+  }
+
+  /** Item-item collaborative-filtering similarity over a bipartite
+    * (user, item) interaction table (C115 — the co-occurrence
+    * projection under "customers who took A also took B": recommender
+    * candidate generation, assortment planning, and the
+    * co-engagement graph that [[triangleCounts]] / [[jaccardNeighbors]]
+    * then analyze). Per unordered item pair (a < b, generated ONCE):
+    * co-count, each item's user count, and two exact integer
+    * similarities — `cos2_micro = (10⁶·co²) div (n_a·n_b)` (squared
+    * cosine: monotone in cosine, no irrational sqrt — the repo's
+    * integer discipline) and `jaccard_permille = (1000·co) div
+    * (n_a + n_b − co)`.
+    *
+    * Scale shape: distinct (user, item) → per-user baskets; users
+    * with baskets larger than `maxBasket` are DROPPED ENTIRELY before
+    * counting (the hub cap of [[jaccardNeighbors]].maxDegree /
+    * source_overlap.maxSources: a user who interacts with everything
+    * contributes ~0 discriminating signal but Σ basket² pair rows —
+    * documented approximation, exact when all baskets ≤ cap; item
+    * counts use the SAME capped universe so the similarity algebra
+    * stays internally consistent). Pair generation is a user-keyed
+    * self-join bounded by Σ capped-basket²; the pair count aggregation
+    * combines map-side. minCo prunes the long singleton tail in-plan.
+    */
+  def itemCf(interactions: DataFrame, userCol: String, itemCol: String,
+             maxBasket: Int = 256, minCo: Long = 2L): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val ui = interactions.select(col(userCol).as("u"), col(itemCol).as("it"))
+      .distinct()
+    val kept = ui.groupBy("u").agg(count(lit(1)).as("__bs"))
+      .filter(col("__bs") <= maxBasket)
+      .select("u")
+    val cui = ui.join(kept, "u") // u-keyed: reuses the distinct exchange
+    val itemN = cui.groupBy(col("it")).agg(count(lit(1)).as("__n"))
+    val pairs = cui
+      .join(cui.select(col("u"), col("it").as("it2")), "u")
+      .filter(col("it") < col("it2"))
+      .groupBy(col("it").as("item_a"), col("it2").as("item_b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    pairs
+      .join(itemN.select(col("it").as("item_a"), col("__n").as("n_a")),
+        "item_a")
+      .join(itemN.select(col("it").as("item_b"), col("__n").as("n_b")),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("co"),
+        col("n_a"), col("n_b"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * co * co)
+          div (CAST(n_a AS DECIMAL(38,0)) * n_b)""").cast("long")
+          .as("cos2_micro"),
+        expr("(1000 * co) div (n_a + n_b - co)").as("jaccard_permille"))
+  }
 }

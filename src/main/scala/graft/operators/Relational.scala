@@ -1730,4 +1730,85 @@ object Relational {
                   CAST((1000 * __top.s10) div __sum AS BIGINT)
                 END""").as("top10_share_permille"))
   }
+
+  /** t-closeness audit (C112 — the third rung of the privacy ladder
+    * after [[kAnonymity]] and [[lDiversity]]: a group can be
+    * l-diverse yet still leak when its sensitive-value DISTRIBUTION
+    * is far from the table's — 90% one diagnosis in a group vs 10%
+    * globally is a skewness attack l-diversity cannot see). For each
+    * quasi-identifier group, the total-variation distance between the
+    * group's categorical sensitive distribution and the GLOBAL one,
+    * in exact integer permille:
+    * `tvd_permille = (500·Σ_v |n_gv·N − N_v·n_g|) div (n_g·N)` —
+    * values absent from the group contribute `N_v·n_g` each, folded
+    * in WITHOUT densifying as
+    * `S_absent = n_g·(N − Σ_{v∈group} N_v)` (exact, not a floor: the
+    * absolute values of absent terms sum linearly). `breach` flags
+    * groups with tvd > tPermille.
+    *
+    * Scale shape: one (quasi..., v) pre-aggregation, the global per-v
+    * distribution is a ≤|domain| broadcast, then one quasi-keyed
+    * aggregation — [[lDiversity]]'s two-level shape plus a broadcast.
+    * Products ≤ n_g·N in DECIMAL(38,0): exact at any realistic N.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, tPermille: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs quasi-identifier columns")
+    require(tPermille >= 0 && tPermille <= 1000,
+      s"tPermille in [0,1000], got $tPermille")
+    val cells = df.groupBy((quasiCols.map(col) :+
+        col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val groupTot = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum("__n").as("__ng"))
+    val global = cells.groupBy("__v").agg(sum("__n").as("__nv"))
+    val tot = global.agg(sum("__nv").as("__t"))
+    cells
+      .join(groupTot, quasiCols) // quasi-keyed: reuses cells' exchange
+      .join(broadcast(global), "__v")
+      .crossJoin(broadcast(tot))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(first(col("__ng")).as("n_rows"),
+        sum(expr("""abs(CAST(__n AS DECIMAL(38,0)) * __t
+          - CAST(__nv AS DECIMAL(38,0)) * __ng)""")).as("__s1"),
+        sum(col("__nv")).as("__nvpres"),
+        first(col("__t")).as("__t"))
+      .withColumn("tvd_permille", expr(
+        """CAST((500 * (__s1 + CAST(n_rows AS DECIMAL(38,0))
+             * (__t - __nvpres)))
+           div (CAST(n_rows AS DECIMAL(38,0)) * __t) AS BIGINT)"""))
+      .withColumn("breach", col("tvd_permille") > lit(tPermille))
+      .drop("__s1", "__nvpres", "__t")
+  }
+
+  /** Per-key interval coalescing (C113 — gaps-and-islands: merge
+    * overlapping or touching [start, end] validity/outage/booking
+    * intervals per key into maximal disjoint spans; the warehouse
+    * primitive under SLA accounting, effective-dating repair, and
+    * contact-history consolidation). Overlap-OR-touch merges
+    * (`start ≤ running_max_end` joins the island; intervals are
+    * closed); output spans carry the merged row count.
+    *
+    * Scale shape: the classic running-max island device on a
+    * KEY-PARTITIONED window (ordered by (start, end) within each key
+    * — never a global sort; the repo's window ban is on
+    * partition-LESS windows), then one (key, island) aggregation.
+    * Skewed keys are AQE territory like any keyed window.
+    */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String],
+                     startCol: String, endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mergeIntervals needs key columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val island = sum(
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__island", island)
+      .groupBy((keyCols.map(col) :+ col("__island").as("island")): _*)
+      .agg(min(col(startCol)).as("span_start"),
+           max(col(endCol)).as("span_end"),
+           count(lit(1)).as("n_merged"))
+  }
 }

@@ -1727,4 +1727,61 @@ object TextAnalysis {
         ELSE CAST(round(exp(CAST(ln_bleu_micro AS DOUBLE) / 1e6)
           * 1000) AS BIGINT) END"""))
   }
+
+  /** ROUGE-1/2 pair scoring (E96 — [[bleuPairs]]' recall-side
+    * complement: BLEU asks how much of the CANDIDATE is supported,
+    * ROUGE how much of the REFERENCE is covered — the
+    * summarization/caption-eval standard, and the pair closes the
+    * precision/recall view of generation quality). Per pair, EXACTLY
+    * in integers (no logs — ROUGE is a plain ratio): clipped n-gram
+    * matches `clipN = Σ_{g∈ref distinct} min(cand(g), ref(g))`,
+    * `rougeN_recall_permille = (1000·clipN) div ref_grams`,
+    * `rougeN_precision_permille = (1000·clipN) div cand_grams`, and
+    * the exact harmonic `rougeN_f1_permille = (2000·clipN) div
+    * (cand_grams + ref_grams)`. A side with no n-grams (sub-n-token
+    * text) reads the standard 0 for that order. House tokens:
+    * whitespace split (the [[bleuPairs]] contract).
+    *
+    * Scale shape: entirely map-side per pair — token arrays and
+    * distinct-gram HOF folds, O(len·distinct) per doc, no shuffle.
+    */
+  def rougeN(df: DataFrame, idCol: String, candCol: String,
+             refCol: String): DataFrame = {
+    def toks(c: String) =
+      s"filter(split(trim($c), '\\\\s+'), x -> x <> '')"
+    def grams2(a: String) =
+      s"""CASE WHEN size($a) >= 2 THEN transform(sequence(1, size($a) - 1),
+        i -> concat(element_at($a, i), ' ', element_at($a, i + 1)))
+        ELSE CAST(array() AS ARRAY<STRING>) END"""
+    // clip over the REFERENCE's distinct grams (recall orientation —
+    // bleuPairs clips over the candidate's); min() makes the two
+    // orientations produce the same clip, stated for the reader
+    def clipped(c: String, r: String) =
+      s"""aggregate(array_distinct($r), CAST(0 AS BIGINT),
+        (acc, t) -> acc + least(
+          CAST(size(filter($c, x -> x = t)) AS BIGINT),
+          CAST(size(filter($r, x -> x = t)) AS BIGINT)))"""
+    df.select(col(idCol),
+        expr(toks(candCol)).as("__c"), expr(toks(refCol)).as("__r"))
+      .withColumn("__c2", expr(grams2("__c")))
+      .withColumn("__r2", expr(grams2("__r")))
+      .select(col(idCol),
+        expr("CAST(size(__c) AS BIGINT)").as("cand_len"),
+        expr("CAST(size(__r) AS BIGINT)").as("ref_len"),
+        expr(clipped("__c", "__r")).as("clip1"),
+        expr(clipped("__c2", "__r2")).as("clip2"),
+        expr("CAST(size(__c2) AS BIGINT)").as("__cl2"),
+        expr("CAST(size(__r2) AS BIGINT)").as("__rl2"))
+      .withColumn("rouge1_recall_permille",
+        expr("CASE WHEN ref_len > 0 THEN (1000 * clip1) div ref_len ELSE 0L END"))
+      .withColumn("rouge1_f1_permille", expr(
+        """CASE WHEN cand_len + ref_len > 0
+             THEN (2000 * clip1) div (cand_len + ref_len) ELSE 0L END"""))
+      .withColumn("rouge2_recall_permille",
+        expr("CASE WHEN __rl2 > 0 THEN (1000 * clip2) div __rl2 ELSE 0L END"))
+      .withColumn("rouge2_f1_permille", expr(
+        """CASE WHEN __cl2 + __rl2 > 0
+             THEN (2000 * clip2) div (__cl2 + __rl2) ELSE 0L END"""))
+      .drop("__cl2", "__rl2")
+  }
 }

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Behavior, Graph, Relational, TextAnalysis}
+
+/** Hand-computed cases for the round-7 additions: the eval-family
+  * completions (PR-AUC, Brier+ECE, McNemar), the non-parametric /
+  * categorical test pair (Mann-Whitney, chi-square), the privacy
+  * third rung (t-closeness), interval coalescing, HITS, item-item CF,
+  * and ROUGE-N.
+  */
+class R7OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("prAuc: hand-computed step AP with a tied score level") {
+    // descending: 900(+) → term 1e6·1·1/1; 800(−) no term;
+    // 700(+,−) → 1e6·1·2 div 4; 600(+) → 1e6·1·3 div 5
+    val d = Seq((900L, true), (800L, false), (700L, true),
+      (700L, false), (600L, true)).toDF("score", "label")
+    val got = Behavior.prAuc(d, "score", "label")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 2L, (1000000L + 500000L + 600000L) / 3)))
+  }
+
+  test("prAuc: zero positives reads null AP") {
+    val d = Seq((10L, false), (20L, false)).toDF("score", "label")
+    val r = Behavior.prAuc(d, "score", "label")
+      .select("n_pos", "ap_micro").collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
+  test("brierEce: perfect predictions → brier 0; crossed → 1e6 each") {
+    val good = Seq((1000L, true), (0L, false)).toDF("score", "label")
+    val g = Behavior.brierEce(good, "score", "label", nBins = 1)
+      .as[(Long, Long, Long)].collect()(0)
+    assert(g == ((2L, 0L, 0L)))
+    // crossed: each row squared error (1000)² = 1e6 micro; with 2
+    // bins each holds one row, |gap| = 1000 both → ece 1e6
+    val bad = Seq((1000L, false), (0L, true)).toDF("score", "label")
+    val b = Behavior.brierEce(bad, "score", "label", nBins = 2)
+      .as[(Long, Long, Long)].collect()(0)
+    assert(b == ((2L, 1000000L, 1000000L)))
+  }
+
+  test("mcnemarCheck: discordant-pair counts and the milli statistic") {
+    // 10 both right, 6 only-B-wrong, 2 only-A-wrong, 1 both wrong →
+    // chi2 = 1000·(|6−2|−1)² div 8 = 1125, not significant
+    val rows =
+      Seq.fill(10)((true, true, true)) ++
+      Seq.fill(6)((true, true, false)) ++
+      Seq.fill(2)((true, false, true)) ++
+      Seq.fill(1)((true, false, false))
+    val d = rows.toDF("label", "pred_a", "pred_b")
+    val r = Behavior.mcnemarCheck(d, "label", "pred_a", "pred_b")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()(0)
+    assert(r == ((19L, 10L, 6L, 2L, 1L, 1125L, false)))
+  }
+
+  test("mcnemarCheck: never-disagreeing models read null/insignificant") {
+    val d = Seq((true, true, true), (false, true, true))
+      .toDF("label", "pred_a", "pred_b")
+    val r = Behavior.mcnemarCheck(d, "label", "pred_a", "pred_b")
+      .select("chi2_milli", "significant").collect()(0)
+    assert(r.isNullAt(0) && !r.getBoolean(1))
+  }
+
+  test("mannWhitney: A={1,2} vs B={2,3} — exact 2U, tie term, z²") {
+    // 2U = 1 (the 2-2 tie counts half, doubled); T = 2³−2 = 6;
+    // z² = 3·(1−4)²·4·3 / (4·(5·4·3−6)) = 1.5 exactly
+    val d = Seq((true, 1L), (true, 2L), (false, 2L), (false, 3L))
+      .toDF("is_a", "value")
+    val r = Behavior.mannWhitney(d, "is_a", "value")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()(0)
+    assert(r == ((2L, 2L, 1L, 125L, 1500000L, false)))
+  }
+
+  test("mannWhitney: identical distributions → z² 0") {
+    val d = Seq((true, 5L), (false, 5L), (true, 9L), (false, 9L))
+      .toDF("is_a", "value")
+    val r = Behavior.mannWhitney(d, "is_a", "value")
+      .select("auc_permille", "z2_micro").as[(Long, Long)].collect()(0)
+    // u2 = 2U = na·nb exactly when symmetric → auc 500, d = 0
+    assert(r == ((500L, 0L)))
+  }
+
+  test("chiSquareIndep: independent table reads exactly 0") {
+    val rows = Seq.fill(10)(("A", "X")) ++ Seq.fill(20)(("A", "Y")) ++
+      Seq.fill(20)(("B", "X")) ++ Seq.fill(40)(("B", "Y"))
+    val r = Behavior.chiSquareIndep(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long)].collect()(0)
+    assert(r == ((90L, 2L, 2L, 1L, 0L)))
+  }
+
+  test("chiSquareIndep: diagonal 2×2 — absent cells contribute, χ²=N") {
+    // cells (A,X):2 and (B,Y):3 only; perfect association in a 2×2
+    // has χ² = N = 5; present terms 1.8+0.8, absent rows 1.2+1.2
+    val rows = Seq.fill(2)(("A", "X")) ++ Seq.fill(3)(("B", "Y"))
+    val r = Behavior.chiSquareIndep(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long)].collect()(0)
+    assert(r == ((5L, 2L, 2L, 1L, 5000000L)))
+  }
+
+  test("tCloseness: hand-computed TVD incl. the absent-value mass") {
+    // global: v1×3, v2×1 (N=4). g1={v1,v1}: dist {v1:1} vs
+    // {.75,.25} → TVD .25; g2={v1,v2}: {.5,.5} → TVD .25
+    val d = Seq(("g1", "v1"), ("g1", "v1"), ("g2", "v1"), ("g2", "v2"))
+      .toDF("grp", "sv")
+    val got = Relational.tCloseness(d, Seq("grp"), "sv", tPermille = 200L)
+      .orderBy("grp").as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("g1", 2L, 250L, true), ("g2", 2L, 250L, true)))
+    val none = Relational.tCloseness(d, Seq("grp"), "sv", tPermille = 300L)
+      .filter(col("breach")).count()
+    assert(none == 0L)
+  }
+
+  test("mergeIntervals: overlap and touch merge, gaps split") {
+    val d = Seq((1L, 1L, 3L), (1L, 2L, 5L), (1L, 7L, 8L), (1L, 8L, 9L),
+      (1L, 11L, 12L), (2L, 1L, 2L)).toDF("k", "s", "e")
+    val got = Relational.mergeIntervals(d, Seq("k"), "s", "e")
+      .orderBy("k", "island")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L, 5L, 2L), (1L, 2L, 7L, 9L, 2L),
+      (1L, 3L, 11L, 12L, 1L), (2L, 1L, 1L, 2L, 1L)))
+  }
+
+  test("hitsScores: one round of the max-normalized integer HITS") {
+    // o1→{p1,p2}, o2→p1: auth p1 = max → 1e6, p2 = 1e6 div 2;
+    // hub o1 = max → 1e6, o2 = (1e6·1e6) div 1.5e6 = 666666
+    val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("src", "dst")
+    val got = Graph.hitsScores(e, "src", "dst", iterations = 1)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1000000L, 0L), (2L, 666666L, 0L),
+      (101L, 0L, 1000000L), (102L, 0L, 500000L)))
+  }
+
+  test("hitsScores: more rounds keep scores in [0, 1e6] and ranked") {
+    val e = Seq((1L, 101L), (1L, 102L), (2L, 101L), (3L, 101L))
+      .toDF("src", "dst")
+    val m = Graph.hitsScores(e, "src", "dst", iterations = 3)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    assert(m.values.forall(v => v._1 >= 0 && v._1 <= 1000000L &&
+      v._2 >= 0 && v._2 <= 1000000L))
+    // p101 (indeg 3) is the top authority; o1 (outdeg 2) the top hub
+    assert(m(101L)._2 == 1000000L && m(1L)._1 == 1000000L)
+    assert(m(101L)._2 > m(102L)._2)
+  }
+
+  test("itemCf: the basket cap drops hub users before ALL counting") {
+    // u1 has 3 items > maxBasket=2 → dropped entirely; u2={i1,i2},
+    // u3={i1} remain: n(i1)=2, n(i2)=1, co(i1,i2)=1
+    val d = Seq((1L, 11L), (1L, 12L), (1L, 13L), (2L, 11L), (2L, 12L),
+      (3L, 11L)).toDF("u", "it")
+    val got = Graph.itemCf(d, "u", "it", maxBasket = 2, minCo = 1L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((11L, 12L, 1L, 2L, 1L, 500000L, 500L)))
+    // minCo prunes the singleton pair
+    assert(Graph.itemCf(d, "u", "it", maxBasket = 2, minCo = 2L)
+      .count() == 0L)
+  }
+
+  test("rougeN: clipped recall/F1 for uni- and bigrams") {
+    val d = Seq((1L, "a b c", "a b d"), (2L, "x", "x"))
+      .toDF("id", "cand", "ref")
+    val got = TextAnalysis.rougeN(d, "id", "cand", "ref")
+      .orderBy("id")
+      .select("id", "cand_len", "ref_len", "clip1", "clip2",
+        "rouge1_recall_permille", "rouge1_f1_permille",
+        "rouge2_recall_permille", "rouge2_f1_permille")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 2L, 1L, 666L, 666L, 500L, 500L),
+      (2L, 1L, 1L, 1L, 0L, 1000L, 1000L, 0L, 0L)))
+  }
+}

@@ -3,7 +3,7 @@ package graft
 
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(8)
+    val spark = GraftSession.local()
     val sf = sys.env.getOrElse("PROBE_SF", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq
     names.foreach { n =>

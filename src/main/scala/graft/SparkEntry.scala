@@ -3363,6 +3363,89 @@ object SparkEntry {
         minCo = 2L)
     }),
 
+    // C116: Spearman rank correlation — word-mass score vs char
+    // length (a strongly monotone pair): tie-averaged DOUBLED ranks
+    // from the distribution tables, Pearson on ranks in DECIMAL38,
+    // the corrMatrix sign/square reporting device
+    "spearman_corr" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("x"),
+        expr("least(5000L, n_chars div 10)").as("y"))
+      Behavior.spearmanCorr(d, "x", "y")
+    }),
+
+    // C117: Welch unequal-variance t-test — en vs non-en word-mass
+    // means (mann_whitney's parametric twin on the same pair); exact
+    // moments + the stated three-floor micro cascade
+    "welch_ttest" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        (col("lang") === "en").as("is_a"),
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("value"))
+      Behavior.welchTtest(d, "is_a", "value")
+    }),
+
+    // C118: Jensen-Shannon drift between the en / non-en score
+    // distributions — the bounded symmetric member of the drift
+    // triple (psi needs bins, ks sees one point); no smoothing needed
+    "js_divergence" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("value"),
+        (col("lang") === "en").as("base"))
+      Behavior.jsDivergence(d, "value", "base", thresholdMicro = 100000L)
+    }),
+
+    // E97: clipped-IPS off-policy evaluation — what the
+    // "most-frequent action per user-decile" policy would have earned
+    // on the logged event stream; empirical permille propensities,
+    // sign-trunc'd staged integers
+    "ips_eval" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        (col("user_id") % 10).as("ctx"), col("event_type").as("act"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("r_milli"))
+      val pol = ev.groupBy("ctx", "act").agg(count(lit(1)).as("__n"))
+        .groupBy("ctx")
+        .agg(max(struct(col("__n"), col("act"))).as("__b"))
+        .select(col("ctx"), col("__b.act").as("pact"))
+      Behavior.ipsEval(ev, "ctx", "act", "r_milli", pol, "ctx", "pact")
+    }),
+
+    // C119: seed-set reach/influence report over the hop_distance
+    // graph and seeds — per BFS ring: count, cumulative coverage
+    // permille over the FULL universe, cumulative harmonic mass
+    "reach_report" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.filter(col("l_partkey") % 7 < 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2") &&
+          (col("p") * 31 + col("p2")) % 13 === 0)
+      val nodes = pairs.select(col("p").as("id"))
+        .union(pairs.select(col("p2").as("id"))).distinct()
+      val sources = nodes.filter(col("id") % 97 === 0)
+      Graph.reachReport(pairs, "p", "p2", sources, "id", maxHops = 5)
+    }),
+
+    // E98: deterministic embedding mixup — id-successor pairs, fixed
+    // multiplicative-hash λ, integer-milli blended components (the
+    // reproducible augmentation transform)
+    "embedding_mixup" -> ((s, dir) =>
+      Similarity.embeddingMixup(Tables(s, dir).embeddings,
+        "vec_id", "embedding")),
+
+    // E99: distinct-1/distinct-2 generation-diversity (mode-collapse
+    // detector / per-source repetitiveness profile) per source
+    "gen_diversity" -> ((s, dir) =>
+      TextAnalysis.genDiversity(Tables(s, dir).documents,
+        "source", "text")),
+
     // E96: ROUGE-1/2 recall+F1 of the bleu_pairs fixture — the
     // reference-coverage side of generation eval; exact integer
     // ratios, entirely map-side
@@ -8702,6 +8785,304 @@ FROM decided""",
                 (1000 * co) // (na.n + nb.n - co) AS jaccard_permille
          FROM p JOIN itn na ON p.item_a = na.it
                 JOIN itn nb ON p.item_b = nb.it""",
+
+    "spearman_corr" ->
+      """WITH d AS (
+           SELECT least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS x,
+                  least(5000, n_chars // 10) AS y
+           FROM documents),
+         cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+                   FROM d GROUP BY 1, 2),
+         xm AS (SELECT x, CAST(sum(c) AS BIGINT) AS t
+                FROM cells GROUP BY 1),
+         xr AS (SELECT x,
+                  2 * CAST(coalesce(sum(t) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) + t + 1 AS rx
+                FROM xm),
+         ym AS (SELECT y, CAST(sum(c) AS BIGINT) AS t
+                FROM cells GROUP BY 1),
+         yr AS (SELECT y,
+                  2 * CAST(coalesce(sum(t) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) + t + 1 AS ry
+                FROM ym),
+         j AS (SELECT c.c, xr.rx, yr.ry
+               FROM cells c JOIN xr ON c.x = xr.x JOIN yr ON c.y = yr.y),
+         m AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+                 CAST(sum(CAST(c AS HUGEINT) * rx) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(c AS HUGEINT) * ry) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(c AS HUGEINT) * rx * rx) AS HUGEINT)
+                   AS sxx0,
+                 CAST(sum(CAST(c AS HUGEINT) * ry * ry) AS HUGEINT)
+                   AS syy0,
+                 CAST(sum(CAST(c AS HUGEINT) * rx * ry) AS HUGEINT)
+                   AS sxy0
+               FROM j),
+         f AS (SELECT n, n * sxx0 - sx * sx AS sxx,
+                      n * syy0 - sy * sy AS syy,
+                      n * sxy0 - sx * sy AS sxy
+               FROM m)
+         SELECT CAST(n AS BIGINT) AS n,
+                CASE WHEN sxx > 0 AND syy > 0 THEN
+                  CAST(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1
+                       ELSE 0 END AS BIGINT) END AS rho_sign,
+                CASE WHEN sxx > 0 AND syy > 0 THEN
+                  CAST((CASE WHEN 100 * sxy < 0
+                          THEN -((-(100 * sxy)) // sxx)
+                          ELSE (100 * sxy) // sxx END)
+                     * (CASE WHEN 100 * sxy < 0
+                          THEN -((-(100 * sxy)) // syy)
+                          ELSE (100 * sxy) // syy END) AS BIGINT)
+                END AS rho2_permyriad
+         FROM f""",
+
+    "welch_ttest" ->
+      """WITH d AS (
+           SELECT lang = 'en' AS ia,
+                  least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS v
+           FROM documents),
+         m AS (SELECT
+                 CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+                 CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT)
+                   AS nb,
+                 CAST(sum(CASE WHEN ia THEN CAST(v AS HUGEINT)
+                     ELSE 0 END) AS HUGEINT) AS s1a,
+                 CAST(sum(CASE WHEN ia THEN 0
+                     ELSE CAST(v AS HUGEINT) END) AS HUGEINT) AS s1b,
+                 CAST(sum(CASE WHEN ia THEN CAST(v AS HUGEINT) * v
+                     ELSE 0 END) AS HUGEINT) AS s2a,
+                 CAST(sum(CASE WHEN ia THEN 0
+                     ELSE CAST(v AS HUGEINT) * v END) AS HUGEINT) AS s2b
+               FROM d),
+         e AS (SELECT *,
+                 CASE WHEN na >= 2 THEN
+                   (1000000 * (na * s2a - s1a * s1a))
+                     // (CAST(na AS HUGEINT) * na * (na - 1)) END
+                   AS se2a,
+                 CASE WHEN nb >= 2 THEN
+                   (1000000 * (nb * s2b - s1b * s1b))
+                     // (CAST(nb AS HUGEINT) * nb * (nb - 1)) END
+                   AS se2b,
+                 s1a * nb - s1b * na AS mdn
+               FROM m),
+         f AS (SELECT *,
+                 CASE WHEN na > 0 AND nb > 0 THEN
+                   CASE WHEN mdn < 0
+                     THEN -((-(1000000 * mdn))
+                            // (CAST(na AS HUGEINT) * nb))
+                     ELSE (1000000 * mdn)
+                          // (CAST(na AS HUGEINT) * nb) END END
+                   AS md_micro
+               FROM e),
+         g AS (SELECT *,
+                 CASE WHEN se2a IS NOT NULL AND se2b IS NOT NULL
+                      AND se2a + se2b > 0 THEN
+                   (md_micro * CAST(md_micro AS HUGEINT))
+                     // (se2a + se2b) END AS t2_micro
+               FROM f),
+         h AS (SELECT *,
+                 CASE WHEN t2_micro IS NOT NULL
+                      AND (se2a * se2a) // (na - 1)
+                        + (se2b * se2b) // (nb - 1) > 0 THEN
+                   (1000 * (se2a + se2b) * (se2a + se2b))
+                     // ((se2a * se2a) // (na - 1)
+                         + (se2b * se2b) // (nb - 1)) END AS dof_milli
+               FROM g)
+         SELECT na AS n_a, nb AS n_b,
+                CAST(md_micro AS BIGINT) AS md_micro,
+                CAST(t2_micro AS BIGINT) AS t2_micro,
+                CAST(dof_milli AS BIGINT) AS dof_milli,
+                coalesce(t2_micro > 3841459, false) AS significant
+         FROM h""",
+
+    "js_divergence" ->
+      """WITH d AS (
+           SELECT least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS v,
+                  lang = 'en' AS base
+           FROM documents),
+         pv AS (SELECT v,
+                  CAST(sum(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT)
+                    AS b,
+                  CAST(sum(CASE WHEN base THEN 0 ELSE 1 END) AS BIGINT)
+                    AS c
+                FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(b) AS BIGINT) AS tb,
+                      CAST(sum(c) AS BIGINT) AS tc FROM pv),
+         x AS (SELECT pv.*,
+                 CASE WHEN t.tb > 0 THEN (1000000 * b) // t.tb
+                      ELSE 0 END AS p,
+                 CASE WHEN t.tc > 0 THEN (1000000 * c) // t.tc
+                      ELSE 0 END AS q
+               FROM pv CROSS JOIN t),
+         y AS (SELECT *,
+                 CASE WHEN p > 0 THEN
+                   CAST(round(ln(CAST(p AS DOUBLE) * 2.0 / (p + q))
+                     * 1e6) AS BIGINT) ELSE 0 END AS lnp,
+                 CASE WHEN q > 0 THEN
+                   CAST(round(ln(CAST(q AS DOUBLE) * 2.0 / (p + q))
+                     * 1e6) AS BIGINT) ELSE 0 END AS lnq
+               FROM x),
+         agg AS (SELECT CAST(greatest(CAST(0 AS HUGEINT),
+                   sum(CAST(p AS HUGEINT) * lnp
+                       + CAST(q AS HUGEINT) * lnq)) // 2000000
+                   AS BIGINT) AS jsd_micro
+                 FROM y)
+         SELECT (SELECT tb FROM t) AS n_base,
+                (SELECT tc FROM t) AS n_cur,
+                jsd_micro, jsd_micro > 100000 AS drift
+         FROM agg""",
+
+    "ips_eval" ->
+      """WITH ev AS (SELECT user_id % 10 AS ctx, event_type AS act,
+                            CAST(round(value * 1000) AS BIGINT) AS r
+                     FROM events),
+         ca AS (SELECT ctx, act, CAST(count(*) AS BIGINT) AS nxa,
+                       CAST(sum(r) AS BIGINT) AS r
+                FROM ev GROUP BY 1, 2),
+         cx AS (SELECT ctx, CAST(sum(nxa) AS BIGINT) AS nx
+                FROM ca GROUP BY 1),
+         pol AS (SELECT ctx, act AS pact FROM ca
+                 QUALIFY row_number() OVER (PARTITION BY ctx
+                   ORDER BY nxa DESC, act DESC) = 1),
+         j AS (SELECT ca.ctx, ca.act, ca.nxa, ca.r, cx.nx, pol.pact,
+                      greatest(1, (1000 * ca.nxa) // cx.nx) AS phat
+               FROM ca JOIN cx USING (ctx) JOIN pol USING (ctx)),
+         w AS (SELECT *,
+                 CASE WHEN act = pact THEN
+                   CASE WHEN r < 0 THEN -((-(1000 * r)) // phat)
+                        ELSE (1000 * r) // phat END
+                 ELSE 0 END AS wr,
+                 CASE WHEN act = pact
+                   THEN (1000000 // phat) * nxa ELSE 0 END AS w
+               FROM j),
+         agg AS (SELECT CAST(sum(nxa) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN act = pact THEN nxa ELSE 0 END)
+                        AS BIGINT) AS n_matched,
+                   CAST(sum(wr) AS HUGEINT) AS swr,
+                   CAST(sum(w) AS HUGEINT) AS sw
+                 FROM w)
+         SELECT n, n_matched,
+                CAST(CASE WHEN n > 0 THEN
+                  CASE WHEN swr < 0 THEN -((-swr) // n)
+                       ELSE swr // n END END AS BIGINT) AS ips_milli,
+                CAST(CASE WHEN sw > 0 THEN
+                  CASE WHEN swr < 0 THEN -((-(1000 * swr)) // sw)
+                       ELSE (1000 * swr) // sw END END AS BIGINT)
+                  AS snips_milli
+         FROM agg""",
+
+    "reach_report" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 7 < 2),
+         canon AS MATERIALIZED (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+             AND (a.p * 31 + b.p) % 13 = 0),
+         adj AS MATERIALIZED (
+           SELECT a AS c, b AS x FROM canon
+           UNION ALL SELECT b, a FROM canon),
+         s0 AS MATERIALIZED (
+           SELECT id FROM (SELECT a AS id FROM canon
+                           UNION SELECT b FROM canon)
+           WHERE id % 97 = 0),
+         f1 AS MATERIALIZED (
+           SELECT DISTINCT x AS id FROM adj JOIN s0 ON c = s0.id
+           WHERE x NOT IN (SELECT id FROM s0)),
+         v1 AS MATERIALIZED (
+           SELECT id FROM s0 UNION ALL SELECT id FROM f1),
+         f2 AS MATERIALIZED (
+           SELECT DISTINCT x AS id FROM adj JOIN f1 ON c = f1.id
+           WHERE x NOT IN (SELECT id FROM v1)),
+         v2 AS MATERIALIZED (
+           SELECT id FROM v1 UNION ALL SELECT id FROM f2),
+         f3 AS MATERIALIZED (
+           SELECT DISTINCT x AS id FROM adj JOIN f2 ON c = f2.id
+           WHERE x NOT IN (SELECT id FROM v2)),
+         v3 AS MATERIALIZED (
+           SELECT id FROM v2 UNION ALL SELECT id FROM f3),
+         f4 AS MATERIALIZED (
+           SELECT DISTINCT x AS id FROM adj JOIN f3 ON c = f3.id
+           WHERE x NOT IN (SELECT id FROM v3)),
+         v4 AS MATERIALIZED (
+           SELECT id FROM v3 UNION ALL SELECT id FROM f4),
+         f5 AS MATERIALIZED (
+           SELECT DISTINCT x AS id FROM adj JOIN f4 ON c = f4.id
+           WHERE x NOT IN (SELECT id FROM v4)),
+         rings0 AS (
+           SELECT CAST(0 AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS n FROM s0
+           UNION ALL SELECT 1, count(*) FROM f1
+           UNION ALL SELECT 2, count(*) FROM f2
+           UNION ALL SELECT 3, count(*) FROM f3
+           UNION ALL SELECT 4, count(*) FROM f4
+           UNION ALL SELECT 5, count(*) FROM f5),
+         rings AS (SELECT * FROM rings0 WHERE n > 0),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS nn
+                FROM (SELECT a AS id FROM canon
+                      UNION SELECT b FROM canon))
+         SELECT d AS dist, n AS n_at,
+                CAST(sum(n) OVER (ORDER BY d) AS BIGINT) AS cum_reached,
+                CAST((1000 * sum(n) OVER (ORDER BY d))
+                  // (SELECT nn FROM nn) AS BIGINT) AS coverage_permille,
+                CAST(sum(CASE WHEN d > 0 THEN n * (1000000 // d)
+                    ELSE 0 END) OVER (ORDER BY d) AS BIGINT)
+                  AS harmonic_cum_micro
+         FROM rings""",
+
+    "embedding_mixup" ->
+      """WITH a AS (SELECT vec_id AS id_a,
+                           CAST(embedding AS DOUBLE[]) AS va
+                    FROM embeddings),
+         b AS (SELECT vec_id - 1 AS id_a, vec_id AS id_b,
+                      CAST(embedding AS DOUBLE[]) AS vb
+               FROM embeddings),
+         j AS (SELECT a.id_a, b.id_b,
+                      ((a.id_a % 100000) * 2654435761) % 899 + 51
+                        AS lambda_permille,
+                      va, vb
+               FROM a JOIN b USING (id_a)),
+         f AS (SELECT id_a, id_b, lambda_permille, va, vb,
+                      unnest(generate_series(1, len(va))) AS i
+               FROM j)
+         SELECT id_a, id_b, lambda_permille,
+                CAST(i - 1 AS BIGINT) AS dim,
+                CAST(floor(lambda_permille * va[i]
+                  + (1000 - lambda_permille) * vb[i] + 0.5) AS BIGINT)
+                  AS m_milli
+         FROM f""",
+
+    "gen_diversity" ->
+      """WITH t AS (SELECT source AS grp,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         nd AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs
+                FROM t GROUP BY 1),
+         u AS (SELECT grp, unnest(tk) AS g FROM t),
+         u1 AS (SELECT grp, CAST(count(*) AS BIGINT) AS total_1,
+                       CAST(count(DISTINCT g) AS BIGINT) AS distinct_1
+                FROM u GROUP BY 1),
+         b0 AS (SELECT grp, tk, unnest(range(1, len(tk))) AS i FROM t),
+         b AS (SELECT grp, tk[i] || ' ' || tk[i+1] AS g FROM b0),
+         b1 AS (SELECT grp, CAST(count(*) AS BIGINT) AS total_2,
+                       CAST(count(DISTINCT g) AS BIGINT) AS distinct_2
+                FROM b GROUP BY 1)
+         SELECT nd.grp, nd.n_docs,
+                coalesce(total_1, 0) AS total_1,
+                coalesce(distinct_1, 0) AS distinct_1,
+                coalesce(total_2, 0) AS total_2,
+                coalesce(distinct_2, 0) AS distinct_2,
+                CASE WHEN coalesce(total_1, 0) > 0
+                  THEN (1000 * distinct_1) // total_1 END AS d1_permille,
+                CASE WHEN coalesce(total_2, 0) > 0
+                  THEN (1000 * distinct_2) // total_2 END AS d2_permille
+         FROM nd LEFT JOIN u1 USING (grp) LEFT JOIN b1 USING (grp)""",
 
     "rouge_pairs" ->
       """WITH t0 AS (SELECT doc_id,

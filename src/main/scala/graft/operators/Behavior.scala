@@ -1890,4 +1890,260 @@ object Behavior {
         expr("(n_rows_a - 1) * (n_cols_b - 1)").as("dof"),
         expr("CAST(__chi2 AS BIGINT)").as("chi2_micro"))
   }
+
+  /** Spearman rank correlation (C116 — [[corrMatrix]]'s ROBUST
+    * sibling: Pearson on heavy-tailed metrics is driven by the tail;
+    * rank correlation answers the monotone-association question every
+    * metric pair actually poses and is the number reviewers ask for
+    * next to Pearson). Computed EXACTLY on tie-averaged ranks over a
+    * bounded-domain integer pair (the repo's quantization contract):
+    * DOUBLED ranks keep tie averages integral
+    * (`2·rank_avg(v) = 2·cum_before(v) + t_v + 1`), then Pearson's
+    * formula on the doubled ranks with DECIMAL(38,0) moment products
+    * and the [[corrMatrix]] reporting device — `rho_sign` plus
+    * `rho2_permyriad = sign-trunc(100·Sxy/Sxx)·sign-trunc(100·Sxy/
+    * Syy)` (the square avoids the irrational sqrt; sign carried
+    * separately). Constant columns (zero rank variance) read null.
+    *
+    * Scale shape: one (x,y) cell aggregation (map-side combined —
+    * corpus touched ONCE), marginal rank tables as two ≤|domain|
+    * folds broadcast back onto the cell frame, one scalar moment agg.
+    * The corpus never sorts — ranks come from the distribution, not
+    * a ranking window.
+    */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    def rankTable(vc: String) = cells
+      .groupBy(col(vc).as("__v")).agg(sum("__c").as("__t"))
+      .agg(array_sort(collect_list(struct(col("__v"), col("__t"))))
+        .as("__a"))
+      .select(explode(expr("""aggregate(__a,
+        struct(CAST(0 AS BIGINT) AS cum,
+               CAST(array() AS ARRAY<STRUCT<v: BIGINT, r2: BIGINT>>)
+                 AS out),
+        (acc, el) -> struct(acc.cum + el.__t AS cum,
+          array_append(acc.out, struct(el.__v AS v,
+            2 * acc.cum + el.__t + 1 AS r2)) AS out)).out""")).as("__r"))
+      .select(col("__r.v").as("__v"), col("__r.r2").as("__r2"))
+    val rx = rankTable("__x").withColumnRenamed("__v", "__x")
+      .withColumnRenamed("__r2", "__rx")
+    val ry = rankTable("__y").withColumnRenamed("__v", "__y")
+      .withColumnRenamed("__r2", "__ry")
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    cells
+      .join(broadcast(rx), "__x")
+      .join(broadcast(ry), "__y")
+      .agg(sum("__c").cast("decimal(38,0)").as("__n"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __rx")).as("__sx"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __ry")).as("__sy"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __rx * __rx")).as("__sxx0"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __ry * __ry")).as("__syy0"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __rx * __ry")).as("__sxy0"))
+      .withColumn("__sxx", expr("__n * __sxx0 - __sx * __sx"))
+      .withColumn("__syy", expr("__n * __syy0 - __sy * __sy"))
+      .withColumn("__sxy", expr("__n * __sxy0 - __sx * __sy"))
+      .select(col("__n").cast("long").as("n"),
+        expr("""CASE WHEN __sxx > 0 AND __syy > 0 THEN
+                  CAST(sign(__sxy) AS BIGINT) END""").as("rho_sign"),
+        expr(s"""CASE WHEN __sxx > 0 AND __syy > 0 THEN
+                  CAST((${strunc("100 * __sxy", "__sxx")}) *
+                       (${strunc("100 * __sxy", "__syy")}) AS BIGINT)
+                END""").as("rho2_permyriad"))
+  }
+
+  /** Welch's unequal-variance t-test (C117 — the parametric leg
+    * beside [[mannWhitney]]: when the metric DOES average well,
+    * Welch is the default two-sample mean test — Student's
+    * equal-variance assumption is never checked in practice, so
+    * Welch IS the test). Exact integer moments per group
+    * (DECIMAL(38,0) S1/S2), then a STATED three-floor cascade on the
+    * micro grid: per-group squared standard error
+    * `se2_micro_g = (10⁶·(n_g·S2_g − S1_g²)) div (n_g²·(n_g−1))`,
+    * mean difference `md_micro = sign-trunc(10⁶·(S1_a·n_b − S1_b·n_a),
+    * n_a·n_b)`, `t2_micro = md_micro² div (se2a+se2b)`, and the
+    * Welch-Satterthwaite dof on the same grid
+    * `dof_milli = (1000·(se2a+se2b)²) div (se2a² div (n_a−1) +
+    * se2b² div (n_b−1))`. Significance compares t² > 1.96² micro —
+    * the large-sample normal cut (the dof-exact t quantile has no
+    * integer-grid form; dof_milli is reported so a caller can apply
+    * a stricter small-sample cut). Zero pooled variance or a
+    * sub-2-row group reads null.
+    *
+    * Scale shape: ONE map-side scalar aggregation — the [[abTest]]
+    * shape. Envelope: products ≤ 10⁶·n·S2 stay in DECIMAL(38,0) for
+    * any realistic permille metric (n ≲ 10¹³).
+    */
+  def welchTtest(df: DataFrame, isACol: String,
+                 valueCol: String): DataFrame = {
+    val v = s"CAST($valueCol AS DECIMAL(38,0))"
+    df.agg(
+        sum(when(col(isACol), 1L).otherwise(0L)).as("__na"),
+        sum(when(col(isACol), 0L).otherwise(1L)).as("__nb"),
+        sum(expr(s"CASE WHEN $isACol THEN $v ELSE CAST(0 AS " +
+          "DECIMAL(38,0)) END")).as("__s1a"),
+        sum(expr(s"CASE WHEN $isACol THEN CAST(0 AS DECIMAL(38,0)) " +
+          s"ELSE $v END")).as("__s1b"),
+        sum(expr(s"CASE WHEN $isACol THEN $v * $valueCol ELSE " +
+          "CAST(0 AS DECIMAL(38,0)) END")).as("__s2a"),
+        sum(expr(s"CASE WHEN $isACol THEN CAST(0 AS DECIMAL(38,0)) " +
+          s"ELSE $v * $valueCol END")).as("__s2b"))
+      .withColumn("__se2a", expr(
+        """CASE WHEN __na >= 2 THEN (1000000 * (__na * __s2a
+             - __s1a * __s1a))
+           div (CAST(__na AS DECIMAL(38,0)) * __na * (__na - 1)) END"""))
+      .withColumn("__se2b", expr(
+        """CASE WHEN __nb >= 2 THEN (1000000 * (__nb * __s2b
+             - __s1b * __s1b))
+           div (CAST(__nb AS DECIMAL(38,0)) * __nb * (__nb - 1)) END"""))
+      .withColumn("__mdn", expr("__s1a * __nb - __s1b * __na"))
+      .withColumn("md_micro", expr(
+        """CASE WHEN __na > 0 AND __nb > 0 THEN
+             CASE WHEN __mdn < 0
+               THEN -((-(1000000 * __mdn))
+                      div (CAST(__na AS DECIMAL(38,0)) * __nb))
+               ELSE (1000000 * __mdn)
+                    div (CAST(__na AS DECIMAL(38,0)) * __nb) END
+           END"""))
+      .withColumn("t2_micro", expr(
+        """CASE WHEN __se2a IS NOT NULL AND __se2b IS NOT NULL
+                AND __se2a + __se2b > 0 THEN
+             (md_micro * CAST(md_micro AS DECIMAL(38,0)))
+               div (__se2a + __se2b) END"""))
+      // se2 values reach 10¹² for permille metrics — their squares
+      // overflow int64, so every square rides DECIMAL(38,0)
+      .withColumn("dof_milli", expr(
+        """CASE WHEN t2_micro IS NOT NULL
+                AND (CAST(__se2a AS DECIMAL(38,0)) * __se2a)
+                    div (__na - 1)
+                  + (CAST(__se2b AS DECIMAL(38,0)) * __se2b)
+                    div (__nb - 1) > 0 THEN
+             (1000 * (CAST(__se2a AS DECIMAL(38,0)) + __se2b)
+                   * (CAST(__se2a AS DECIMAL(38,0)) + __se2b))
+               div ((CAST(__se2a AS DECIMAL(38,0)) * __se2a)
+                      div (__na - 1)
+                    + (CAST(__se2b AS DECIMAL(38,0)) * __se2b)
+                      div (__nb - 1)) END"""))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("md_micro"), col("t2_micro"), col("dof_milli"),
+        expr("coalesce(t2_micro > 3841459, false)").as("significant"))
+  }
+
+  /** Jensen-Shannon drift (C118 — closing the drift triple beside
+    * psi_drift and [[ksDrift]]: PSI needs a bin choice and explodes
+    * on empty bins, KS sees only the worst single point; JSD is the
+    * bounded symmetric whole-distribution divergence — and it needs
+    * NO smoothing, because `m = (p+q)/2 > 0` wherever either side
+    * has mass, with `0·ln 0 = 0` exact). Over a bounded-domain
+    * integer value (category or quantized score): micro proportions
+    * `p = (10⁶·n_p) div N_p` per side, per-value terms
+    * `p·round(ln(2p/(p+q))·10⁶)` on the micro-nat quantized-log
+    * device (one IEEE log of an integer ratio both engines hold —
+    * the psi_drift discipline), `jsd_micro = (Σ_p terms + Σ_q terms)
+    * div (2·10⁶)`; 0 ≤ JSD ≤ ln 2 ≈ 693147 micro-nats. `drift` flags
+    * jsd_micro above `thresholdMicro`.
+    *
+    * Scale shape: one value-keyed aggregation (map-side combined),
+    * the ≤|domain| distribution carries everything else — one
+    * broadcast of the two totals, one scalar agg. The psi shape
+    * without the binning.
+    */
+  def jsDivergence(df: DataFrame, valueCol: String, baseCol: String,
+                   thresholdMicro: Long = 100000L): DataFrame = {
+    val perValue = df.groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(sum(when(col(baseCol), 1L).otherwise(0L)).as("__b"),
+           sum(when(col(baseCol), 0L).otherwise(1L)).as("__c"))
+    val totals = perValue.agg(sum("__b").as("__tb"), sum("__c").as("__tc"))
+    perValue.crossJoin(broadcast(totals))
+      .withColumn("__p", expr("CASE WHEN __tb > 0 THEN " +
+        "(1000000 * __b) div __tb ELSE 0L END"))
+      .withColumn("__q", expr("CASE WHEN __tc > 0 THEN " +
+        "(1000000 * __c) div __tc ELSE 0L END"))
+      .withColumn("__lnp", when(col("__p") > 0,
+        round(log(col("__p").cast("double") * 2.0d /
+          (col("__p") + col("__q")).cast("double")) * 1e6).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("__lnq", when(col("__q") > 0,
+        round(log(col("__q").cast("double") * 2.0d /
+          (col("__p") + col("__q")).cast("double")) * 1e6).cast("long"))
+        .otherwise(lit(0L)))
+      .agg(first("__tb").as("n_base"), first("__tc").as("n_cur"),
+        sum(expr("CAST(__p AS DECIMAL(38,0)) * __lnp + " +
+          "CAST(__q AS DECIMAL(38,0)) * __lnq")).as("__s"))
+      // true JSD ≥ 0; the micro quantization can dip the sum a hair
+      // negative near 0 — clamp so the div never sees a negative
+      // (trunc-direction mismatch territory) and 0 reads 0
+      .select(col("n_base"), col("n_cur"),
+        expr("""CAST(greatest(CAST(0 AS DECIMAL(38,0)), __s)
+          div 2000000 AS BIGINT)""").as("jsd_micro"))
+      .withColumn("drift", col("jsd_micro") > lit(thresholdMicro))
+  }
+
+  /** Inverse-propensity off-policy evaluation (E97 — the
+    * counterfactual question under every logged-interaction corpus:
+    * what would THIS policy have earned on traffic logged under
+    * ANOTHER — the standard before any recommender/ranker ships;
+    * pairs with [[abTest]], which answers it only AFTER shipping).
+    * Behavior propensities are the log's own empirical frequencies
+    * `p̂(a|x) = max(1, (1000·n_xa) div n_x)` (integer permille,
+    * floor-clipped at 1 — the standard CLIPPED-IPS device: an action
+    * logged under a sub-permille propensity would otherwise carry
+    * unbounded weight, and the clip also keeps the integer division
+    * total); the target policy is a `(context, action)` frame. Exact
+    * staged integers: per (context, action) CELL
+    * `Σw·r = (1000·Σr_milli) div p̂_permille` (one floor per cell —
+    * cells share p̂, so this beats per-row flooring, stated),
+    * `ips_milli = Σ div n` (the unmatched
+    * contribute 0 — the IPS estimator), and self-normalized
+    * `snips_milli = (Σ floor-weighted rewards · 10³) div Σ w_milli`
+    * with `w_milli = (1000·1000) div p̂_permille` (SNIPS divides by
+    * realized weight mass — the lower-variance estimator both
+    * reported). Empty intersection → nulls.
+    *
+    * Scale shape: one (context, action) propensity aggregation
+    * joined back context-keyed (reuses the exchange), the policy
+    * frame broadcast, one scalar agg. The log is scanned once.
+    */
+  def ipsEval(logged: DataFrame, contextCol: String, actionCol: String,
+              rewardMilliCol: String, policy: DataFrame,
+              policyContextCol: String,
+              policyActionCol: String): DataFrame = {
+    val byCtxAct = logged.groupBy(col(contextCol).as("__ctx"),
+        col(actionCol).as("__act"))
+      .agg(count(lit(1)).as("__nxa"),
+           sum(col(rewardMilliCol).cast("long")).as("__r"))
+    val byCtx = byCtxAct.groupBy("__ctx").agg(sum("__nxa").as("__nx"))
+    val pol = policy.select(col(policyContextCol).as("__ctx"),
+      col(policyActionCol).as("__pact"))
+    byCtxAct
+      .join(byCtx, "__ctx") // ctx-keyed: reuses the exchange
+      .join(broadcast(pol), "__ctx")
+      .withColumn("__phat", expr("greatest(1L, (1000 * __nxa) div __nx)"))
+      // rewards may be negative: every ratio is sign-trunc'd (the
+      // bleuPairs device) so both engines truncate toward zero
+      .withColumn("__wr", expr(
+        """CASE WHEN __act = __pact THEN
+             CASE WHEN __r < 0 THEN -((-(1000 * __r)) div __phat)
+                  ELSE (1000 * __r) div __phat END
+           ELSE 0L END"""))
+      .withColumn("__w", expr(
+        """CASE WHEN __act = __pact
+             THEN (1000000 div __phat) * __nxa ELSE 0L END"""))
+      .agg(sum("__nxa").as("n"),
+        sum(expr("CASE WHEN __act = __pact THEN __nxa ELSE 0L END"))
+          .as("n_matched"),
+        sum("__wr").as("__swr"), sum("__w").as("__sw"))
+      .select(col("n"), col("n_matched"),
+        expr("""CASE WHEN n > 0 THEN
+             CASE WHEN __swr < 0 THEN -((-__swr) div n)
+                  ELSE __swr div n END END""").as("ips_milli"),
+        expr("""CASE WHEN __sw > 0 THEN
+             CASE WHEN __swr < 0
+               THEN -((-(1000 * CAST(__swr AS DECIMAL(38,0)))) div __sw)
+               ELSE (1000 * CAST(__swr AS DECIMAL(38,0))) div __sw END
+           END""").cast("long").as("snips_milli"))
+  }
 }

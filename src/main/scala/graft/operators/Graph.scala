@@ -497,6 +497,58 @@ object Graph {
     scores
   }
 
+  /** Seed-set reach / influence report (C119 — the coverage view over
+    * [[hopDistance]]'s per-node distances: from a seed set, how much
+    * of the graph is inside each radius and how CLOSE the reached
+    * mass sits — the spread question under influencer selection,
+    * crawl-frontier budgeting, and contamination blast-radius
+    * analysis). Per BFS ring: node count, cumulative reach,
+    * `coverage_permille = (1000·cum) div n_nodes` over the FULL node
+    * universe (edge endpoints ∪ seeds — unreached nodes count in the
+    * denominator, the honest coverage), and the cumulative harmonic
+    * mass `Σ_{d≥1} n_at(d)·(10⁶ div d)` — the seed set's harmonic
+    * centrality in micro units (ring 0 contributes none; exact
+    * integers, the per-ring reciprocal floor is the stated rule).
+    *
+    * Scale shape: [[hopDistance]]'s frontier BFS (key-partitioned
+    * joins, node-sized frames, lineage checkpoint per round) plus one
+    * ≤(maxHops+1)-row distribution fold — the cumulative sweep rides
+    * a HOF fold over the collected ring table, never a window.
+    */
+  def reachReport(edges: DataFrame, srcCol: String, dstCol: String,
+                  sources: DataFrame, sourceIdCol: String,
+                  maxHops: Int): DataFrame = {
+    val dists = hopDistance(edges, srcCol, dstCol, sources, sourceIdCol,
+      maxHops)
+    val universe = edges
+      .select(col(srcCol).cast("long").as("id"))
+      .union(edges.select(col(dstCol).cast("long").as("id")))
+      .union(sources.select(col(sourceIdCol).cast("long").as("id")))
+      .distinct()
+      .agg(count(lit(1)).as("__nn"))
+    dists.groupBy(col("dist").cast("long").as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(array_sort(collect_list(struct(col("__d"), col("__n"))))
+        .as("__a"))
+      .crossJoin(broadcast(universe))
+      .select(col("__nn"), explode(expr("""aggregate(__a,
+        struct(CAST(0 AS BIGINT) AS cum, CAST(0 AS BIGINT) AS harm,
+               CAST(array() AS ARRAY<STRUCT<d: BIGINT, n: BIGINT,
+                 cum: BIGINT, harm: BIGINT>>) AS out),
+        (acc, el) -> struct(acc.cum + el.__n AS cum,
+          acc.harm + CASE WHEN el.__d > 0
+            THEN el.__n * (1000000 div el.__d) ELSE 0L END AS harm,
+          array_append(acc.out, struct(el.__d AS d, el.__n AS n,
+            acc.cum + el.__n AS cum,
+            acc.harm + CASE WHEN el.__d > 0
+              THEN el.__n * (1000000 div el.__d) ELSE 0L END AS harm))
+          AS out)).out""")).as("__r"))
+      .select(col("__r.d").as("dist"), col("__r.n").as("n_at"),
+        col("__r.cum").as("cum_reached"),
+        expr("(1000 * __r.cum) div __nn").as("coverage_permille"),
+        col("__r.harm").as("harmonic_cum_micro"))
+  }
+
   /** Item-item collaborative-filtering similarity over a bipartite
     * (user, item) interaction table (C115 — the co-occurrence
     * projection under "customers who took A also took B": recommender

@@ -1176,4 +1176,44 @@ object Similarity {
           (__n * kth_cos_micro - __s1) * (__n * kth_cos_micro - __s1)
             > $k2 * (__n * __s2 - __s1 * __s1)""").as("is_outlier"))
   }
+
+  /** Deterministic embedding mixup (E98 — the representation-space
+    * data augmentation under contrastive/regularization training
+    * recipes: convex blends of example pairs smooth decision
+    * boundaries; at corpus scale the blend must be REPRODUCIBLE, so
+    * both the pairing and the mixing weight are pure functions of the
+    * ids, never RNG). Pairs each vector with its id+1 successor (both
+    * present — the id-dense contract; boundary ids simply pair
+    * nothing), mixing weight
+    * `λ_permille = ((id mod 10⁵)·2654435761) mod 899 + 51` (a fixed
+    * multiplicative-hash rule landing in [51, 949] — never a
+    * degenerate copy of either side; the inner mod keeps the product
+    * inside int64 at any id scale), and emits integer MILLI
+    * components `floor(λ·x_k + (1000−λ)·y_k + 0.5)` — one IEEE
+    * double product chain both engines compute identically (the
+    * quantizeInt8 discipline).
+    *
+    * Scale shape: one self-join on the successor id (key-partitioned
+    * equi-join) + a map-side zip explode — no other shuffle; the
+    * exploded (pair, dim) frame is the training-shard layout
+    * downstream packers expect.
+    */
+  def embeddingMixup(df: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val a = df.select(col(idCol).cast("long").as("id_a"),
+      col(vecCol).as("__va"))
+    val b = df.select((col(idCol).cast("long") - 1L).as("id_a"),
+      col(idCol).cast("long").as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, "id_a")
+      .withColumn("lambda_permille",
+        expr("((id_a % 100000) * 2654435761L) % 899 + 51"))
+      .select(col("id_a"), col("id_b"), col("lambda_permille"),
+        posexplode(expr(
+          """zip_with(__va, __vb, (x, y) ->
+             CAST(floor(lambda_permille * CAST(x AS DOUBLE)
+               + (1000 - lambda_permille) * CAST(y AS DOUBLE) + 0.5d)
+             AS BIGINT))""")).as(Seq("dim", "m_milli")))
+      .select(col("id_a"), col("id_b"), col("lambda_permille"),
+        col("dim").cast("long").as("dim"), col("m_milli"))
+  }
 }

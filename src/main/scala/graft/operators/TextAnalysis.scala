@@ -1784,4 +1784,56 @@ object TextAnalysis {
              THEN (2000 * clip2) div (__cl2 + __rl2) ELSE 0L END"""))
       .drop("__cl2", "__rl2")
   }
+
+  /** Generation-diversity report (E99 — distinct-1/distinct-2 per
+    * group: the mode-collapse detector every generation pipeline
+    * tracks next to [[bleuPairs]]/[[rougeN]] quality — a model can
+    * score well against references while emitting the same few
+    * phrasings; the distinct-n gram ratios are the standard
+    * diversity numbers, and per SOURCE they also profile corpus
+    * repetitiveness before training). Per group, EXACT integers:
+    * doc count, total/distinct unigram and bigram counts, and
+    * `d1/d2_permille = (1000·distinct) div total` (null when the
+    * group has no grams of that order — sub-2-token docs contribute
+    * none, stated). House tokens: whitespace split.
+    *
+    * Scale shape: two (group, gram) aggregations (map-side combined)
+    * reduced to group-sized frames, joined group-keyed (the exchange
+    * reuses); the corpus is scanned once per gram order, never
+    * sorted.
+    */
+  def genDiversity(docs: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol).as("grp"),
+      expr(s"filter(split(trim($textCol), '\\\\s+'), x -> x <> '')")
+        .as("__t"))
+    val nDocs = toks.groupBy("grp").agg(count(lit(1)).as("n_docs"))
+    val uni = toks.select(col("grp"), explode(col("__t")).as("__g"))
+      .groupBy("grp", "__g").agg(count(lit(1)).as("__c"))
+      .groupBy("grp").agg(sum("__c").as("total_1"),
+        count(lit(1)).as("distinct_1"))
+    val bi = toks
+      .withColumn("__b", expr(
+        """CASE WHEN size(__t) >= 2 THEN
+             transform(sequence(1, size(__t) - 1),
+               i -> concat(element_at(__t, i), ' ',
+                 element_at(__t, i + 1)))
+           ELSE CAST(array() AS ARRAY<STRING>) END"""))
+      .select(col("grp"), explode(col("__b")).as("__g"))
+      .groupBy("grp", "__g").agg(count(lit(1)).as("__c"))
+      .groupBy("grp").agg(sum("__c").as("total_2"),
+        count(lit(1)).as("distinct_2"))
+    nDocs
+      .join(uni, Seq("grp"), "left")
+      .join(bi, Seq("grp"), "left")
+      .select(col("grp"), col("n_docs"),
+        coalesce(col("total_1"), lit(0L)).as("total_1"),
+        coalesce(col("distinct_1"), lit(0L)).as("distinct_1"),
+        coalesce(col("total_2"), lit(0L)).as("total_2"),
+        coalesce(col("distinct_2"), lit(0L)).as("distinct_2"))
+      .withColumn("d1_permille", expr(
+        "CASE WHEN total_1 > 0 THEN (1000 * distinct_1) div total_1 END"))
+      .withColumn("d2_permille", expr(
+        "CASE WHEN total_2 > 0 THEN (1000 * distinct_2) div total_2 END"))
+  }
 }

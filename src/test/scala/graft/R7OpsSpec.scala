@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Behavior, Graph, Relational, TextAnalysis}
+import graft.operators.{Behavior, Graph, Relational, Similarity, TextAnalysis}
 
 /** Hand-computed cases for the round-7 additions: the eval-family
   * completions (PR-AUC, Brier+ECE, McNemar), the non-parametric /
@@ -160,6 +160,107 @@ class R7OpsSpec extends AnyFunSuite {
     // minCo prunes the singleton pair
     assert(Graph.itemCf(d, "u", "it", maxBasket = 2, minCo = 2L)
       .count() == 0L)
+  }
+
+  test("spearmanCorr: perfect monotone and the tie-averaged case") {
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(Behavior.spearmanCorr(mono, "x", "y")
+      .as[(Long, Long, Long)].collect()(0) == ((3L, 1L, 10000L)))
+    // x = [1,1,2] (doubled ranks 3,3,6), y = [5,7,9] (2,4,6):
+    // Sxx=18, Syy=24, Sxy=18 → rho² = 324/432 = 0.75 exactly
+    val tied = Seq((1L, 5L), (1L, 7L), (2L, 9L)).toDF("x", "y")
+    assert(Behavior.spearmanCorr(tied, "x", "y")
+      .as[(Long, Long, Long)].collect()(0) == ((3L, 1L, 7500L)))
+  }
+
+  test("spearmanCorr: constant column reads null") {
+    val d = Seq((5L, 1L), (5L, 2L)).toDF("x", "y")
+    val r = Behavior.spearmanCorr(d, "x", "y")
+      .select("rho_sign", "rho2_permyriad").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("welchTtest: hand-computed moments, t², Welch dof") {
+    // A={10,20}: se2 = var/n = 50/2 → 25e6 micro; B={10,30}: 100e6;
+    // md = −5 → t² = 25e12/125e6 = 0.2; dof = 15625/10625 = 1.4706
+    val d = Seq((true, 10L), (true, 20L), (false, 10L), (false, 30L))
+      .toDF("is_a", "value")
+    val r = Behavior.welchTtest(d, "is_a", "value")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()(0)
+    assert(r == ((2L, 2L, -5000000L, 200000L, 1470L, false)))
+  }
+
+  test("welchTtest: zero variance or n<2 reads null") {
+    val d = Seq((true, 5L), (true, 5L), (false, 5L), (false, 5L))
+      .toDF("is_a", "value")
+    val r = Behavior.welchTtest(d, "is_a", "value")
+      .select("t2_micro").collect()(0)
+    assert(r.isNullAt(0))
+    val single = Seq((true, 5L), (false, 1L), (false, 9L))
+      .toDF("is_a", "value")
+    assert(Behavior.welchTtest(single, "is_a", "value")
+      .select("t2_micro").collect()(0).isNullAt(0))
+  }
+
+  test("jsDivergence: identical → 0; disjoint → ln 2 micro-nats") {
+    val same = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("v", "base")
+    assert(Behavior.jsDivergence(same, "v", "base")
+      .select("jsd_micro").as[Long].collect()(0) == 0L)
+    val disj = Seq((1L, true), (2L, false)).toDF("v", "base")
+    val r = Behavior.jsDivergence(disj, "v", "base")
+      .as[(Long, Long, Long, Boolean)].collect()(0)
+    assert(r == ((1L, 1L, 693147L, true)))
+  }
+
+  test("ipsEval: clipped propensities, matched mass, SNIPS") {
+    // ctx 1: a×3 (r 2000 each), b×1 → pact=a, phat_a=750:
+    // Σw·r = (1000·6000) div 750 = 8000 → ips = 2000;
+    // Σw = (1e6 div 750)·3 = 3999 → snips = 8000000 div 3999 = 2000
+    val ev = Seq((1L, "a", 2000L), (1L, "a", 2000L), (1L, "a", 2000L),
+      (1L, "b", 1000L)).toDF("ctx", "act", "r_milli")
+    val pol = Seq((1L, "a")).toDF("ctx", "pact")
+    val r = Behavior.ipsEval(ev, "ctx", "act", "r_milli", pol,
+      "ctx", "pact").as[(Long, Long, Long, Long)].collect()(0)
+    assert(r == ((4L, 3L, 2000L, 2000L)))
+  }
+
+  test("ipsEval: negative rewards ride the sign-trunc rule") {
+    val ev = Seq((1L, "a", -1500L), (1L, "a", -1500L))
+      .toDF("ctx", "act", "r_milli")
+    val pol = Seq((1L, "a")).toDF("ctx", "pact")
+    val r = Behavior.ipsEval(ev, "ctx", "act", "r_milli", pol,
+      "ctx", "pact").select("ips_milli").as[Long].collect()(0)
+    assert(r == -1500L)
+  }
+
+  test("reachReport: path graph rings, coverage, harmonic mass") {
+    // 1-2-3-4, seed {1}, maxHops=2: rings 0/1/2 reach 1/2/3 of 4
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.reachReport(e, "s", "d", seeds, "id", maxHops = 2)
+      .orderBy("dist")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1L, 250L, 0L),
+      (1L, 1L, 2L, 500L, 1000000L), (2L, 1L, 3L, 750L, 1500000L)))
+  }
+
+  test("embeddingMixup: successor pairing, fixed λ, milli blend") {
+    val d = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingMixup(d, "vec_id", "embedding")
+      .orderBy("dim")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // λ(1) = (2654435761 % 899) + 51 = 714 + 51 = 765
+    assert(got == Seq((1L, 2L, 765L, 0L, 765L), (1L, 2L, 765L, 1L, 235L)))
+  }
+
+  test("genDiversity: distinct-1/distinct-2 with a sub-2-token doc") {
+    val d = Seq(("g", "a a b"), ("g", "a")).toDF("source", "text")
+    val r = TextAnalysis.genDiversity(d, "source", "text")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()(0)
+    assert(r == (("g", 2L, 4L, 2L, 2L, 2L, 500L, 1000L)))
   }
 
   test("rougeN: clipped recall/F1 for uni- and bigrams") {

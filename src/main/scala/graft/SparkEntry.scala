@@ -3363,6 +3363,40 @@ object SparkEntry {
         minCo = 2L)
     }),
 
+    // E100: forecast-quality report — MAE / pinball(500,900) /
+    // interval coverage+width of the per-priority mean ± quarter-range
+    // band predictor over order totals (the regression eval leg)
+    "forecast_eval" -> ((s, dir) => {
+      val o = Tables(s, dir).orders.select(
+        col("o_orderpriority").as("grp"),
+        expr("CAST(round(o_totalprice * 1000) AS BIGINT)").as("a"))
+      val m = o.groupBy("grp").agg(
+        expr("CAST(sum(a) div count(1) AS BIGINT)").as("mid"),
+        expr("CAST((max(a) - min(a)) div 4 AS BIGINT)").as("__k"))
+      val j = o.join(broadcast(m), "grp")
+        .withColumn("lo", col("mid") - col("__k"))
+        .withColumn("hi", col("mid") + col("__k"))
+      Behavior.forecastEval(j, "grp", "a", "lo", "mid", "hi")
+    }),
+
+    // C120: leave-one-day-out jackknife on the event value mean —
+    // the RNG-free uncertainty estimate over correlated-within-day
+    // rows; per-day influence + the __jack__ variance row
+    "jackknife_means" -> ((s, dir) => {
+      val d = Tables(s, dir).events.select(
+        expr("ts_ns div 86400000000000").as("day"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+      Behavior.jackknifeMeans(d, "day", "v")
+    }),
+
+    // C121: 5%-trimmed mean of extended price per return flag —
+    // order-statistic-exact tail removal on the distribution device
+    "trimmed_mean" -> ((s, dir) =>
+      Relational.trimmedMean(
+        Tables(s, dir).lineitem.select(col("l_returnflag"),
+          col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice", trimPermille = 50L)),
+
     // C116: Spearman rank correlation — word-mass score vs char
     // length (a strongly monotone pair): tie-averaged DOUBLED ranks
     // from the distribution tables, Pearson on ranks in DECIMAL38,
@@ -8785,6 +8819,112 @@ FROM decided""",
                 (1000 * co) // (na.n + nb.n - co) AS jaccard_permille
          FROM p JOIN itn na ON p.item_a = na.it
                 JOIN itn nb ON p.item_b = nb.it""",
+
+    "forecast_eval" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+                           CAST(round(o_totalprice * 1000) AS BIGINT)
+                             AS a
+                    FROM orders),
+         m AS (SELECT grp, CAST(sum(a) // count(*) AS BIGINT) AS mid,
+                      CAST((max(a) - min(a)) // 4 AS BIGINT) AS k
+               FROM o GROUP BY 1),
+         j AS (SELECT o.grp, o.a, m.mid, m.mid - m.k AS lo,
+                      m.mid + m.k AS hi
+               FROM o JOIN m USING (grp)),
+         agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(abs(CAST(a - mid AS HUGEINT))) AS HUGEINT)
+                     AS ae,
+                   CAST(sum(CASE WHEN a >= mid
+                       THEN 500 * CAST(a - mid AS HUGEINT)
+                       ELSE 500 * CAST(mid - a AS HUGEINT) END)
+                     AS HUGEINT) AS p500,
+                   CAST(sum(CASE WHEN a >= mid
+                       THEN 900 * CAST(a - mid AS HUGEINT)
+                       ELSE 100 * CAST(mid - a AS HUGEINT) END)
+                     AS HUGEINT) AS p900,
+                   CAST(sum(CASE WHEN a >= lo AND a <= hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cov,
+                   CAST(sum(CAST(hi - lo AS HUGEINT)) AS HUGEINT) AS w
+                 FROM j GROUP BY 1)
+         SELECT grp, n, CAST(ae // n AS BIGINT) AS mae_milli,
+                CAST(p500 // n AS BIGINT) AS pinball500_micro,
+                CAST(p900 // n AS BIGINT) AS pinball900_micro,
+                (1000 * cov) // n AS coverage_permille,
+                CAST(CASE WHEN w < 0 THEN -((-w) // n)
+                     ELSE w // n END AS BIGINT) AS mean_width_milli
+         FROM agg""",
+
+    "jackknife_means" ->
+      """WITH d AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                             AS day,
+                           CAST(round(value * 1000) AS BIGINT) AS v
+                    FROM events),
+         per AS (SELECT CAST(day AS VARCHAR) AS stratum,
+                        CAST(count(*) AS BIGINT) AS n_rows,
+                        CAST(sum(v) AS HUGEINT) AS s
+                 FROM d GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS nn,
+                        CAST(sum(s) AS HUGEINT) AS ss,
+                        CAST(count(*) AS BIGINT) AS g
+                 FROM per),
+         loo AS (SELECT stratum, n_rows,
+                   CASE WHEN nn > n_rows THEN
+                     CAST(CASE WHEN 1000000 * (ss - s) < 0
+                       THEN -((-(1000000 * (ss - s))) // (nn - n_rows))
+                       ELSE (1000000 * (ss - s)) // (nn - n_rows) END
+                       AS BIGINT) END AS loo_mean_micro,
+                   CAST(CASE WHEN 1000000 * ss < 0
+                     THEN -((-(1000000 * ss)) // nn)
+                     ELSE (1000000 * ss) // nn END AS BIGINT) AS om,
+                   g
+                 FROM per CROSS JOIN tot),
+         ml AS (SELECT CAST(CASE WHEN sum(loo_mean_micro) < 0
+                  THEN -((-sum(loo_mean_micro)) // count(*))
+                  ELSE sum(loo_mean_micro) // count(*) END AS BIGINT)
+                  AS ml
+                FROM loo),
+         summ AS (SELECT '__jack__' AS stratum,
+                    CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                    CAST(NULL AS BIGINT) AS loo_mean_micro,
+                    CAST(NULL AS BIGINT) AS influence_micro,
+                    CASE WHEN any_value(g) >= 2 THEN
+                      CAST(((any_value(g) - 1)
+                        * sum(CAST(loo_mean_micro - ml.ml AS HUGEINT)
+                              * (loo_mean_micro - ml.ml)))
+                        // any_value(g) AS BIGINT) END AS jk_var_micro2
+                  FROM loo CROSS JOIN ml)
+         SELECT stratum, n_rows, loo_mean_micro,
+                loo_mean_micro - om AS influence_micro,
+                CAST(NULL AS BIGINT) AS jk_var_micro2
+         FROM loo
+         UNION ALL SELECT * FROM summ""",
+
+    "trimmed_mean" ->
+      """WITH r AS (SELECT l_returnflag AS stratum,
+                           CAST(round(l_extendedprice * 1000) AS BIGINT)
+                             AS v
+                    FROM lineitem),
+         d AS (SELECT stratum, v, CAST(count(*) AS BIGINT) AS c
+               FROM r GROUP BY 1, 2),
+         w AS (SELECT *,
+                 CAST(sum(c) OVER (PARTITION BY stratum ORDER BY v)
+                   AS BIGINT) AS cum,
+                 CAST(sum(c) OVER (PARTITION BY stratum) AS BIGINT)
+                   AS n
+               FROM d),
+         x AS (SELECT *, (n * 50) // 1000 AS k FROM w),
+         y AS (SELECT *, greatest(0, least(cum, n - k)
+                 - greatest(cum - c, k)) AS kept FROM x),
+         agg AS (SELECT stratum, any_value(n) AS n_rows,
+                   any_value(k) AS n_trimmed_each,
+                   CAST(sum(CAST(kept AS HUGEINT) * v) AS HUGEINT)
+                     AS ks,
+                   CAST(sum(kept) AS BIGINT) AS kn
+                 FROM y GROUP BY 1)
+         SELECT stratum, n_rows, n_trimmed_each,
+                CAST(CASE WHEN ks < 0 THEN -((-ks) // kn)
+                     ELSE ks // kn END AS BIGINT) AS tmean_milli
+         FROM agg""",
 
     "spearman_corr" ->
       """WITH d AS (

@@ -2082,6 +2082,111 @@ object Behavior {
       .withColumn("drift", col("jsd_micro") > lit(thresholdMicro))
   }
 
+  /** Forecast-quality report (E100 — the regression/forecast leg of
+    * the eval family: classification has report/AUC/calibration here,
+    * but a DEMAND or LATENCY forecast ships with a point estimate AND
+    * an interval, and the numbers every forecasting benchmark reports
+    * are MAE, pinball loss, and interval coverage/width — this closes
+    * all three in one grouped pass). Per group, exact integers over
+    * milli-unit actuals/predictions:
+    * `mae_milli = Σ|a−mid| div n`,
+    * `pinball_q_micro = Σ(q·(a−mid) if a ≥ mid else (1000−q)·(mid−a))
+    * div n` for q = 500 and 900 (the interior floor is the stated
+    * rule; q500 pinball = MAE/2 exactly), `coverage_permille =
+    * (1000·#(lo ≤ a ≤ hi)) div n`, and `mean_width_milli =
+    * Σ(hi−lo) div n`. Degenerate intervals (hi < lo) count uncovered
+    * and their negative widths are NOT clamped — visible badness by
+    * design.
+    *
+    * Scale shape: ONE group-keyed aggregation, all terms map-side —
+    * the cheapest family shape.
+    */
+  def forecastEval(df: DataFrame, groupCol: String, actualCol: String,
+                   loCol: String, midCol: String,
+                   hiCol: String): DataFrame = {
+    def pin(q: Long) =
+      s"""CASE WHEN $actualCol >= $midCol
+            THEN $q * CAST($actualCol - $midCol AS DECIMAL(38,0))
+            ELSE ${1000 - q} * CAST($midCol - $actualCol
+              AS DECIMAL(38,0)) END"""
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"abs(CAST($actualCol - $midCol AS DECIMAL(38,0)))"))
+          .as("__ae"),
+        sum(expr(pin(500))).as("__p500"),
+        sum(expr(pin(900))).as("__p900"),
+        sum(expr(s"""CASE WHEN $actualCol >= $loCol
+          AND $actualCol <= $hiCol THEN 1L ELSE 0L END""")).as("__cov"),
+        sum(expr(s"CAST($hiCol - $loCol AS DECIMAL(38,0))")).as("__w"))
+      .select(col("grp"), col("n"),
+        expr("CAST(__ae div n AS BIGINT)").as("mae_milli"),
+        expr("CAST(__p500 div n AS BIGINT)").as("pinball500_micro"),
+        expr("CAST(__p900 div n AS BIGINT)").as("pinball900_micro"),
+        expr("(1000 * __cov) div n").as("coverage_permille"),
+        expr("""CASE WHEN __w < 0 THEN -CAST((-__w) div n AS BIGINT)
+                ELSE CAST(__w div n AS BIGINT) END""")
+          .as("mean_width_milli"))
+  }
+
+  /** Leave-one-stratum-out jackknife (C120 — the deterministic
+    * uncertainty estimate the experimentation family was missing:
+    * bootstrap needs RNG, but the delete-one jackknife over STRATA
+    * (days, shards, sources) is a pure function of the data and the
+    * standard way to put an SE on a corpus-level mean when rows
+    * within a stratum correlate). Per stratum: the leave-that-
+    * stratum-out global mean `loo_mean_micro = strunc(10⁶·(S−S_g),
+    * N−n_g)` and its influence vs the overall mean; plus ONE
+    * `__jack__` summary row carrying the jackknife variance of the
+    * mean `jk_var_micro2 = ((G−1)·Σ(loo_g − mean_loo)²) div G`
+    * (micro² units; mean_loo is the unweighted mean of the loo
+    * means, `div`-truncated — the classification_report macro
+    * convention). A single-stratum input reads a null-variance
+    * summary (nothing to delete). Strata are a BOUNDED-group
+    * contract (days/shards — not user ids).
+    *
+    * Scale shape: one stratum aggregation (map-side) + a 1-row
+    * global broadcast; the variance pass runs on the ≤G-row frame.
+    */
+  def jackknifeMeans(df: DataFrame, stratumCol: String,
+                     valueCol: String): DataFrame = {
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    val per = df.groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col(valueCol).cast("decimal(38,0)")).as("__s"))
+    val tot = per.agg(sum("n_rows").as("__nn"), sum("__s").as("__ss"),
+      count(lit(1)).as("__g"))
+    val loo = per.crossJoin(broadcast(tot))
+      .withColumn("loo_mean_micro", expr(
+        s"""CASE WHEN __nn > n_rows THEN
+              CAST(${strunc("1000000 * (__ss - __s)", "__nn - n_rows")}
+                AS BIGINT) END"""))
+      .withColumn("__om", expr(
+        s"CAST(${strunc("1000000 * __ss", "__nn")} AS BIGINT)"))
+      .select(col("stratum"), col("n_rows"), col("loo_mean_micro"),
+        (col("loo_mean_micro") - col("__om")).as("influence_micro"),
+        col("__g"))
+    val meanLoo = loo.agg(
+      sum("loo_mean_micro").as("__sl"), count(lit(1)).as("__gg"))
+      .select(expr(s"CAST(${strunc("__sl", "__gg")} AS BIGINT)")
+        .as("__ml"))
+    val summary = loo.crossJoin(broadcast(meanLoo))
+      .agg(first(col("__g")).as("__g"),
+        sum(expr("""CAST(loo_mean_micro - __ml AS DECIMAL(38,0))
+          * (loo_mean_micro - __ml)""")).as("__sq"),
+        sum("n_rows").as("n_rows"))
+      .select(lit("__jack__").as("stratum"), col("n_rows"),
+        lit(null).cast("long").as("loo_mean_micro"),
+        lit(null).cast("long").as("influence_micro"),
+        expr("""CASE WHEN __g >= 2 THEN
+          CAST(((__g - 1) * __sq) div __g AS BIGINT) END""")
+          .as("jk_var_micro2"))
+    loo.drop("__g")
+      .withColumn("jk_var_micro2", lit(null).cast("long"))
+      .unionByName(summary)
+  }
+
   /** Inverse-propensity off-policy evaluation (E97 — the
     * counterfactual question under every logged-interaction corpus:
     * what would THIS policy have earned on traffic logged under

@@ -1781,6 +1781,52 @@ object Relational {
       .drop("__s1", "__nvpres", "__t")
   }
 
+  /** Exact trimmed mean (C121 — the robust location estimate closing
+    * the robust-stats set beside [[robustZscore]]'s MAD and
+    * [[clipOutliers]]' winsorization: clipping REPLACES tail values,
+    * trimming REMOVES them — the mean a metrics reviewer asks for
+    * when a handful of whales move the arithmetic mean): per
+    * stratum, drop the lowest and highest `k = (n·trimPermille) div
+    * 1000` rows BY ORDER-STATISTIC POSITION and average the rest,
+    * exactly — per distinct value the kept multiplicity is
+    * `max(0, min(cum, n−k) − max(cum−c, k))` (boundary values keep
+    * their partial counts — no interpolation, no float), and
+    * `tmean_milli = sign-trunc(Σ kept·v, n−2k)`. trimPermille < 500
+    * keeps the denominator positive for any n ≥ 1.
+    *
+    * Scale shape: the [[clipOutliers]] distribution device — one
+    * (stratum, value) aggregation, cumulative windows over the
+    * per-stratum DISTINCT-VALUE table (the bounded-domain/quantMilli
+    * contract), one stratum aggregation. The corpus never sorts.
+    */
+  def trimmedMean(df: DataFrame, stratumCol: String, valueCol: String,
+                  trimPermille: Long): DataFrame = {
+    require(trimPermille >= 0 && trimPermille < 500,
+      s"trimPermille in [0,500), got $trimPermille")
+    val rows = df.select(col(stratumCol).as("stratum"),
+      round(col(valueCol) * 1000).cast("long").as("__v"))
+    val dist = rows.groupBy("stratum", "__v").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("stratum").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("stratum")))
+      .withColumn("__k", expr(s"(__n * ${trimPermille}L) div 1000"))
+      .withColumn("__kept", expr(
+        """greatest(0L, least(__cum, __n - __k)
+           - greatest(__cum - __c, __k))"""))
+      .groupBy("stratum")
+      .agg(first(col("__n")).as("n_rows"), first(col("__k")).as("n_trim"),
+        sum("__kept").as("__kn"),
+        sum(expr("CAST(__kept AS DECIMAL(38,0)) * __v")).as("__ks"))
+      .select(col("stratum"), col("n_rows"),
+        col("n_trim").as("n_trimmed_each"),
+        expr("""CASE WHEN __ks < 0
+                  THEN -CAST((-__ks) div __kn AS BIGINT)
+                  ELSE CAST(__ks div __kn AS BIGINT)
+                END""").as("tmean_milli"))
+  }
+
   /** Per-key interval coalescing (C113 — gaps-and-islands: merge
     * overlapping or touching [start, end] validity/outage/booking
     * intervals per key into maximal disjoint spans; the warehouse

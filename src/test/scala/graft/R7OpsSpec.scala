@@ -263,6 +263,42 @@ class R7OpsSpec extends AnyFunSuite {
     assert(r == (("g", 2L, 4L, 2L, 2L, 2L, 500L, 1000L)))
   }
 
+  test("forecastEval: MAE, pinball asymmetry, coverage, width") {
+    // actuals {10,20,30}, mid=20, band [15,25]: mae = 20/3 → 6;
+    // p500 = 10000/3 → 3333; p900 = (100·10 + 900·10)/3 → 3333;
+    // only 20 covered → 333‰; width 10
+    val d = Seq(("g", 10L, 15L, 20L, 25L), ("g", 20L, 15L, 20L, 25L),
+      ("g", 30L, 15L, 20L, 25L)).toDF("grp", "a", "lo", "mid", "hi")
+    val r = Behavior.forecastEval(d, "grp", "a", "lo", "mid", "hi")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()(0)
+    assert(r == (("g", 3L, 6L, 3333L, 3333L, 333L, 10L)))
+  }
+
+  test("jackknifeMeans: leave-one-out means, influence, variance row") {
+    // A={2,4} (S=6), B={6}: loo_A = 6e6, loo_B = 3e6, overall 4e6;
+    // mean_loo = 4.5e6 → jk_var = (1·2·(1.5e6)²) div 2 = 2.25e12
+    val d = Seq(("A", 2L), ("A", 4L), ("B", 6L)).toDF("s", "v")
+    val got = Behavior.jackknifeMeans(d, "s", "v").orderBy("stratum")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("A", 2L, 6000000L, 2000000L, -1L),
+      ("B", 1L, 3000000L, -1000000L, -1L),
+      ("__jack__", 3L, -1L, -1L, 2250000000000L)))
+  }
+
+  test("trimmedMean: order-statistic tail removal incl. partial value") {
+    // milli values {1000, 2000×2, 3000, 100000}, 20% trim → k=1:
+    // kept {2000×2, 3000} → 7000/3 = 2333
+    val d = Seq(("s", 1.0), ("s", 2.0), ("s", 2.0), ("s", 3.0),
+      ("s", 100.0)).toDF("f", "p")
+    val r = Relational.trimmedMean(d, "f", "p", trimPermille = 200L)
+      .as[(String, Long, Long, Long)].collect()(0)
+    assert(r == (("s", 5L, 1L, 2333L)))
+  }
+
   test("rougeN: clipped recall/F1 for uni- and bigrams") {
     val d = Seq((1L, "a b c", "a b d"), (2L, "x", "x"))
       .toDF("id", "cand", "ref")

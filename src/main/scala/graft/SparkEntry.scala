@@ -8720,9 +8720,12 @@ FROM decided""",
                        CAST(epoch_us(l_shipdate) AS BIGINT)
                          // 86400000000 AS start_day
                      FROM lineitem),
-         iv2 AS (SELECT l_suppkey, start_day,
+         iv1 AS (SELECT l_suppkey, start_day,
                         start_day + l_suppkey % 7 AS end_day
                  FROM iv),
+         iv2 AS (SELECT l_suppkey, start_day, end_day,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM iv1 GROUP BY 1, 2, 3),
          m AS (SELECT *, max(end_day) OVER (PARTITION BY l_suppkey
                  ORDER BY start_day, end_day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
@@ -8737,7 +8740,7 @@ FROM decided""",
                FROM f)
          SELECT l_suppkey, CAST(island AS BIGINT) AS island,
                 min(start_day) AS span_start, max(end_day) AS span_end,
-                CAST(count(*) AS BIGINT) AS n_merged
+                CAST(sum(c) AS BIGINT) AS n_merged
          FROM i GROUP BY 1, 2""",
 
     "hits_scores" ->

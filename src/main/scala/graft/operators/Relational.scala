@@ -1835,15 +1835,24 @@ object Relational {
     * (`start ≤ running_max_end` joins the island; intervals are
     * closed); output spans carry the merged row count.
     *
-    * Scale shape: the classic running-max island device on a
-    * KEY-PARTITIONED window (ordered by (start, end) within each key
-    * — never a global sort; the repo's window ban is on
-    * partition-LESS windows), then one (key, island) aggregation.
-    * Skewed keys are AQE territory like any keyed window.
+    * Scale shape: duplicate (key, start, end) rows are PRE-AGGREGATED
+    * (map-side combined) so the running-max island device runs on the
+    * DISTINCT-interval table under a TOTAL (start, end) order — ties
+    * are impossible by construction, which is a correctness
+    * requirement, not just a scale win: the flag column and the
+    * cumulative island sum are two window passes, and with tied sort
+    * keys an engine may order ties DIFFERENTLY in each pass, splitting
+    * an island around whichever tie carried the flag (observed in the
+    * sf0.1 oracle before the pre-agg). The windows are KEY-partitioned
+    * (the repo's window ban is on partition-LESS windows); one
+    * (key, island) aggregation closes. Skewed keys are AQE territory.
     */
   def mergeIntervals(df: DataFrame, keyCols: Seq[String],
                      startCol: String, endCol: String): DataFrame = {
     require(keyCols.nonEmpty, "mergeIntervals needs key columns")
+    val dist = df
+      .groupBy((keyCols.map(col) :+ col(startCol) :+ col(endCol)): _*)
+      .agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(startCol), col(endCol))
     val prevMax = max(col(endCol))
@@ -1851,10 +1860,10 @@ object Relational {
     val island = sum(
         when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
       .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    df.withColumn("__island", island)
+    dist.withColumn("__island", island)
       .groupBy((keyCols.map(col) :+ col("__island").as("island")): _*)
       .agg(min(col(startCol)).as("span_start"),
            max(col(endCol)).as("span_end"),
-           count(lit(1)).as("n_merged"))
+           sum(col("__c")).as("n_merged"))
   }
 }

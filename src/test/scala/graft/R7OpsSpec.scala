@@ -116,13 +116,16 @@ class R7OpsSpec extends AnyFunSuite {
     assert(none == 0L)
   }
 
-  test("mergeIntervals: overlap and touch merge, gaps split") {
+  test("mergeIntervals: overlap and touch merge, gaps split, dup rows") {
+    // the duplicate (8,9) row exercises the tie-safety pre-agg: with
+    // raw tied rows, two independent window sorts may disagree on
+    // which tie carries the new-island flag (the sf0.1 oracle bug)
     val d = Seq((1L, 1L, 3L), (1L, 2L, 5L), (1L, 7L, 8L), (1L, 8L, 9L),
-      (1L, 11L, 12L), (2L, 1L, 2L)).toDF("k", "s", "e")
+      (1L, 8L, 9L), (1L, 11L, 12L), (2L, 1L, 2L)).toDF("k", "s", "e")
     val got = Relational.mergeIntervals(d, Seq("k"), "s", "e")
       .orderBy("k", "island")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
-    assert(got == Seq((1L, 1L, 1L, 5L, 2L), (1L, 2L, 7L, 9L, 2L),
+    assert(got == Seq((1L, 1L, 1L, 5L, 2L), (1L, 2L, 7L, 9L, 3L),
       (1L, 3L, 11L, 12L, 1L), (2L, 1L, 1L, 2L, 1L)))
   }
 

@@ -162,7 +162,15 @@ object SparkEntry {
   private[graft] def publishCorpus(s: SparkSession, dir: String): DataFrame =
     corpusCache.getOrElseUpdate((System.identityHashCode(s), dir),
       MarcCorpus.publishRecords(Tables(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // MEMORY_ONLY, not MEMORY_AND_DISK (r7 sf10 finding): the
+        // deep-nested record cache compresses poorly, and at 100×
+        // its disk spill lands ON TOP of the corpus build's own
+        // shuffle files — the sum exhausted a 75 GB volume where the
+        // shuffles alone fit. Cache-what-fits + recompute-on-evict
+        // is the scale-honest level for a whole-record corpus; the
+        // flat splitCorpus cache keeps MEMORY_AND_DISK because flat
+        // strings columnar-compress.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
 
   private val splitCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]

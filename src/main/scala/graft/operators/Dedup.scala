@@ -103,6 +103,18 @@ object Dedup {
     * lossless filter can prune; the ordering pays on corpora where
     * stop-shingle collisions, not genuine containment, drive the
     * candidate count.
+    *
+    * Sequencing contract at corpus scale (r7 sf10 finding): with
+    * duplication FAMILIES of size k, true pairs are Θ(Σ k²) and the
+    * candidate/verify traffic scales with them — at 100 clones per
+    * family the sf10 rehearsal's gram-join shuffle exceeded local
+    * disk. That is the corpus's actual pair structure (output-bound),
+    * so no lossy df cap is added (clone families share even their
+    * RARE prefix grams — a cap would silently drop true pairs).
+    * Production sequencing: run near-dup CLUSTERING first
+    * ([[minhashPairs]] → [[dedupClusters]], which handled the same
+    * density at sf10) and feed containment the family
+    * REPRESENTATIVES.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, threshold: Double = 0.8,
@@ -684,7 +696,11 @@ object Dedup {
     * dropped-gram count (stays lossless — a dropped gram can hide at
     * most its own multiplicity of overlap), or switch candidate
     * generation to the PassJoin chunk scheme; not needed at bench
-    * scale with q spanning multiple words.
+    * scale with q spanning multiple words. Like [[containmentPairs]],
+    * TRUE-pair volume is Θ(Σ family²) under k-clone duplication (r7
+    * sf10: 100-clone families drove the gram shuffle past local
+    * disk); sequencing contract: near-dup cluster first, run
+    * edit-distance over family representatives.
     *
     * Strings shorter than `q` emit no grams and never pair
     * (require-d away via the caller's min-length contract; the

@@ -1375,6 +1375,31 @@ object SparkEntry {
       Dedup.connectedComponents(pairs)
     }),
 
+    // E2f: the sf10 sequencing contract EXECUTABLE — near-dup cluster
+    // FIRST, containment over family REPRESENTATIVES (the §5 answer
+    // to containment's true-pair-bound Θ(Σ family²) wall: clusters
+    // collapse the %7/%11 clone families to their least-id original,
+    // the %13 truncated halves stay reps at jaccard ~0.5 < 0.7, and
+    // containment then finds exactly half ⊂ original — pair volume
+    // per family drops from k² to k)
+    "containment_reps" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.documents.select(col("doc_id"), col("text"))
+      val halves = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          array_join(expr("""slice(split(trim(text), '\\s+'), 1,
+                             size(split(trim(text), '\\s+')) div 2)"""),
+            " ").as("text"))
+      val corpus = plantedDocs(t).unionByName(halves)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+      val dropped = Dedup.connectedComponents(pairs)
+        .filter(col("keep_id") =!= col("doc_id")).select("doc_id")
+      val reps = corpus.join(dropped, Seq("doc_id"), "left_anti")
+      Dedup.containmentPairs(reps, "doc_id", "text",
+        shingleN = 3, threshold = 0.8, minShingles = 5)
+    }),
+
     // E28: near-verbatim shared-span detection — partial-copy dedup
     // (verbatim windows shared across documents that differ overall);
     // the planted copies share their source's full window set, and the
@@ -5377,6 +5402,80 @@ FROM decided""",
          JOIN shf b ON c.oid = b.doc_id
          WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
                >= 0.8""",
+
+    // the compose twin: jaccard-cluster CC (dedup_clusters algebra)
+    // over the planted corpus + halves, reps = non-dropped docs,
+    // then the containment algebra over the reps only
+    "containment_reps" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' appended' FROM documents
+           WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents
+           WHERE doc_id % 11 = 0
+           UNION ALL
+           SELECT doc_id + 3000000,
+                  array_to_string(
+                    (regexp_split_to_array(trim(text), '\s+'))
+                      [1 : len(regexp_split_to_array(trim(text), '\s+')) // 2],
+                    ' ')
+           FROM documents WHERE doc_id % 13 = 0),
+         toks AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM corpus),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks),
+         prefj AS (
+           SELECT doc_id,
+                  unnest(list_sort(s)[1 : greatest(len(s) - CAST(ceil(0.7 * len(s)) AS INT) + 1, 1)]) AS g
+           FROM sh),
+         candj AS (
+           SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
+           FROM prefj a JOIN prefj b ON a.g = b.g AND a.doc_id < b.doc_id),
+         pairsj AS (
+           SELECT c.lid, c.rid
+           FROM candj c JOIN sh a ON c.lid = a.doc_id
+                        JOIN sh b ON c.rid = b.doc_id
+           WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))), 6)
+                 >= 0.7),
+         edges AS (
+           SELECT lid AS src, rid AS dst FROM pairsj
+           UNION SELECT rid, lid FROM pairsj),
+         reach(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         keep AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id
+                  FROM reach GROUP BY a),
+         dropped AS (SELECT doc_id FROM keep WHERE keep_id <> doc_id),
+         shf AS (
+           SELECT doc_id, list_sort(s) AS s FROM sh
+           WHERE len(s) >= 5
+             AND doc_id NOT IN (SELECT doc_id FROM dropped)),
+         prefc AS (
+           SELECT doc_id,
+                  unnest(s[1 : greatest(len(s) - CAST(ceil(0.8 * len(s)) AS INT) + 1, 1)]) AS g
+           FROM shf),
+         ix AS (SELECT doc_id, unnest(s) AS g FROM shf),
+         candc AS (
+           SELECT DISTINCT p.doc_id AS iid, x.doc_id AS oid
+           FROM prefc p JOIN ix x ON p.g = x.g AND p.doc_id <> x.doc_id)
+         SELECT c.iid AS inner_id, c.oid AS outer_id,
+                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(a.s), 6) AS containment
+         FROM candc c
+         JOIN shf a ON c.iid = a.doc_id
+         JOIN shf b ON c.oid = b.doc_id
+         WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(a.s), 6) >= 0.8""",
 
     // same lossless q-gram count filter + length band re-derived, then
     // exact levenshtein on the (identical by construction) candidates

@@ -26,7 +26,16 @@ import org.apache.spark.sql.functions._
   * plan behavior at 10× volume, NOT for oracle comparison (the driver
   * only oracles driver-generated SFs).
   *
-  * Usage: `runMain graft.ScaleUp [srcDir] [outDir] [copies]`
+  * `docCopies` (4th arg, default = copies) separately controls the
+  * documents/embeddings replication: clone replication makes TRUE
+  * near-dup pair density quadratic in the copy count (every doc
+  * gains copies−1 siblings), so a 100× relational rehearsal with
+  * docCopies=100 measures a corpus whose duplication families are
+  * 10× denser than the 10× rehearsal's — not 10× more data at equal
+  * density (the r7 sf10 finding). docCopies=10 with copies=100 gives
+  * the realistic split: 100× relational volume, sf1-density text.
+  *
+  * Usage: `runMain graft.ScaleUp [srcDir] [outDir] [copies] [docCopies]`
   * defaults: /root/testdata/sf0.1 → /tmp/graft_sf1, 10 copies.
   */
 object ScaleUp {
@@ -36,6 +45,7 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val docCopies = if (args.length > 3) args(3).toInt else copies
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,12 +55,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, src, out, copies)
+    build(spark, src, out, copies, docCopies)
     spark.stop()
   }
 
   def build(spark: SparkSession, src: String, out: String,
-            copies: Int): Unit = {
+            copies: Int, docCopiesArg: Int = -1): Unit = {
+    val docCopies = if (docCopiesArg > 0) docCopiesArg else copies
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String, nFiles: Int): Unit = {
       df.repartition(nFiles).write.mode("overwrite")
@@ -61,10 +72,10 @@ object ScaleUp {
     write(read("region"), "region", 1)
     write(read("nation"), "nation", 1)
 
-    def replicate(t: String)(perCopy: (DataFrame, Int) => DataFrame)
-        : DataFrame = {
+    def replicate(t: String, n: Int = copies)
+                 (perCopy: (DataFrame, Int) => DataFrame): DataFrame = {
       val base = read(t)
-      (0 until copies).map(r => perCopy(base, r)).reduce(_ unionAll _)
+      (0 until n).map(r => perCopy(base, r)).reduce(_ unionAll _)
     }
     def shiftKeys(df: DataFrame, r: Int, keys: String*): DataFrame =
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * KeyOffset)))
@@ -91,12 +102,12 @@ object ScaleUp {
       else d.withColumn("ts", col("ts") + expr(s"INTERVAL $r SECOND"))
       shiftKeys(ts, r, "event_id", "user_id")
     }, "events", 16)
-    write(replicate("documents") { (d, r) =>
+    write(replicate("documents", docCopies) { (d, r) =>
       shiftKeys(d, r, "doc_id")
         .withColumn("text", concat(col("text"), lit(s" copytag$r")))
         .withColumn("n_chars", col("n_chars") + lit(9L + r.toString.length))
     }, "documents", 16)
-    write(replicate("embeddings") { (d, r) =>
+    write(replicate("embeddings", docCopies) { (d, r) =>
       shiftKeys(d, r, "vec_id")
         .withColumn("embedding", expr(
           s"transform(embedding, (v, i) -> " +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Behavior, Bpe, CurateCorpus, Dedup, Graph, LangId, Layout, Multimodal, Pca, QualityClassifier, Relational, Retrieval, SetSketch, Similarity, TextAnalysis, Unigram, Upsert}
+import graft.operators.{Behavior, Bpe, CmSketch, CurateCorpus, Dedup, Graph, LangId, Layout, Multimodal, Pca, QualityClassifier, Relational, Retrieval, SetSketch, Similarity, TextAnalysis, Unigram, Upsert}
 import graft.functions.Normalize
 import graft.marc.{Extract, Iso2709, MarcCorpus, MarcXml, PublishSplit, TrimPunctuation}
 import graft.marc.PublishSplit.PublishRow
@@ -1362,6 +1362,36 @@ object SparkEntry {
     // planted " appended" copies sit at distance 9, exact copies at 0
     "edit_distance_pairs" -> ((s, dir) => {
       Dedup.editDistancePairs(plantedDocs(Tables(s, dir)), "doc_id", "text",
+          q = 24, maxDist = 10)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+    }),
+
+    // E101: count-min frequency estimates — the d×w counter FRAME
+    // (build = hash project + grouped count; query = counter-sized
+    // broadcast join + min) over the skewed partkey stream; sampled
+    // keys report true vs estimated count (est ≥ true always — the
+    // CM guarantee, overcount bounded by ε·N)
+    "cm_counts" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem.select(col("l_partkey"))
+      val ctrs = CmSketch.counters(li, "l_partkey", w = 1024)
+      val truth = li.filter(col("l_partkey") % 997 === 0)
+        .groupBy("l_partkey").agg(count(lit(1)).as("true_n"))
+      CmSketch.estimate(ctrs, truth, "l_partkey", w = 1024)
+        .withColumn("overcount", col("est_n") - col("true_n"))
+    }),
+
+    // E56b: exact-dedup-first sequencing for edit-distance (the
+    // containment_reps sibling at the EXACT rung: byte-identical
+    // clones — the %11 family — carry zero edit signal but k² pair
+    // traffic; collapsing them to their least-id rep BEFORE the gram
+    // join removes that traffic while the %7 ' appended' family,
+    // which IS the edit signal at dist 9, survives untouched)
+    "edit_distance_reps" -> ((s, dir) => {
+      val corpus = plantedDocs(Tables(s, dir))
+      val reps = corpus.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text"))
+      Dedup.editDistancePairs(reps, "doc_id", "text",
           q = 24, maxDist = 10)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
     }),
@@ -5490,6 +5520,68 @@ FROM decided""",
          base AS (
            SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
            FROM corpus),
+         g AS (
+           SELECT doc_id, len, substring(text, i, 24) AS g, count(*) AS c
+           FROM base,
+                UNNEST(generate_series(1, CAST(len - 23 AS INT))) AS t(i)
+           WHERE len >= 24
+           GROUP BY doc_id, len, substring(text, i, 24)),
+         cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  sum(least(a.c, b.c)) AS shared,
+                  any_value(a.len) AS len_a, any_value(b.len) AS len_b
+           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+                             AND abs(a.len - b.len) <= 10
+           GROUP BY 1, 2),
+         filt AS (
+           SELECT id_a, id_b FROM cand
+           WHERE shared >= greatest(greatest(len_a, len_b) - 263, 1))
+         SELECT f.id_a, f.id_b,
+                CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist
+         FROM filt f
+         JOIN base x ON x.doc_id = f.id_a
+         JOIN base y ON y.doc_id = f.id_b
+         WHERE levenshtein(x.text, y.text) <= 10""",
+
+    "cm_counts" ->
+      """WITH hj AS (SELECT * FROM (VALUES
+             (0, 911382323, 1500450271),
+             (1, 972663749, 2860486313),
+             (2, 1234567891, 3267000013),
+             (3, 789456123, 49979687)) AS t(j, a, b)),
+         k AS (SELECT l_partkey AS key FROM lineitem),
+         h AS (SELECT hj.j,
+                 CAST(((CAST(hj.a AS HUGEINT) * k.key + hj.b)
+                   % 2305843009213693951) % 1024 AS BIGINT) AS bucket
+               FROM k CROSS JOIN hj),
+         c AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+               FROM h GROUP BY 1, 2),
+         q AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS true_n
+               FROM lineitem WHERE l_partkey % 997 = 0 GROUP BY 1),
+         qb AS (SELECT q.l_partkey, q.true_n, hj.j,
+                  CAST(((CAST(hj.a AS HUGEINT) * q.l_partkey + hj.b)
+                    % 2305843009213693951) % 1024 AS BIGINT) AS bucket
+                FROM q CROSS JOIN hj),
+         e AS (SELECT l_partkey, any_value(true_n) AS true_n,
+                      CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_n
+               FROM qb LEFT JOIN c ON qb.j = c.j AND qb.bucket = c.bucket
+               GROUP BY 1)
+         SELECT l_partkey, true_n, est_n, est_n - true_n AS overcount
+         FROM e""",
+
+    "edit_distance_reps" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' appended' FROM documents
+           WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0),
+         reps AS (
+           SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text),
+         base AS (
+           SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+           FROM reps),
          g AS (
            SELECT doc_id, len, substring(text, i, 24) AS g, count(*) AS c
            FROM base,

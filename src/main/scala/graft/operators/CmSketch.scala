@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch as a RELATIONAL frame (E101 — the frequency
+  * point-query sketch completing the store family beside KLL
+  * (quantiles), KMV/theta (distinct/overlap), HLL (distinct at fixed
+  * memory) and Misra-Gries (top-k): CM answers "how often did THIS
+  * key occur" within ε·N with d-row min confidence, and unlike MG it
+  * answers for ANY key, not just the heavy ones).
+  *
+  * Spark-first design note: a CM sketch is d×w counters — which is
+  * just a (row, bucket) → count FRAME. Building it is ONE map-side
+  * hash projection + ONE grouped count (map-side combined); merging
+  * two sketches is a union + re-group (counters add — the frame is
+  * its own mergeable partial, no custom Aggregate needed); a point
+  * query is a d-row broadcast join + min. The engine's native
+  * operators ARE the sketch algebra, so everything stays in
+  * WholeStageCodegen and the DuckDB twin replays the identical SQL.
+  *
+  * Determinism contract: the d=4 hash rows are fixed-constant
+  * universal hashes `h_j(k) = ((a_j·k + b_j) mod (2⁶¹−1)) mod w`
+  * computed in DECIMAL(38,0)/HUGEINT (a_j·k ≤ 10²⁸ — exact both
+  * engines; non-negative keys by contract). Standard CM guarantee:
+  * est ≥ true always; est ≤ true + ε·N with prob 1−δ for w = ⌈e/ε⌉,
+  * d = ⌈ln 1/δ⌉ — w=1024, d=4 gives ε ≈ 0.27% of N at δ ≈ 1.8%.
+  */
+object CmSketch {
+  val P = 2305843009213693951L // 2^61 − 1 (Mersenne)
+  // fixed (a, b) per hash row — primes, a < P
+  val Hashes: Seq[(Int, Long, Long)] = Seq(
+    (0, 911382323L, 1500450271L),
+    (1, 972663749L, 2860486313L),
+    (2, 1234567891L, 3267000013L),
+    (3, 789456123L, 49979687L))
+
+  private def bucketExpr(keyCol: String, a: Long, b: Long, w: Int) =
+    expr(s"""CAST(((CAST(${a}L AS DECIMAL(38,0)) * $keyCol + ${b}L)
+      % ${P}L) % $w AS BIGINT)""")
+
+  /** Build the d×w counter frame `(row, bucket, cnt)` over a
+    * non-negative integer key column. Mergeable: union two counter
+    * frames and re-aggregate `sum(cnt)` — counters add exactly.
+    */
+  def counters(df: DataFrame, keyCol: String, w: Int = 1024): DataFrame = {
+    require(w >= 2, s"w must be >= 2, got $w")
+    Hashes.map { case (j, a, b) =>
+      df.select(lit(j).as("row"), bucketExpr(keyCol, a, b, w).as("bucket"))
+    }.reduce(_ unionAll _)
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for the keys of `queries` (any extra columns ride
+    * along): appends `est_n = min_j counters[j][h_j(key)]` (0 when a
+    * key hashes only to untouched buckets). The query frame is the
+    * SMALL side (broadcast); the counter frame is ≤ d·w rows, so the
+    * join is counter-sized — nothing corpus-sized moves.
+    */
+  def estimate(ctrs: DataFrame, queries: DataFrame, keyCol: String,
+               w: Int = 1024): DataFrame = {
+    val qb = Hashes.map { case (j, a, b) =>
+      queries.select(col("*"), lit(j).as("__j"),
+        bucketExpr(keyCol, a, b, w).as("__bucket"))
+    }.reduce(_ unionAll _)
+    val passThrough = queries.columns.toSeq
+    qb.join(
+        broadcast(ctrs.select(col("row").as("__j"),
+          col("bucket").as("__bucket"), col("cnt"))),
+        Seq("__j", "__bucket"), "left")
+      .groupBy(passThrough.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+  }
+}

@@ -302,6 +302,46 @@ class R7OpsSpec extends AnyFunSuite {
     assert(r == (("s", 5L, 1L, 2333L)))
   }
 
+  test("CmSketch: single-key exactness, over-count bound, mergeability") {
+    import graft.operators.CmSketch
+    // only one distinct key → its counters hold exactly its count
+    val solo = Seq(5L, 5L, 5L).toDF("k")
+    val c1 = CmSketch.counters(solo, "k", w = 64)
+    val q1 = Seq((5L, 3L)).toDF("k", "true_n")
+    assert(CmSketch.estimate(c1, q1, "k", w = 64)
+      .select("est_n").as[Long].collect()(0) == 3L)
+    // est >= true for every queried key (the CM guarantee)
+    val skew = (1 to 50).flatMap(i => Seq.fill(i % 7 + 1)(i.toLong))
+      .toDF("k")
+    val ctrs = CmSketch.counters(skew, "k", w = 16) // collisions forced
+    val truth = skew.groupBy("k").agg(count(lit(1)).as("true_n"))
+    val est = CmSketch.estimate(ctrs, truth, "k", w = 16)
+    assert(est.filter(col("est_n") < col("true_n")).count() == 0L)
+    // mergeability: counters(A ∪ B) == re-aggregated union of parts
+    val a = Seq(1L, 2L).toDF("k"); val b = Seq(2L, 3L).toDF("k")
+    val merged = CmSketch.counters(a, "k", w = 64)
+      .unionByName(CmSketch.counters(b, "k", w = 64))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val direct = CmSketch.counters(a.unionByName(b), "k", w = 64)
+    assert(merged.orderBy("row", "bucket")
+        .as[(Int, Long, Long)].collect().toSeq ==
+      direct.orderBy("row", "bucket")
+        .as[(Int, Long, Long)].collect().toSeq)
+  }
+
+  test("edit-distance after exact dedup: dups collapse, signal survives") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, base + " appended"))
+      .toDF("doc_id", "text")
+    val reps = d.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "text")
+    val got = graft.operators.Dedup
+      .editDistancePairs(reps, "doc_id", "text", q = 24, maxDist = 10)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect().toSeq
+    assert(got == Seq((1L, 3L, 9)))
+  }
+
   test("rougeN: clipped recall/F1 for uni- and bigrams") {
     val d = Seq((1L, "a b c", "a b d"), (2L, "x", "x"))
       .toDF("id", "cand", "ref")

@@ -78,9 +78,20 @@ object Bench {
     // stdout capture again — the full line still rides the middle of
     // stdout as a belt-and-braces copy.
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_perquery.json"), full + "\n")
-    catch { case e: Throwable =>
+    // sidecar path is ANCHORED (env override, else the repo dir, else
+    // CWD as a last resort) and logged absolute: a CWD-relative write
+    // from an sbt fork / cron / probe harness would land elsewhere and
+    // cross-round regression tracking would silently read a stale copy
+    val sidecar = sys.env.get("SPARK_GRAFT_SIDECAR").orElse {
+      val repo = new java.io.File("/root/repo")
+      if (repo.isDirectory) Some(s"${repo.getAbsolutePath}/bench_perquery.json")
+      else None
+    }.getOrElse("bench_perquery.json")
+    try {
+      val p = java.nio.file.Paths.get(sidecar).toAbsolutePath
+      java.nio.file.Files.writeString(p, full + "\n")
+      System.err.println(s"[bench] sidecar written: $p")
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     println(compact)

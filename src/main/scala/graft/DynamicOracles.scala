@@ -25,11 +25,56 @@ object DynamicOracles {
   private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
   private def dbl(x: Double): String = java.lang.Double.toString(x)
 
+  /** Embedded-literal row cap for INDEX-ARTIFACT frames (the
+    * knn_outliers / bitext_mine_ann candidate lists, which are
+    * corpus-sized — unlike the learned merge/piece/component tables,
+    * which are model-sized and always embed). At or below the cap the
+    * frame embeds as a VALUES literal (the round-proven device, and
+    * the driver's regime at every SF it verifies); above it the frame
+    * is written to a parquet SIDE FILE the oracle reads back, so the
+    * SQL string and DuckDB's parser stay O(cap) at any verify SF.
+    */
+  private def embedCap: Long =
+    sys.props.get("graft.oracle.embedCap").flatMap(_.toLongOption)
+      .orElse(sys.env.get("GRAFT_ORACLE_EMBED_CAP").flatMap(_.toLongOption))
+      .getOrElse(65536L)
+
+  /** Default artifact dir when the caller doesn't thread one. */
+  private def defaultArtDir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_oracle_artifacts"
+
+  /** Render an all-BIGINT artifact frame (columns exactly `colNames`,
+    * in order) as one CTE clause: VALUES literal under [[embedCap]],
+    * parquet side file + `read_parquet` above it.
+    */
+  private def bigintCte(df: org.apache.spark.sql.DataFrame,
+                        cteName: String, colNames: Seq[String],
+                        key: String, artDir: String): String = {
+    val n = df.count()
+    require(n > 0, s"$key: empty $cteName artifact frame")
+    if (n <= embedCap) {
+      val rows = df.collect().map(r =>
+        colNames.indices.map(i => r.getLong(i).toString)
+          .mkString("(", ",", ")")).mkString(",")
+      s"$cteName(${colNames.mkString(", ")}) AS (VALUES $rows)"
+    } else {
+      val path = s"$artDir/${key}_$cteName"
+      df.coalesce(1).write.mode("overwrite").parquet(path)
+      val sel = colNames.map(c => s"CAST($c AS BIGINT) AS $c")
+        .mkString(", ")
+      s"$cteName AS (SELECT $sel FROM read_parquet('$path/*.parquet'))"
+    }
+  }
+
   /** All model-dependent oracles, trained against `dir`. Per-key
     * failure degrades that key to the rows-only check instead of
-    * failing the dump.
+    * failing the dump. `artDir` receives any over-cap index-artifact
+    * side files (see [[bigintCte]]); [[Verify]] passes a sibling of
+    * its outDir so the files live exactly as long as the dump they
+    * belong to.
     */
-  def all(spark: SparkSession, dir: String): Map[String, String] =
+  def all(spark: SparkSession, dir: String,
+          artDir: String = defaultArtDir): Map[String, String] =
     Seq(
       "bpe_tokenize" -> (() => bpeTokenize(spark, dir)),
       "unigram_tokenize" -> (() => unigramTokenize(spark, dir)),
@@ -37,8 +82,8 @@ object DynamicOracles {
       "embedding_clusters" -> (() => embeddingClusters(spark, dir)),
       "quality_classifier" -> (() => qualityClassifier(spark, dir)),
       "dedup_simhash" -> (() => dedupSimhash(spark, dir)),
-      "knn_outliers" -> (() => knnOutliers(spark, dir)),
-      "bitext_mine_ann" -> (() => bitextMineAnn(spark, dir)),
+      "knn_outliers" -> (() => knnOutliers(spark, dir, artDir)),
+      "bitext_mine_ann" -> (() => bitextMineAnn(spark, dir, artDir)),
       "cluster_balanced_sample" -> (() => clusterBalancedSample(spark, dir)),
       "cluster_topics" -> (() => clusterTopics(spark, dir)),
       "tokenizer_stats" -> (() => tokenizerStats(spark, dir))
@@ -55,17 +100,17 @@ object DynamicOracles {
     * flag set. The exact-graph twin stays the planted-data oracle in
     * QuantizePreferenceSpec.
     */
-  def knnOutliers(spark: SparkSession, dir: String): String = {
+  def knnOutliers(spark: SparkSession, dir: String,
+                  artDir: String = defaultArtDir): String = {
     import org.apache.spark.sql.functions.col
-    val rows = SparkEntry.knnOutliersNeighbors(spark, dir)
+    val frame = SparkEntry.knnOutliersNeighbors(spark, dir)
       .filter(col("rank") === 5L)
       .selectExpr("query_id AS vec_id",
-        "CAST(round(cos * 1000000) AS BIGINT) AS kc")
-      .orderBy("vec_id").collect()
-    require(rows.nonEmpty, "knn_outliers: empty kth-neighbor frame")
-    val vals = rows.map(r => s"(${r.getLong(0)},${r.getLong(1)})")
-      .mkString(",")
-    raw"""WITH kc(vec_id, kth) AS (VALUES $vals),
+        "CAST(round(cos * 1000000) AS BIGINT) AS kth")
+      .orderBy("vec_id")
+    val cte = bigintCte(frame, "kc", Seq("vec_id", "kth"),
+      "knn_outliers", artDir)
+    raw"""WITH $cte,
 m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
         sum(CAST(kth AS HUGEINT)) AS s1,
         sum(CAST(kth AS HUGEINT) * kth) AS s2 FROM kc)
@@ -85,15 +130,17 @@ FROM kc, m"""
     * ties), and the mined set — every piece of downstream integer
     * math, independently.
     */
-  def bitextMineAnn(spark: SparkSession, dir: String): String = {
-    val (fwd, bwd) = SparkEntry.bitextAnnLists(spark, dir)
-    val f = fwd.orderBy("src_id", "tgt_id").collect()
-      .map(r => s"(${r.getLong(0)},${r.getLong(1)},${r.getLong(2)})")
-    val b = bwd.orderBy("tgt_id", "__cm").collect()
-      .map(r => s"(${r.getLong(0)},${r.getLong(1)})")
-    require(f.nonEmpty && b.nonEmpty, "bitext_mine_ann: empty IVF lists")
-    raw"""WITH fwd(src_id, tgt_id, cm) AS (VALUES ${f.mkString(",")}),
-bwd(tgt_id, cm) AS (VALUES ${b.mkString(",")}),
+  def bitextMineAnn(spark: SparkSession, dir: String,
+                    artDir: String = defaultArtDir): String = {
+    val (fwdRaw, bwdRaw) = SparkEntry.bitextAnnLists(spark, dir)
+    val fCte = bigintCte(
+      fwdRaw.withColumnRenamed("__cm", "cm").orderBy("src_id", "tgt_id"),
+      "fwd", Seq("src_id", "tgt_id", "cm"), "bitext_mine_ann", artDir)
+    val bCte = bigintCte(
+      bwdRaw.withColumnRenamed("__cm", "cm").orderBy("tgt_id", "cm"),
+      "bwd", Seq("tgt_id", "cm"), "bitext_mine_ann", artDir)
+    raw"""WITH $fCte,
+$bCte,
 ss AS (SELECT src_id, sum(cm) AS sum_s FROM fwd GROUP BY 1),
 st AS (SELECT tgt_id, sum(cm) AS sum_t FROM bwd GROUP BY 1),
 sc AS (SELECT f.src_id, f.tgt_id, f.cm,

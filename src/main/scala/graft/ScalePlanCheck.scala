@@ -23,7 +23,16 @@ object ScalePlanCheck {
     val dirB = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val only = if (args.length > 2)
       Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet) else None
-    val spark = GraftSession.local(8)
+    // ISOLATED local dirs: some keys execute model-fit jobs at
+    // plan-construction time (IVF Lloyd iterations, classifier fits),
+    // and the r7 rehearsal's per-key cleanup loop (`rm /tmp/blockmgr-*`
+    // between probes) raced those jobs' shuffle files — a handful of
+    // keys got skipped for the wrong reason and the plan diff had
+    // scheduling-dependent blind spots. A dedicated spark.local.dir
+    // makes this tool immune to any default-/tmp cleanup.
+    val localDir = s"/tmp/graft_scaleplan_local_${ProcessHandle.current().pid()}"
+    val spark = GraftSession.builder(8)
+      .config("spark.local.dir", localDir).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var flips = 0
     SparkEntry.queries
@@ -49,5 +58,11 @@ object ScalePlanCheck {
       }
     println(s"[scaleplan] done, $flips strategy flips")
     spark.stop()
+    // own-dir cleanup (safe: this JVM is the only user and is done)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(localDir))
   }
 }

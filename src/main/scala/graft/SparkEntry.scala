@@ -1380,6 +1380,37 @@ object SparkEntry {
         .withColumn("overcount", col("est_n") - col("true_n"))
     }),
 
+    // E101b: persisted count-min STORE — the sketch-store lifecycle
+    // (C44 counts / C48 quantiles / C50 distinct) completed for
+    // frequency point queries. Full lifecycle in the key: extend
+    // batch 0, extend batch 1, REPLAY batch 1 (the counter partial is
+    // a pure function of batch content, so the read's (row, bucket,
+    // batch_id) dedup collapses it exactly), compact the committed
+    // batch, read the merged counters — which then equal the one-shot
+    // sketch over ALL of lineitem, so estimates match cm_counts' and
+    // the oracle replays the identical hash algebra over the union.
+    "cm_store" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_partkey"), col("l_orderkey"))
+      val store = new java.io.File("target/graft_indexes/cm_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      CmSketch.extendCmStore(
+        li.filter(col("l_orderkey") % 2 === 0), store, "l_partkey", 1024, 0L)
+      CmSketch.extendCmStore(
+        li.filter(col("l_orderkey") % 2 =!= 0), store, "l_partkey", 1024, 1L)
+      CmSketch.extendCmStore( // replayed in-flight batch
+        li.filter(col("l_orderkey") % 2 =!= 0), store, "l_partkey", 1024, 1L)
+      CmSketch.compactCmStore(s, store, beforeBatch = 1L)
+      val ctrs = CmSketch.readCmStore(s, store)
+      val truth = li.filter(col("l_partkey") % 997 === 0)
+        .groupBy("l_partkey").agg(count(lit(1)).as("true_n"))
+      CmSketch.estimate(ctrs, truth, "l_partkey", w = 1024)
+        .withColumn("overcount", col("est_n") - col("true_n"))
+    }),
+
     // E56b: exact-dedup-first sequencing for edit-distance (the
     // containment_reps sibling at the EXACT rung: byte-identical
     // clones — the %11 family — carry zero edit signal but k² pair
@@ -2885,6 +2916,36 @@ object SparkEntry {
             .as("payload"))
       val (pairs, _) =
         Multimodal.imageNearDup(base.unionByName(copies), maxHamming = 3)
+      pairs
+    }),
+
+    // E90b: audio near-dup — the image_near_dup device rotated to the
+    // AUDIO modality (closing the round-7 asymmetry: image had decode
+    // + dHash + a verified key, audio had decode + stats only): a
+    // planted WAV corpus whose 65-segment energy-gradient fingerprint
+    // IS splitmix64(id), re-gained copies at id+1e6 with
+    // (id div 10) % 4 pattern bits flipped (bits 5/21/47 — ≤3 bands
+    // touched, the pigeonhole band stays intact), so the pair set is
+    // EXACTLY the planted list with hamming = flip count
+    // (SQL-derivable) and the decode → fingerprint → band-block →
+    // popcount path is all REAL (javax.sound WAV encode/decode)
+    "audio_near_dup" -> ((s, dir) => {
+      val gen = udf((src: Long, flips: Int, amp: Int) => {
+        val mask = Seq(5, 21, 47).take(flips)
+          .foldLeft(0L)((m, b) => m | (1L << b))
+        Multimodal.syntheticFingerprintWav(
+          Multimodal.scramble64(src) ^ mask, amp)
+      })
+      val ids = Tables(s, dir).embeddings.select(col("vec_id"))
+      val base = ids.select(col("vec_id").as("asset_id"),
+        gen(col("vec_id"), lit(0), lit(1000)).as("payload"))
+      val copies = ids.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("asset_id"),
+          gen(col("vec_id"),
+            expr("CAST((vec_id div 10) % 4 AS INT)"), lit(2000))
+            .as("payload"))
+      val (pairs, _) =
+        Multimodal.audioNearDup(base.unionByName(copies), maxHamming = 3)
       pairs
     }),
 
@@ -5568,6 +5629,31 @@ FROM decided""",
                GROUP BY 1)
          SELECT l_partkey, true_n, est_n, est_n - true_n AS overcount
          FROM e""",
+    "cm_store" ->
+      """WITH hj AS (SELECT * FROM (VALUES
+             (0, 911382323, 1500450271),
+             (1, 972663749, 2860486313),
+             (2, 1234567891, 3267000013),
+             (3, 789456123, 49979687)) AS t(j, a, b)),
+         k AS (SELECT l_partkey AS key FROM lineitem),
+         h AS (SELECT hj.j,
+                 CAST(((CAST(hj.a AS HUGEINT) * k.key + hj.b)
+                   % 2305843009213693951) % 1024 AS BIGINT) AS bucket
+               FROM k CROSS JOIN hj),
+         c AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+               FROM h GROUP BY 1, 2),
+         q AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS true_n
+               FROM lineitem WHERE l_partkey % 997 = 0 GROUP BY 1),
+         qb AS (SELECT q.l_partkey, q.true_n, hj.j,
+                  CAST(((CAST(hj.a AS HUGEINT) * q.l_partkey + hj.b)
+                    % 2305843009213693951) % 1024 AS BIGINT) AS bucket
+                FROM q CROSS JOIN hj),
+         e AS (SELECT l_partkey, any_value(true_n) AS true_n,
+                      CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_n
+               FROM qb LEFT JOIN c ON qb.j = c.j AND qb.bucket = c.bucket
+               GROUP BY 1)
+         SELECT l_partkey, true_n, est_n, est_n - true_n AS overcount
+         FROM e""",
 
     "edit_distance_reps" ->
       """WITH corpus AS (
@@ -7390,6 +7476,11 @@ FROM decided""",
     // a ~2⁻⁴⁵ pattern collision (absent, deterministically, at every
     // test SF)
     "image_near_dup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+                CAST((vec_id // 10) % 4 AS BIGINT) AS hamming
+         FROM embeddings WHERE vec_id % 10 = 0""",
+
+    "audio_near_dup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
                 CAST((vec_id // 10) % 4 AS BIGINT) AS hamming
          FROM embeddings WHERE vec_id % 10 = 0""",

@@ -46,7 +46,7 @@ object Verify {
     // a generation failure degrades those keys to rows-only, never the
     // whole dump
     val dynamic =
-      try DynamicOracles.all(spark, sfDir)
+      try DynamicOracles.all(spark, sfDir, s"${outDir}_artifacts")
       catch { case e: Throwable =>
         System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
         Map.empty[String, String]

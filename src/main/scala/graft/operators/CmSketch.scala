@@ -51,6 +51,57 @@ object CmSketch {
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Persisted COUNT-MIN store — the [[Relational.extendAggStore]] /
+    * KLL / KMV lifecycle for FREQUENCY point queries (C: the fourth
+    * member of the sketch-store family: counts/sums, distributions,
+    * set cardinality, and now per-key occurrence frequency for ANY
+    * key at d×w fixed memory): batch-stamped counter-frame partials,
+    * replay-exact reads, fold-committed-batches compaction.
+    *
+    *  - [[extendCmStore]] appends the batch's d×w counter frame
+    *    stamped `batch_id`. The partial is a PURE FUNCTION of batch
+    *    content (hash buckets are fixed constants; grouped counts
+    *    are order/layout-independent), so an at-least-once replay
+    *    writes row-identical partials;
+    *  - [[readCmStore]] drops replay duplicates by
+    *    `(row, bucket, batch_id)` — exact for free, the KMV argument
+    *    — then sums counters per cell: counters ADD, so the merged
+    *    frame equals [[counters]] over the union of all batches,
+    *    and [[estimate]] answers point queries against it with the
+    *    standard CM guarantee (est ≥ true; ≤ true + ε·N w.p. 1−δ);
+    *  - [[compactCmStore]] folds partials of batches strictly below
+    *    `beforeBatch` into one `batch_id = −1` row per cell via the
+    *    shared [[IndexFiles]] swap + recover protocol — only the
+    *    in-flight batch can replay, so folding committed batches
+    *    preserves replay exactness (the store-family argument, made
+    *    once in IndexFiles.compactFold).
+    *
+    * The streaming twin is
+    * [[graft.streaming.Streams.streamCmMaintain]] — same partials,
+    * appended per micro-batch from foreachBatch.
+    */
+  def extendCmStore(rows: DataFrame, storeDir: String, keyCol: String,
+                    w: Int, batchId: Long): Unit =
+    counters(rows, keyCol, w)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(s"$storeDir/cm")
+
+  /** Merged counter frame over all committed batches (replay-deduped):
+    * row-for-row equal to `counters(unionOfBatches, keyCol, w)`. */
+  def readCmStore(spark: org.apache.spark.sql.SparkSession,
+                  storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/cm")
+      .dropDuplicates("row", "bucket", "batch_id")
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+
+  def compactCmStore(spark: org.apache.spark.sql.SparkSession,
+                     storeDir: String, beforeBatch: Long,
+                     partitions: Int = 1): Unit =
+    IndexFiles.compactFold(spark, storeDir, "cm",
+        Seq("row", "bucket"), beforeBatch, partitions) { below =>
+      below.groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    }
+
   /** Point estimates for the keys of `queries` (any extra columns ride
     * along): appends `est_n = min_j counters[j][h_j(key)]` (0 when a
     * key hashes only to untouched buckets). The query frame is the

@@ -470,19 +470,159 @@ object Multimodal {
       .select(col("asset_id"), col("dhash"))
     val errors = hashed.filter(col("dhash").isNull)
       .select(col("asset_id"), col("decode_error"))
-    val banded = ok.select(col("asset_id"), col("dhash"),
+    val pairs = hammingBandPairs(
+      ok.select(col("asset_id"), col("dhash").as("__h")), maxHamming)
+    (pairs, errors)
+  }
+
+  /** Shared 4×16-bit pigeonhole banding + exact popcount verify over a
+    * 64-bit perceptual hash column `__h` — the blocking device both
+    * [[imageNearDup]] and [[audioNearDup]] ride: any pair within
+    * `maxHamming ≤ 3` bits shares at least one intact 16-bit band, so
+    * the only shuffle is the band-keyed self-join (NO all-pairs).
+    */
+  private def hammingBandPairs(ok: DataFrame,
+                               maxHamming: Int): DataFrame = {
+    val banded = ok.select(col("asset_id"), col("__h"),
       explode(expr("""transform(sequence(0, 3), b -> struct(b AS band,
-        shiftright(dhash, CAST(b * 16 AS INT)) & 65535 AS sig))"""))
+        shiftright(__h, CAST(b * 16 AS INT)) & 65535 AS sig))"""))
         .as("__b"))
-      .select(col("asset_id"), col("dhash"),
+      .select(col("asset_id"), col("__h"),
         col("__b.band").as("band"), col("__b.sig").as("sig"))
-    val pairs = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
           && col("a.asset_id") < col("b.asset_id"))
       .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
-        expr("bit_count(a.dhash ^ b.dhash)").cast("long").as("hamming"))
+        expr("bit_count(a.__h ^ b.__h)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming.toLong)
-    (pairs, errors)
+  }
+
+  /** 64-bit temporal-gradient AUDIO fingerprint — the [[imageDHash]]
+    * analog for the audio modality (re-encoded, re-gained, or
+    * lightly-edited copies of the same clip land within a few bits):
+    * decode 16-bit PCM ([[decodeWavFeatures]]' contract — PCM is
+    * lossless, so the fingerprint is bit-reproducible across
+    * JDKs/platforms), average-pool the first channel's |sample| onto
+    * 65 time segments with integer block bounds (`s0 = i·n div 65` —
+    * exact integer pooling, the multimodal reproducibility contract),
+    * then pack 64 energy-gradient signs `seg(i) < seg(i+1)`. Requires
+    * ≥ 65 frames (shorter clips have no 65-segment grid — throws, and
+    * [[audioNearDup]] turns that into an error row).
+    */
+  def audioFingerprint(payload: Array[Byte]): Long = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          || fmt.getSampleSizeInBits != 16)
+        throw new javax.sound.sampled.UnsupportedAudioFileException(
+          s"only 16-bit signed PCM supported, got $fmt")
+      val bytes = in.readAllBytes()
+      val frameSize = fmt.getFrameSize
+      val n = bytes.length / frameSize
+      if (n < 65)
+        throw new java.io.IOException(
+          s"audio too short for fingerprint: $n frames")
+      val big = fmt.isBigEndian
+      val seg = new Array[Long](65)
+      var i = 0
+      while (i < 65) {
+        val s0 = i.toLong * n / 65; val s1 = (i + 1).toLong * n / 65
+        var sum = 0L
+        var j = s0
+        while (j < s1) {
+          val off = (j * frameSize).toInt // first channel sample
+          val s =
+            if (big) ((bytes(off) << 8) | (bytes(off + 1) & 0xFF)).toShort
+            else ((bytes(off + 1) << 8) | (bytes(off) & 0xFF)).toShort
+          sum += math.abs(s.toLong)
+          j += 1
+        }
+        seg(i) = sum / (s1 - s0)
+        i += 1
+      }
+      var fp = 0L
+      i = 0
+      while (i < 64) {
+        if (seg(i) < seg(i + 1)) fp |= (1L << i)
+        i += 1
+      }
+      fp
+    } finally in.close()
+  }
+
+  /** Deterministic WAV clip whose [[audioFingerprint]] equals
+    * `pattern` EXACTLY — the planted-corpus device that makes the
+    * audio near-dup rung driver-verifiable (the
+    * [[syntheticDHashImage]] precedent, rotated from pixel space to
+    * time): 65 segments of 64 constant-amplitude samples each, the
+    * amplitude starting at `ampBase` and stepping +1 exactly where
+    * bit `i` of `pattern` is set, so `seg(i) < seg(i+1)` iff the bit
+    * is set (equal otherwise — NOT less) and the packed gradient
+    * signs reproduce `pattern` bit-for-bit. Segment mean-|PCM| is
+    * exact (integer pooling over 64-sample blocks is exact division),
+    * and WAV/PCM is lossless — so the fingerprint survives the
+    * encoder. Two clips with the same pattern but different `ampBase`
+    * are distinct payloads with IDENTICAL fingerprint (hamming 0);
+    * flipping k pattern bits yields hamming exactly k.
+    */
+  def syntheticFingerprintWav(pattern: Long, ampBase: Int): Array[Byte] = {
+    require(ampBase >= 0 && ampBase <= 32000,
+      s"ampBase must leave headroom for +64 steps, got $ampBase")
+    val samples = new Array[Short](65 * 64)
+    var amp = ampBase
+    var i = 0
+    while (i < 65) {
+      var j = 0
+      while (j < 64) { samples(i * 64 + j) = amp.toShort; j += 1 }
+      if (i < 64 && ((pattern >>> i) & 1L) == 1L) amp += 1
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  private val AfpSchema = StructType(Seq(
+    StructField("asset_id", LongType), StructField("afp", LongType),
+    StructField("decode_error", StringType)))
+
+  /** Near-duplicate AUDIO pairs — [[imageNearDup]]'s rung for the
+    * audio modality: fingerprint every payload ([[audioFingerprint]];
+    * failures become error ROWS), then the shared 4-band pigeonhole
+    * + exact popcount ([[hammingBandPairs]]). Returns (pairs, errors).
+    */
+  def audioNearDup(assets: DataFrame, maxHamming: Int):
+      (DataFrame, DataFrame) = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0,3] (4-band pigeonhole), got $maxHamming")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(AfpSchema)
+    val hashed = assets.select("asset_id", "payload").mapPartitions {
+      rows =>
+        rows.map { r =>
+          try Row(r.getAs[Long]("asset_id"),
+            audioFingerprint(r.getAs[Array[Byte]]("payload")), null)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              Row(r.getAs[Long]("asset_id"), null,
+                String.valueOf(e.getMessage))
+          }
+        }
+    }(enc)
+    val ok = hashed.filter(col("afp").isNotNull)
+      .select(col("asset_id"), col("afp").as("__h"))
+    val errors = hashed.filter(col("afp").isNull)
+      .select(col("asset_id"), col("decode_error"))
+    (hammingBandPairs(ok, maxHamming), errors)
   }
 }

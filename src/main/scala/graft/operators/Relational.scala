@@ -1756,8 +1756,15 @@ object Relational {
     require(quasiCols.nonEmpty, "tCloseness needs quasi-identifier columns")
     require(tPermille >= 0 && tPermille <= 1000,
       s"tPermille in [0,1000], got $tPermille")
+    // NULL sensitive values become their OWN category instead of
+    // silently distorting the TVD: an inner join on __v would drop
+    // null-valued cells from the numerator while their rows still
+    // count in n_rows and the global total — the group's null mass
+    // would read as absent-from-group and the privacy metric would
+    // misreport exactly on the rows most likely to be suppressed.
+    val sv = coalesce(col(sensitiveCol).cast("string"), lit("\u0000null"))
     val cells = df.groupBy((quasiCols.map(col) :+
-        col(sensitiveCol).as("__v")): _*)
+        sv.as("__v")): _*)
       .agg(count(lit(1)).as("__n"))
     val groupTot = cells.groupBy(quasiCols.map(col): _*)
       .agg(sum("__n").as("__ng"))

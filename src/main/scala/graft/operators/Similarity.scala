@@ -531,18 +531,28 @@ object Similarity {
     */
   def bitextMineAnn(src: DataFrame, tgt: DataFrame, idCol: String,
                     vecCol: String, k: Int, ratePermille: Long,
-                    nprobe: Int = 4, lloydIters: Int = 2): DataFrame = {
+                    nprobe: Int = 4, lloydIters: Int = 2,
+                    srcN: Long = -1L, tgtN: Long = -1L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(ratePermille >= 1 && ratePermille <= 1000,
       s"ratePermille must be in [1,1000], got $ratePermille")
+    // nlist sizing needs each side's cardinality; the default counts
+    // here (cheap column-pruned scans), but a caller invoking the
+    // miner in a loop — or one that already materialized the sides —
+    // can pass `srcN`/`tgtN` and this constructor runs ZERO jobs of
+    // its own (annIvf's Lloyd fit still executes, as any ML fit does).
+    // Exact counts are NOT required: nlist moves by its √n rule, so a
+    // same-order approximation yields the same index geometry.
     val micro = (c: Column) => round(c * lit(1e6)).cast("long")
+    val nSrc = if (srcN > 0) srcN else src.count()
+    val nTgt = if (tgtN > 0) tgtN else tgt.count()
     val fwd = annIvf(tgt, src, idCol, vecCol, k,
-        nlist = ivfNlistFor(tgt.count()), nprobe = nprobe,
+        nlist = ivfNlistFor(nTgt), nprobe = nprobe,
         lloydIters = lloydIters)
       .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
               micro(col("cos")).as("__cm"))
     val bwd = annIvf(src, tgt, idCol, vecCol, k,
-        nlist = ivfNlistFor(src.count()), nprobe = nprobe,
+        nlist = ivfNlistFor(nSrc), nprobe = nprobe,
         lloydIters = lloydIters)
       .select(col("query_id").as("tgt_id"), micro(col("cos")).as("__cm"))
     bitextCalibrated(fwd, bwd, k, ratePermille)

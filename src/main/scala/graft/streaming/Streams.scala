@@ -365,6 +365,39 @@ object Streams {
       }
       .start()
 
+  /** D-side twin of the count-min STORE (the streaming half of
+    * `cm_store` exactly as D9/D13/D15 are of C44/C48/C50, extending
+    * the store symmetry to frequency point queries): each micro-batch
+    * appends one d×w counter-frame partial
+    * ([[graft.operators.CmSketch.extendCmStore]] — fixed-constant
+    * hashes and grouped counts make the partial a pure function of
+    * batch content), so an at-least-once replay writes row-identical
+    * partials that `readCmStore`'s `(row, bucket, batch_id)` dedup
+    * collapses: merged counters stay EXACTLY equal to the one-shot
+    * sketch over every event ever streamed, at d×w rows of store
+    * growth per batch (never fact-sized). `compactEvery` folds
+    * committed batches with the shared swap + recover protocol.
+    */
+  def streamCmMaintain(facts: Dataset[Fact], storeDir: String,
+                       checkpointDir: String, w: Int,
+                       compactEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Fact], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.CmSketch.extendCmStore(
+            batch.toDF(), storeDir, "key", w, batchId)
+          compactEvery.foreach { n =>
+            if (n > 0 && (batchId + 1) % n == 0)
+              graft.operators.CmSketch.compactCmStore(
+                batch.sparkSession, storeDir, batchId)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** One CDC row of the D17 join-view stream: both sides'
     * [[graft.operators.Relational.snapshotDiff]] columns unioned with
     * a `side` discriminator (fields of the other side ride null). */

@@ -3558,6 +3558,75 @@ object SparkEntry {
       Behavior.jsDivergence(d, "value", "base", thresholdMicro = 100000L)
     }),
 
+    // C122: Kendall tau-b — word-mass vs char-length buckets on the
+    // 64-bucket quantized grid; concordance from the CELL-pair join
+    // (Θ(B⁴) constant work), tie terms from the margins, the
+    // sign/square reporting device
+    "kendall_tau" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .withColumn("__w",
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long"))
+        .select(expr("least(63L, __w div 8)").as("x"),
+          expr("least(63L, n_chars div 160)").as("y"))
+      Behavior.kendallTau(d, "x", "y")
+    }),
+
+    // C123: Kruskal-Wallis — does the word-mass score distribution
+    // differ across languages; doubled tie-averaged ranks from the
+    // distribution, exact tie-corrected H on the micro grid
+    "kruskal_wallis" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        col("lang").as("grp"),
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("value"))
+      Behavior.kruskalWallis(d, "grp", "value")
+    }),
+
+    // C124: Cramér's V — the normalized effect size over the
+    // chi_square contingency pair (status × priority); χ² grows with
+    // n, V² compares association strength across segment sizes
+    "cramers_v" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+      Behavior.cramersV(o, "o_orderstatus", "o_orderpriority")
+    }),
+
+    // C125: one-way ANOVA F — does mean quantity differ across
+    // return flags; exact DECIMAL38 moments, stated micro floors,
+    // η² effect size beside F
+    "anova_f" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem.select(
+        col("l_returnflag").as("grp"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("value"))
+      Behavior.anovaF(li, "grp", "value")
+    }),
+
+    // C126: Brown-Forsythe Levene — variance homogeneity across
+    // return flags on hecto-dollar prices: exact group medians from
+    // the distribution fold, F over |x − med_g|
+    "levene_test" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem.select(
+        col("l_returnflag").as("grp"),
+        expr("CAST(round(l_extendedprice) AS BIGINT) div 100")
+          .as("value"))
+      Behavior.leveneTest(li, "grp", "value")
+    }),
+
+    // C127: group-fairness report — parity of a length-quality
+    // classifier (pred: word mass > 500) against the long-document
+    // label across sources; DP / TPR / FPR gaps in permille
+    "fairness_report" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(
+        col("source").as("grp"),
+        (col("n_chars") > 800L).as("label"),
+        (least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L) > 500L).as("pred"))
+      Behavior.fairnessReport(d, "grp", "label", "pred")
+    }),
+
     // E97: clipped-IPS off-policy evaluation — what the
     // "most-frequent action per user-decile" policy would have earned
     // on the logged event stream; empirical permille propensities,
@@ -8973,6 +9042,223 @@ FROM decided""",
                   AS dof,
                 CAST(chi2 AS BIGINT) AS chi2_micro
          FROM fin""",
+
+    "kendall_tau" ->
+      """WITH d AS (
+           SELECT least(63, length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+')) // 8) AS x,
+                  least(63, n_chars // 160) AS y
+           FROM documents),
+         cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+                   FROM d GROUP BY 1, 2),
+         s AS (SELECT coalesce(CAST(sum(CAST(a.c AS HUGEINT) * b.c *
+                 (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                       ELSE 0 END)) AS HUGEINT), 0) AS s
+               FROM cells a JOIN cells b ON a.x < b.x),
+         m AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM cells),
+         tx AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1))
+                  AS HUGEINT) AS t1
+                FROM (SELECT x, CAST(sum(c) AS BIGINT) AS t
+                      FROM cells GROUP BY 1)),
+         ty AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1))
+                  AS HUGEINT) AS t2
+                FROM (SELECT y, CAST(sum(c) AS BIGINT) AS t
+                      FROM cells GROUP BY 1)),
+         f AS (SELECT s.s, m.n, m.n * (m.n - 1) - tx.t1 AS d1,
+                      m.n * (m.n - 1) - ty.t2 AS d2
+               FROM s, m, tx, ty)
+         SELECT CAST(n AS BIGINT) AS n,
+                CASE WHEN d1 > 0 AND d2 > 0 THEN
+                  CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1
+                       ELSE 0 END AS BIGINT) END AS tau_sign,
+                CASE WHEN d1 > 0 AND d2 > 0 THEN
+                  CAST((40000 * s * s) // (d1 * d2) AS BIGINT)
+                END AS tau2_permyriad
+         FROM f""",
+
+    "kruskal_wallis" ->
+      """WITH d AS (
+           SELECT lang AS g,
+                  least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS v
+           FROM documents),
+         cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                   FROM d GROUP BY 1, 2),
+         vm AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+                FROM cells GROUP BY 1),
+         vr AS (SELECT v,
+                  2 * CAST(coalesce(sum(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) + t + 1 AS r2
+                FROM vm),
+         tie AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t)
+                   AS HUGEINT) AS ties FROM vm),
+         gs AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                  CAST(sum(CAST(c AS HUGEINT) * r2) AS HUGEINT) AS t2
+                FROM cells JOIN vr USING (v) GROUP BY 1),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(ng) AS HUGEINT) AS n,
+                   CAST(sum((1000000 * t2 * t2) // ng) AS HUGEINT) AS q
+                 FROM gs),
+         f AS (SELECT k, n,
+                 CASE WHEN n >= 2 THEN (3 * q) // (n * (n + 1))
+                   - 3000000 * (n + 1) END AS hraw,
+                 n * n * n - n - (SELECT ties FROM tie) AS corr
+               FROM agg)
+         SELECT CAST(n AS BIGINT) AS n, k, k - 1 AS dof,
+                CASE WHEN hraw IS NOT NULL AND corr > 0 THEN
+                  CAST(CASE WHEN hraw < 0
+                    THEN -((-(hraw * (n * n * n - n))) // corr)
+                    ELSE (hraw * (n * n * n - n)) // corr END AS BIGINT)
+                END AS h_micro
+         FROM f""",
+
+    "cramers_v" ->
+      """WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM orders GROUP BY 1, 2),
+         rm AS (SELECT a, CAST(sum(n) AS BIGINT) AS r
+                FROM cells GROUP BY 1),
+         cm AS (SELECT b, CAST(sum(n) AS BIGINT) AS c
+                FROM cells GROUP BY 1),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                       CAST(count(DISTINCT a) AS BIGINT) AS ra,
+                       CAST(count(DISTINCT b) AS BIGINT) AS cb
+                FROM cells),
+         g AS (SELECT cells.a,
+                 CAST(sum((1000000
+                     * (CAST(cells.n AS HUGEINT) * tt.t
+                        - CAST(rm.r AS HUGEINT) * cm.c)
+                     * (CAST(cells.n AS HUGEINT) * tt.t
+                        - CAST(rm.r AS HUGEINT) * cm.c))
+                   // (CAST(tt.t AS HUGEINT) * rm.r * cm.c)) AS HUGEINT)
+                   AS present,
+                 CAST(sum(cm.c) AS BIGINT) AS cpres,
+                 any_value(rm.r) AS r, any_value(tt.t) AS t
+               FROM cells JOIN rm USING(a) JOIN cm USING(b)
+                 CROSS JOIN tt
+               GROUP BY 1),
+         fin AS (SELECT CAST(sum(present
+                   + (1000000 * CAST(r AS HUGEINT) * (t - cpres)) // t)
+                   AS HUGEINT) AS chi2,
+                 any_value(t) AS n
+                 FROM g),
+         rep AS (SELECT n, (SELECT ra FROM tt) AS n_rows_a,
+                   (SELECT cb FROM tt) AS n_cols_b,
+                   ((SELECT ra FROM tt) - 1) * ((SELECT cb FROM tt) - 1)
+                     AS dof,
+                   CAST(chi2 AS BIGINT) AS chi2_micro
+                 FROM fin)
+         SELECT *,
+                CASE WHEN least(n_rows_a - 1, n_cols_b - 1) > 0 THEN
+                  chi2_micro // (100 * n
+                    * least(n_rows_a - 1, n_cols_b - 1))
+                END AS v2_permyriad
+         FROM rep""",
+
+    "anova_f" ->
+      """WITH d AS (SELECT l_returnflag AS g,
+                      CAST(round(l_quantity) AS BIGINT) AS v
+                    FROM lineitem),
+         cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                   FROM d GROUP BY 1, 2),
+         gs AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                  CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT) AS s1,
+                  CAST(sum(CAST(c AS HUGEINT) * v * v) AS HUGEINT) AS s2
+                FROM cells GROUP BY 1),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(ng) AS HUGEINT) AS n,
+                   CAST(sum(s1) AS HUGEINT) AS s1t,
+                   CAST(sum(s2) AS HUGEINT) AS s2t,
+                   CAST(sum((1000000 * s1 * s1) // ng) AS HUGEINT) AS q
+                 FROM gs),
+         f AS (SELECT *,
+                 greatest(CAST(0 AS HUGEINT),
+                   q - (1000000 * s1t * s1t) // n) AS ssb,
+                 greatest(CAST(0 AS HUGEINT),
+                   1000000 * s2t - q) AS ssw
+               FROM agg)
+         SELECT CAST(n AS BIGINT) AS n, k, k - 1 AS dof_between,
+                CAST(n AS BIGINT) - k AS dof_within,
+                CASE WHEN ssw > 0 AND n > k AND k >= 2 THEN
+                  CAST((1000 * ssb * (n - k)) // (ssw * (k - 1))
+                    AS BIGINT) END AS f_milli,
+                CASE WHEN ssb + ssw > 0 THEN
+                  CAST((10000 * ssb) // (ssb + ssw) AS BIGINT)
+                END AS eta2_permyriad
+         FROM f""",
+
+    "levene_test" ->
+      """WITH d AS (SELECT l_returnflag AS g,
+                      CAST(round(l_extendedprice) AS BIGINT) // 100 AS v
+                    FROM lineitem),
+         cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                   FROM d GROUP BY 1, 2),
+         gm AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+                FROM cells GROUP BY 1),
+         cum AS (SELECT g, v, c,
+                   CAST(sum(c) OVER (PARTITION BY g ORDER BY v)
+                     AS BIGINT) AS cumc
+                 FROM cells),
+         med AS (SELECT cum.g, min(cum.v) AS med
+                 FROM cum JOIN gm USING (g)
+                 WHERE cum.cumc >= (gm.ng + 1) // 2 GROUP BY 1),
+         dev AS (SELECT cells.g, abs(cells.v - med.med) AS v,
+                   CAST(sum(cells.c) AS BIGINT) AS c
+                 FROM cells JOIN med USING (g) GROUP BY 1, 2),
+         gs AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                  CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT) AS s1,
+                  CAST(sum(CAST(c AS HUGEINT) * v * v) AS HUGEINT) AS s2
+                FROM dev GROUP BY 1),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(ng) AS HUGEINT) AS n,
+                   CAST(sum(s1) AS HUGEINT) AS s1t,
+                   CAST(sum(s2) AS HUGEINT) AS s2t,
+                   CAST(sum((1000000 * s1 * s1) // ng) AS HUGEINT) AS q
+                 FROM gs),
+         f AS (SELECT *,
+                 greatest(CAST(0 AS HUGEINT),
+                   q - (1000000 * s1t * s1t) // n) AS ssb,
+                 greatest(CAST(0 AS HUGEINT),
+                   1000000 * s2t - q) AS ssw
+               FROM agg)
+         SELECT CAST(n AS BIGINT) AS n, k, k - 1 AS dof_between,
+                CAST(n AS BIGINT) - k AS dof_within,
+                CASE WHEN ssw > 0 AND n > k AND k >= 2 THEN
+                  CAST((1000 * ssb * (n - k)) // (ssw * (k - 1))
+                    AS BIGINT) END AS f_milli,
+                CASE WHEN ssb + ssw > 0 THEN
+                  CAST((10000 * ssb) // (ssb + ssw) AS BIGINT)
+                END AS eta2_permyriad
+         FROM f""",
+
+    "fairness_report" ->
+      """WITH d AS (
+           SELECT source AS g, n_chars > 800 AS label,
+                  least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) > 500 AS pred
+           FROM documents),
+         gg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p,
+                  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS l,
+                  CAST(sum(CASE WHEN label AND pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+                  CAST(sum(CASE WHEN (NOT label) AND pred THEN 1
+                    ELSE 0 END) AS BIGINT) AS fp
+                FROM d GROUP BY 1),
+         r AS (SELECT n, (1000 * p) // n AS sr,
+                 CASE WHEN l > 0 THEN (1000 * tp) // l END AS tpr,
+                 CASE WHEN n - l > 0 THEN (1000 * fp) // (n - l)
+                   END AS fpr
+               FROM gg)
+         SELECT CAST(sum(n) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                max(sr) - min(sr) AS dp_gap_permille,
+                max(tpr) - min(tpr) AS tpr_gap_permille,
+                max(fpr) - min(fpr) AS fpr_gap_permille
+         FROM r""",
 
     "t_closeness" ->
       """WITH e AS (SELECT user_id,

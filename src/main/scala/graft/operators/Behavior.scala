@@ -2251,4 +2251,267 @@ object Behavior {
                ELSE (1000 * CAST(__swr AS DECIMAL(38,0))) div __sw END
            END""").cast("long").as("snips_milli"))
   }
+
+  /** Kendall's tau-b rank correlation (C122 — the third leg of the
+    * association triple beside [[Relational]] corr_matrix (Pearson)
+    * and [[spearmanCorr]]: tau is the concordance probability
+    * reviewers quote for ordinal pairs, and its tie treatment (tau-b)
+    * is the one contingency-shaped data actually needs). EXACT over a
+    * BOUNDED QUANTIZED GRID — the stated contract: both inputs arrive
+    * quantized to ≤ B buckets (B ≲ 64), the corpus collapses map-side
+    * to ≤ B² cells, and S = Σ_{cells a,b: a.x < b.x} c_a·c_b·
+    * sign(b.y − a.y) comes from the CELL-pair join — Θ(B⁴) constant
+    * work independent of n (16M ops at B = 64; never a row-pair
+    * join). Tie terms from the margins: n0 = n(n−1)/2,
+    * n1 = Σ_x t(t−1)/2, n2 = Σ_y t(t−1)/2;
+    * tau_b = S/√((n0−n1)(n0−n2)) reports on the [[spearmanCorr]]
+    * device — `tau_sign` plus `tau2_permyriad = (10⁴·S²) div
+    * ((n0−n1)(n0−n2))` (no irrational sqrt on the integer grid).
+    * All-tied axes (zero denominator) read null.
+    *
+    * Scale shape: one (x,y) cell aggregation (map-side combined —
+    * the corpus is touched once), a broadcast cell-pair join bounded
+    * by the grid, two ≤B margin aggs, one scalar agg.
+    */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val a = cells.select(col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__c").as("__ca"))
+    val b = cells.select(col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__c").as("__cb"))
+    val s = a.join(broadcast(b), col("__xa") < col("__xb"))
+      .agg(coalesce(sum(expr(
+        """CAST(__ca AS DECIMAL(38,0)) * __cb *
+           CASE WHEN __yb > __ya THEN 1 WHEN __yb < __ya THEN -1
+                ELSE 0 END""")), lit(0).cast("decimal(38,0)")).as("__s"))
+    val margins = cells.agg(
+      sum("__c").cast("decimal(38,0)").as("__n"),
+      sum(expr("CAST(__c AS DECIMAL(38,0)) * (__c - 1)")).as("__tcell"))
+    val tx = cells.groupBy("__x").agg(sum("__c").as("__t"))
+      .agg(sum(expr("CAST(__t AS DECIMAL(38,0)) * (__t - 1)")).as("__t1"))
+    val ty = cells.groupBy("__y").agg(sum("__c").as("__t"))
+      .agg(sum(expr("CAST(__t AS DECIMAL(38,0)) * (__t - 1)")).as("__t2"))
+    s.crossJoin(broadcast(margins)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      // doubled pair counts (t(t-1), not /2) keep everything integral:
+      // d1 = 2(n0-n1), d2 = 2(n0-n2), denom = d1*d2 = 4(n0-n1)(n0-n2)
+      .withColumn("__d1", expr("__n * (__n - 1) - __t1"))
+      .withColumn("__d2", expr("__n * (__n - 1) - __t2"))
+      .select(col("__n").cast("long").as("n"),
+        expr("""CASE WHEN __d1 > 0 AND __d2 > 0 THEN
+                  CAST(sign(__s) AS BIGINT) END""").as("tau_sign"),
+        expr("""CASE WHEN __d1 > 0 AND __d2 > 0 THEN
+                  CAST((40000 * __s * __s) div (__d1 * __d2) AS BIGINT)
+                END""").as("tau2_permyriad"))
+  }
+
+  /** Kruskal-Wallis H test (C123 — [[mannWhitney]] generalized to
+    * k groups: the one-way layout's rank test, the robust sibling of
+    * [[anovaF]] exactly as mann_whitney is [[welchTtest]]'s). EXACT
+    * on tie-averaged DOUBLED ranks from the value distribution (the
+    * [[spearmanCorr]] device — `2·rank_avg(v) = 2·cum_before + t + 1`
+    * keeps tie averages integral; the corpus never sorts): per-group
+    * doubled rank sums T_g, then with R_g = T_g/2,
+    * H = 3·Σ T_g²/n_g / (n(n+1)) − 3(n+1), tie-corrected by
+    * H_c = H·(n³−n)/((n³−n) − Σ(t³−t)). Stated floor cascade on the
+    * micro grid: `q_g = (10⁶·T_g²) div n_g` per group,
+    * `h_raw = (3·Σq_g) div (n(n+1)) − 3·10⁶·(n+1)`, `h_micro =
+    * (h_raw·(n³−n)) div ((n³−n) − ties)`. All-tied data (corrector
+    * ≤ 0) or n < 2 reads null; dof = k−1 reported for the caller's
+    * χ² cut (no integer-grid χ² inverse — the [[chiSquareIndep]]
+    * convention).
+    *
+    * Scale shape: one (group, value) cell aggregation (map-side
+    * combined), the rank table as one ≤|domain| fold broadcast back,
+    * one k-row group agg, one scalar agg.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val rank = cells.groupBy("__v").agg(sum("__c").as("__t"))
+      .agg(array_sort(collect_list(struct(col("__v"), col("__t"))))
+        .as("__a"))
+      .select(explode(expr("""aggregate(__a,
+        struct(CAST(0 AS BIGINT) AS cum,
+               CAST(array() AS ARRAY<STRUCT<v: BIGINT, r2: BIGINT>>)
+                 AS out),
+        (acc, el) -> struct(acc.cum + el.__t AS cum,
+          array_append(acc.out, struct(el.__v AS v,
+            2 * acc.cum + el.__t + 1 AS r2)) AS out)).out""")).as("__r"))
+      .select(col("__r.v").as("__v"), col("__r.r2").as("__r2"))
+    val ties = cells.groupBy("__v").agg(sum("__c").as("__t"))
+      .agg(sum(expr(
+        """CAST(__t AS DECIMAL(38,0)) * __t * __t - __t""")).as("__ties"))
+    cells.join(broadcast(rank), "__v")
+      .groupBy("__g")
+      .agg(sum("__c").as("__ng"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __r2")).as("__t2"))
+      .agg(count(lit(1)).as("k"),
+        sum("__ng").cast("decimal(38,0)").as("__n"),
+        sum(expr("(1000000 * __t2 * __t2) div __ng")).as("__q"))
+      .crossJoin(broadcast(ties))
+      // doubled ranks: Σ T2_g²/n_g = 4·Σ R_g²/n_g, and 12/4 = 3 —
+      // the doubling folds the classic 12 down to the 3 below
+      .withColumn("__hraw", expr(
+        """CASE WHEN __n >= 2 THEN
+             (3 * __q) div (__n * (__n + 1))
+               - 3000000 * (__n + 1) END"""))
+      .withColumn("__corr", expr("__n * __n * __n - __n - __ties"))
+      .select(col("__n").cast("long").as("n"), col("k"),
+        expr("k - 1").as("dof"),
+        expr("""CASE WHEN __hraw IS NOT NULL AND __corr > 0 THEN
+             CAST(CASE WHEN __hraw < 0
+               THEN -((-(__hraw * (__n * __n * __n - __n))) div __corr)
+               ELSE (__hraw * (__n * __n * __n - __n)) div __corr END
+             AS BIGINT) END""").as("h_micro"))
+  }
+
+  /** Cramér's V (C124 — the EFFECT SIZE beside [[chiSquareIndep]]'s
+    * significance: χ² grows with n, so a dashboard comparing
+    * association strength across segments of different sizes needs
+    * the normalized V² = χ²/(n·min(R−1,C−1)) ∈ [0,1], not raw χ²).
+    * Composes the chi-square frame (same exact integer statistic,
+    * same quantization contract) and adds one stated floor:
+    * `v2_permyriad = chi2_micro div (100·n·min(R−1,C−1))` (10⁴/10⁶
+    * = 1/100). Degenerate tables (single row or column) read null.
+    *
+    * Scale shape: [[chiSquareIndep]]'s — the extra column is free.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareIndep(df, aCol, bCol)
+      .withColumn("v2_permyriad", expr(
+        """CASE WHEN least(n_rows_a - 1, n_cols_b - 1) > 0 THEN
+             chi2_micro div (100 * n * least(n_rows_a - 1, n_cols_b - 1))
+           END"""))
+
+  /** One-way ANOVA F (C125 — the k-group parametric leg: welch covers
+    * two groups, [[kruskalWallis]] covers ranks; when a metric
+    * averages well across k segments, the F ratio IS the variance
+    * decomposition every analysis starts from — and η² beside it, the
+    * effect size reviewers ask for next to F). EXACT integer moments
+    * per group (DECIMAL(38,0) n_g/S1_g/S2_g), then the stated floor
+    * cascade on the micro grid: per-group `q_g = (10⁶·S1_g²) div
+    * n_g`, `ssb = Σq_g − (10⁶·S1²) div n`,
+    * `ssw = 10⁶·S2 − Σq_g`, `f_milli = (1000·ssb·(n−k)) div
+    * (ssw·(k−1))`, `eta2_permyriad = (10⁴·ssb) div (ssb + ssw)`.
+    * Zero within-variance or n ≤ k reads null F; the micro floors
+    * can dip ssb a hair negative at zero between-variance — clamped
+    * to 0 (the [[jsDivergence]] convention).
+    *
+    * Scale shape: ONE k-row group aggregation (map-side combined)
+    * + one scalar agg — the cheapest family shape.
+    */
+  def anovaF(df: DataFrame, groupCol: String,
+             valueCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    anovaFromCells(cells)
+  }
+
+  /** The moment cascade shared by [[anovaF]] and [[leveneTest]] —
+    * input is the weighted (group, value, count) cell frame. */
+  private[operators] def anovaFromCells(cells: DataFrame): DataFrame =
+    cells.groupBy("__g")
+      .agg(sum("__c").as("__ng"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __v")).as("__s1"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __v * __v")).as("__s2"))
+      .agg(count(lit(1)).as("k"),
+        sum("__ng").cast("decimal(38,0)").as("__n"),
+        sum(expr("CAST(__s1 AS DECIMAL(38,0))")).as("__s1t"),
+        sum(expr("CAST(__s2 AS DECIMAL(38,0))")).as("__s2t"),
+        sum(expr("(1000000 * __s1 * __s1) div __ng")).as("__q"))
+      .withColumn("__ssb", expr(
+        """greatest(CAST(0 AS DECIMAL(38,0)),
+             __q - (1000000 * __s1t * __s1t) div __n)"""))
+      .withColumn("__ssw", expr(
+        "greatest(CAST(0 AS DECIMAL(38,0)), 1000000 * __s2t - __q)"))
+      .select(col("__n").cast("long").as("n"), col("k"),
+        expr("k - 1").as("dof_between"),
+        expr("CAST(__n AS BIGINT) - k").as("dof_within"),
+        expr("""CASE WHEN __ssw > 0 AND __n > k AND k >= 2 THEN
+             CAST((1000 * __ssb * (__n - k)) div (__ssw * (k - 1))
+               AS BIGINT) END""").as("f_milli"),
+        expr("""CASE WHEN __ssb + __ssw > 0 THEN
+             CAST((10000 * __ssb) div (__ssb + __ssw) AS BIGINT)
+           END""").as("eta2_permyriad"))
+
+  /** Brown-Forsythe / Levene variance-homogeneity test (C126 — the
+    * gate in FRONT of [[anovaF]]: classic ANOVA assumes equal group
+    * variances, and the median-centered Levene statistic is the
+    * standard check — an F test on |x − median_g|, robust because
+    * the center is the exact group MEDIAN, not the mean). Group
+    * medians are exact lower order statistics from the per-group
+    * value distribution (fold over the sorted cell list — the repo's
+    * no-corpus-sort contract: `med_g` = smallest v with
+    * cum ≥ (n_g+1) div 2), deviations stay integral
+    * (`|v − med_g|` on the quantized grid, weighted by the cell
+    * count), and the same [[anovaFromCells]] cascade reports
+    * F/η² over the deviations.
+    *
+    * Scale shape: one (group, value) cell aggregation, one k-row
+    * median fold, a broadcast join of medians back onto the ≤|cells|
+    * frame, then the [[anovaF]] shape.
+    */
+  def leveneTest(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val med = cells
+      .groupBy("__g")
+      .agg(array_sort(collect_list(struct(col("__v"), col("__c"))))
+        .as("__a"), sum("__c").as("__ng"))
+      .select(col("__g"), expr("""aggregate(__a,
+        struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS med),
+        (acc, el) -> struct(acc.cum + el.__c AS cum,
+          CASE WHEN acc.med IS NULL
+                AND acc.cum + el.__c >= (__ng + 1) div 2
+            THEN el.__v ELSE acc.med END AS med)).med""").as("__med"))
+    val dev = cells.join(broadcast(med), "__g")
+      .select(col("__g"), expr("abs(__v - __med)").as("__v"),
+        col("__c"))
+      .groupBy("__g", "__v").agg(sum("__c").as("__c"))
+    anovaFromCells(dev)
+  }
+
+  /** Group-fairness report (C127 — the RESPONSIBLE-AI leg of the eval
+    * family: classification_report scores the model, this scores its
+    * PARITY — the three gaps every fairness audit opens with:
+    * demographic parity (selection-rate spread), equalized-odds TPR
+    * spread, and FPR spread across protected groups). Per group,
+    * exact integer rates on the permille grid: `sr = (1000·#pred)
+    * div n_g`, `tpr = (1000·#(pred∧label)) div #label`,
+    * `fpr = (1000·#(pred∧¬label)) div #¬label` (groups with an empty
+    * denominator drop out of that gap, stated); each gap is
+    * max − min over contributing groups. One row: visible parity at
+    * a glance, with the group count so a 2-group gap reads
+    * differently from a 20-group one.
+    *
+    * Scale shape: ONE group aggregation (map-side combined) + one
+    * scalar agg — the [[forecastEval]] shape.
+    */
+  def fairnessReport(df: DataFrame, groupCol: String, labelCol: String,
+                     predCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(predCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__l"),
+        sum(when(col(labelCol) && col(predCol), 1L).otherwise(0L))
+          .as("__tp"),
+        sum(when(!col(labelCol) && col(predCol), 1L).otherwise(0L))
+          .as("__fp"))
+      .withColumn("__sr", expr("(1000 * __p) div __n"))
+      .withColumn("__tpr", expr(
+        "CASE WHEN __l > 0 THEN (1000 * __tp) div __l END"))
+      .withColumn("__fpr", expr(
+        "CASE WHEN __n - __l > 0 THEN (1000 * __fp) div (__n - __l) END"))
+      .agg(sum("__n").as("n"), count(lit(1)).as("n_groups"),
+        (max("__sr") - min("__sr")).as("dp_gap_permille"),
+        (max("__tpr") - min("__tpr")).as("tpr_gap_permille"),
+        (max("__fpr") - min("__fpr")).as("fpr_gap_permille"))
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Behavior
+
+/** Hand-computed cases for the round-8 stats wave: Kendall tau-b on
+  * the quantized grid, Kruskal-Wallis, Cramér's V, one-way ANOVA F,
+  * Brown-Forsythe Levene, and the group-fairness report.
+  */
+class R8OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("kendallTau: hand-computed tau-b with ties on both axes") {
+    // pairs (1,1) (2,2) (3,3) (3,1): S = +1+1+0+1-1 = 2;
+    // t1 = 2 (x=3 twice), t2 = 2 (y=1 twice) → d1 = d2 = 10;
+    // tau = 2/sqrt(5*5) = 0.4 → sign 1, tau² = 1600 permyriad
+    val d = Seq((1L, 1L), (2L, 2L), (3L, 3L), (3L, 1L)).toDF("x", "y")
+    val r = Behavior.kendallTau(d, "x", "y")
+      .as[(Long, Option[Long], Option[Long])].collect()(0)
+    assert(r == ((4L, Some(1L), Some(1600L))))
+  }
+
+  test("kendallTau: constant axis reads null") {
+    val d = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    val r = Behavior.kendallTau(d, "x", "y")
+      .as[(Long, Option[Long], Option[Long])].collect()(0)
+    assert(r == ((3L, None, None)))
+  }
+
+  test("kruskalWallis: two clean groups, no ties") {
+    // a={1,2} b={3,4}: R_a=3, R_b=7 → H = 12/20*(9/2+49/2) - 15 = 2.4
+    val d = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("grp", "value")
+    val r = Behavior.kruskalWallis(d, "grp", "value")
+      .as[(Long, Long, Long, Option[Long])].collect()(0)
+    assert(r == ((4L, 2L, 1L, Some(2400000L))))
+  }
+
+  test("kruskalWallis: all values tied reads null H") {
+    val d = Seq(("a", 7L), ("b", 7L), ("b", 7L)).toDF("grp", "value")
+    val r = Behavior.kruskalWallis(d, "grp", "value")
+      .as[(Long, Long, Long, Option[Long])].collect()(0)
+    assert(r._4.isEmpty && r._1 == 3L)
+  }
+
+  test("cramersV: perfect 2x2 association reads V² = 1") {
+    val rows = Seq.fill(10)(("A", "X")) ++ Seq.fill(10)(("B", "Y"))
+    val d = rows.toDF("a", "b")
+    val r = Behavior.cramersV(d, "a", "b")
+      .select("n", "chi2_micro", "v2_permyriad")
+      .as[(Long, Long, Option[Long])].collect()(0)
+    // chi² = n = 20 → 20e6 micro; V² = 20e6 div (100*20*1) = 10000
+    assert(r == ((20L, 20000000L, Some(10000L))))
+  }
+
+  test("cramersV: independent 2x2 reads 0") {
+    val rows = Seq.fill(5)(("A", "X")) ++ Seq.fill(5)(("A", "Y")) ++
+      Seq.fill(5)(("B", "X")) ++ Seq.fill(5)(("B", "Y"))
+    val r = Behavior.cramersV(rows.toDF("a", "b"), "a", "b")
+      .select("chi2_micro", "v2_permyriad")
+      .as[(Long, Option[Long])].collect()(0)
+    assert(r == ((0L, Some(0L))))
+  }
+
+  test("anovaF: hand-computed F and eta²") {
+    // a={1,1,3,3} b={5,5,7,7}: SSB=32, SSW=8 → F = 32/(8/6) = 24,
+    // eta² = 32/40 = 0.8
+    val d = (Seq(1L, 1L, 3L, 3L).map(("a", _)) ++
+      Seq(5L, 5L, 7L, 7L).map(("b", _))).toDF("grp", "value")
+    val r = Behavior.anovaF(d, "grp", "value")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect()(0)
+    assert(r == ((8L, 2L, 1L, 6L, Some(24000L), Some(8000L))))
+  }
+
+  test("anovaF: zero within-variance reads null F") {
+    val d = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L))
+      .toDF("grp", "value")
+    val r = Behavior.anovaF(d, "grp", "value")
+      .select("f_milli", "eta2_permyriad")
+      .as[(Option[Long], Option[Long])].collect()(0)
+    assert(r._1.isEmpty && r._2 == Some(10000L))
+  }
+
+  test("leveneTest: exact group medians then F over deviations") {
+    // a={1,2,3} med 2 → devs {1,0,1}; b={10,20,90} med 20 →
+    // devs {10,0,70}; ANOVA on devs: ssb=1014e6, ssw=2867333334
+    val d = (Seq(1L, 2L, 3L).map(("a", _)) ++
+      Seq(10L, 20L, 90L).map(("b", _))).toDF("grp", "value")
+    val r = Behavior.leveneTest(d, "grp", "value")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect()(0)
+    assert(r == ((6L, 2L, 1L, 4L, Some(1414L), Some(2612L))))
+  }
+
+  test("fairnessReport: hand-computed parity gaps") {
+    // g1: sr 250, tpr 500, fpr 0; g2: sr 1000, tpr 1000, fpr 1000
+    val d = Seq(
+      ("g1", true, true), ("g1", true, false),
+      ("g1", false, false), ("g1", false, false),
+      ("g2", true, true), ("g2", false, true))
+      .toDF("grp", "label", "pred")
+    val r = Behavior.fairnessReport(d, "grp", "label", "pred")
+      .as[(Long, Long, Long, Long, Long)].collect()(0)
+    assert(r == ((6L, 2L, 750L, 500L, 1000L)))
+  }
+
+  test("fairnessReport: single-class group drops out of that gap") {
+    // g2 has no negatives → fpr null there; fpr gap comes from g1
+    // alone (max-min over one group = 0)
+    val d = Seq(
+      ("g1", true, true), ("g1", false, true), ("g1", false, false),
+      ("g2", true, true), ("g2", true, false))
+      .toDF("grp", "label", "pred")
+    val r = Behavior.fairnessReport(d, "grp", "label", "pred")
+      .select("fpr_gap_permille").as[Option[Long]].collect()(0)
+    assert(r == Some(0L))
+  }
+}

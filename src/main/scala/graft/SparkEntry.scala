@@ -3023,6 +3023,63 @@ object SparkEntry {
       Graph.labelPropagation(pairs, "p", "p2", rounds = 3)
     }),
 
+    // C130: Newman modularity of the label_propagation communities —
+    // the quality gate on LP's labeling (Q≈0: random, Q≳0.3: real
+    // structure); one sign-trunc'd micro floor per community
+    "modularity_score" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.filter(col("l_partkey") % 7 < 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2") &&
+          (col("p") * 31 + col("p2")) % 13 === 0)
+      val labels = Graph.labelPropagation(pairs, "p", "p2", rounds = 3)
+      Graph.modularityScore(pairs, "p", "p2", labels, "id", "community")
+    }),
+
+    // C128: local clustering coefficient per node on the co-order
+    // part graph — 2·tri/(d(d−1)) permille over the degree-ordered
+    // triangle close; open neighborhoods (tri=0) included
+    "clustering_coeff" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.filter(col("l_partkey") % 7 < 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2"))
+      Graph.clusteringCoeff(pairs, "p", "p2")
+    }),
+
+    // C129: degree assortativity of the same graph — do hubs link to
+    // hubs; Pearson over both edge orientations, sign/square device
+    "assortativity" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.filter(col("l_partkey") % 7 < 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2"))
+      Graph.assortativity(pairs, "p", "p2")
+    }),
+
+    // C131: Adamic-Adar link prediction on the co-order part graph —
+    // shared rare neighbors outweigh shared hubs (quantized-log
+    // weights); non-adjacent pairs above 1.5 in AA score
+    "adamic_adar" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.filter(col("l_partkey") % 7 < 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2"))
+      Graph.adamicAdar(pairs, "p", "p2", minScoreMicro = 1500000L)
+    }),
+
     // E91: BLEU-2 of a rotated-prefix "generation" against the full
     // doc — clipped n-gram precisions exercise real data (the seam
     // breaks adjacency), the truncation exercises the brevity penalty
@@ -7760,6 +7817,160 @@ FROM decided""",
                   ORDER BY c DESC, lbl ASC) AS rk FROM r3) WHERE rk = 1)
          SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS community
          FROM l3""",
+
+    // same 3-round LP unroll as label_propagation, then the
+    // modularity algebra over the labeled edge list
+    "modularity_score" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 7 < 2),
+         canon AS MATERIALIZED (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+             AND (a.p * 31 + b.p) % 13 = 0),
+         adj AS MATERIALIZED (
+           SELECT a, b FROM canon UNION SELECT b, a FROM canon),
+         l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM adj),
+         r1 AS (SELECT adj.a AS id, l0.lbl, count(*) AS c
+                FROM adj JOIN l0 ON adj.b = l0.id GROUP BY 1, 2),
+         l1 AS MATERIALIZED (SELECT id, lbl FROM (
+                SELECT id, lbl, row_number() OVER (PARTITION BY id
+                  ORDER BY c DESC, lbl ASC) AS rk FROM r1) WHERE rk = 1),
+         r2 AS (SELECT adj.a AS id, l1.lbl, count(*) AS c
+                FROM adj JOIN l1 ON adj.b = l1.id GROUP BY 1, 2),
+         l2 AS MATERIALIZED (SELECT id, lbl FROM (
+                SELECT id, lbl, row_number() OVER (PARTITION BY id
+                  ORDER BY c DESC, lbl ASC) AS rk FROM r2) WHERE rk = 1),
+         r3 AS (SELECT adj.a AS id, l2.lbl, count(*) AS c
+                FROM adj JOIN l2 ON adj.b = l2.id GROUP BY 1, 2),
+         l3 AS MATERIALIZED (SELECT id, lbl FROM (
+                SELECT id, lbl, row_number() OVER (PARTITION BY id
+                  ORDER BY c DESC, lbl ASC) AS rk FROM r3) WHERE rk = 1),
+         withc AS MATERIALIZED (
+           SELECT canon.a, canon.b, la.lbl AS ca, lb.lbl AS cb
+           FROM canon JOIN l3 la ON la.id = canon.a
+                      JOIN l3 lb ON lb.id = canon.b),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM canon),
+         ec AS (SELECT ca AS c, CAST(count(*) AS BIGINT) AS e
+                FROM withc WHERE ca = cb GROUP BY 1),
+         dc AS (SELECT c, CAST(count(*) AS BIGINT) AS d
+                FROM (SELECT ca AS c FROM withc
+                      UNION ALL SELECT cb FROM withc) GROUP BY 1),
+         terms AS (SELECT dc.c,
+                     1000000 * (4 * m.m
+                       * CAST(coalesce(ec.e, 0) AS HUGEINT)
+                       - CAST(dc.d AS HUGEINT) * dc.d) AS num,
+                     m.m AS m
+                   FROM dc LEFT JOIN ec ON ec.c = dc.c CROSS JOIN m)
+         SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                CAST(any_value(m) AS BIGINT) AS m_edges,
+                CAST(sum(CASE WHEN num < 0
+                    THEN -((-num) // (4 * m * m))
+                    ELSE num // (4 * m * m) END) AS BIGINT) AS q_micro
+         FROM terms""",
+
+    // triangle_count's orientation re-derived, joined back onto the
+    // deg>=2 node set (tri=0 nodes included)
+    "clustering_coeff" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 7 < 2),
+         edges AS MATERIALIZED (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         deg AS MATERIALIZED (
+           SELECT id, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT a AS id FROM edges UNION ALL SELECT b FROM edges)
+           GROUP BY id),
+         orient AS (
+           SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+                       THEN a ELSE b END AS u,
+                  CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+                       THEN b ELSE a END AS v
+           FROM edges JOIN deg da ON da.id = a JOIN deg db ON db.id = b),
+         wedge AS (
+           SELECT e1.u AS apex, e1.v AS x, e2.v AS y
+           FROM orient e1 JOIN orient e2 ON e1.u = e2.u AND e1.v < e2.v),
+         tri AS (SELECT apex, x, y FROM wedge JOIN edges ON x = a AND y = b),
+         tc AS (SELECT id, CAST(count(*) AS BIGINT) AS tri_count
+                FROM (SELECT apex AS id FROM tri UNION ALL
+                      SELECT x FROM tri UNION ALL SELECT y FROM tri)
+                GROUP BY id)
+         SELECT CAST(deg.id AS BIGINT) AS id, deg.d AS degree,
+                coalesce(tc.tri_count, 0) AS tri_count,
+                (2000 * coalesce(tc.tri_count, 0))
+                  // (deg.d * (deg.d - 1)) AS cc_permille
+         FROM deg LEFT JOIN tc ON tc.id = deg.id
+         WHERE deg.d >= 2""",
+
+    "assortativity" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 7 < 2),
+         edges AS MATERIALIZED (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         deg AS MATERIALIZED (
+           SELECT id, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT a AS id FROM edges UNION ALL SELECT b FROM edges)
+           GROUP BY id),
+         pairs AS (SELECT da.d AS dx, db.d AS dy
+                   FROM edges JOIN deg da ON da.id = a
+                              JOIN deg db ON db.id = b),
+         bidir AS (SELECT dx, dy FROM pairs
+                  UNION ALL SELECT dy, dx FROM pairs),
+         mm AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+                  CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx0,
+                  CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy0
+                FROM bidir),
+         f AS (SELECT n, n * sxx0 - sx * sx AS sxx,
+                      n * sxy0 - sx * sx AS sxy
+               FROM mm)
+         SELECT CAST(n AS BIGINT) AS n_directed_edges,
+                CASE WHEN sxx > 0 THEN
+                  CAST(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1
+                       ELSE 0 END AS BIGINT) END AS r_sign,
+                CASE WHEN sxx > 0 THEN
+                  CAST((CASE WHEN 100 * sxy < 0
+                          THEN -((-(100 * sxy)) // sxx)
+                          ELSE (100 * sxy) // sxx END)
+                     * (CASE WHEN 100 * sxy < 0
+                          THEN -((-(100 * sxy)) // sxx)
+                          ELSE (100 * sxy) // sxx END) AS BIGINT)
+                END AS r2_permyriad
+         FROM f""",
+
+    "adamic_adar" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 7 < 2),
+         canon AS MATERIALIZED (
+           SELECT DISTINCT a.p AS a, b.p AS b
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         adj AS MATERIALIZED (
+           SELECT a AS c, b AS x FROM canon
+           UNION ALL SELECT b, a FROM canon),
+         deg AS MATERIALIZED (
+           SELECT c, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+         ctr AS MATERIALIZED (
+           SELECT adj.c, adj.x,
+                  CAST(round(1000000.0 / ln(CAST(deg.d AS DOUBLE)))
+                    AS BIGINT) AS w
+           FROM adj JOIN deg ON deg.c = adj.c),
+         scored AS MATERIALIZED (
+           SELECT l.x AS id_a, r.x AS id_b,
+                  CAST(count(*) AS BIGINT) AS common_neighbors,
+                  CAST(sum(l.w) AS BIGINT) AS aa_micro
+           FROM ctr l JOIN ctr r ON l.c = r.c AND l.x < r.x
+           GROUP BY 1, 2)
+         SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                common_neighbors, aa_micro
+         FROM scored
+         WHERE aa_micro >= 1500000
+           AND NOT EXISTS (SELECT 1 FROM canon
+                           WHERE canon.a = scored.id_a
+                             AND canon.b = scored.id_b)""",
 
     "bleu_pairs" ->
       """WITH t0 AS (SELECT doc_id,

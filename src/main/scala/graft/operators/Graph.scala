@@ -600,4 +600,183 @@ object Graph {
           .as("cos2_micro"),
         expr("(1000 * co) div (n_a + n_b - co)").as("jaccard_permille"))
   }
+
+  /** Local clustering coefficient (C128 — the node-level sibling of
+    * [[triangleCounts]]: the triangle COUNT ranks globally, the
+    * coefficient `2·tri/(d(d−1))` is the per-node "how clique-like is
+    * my neighborhood" signal behind community cores, spam-farm
+    * detection, and the transitivity column of every graph report).
+    * Exact integers: degrees from the canonical simple graph,
+    * triangles from the degree-ordered orientation, `cc_permille =
+    * (2000·tri) div (d·(d−1))` for every node with d ≥ 2 (tri = 0
+    * nodes INCLUDED — an open neighborhood is a result, not a gap;
+    * d ≤ 1 nodes have no defined coefficient and drop).
+    *
+    * Scale shape: [[triangleCounts]]'s wedge join (its Σ min(du,dv)
+    * bound) + one node-sized degree agg + one node-keyed left join.
+    */
+  def clusteringCoeff(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+              greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triangleCounts(edges, srcCol, dstCol), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("tri_count"), lit(0L)).as("tri_count"))
+      .withColumn("cc_permille",
+        expr("(2000 * tri_count) div (degree * (degree - 1))"))
+  }
+
+  /** Degree assortativity (C129 — the one-scalar answer to "do hubs
+    * link to hubs?": positive on social/citation graphs, negative on
+    * web/biology — and the first sanity number a synthetic or sampled
+    * graph gets checked against). Pearson correlation of endpoint
+    * degrees over DIRECTED edge instances (each undirected edge
+    * contributes both orientations — the standard symmetrization, so
+    * Sx = Sy exactly and one moment set suffices). Reported on the
+    * corr_matrix / [[graft.operators.Behavior.spearmanCorr]] device:
+    * `r_sign` + `r2_permyriad = strunc(100·Sxy', Sxx')²` with
+    * DECIMAL(38,0) moments (no irrational sqrt; Sxx' = Syy' by the
+    * symmetry). Regular graphs (zero degree variance) read null.
+    *
+    * Scale shape: one canonical-edge distinct, one node-sized degree
+    * agg, two key joins to attach endpoint degrees, ONE scalar moment
+    * agg (map-side combined). No corpus sort, no window.
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+              greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val pairs = canon
+      .join(deg.select(col("id").as("a"), col("d").as("__da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("__db")), "b")
+      .select(col("__da"), col("__db"))
+    val both = pairs.unionAll(
+      pairs.select(col("__db").as("__da"), col("__da").as("__db")))
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    both.agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(expr("CAST(__da AS DECIMAL(38,0))")).as("__sx"),
+        sum(expr("CAST(__da AS DECIMAL(38,0)) * __da")).as("__sxx0"),
+        sum(expr("CAST(__da AS DECIMAL(38,0)) * __db")).as("__sxy0"))
+      .withColumn("__sxx", expr("__n * __sxx0 - __sx * __sx"))
+      .withColumn("__sxy", expr("__n * __sxy0 - __sx * __sx"))
+      .select(col("__n").cast("long").as("n_directed_edges"),
+        expr("""CASE WHEN __sxx > 0 THEN
+                  CAST(sign(__sxy) AS BIGINT) END""").as("r_sign"),
+        expr(s"""CASE WHEN __sxx > 0 THEN
+                  CAST((${strunc("100 * __sxy", "__sxx")}) *
+                       (${strunc("100 * __sxy", "__sxx")}) AS BIGINT)
+                END""").as("r2_permyriad"))
+  }
+
+  /** Newman modularity of a community assignment (C130 — the SCORE
+    * for [[labelPropagation]]'s output: LP always returns *some*
+    * labeling; Q = Σ_c [e_c/m − (d_c/2m)²] says whether it found
+    * structure (Q ≈ 0: no better than random; Q ≳ 0.3: real
+    * communities) — the quality gate before a community table ships
+    * into entity resolution or domain-mix curation). Exact integers:
+    * m = |canonical edges|, e_c = intra-community edge count, d_c =
+    * Σ degrees (so Σd_c = 2m), one stated sign-trunc'd floor per
+    * community: `term_micro = strunc(10⁶·(4·m·e_c − d_c²), 4·m²)`,
+    * `q_micro = Σ_c term_micro`.
+    *
+    * Scale shape: labels attach to the edge list by two node-keyed
+    * joins, e_c/d_c are community-sized aggs, the scalar m broadcast
+    * — nothing corpus-sized anywhere. Compose: pass
+    * [[labelPropagation]] output (or any (id, community) frame).
+    */
+  def modularityScore(edges: DataFrame, srcCol: String, dstCol: String,
+                      labels: DataFrame, idCol: String,
+                      communityCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+              greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val lab = labels.select(col(idCol).cast("long").as("__id"),
+      col(communityCol).cast("long").as("__c"))
+    val withC = canon
+      .join(lab.select(col("__id").as("a"), col("__c").as("__ca")), "a")
+      .join(lab.select(col("__id").as("b"), col("__c").as("__cb")), "b")
+    val m = canon.agg(count(lit(1)).cast("decimal(38,0)").as("__m"))
+    val ec = withC.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__c")).agg(count(lit(1)).as("__e"))
+    val dc = withC
+      .select(col("__ca").as("__c"))
+      .unionAll(withC.select(col("__cb").as("__c")))
+      .groupBy("__c").agg(count(lit(1)).as("__d"))
+    dc.join(ec, Seq("__c"), "left")
+      .crossJoin(broadcast(m))
+      .withColumn("__num", expr(
+        """1000000 * (4 * __m * CAST(coalesce(__e, 0L) AS DECIMAL(38,0))
+           - CAST(__d AS DECIMAL(38,0)) * __d)"""))
+      .withColumn("__term", expr(
+        """CASE WHEN __num < 0 THEN -((-__num) div (4 * __m * __m))
+                ELSE __num div (4 * __m * __m) END"""))
+      .agg(count(lit(1)).as("n_communities"),
+        first(col("__m")).cast("long").as("m_edges"),
+        sum(col("__term")).cast("long").as("q_micro"))
+  }
+
+  /** Adamic-Adar link prediction (C131 — [[jaccardNeighbors]]' scored
+    * sibling: Jaccard treats every common neighbor equally; AA weights
+    * each by 1/ln(deg) so a shared RARE neighbor says more than a
+    * shared hub — the stronger standard baseline on citation / co-
+    * occurrence graphs). For every non-adjacent pair sharing ≥ 1
+    * wedge center: `aa_micro = Σ_centers round(10⁶/ln(d_center))` on
+    * the quantized-log device (one IEEE log of an integer both
+    * engines hold; centers have d ≥ 2 by construction so ln > 0),
+    * plus the raw common count. Same hub discipline as
+    * [[jaccardNeighbors]]: `maxDegree` caps wedge CENTERS only
+    * (documented approximation — a hub shared by everyone carries
+    * ~0 AA weight anyway; endpoint degrees play no role here).
+    *
+    * Scale shape: the jaccardNeighbors wedge join (Σ_c deg(c)² over
+    * capped centers) with the weight attached BEFORE the pair agg —
+    * one pair-keyed sum with map-side combine, one anti-join against
+    * the edge set.
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 minScoreMicro: Long = 0L, maxDegree: Int = 0): DataFrame = {
+    require(maxDegree >= 0, s"maxDegree must be >= 0, got $maxDegree")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+              greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = canon.select(col("a").as("c"), col("b").as("x"))
+      .unionAll(canon.select(col("b").as("c"), col("a").as("x")))
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
+    val degKept = if (maxDegree == 0) deg
+                  else deg.filter(col("d") <= maxDegree)
+    val centers = adj.join(
+      degKept.withColumn("__w",
+        round(lit(1000000.0) / log(col("d").cast("double")))
+          .cast("long")).select("c", "__w"), "c")
+    val scored = centers
+      .join(centers.select(col("c"), col("x").as("y")), "c")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x").as("id_a"), col("y").as("id_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum("__w").as("aa_micro"))
+    scored
+      .join(canon,
+        scored("id_a") === canon("a") && scored("id_b") === canon("b"),
+        "left_anti")
+      .filter(col("aa_micro") >= minScoreMicro)
+  }
 }

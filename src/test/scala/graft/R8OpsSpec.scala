@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Behavior
+import graft.operators.{Behavior, Graph}
 
 /** Hand-computed cases for the round-8 stats wave: Kendall tau-b on
   * the quantized grid, Kruskal-Wallis, Cramér's V, one-way ANOVA F,
@@ -117,5 +117,48 @@ class R8OpsSpec extends AnyFunSuite {
     val r = Behavior.fairnessReport(d, "grp", "label", "pred")
       .select("fpr_gap_permille").as[Option[Long]].collect()(0)
     assert(r == Some(0L))
+  }
+
+  test("clusteringCoeff: triangle plus pendant") {
+    // K3 {1,2,3} + pendant 3-4: node 3 deg 3 → cc 333‰; node 4
+    // deg 1 drops
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val got = Graph.clusteringCoeff(e, "s", "d")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 1000L), (2L, 2L, 1L, 1000L),
+      (3L, 3L, 1L, 333L)))
+  }
+
+  test("assortativity: path graph reads r = -1") {
+    // 1-2-3: every edge joins deg 1 to deg 2 → perfectly
+    // disassortative
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val r = Graph.assortativity(e, "s", "d")
+      .as[(Long, Option[Long], Option[Long])].collect()(0)
+    assert(r == ((4L, Some(-1L), Some(10000L))))
+  }
+
+  test("modularityScore: two disjoint triangles read Q = 0.5") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("s", "d")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("id", "community")
+    val r = Graph.modularityScore(e, "s", "d", labels, "id", "community")
+      .as[(Long, Long, Long)].collect()(0)
+    assert(r == ((2L, 6L, 500000L)))
+  }
+
+  test("adamicAdar: single wedge scores round(1e6/ln 2)") {
+    val e = Seq((1L, 3L), (2L, 3L)).toDF("s", "d")
+    val got = Graph.adamicAdar(e, "s", "d")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 1442695L)))
+  }
+
+  test("adamicAdar: hub cap excludes high-degree centers") {
+    // star center 5 with 4 leaves; maxDegree 3 silences it entirely
+    val e = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("s", "d")
+    assert(Graph.adamicAdar(e, "s", "d", maxDegree = 3).count() == 0L)
+    assert(Graph.adamicAdar(e, "s", "d").count() == 6L)
   }
 }

@@ -3684,6 +3684,50 @@ object SparkEntry {
       Behavior.fairnessReport(d, "grp", "label", "pred")
     }),
 
+    // C132: lead-lag cross-correlation — do daily views lead daily
+    // purchases; Pearson per lag 0..7 on the calendar frame, the
+    // sign/square device
+    "cross_corr" -> ((s, dir) => {
+      val d = Tables(s, dir).events
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("day")
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      Behavior.crossCorr(d, "day", "x", "y", maxLag = 7)
+    }),
+
+    // C133: Holt-Winters additive weekly seasonality over per-type
+    // daily event counts — integer-milli recurrence, sign-trunc'd
+    // floors, recursive-CTE oracle with the 7 slots as columns
+    "hw_seasonal" -> ((s, dir) => {
+      val d = Tables(s, dir).events
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      Behavior.hwSeasonal(d, Seq("event_type"), "day", "x")
+    }),
+
+    // C134: additive seasonal decomposition of the same daily series
+    // — centered 7-day RANGE trend, epoch-dow seasonal means,
+    // residual panel
+    "seasonal_decompose" -> ((s, dir) => {
+      val d = Tables(s, dir).events
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      Behavior.seasonalDecompose(d, Seq("event_type"), "day", "x")
+    }),
+
+    // C135: 2-D skyline — cheapest-for-the-size Pareto front over
+    // parts (minimize rounded price, maximize size); distribution
+    // fold, no corpus sort
+    "skyline_2d" -> ((s, dir) => {
+      val p = Tables(s, dir).part.select(
+        expr("CAST(round(p_retailprice) AS BIGINT)").as("price"),
+        col("p_size").cast("long").as("size"))
+      Relational.skyline2d(p, "price", "size")
+    }),
+
     // E97: clipped-IPS off-policy evaluation — what the
     // "most-frequent action per user-decile" policy would have earned
     // on the logged event stream; empirical permille propensities,
@@ -9470,6 +9514,136 @@ FROM decided""",
                 max(tpr) - min(tpr) AS tpr_gap_permille,
                 max(fpr) - min(fpr) AS fpr_gap_permille
          FROM r""",
+
+    "cross_corr" ->
+      """WITH d AS (
+           SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                    ELSE 0 END) AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                    ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         lags AS (SELECT unnest(range(0, 8)) AS lag),
+         p AS (SELECT l.lag, a.x, b.y
+               FROM d a CROSS JOIN lags l
+                 JOIN d b ON b.day = a.day + l.lag),
+         m AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx0,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy0,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy0
+               FROM p GROUP BY 1),
+         f AS (SELECT lag, n, n * sxx0 - sx * sx AS sxx,
+                 n * syy0 - sy * sy AS syy,
+                 n * sxy0 - sx * sy AS sxy
+               FROM m)
+         SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+                CASE WHEN sxx > 0 AND syy > 0 THEN
+                  CAST(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1
+                       ELSE 0 END AS BIGINT) END AS r_sign,
+                CASE WHEN sxx > 0 AND syy > 0 THEN
+                  CAST((CASE WHEN 100 * sxy < 0
+                          THEN -((-(100 * sxy)) // sxx)
+                          ELSE (100 * sxy) // sxx END)
+                     * (CASE WHEN 100 * sxy < 0
+                          THEN -((-(100 * sxy)) // syy)
+                          ELSE (100 * sxy) // syy END) AS BIGINT)
+                END AS r2_permyriad
+         FROM f""",
+
+    // the identical integer-milli HW recurrence as a recursive CTE —
+    // the seven seasonal slots ride as columns s0..s6
+    "hw_seasonal" -> {
+      def st(num: String) =
+        s"CASE WHEN ($num) < 0 THEN -((-($num)) // 1000) " +
+          s"ELSE ($num) // 1000 END"
+      val sm = "(CASE r.rn % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 " +
+        "WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 " +
+        "WHEN 5 THEN r.s5 ELSE r.s6 END)"
+      val lvl = st(s"300 * (dr.x * 1000 - $sm) + 700 * (r.lvl + r.tr)")
+      val tr = st(s"200 * (($lvl) - r.lvl) + 800 * r.tr")
+      val sn = st(s"300 * (dr.x * 1000 - ($lvl)) + 700 * $sm")
+      val fcs = "(CASE (r.rn + 1) % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 " +
+        "WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 " +
+        "WHEN 5 THEN r.s5 ELSE r.s6 END)"
+      val wr = (0 to 6).map(j =>
+        s"CAST(CASE WHEN r.rn % 7 = $j THEN ($sn) ELSE r.s$j END " +
+          "AS BIGINT)").mkString(",\n              ")
+      s"""WITH RECURSIVE d AS (
+           SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         dr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS rn FROM d),
+         r AS (
+           SELECT event_type, day, rn, x * 1000 AS lvl,
+                  CAST(0 AS BIGINT) AS tr,
+                  CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+                  CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+                  CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
+                  CAST(0 AS BIGINT) AS s6,
+                  CAST(0 AS BIGINT) AS sea, x * 1000 AS fc
+           FROM dr WHERE rn = 1
+           UNION ALL
+           SELECT dr.event_type, dr.day, dr.rn,
+              CAST($lvl AS BIGINT),
+              CAST($tr AS BIGINT),
+              $wr,
+              CAST($sn AS BIGINT),
+              CAST(($lvl) + ($tr) + $fcs AS BIGINT)
+           FROM dr JOIN r ON dr.event_type = r.event_type
+                         AND dr.rn = r.rn + 1)
+         SELECT event_type, day, lvl AS level_milli, tr AS trend_milli,
+                sea AS seasonal_milli, fc AS forecast_milli FROM r"""
+    },
+
+    "seasonal_decompose" ->
+      """WITH d AS (
+           SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT *, CAST(count(*) OVER w AS BIGINT) AS cnt,
+                 CAST(sum(x) OVER w AS BIGINT) AS sm
+               FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         tr AS (SELECT event_type, day, x,
+                  CASE WHEN cnt = 7 THEN (1000 * sm) // 7
+                    END AS trend_milli
+                FROM t),
+         dt AS (SELECT *, x * 1000 - trend_milli AS det,
+                  day % 7 AS dow FROM tr),
+         se AS (SELECT event_type, dow,
+                  CAST(sum(det) AS BIGINT) AS sd,
+                  CAST(count(*) AS BIGINT) AS nd
+                FROM dt WHERE det IS NOT NULL GROUP BY 1, 2),
+         sm2 AS (SELECT event_type, dow,
+                   CASE WHEN sd < 0 THEN -((-sd) // nd)
+                        ELSE sd // nd END AS seasonal_milli
+                 FROM se)
+         SELECT dt.event_type, dt.day, dt.x, dt.trend_milli,
+                sm2.seasonal_milli,
+                dt.det - sm2.seasonal_milli AS resid_milli
+         FROM dt JOIN sm2 ON dt.event_type = sm2.event_type
+                         AND dt.dow = sm2.dow
+         WHERE dt.trend_milli IS NOT NULL""",
+
+    "skyline_2d" ->
+      """WITH pts AS (SELECT CAST(round(p_retailprice) AS BIGINT) AS x,
+                             CAST(p_size AS BIGINT) AS y FROM part),
+         cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_points
+                   FROM pts GROUP BY 1, 2),
+         mx AS (SELECT x, max(y) AS my FROM cells GROUP BY 1),
+         sc AS (SELECT x, my, max(my) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS runb
+                FROM mx),
+         keep AS (SELECT x, my AS y FROM sc
+                  WHERE runb IS NULL OR my > runb)
+         SELECT c.x, c.y, c.n_points FROM cells c
+         JOIN keep USING (x, y)""",
 
     "t_closeness" ->
       """WITH e AS (SELECT user_id,

@@ -2252,6 +2252,178 @@ object Behavior {
            END""").cast("long").as("snips_milli"))
   }
 
+  /** Holt-Winters additive seasonal smoothing (C133 — [[holtSmooth]]
+    * grown a weekly SEASON: level+trend alone lag a day-of-week
+    * cycle by construction; the third recurrence learns the cycle and
+    * the forecast adds it back — the standard ops-forecast upgrade).
+    * Fixed integer coefficients α=300/β=200/γ=300 permille, season
+    * m=7, engine-exact in integer MILLI with a sign-trunc'd floor at
+    * every step (values go negative: deseasonalized gaps): at row t
+    * (1-based, day-ordered per key), with `sm = s[(t−1) mod 7]`,
+    *   `lvl_t = strunc(300·(x_t·1000 − sm) + 700·(lvl+tr), 1000)`
+    *   `tr_t = strunc(200·(lvl_t − lvl) + 800·tr, 1000)`
+    *   `s[(t−1) mod 7] ← strunc(300·(x_t·1000 − lvl_t) + 700·sm,
+    *     1000)`
+    *   `forecast_t = lvl_t + tr_t + s[t mod 7]` (next day's seasonal
+    * slot, read BEFORE this row's write — distinct slots for m > 1).
+    * Stated init (the [[holtSmooth]] convention): row 1 sets
+    * `lvl = x·1000, tr = 0`, seasonal array starts all-zero — the
+    * first cycle behaves like Holt while the seasonal slots fill.
+    * Slots index by ROW POSITION mod 7, not calendar DOW (gapped
+    * days shift the cycle — dense daily series assumed, stated).
+    *
+    * Scale shape: one (key, day) pre-aggregation, then the
+    * [[ewmaSmooth]] fold discipline — per-key sorted fold over the
+    * CALENDAR-sized series (the state carries the 7-slot array);
+    * event volume only touches the first agg. The DuckDB oracle
+    * replays the identical recurrence as a recursive CTE with the
+    * seven slots as columns.
+    */
+  def hwSeasonal(daily: DataFrame, keyCols: Seq[String], dayCol: String,
+                 valueCol: String): DataFrame = {
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    val sm = "element_at(acc.s, CAST(acc.i % 7 AS INT) + 1)"
+    val lvl = strunc(
+      s"300 * (el.x * 1000 - $sm) + 700 * (acc.lvl + acc.tr)", "1000")
+    val tr = strunc(s"200 * (($lvl) - acc.lvl) + 800 * acc.tr", "1000")
+    val snew = strunc(
+      s"300 * (el.x * 1000 - ($lvl)) + 700 * $sm", "1000")
+    val sorted = daily.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        col(dayCol).cast("long").as("day"),
+        col(valueCol).cast("long").as("x")))).as("__s"))
+    val folded = sorted.withColumn("__e",
+      expr(s"""aggregate(__s,
+        struct(CAST(0 AS BIGINT) AS lvl, CAST(0 AS BIGINT) AS tr,
+          array_repeat(CAST(0 AS BIGINT), 7) AS s,
+          CAST(0 AS BIGINT) AS i,
+          CAST(array() AS ARRAY<STRUCT<day: BIGINT, lvl: BIGINT,
+            tr: BIGINT, sea: BIGINT, fc: BIGINT>>) AS out),
+        (acc, el) -> CASE WHEN acc.i = 0 THEN
+            struct(el.x * 1000 AS lvl, CAST(0 AS BIGINT) AS tr,
+              acc.s AS s, CAST(1 AS BIGINT) AS i,
+              array_append(acc.out, struct(el.day AS day,
+                el.x * 1000 AS lvl, CAST(0 AS BIGINT) AS tr,
+                CAST(0 AS BIGINT) AS sea, el.x * 1000 AS fc)) AS out)
+          ELSE
+            struct(CAST(($lvl) AS BIGINT) AS lvl,
+              CAST(($tr) AS BIGINT) AS tr,
+              transform(acc.s, (v, j) ->
+                CASE WHEN j = CAST(acc.i % 7 AS INT) THEN
+                  CAST(($snew) AS BIGINT) ELSE v END) AS s,
+              acc.i + 1 AS i,
+              array_append(acc.out, struct(el.day AS day,
+                CAST(($lvl) AS BIGINT) AS lvl,
+                CAST(($tr) AS BIGINT) AS tr,
+                CAST(($snew) AS BIGINT) AS sea,
+                CAST(($lvl) + ($tr) + element_at(acc.s,
+                  CAST((acc.i + 1) % 7 AS INT) + 1) AS BIGINT) AS fc))
+                AS out)
+          END,
+        acc -> acc.out)"""))
+    folded.select((keyCols.map(col) :+ explode(col("__e")).as("__r")): _*)
+      .select((keyCols.map(col) ++ Seq(col("__r.day").as("day"),
+        col("__r.lvl").as("level_milli"),
+        col("__r.tr").as("trend_milli"),
+        col("__r.sea").as("seasonal_milli"),
+        col("__r.fc").as("forecast_milli"))): _*)
+  }
+
+  /** Additive seasonal decomposition (C134 — the DESCRIPTIVE sibling
+    * of [[hwSeasonal]]: before fitting a forecaster, every series
+    * review starts with trend/seasonal/residual panels — the classic
+    * moving-average decomposition, exact on the integer milli grid).
+    * Per key and day: `trend_milli = (1000·Σ_{|d'−d|≤3} x) div 7`,
+    * defined only where ALL SEVEN calendar days exist in the window
+    * (RANGE-framed on the day value, so gaps disable trend rather
+    * than contaminating it); `det = x·1000 − trend`;
+    * `seasonal_milli(key, dow) = strunc(Σ det, n_det)` over the
+    * trend-defined rows of that epoch-day-mod-7 slot;
+    * `resid_milli = det − seasonal`. Rows without a defined trend
+    * drop (the decomposition's standard edge loss).
+    *
+    * Scale shape: one (key, day) pre-aggregation, a key-partitioned
+    * RANGE window over the calendar-sized series, one (key, dow)
+    * agg broadcast back. No corpus-wide sort.
+    */
+  def seasonalDecompose(daily: DataFrame, keyCols: Seq[String],
+                        dayCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("day")).rangeBetween(-3, 3)
+    val base = daily.select((keyCols.map(col) ++ Seq(
+      col(dayCol).cast("long").as("day"),
+      col(valueCol).cast("long").as("x"))): _*)
+    val trended = base
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__sum", sum(col("x")).over(w))
+      .withColumn("trend_milli",
+        when(col("__cnt") === 7, expr("(1000 * __sum) div 7")))
+      .withColumn("__det", col("x") * 1000 - col("trend_milli"))
+      .withColumn("__dow", expr("day % 7"))
+    val seasonal = trended.filter(col("__det").isNotNull)
+      .groupBy((keyCols.map(col) :+ col("__dow")): _*)
+      .agg(sum("__det").as("__sd"), count(lit(1)).as("__nd"))
+      .select((keyCols.map(col) ++ Seq(col("__dow"),
+        expr("""CASE WHEN __sd < 0 THEN -((-__sd) div __nd)
+                     ELSE __sd div __nd END""").as("seasonal_milli"))): _*)
+    trended.filter(col("trend_milli").isNotNull)
+      .join(seasonal, keyCols :+ "__dow")
+      .select((keyCols.map(col) ++ Seq(col("day"), col("x"),
+        col("trend_milli"), col("seasonal_milli"),
+        (col("__det") - col("seasonal_milli")).as("resid_milli"))): _*)
+  }
+
+  /** Lead-lag cross-correlation (C132 — the causality-shaped question
+    * under every pair of ops metrics: "do views LEAD purchases, and
+    * by how many days?" — computed as Pearson r between x_t and
+    * y_{t+lag} for each lag 0..maxLag over the daily series). The
+    * corpus collapses map-side to the calendar-sized daily frame
+    * first; each lag pairs days (t, t+lag) BOTH present (inner join —
+    * gapped days contribute no pair, stated). Exact DECIMAL(38,0)
+    * moments per lag, reported on the corr_matrix sign/square device:
+    * `r_sign` + `r2_permyriad = strunc(100·Sxy', Sxx')·strunc(100·
+    * Sxy', Syy')`. Lags with < 2 pairs or zero variance read null.
+    *
+    * Scale shape: one calendar-sized self-join per lag (the lag table
+    * broadcasts onto the daily frame; the join key is day+lag), one
+    * ≤maxLag+1-row moment agg. Event volume only touches the first
+    * daily aggregation.
+    */
+  def crossCorr(daily: DataFrame, dayCol: String, xCol: String,
+                yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 90, s"maxLag in [0,90], got $maxLag")
+    val d = daily.select(col(dayCol).cast("long").as("__d"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val lags = daily.sparkSession.range(0, maxLag + 1)
+      .select(col("id").as("lag"))
+    def strunc(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0 THEN -((-($num)) div ($den))
+               ELSE ($num) div ($den) END"""
+    val dx = d.select(col("__d"), col("__x")).crossJoin(broadcast(lags))
+    val dy = d.select(col("__d").as("__dy"), col("__y"))
+    dx.join(dy, dx("__d") + dx("lag") === dy("__dy"))
+      .groupBy("lag")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(expr("CAST(__x AS DECIMAL(38,0))")).as("__sx"),
+        sum(expr("CAST(__y AS DECIMAL(38,0))")).as("__sy"),
+        sum(expr("CAST(__x AS DECIMAL(38,0)) * __x")).as("__sxx0"),
+        sum(expr("CAST(__y AS DECIMAL(38,0)) * __y")).as("__syy0"),
+        sum(expr("CAST(__x AS DECIMAL(38,0)) * __y")).as("__sxy0"))
+      .withColumn("__sxx", expr("__n * __sxx0 - __sx * __sx"))
+      .withColumn("__syy", expr("__n * __syy0 - __sy * __sy"))
+      .withColumn("__sxy", expr("__n * __sxy0 - __sx * __sy"))
+      .select(col("lag"), col("__n").cast("long").as("n_pairs"),
+        expr("""CASE WHEN __sxx > 0 AND __syy > 0 THEN
+                  CAST(sign(__sxy) AS BIGINT) END""").as("r_sign"),
+        expr(s"""CASE WHEN __sxx > 0 AND __syy > 0 THEN
+                  CAST((${strunc("100 * __sxy", "__sxx")}) *
+                       (${strunc("100 * __sxy", "__syy")}) AS BIGINT)
+                END""").as("r2_permyriad"))
+  }
+
   /** Kendall's tau-b rank correlation (C122 — the third leg of the
     * association triple beside [[Relational]] corr_matrix (Pearson)
     * and [[spearmanCorr]]: tau is the concordance probability

@@ -1873,4 +1873,44 @@ object Relational {
            max(col(endCol)).as("span_end"),
            sum(col("__c")).as("n_merged"))
   }
+
+  /** 2-D skyline / Pareto front (C135 — the classic dominance query:
+    * "cheapest-for-the-size" offers, no point both ≤ in cost and ≥ in
+    * value than another with one strict — the multi-objective SELECT
+    * every catalog/curation ranking eventually needs). Over integer
+    * (x minimize, y maximize): a distinct point survives iff
+    * `y = max_y(x)` and `y > max_{x' < x} max_y(x')` — equal points
+    * (exact duplicates) do not dominate each other and surface as one
+    * skyline row with `n_points`. Sort-free at corpus scale: the
+    * corpus collapses map-side to (x, y) cells, the per-x maxima form
+    * a ≤|X|-row table whose ascending fold computes the running
+    * prefix max (the repo's distribution-fold device), and survivors
+    * join back to the cell frame.
+    *
+    * Scale shape: one (x, y) cell aggregation, one ≤|X| fold, one
+    * broadcast join back — Θ(distinct x) beyond the first agg. The
+    * quantization of x IS the contract (the [[Relational]]-wide
+    * bounded-domain discipline).
+    */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("n_points"))
+    val front = cells.groupBy("__x").agg(max("__y").as("__my"))
+      .agg(array_sort(collect_list(struct(col("__x"), col("__my"))))
+        .as("__a"))
+      .select(explode(expr("""aggregate(__a,
+        struct(CAST(NULL AS BIGINT) AS run,
+          CAST(array() AS ARRAY<STRUCT<x: BIGINT, y: BIGINT>>) AS out),
+        (acc, el) -> struct(
+          CASE WHEN acc.run IS NULL OR el.__my > acc.run
+            THEN el.__my ELSE acc.run END AS run,
+          CASE WHEN acc.run IS NULL OR el.__my > acc.run
+            THEN array_append(acc.out, struct(el.__x AS x,
+              el.__my AS y))
+            ELSE acc.out END AS out)).out""")).as("__r"))
+      .select(col("__r.x").as("__x"), col("__r.y").as("__y"))
+    cells.join(broadcast(front), Seq("__x", "__y"))
+      .select(col("__x").as("x"), col("__y").as("y"), col("n_points"))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Behavior, Graph}
+import graft.operators.{Behavior, Graph, Relational}
 
 /** Hand-computed cases for the round-8 stats wave: Kendall tau-b on
   * the quantized grid, Kruskal-Wallis, Cramér's V, one-way ANOVA F,
@@ -160,5 +160,46 @@ class R8OpsSpec extends AnyFunSuite {
     val e = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("s", "d")
     assert(Graph.adamicAdar(e, "s", "d", maxDegree = 3).count() == 0L)
     assert(Graph.adamicAdar(e, "s", "d").count() == 6L)
+  }
+
+  test("crossCorr: y = 2x reads r² = 1 at every computable lag") {
+    val d = Seq((1L, 1L, 2L), (2L, 2L, 4L), (3L, 3L, 6L), (4L, 4L, 8L))
+      .toDF("day", "x", "y")
+    val got = Behavior.crossCorr(d, "day", "x", "y", maxLag = 3)
+      .orderBy("lag")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, Some(1L), Some(10000L)),
+      (1L, 3L, Some(1L), Some(10000L)),
+      (2L, 2L, Some(1L), Some(10000L)),
+      (3L, 1L, None, None))) // single pair: zero variance → null
+  }
+
+  test("hwSeasonal: hand-computed two-step recurrence") {
+    // t1: lvl 10000, tr 0, sea 0, fc 10000
+    // t2: lvl (300*20000+700*10000)/1000 = 13000, tr 600, sea 2100,
+    //     fc 13000+600+0 = 13600
+    val d = Seq(("k", 1L, 10L), ("k", 2L, 20L)).toDF("key", "day", "x")
+    val got = Behavior.hwSeasonal(d, Seq("key"), "day", "x")
+      .orderBy("day")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("k", 1L, 10000L, 0L, 0L, 10000L),
+      ("k", 2L, 13000L, 600L, 2100L, 13600L)))
+  }
+
+  test("seasonalDecompose: linear ramp has zero seasonal and residual") {
+    val d = (1L to 7L).map(i => ("k", i, 7L * (i - 1))).toDF("key", "day", "x")
+    val got = Behavior.seasonalDecompose(d, Seq("key"), "day", "x")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // only day 4 has the full 7-day window: trend = mean = 21000 milli
+    assert(got == Seq(("k", 4L, 21L, 21000L, 0L, 0L)))
+  }
+
+  test("skyline2d: dominance with duplicates and per-x ties") {
+    val d = Seq((1L, 5L), (1L, 3L), (2L, 10L), (2L, 10L), (3L, 7L))
+      .toDF("price", "size")
+    val got = Relational.skyline2d(d, "price", "size")
+      .orderBy("x").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 1L), (2L, 10L, 2L)))
   }
 }

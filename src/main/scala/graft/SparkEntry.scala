@@ -3728,6 +3728,31 @@ object SparkEntry {
       Relational.skyline2d(p, "price", "size")
     }),
 
+    // E102: Rocchio pseudo-relevance expansion — BM25's top-10 docs
+    // vote new query terms by tf·idf; deterministic feedback set,
+    // quantized-log idf, TakeOrdered both ends
+    "rocchio_expand" -> ((s, dir) =>
+      Retrieval.rocchioExpand(Tables(s, dir).documents, "doc_id",
+        "text", Seq("window", "merge", "scan", "customer"),
+        fbDocs = 10, expandK = 10)),
+
+    // E103: curriculum ordering — word-mass difficulty into 4
+    // equal-width bands, easy-first within band, round-robin global
+    // positions
+    "curriculum_order" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"),
+        least(lit(1000L),
+          regexp_count(col("text"), lit("[^ \\t\\r\\n\\f]+"))
+            .cast("long") * 12L).as("difficulty"))
+      TextAnalysis.curriculumOrder(d, "doc_id", "difficulty", nBands = 4)
+    }),
+
+    // E104: garbled-text gate — replacement chars, symbol density,
+    // impossible consonant runs; pure map-side regexp signals
+    "garbled_text" -> ((s, dir) =>
+      TextAnalysis.garbledText(Tables(s, dir).documents, "doc_id",
+        "text")),
+
     // E97: clipped-IPS off-policy evaluation — what the
     // "most-frequent action per user-decile" policy would have earned
     // on the logged event stream; empirical permille propensities,
@@ -9644,6 +9669,99 @@ FROM decided""",
                   WHERE runb IS NULL OR my > runb)
          SELECT c.x, c.y, c.n_points FROM cells c
          JOIN keep USING (x, y)""",
+
+    // the bm25_search ranking picks the feedback set, then tf·idf
+    // over it ranks expansion candidates
+    "rocchio_expand" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS t
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+         stats AS (
+           SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS len FROM dl),
+         q(term) AS (
+           VALUES ('window'), ('merge'), ('scan'), ('customer')),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM d) JOIN q USING (term)
+           GROUP BY 1, 2),
+         idf AS (
+           SELECT term,
+                  CAST(round(ln(1.0 + (CAST(stats.n AS DOUBLE) - df + 0.5)
+                                      / (df + 0.5)) * 1e6) AS BIGINT)
+                    AS idf_micro
+           FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats),
+         sc AS (
+           SELECT tf.doc_id,
+                  CAST(round(idf.idf_micro * (tf.tf * (1.2 + 1)) /
+                       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+                          (CAST(stats.len AS DOUBLE) / stats.n))))
+                    AS BIGINT) AS c_micro
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats),
+         fb AS (SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS s
+                FROM sc GROUP BY 1
+                ORDER BY s DESC, doc_id LIMIT 10),
+         toks AS (SELECT doc_id, unnest(t) AS term FROM d),
+         fbtf AS (SELECT term, CAST(count(*) AS BIGINT) AS fb_tf
+                  FROM toks JOIN fb USING (doc_id)
+                  WHERE term NOT IN
+                    ('window', 'merge', 'scan', 'customer')
+                  GROUP BY 1),
+         dfq AS (SELECT term,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM toks
+                 WHERE term IN (SELECT term FROM fbtf) GROUP BY 1),
+         w AS (SELECT fbtf.term, fb_tf, df,
+                 CAST(round(ln(1.0 + (CAST(stats.n AS DOUBLE) - df + 0.5)
+                               / (df + 0.5)) * 1e6) AS BIGINT)
+                   AS idf_micro
+               FROM fbtf JOIN dfq USING (term), stats)
+         SELECT term, fb_tf, df, idf_micro,
+                fb_tf * idf_micro AS weight_micro
+         FROM w ORDER BY weight_micro DESC, term LIMIT 10""",
+
+    "curriculum_order" ->
+      """WITH d AS (
+           SELECT doc_id AS id,
+                  CAST(least(1000, 12 * length(regexp_extract_all(text,
+                    '[^ \t\r\n\f]+'))) AS BIGINT) AS score
+           FROM documents),
+         mx AS (SELECT max(score) AS mx FROM d),
+         b AS (SELECT id, score,
+                 least(3, (score * 4) // (mx + 1)) AS band
+               FROM d, mx),
+         r AS (SELECT *, row_number() OVER (PARTITION BY band
+                 ORDER BY score, id) AS rn FROM b)
+         SELECT id, score, CAST(band AS BIGINT) AS band,
+                CAST((rn - 1) * 4 + band AS BIGINT) AS curriculum_pos
+         FROM r""",
+
+    "garbled_text" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+                  AS repl_count,
+                CASE WHEN length(text) > 0 THEN
+                  (1000 * CAST(len(regexp_extract_all(text,
+                     '[^A-Za-z0-9 \t\n.,;:!?''"()-]')) AS BIGINT))
+                    // CAST(length(text) AS BIGINT)
+                  ELSE 0 END AS sym_permille,
+                CAST(coalesce(list_max(list_transform(
+                  string_split_regex(lower(text),
+                    '[^bcdfghjklmnpqrstvwxz]+'), x -> len(x))), 0)
+                  AS BIGINT) AS consonant_run_max,
+                (len(regexp_extract_all(text, '�')) > 0
+                 OR (CASE WHEN length(text) > 0 THEN
+                       (1000 * CAST(len(regexp_extract_all(text,
+                          '[^A-Za-z0-9 \t\n.,;:!?''"()-]')) AS BIGINT))
+                         // CAST(length(text) AS BIGINT)
+                     ELSE 0 END) > 300
+                 OR coalesce(list_max(list_transform(
+                      string_split_regex(lower(text),
+                        '[^bcdfghjklmnpqrstvwxz]+'), x -> len(x))), 0)
+                    >= 8) AS garbled
+         FROM documents""",
 
     "t_closeness" ->
       """WITH e AS (SELECT user_id,

@@ -77,6 +77,57 @@ object Retrieval {
     scoreBm25(tf, nDocs, avgdl, k1, b, topK)
   }
 
+  /** Rocchio pseudo-relevance query expansion (E102 — the classic
+    * second half of every retrieval loop: run the query, assume the
+    * top `fbDocs` hits are relevant, and mine THEIR vocabulary for
+    * the terms the user should have typed — BM25 picks the feedback
+    * set, tf·idf over it ranks the candidates). Exact integers end to
+    * end: the feedback set is [[bm25]]'s deterministic top-k
+    * (score desc, doc_id tiebreak), per-candidate-term `fb_tf` = its
+    * occurrence count inside the feedback docs (original query terms
+    * excluded — they are already in the query), `df` = corpus
+    * document frequency, `idf_micro` = the same quantized-log idf the
+    * scorer uses, `weight_micro = fb_tf · idf_micro`, top `expandK`
+    * by (weight desc, term).
+    *
+    * Scale shape: one corpus token pass shared with scoring, the
+    * fbDocs-sized id set broadcast back, df as ONE candidate-pruned
+    * corpus agg (candidate terms broadcast onto the token frame), and
+    * TakeOrderedAndProject for both top-ks. The only driver scalars
+    * are the corpus stats pair (the [[bm25]] contract).
+    */
+  def rocchioExpand(docs: DataFrame, idCol: String, textCol: String,
+                    queryTerms: Seq[String], fbDocs: Int = 10,
+                    expandK: Int = 10): DataFrame = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(expandK >= 1, s"expandK must be >= 1, got $expandK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = withDl(docs, idCol, textCol)
+    val stats = d.agg(count(lit(1)).as("n"), sum(col("dl")).as("len")).head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val terms = docTerms(d)
+    val tfq = terms
+      .join(broadcast(queryTerms.toDF("term")), "term")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val fbIds = scoreBm25(tfq, nDocs, avgdl, 1.2, 0.75, fbDocs)
+      .select("doc_id")
+    val fbtf = terms.join(broadcast(fbIds), "doc_id")
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("fb_tf"))
+    val dfreq = terms
+      .join(broadcast(fbtf.select("term")), "term")
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    fbtf.join(dfreq, "term")
+      .withColumn("idf_micro", round(log(lit(1.0) +
+          (lit(nDocs).cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+        * 1e6).cast("long"))
+      .withColumn("weight_micro", col("fb_tf") * col("idf_micro"))
+      .orderBy(col("weight_micro").desc, col("term"))
+      .limit(expandK)
+  }
+
   /** Build a persisted postings index: (doc_id, dl, term, tf) rows
     * partitioned by `term_pt = pmod(xxhash64(term), termPartitions)` —
     * a query's terms prune to their hash partitions at the FILE level —

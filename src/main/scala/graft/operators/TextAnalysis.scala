@@ -1836,4 +1836,77 @@ object TextAnalysis {
       .withColumn("d2_permille", expr(
         "CASE WHEN total_2 > 0 THEN (1000 * distinct_2) div total_2 END"))
   }
+
+  /** Curriculum ordering (E103 — the training-schedule transform
+    * curriculum-learning pipelines ship after difficulty scoring:
+    * easy-to-hard is too rigid, pure shuffle wastes the signal; the
+    * standard compromise is difficulty BANDS interleaved round-robin,
+    * so every training window sees the full difficulty spectrum while
+    * the within-band order stays easy-first). Deterministic, exact:
+    * `band = least(B−1, (score·B) div (max_score+1))` (equal-width
+    * over [0, max] — the stated banding; scores arrive quantized
+    * non-negative), within-band rank by (score, id), and
+    * `curriculum_pos = (rank_in_band − 1)·B + band` — position p
+    * serves band p mod B, round-robin.
+    *
+    * Scale shape: one 1-row max broadcast, one BAND-partitioned
+    * ranking window (B ≥ shuffle-partition parallelism is the
+    * caller's knob; within a band the window is the unavoidable
+    * total order the OUTPUT semantics demand), no global sort.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, scoreCol: String,
+                      nBands: Int = 4): DataFrame = {
+    require(nBands >= 2 && nBands <= 1024,
+      s"nBands in [2,1024], got $nBands")
+    val d = docs.select(col(idCol).as("id"),
+      col(scoreCol).cast("long").as("score"))
+    val mx = d.agg(max("score").as("__mx"))
+    d.crossJoin(broadcast(mx))
+      .withColumn("band", expr(
+        s"least(${nBands - 1}, (score * $nBands) div (__mx + 1))"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("band"))
+          .orderBy(col("score"), col("id"))))
+      .select(col("id"), col("score"), col("band"),
+        (expr(s"(__r - 1) * $nBands") + col("band"))
+          .as("curriculum_pos"))
+  }
+
+  /** Garbled-text detection (E104 — the OCR/mojibake gate beside
+    * [[TextAnalysis]] quality scoring: encoding damage and OCR noise
+    * produce text that passes length/stopword filters but poisons
+    * tokenizers — the standard tells are replacement characters,
+    * symbol density, and impossible consonant runs). Per document,
+    * deterministic integer signals: `repl_count` (U+FFFD
+    * occurrences), `sym_permille` = non-[ASCII letter/digit/space/
+    * common punctuation] characters per mille (the ASCII-anchored
+    * class reads identically in Java and RE2 regex — the stated
+    * cross-engine contract; non-Latin scripts score high by design,
+    * pair with lang_id), `consonant_run_max` = longest ASCII
+    * consonant run (lowercased), and the flag
+    * `garbled = repl > 0 ∨ sym > 300‰ ∨ run ≥ 8`.
+    *
+    * Scale shape: pure map-side regexp/array work per document —
+    * zero shuffle, whole-stage codegen.
+    */
+  def garbledText(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    docs.select(col(idCol), length(col(textCol)).cast("long")
+        .as("n_chars"),
+        regexp_count(col(textCol), lit("�")).cast("long")
+          .as("repl_count"),
+        regexp_count(col(textCol),
+          lit("[^A-Za-z0-9 \\t\\n.,;:!?'\"()-]")).cast("long")
+          .as("__sym"),
+        coalesce(array_max(transform(
+          split(lower(col(textCol)), "[^bcdfghjklmnpqrstvwxz]+"),
+          x => length(x))), lit(0)).cast("long")
+          .as("consonant_run_max"))
+      .withColumn("sym_permille", expr(
+        "CASE WHEN n_chars > 0 THEN (1000 * __sym) div n_chars " +
+          "ELSE 0L END"))
+      .select(col(idCol), col("n_chars"), col("repl_count"),
+        col("sym_permille"), col("consonant_run_max"))
+      .withColumn("garbled", col("repl_count") > 0 ||
+        col("sym_permille") > 300 || col("consonant_run_max") >= 8)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Behavior, Graph, Relational}
+import graft.operators.{Behavior, Graph, Relational, Retrieval, TextAnalysis}
 
 /** Hand-computed cases for the round-8 stats wave: Kendall tau-b on
   * the quantized grid, Kruskal-Wallis, Cramér's V, one-way ANOVA F,
@@ -201,5 +201,39 @@ class R8OpsSpec extends AnyFunSuite {
     val got = Relational.skyline2d(d, "price", "size")
       .orderBy("x").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 5L, 1L), (2L, 10L, 2L)))
+  }
+
+  test("rocchioExpand: feedback terms exclude the query, tf*idf weights") {
+    // query 'window': d2 (shorter) outranks d1 under BM25 length
+    // normalization → feedback {d2} → the only candidate is 'banana'
+    val docs = Seq((1L, "window apple apple"), (2L, "window banana"),
+      (3L, "cherry cherry")).toDF("doc_id", "text")
+    val got = Retrieval.rocchioExpand(docs, "doc_id", "text",
+      Seq("window"), fbDocs = 1, expandK = 5)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val idfBanana = math.round(
+      math.log(1.0 + (3.0 - 1 + 0.5) / (1 + 0.5)) * 1e6)
+    assert(got == Seq(("banana", 1L, 1L, idfBanana, idfBanana)))
+  }
+
+  test("curriculumOrder: two bands interleave round-robin") {
+    val d = (1L to 6L).map(i => (i, i - 1)).toDF("id", "s")
+    val got = TextAnalysis.curriculumOrder(d, "id", "s", nBands = 2)
+      .orderBy("curriculum_pos")
+      .select("id").as[Long].collect().toSeq
+    // scores 0,1,2 → band 0; 3,4,5 → band 1; positions alternate
+    assert(got == Seq(1L, 4L, 2L, 5L, 3L, 6L))
+  }
+
+  test("garbledText: consonant runs, symbol density, replacement chars") {
+    val docs = Seq((1L, "hello world."), (2L, "zxqwrtplzz"),
+      (3L, "a�b")).toDF("doc_id", "text")
+    val got = TextAnalysis.garbledText(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 12L, 0L, 0L, 3L, false),   // max run 'rld'
+      (2L, 10L, 0L, 0L, 10L, true),   // 10-consonant run
+      (3L, 3L, 1L, 333L, 1L, true)))  // U+FFFD + symbol density
   }
 }

@@ -899,6 +899,75 @@ object Streams {
   case class HoltPoint(key: String, day: Long, level_milli: Long,
                        trend_milli: Long, forecast_milli: Long)
 
+  case class HwState(day: Long, level_milli: Long, trend_milli: Long,
+                     slots: Seq[Long], i: Long)
+  case class HwPoint(key: String, day: Long, level_milli: Long,
+                     trend_milli: Long, seasonal_milli: Long,
+                     forecast_milli: Long)
+
+  /** Streaming Holt-Winters additive seasonality (D25 — C133
+    * `hw_seasonal`'s streaming half, extending the recurrence-family
+    * symmetry D18↔ewma / D19↔cusum / D24↔holt to the seasonal rung):
+    * keyed state is the frontier day, level, trend, the SEVEN
+    * seasonal slots, and the row index (slots address by row position
+    * mod 7 — the batch operator's stated contract, so the index must
+    * ride the state); each batch folds its days ascending through the
+    * SHARED sign-trunc'd integer-milli recurrence (the stream ≡ batch
+    * spec pins the two implementations together), at-or-below-frontier
+    * days are ignored so replays emit nothing and cannot corrupt
+    * state (the [[streamEwma]] ordering device). RocksDB at scale —
+    * state is 10 longs + a 7-long array per key.
+    */
+  def streamHwSeasonal(metrics: Dataset[DailyMetric]): Dataset[HwPoint] = {
+    import metrics.sparkSession.implicits._
+    def strunc(num: Long, den: Long): Long =
+      if (num < 0) -((-num) / den) else num / den
+    metrics.groupByKey(_.key)
+      .flatMapGroupsWithState[HwState, HwPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DailyMetric],
+         state: GroupState[HwState]) =>
+          var st = state.getOption
+          val out = Seq.newBuilder[HwPoint]
+          rows.toSeq.sortBy(_.day).foreach { m =>
+            if (st.forall(_.day < m.day)) {
+              val next = st match {
+                case None =>
+                  HwState(m.day, m.x * 1000L, 0L, Seq.fill(7)(0L), 1L)
+                case Some(s) =>
+                  val idx = (s.i % 7).toInt
+                  val sm = s.slots(idx)
+                  val nl = strunc(300L * (m.x * 1000L - sm) +
+                    700L * (s.level_milli + s.trend_milli), 1000L)
+                  val nt = strunc(200L * (nl - s.level_milli) +
+                    800L * s.trend_milli, 1000L)
+                  val sn = strunc(300L * (m.x * 1000L - nl) +
+                    700L * sm, 1000L)
+                  HwState(m.day, nl, nt, s.slots.updated(idx, sn),
+                    s.i + 1L)
+              }
+              val sea = st match {
+                case None    => 0L
+                case Some(s) => next.slots((s.i % 7).toInt)
+              }
+              val fc = st match {
+                case None    => next.level_milli
+                case Some(s) =>
+                  // next day's slot, read from the PRE-write array —
+                  // the batch operator's exact convention
+                  next.level_milli + next.trend_milli +
+                    s.slots(((s.i + 1L) % 7).toInt)
+              }
+              st = Some(next)
+              out += HwPoint(key, m.day, next.level_milli,
+                next.trend_milli, sea, fc)
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming Holt smoothing (D24 — C101 `holt_smooth`'s streaming
     * half, completing the recurrence-family symmetry D18↔ewma /
     * D19↔cusum): keyed state is THREE longs (last day, level, trend);

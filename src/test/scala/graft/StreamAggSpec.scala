@@ -348,6 +348,43 @@ class StreamAggSpec extends AnyFunSuite {
       Seq((30000L, 0L), (20000L, -5000L)))
   }
 
+  // --- D25: streaming Holt-Winters seasonal -------------------------------
+
+  test("streamHwSeasonal (D25): per-batch emissions equal the batch " +
+       "seasonal fold on the concatenated input across a slot " +
+       "wraparound; replays emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.DailyMetric]
+    val q = input.toDS()
+      .transform(ds => Streams.streamHwSeasonal(ds))
+      .writeStream.format("memory").queryName("hw_sink")
+      .outputMode("append").start()
+    // 10 days with a weekly sawtooth: wraps past slot 7 so the
+    // seasonal array is read back across the batch boundary
+    def x(d: Long): Long = 10L + (d % 7L) * 3L
+    val b1 = (1L to 6L).map(d => Streams.DailyMetric("A", d, x(d)))
+    val b2 = (7L to 10L).map(d => Streams.DailyMetric("A", d, x(d))) ++
+      Seq(Streams.DailyMetric("A", 3L, 99L), // replayed day: dropped
+          Streams.DailyMetric("B", 1L, 5L))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable() // full replay
+    } finally q.stop()
+    val got = spark.table("hw_sink")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val daily = ((1L to 10L).map(d => ("A", d, x(d))) :+ (("B", 1L, 5L)))
+      .toDF("key", "day", "x")
+    val want = graft.operators.Behavior
+      .hwSeasonal(daily, Seq("key"), "day", "x")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == want)
+    // first row is the stated init; a replay added nothing
+    assert(got.filter(_._1 == "B") ==
+      Seq(("B", 1L, 5000L, 0L, 0L, 5000L)))
+    assert(got.size == 11)
+  }
+
   // --- D19: streaming CUSUM ----------------------------------------------
 
   test("streamCusum: emissions flush when the reference window fills " +

@@ -7919,7 +7919,7 @@ FROM decided""",
            SELECT canon.a, canon.b, la.lbl AS ca, lb.lbl AS cb
            FROM canon JOIN l3 la ON la.id = canon.a
                       JOIN l3 lb ON lb.id = canon.b),
-         m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM canon),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM withc),
          ec AS (SELECT ca AS c, CAST(count(*) AS BIGINT) AS e
                 FROM withc WHERE ca = cb GROUP BY 1),
          dc AS (SELECT c, CAST(count(*) AS BIGINT) AS d
@@ -8026,7 +8026,8 @@ FROM decided""",
            SELECT adj.c, adj.x,
                   CAST(round(1000000.0 / ln(CAST(deg.d AS DOUBLE)))
                     AS BIGINT) AS w
-           FROM adj JOIN deg ON deg.c = adj.c),
+           FROM adj JOIN deg ON deg.c = adj.c
+           WHERE deg.d >= 2),
          scored AS MATERIALIZED (
            SELECT l.x AS id_a, r.x AS id_b,
                   CAST(count(*) AS BIGINT) AS common_neighbors,

@@ -2386,6 +2386,13 @@ object Behavior {
     * moments per lag, reported on the corr_matrix sign/square device:
     * `r_sign` + `r2_permyriad = strunc(100·Sxy', Sxx')·strunc(100·
     * Sxy', Syy')`. Lags with < 2 pairs or zero variance read null.
+    * STATED LIMIT of the sign/square device here: each factor floors
+    * at `100·|Sxy| < S**`, so when the two series' standard
+    * deviations differ by more than ~100× (daily views vs rare
+    * purchases), one factor truncates to 0 and r2 reads 0 even for
+    * perfectly correlated series — pre-scale the smaller series onto
+    * a comparable grid (e.g. ×1000) before calling if the ratio can
+    * exceed that.
     *
     * Scale shape: one calendar-sized self-join per lag (the lag table
     * broadcasts onto the daily frame; the join key is day+lag), one
@@ -2443,24 +2450,35 @@ object Behavior {
     *
     * Scale shape: one (x,y) cell aggregation (map-side combined —
     * the corpus is touched once), a broadcast cell-pair join bounded
-    * by the grid, two ≤B margin aggs, one scalar agg.
+    * by the grid, two ≤B margin aggs, one scalar agg. The grid
+    * contract is EXECUTABLE: `maxCells` (default 4096 = the stated
+    * B = 64 grid) rides a 1-row guard that `raise_error`s before the
+    * cell-pair join can go quadratic on unquantized input.
     */
-  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+                 maxCells: Long = 4096L): DataFrame = {
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
     val cells = df.groupBy(col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
       .agg(count(lit(1)).as("__c"))
     val a = cells.select(col("__x").as("__xa"), col("__y").as("__ya"),
       col("__c").as("__ca"))
-    val b = cells.select(col("__x").as("__xb"), col("__y").as("__yb"),
-      col("__c").as("__cb"))
+    // guard the BROADCAST side only: the error fires while the
+    // broadcast relation builds — before an unbounded cell table can
+    // reach the driver — and the other cell uses stay single-scan
+    val b = withCellGuard(cells, maxCells,
+      s"kendallTau: cell count exceeds maxCells=$maxCells — inputs " +
+        "must be quantized to the bounded grid (B <= 64 stated); " +
+        "quantize upstream or raise maxCells knowingly")
+      .select(col("__x").as("__xb"), col("__y").as("__yb"),
+        col("__c").as("__cb"))
     val s = a.join(broadcast(b), col("__xa") < col("__xb"))
       .agg(coalesce(sum(expr(
         """CAST(__ca AS DECIMAL(38,0)) * __cb *
            CASE WHEN __yb > __ya THEN 1 WHEN __yb < __ya THEN -1
                 ELSE 0 END""")), lit(0).cast("decimal(38,0)")).as("__s"))
     val margins = cells.agg(
-      sum("__c").cast("decimal(38,0)").as("__n"),
-      sum(expr("CAST(__c AS DECIMAL(38,0)) * (__c - 1)")).as("__tcell"))
+      sum("__c").cast("decimal(38,0)").as("__n"))
     val tx = cells.groupBy("__x").agg(sum("__c").as("__t"))
       .agg(sum(expr("CAST(__t AS DECIMAL(38,0)) * (__t - 1)")).as("__t1"))
     val ty = cells.groupBy("__y").agg(sum("__c").as("__t"))
@@ -2686,4 +2704,25 @@ object Behavior {
         (max("__sr") - min("__sr")).as("dp_gap_permille"),
         (max("__tpr") - min("__tpr")).as("tpr_gap_permille"),
         (max("__fpr") - min("__fpr")).as("fpr_gap_permille"))
+
+  /** Executable bounded-grid contract shared by the cell-join
+    * operators ([[kendallTau]], [[Relational.skyline2d]]): the grid
+    * bound becomes a 1-row `raise_error` guard crossed onto the cell
+    * frame, so an UNQUANTIZED caller fails fast with the contract in
+    * the message instead of silently detonating a B² broadcast join.
+    * Cost: one extra scalar agg over the cell derivation; the guard
+    * row broadcasts and the filter keeps the error expression alive
+    * through column pruning.
+    */
+  private[operators] def withCellGuard(cells: DataFrame, maxCells: Long,
+                                       msg: String): DataFrame = {
+    val n = cells.agg(count(lit(1)).as("__ncells"))
+    val ok = broadcast(n.select(
+      when(col("__ncells") <= maxCells, lit(1L))
+        .otherwise(raise_error(concat(lit(msg + " (got "),
+          col("__ncells").cast("string"), lit(" cells)"))))
+        .as("__cellguard")))
+    cells.crossJoin(ok).filter(col("__cellguard") === 1L)
+      .drop("__cellguard")
+  }
 }

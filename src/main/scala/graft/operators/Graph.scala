@@ -689,8 +689,11 @@ object Graph {
     * structure (Q ≈ 0: no better than random; Q ≳ 0.3: real
     * communities) — the quality gate before a community table ships
     * into entity resolution or domain-mix curation). Exact integers:
-    * m = |canonical edges|, e_c = intra-community edge count, d_c =
-    * Σ degrees (so Σd_c = 2m), one stated sign-trunc'd floor per
+    * m = |canonical edges with BOTH endpoints labeled| (so the
+    * invariant Σd_c = 2m holds BY CONSTRUCTION — partial label
+    * coverage scores the labeled subgraph rather than silently
+    * skewing Q against a larger m), e_c = intra-community edge
+    * count, d_c = Σ degrees, one stated sign-trunc'd floor per
     * community: `term_micro = strunc(10⁶·(4·m·e_c − d_c²), 4·m²)`,
     * `q_micro = Σ_c term_micro`.
     *
@@ -712,7 +715,7 @@ object Graph {
     val withC = canon
       .join(lab.select(col("__id").as("a"), col("__c").as("__ca")), "a")
       .join(lab.select(col("__id").as("b"), col("__c").as("__cb")), "b")
-    val m = canon.agg(count(lit(1)).cast("decimal(38,0)").as("__m"))
+    val m = withC.agg(count(lit(1)).cast("decimal(38,0)").as("__m"))
     val ec = withC.filter(col("__ca") === col("__cb"))
       .groupBy(col("__ca").as("__c")).agg(count(lit(1)).as("__e"))
     val dc = withC
@@ -739,7 +742,9 @@ object Graph {
     * occurrence graphs). For every non-adjacent pair sharing ≥ 1
     * wedge center: `aa_micro = Σ_centers round(10⁶/ln(d_center))` on
     * the quantized-log device (one IEEE log of an integer both
-    * engines hold; centers have d ≥ 2 by construction so ln > 0),
+    * engines hold; degree-1 centers are FILTERED before the weight —
+    * they can never form a pair anyway, and ln(1) = 0 would blow the
+    * quotient up on any engine that materializes it),
     * plus the raw common count. Same hub discipline as
     * [[jaccardNeighbors]]: `maxDegree` caps wedge CENTERS only
     * (documented approximation — a hub shared by everyone carries
@@ -761,6 +766,7 @@ object Graph {
     val adj = canon.select(col("a").as("c"), col("b").as("x"))
       .unionAll(canon.select(col("b").as("c"), col("a").as("x")))
     val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2)
     val degKept = if (maxDegree == 0) deg
                   else deg.filter(col("d") <= maxDegree)
     val centers = adj.join(

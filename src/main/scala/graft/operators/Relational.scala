@@ -1890,13 +1890,27 @@ object Relational {
     * Scale shape: one (x, y) cell aggregation, one ≤|X| fold, one
     * broadcast join back — Θ(distinct x) beyond the first agg. The
     * quantization of x IS the contract (the [[Relational]]-wide
-    * bounded-domain discipline).
+    * bounded-domain discipline), and it is EXECUTABLE: `maxDistinctX`
+    * (default 65536 — the fold array is EXACTLY that many structs)
+    * rides a 1-row `raise_error` guard so an unquantized caller
+    * fails fast before the per-x maxima collect to one row.
     */
-  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+                maxDistinctX: Long = 65536L): DataFrame = {
+    require(maxDistinctX >= 1,
+      s"maxDistinctX must be >= 1, got $maxDistinctX")
     val cells = df.groupBy(col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
       .agg(count(lit(1)).as("n_points"))
-    val front = cells.groupBy("__x").agg(max("__y").as("__my"))
+    // guard the FOLD input only — the per-x maxima frame, whose row
+    // count IS the array the fold collects to one row; the error
+    // fires before that collect, and the join-back use stays
+    // single-scan
+    val front = Behavior.withCellGuard(
+        cells.groupBy("__x").agg(max("__y").as("__my")), maxDistinctX,
+        s"skyline2d: distinct x exceeds maxDistinctX=$maxDistinctX " +
+          "— x must be quantized to the bounded domain; quantize " +
+          "upstream or raise maxDistinctX knowingly")
       .agg(array_sort(collect_list(struct(col("__x"), col("__my"))))
         .as("__a"))
       .select(explode(expr("""aggregate(__a,

@@ -1849,10 +1849,16 @@ object TextAnalysis {
     * `curriculum_pos = (rank_in_band − 1)·B + band` — position p
     * serves band p mod B, round-robin.
     *
-    * Scale shape: one 1-row max broadcast, one BAND-partitioned
-    * ranking window (B ≥ shuffle-partition parallelism is the
-    * caller's knob; within a band the window is the unavoidable
-    * total order the OUTPUT semantics demand), no global sort.
+    * Scale shape: one 1-row max broadcast, then the
+    * [[Relational.withGlobalIndex]] zipWithIndex device over
+    * (band, score, id) — range-repartition gives a TOTAL order with
+    * every partition sorting only its slice (bands are contiguous in
+    * that order, so within-band rank = global index − the band's
+    * first index), per-partition counts become driver offsets, and
+    * the rank is assigned map-side. NO window anywhere: a
+    * band-partitioned `row_number` would sort corpus/B rows in ONE
+    * task, and B is a TRAINING-SCHEDULE semantic, not a parallelism
+    * knob. The band-start frame is B rows, broadcast back.
     */
   def curriculumOrder(docs: DataFrame, idCol: String, scoreCol: String,
                       nBands: Int = 4): DataFrame = {
@@ -1861,14 +1867,17 @@ object TextAnalysis {
     val d = docs.select(col(idCol).as("id"),
       col(scoreCol).cast("long").as("score"))
     val mx = d.agg(max("score").as("__mx"))
-    d.crossJoin(broadcast(mx))
+    val banded = d.crossJoin(broadcast(mx))
       .withColumn("band", expr(
         s"least(${nBands - 1}, (score * $nBands) div (__mx + 1))"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("band"))
-          .orderBy(col("score"), col("id"))))
+      .drop("__mx")
+    val ixd = Relational.withGlobalIndex(banded,
+      Seq(col("band"), col("score"), col("id")),
+      Seq("__gix" -> identity))
+    val starts = ixd.groupBy("band").agg(min("__gix").as("__b0"))
+    ixd.join(broadcast(starts), Seq("band"))
       .select(col("id"), col("score"), col("band"),
-        (expr(s"(__r - 1) * $nBands") + col("band"))
+        ((col("__gix") - col("__b0")) * nBands + col("band"))
           .as("curriculum_pos"))
   }
 

@@ -225,6 +225,77 @@ class R8OpsSpec extends AnyFunSuite {
     assert(got == Seq(1L, 4L, 2L, 5L, 3L, 6L))
   }
 
+  test("curriculumOrder: plan has no window — rank comes from the zipWithIndex device") {
+    val d = (1L to 100L).map(i => (i, i % 17)).toDF("id", "s")
+    val plan = TextAnalysis.curriculumOrder(d, "id", "s", nBands = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window"),
+      s"curriculumOrder reverted to the band-partitioned window:\n$plan")
+  }
+
+  test("curriculumOrder: device rank matches the window formulation") {
+    // 1000 rows, ties in score (forces the id tiebreak), 5 bands —
+    // the zipWithIndex device must reproduce row_number exactly
+    val d = (1L to 1000L).map(i => (i, (i * 7) % 50)).toDF("id", "s")
+    val got = TextAnalysis.curriculumOrder(d, "id", "s", nBands = 5)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val mx = d.agg(max("s").as("__mx"))
+    val want = d.crossJoin(broadcast(mx))
+      .withColumn("band", expr("least(4, (s * 5) div (__mx + 1))"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("band")).orderBy(col("s"), col("id"))))
+      .select(col("id"), col("s").as("score"), col("band"),
+        (expr("(__r - 1) * 5") + col("band")).as("curriculum_pos"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("kendallTau: cell guard fails fast on unquantized input") {
+    val d = (1L to 100L).map(i => (i, i)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Behavior.kendallTau(d, "x", "y", maxCells = 50L).collect()
+    }
+    assert(ex.getMessage.contains("maxCells=50") &&
+      ex.getMessage.contains("quantized"), ex.getMessage)
+    // at the bound it still runs
+    assert(Behavior.kendallTau(d, "x", "y", maxCells = 100L)
+      .collect().length == 1)
+  }
+
+  test("skyline2d: distinct-x guard fails fast past the bound") {
+    val d = (1L to 100L).map(i => (i, i)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Relational.skyline2d(d, "x", "y", maxDistinctX = 50L).collect()
+    }
+    assert(ex.getMessage.contains("maxDistinctX=50"), ex.getMessage)
+    assert(Relational.skyline2d(d, "x", "y", maxDistinctX = 100L)
+      .count() == 100L) // monotone ramp: every x sets a new frontier max
+  }
+
+  test("adamicAdar: degree-1 centers are filtered before the weight") {
+    // pendant 4-3 makes node 4 a degree-1 center; ln(1)=0 must never
+    // reach the quotient (the oracle materializes the same expression)
+    val e = Seq((1L, 3L), (2L, 3L), (4L, 3L)).toDF("s", "d")
+    val got = Graph.adamicAdar(e, "s", "d")
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // center 3 (deg 3) scores all three leaf pairs at 1e6/ln 3
+    val w = math.round(1e6 / math.log(3.0))
+    assert(got == Seq((1L, 2L, 1L, w), (1L, 4L, 1L, w), (2L, 4L, 1L, w)))
+  }
+
+  test("modularityScore: m derives from the labeled subgraph") {
+    // labels cover only the first triangle; the unlabeled one must
+    // not skew m — labeled subgraph is one community holding every
+    // labeled edge → Q = e/m - (d/2m)² = 1 - 1 = 0
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("s", "d")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("id", "community")
+    val r = Graph.modularityScore(e, "s", "d", labels, "id", "community")
+      .as[(Long, Long, Long)].collect()(0)
+    assert(r == ((1L, 3L, 0L)))
+  }
+
   test("garbledText: consonant runs, symbol density, replacement chars") {
     val docs = Seq((1L, "hello world."), (2L, "zxqwrtplzz"),
       (3L, "a�b")).toDF("doc_id", "text")

@@ -1906,11 +1906,24 @@ object Relational {
     // count IS the array the fold collects to one row; the error
     // fires before that collect, and the join-back use stays
     // single-scan
-    val front = Behavior.withCellGuard(
-        cells.groupBy("__x").agg(max("__y").as("__my")), maxDistinctX,
-        s"skyline2d: distinct x exceeds maxDistinctX=$maxDistinctX " +
-          "— x must be quantized to the bounded domain; quantize " +
-          "upstream or raise maxDistinctX knowingly")
+    val front = skylineFold(Behavior.withCellGuard(
+      cells.groupBy("__x").agg(max("__y").as("__my")), maxDistinctX,
+      s"skyline2d: distinct x exceeds maxDistinctX=$maxDistinctX " +
+        "— x must be quantized to the bounded domain; quantize " +
+        "upstream or raise maxDistinctX knowingly"))
+    cells.join(broadcast(front), Seq("__x", "__y"))
+      .select(col("__x").as("x"), col("__y").as("y"), col("n_points"))
+  }
+
+  /** The skyline prefix-max fold over a per-x maxima frame
+    * `(__x, __my)` → surviving front points `(__x, __y)` — shared by
+    * [[skyline2d]] (fed from the corpus cell agg) and
+    * [[readSkylineStore]] (fed from merged store partials). One
+    * ascending HOF fold over the ≤|X|-row frame; the corpus never
+    * sorts.
+    */
+  private[operators] def skylineFold(maxima: DataFrame): DataFrame =
+    maxima
       .agg(array_sort(collect_list(struct(col("__x"), col("__my"))))
         .as("__a"))
       .select(explode(expr("""aggregate(__a,
@@ -1924,7 +1937,65 @@ object Relational {
               el.__my AS y))
             ELSE acc.out END AS out)).out""")).as("__r"))
       .select(col("__r.x").as("__x"), col("__r.y").as("__y"))
-    cells.join(broadcast(front), Seq("__x", "__y"))
-      .select(col("__x").as("x"), col("__y").as("y"), col("n_points"))
+
+  /** Persisted SKYLINE store — the [[extendAggStore]] lifecycle for
+    * the Pareto front (the D28 batch half): the front over an
+    * ever-growing point stream is maintained from per-x PARTIAL
+    * maxima, never by rescanning point history.
+    *
+    *  - [[extendSkylineStore]] appends one batch-stamped row per
+    *    distinct x in the batch: `(x, max_y, n_points at that max)` —
+    *    a pure function of batch content, so an at-least-once replay
+    *    writes row-identical partials that the read's
+    *    `(x, batch_id)` dedup collapses; point rows never persist;
+    *  - the partial MERGE is associative: per x the global max wins
+    *    and counts sum only where the partial's max EQUALS it (an
+    *    old batch's lower maximum contributes nothing — exactly the
+    *    cell-at-max count [[skyline2d]] reports);
+    *  - [[readSkylineStore]] merges survivors per x and runs the
+    *    shared [[skylineFold]] — identical rows to batch
+    *    [[skyline2d]] over the union of every point ever streamed;
+    *  - [[compactSkylineStore]] folds partials of committed batches
+    *    (strictly below `beforeBatch`) into one row per x via the
+    *    shared swap + recover protocol.
+    */
+  def extendSkylineStore(points: DataFrame, storeDir: String,
+                         xCol: String, yCol: String,
+                         batchId: Long): Unit =
+    points
+      .groupBy(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("x")
+      .agg(max(struct(col("y"), col("__c"))).as("__t"),
+        max("y").as("max_y"))
+      .select(col("x"), col("max_y"),
+        col("__t.__c").as("n_points"), lit(batchId).as("batch_id"))
+      .write.mode("append").parquet(s"$storeDir/skyline")
+
+  private def mergeSkylinePartials(partials: DataFrame): DataFrame = {
+    val tops = partials.groupBy("x").agg(max("max_y").as("__gm"))
+    partials.join(tops, "x")
+      .filter(col("max_y") === col("__gm"))
+      .groupBy(col("x"), col("max_y"))
+      .agg(sum("n_points").as("n_points"))
   }
+
+  def readSkylineStore(spark: org.apache.spark.sql.SparkSession,
+                       storeDir: String): DataFrame = {
+    val merged = mergeSkylinePartials(
+      spark.read.parquet(s"$storeDir/skyline")
+        .dropDuplicates("x", "batch_id"))
+    val front = skylineFold(merged.select(col("x").as("__x"),
+      col("max_y").as("__my")))
+    merged.join(broadcast(front),
+        merged("x") === front("__x") && merged("max_y") === front("__y"))
+      .select(col("x"), col("max_y").as("y"), col("n_points"))
+  }
+
+  def compactSkylineStore(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String, beforeBatch: Long,
+                          partitions: Int = 1): Unit =
+    IndexFiles.compactFold(spark, storeDir, "skyline", Seq("x"),
+      beforeBatch, partitions)(mergeSkylinePartials)
 }

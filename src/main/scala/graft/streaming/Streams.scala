@@ -1154,4 +1154,188 @@ object Streams {
           Iterator.single(KsRow(key, nb, nc, ks, bestAt))
       }
   }
+
+  case class DailyXY(key: String, day: Long, x: Long, y: Long)
+  case class CrossState(day: Long, days: Seq[Long], xs: Seq[Long],
+                        ys: Seq[Long], m: Seq[Long])
+  case class LagCorr(key: String, upto_day: Long, lag: Long,
+                     n_pairs: Long, r_sign: Option[Long],
+                     r2_permyriad: Option[Long])
+
+  /** Streaming lead-lag cross-correlation (D26 — C132 `cross_corr`'s
+    * streaming half): when day d arrives (ascending, the frontier
+    * guard), the ONLY newly completable pairs are `(x_{d−ℓ}, y_d)`
+    * for each lag ℓ whose partner day sits in the ring buffer — so a
+    * buffer of the last maxLag+1 days plus six RUNNING raw moments
+    * per lag (n, Σx, Σy, Σx², Σy², Σxy — Longs; the envelope is the
+    * daily-milli grid the family shares) is EXACTLY the batch
+    * operator's pair set at every prefix, with state bounded at
+    * `(maxLag+1)·9` longs per key regardless of history length.
+    * Emissions carry `upto_day` (the stats are over days ≤ it) and
+    * reproduce the batch formula — centered DECIMAL-exact moments in
+    * BigInt, the sign/square device, lags with < 2 pairs or zero
+    * variance null, zero-pair lags absent. A batch that advances no
+    * day (a replay) emits NOTHING and cannot corrupt the moments —
+    * the [[streamEwma]] ordering device.
+    */
+  def streamCrossCorr(obs: Dataset[DailyXY], maxLag: Int)
+      : Dataset[LagCorr] = {
+    require(maxLag >= 0 && maxLag <= 90, s"maxLag in [0,90], got $maxLag")
+    import obs.sparkSession.implicits._
+    val L = maxLag
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[CrossState, LagCorr](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DailyXY],
+         state: GroupState[CrossState]) =>
+          var st = state.getOption.getOrElse(
+            CrossState(Long.MinValue, Nil, Nil, Nil,
+              Seq.fill(6 * (L + 1))(0L)))
+          var advanced = false
+          rows.toSeq.sortBy(_.day).foreach { r =>
+            if (st.day < r.day) {
+              advanced = true
+              val days = (st.days :+ r.day).dropWhile(_ < r.day - L)
+              val keep = st.days.length + 1 - days.length
+              val xs = (st.xs :+ r.x).drop(keep)
+              val ys = (st.ys :+ r.y).drop(keep)
+              val m = st.m.toArray
+              (0 to L).foreach { lag =>
+                val i = days.indexOf(r.day - lag)
+                if (i >= 0) {
+                  val px = xs(i); val py = r.y; val o = 6 * lag
+                  m(o) += 1L; m(o + 1) += px; m(o + 2) += py
+                  m(o + 3) += px * px; m(o + 4) += py * py
+                  m(o + 5) += px * py
+                }
+              }
+              st = CrossState(r.day, days, xs, ys, m.toSeq)
+            }
+          }
+          if (!advanced) Iterator.empty
+          else {
+            state.update(st)
+            def strunc(a: BigInt, b: BigInt): BigInt = a / b // BigInt
+            // division truncates toward zero — the batch strunc
+            (0 to L).iterator.flatMap { lag =>
+              val o = 6 * lag
+              val n = st.m(o)
+              if (n == 0L) None
+              else {
+                val (sx, sy) = (BigInt(st.m(o + 1)), BigInt(st.m(o + 2)))
+                val sxx = BigInt(n) * st.m(o + 3) - sx * sx
+                val syy = BigInt(n) * st.m(o + 4) - sy * sy
+                val sxy = BigInt(n) * st.m(o + 5) - sx * sy
+                val ok = sxx > 0 && syy > 0
+                Some(LagCorr(key, st.day, lag.toLong, n,
+                  if (ok) Some(sxy.signum.toLong) else None,
+                  if (ok) Some((strunc(100 * sxy, sxx) *
+                    strunc(100 * sxy, syy)).toLong) else None))
+              }
+            }
+          }
+      }
+  }
+
+  case class DecompState(day: Long, days: Seq[Long], xs: Seq[Long],
+                         dowSum: Seq[Long], dowN: Seq[Long])
+  case class DecompPoint(key: String, day: Long, x: Long,
+                         trend_milli: Long, seasonal_milli: Long,
+                         resid_milli: Long)
+
+  /** Streaming additive seasonal decomposition (D27 — C134
+    * `seasonal_decompose`'s streaming half): the centered 7-day
+    * trend at day e needs days e−3..e+3, so the stream emits day
+    * d−3 when day d arrives — a 7-day ring buffer and the 3-day
+    * emission delay are the whole memory of the series; a window
+    * with any calendar gap never completes and its center row never
+    * emits (gaps disable trend rather than contaminate it — when its
+    * last-chance day e+3 arrives short, the row is dropped exactly
+    * as the batch RANGE frame drops it). ONE STATED SEMANTIC
+    * DIFFERENCE: `seasonal_milli(key, dow)` is the RUNNING mean of
+    * detrended values over emitted rows so far (a stream cannot know
+    * the series ended to take the batch's whole-series mean) —
+    * stream ≡ batch EXACTLY whenever the detrended series is
+    * dow-constant (any linear-trend + exact-weekly-pattern series,
+    * the spec's pinned case), and converges to it otherwise. State:
+    * frontier + ≤7 buffered days + 14 dow-slot longs; replays emit
+    * nothing.
+    */
+  def streamSeasonalDecompose(metrics: Dataset[DailyMetric])
+      : Dataset[DecompPoint] = {
+    import metrics.sparkSession.implicits._
+    def strunc(num: Long, den: Long): Long =
+      if (num < 0) -((-num) / den) else num / den
+    metrics.groupByKey(_.key)
+      .flatMapGroupsWithState[DecompState, DecompPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DailyMetric],
+         state: GroupState[DecompState]) =>
+          var st = state.getOption.getOrElse(
+            DecompState(Long.MinValue, Nil, Nil,
+              Seq.fill(7)(0L), Seq.fill(7)(0L)))
+          val out = Seq.newBuilder[DecompPoint]
+          rows.toSeq.sortBy(_.day).foreach { r =>
+            if (st.day < r.day) {
+              val days = (st.days :+ r.day).dropWhile(_ < r.day - 6)
+              val keep = st.days.length + 1 - days.length
+              val xs = (st.xs :+ r.x).drop(keep)
+              var (dowSum, dowN) = (st.dowSum, st.dowN)
+              val e = r.day - 3
+              // the window centered at e is complete iff its seven
+              // calendar days are exactly the buffer's last seven
+              if (days.length == 7 && days.head == r.day - 6) {
+                val trend = strunc(1000L * xs.sum, 7L)
+                val det = xs(3) * 1000L - trend
+                val dow = (e % 7).toInt
+                dowSum = dowSum.updated(dow, dowSum(dow) + det)
+                dowN = dowN.updated(dow, dowN(dow) + 1L)
+                val sea = strunc(dowSum(dow), dowN(dow))
+                out += DecompPoint(key, e, xs(3), trend, sea, det - sea)
+              }
+              st = DecompState(r.day, days, xs, dowSum, dowN)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming SKYLINE-store maintenance (D28 — the Pareto front's
+    * streaming half, extending the store symmetry D9↔C44 / D13↔C48 /
+    * D15↔C50 / cm to dominance queries; skyline_2d's prefix-max is
+    * the classic streaming fold, and the store form keeps it
+    * QUERYABLE without the streaming query's participation): each
+    * micro-batch appends one per-x partial `(x, max_y, n at max)` —
+    * a pure function of batch content
+    * ([[graft.operators.Relational.extendSkylineStore]]), so an
+    * at-least-once replay writes row-identical partials that
+    * `readSkylineStore`'s `(x, batch_id)` dedup collapses; the read
+    * merges partials (max wins, counts sum only at the max) and runs
+    * the shared prefix-max fold — rows EXACTLY equal to batch
+    * `skyline2d` over every point ever streamed, at ≤|X| store rows
+    * per batch (never point-sized). `compactEvery` folds committed
+    * batches with the shared swap + recover protocol.
+    */
+  def streamSkylineMaintain(points: Dataset[Point2D], storeDir: String,
+                            checkpointDir: String,
+                            compactEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    points.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Point2D], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Relational.extendSkylineStore(
+            batch.toDF, storeDir, "x", "y", batchId)
+          compactEvery.foreach { n =>
+            if (n > 0 && (batchId + 1) % n == 0)
+              graft.operators.Relational.compactSkylineStore(
+                batch.sparkSession, storeDir, batchId)
+          }
+        }
+        ()
+      }
+      .start()
+
+  case class Point2D(x: Long, y: Long)
 }

@@ -591,4 +591,109 @@ class StreamAggSpec extends AnyFunSuite {
       assert(fromCells == twin)
     } finally q.stop()
   }
+
+  // --- D26: streaming cross-correlation ------------------------------------
+
+  test("streamCrossCorr (D26): final emission equals the batch operator " +
+       "over a gapped series split across batches; replays emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.DailyXY]
+    val q = input.toDS()
+      .transform(ds => Streams.streamCrossCorr(ds, maxLag = 3))
+      .writeStream.format("memory").queryName("xcorr_sink")
+      .outputMode("update").start()
+    // days 1..9 with day 5 MISSING — gapped pairs must not form
+    def p(d: Long) = Streams.DailyXY("A", d, d * 2L + (d % 3L), 30L - d)
+    val series = (1L to 9L).filter(_ != 5L).map(p)
+    val b2 = series.drop(4) ++ Seq(Streams.DailyXY("A", 2L, 999L, 999L))
+    try {
+      input.addData(series.take(4): _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val before = spark.table("xcorr_sink").count()
+      input.addData(b2: _*); q.processAllAvailable() // full replay
+      assert(spark.table("xcorr_sink").count() == before)
+    } finally q.stop()
+    val got = spark.table("xcorr_sink").filter($"upto_day" === 9L)
+      .select("lag", "n_pairs", "r_sign", "r2_permyriad")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq.sorted
+    val daily = series.map(m => (m.day, m.x, m.y)).toDF("day", "x", "y")
+    val want = graft.operators.Behavior.crossCorr(daily, "day", "x", "y", 3)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq.sorted
+    assert(got == want && got.nonEmpty)
+  }
+
+  // --- D27: streaming seasonal decomposition -------------------------------
+
+  test("streamSeasonalDecompose (D27): emissions equal the batch operator " +
+       "on a dow-constant detrended series across a gap; replays emit " +
+       "nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.DailyMetric]
+    val q = input.toDS()
+      .transform(ds => Streams.streamSeasonalDecompose(ds))
+      .writeStream.format("memory").queryName("sdec_sink")
+      .outputMode("append").start()
+    // x = 3·day + q(day mod 7), Σq = 49 (7 | P ⇒ trend exact, det
+    // dow-constant ⇒ running seasonal means equal batch means)
+    val qs = Seq(0L, 7L, 14L, 0L, 7L, 14L, 7L)
+    def x(d: Long) = 3L * d + qs((d % 7L).toInt)
+    // day 11 missing: windows centered 8..14 must drop on BOTH sides
+    val days = ((1L to 20L).filter(_ != 11L)).map(d =>
+      Streams.DailyMetric("A", d, x(d)))
+    try {
+      input.addData(days.take(9): _*); q.processAllAvailable()
+      input.addData(days.drop(9): _*); q.processAllAvailable()
+      val before = spark.table("sdec_sink").count()
+      input.addData(days.drop(9): _*); q.processAllAvailable() // replay
+      assert(spark.table("sdec_sink").count() == before)
+    } finally q.stop()
+    val got = spark.table("sdec_sink")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val daily = days.map(m => ("A", m.day, m.x)).toDF("key", "day", "x")
+    val want = graft.operators.Behavior
+      .seasonalDecompose(daily, Seq("key"), "day", "x")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == want && got.nonEmpty)
+    // the gap really bit: centers 8..14 absent, both engines agree
+    assert(got.map(_._2).toSet.intersect((8L to 14L).toSet).isEmpty)
+  }
+
+  // --- D28: streaming skyline-store maintenance ----------------------------
+
+  test("streamSkylineMaintain (D28): store-derived front equals batch " +
+       "skyline2d over all streamed points; replay partials collapse; " +
+       "compaction folds committed batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmpDir("graft_skystore")
+    val ckpt = tmpDir("graft_skyckpt")
+    val input = MemoryStream[Streams.Point2D]
+    val q = Streams.streamSkylineMaintain(input.toDS(), store, ckpt)
+    val pts1 = Seq((1L, 5L), (1L, 3L), (2L, 10L), (3L, 7L))
+    val pts2 = Seq((2L, 10L), (3L, 12L), (4L, 12L), (1L, 5L))
+    try {
+      input.addData(pts1.map(p => Streams.Point2D(p._1, p._2)): _*)
+      q.processAllAvailable()
+      input.addData(pts2.map(p => Streams.Point2D(p._1, p._2)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def front() = Relational.readSkylineStore(spark, store)
+      .orderBy("x").as[(Long, Long, Long)].collect().toSeq
+    val want = Relational.skyline2d(
+        (pts1 ++ pts2).toDF("px", "py"), "px", "py")
+      .orderBy("x").as[(Long, Long, Long)].collect().toSeq
+    assert(front() == want)
+    // (2,10) streamed in both batches -> n_points sums across partials
+    assert(want.contains((2L, 10L, 2L)))
+    // at-least-once: a replayed partial is collapsed by (x, batch_id)
+    Relational.extendSkylineStore(pts2.toDF("px", "py"), store,
+      "px", "py", batchId = 1L)
+    assert(front() == want)
+    // compaction folds batches < 2 into one row per x; front unchanged
+    Relational.compactSkylineStore(spark, store, beforeBatch = 2L)
+    assert(front() == want)
+    val rows = spark.read.parquet(s"$store/skyline")
+    assert(rows.count() == 4L) // one folded row per distinct x
+    assert(rows.select("batch_id").distinct().as[Long].collect().toSet
+      == Set(-1L))
+  }
 }

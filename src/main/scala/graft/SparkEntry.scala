@@ -3698,6 +3698,75 @@ object SparkEntry {
       Behavior.crossCorr(d, "day", "x", "y", maxLag = 7)
     }),
 
+    // C136: Mann-Kendall monotone trend + Sen slope over daily
+    // purchase counts — pair-exact S from the calendar self-join,
+    // tie-corrected var18, integer 5% significance (no normal
+    // inverse), lower-median quantized slope from the distribution
+    // fold
+    "mann_kendall" -> ((s, dir) => {
+      val d = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      Behavior.mannKendall(d, "day", "x")
+    }),
+
+    // C137: Benjamini-Hochberg FDR over a deterministic per-user test
+    // battery with a planted 1-in-20 low-p signal block (p <= 1248
+    // micro) against a >= 10000-micro null floor — BH rejects exactly
+    // the signal block at alpha = 50‰, computed for real from the
+    // p-distribution fold
+    "bh_fdr" -> ((s, dir) => {
+      val t = Tables(s, dir).events.select(col("user_id")).distinct()
+        .select(col("user_id").as("tid"),
+          expr("""CASE WHEN user_id % 20 = 0 THEN (user_id % 97) * 13
+                  ELSE 10000 + (user_id * 37) % 990000 END""").as("p"))
+      Behavior.bhFdr(t, "tid", "p")
+    }),
+
+    // E105: Fleiss' kappa over three REAL quality heuristics as
+    // raters (length floor, mojibake absence, stopword presence)
+    // voting ok/bad per document — the multi-rater agreement gate
+    // composed from verified gate signals
+    "fleiss_kappa" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.selectExpr("doc_id",
+        """stack(3,
+           'len',  CASE WHEN n_chars >= 200 THEN 'ok' ELSE 'bad' END,
+           'garb', CASE WHEN contains(text, '�') THEN 'bad'
+                   ELSE 'ok' END,
+           'stop', CASE WHEN contains(lower(text), ' the ') THEN 'ok'
+                   ELSE 'bad' END) AS (rater, label)""")
+      Behavior.fleissKappa(d, "doc_id", "rater", "label", 3)
+    }),
+
+    // E106: χ² token keyness per source vs the rest — top-10 enriched
+    // tokens (threshold ties included) with corpus tf >= 5, the
+    // integer-exact corpus-diff view
+    "token_keyness" -> ((s, dir) =>
+      TextAnalysis.tokenKeyness(Tables(s, dir).documents, "text",
+        "source", topK = 10, minCount = 5L)),
+
+    // E107: video frame drift over a planted GVID corpus — container
+    // split + per-frame PNG decode + dHash all REAL; frame f's
+    // planted pattern flips the low f bits of the video's base
+    // pattern, so drift-to-first ≡ frame_ix structurally; 1-in-97
+    // containers truncate after the header → decode-error rows
+    // (excluded here, spec-asserted in R9OpsSpec)
+    "video_frame_drift" -> ((s, dir) => {
+      val gen = udf((src: Long, corrupt: Boolean) => {
+        val p0 = Multimodal.scramble64(src)
+        val nf = (3L + src % 4L).toInt
+        val full = Multimodal.syntheticGvid(
+          (0 until nf).map(f => p0 ^ ((1L << f) - 1L)), 128)
+        if (corrupt) full.take(10) else full
+      })
+      val assets = Tables(s, dir).embeddings.select(
+        col("vec_id").as("asset_id"),
+        gen(col("vec_id"), expr("vec_id % 97 = 0")).as("payload"))
+      val (frames, _) = Multimodal.videoFrameHashes(assets, stride = 2)
+      Multimodal.videoFrameDrift(frames)
+    }),
+
     // C133: Holt-Winters additive weekly seasonality over per-type
     // daily event counts — integer-milli recurrence, sign-trunc'd
     // floors, recursive-CTE oracle with the 7 slots as columns
@@ -9577,6 +9646,150 @@ FROM decided""",
                           ELSE (100 * sxy) // syy END) AS BIGINT)
                 END AS r2_permyriad
          FROM f""",
+
+    // C136: same daily frame, S from the pair join, ties from the
+    // value distribution, Sen slope as an INDEPENDENT mechanism —
+    // cumulative window over the slope distribution instead of the
+    // HOF fold
+    "mann_kendall" ->
+      """WITH d AS (
+           SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         p AS (SELECT a.day AS da, a.x AS xa, b.day AS db, b.x AS xb
+               FROM d a JOIN d b ON a.day < b.day),
+         st AS (SELECT CAST(coalesce(sum(CASE WHEN xb > xa THEN 1
+                    WHEN xb < xa THEN -1 ELSE 0 END), 0) AS HUGEINT)
+                  AS s_stat FROM p),
+         ti AS (SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1)
+                    * (2 * t + 5)), 0) AS HUGEINT) AS tt,
+                  CAST(sum(t) AS HUGEINT) AS n
+               FROM (SELECT count(*) AS t FROM d GROUP BY x)),
+         sl AS (SELECT CASE WHEN xb - xa < 0
+                  THEN -((-(1000 * (xb - xa))) // (db - da))
+                  ELSE (1000 * (xb - xa)) // (db - da) END AS sl
+                FROM p),
+         med AS (SELECT min(sl) AS sen_slope_milli FROM (
+                   SELECT sl, sum(c) OVER (ORDER BY sl) AS cum,
+                          sum(c) OVER () AS np
+                   FROM (SELECT sl, count(*) AS c FROM sl GROUP BY 1))
+                 WHERE 2 * cum >= np)
+         SELECT CAST(n AS BIGINT) AS n_days, CAST(s_stat AS BIGINT) AS s,
+                CAST(n * (n - 1) * (2 * n + 5) - tt AS BIGINT) AS var18,
+                CAST(CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1
+                     ELSE 0 END AS BIGINT) AS trend_sign,
+                CASE WHEN s_stat = 0 THEN false ELSE
+                  180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+                    > 38416 * (n * (n - 1) * (2 * n + 5) - tt)
+                END AS significant,
+                sen_slope_milli
+         FROM st, ti, med""",
+
+    // C137: ranks from the cumulative window over the p distribution
+    // (independent of the operator's HOF fold), same integer
+    // candidate rule, max candidate p as the cutoff
+    "bh_fdr" ->
+      """WITH t AS (SELECT user_id AS test_id,
+             CAST(CASE WHEN user_id % 20 = 0 THEN (user_id % 97) * 13
+                  ELSE 10000 + (user_id * 37) % 990000 END AS BIGINT)
+               AS p_micro
+           FROM (SELECT DISTINCT user_id FROM events)),
+         r AS (SELECT p_micro AS p, count(*) AS c FROM t GROUP BY 1),
+         k AS (SELECT p, sum(c) OVER (ORDER BY p) AS cum,
+                 (SELECT count(*) FROM t) AS m FROM r),
+         cut AS (SELECT max(p) AS cut FROM k
+                 WHERE CAST(1000 AS HUGEINT) * m * p
+                   <= CAST(50 AS HUGEINT) * cum * 1000000)
+         SELECT test_id, p_micro,
+                coalesce(p_micro <= cut, false) AS rejected
+         FROM t, cut""",
+
+    // E105: the three heuristic raters as a UNION, then the exact
+    // A/E closed form in HUGEINT
+    "fleiss_kappa" ->
+      """WITH r AS (
+           SELECT doc_id, 'len' AS rater,
+                  CASE WHEN n_chars >= 200 THEN 'ok' ELSE 'bad' END
+                    AS label FROM documents
+           UNION ALL
+           SELECT doc_id, 'garb',
+                  CASE WHEN contains(text, '�') THEN 'bad' ELSE 'ok' END
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 'stop',
+                  CASE WHEN contains(lower(text), ' the ') THEN 'ok'
+                  ELSE 'bad' END
+           FROM documents),
+         cells AS (SELECT doc_id, label, CAST(count(*) AS HUGEINT)
+                     AS nij FROM r GROUP BY 1, 2),
+         items AS (SELECT doc_id, sum(nij) AS ni, sum(nij * nij) AS sq
+                   FROM cells GROUP BY 1 HAVING sum(nij) = 3),
+         a AS (SELECT CAST(count(*) AS HUGEINT) AS N,
+                 CAST(coalesce(sum(sq - 3), 0) AS HUGEINT) AS A
+               FROM items),
+         e AS (SELECT CAST(coalesce(sum(lj * lj), 0) AS HUGEINT) AS E,
+                 CAST(count(*) AS BIGINT) AS n_labels
+               FROM (SELECT c.label, sum(c.nij) AS lj FROM cells c
+                     JOIN items i USING (doc_id) GROUP BY 1))
+         SELECT CAST(N AS BIGINT) AS n_items,
+                CAST(3 AS BIGINT) AS n_raters, n_labels,
+                CASE WHEN N > 0
+                  THEN CAST((10000 * A) // (N * 6) AS BIGINT)
+                END AS p_bar_permyriad,
+                CASE WHEN N > 0
+                  THEN CAST((10000 * E) // (N * N * 9) AS BIGINT)
+                END AS pe_permyriad,
+                CASE WHEN N > 0 AND N * N * 9 - E <> 0 THEN
+                  CAST(CASE WHEN 10000 * (A * N * 3 - E * 2) < 0
+                    THEN -((-(10000 * (A * N * 3 - E * 2)))
+                           // (2 * (N * N * 9 - E)))
+                    ELSE (10000 * (A * N * 3 - E * 2))
+                         // (2 * (N * N * 9 - E)) END AS BIGINT)
+                END AS kappa_permyriad
+         FROM a, e""",
+
+    // E106: same tokenization + 2×2 χ² algebra; the per-group top-k
+    // via rank() (ties included) — an independent mechanism vs the
+    // operator's bounded-heap threshold
+    "token_keyness" ->
+      """WITH tok AS (SELECT source AS grp,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9'']+'))
+               AS token FROM documents),
+         gt AS (SELECT grp, token, CAST(count(*) AS HUGEINT) AS a
+                FROM tok GROUP BY 1, 2),
+         tt AS (SELECT token, sum(a) AS tt FROM gt GROUP BY 1
+                HAVING sum(a) >= 5),
+         g AS (SELECT grp, sum(a) AS gtot FROM gt GROUP BY 1),
+         n AS (SELECT sum(a) AS N FROM gt),
+         sc AS (SELECT gt.grp, gt.token, gt.a, tt.tt - gt.a AS b,
+                  g.gtot - gt.a AS c,
+                  n.N - tt.tt - (g.gtot - gt.a) AS d,
+                  n.N AS N, tt.tt AS tt, g.gtot AS gtot
+                FROM gt JOIN tt USING (token) JOIN g USING (grp)
+                CROSS JOIN n
+                WHERE gt.a * n.N > tt.tt * g.gtot),
+         chi AS (SELECT grp, token, a, b,
+                   CAST((1000000 * N * (a * d - b * c) * (a * d - b * c))
+                     // (tt * (N - tt) * gtot * (N - gtot)) AS BIGINT)
+                     AS chi2_micro
+                 FROM sc)
+         SELECT grp, token, CAST(a AS BIGINT) AS n_in_group,
+                CAST(b AS BIGINT) AS n_elsewhere, chi2_micro
+         FROM chi
+         QUALIFY rank() OVER (PARTITION BY grp
+                              ORDER BY chi2_micro DESC) <= 10""",
+
+    // E107: the planted construction makes the sampled-frame set and
+    // its drift STRUCTURAL — frame f flips the low f bits, so
+    // ham_to_first = frame_ix; corrupt (vec_id % 97 = 0) containers
+    // surface as error rows, not frames
+    "video_frame_drift" ->
+      """SELECT e.vec_id AS asset_id, u.fx AS frame_ix,
+                CAST(3 + e.vec_id % 4 AS BIGINT) AS n_frames,
+                u.fx AS ham_to_first
+         FROM embeddings e,
+              UNNEST(range(0, 3 + e.vec_id % 4, 2)) AS u(fx)
+         WHERE e.vec_id % 97 <> 0""",
 
     // the identical integer-milli HW recurrence as a recursive CTE —
     // the seven seasonal slots ride as columns s0..s6

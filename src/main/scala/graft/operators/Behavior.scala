@@ -2705,6 +2705,178 @@ object Behavior {
         (max("__tpr") - min("__tpr")).as("tpr_gap_permille"),
         (max("__fpr") - min("__fpr")).as("fpr_gap_permille"))
 
+  /** Mann-Kendall monotone trend test + Theil-Sen slope (C136 — the
+    * TREND question under every ops/metric series, asked robustly:
+    * "is this KPI drifting, and how fast?" — regression slopes are
+    * dragged by outliers and assume linearity; the MK S statistic
+    * counts concordant-minus-discordant day pairs and the Sen slope
+    * is the MEDIAN pairwise slope, the standard pre-alert pair on
+    * monitoring series). Exact integers end-to-end: the corpus
+    * collapses to the calendar daily frame first, `S = Σ_{i<j}
+    * sign(x_j − x_i)` from the day-pair self-join (calendar², the
+    * [[crossCorr]] bound — never event-pairs), tie-corrected
+    * `var18 = n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5)` (= 18·Var(S))
+    * from the value distribution, significance at 5% two-sided with
+    * the continuity correction and NO normal inverse on the integer
+    * grid: `180000·(|S|−1)² > 38416·var18` (z² > 1.96² with both
+    * sides ×18·10⁴ — engines compare identical integers; S = 0 is
+    * never significant). `sen_slope_milli` = LOWER MEDIAN (type-1,
+    * stated) of per-pair `strunc(1000·(x_j−x_i), d_j−d_i)` quantized
+    * slopes, via the distribution fold — the pairs never sort.
+    *
+    * Scale shape: one daily pre-agg, one calendar self-join, one
+    * slope-distribution agg + fold, two scalar aggs. Event volume
+    * touches only the first aggregation.
+    */
+  def mannKendall(daily: DataFrame, dayCol: String,
+                  valueCol: String): DataFrame = {
+    val d = daily.select(col(dayCol).cast("long").as("__d"),
+      col(valueCol).cast("long").as("__x"))
+    val a = d.select(col("__d").as("__da"), col("__x").as("__xa"))
+    val b = d.select(col("__d").as("__db"), col("__x").as("__xb"))
+    val pairs = a.join(b, col("__da") < col("__db"))
+    val sRow = pairs.agg(
+      coalesce(sum(expr(
+        """CASE WHEN __xb > __xa THEN 1
+                WHEN __xb < __xa THEN -1 ELSE 0 END""")), lit(0L))
+        .cast("decimal(38,0)").as("__s"),
+      count(lit(1)).as("__np"))
+    val nTies = d.groupBy("__x").agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(expr(
+        """CAST(__t AS DECIMAL(38,0)) * (__t - 1) * (2 * __t + 5)""")),
+        lit(0).cast("decimal(38,0)")).as("__tt"),
+        sum("__t").cast("decimal(38,0)").as("__n"))
+    // lower-median Sen slope from the quantized-slope distribution
+    val slopes = pairs
+      .select(expr("""CASE WHEN __xb - __xa < 0
+          THEN -((-(1000 * (__xb - __xa))) div (__db - __da))
+          ELSE (1000 * (__xb - __xa)) div (__db - __da) END""").as("__sl"))
+      .groupBy("__sl").agg(count(lit(1)).as("__c"))
+      .agg(array_sort(collect_list(struct(col("__sl"), col("__c"))))
+        .as("__a"))
+      .select(expr("""aggregate(__a,
+        struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS med,
+               CAST(aggregate(__a, CAST(0 AS BIGINT),
+                 (s, e) -> s + e.__c) AS BIGINT) AS np),
+        (acc, el) -> struct(acc.cum + el.__c AS cum,
+          CASE WHEN acc.med IS NULL AND 2 * (acc.cum + el.__c) >= acc.np
+            THEN el.__sl ELSE acc.med END AS med,
+          acc.np AS np)).med""").as("sen_slope_milli"))
+    sRow.crossJoin(broadcast(nTies)).crossJoin(broadcast(slopes))
+      .select(
+        col("__n").cast("long").as("n_days"),
+        col("__s").cast("long").as("s"),
+        expr("""CAST(__n * (__n - 1) * (2 * __n + 5) - __tt AS BIGINT)""")
+          .as("var18"),
+        expr("CAST(sign(__s) AS BIGINT)").as("trend_sign"),
+        expr("""CASE WHEN __s = 0 THEN false ELSE
+          180000 * (abs(__s) - 1) * (abs(__s) - 1)
+            > 38416 * (__n * (__n - 1) * (2 * __n + 5) - __tt)
+          END""").as("significant"),
+        col("sen_slope_milli"))
+  }
+
+  /** Benjamini-Hochberg FDR correction (C137 — the
+    * multiple-comparisons gate the experiment family needs the moment
+    * anyone runs a BATTERY of tests: at α = 5%, 100 true-null metrics
+    * produce ~5 "significant" results; BH caps the expected FALSE
+    * DISCOVERY rate instead of the per-test error). Over a frame of
+    * (test_id, p_micro): reject every test with `p ≤ p_(k*)` where
+    * k* is the LARGEST rank k with `p_(k) ≤ α·k/m` — computed
+    * exactly on integers: ranks come from the p-value distribution's
+    * cumulative fold (the clip_outliers device — the test table
+    * never sorts; for tied p the largest rank among ties is the
+    * binding one, which the cum count IS), the candidate test is
+    * `1000·m·p_micro ≤ alphaPermille·cum·10⁶` in DECIMAL(38,0), the
+    * cutoff is the max candidate p, broadcast back. No test passes ⇒
+    * nothing rejected (cutoff null, stated).
+    *
+    * Scale shape: one p-distribution agg + fold, one 1-row broadcast
+    * join back — Θ(distinct p) beyond the first agg.
+    */
+  def bhFdr(tests: DataFrame, idCol: String, pCol: String,
+            alphaPermille: Long = 50L): DataFrame = {
+    require(alphaPermille >= 1 && alphaPermille <= 1000,
+      s"alphaPermille in [1,1000], got $alphaPermille")
+    val t = tests.select(col(idCol).as("test_id"),
+      col(pCol).cast("long").as("p_micro"))
+    val dist = t.groupBy("p_micro").agg(count(lit(1)).as("__c"))
+      .agg(array_sort(collect_list(struct(col("p_micro"), col("__c"))))
+        .as("__a"))
+      .select(expr(s"""aggregate(__a,
+        struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS cut,
+               CAST(aggregate(__a, CAST(0 AS BIGINT),
+                 (s, e) -> s + e.__c) AS BIGINT) AS m),
+        (acc, el) -> struct(acc.cum + el.__c AS cum,
+          CASE WHEN CAST(1000 AS DECIMAL(38,0)) * acc.m * el.p_micro
+                 <= CAST($alphaPermille AS DECIMAL(38,0))
+                    * (acc.cum + el.__c) * 1000000
+            THEN el.p_micro ELSE acc.cut END AS cut,
+          acc.m AS m)).cut""").as("__cut"))
+    t.crossJoin(broadcast(dist))
+      .select(col("test_id"), col("p_micro"),
+        coalesce(col("p_micro") <= col("__cut"), lit(false))
+          .as("rejected"))
+  }
+
+  /** Fleiss' kappa (E105 — [[cohensKappa]] grown past two raters:
+    * RLHF/eval annotation runs with 3+ raters per item need the
+    * multi-rater chance-corrected agreement number before any label
+    * ships; Fleiss' generalization is the standard). Contract: one
+    * row per (item, rater), every kept item rated by EXACTLY
+    * `nRaters` raters (items with any other count DROP, stated — the
+    * statistic is undefined for ragged panels). Exact integers:
+    * `A = Σ_i (Σ_j n_ij² − n)` (so P̄ = A/(N·n·(n−1))),
+    * `E = Σ_j (Σ_i n_ij)²` (so P̄e = E/(N²n²)), and the closed form
+    * `kappa_permyriad = strunc(10⁴·(A·N·n − E·(n−1)),
+    * (n−1)·(N²n² − E))` in DECIMAL(38,0); the all-one-label
+    * degenerate (N²n² = E) reads null.
+    *
+    * Scale shape: one (item, label) cell agg, one item agg (the kept
+    * filter + A), one label agg (E) — everything map-side combined,
+    * scalars broadcast. The corpus never sorts.
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String, raterCol: String,
+                  labelCol: String, nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"nRaters must be >= 2, got $nRaters")
+    val cells = ratings
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__nij"))
+    val itemTot = cells.groupBy("__i")
+      .agg(sum("__nij").as("__ni"),
+        sum(expr("CAST(__nij AS DECIMAL(38,0)) * __nij")).as("__sq"))
+      .filter(col("__ni") === nRaters)
+    val aRow = itemTot.agg(
+      count(lit(1)).cast("decimal(38,0)").as("__N"),
+      coalesce(sum(expr(s"__sq - $nRaters")),
+        lit(0).cast("decimal(38,0)")).as("__A"))
+    val eRow = cells.join(itemTot.select("__i"), "__i")
+      .groupBy("__l").agg(sum("__nij").as("__lj"))
+      .agg(coalesce(sum(expr(
+        "CAST(__lj AS DECIMAL(38,0)) * __lj")),
+        lit(0).cast("decimal(38,0)")).as("__E"),
+        count(lit(1)).as("n_labels"))
+    val n = nRaters.toLong
+    aRow.crossJoin(broadcast(eRow))
+      .select(
+        col("__N").cast("long").as("n_items"),
+        lit(n).as("n_raters"), col("n_labels"),
+        expr(s"""CASE WHEN __N > 0
+          THEN CAST((10000 * __A) div (__N * $n * ${n - 1}) AS BIGINT)
+          END""").as("p_bar_permyriad"),
+        expr(s"""CASE WHEN __N > 0
+          THEN CAST((10000 * __E) div (__N * __N * $n * $n) AS BIGINT)
+          END""").as("pe_permyriad"),
+        expr(s"""CASE WHEN __N > 0
+                  AND __N * __N * $n * $n - __E <> 0 THEN
+          CAST(CASE WHEN 10000 * (__A * __N * $n - __E * ${n - 1}) < 0
+            THEN -((-(10000 * (__A * __N * $n - __E * ${n - 1})))
+                   div (${n - 1} * (__N * __N * $n * $n - __E)))
+            ELSE (10000 * (__A * __N * $n - __E * ${n - 1}))
+                 div (${n - 1} * (__N * __N * $n * $n - __E))
+            END AS BIGINT) END""").as("kappa_permyriad"))
+  }
+
   /** Executable bounded-grid contract shared by the cell-join
     * operators ([[kendallTau]], [[Relational.skyline2d]]): the grid
     * bound becomes a 1-row `raise_error` guard crossed onto the cell

@@ -625,4 +625,123 @@ object Multimodal {
       .select(col("asset_id"), col("decode_error"))
     (hammingBandPairs(ok, maxHamming), errors)
   }
+
+  // ---- video: the GVID frame container (E107) ----------------------------
+
+  /** Minimal length-prefixed frame container for the VIDEO modality
+    * (the third rung of the real-decode ladder after PNG/ImageIO and
+    * WAV/javax.sound — the JDK ships no video codec, so the container
+    * is ours, but every FRAME inside is a real PNG through the real
+    * decoder; a production deployment swaps [[gvidFrames]] for an
+    * ffmpeg-backed splitter and NOTHING downstream changes): magic
+    * "GVID", u16 big-endian frame count, then per frame u32 length +
+    * PNG bytes.
+    */
+  def isGvidPayload(p: Array[Byte]): Boolean =
+    p.length >= 6 && p(0) == 'G' && p(1) == 'V' && p(2) == 'I' &&
+      p(3) == 'D'
+
+  /** Planted video: one [[syntheticDHashImage]] PNG frame per pattern
+    * — each frame's dHash IS its pattern bit-for-bit, so a frame-level
+    * assertion needs no decode-side oracle.
+    */
+  def syntheticGvid(patterns: Seq[Long], lumaBase: Int): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(baos)
+    out.write(Array[Byte]('G', 'V', 'I', 'D'))
+    out.writeShort(patterns.length)
+    patterns.foreach { p =>
+      val png = syntheticDHashImage(p, lumaBase)
+      out.writeInt(png.length)
+      out.write(png)
+    }
+    out.flush()
+    baos.toByteArray
+  }
+
+  /** Split a GVID container into frame payloads; throws on a corrupt
+    * container (bad magic, truncated frame) — callers route that to
+    * error rows (the [[featurize]] contract).
+    */
+  def gvidFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    if (!isGvidPayload(payload))
+      throw new IllegalArgumentException("not a GVID container")
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(payload, 4, payload.length - 4))
+    val n = in.readUnsignedShort()
+    (0 until n).map { _ =>
+      val len = in.readInt()
+      if (len < 0 || len > payload.length)
+        throw new IllegalArgumentException(s"corrupt frame length $len")
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      buf
+    }
+  }
+
+  private val VFrameSchema = StructType(Seq(
+    StructField("asset_id", LongType), StructField("frame_ix", LongType),
+    StructField("n_frames", LongType), StructField("dhash", LongType),
+    StructField("decode_error", StringType)))
+
+  /** Strided video frame hashing (E107 — the REAL upgrade of the
+    * [[featurizeSampledFrames]] stub's seek-by-slice: container split
+    * + per-frame PNG decode + [[imageDHash]], all real; the per-video
+    * fan-out is bounded by the stride and frames never leave the
+    * partition that decoded them): every `stride`-th frame of each
+    * container becomes `(asset_id, frame_ix, n_frames, dhash)`;
+    * corrupt containers or undecodable frames become error ROWS (one
+    * per asset, first failure wins — a corrupt tail never kills the
+    * task). Returns (frames, errors).
+    *
+    * Scale shape: one mapPartitions over the asset corpus —
+    * decode-CPU-bound and embarrassingly parallel (the audio/image
+    * probe result); downstream joins see frame-sized rows (≤
+    * n_frames/stride per asset), never payload bytes.
+    */
+  def videoFrameHashes(assets: DataFrame, stride: Int):
+      (DataFrame, DataFrame) = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(VFrameSchema)
+    val rows = assets.select("asset_id", "payload").mapPartitions {
+      it =>
+        it.flatMap { r =>
+          val id = r.getAs[Long]("asset_id")
+          try {
+            val frames = gvidFrames(r.getAs[Array[Byte]]("payload"))
+            val nf = frames.length.toLong
+            (0 until frames.length by stride).map { f =>
+              Row(id, f.toLong, nf, imageDHash(frames(f)), null)
+            }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              Seq(Row(id, null, null, null, String.valueOf(e.getMessage)))
+          }
+        }
+    }(enc)
+    val ok = rows.filter(col("dhash").isNotNull)
+      .select(col("asset_id"), col("frame_ix"), col("n_frames"),
+        col("dhash"))
+    val errors = rows.filter(col("dhash").isNull)
+      .select(col("asset_id"), col("decode_error"))
+    (ok, errors)
+  }
+
+  /** Per-video temporal drift report over the sampled frames: each
+    * sampled frame's hamming distance to the video's FIRST sampled
+    * frame — the cut/scene-change signal a frame-dedup pass gates on
+    * (a video whose frames all hash alike is a still; a spike is a
+    * cut). Relational tail on the frame-sized output of
+    * [[videoFrameHashes]]: one key-broadcast join + map-side
+    * popcount.
+    */
+  def videoFrameDrift(frames: DataFrame): DataFrame = {
+    val f0 = frames.filter(col("frame_ix") === 0L)
+      .select(col("asset_id"), col("dhash").as("__d0"))
+    frames.join(f0, "asset_id")
+      .select(col("asset_id"), col("frame_ix"), col("n_frames"),
+        expr("CAST(bit_count(dhash ^ __d0) AS BIGINT)")
+          .as("ham_to_first"))
+  }
 }

@@ -1918,4 +1918,70 @@ object TextAnalysis {
         col("sym_permille"), col("consonant_run_max"))
       .withColumn("garbled", col("repl_count") > 0 ||
         col("sym_permille") > 300 || col("consonant_run_max") >= 8)
+
+  /** χ² token keyness between sub-corpora (E106 — the corpus-DIFF
+    * view curation needs that [[jsDivergence]]'s one scalar cannot
+    * give: WHICH tokens make source A read differently from the rest
+    * — domain vocabulary drift, contamination signatures, register
+    * shifts — the corpus-linguistics "keyness" standard, scored with
+    * the integer-exact 2×2 χ² instead of log-likelihood so both
+    * engines compare identical integers). Per (group, token) with
+    * corpus token frequency ≥ `minCount`: the 2×2 table (a = token
+    * in group, b = token elsewhere, c/d = other-token masses),
+    * `chi2_micro = (10⁶·N·(ad−bc)²) div ((a+b)(c+d)(a+c)(b+d))` in
+    * DECIMAL(38,0), ENRICHED tokens only (a·N > (a+b)·(a+c) — a
+    * depleted token is the other groups' story, stated). Output =
+    * every enriched token whose chi2 reaches the group's k-th
+    * largest (TIES INCLUDED, the rank() ≤ k convention — stated).
+    * Tokens are `[a-z0-9']+` runs of the lowercased text (its own
+    * normalization, independent of the bm25 whitespace contract).
+    *
+    * Scale shape: one token pass, one (group, token) map-side
+    * combined agg; token totals by re-agg of THAT frame (never the
+    * corpus); the per-group k-th threshold from a bounded
+    * [[graft.functions.GroupedTopKAgg]] heap (payload = token hash,
+    * used only to keep heap pairs distinct — the threshold is the
+    * KEY) broadcast back. NO window, NO sort, nothing corpus-sized
+    * shuffles twice.
+    */
+  def tokenKeyness(docs: DataFrame, textCol: String, groupCol: String,
+                   topK: Int = 20, minCount: Long = 5L): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val gt = docs.select(col(groupCol).as("grp"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z0-9']+"), lit(0))).as("token"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("__a"))
+    val tokTot = gt.groupBy("token").agg(sum("__a").as("__tt"))
+      .filter(col("__tt") >= minCount)
+    val grpTot = gt.groupBy("grp").agg(sum("__a").as("__gt"))
+    val tot = gt.agg(sum("__a").cast("decimal(38,0)").as("__N"))
+    val scored = gt.join(tokTot, "token")
+      .join(broadcast(grpTot), "grp")
+      .crossJoin(broadcast(tot))
+      .withColumn("__b", col("__tt") - col("__a"))
+      .withColumn("__c", col("__gt") - col("__a"))
+      .withColumn("__d", expr("__N - __tt - __c"))
+      .filter(expr("CAST(__a AS DECIMAL(38,0)) * __N > " +
+        "CAST(__tt AS DECIMAL(38,0)) * __gt")) // enriched only
+      .withColumn("chi2_micro", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * __N
+             * (CAST(__a AS DECIMAL(38,0)) * __d
+                - CAST(__b AS DECIMAL(38,0)) * __c)
+             * (CAST(__a AS DECIMAL(38,0)) * __d
+                - CAST(__b AS DECIMAL(38,0)) * __c))
+           div (CAST(__tt AS DECIMAL(38,0)) * (__N - __tt)
+                * __gt * (__N - __gt)) AS BIGINT)"""))
+    // per-group k-th largest chi2 via a bounded heap; ties at the
+    // threshold all surface (the rank() <= k convention)
+    val kth = scored.groupBy("grp")
+      .agg(graft.functions.GroupedTopKAgg(-col("chi2_micro"),
+        xxhash64(col("token")), topK).as("__t"))
+      .select(col("grp"), (-element_at(col("__t.key"),
+        size(col("__t")))).as("__kth"))
+    scored.join(broadcast(kth), "grp")
+      .filter(col("chi2_micro") >= col("__kth"))
+      .select(col("grp"), col("token"),
+        col("__a").as("n_in_group"), col("__b").as("n_elsewhere"),
+        col("chi2_micro"))
+  }
 }

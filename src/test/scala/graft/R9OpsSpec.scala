@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Behavior, Multimodal, TextAnalysis}
+
+/** Hand-computed cases for the round-9 wave: Mann-Kendall + Sen
+  * slope, Benjamini-Hochberg FDR, Fleiss' kappa, χ² token keyness,
+  * and the GVID video frame path.
+  */
+class R9OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("mannKendall: hand-computed S, tie-corrected var18, Sen slope") {
+    // x = [3,1,4,4,5] on days 1..5: S = 7; ties {4,4} -> var18 =
+    // 300 - 18 = 282; 180000*36 < 38416*282 -> not significant;
+    // slopes sorted [-2000,0,333,500,500,500,1000,1333,1500,3000]
+    // -> lower median 500
+    val d = Seq((1L, 3L), (2L, 1L), (3L, 4L), (4L, 4L), (5L, 5L))
+      .toDF("day", "x")
+    val r = Behavior.mannKendall(d, "day", "x")
+      .as[(Long, Long, Long, Long, Boolean, Option[Long])].collect()(0)
+    assert(r == ((5L, 7L, 282L, 1L, false, Some(500L))))
+  }
+
+  test("mannKendall: strict ramp is significant with slope 1000") {
+    val d = (1L to 8L).map(i => (i, i)).toDF("day", "x")
+    val r = Behavior.mannKendall(d, "day", "x")
+      .as[(Long, Long, Long, Long, Boolean, Option[Long])].collect()(0)
+    // S = 28, var18 = 8*7*21 = 1176; 180000*729 > 38416*1176
+    assert(r == ((8L, 28L, 1176L, 1L, true, Some(1000L))))
+  }
+
+  test("mannKendall: single day reads S=0, null slope") {
+    val d = Seq((1L, 5L)).toDF("day", "x")
+    val r = Behavior.mannKendall(d, "day", "x")
+      .as[(Long, Long, Long, Long, Boolean, Option[Long])].collect()(0)
+    assert(r == ((1L, 0L, 0L, 0L, false, None)))
+  }
+
+  test("bhFdr: hand-computed cutoff at k*=2") {
+    // m=4, alpha=50‰: p(k) vs 0.05k/4 -> 0.01<=0.0125 ok,
+    // 0.02<=0.025 ok, 0.04>0.0375 no -> cutoff 0.02
+    val t = Seq((1L, 10000L), (2L, 20000L), (3L, 40000L), (4L, 500000L))
+      .toDF("id", "p")
+    val got = Behavior.bhFdr(t, "id", "p").orderBy("test_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 10000L, true), (2L, 20000L, true),
+      (3L, 40000L, false), (4L, 500000L, false)))
+  }
+
+  test("bhFdr: tied p-values bind at the largest rank among ties") {
+    val t = Seq((1L, 10000L), (2L, 10000L), (3L, 600000L)).toDF("id", "p")
+    val got = Behavior.bhFdr(t, "id", "p").orderBy("test_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // cum at p=10000 is 2: 3000*10000 <= 50*2*1e6 -> both reject
+    assert(got.map(_._3) == Seq(true, true, false))
+  }
+
+  test("bhFdr: nothing passes -> nothing rejected") {
+    val t = Seq((1L, 900000L)).toDF("id", "p")
+    assert(Behavior.bhFdr(t, "id", "p")
+      .as[(Long, Long, Boolean)].collect()(0)._3 == false)
+  }
+
+  test("fleissKappa: hand-computed two-rater panel, ragged item drops") {
+    // items: (A,A), (A,B), (B,B) -> A=4, E=18, kappa = 1/3;
+    // item 4 has ONE rating -> dropped by the exact-n contract
+    val r = Seq((1L, "r1", "A"), (1L, "r2", "A"),
+      (2L, "r1", "A"), (2L, "r2", "B"),
+      (3L, "r1", "B"), (3L, "r2", "B"),
+      (4L, "r1", "A"))
+      .toDF("item", "rater", "label")
+    val got = Behavior.fleissKappa(r, "item", "rater", "label", 2)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect()(0)
+    assert(got == ((3L, 2L, 2L, Some(6666L), Some(5000L), Some(3333L))))
+  }
+
+  test("fleissKappa: unanimous single label reads null kappa") {
+    val r = Seq((1L, "r1", "A"), (1L, "r2", "A"),
+      (2L, "r1", "A"), (2L, "r2", "A")).toDF("item", "rater", "label")
+    val got = Behavior.fleissKappa(r, "item", "rater", "label", 2)
+      .select("p_bar_permyriad", "kappa_permyriad")
+      .as[(Option[Long], Option[Long])].collect()(0)
+    assert(got == ((Some(10000L), None)))
+  }
+
+  test("tokenKeyness: enriched-only chi2 with hand-computed cells") {
+    // g1 'apple apple banana', g2 'banana cherry cherry':
+    // banana (a=1) is not enriched in either; apple/cherry chi2 =
+    // 1e6*6*36 div (2*4*3*3) = 3e6
+    val docs = Seq(("g1", "apple apple banana"),
+      ("g2", "banana cherry cherry")).toDF("src", "text")
+    val got = TextAnalysis.tokenKeyness(docs, "text", "src",
+      topK = 1, minCount = 1L)
+      .orderBy("grp").as[(String, String, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("g1", "apple", 2L, 0L, 3000000L),
+      ("g2", "cherry", 2L, 0L, 3000000L)))
+  }
+
+  test("tokenKeyness: threshold ties all surface (rank <= k convention)") {
+    // g1 'x y' -> x and y tie at the k=1 threshold -> both out
+    val docs = Seq(("g1", "x y"), ("g2", "z z")).toDF("src", "text")
+    val got = TextAnalysis.tokenKeyness(docs, "text", "src",
+      topK = 1, minCount = 1L)
+    assert(got.filter($"grp" === "g1").count() == 2L)
+    assert(got.filter($"grp" === "g2")
+      .select("token").as[String].collect().toSeq == Seq("z"))
+  }
+
+  test("videoFrameHashes: real container split + PNG decode, dhash is " +
+       "the planted pattern; corrupt containers become error rows") {
+    val p0 = Multimodal.scramble64(7L)
+    val pats = Seq(p0, p0 ^ 3L, p0 ^ 7L, p0 ^ 15L)
+    val good = (1L, Multimodal.syntheticGvid(pats, 128))
+    val bad = (2L, Array[Byte]('G', 'V', 'I', 'D', 0, 9, 0, 0))
+    val assets = Seq(good, bad).toDF("asset_id", "payload")
+    val (frames, errors) = Multimodal.videoFrameHashes(assets, stride = 2)
+    val got = frames.orderBy("frame_ix")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 4L, p0), (1L, 2L, 4L, p0 ^ 7L)))
+    assert(errors.as[(Long, String)].collect().toSeq.map(_._1) == Seq(2L))
+  }
+
+  test("videoFrameDrift: hamming to the first sampled frame") {
+    val p0 = Multimodal.scramble64(9L)
+    // frame f flips the low f bits -> drift = f at stride 1
+    val pats = (0 until 4).map(f => p0 ^ ((1L << f) - 1L))
+    val assets = Seq((5L, Multimodal.syntheticGvid(pats, 100)))
+      .toDF("asset_id", "payload")
+    val (frames, _) = Multimodal.videoFrameHashes(assets, stride = 1)
+    val got = Multimodal.videoFrameDrift(frames).orderBy("frame_ix")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == (0L to 3L).map(f => (5L, f, 4L, f)))
+  }
+}

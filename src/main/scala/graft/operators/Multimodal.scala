@@ -733,8 +733,8 @@ object Multimodal {
     * frame — the cut/scene-change signal a frame-dedup pass gates on
     * (a video whose frames all hash alike is a still; a spike is a
     * cut). Relational tail on the frame-sized output of
-    * [[videoFrameHashes]]: one key-broadcast join + map-side
-    * popcount.
+    * [[videoFrameHashes]]: one asset-keyed equi-join (frame-sized
+    * both sides — never payload bytes) + map-side popcount.
     */
   def videoFrameDrift(frames: DataFrame): DataFrame = {
     val f0 = frames.filter(col("frame_ix") === 0L)

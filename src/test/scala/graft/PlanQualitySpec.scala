@@ -480,4 +480,24 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$k\n$plan")
     }
   }
+
+  test("token_keyness: heap threshold not a window; the corpus-sized " +
+       "token frame aggregates map-side") {
+    val plan = formatted(SparkEntry.queries("token_keyness")(spark, sf))
+    assert(!plan.contains("WindowExec") && !plan.contains("Window"),
+      s"token_keyness reverted to a window top-k:\n$plan")
+    // GroupedTopKAgg partial+final = ObjectHashAggregate pair
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("mann_kendall / bh_fdr: no windows, no cartesians — folds and " +
+       "broadcast scalars only") {
+    Seq("mann_kendall", "bh_fdr").foreach { k =>
+      val plan = formatted(SparkEntry.queries(k)(spark, sf))
+      assert(!plan.contains("WindowExec") && !plan.contains("Window"),
+        s"$k plans a window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$k\n$plan")
+    }
+  }
 }

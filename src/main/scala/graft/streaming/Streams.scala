@@ -1237,6 +1237,61 @@ object Streams {
       }
   }
 
+  case class MkState(day: Long, s: Long, hist: Map[Long, Long])
+  case class MkPoint(key: String, upto_day: Long, n_days: Long, s: Long,
+                     var18: Long, trend_sign: Long, significant: Boolean)
+
+  /** Streaming Mann-Kendall trend monitor (D29 — C136
+    * `mann_kendall`'s streaming half for the S/variance/significance
+    * triple): when day d arrives (ascending, frontier-guarded), its
+    * pair contributions against ALL history are `(#prior < x_d) −
+    * (#prior > x_d)` — read from a VALUE HISTOGRAM, so state is
+    * bounded by the value domain forever (the [[streamKsDrift]]
+    * bounded-histogram contract; daily metrics are quantized by
+    * construction), never by history length. `var18` and the
+    * integer-grid 5% significance recompute per emission from the
+    * histogram in BigInt — the batch operator's exact rule. ONE
+    * STATED DIFFERENCE: the Sen slope needs day POSITIONS (unbounded
+    * state) and stays batch-only. Replays emit nothing.
+    */
+  def streamMannKendall(metrics: Dataset[DailyMetric])
+      : Dataset[MkPoint] = {
+    import metrics.sparkSession.implicits._
+    metrics.groupByKey(_.key)
+      .flatMapGroupsWithState[MkState, MkPoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DailyMetric],
+         state: GroupState[MkState]) =>
+          var st = state.getOption.getOrElse(
+            MkState(Long.MinValue, 0L, Map.empty))
+          var advanced = false
+          rows.toSeq.sortBy(_.day).foreach { m =>
+            if (st.day < m.day) {
+              advanced = true
+              val less = st.hist.iterator
+                .collect { case (v, c) if v < m.x => c }.sum
+              val greater = st.hist.iterator
+                .collect { case (v, c) if v > m.x => c }.sum
+              st = MkState(m.day, st.s + less - greater,
+                st.hist.updated(m.x, st.hist.getOrElse(m.x, 0L) + 1L))
+            }
+          }
+          if (!advanced) Iterator.empty
+          else {
+            state.update(st)
+            val n = BigInt(st.hist.valuesIterator.sum)
+            val tt = st.hist.valuesIterator.map(t =>
+              BigInt(t) * (t - 1) * (2 * t + 5)).sum
+            val var18 = n * (n - 1) * (2 * n + 5) - tt
+            val sAbs = BigInt(st.s).abs
+            val sig = st.s != 0L &&
+              BigInt(180000) * (sAbs - 1) * (sAbs - 1) > 38416 * var18
+            Iterator.single(MkPoint(key, st.day, n.toLong, st.s,
+              var18.toLong, st.s.sign.toLong, sig))
+          }
+      }
+  }
+
   case class DecompState(day: Long, days: Seq[Long], xs: Seq[Long],
                          dowSum: Seq[Long], dowN: Seq[Long])
   case class DecompPoint(key: String, day: Long, x: Long,

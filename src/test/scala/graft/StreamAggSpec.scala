@@ -622,6 +622,38 @@ class StreamAggSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  // --- D29: streaming Mann-Kendall -----------------------------------------
+
+  test("streamMannKendall (D29): final emission equals the batch " +
+       "S/var18/significance over batches; replays emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.DailyMetric]
+    val q = input.toDS()
+      .transform(ds => Streams.streamMannKendall(ds))
+      .writeStream.format("memory").queryName("mk_sink")
+      .outputMode("update").start()
+    // the R9OpsSpec hand case [3,1,4,4,5] split across two batches,
+    // plus a strictly-ramping key that goes significant
+    val a = Seq(3L, 1L, 4L, 4L, 5L).zipWithIndex.map { case (x, i) =>
+      Streams.DailyMetric("A", i + 1L, x) }
+    val b = (1L to 8L).map(d => Streams.DailyMetric("B", d, d))
+    try {
+      input.addData((a.take(3) ++ b.take(4)): _*); q.processAllAvailable()
+      input.addData((a.drop(3) ++ b.drop(4)): _*); q.processAllAvailable()
+      val before = spark.table("mk_sink").count()
+      input.addData(a.drop(3): _*); q.processAllAvailable() // replay
+      assert(spark.table("mk_sink").count() == before)
+    } finally q.stop()
+    val finals = spark.table("mk_sink")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    val gotA = finals.filter(r => r._1 == "A" && r._2 == 5L)
+    val gotB = finals.filter(r => r._1 == "B" && r._2 == 8L)
+    // batch twins: the R9OpsSpec hand values
+    assert(gotA == Seq(("A", 5L, 5L, 7L, 282L, 1L, false)))
+    assert(gotB == Seq(("B", 8L, 8L, 28L, 1176L, 1L, true)))
+  }
+
   // --- D27: streaming seasonal decomposition -------------------------------
 
   test("streamSeasonalDecompose (D27): emissions equal the batch operator " +

@@ -3767,6 +3767,36 @@ object SparkEntry {
       Multimodal.videoFrameDrift(frames)
     }),
 
+    // E108: video near-dup by frame-set containment — re-LIT copies
+    // (lumaBase 168 vs 128: dHash is gradient SIGNS, so every frame
+    // hash survives the brightness shift exactly) at id+1e6 for
+    // 1-in-10 base videos; the planted pair set is (v, v+1e6) with
+    // containment 1000 for v % 10 = 0 minus the corrupt 1-in-97;
+    // frame candidates ride the 4-band pigeonhole at maxHamming 1
+    // (adjacent planted frames differ by 1 bit — the oracle's frame
+    // grid stays structural because DISTINCT side-a frames are
+    // counted, not candidate rows)
+    "video_near_dup" -> ((s, dir) => {
+      val gen = udf((src: Long, corrupt: Boolean, luma: Int) => {
+        val p0 = Multimodal.scramble64(src)
+        val nf = (3L + src % 4L).toInt
+        val full = Multimodal.syntheticGvid(
+          (0 until nf).map(f => p0 ^ ((1L << f) - 1L)), luma)
+        if (corrupt) full.take(10) else full
+      })
+      val ids = Tables(s, dir).embeddings.select(col("vec_id"))
+      val base = ids.select(col("vec_id").as("asset_id"),
+        gen(col("vec_id"), expr("vec_id % 97 = 0"), lit(128))
+          .as("payload"))
+      val copies = ids.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("asset_id"),
+          gen(col("vec_id"), lit(false), lit(168)).as("payload"))
+      val (frames, _) = Multimodal.videoFrameHashes(
+        base.unionByName(copies), stride = 1)
+      Multimodal.videoNearDup(frames, maxHamming = 1,
+        minSharedPermille = 800L)
+    }),
+
     // C133: Holt-Winters additive weekly seasonality over per-type
     // daily event counts — integer-milli recurrence, sign-trunc'd
     // floors, recursive-CTE oracle with the 7 slots as columns
@@ -9790,6 +9820,19 @@ FROM decided""",
          FROM embeddings e,
               UNNEST(range(0, 3 + e.vec_id % 4, 2)) AS u(fx)
          WHERE e.vec_id % 97 <> 0""",
+
+    // E108: the planted re-lit copies make the pair set structural —
+    // every frame of base v matches frame f of copy v+1e6 exactly
+    // (dHash is luma-shift-invariant), so containment is 1000 for
+    // every surviving planted pair and nothing else pairs (independent
+    // patterns need a ~2⁻⁵⁸ 1-bit-ball collision)
+    "video_near_dup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+                CAST(3 + vec_id % 4 AS BIGINT) AS matched_frames,
+                CAST(3 + vec_id % 4 AS BIGINT) AS n_sampled_a,
+                CAST(1000 AS BIGINT) AS containment_permille
+         FROM embeddings
+         WHERE vec_id % 10 = 0 AND vec_id % 97 <> 0""",
 
     // the identical integer-milli HW recurrence as a recursive CTE —
     // the seven seasonal slots ride as columns s0..s6

@@ -728,6 +728,45 @@ object Multimodal {
     (ok, errors)
   }
 
+  /** Near-duplicate VIDEO pairs by frame-set containment (E108 — the
+    * video rung of the near-dup ladder, composed from
+    * [[videoFrameHashes]] exactly as text containment composes from
+    * shingles: a re-encoded / re-lit / trimmed copy shares most frame
+    * hashes with its source even when no single "video hash" would
+    * match): frame-level candidates ride the shared 4-band pigeonhole
+    * on the frame dHash (frame key = asset·2¹⁶ + frame_ix, the
+    * [[featurizeSampledFrames]] packing — frame counts are u16 by the
+    * container format), same-video pairs drop, and per video pair the
+    * DISTINCT matched frames of side a over a's sampled frame count
+    * give `containment_permille` (side-a containment, stated — "how
+    * much of a is inside b"); pairs at or above
+    * `minSharedPermille` survive.
+    *
+    * Scale shape: band-keyed frame self-join (never all-pairs), one
+    * pair agg, one video-sized count join — frame-sized throughout.
+    */
+  def videoNearDup(frames: DataFrame, maxHamming: Int,
+                   minSharedPermille: Long): DataFrame = {
+    require(minSharedPermille >= 0 && minSharedPermille <= 1000,
+      s"minSharedPermille in [0,1000], got $minSharedPermille")
+    val f = frames.select(
+      (col("asset_id") * 65536L + col("frame_ix")).as("asset_id"),
+      col("dhash").as("__h"))
+    val fp = hammingBandPairs(f, maxHamming)
+      .select(expr("id_a div 65536").as("id_a"),
+        expr("id_a % 65536").as("__fa"),
+        expr("id_b div 65536").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val nsa = frames.groupBy(col("asset_id").as("id_a"))
+      .agg(count(lit(1)).as("n_sampled_a"))
+    fp.groupBy("id_a", "id_b")
+      .agg(countDistinct(col("__fa")).as("matched_frames"))
+      .join(nsa, "id_a")
+      .withColumn("containment_permille",
+        expr("(1000 * matched_frames) div n_sampled_a"))
+      .filter(col("containment_permille") >= minSharedPermille)
+  }
+
   /** Per-video temporal drift report over the sampled frames: each
     * sampled frame's hamming distance to the video's FIRST sampled
     * frame — the cut/scene-change signal a frame-dedup pass gates on

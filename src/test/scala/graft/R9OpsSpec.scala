@@ -125,6 +125,24 @@ class R9OpsSpec extends AnyFunSuite {
     assert(errors.as[(Long, String)].collect().toSeq.map(_._1) == Seq(2L))
   }
 
+  test("videoNearDup: shared-frame containment, same-video pairs drop") {
+    val p = Multimodal.scramble64(11L)
+    val q = Multimodal.scramble64(77L) // independent video
+    // video 1: frames {p, p^255, q'}; video 2 shares exactly 2 of 3
+    val v1 = Multimodal.syntheticGvid(Seq(p, p ^ 255L, q ^ 255L), 128)
+    val v2 = Multimodal.syntheticGvid(Seq(p, p ^ 255L, q), 168)
+    val assets = Seq((1L, v1), (2L, v2)).toDF("asset_id", "payload")
+    val (frames, _) = Multimodal.videoFrameHashes(assets, stride = 1)
+    val got = Multimodal.videoNearDup(frames, maxHamming = 0,
+        minSharedPermille = 500L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // 2 of video 1's 3 frames appear in video 2 -> containment 666
+    assert(got == Seq((1L, 2L, 2L, 3L, 666L)))
+    // a 700‰ threshold kills the pair
+    assert(Multimodal.videoNearDup(frames, maxHamming = 0,
+      minSharedPermille = 700L).count() == 0L)
+  }
+
   test("videoFrameDrift: hamming to the first sampled frame") {
     val p0 = Multimodal.scramble64(9L)
     // frame f flips the low f bits -> drift = f at stride 1

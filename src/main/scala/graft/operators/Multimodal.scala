@@ -263,6 +263,12 @@ object Multimodal {
                     decodeImageFeatures(payload)
                   else if (kind == "audio" && isWavPayload(payload))
                     decodeWavFeatures(payload)
+                  else if (kind == "video" && isGvidPayload(payload))
+                    // a video asset featurizes as its FIRST frame
+                    // (stated) — real container split + real PNG
+                    // decode; an empty container throws into the
+                    // error-row path like any other bad payload
+                    decodeImageFeatures(gvidFrames(payload).head)
                   else fakeDecode(
                     if (payload == null) Array.empty else payload, decoderSeed)
                 Row(r.getAs[Long]("asset_id"), r.getAs[String]("kind"),
@@ -726,6 +732,39 @@ object Multimodal {
     val errors = rows.filter(col("dhash").isNull)
       .select(col("asset_id"), col("decode_error"))
     (ok, errors)
+  }
+
+  private val VFeatSchema = StructType(Seq(
+    StructField("asset_id", LongType), StructField("frame_ix", LongType),
+    StructField("features", ArrayType(FloatType)),
+    StructField("decode_error", StringType)))
+
+  /** Strided REAL frame featurization for GVID videos — the mandate's
+    * frame-sample → feature-extract chain with no stub in the path
+    * (the [[featurizeSampledFrames]] seek-by-slice device remains for
+    * foreign containers): container split + per-frame PNG decode →
+    * the 8 [[decodeImageFeatures]] features per sampled frame;
+    * corrupt containers or frames become error rows. Same
+    * decode-bound mapPartitions shape as [[videoFrameHashes]].
+    */
+  def featurizeGvidFrames(assets: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(VFeatSchema)
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getAs[Long]("asset_id")
+        try {
+          val frames = gvidFrames(r.getAs[Array[Byte]]("payload"))
+          (0 until frames.length by stride).map { f =>
+            Row(id, f.toLong, decodeImageFeatures(frames(f)).toSeq, null)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq(Row(id, null, null, String.valueOf(e.getMessage)))
+        }
+      }
+    }(enc)
   }
 
   /** Near-duplicate VIDEO pairs by frame-set containment (E108 — the

@@ -143,6 +143,25 @@ class R9OpsSpec extends AnyFunSuite {
       minSharedPermille = 700L).count() == 0L)
   }
 
+  test("featurizeGvidFrames + featurize: real first-frame decode for " +
+       "GVID video assets") {
+    val p = Multimodal.scramble64(3L)
+    val gvid = Multimodal.syntheticGvid(Seq(p, p ^ 1L, p ^ 3L), 128)
+    val assets = Seq((4L, gvid)).toDF("asset_id", "payload")
+    val feats = Multimodal.featurizeGvidFrames(assets, stride = 2)
+      .orderBy("frame_ix")
+      .select("asset_id", "frame_ix").as[(Long, Long)].collect().toSeq
+    assert(feats == Seq((4L, 0L), (4L, 2L)))
+    // the featurize router takes the REAL path for video+GVID: the
+    // 9x8 synthetic frame's width/height land in features[0..1]
+    val viaRouter = Multimodal.featurize(
+        Seq((4L, "video", gvid)).toDF("asset_id", "kind", "payload")
+          .withColumn("meta", org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.lit(9).as("width"))))
+      .select("features").as[Seq[Float]].collect()(0)
+    assert(viaRouter(0) == 9.0f && viaRouter(1) == 8.0f)
+  }
+
   test("videoFrameDrift: hamming to the first sampled frame") {
     val p0 = Multimodal.scramble64(9L)
     // frame f flips the low f bits -> drift = f at stride 1

@@ -2370,7 +2370,10 @@ object Behavior {
         expr("""CASE WHEN __sd < 0 THEN -((-__sd) div __nd)
                      ELSE __sd div __nd END""").as("seasonal_milli"))): _*)
     trended.filter(col("trend_milli").isNotNull)
-      .join(seasonal, keyCols :+ "__dow")
+      // (key × 7)-sized model frame — broadcast by construction, not
+      // by estimate (which rides the corpus size and flipped to SMJ
+      // at sf10)
+      .join(broadcast(seasonal), keyCols :+ "__dow")
       .select((keyCols.map(col) ++ Seq(col("day"), col("x"),
         col("trend_milli"), col("seasonal_milli"),
         (col("__det") - col("seasonal_milli")).as("resid_milli"))): _*)
@@ -2411,7 +2414,10 @@ object Behavior {
                ELSE ($num) div ($den) END"""
     val dx = d.select(col("__d"), col("__x")).crossJoin(broadcast(lags))
     val dy = d.select(col("__d").as("__dy"), col("__y"))
-    dx.join(dy, dx("__d") + dx("lag") === dy("__dy"))
+    // calendar-bounded side broadcast explicitly (the mannKendall
+    // estimate-artifact lesson): the daily frame never outgrows a
+    // broadcast no matter the event volume under it
+    dx.join(broadcast(dy), dx("__d") + dx("lag") === dy("__dy"))
       .groupBy("lag")
       .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
         sum(expr("CAST(__x AS DECIMAL(38,0))")).as("__sx"),
@@ -2734,7 +2740,11 @@ object Behavior {
       col(valueCol).cast("long").as("__x"))
     val a = d.select(col("__d").as("__da"), col("__x").as("__xa"))
     val b = d.select(col("__d").as("__db"), col("__x").as("__xb"))
-    val pairs = a.join(b, col("__da") < col("__db"))
+    // the daily frame is CALENDAR-bounded by construction, but its
+    // static size estimate rides the event volume — at sf10 the
+    // planner dropped to a CartesianProduct (r9 ScalePlanCheck).
+    // Broadcast explicitly: the right plan at any volume.
+    val pairs = a.join(broadcast(b), col("__da") < col("__db"))
     val sRow = pairs.agg(
       coalesce(sum(expr(
         """CASE WHEN __xb > __xa THEN 1

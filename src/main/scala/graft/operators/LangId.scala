@@ -32,7 +32,13 @@ object LangId {
     val vocab = counts.select("word").distinct()
     val langTotals = counts.groupBy("lang").agg(sum("n").as("lang_total"))
     val vocabSize = vocab.count() // tiny scalar; computed once at fit time
-    val grid = langTotals.crossJoin(vocab) // |langs| × |vocab| — model-sized
+    // the LANGS side is explicitly broadcast: at small SFs the planner
+    // happened to broadcast the vocab side, but once vocab outgrew the
+    // broadcast threshold (sf10, r9 ScalePlanCheck) it fell back to a
+    // CartesianProduct of two shuffled sides — for a handful-of-langs ×
+    // vocab grid the only right plan at ANY scale is BNLJ building the
+    // lang side
+    val grid = broadcast(langTotals).crossJoin(vocab) // |langs| × |vocab|
       .join(counts, Seq("lang", "word"), "left")
       .select(col("lang"), col("word"),
         log((coalesce(col("n"), lit(0L)) + 1).cast("double") /

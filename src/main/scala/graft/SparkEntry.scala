@@ -3724,6 +3724,26 @@ object SparkEntry {
       Behavior.bhFdr(t, "tid", "p")
     }),
 
+    // C138: inter-arrival burstiness per event type — CV² of per-user
+    // gaps in seconds; the Poisson-vs-bursty arrival diagnostic under
+    // every rate alert
+    "burstiness" -> ((s, dir) => {
+      val e = Tables(s, dir).events.select(col("user_id"),
+        expr("ts_ns div 1000000000").as("tsec"), col("event_type"))
+      Behavior.burstiness(e, "user_id", "tsec", "event_type")
+    }),
+
+    // C139: offline single-changepoint (binary segmentation) over
+    // daily purchase counts — the quantized-objective argmax both
+    // engines walk identically
+    "changepoint_detect" -> ((s, dir) => {
+      val d = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      Behavior.changepointDetect(d, "day", "x")
+    }),
+
     // E105: Fleiss' kappa over three REAL quality heuristics as
     // raters (length floor, mojibake absence, stopword presence)
     // voting ok/bad per document — the multi-rater agreement gate
@@ -9733,6 +9753,52 @@ FROM decided""",
          SELECT test_id, p_micro,
                 coalesce(p_micro <= cut, false) AS rejected
          FROM t, cut""",
+
+    // C138: same per-user lag (with the same tsec+grp tiebreak) and
+    // moment floors in HUGEINT
+    "burstiness" ->
+      """WITH e AS (SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 1000000 AS tsec,
+             event_type FROM events),
+         g AS (SELECT event_type AS grp,
+                 tsec - lag(tsec) OVER (PARTITION BY user_id
+                   ORDER BY tsec, event_type) AS gap
+               FROM e),
+         m AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(CAST(gap AS HUGEINT)) AS HUGEINT) AS s,
+                 CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS s2
+               FROM g WHERE gap IS NOT NULL GROUP BY 1
+               HAVING count(*) >= 2)
+         SELECT grp, CAST(n AS BIGINT) AS n_gaps,
+                CAST((1000 * s) // n AS BIGINT) AS mean_gap_milli,
+                CASE WHEN s > 0 THEN
+                  CAST((10000 * (n * s2 - s * s)) // (s * s) AS BIGINT)
+                END AS cv2_permyriad
+         FROM m""",
+
+    // C139: window-cum prefix sums + ORDER BY argmax — an independent
+    // mechanism vs the operator's HOF fold, same quantized objective
+    "changepoint_detect" ->
+      """WITH d AS (
+           SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                   CAST(coalesce(sum(x), 0) AS HUGEINT) AS s FROM d),
+         pre AS (SELECT day,
+                   CAST(sum(x) OVER (ORDER BY day) AS HUGEINT) AS st,
+                   CAST(row_number() OVER (ORDER BY day) AS HUGEINT)
+                     AS t
+                 FROM d),
+         sc AS (SELECT day,
+                  CAST((1000000 * (n * st - t * s) * (n * st - t * s))
+                    // (n * n * t * (n - t)) AS BIGINT) AS score
+                FROM pre, tot WHERE t < n),
+         best AS (SELECT day, score FROM sc
+                  ORDER BY score DESC, day ASC LIMIT 1)
+         SELECT CAST(n AS BIGINT) AS n_days, b.day AS split_day,
+                b.score AS score_micro
+         FROM tot LEFT JOIN best b ON true""",
 
     // E105: the three heuristic raters as a UNION, then the exact
     // A/E closed form in HUGEINT

@@ -2887,6 +2887,106 @@ object Behavior {
             END AS BIGINT) END""").as("kappa_permyriad"))
   }
 
+  /** Inter-arrival burstiness profile (C138 — the arrival-process
+    * diagnostic beside the time-series trio: anomaly/trend/shift
+    * detectors all assume SOME regularity of arrivals; CV² of the
+    * inter-event gaps says whether a stream is Poisson-like (CV² ≈ 1),
+    * clock-regular (≪ 1), or bursty (≫ 1) — the number that decides
+    * whether rate alerts are even meaningful, and at corpus scale the
+    * bot-vs-human tell on event streams). Per group: consecutive
+    * same-user gaps (seconds) from a user-partitioned lag — the C42
+    * key-partitioned-window discipline, never a global sort — then
+    * exact DECIMAL(38,0) gap moments per group and the stated floors
+    * `mean_gap_milli = (1000·Σg) div n`, `cv2_permyriad =
+    * (10⁴·(n·Σg² − (Σg)²)) div (Σg)²` (variance/mean² with the n's
+    * cleared — integer-exact; zero-mean groups read null; groups with
+    * < 2 gaps drop).
+    *
+    * Scale shape: one user-partitioned lag window (single shuffle on
+    * user), one group agg — map-side combined.
+    */
+  def burstiness(events: DataFrame, userCol: String, tsSecCol: String,
+                 groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // secondary sort on the group makes same-instant attribution
+    // deterministic (two same-ts events of different types: the gap
+    // VALUE is order-free, but which group OWNS it is not without
+    // the tiebreak)
+    val w = Window.partitionBy(col("__u")).orderBy(col("__t"), col("grp"))
+    events
+      .select(col(groupCol).as("grp"), col(userCol).as("__u"),
+        col(tsSecCol).cast("long").as("__t"))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap").cast("decimal(38,0)")).as("__s"),
+        sum(expr("CAST(__gap AS DECIMAL(38,0)) * __gap")).as("__s2"))
+      .filter(col("n_gaps") >= 2)
+      .select(col("grp"), col("n_gaps"),
+        expr("CAST((1000 * __s) div n_gaps AS BIGINT)")
+          .as("mean_gap_milli"),
+        expr("""CASE WHEN __s > 0 THEN
+            CAST((10000 * (n_gaps * __s2 - __s * __s)) div (__s * __s)
+              AS BIGINT) END""").as("cv2_permyriad"))
+  }
+
+  /** Single-changepoint detection by binary segmentation (C139 — the
+    * OFFLINE complement of [[cusumChangepoints]]' online detector:
+    * after a drift alarm fires, "WHEN did the level shift?" is the
+    * first follow-up, and the binary-segmentation split — maximize
+    * the between-segment sum of squares over all split points — is
+    * the classic estimator). The CONTRACT is the QUANTIZED objective
+    * (stated): `score_micro(t) = (10⁶·(n·S_t − n_t·S)²) div
+    * (n²·n_t·(n−n_t))` over prefix sums of the daily series, argmax
+    * by (score desc, split day asc) — both engines walk identical
+    * integers, so the split is engine-exact even at objective ties.
+    * The split day is the LAST day of the left segment. Series with
+    * < 2 days read null.
+    *
+    * Scale shape: one daily pre-agg, one distribution fold over the
+    * calendar-sized series (prefix sums + running argmax in one HOF
+    * pass — the corpus never sorts), one scalar row out.
+    */
+  def changepointDetect(daily: DataFrame, dayCol: String,
+                        valueCol: String): DataFrame = {
+    val d = daily.select(col(dayCol).cast("long").as("__d"),
+      col(valueCol).cast("long").as("__x"))
+    d.agg(array_sort(collect_list(struct(col("__d"), col("__x"))))
+        .as("__a"))
+      .select(expr("""aggregate(__a,
+        struct(CAST(0 AS BIGINT) AS i, CAST(0 AS DECIMAL(38,0)) AS st,
+               CAST(NULL AS BIGINT) AS day, CAST(NULL AS BIGINT) AS best,
+               CAST(size(__a) AS DECIMAL(38,0)) AS n,
+               CAST(aggregate(__a, CAST(0 AS DECIMAL(38,0)),
+                 (s, e) -> s + e.__x) AS DECIMAL(38,0)) AS s),
+        (acc, el) -> struct(acc.i + 1L AS i, acc.st + el.__x AS st,
+          CASE WHEN acc.i + 1L < CAST(acc.n AS BIGINT) AND (acc.best IS NULL
+                 OR CAST((1000000 * (acc.n * (acc.st + el.__x)
+                      - (acc.i + 1) * acc.s)
+                      * (acc.n * (acc.st + el.__x) - (acc.i + 1) * acc.s))
+                    div (acc.n * acc.n * (acc.i + 1)
+                      * (acc.n - acc.i - 1)) AS BIGINT) > acc.best)
+            THEN el.__d ELSE acc.day END AS day,
+          CASE WHEN acc.i + 1L < CAST(acc.n AS BIGINT) AND (acc.best IS NULL
+                 OR CAST((1000000 * (acc.n * (acc.st + el.__x)
+                      - (acc.i + 1) * acc.s)
+                      * (acc.n * (acc.st + el.__x) - (acc.i + 1) * acc.s))
+                    div (acc.n * acc.n * (acc.i + 1)
+                      * (acc.n - acc.i - 1)) AS BIGINT) > acc.best)
+            THEN CAST((1000000 * (acc.n * (acc.st + el.__x)
+                   - (acc.i + 1) * acc.s)
+                   * (acc.n * (acc.st + el.__x) - (acc.i + 1) * acc.s))
+                 div (acc.n * acc.n * (acc.i + 1)
+                   * (acc.n - acc.i - 1)) AS BIGINT)
+            ELSE acc.best END AS best,
+          acc.n AS n, acc.s AS s))""").as("__r"))
+      .select(
+        expr("CAST(__r.n AS BIGINT)").as("n_days"),
+        col("__r.day").as("split_day"),
+        col("__r.best").as("score_micro"))
+  }
+
   /** Executable bounded-grid contract shared by the cell-join
     * operators ([[kendallTau]], [[Relational.skyline2d]]): the grid
     * bound becomes a 1-row `raise_error` guard crossed onto the cell

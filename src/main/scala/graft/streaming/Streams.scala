@@ -1237,6 +1237,58 @@ object Streams {
       }
   }
 
+  case class PObs(key: String, p_micro: Long)
+  case class BhState(hist: Map[Long, Long])
+  case class BhRow(key: String, m: Long, cutoff_p_micro: Option[Long],
+                   n_rejected: Long)
+
+  /** Streaming Benjamini-Hochberg monitor (D30 — C137 `bh_fdr`'s
+    * streaming half: a test battery that GROWS — every new
+    * metric/segment adds a test — needs its FDR cutoff maintained,
+    * not recomputed from a rescan): per key the state is the p-value
+    * HISTOGRAM (bounded by the micro grid forever, the
+    * [[streamKsDrift]] contract), each batch folds new observations
+    * in and re-walks the sorted histogram with the batch operator's
+    * exact integer candidate rule (`1000·m·p ≤ α‰·cum·10⁶` in
+    * BigInt), emitting the current `(m, cutoff, n_rejected)`. Each
+    * arriving observation is one test (the battery's append log);
+    * state versioning makes micro-batch replays exact.
+    */
+  def streamBhFdr(obs: Dataset[PObs], alphaPermille: Long)
+      : Dataset[BhRow] = {
+    require(alphaPermille >= 1 && alphaPermille <= 1000,
+      s"alphaPermille in [1,1000], got $alphaPermille")
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[BhState, BhRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[PObs], state: GroupState[BhState]) =>
+          val hist = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(s => hist ++= s.hist)
+          var any = false
+          rows.foreach { r =>
+            any = true
+            hist.update(r.p_micro, hist.getOrElse(r.p_micro, 0L) + 1L)
+          }
+          if (!any) Iterator.empty
+          else {
+            state.update(BhState(hist.toMap))
+            val m = hist.valuesIterator.sum
+            var cum = 0L
+            var cutoff: Option[Long] = None
+            var nRej = 0L
+            hist.toSeq.sortBy(_._1).foreach { case (p, c) =>
+              cum += c
+              if (BigInt(1000) * m * p <=
+                  BigInt(alphaPermille) * cum * 1000000) {
+                cutoff = Some(p); nRej = cum
+              }
+            }
+            Iterator.single(BhRow(key, m, cutoff, nRej))
+          }
+      }
+  }
+
   case class MkState(day: Long, s: Long, hist: Map[Long, Long])
   case class MkPoint(key: String, upto_day: Long, n_days: Long, s: Long,
                      var18: Long, trend_sign: Long, significant: Boolean)

@@ -125,6 +125,50 @@ class R9OpsSpec extends AnyFunSuite {
     assert(errors.as[(Long, String)].collect().toSeq.map(_._1) == Seq(2L))
   }
 
+  test("burstiness: hand-computed CV² over per-user gaps") {
+    // u1 gaps {10,10}, u2 gap {20} in group g: n=3, S=40, S2=600 ->
+    // mean 13333 milli, cv2 = 1e4*(3*600-1600)/1600 = 1250
+    val e = Seq((1L, 0L, "g"), (1L, 10L, "g"), (1L, 20L, "g"),
+      (2L, 5L, "g"), (2L, 25L, "g")).toDF("user", "ts", "grp")
+    val r = Behavior.burstiness(e, "user", "ts", "grp")
+      .as[(String, Long, Long, Option[Long])].collect()(0)
+    assert(r == (("g", 3L, 13333L, Some(1250L))))
+  }
+
+  test("burstiness: clock-regular reads 0, zero gaps read null, " +
+       "single-gap groups drop") {
+    val e = Seq((1L, 0L, "reg"), (1L, 10L, "reg"), (1L, 20L, "reg"),
+      (2L, 5L, "zero"), (2L, 5L, "zero"), (2L, 5L, "zero"),
+      (3L, 0L, "one"), (3L, 9L, "one")).toDF("user", "ts", "grp")
+    val got = Behavior.burstiness(e, "user", "ts", "grp")
+      .orderBy("grp").as[(String, Long, Long, Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(("reg", 2L, 10000L, Some(0L)),
+      ("zero", 2L, 0L, None)))
+  }
+
+  test("changepointDetect: level shift found at the exact split") {
+    // [0,0,0,10,10,10]: split after day 3, score 25e6 (the stated
+    // quantized objective)
+    val d = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 10L), (5L, 10L),
+      (6L, 10L)).toDF("day", "x")
+    val r = Behavior.changepointDetect(d, "day", "x")
+      .as[(Long, Option[Long], Option[Long])].collect()(0)
+    assert(r == ((6L, Some(3L), Some(25000000L))))
+  }
+
+  test("changepointDetect: constant series scores 0 at the first " +
+       "split; single day reads null") {
+    val c = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("day", "x")
+    assert(Behavior.changepointDetect(c, "day", "x")
+      .as[(Long, Option[Long], Option[Long])].collect()(0)
+      == ((3L, Some(1L), Some(0L))))
+    val s = Seq((5L, 3L)).toDF("day", "x")
+    assert(Behavior.changepointDetect(s, "day", "x")
+      .as[(Long, Option[Long], Option[Long])].collect()(0)
+      == ((1L, None, None)))
+  }
+
   test("videoNearDup: shared-frame containment, same-video pairs drop") {
     val p = Multimodal.scramble64(11L)
     val q = Multimodal.scramble64(77L) // independent video

@@ -622,6 +622,33 @@ class StreamAggSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  // --- D30: streaming BH-FDR ------------------------------------------------
+
+  test("streamBhFdr (D30): running cutoff equals the batch rule per " +
+       "prefix; keys isolate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.PObs]
+    val q = input.toDS()
+      .transform(ds => Streams.streamBhFdr(ds, alphaPermille = 50L))
+      .writeStream.format("memory").queryName("bh_sink")
+      .outputMode("update").start()
+    try {
+      input.addData(Streams.PObs("A", 10000L), Streams.PObs("A", 20000L),
+        Streams.PObs("B", 900000L))
+      q.processAllAvailable()
+      input.addData(Streams.PObs("A", 40000L), Streams.PObs("A", 500000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bh_sink")
+      .as[(String, Long, Option[Long], Long)].collect().toSeq
+    // batch-1 prefix: m=2 -> both pass, cutoff 20000
+    assert(got.contains(("A", 2L, Some(20000L), 2L)))
+    // final: the R9OpsSpec hand case — m=4, k*=2
+    assert(got.contains(("A", 4L, Some(20000L), 2L)))
+    // B: nothing passes at m=1
+    assert(got.contains(("B", 1L, None, 0L)))
+  }
+
   // --- D29: streaming Mann-Kendall -----------------------------------------
 
   test("streamMannKendall (D29): final emission equals the batch " +

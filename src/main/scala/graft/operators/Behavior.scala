@@ -2735,11 +2735,23 @@ object Behavior {
     * touches only the first aggregation.
     */
   def mannKendall(daily: DataFrame, dayCol: String,
-                  valueCol: String): DataFrame = {
+                  valueCol: String, maxDays: Long = 5000L): DataFrame = {
+    require(maxDays >= 1, s"maxDays must be >= 1, got $maxDays")
     val d = daily.select(col(dayCol).cast("long").as("__d"),
       col(valueCol).cast("long").as("__x"))
     val a = d.select(col("__d").as("__da"), col("__x").as("__xa"))
-    val b = d.select(col("__d").as("__db"), col("__x").as("__xb"))
+    // the calendar² contract is EXECUTABLE (the kendallTau guard
+    // discipline): `maxDays` (default 5000 ≈ 13.7 years — 25M pairs)
+    // rides the shared raise_error guard on the broadcast side, so a
+    // caller who feeds an unaggregated or mis-grained frame fails
+    // fast instead of detonating a quadratic pair join
+    val b = withCellGuard(
+      d, maxDays,
+      s"mannKendall: day count exceeds maxDays=$maxDays — the input " +
+        "must be a daily-aggregated series (the pair join is " +
+        "calendar-quadratic); aggregate upstream or raise maxDays " +
+        "knowingly")
+      .select(col("__d").as("__db"), col("__x").as("__xb"))
     // the daily frame is CALENDAR-bounded by construction, but its
     // static size estimate rides the event volume — at sf10 the
     // planner dropped to a CartesianProduct (r9 ScalePlanCheck).

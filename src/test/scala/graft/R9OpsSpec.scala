@@ -39,6 +39,16 @@ class R9OpsSpec extends AnyFunSuite {
     assert(r == ((1L, 0L, 0L, 0L, false, None)))
   }
 
+  test("mannKendall: maxDays guard fails fast on an oversized calendar") {
+    val d = (1L to 50L).map(i => (i, i)).toDF("day", "x")
+    val ex = intercept[Exception] {
+      Behavior.mannKendall(d, "day", "x", maxDays = 30L).collect()
+    }
+    assert(ex.getMessage.contains("maxDays=30"), ex.getMessage)
+    assert(Behavior.mannKendall(d, "day", "x", maxDays = 50L)
+      .collect().length == 1)
+  }
+
   test("bhFdr: hand-computed cutoff at k*=2") {
     // m=4, alpha=50‰: p(k) vs 0.05k/4 -> 0.01<=0.0125 ok,
     // 0.02<=0.025 ok, 0.04>0.0375 no -> cutoff 0.02

@@ -1946,11 +1946,22 @@ object TextAnalysis {
     */
   def tokenKeyness(docs: DataFrame, textCol: String, groupCol: String,
                    topK: Int = 20, minCount: Long = 5L): DataFrame = {
-    require(topK >= 1, s"topK must be >= 1, got $topK")
     val gt = docs.select(col(groupCol).as("grp"),
         explode(regexp_extract_all(lower(col(textCol)),
           lit("[a-z0-9']+"), lit(0))).as("token"))
       .groupBy("grp", "token").agg(count(lit(1)).as("__a"))
+    tokenKeynessFromCells(gt, topK, minCount)
+  }
+
+  /** The keyness report tail over an already-maintained
+    * `(grp, token, __a)` cell frame — shared by [[tokenKeyness]]
+    * (fed from the corpus tokenize) and the D31 streaming twin
+    * (fed from `readLatest`-style maintained cells), exactly as
+    * classificationReport rebuilds from streamConfusionCells.
+    */
+  def tokenKeynessFromCells(gt: DataFrame, topK: Int,
+                            minCount: Long): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
     val tokTot = gt.groupBy("token").agg(sum("__a").as("__tt"))
       .filter(col("__tt") >= minCount)
     val grpTot = gt.groupBy("grp").agg(sum("__a").as("__gt"))

@@ -1237,6 +1237,36 @@ object Streams {
       }
   }
 
+  case class GDoc(grp: String, text: String)
+  case class TokCell(grp: String, token: String, n: Long)
+
+  /** Streaming (group, token) count-cell maintenance (D31 — E106
+    * `token_keyness`'s streaming half, the [[streamConfusionCells]]
+    * shape one level up: the keyness χ² is a pure function of the
+    * cell counts, so the stream maintains THE CELLS and the batch
+    * tail ([[graft.operators.TextAnalysis.tokenKeynessFromCells]])
+    * rebuilds the report from the latest emission whenever asked):
+    * documents tokenize map-side with the batch operator's exact
+    * `[a-z0-9']+` lowercase rule, each (group, token) key keeps one
+    * running count — state bounded by groups × vocabulary, never
+    * corpus length; Update-mode emission of changed cells only.
+    */
+  def streamTokenCells(docs: Dataset[GDoc]): Dataset[TokCell] = {
+    import docs.sparkSession.implicits._
+    val tokRe = "[a-z0-9']+".r
+    docs.flatMap(d => tokRe.findAllIn(d.text.toLowerCase)
+        .map(t => (d.grp, t)))
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, TokCell](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, String), rows: Iterator[(String, String)],
+         state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator.single(TokCell(key._1, key._2, n))
+      }
+  }
+
   case class PObs(key: String, p_micro: Long)
   case class BhState(hist: Map[Long, Long])
   case class BhRow(key: String, m: Long, cutoff_p_micro: Option[Long],

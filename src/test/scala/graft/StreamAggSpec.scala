@@ -622,6 +622,45 @@ class StreamAggSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  // --- D31: streaming token-keyness cells ------------------------------------
+
+  test("streamTokenCells (D31): keyness rebuilt from latest cells equals " +
+       "the batch operator on the full prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.GDoc]
+    val q = input.toDS()
+      .transform(ds => Streams.streamTokenCells(ds))
+      .writeStream.format("memory").queryName("tok_sink")
+      .outputMode("update").start()
+    val b1 = Seq(Streams.GDoc("g1", "apple Apple banana"),
+      Streams.GDoc("g2", "banana cherry"))
+    val b2 = Seq(Streams.GDoc("g2", "cherry"),
+      Streams.GDoc("g1", "apple"))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // latest cell per (grp, token) — Update sink appends, take max n
+    // (materialized to break the memory-view self-join ambiguity the
+    // keyness tail's re-aggregation would otherwise trip)
+    val cells = spark.table("tok_sink")
+      .groupBy("grp", "token")
+      .agg(org.apache.spark.sql.functions.max("n").as("__a"))
+      .as[(String, String, Long)].collect().toSeq
+      .toDF("grp", "token", "__a")
+    val fromCells = graft.operators.TextAnalysis
+      .tokenKeynessFromCells(cells, topK = 1, minCount = 1L)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val docs = (b1 ++ b2).map(d => (d.grp, d.text)).toDF("src", "text")
+    val twin = graft.operators.TextAnalysis
+      .tokenKeyness(docs, "text", "src", topK = 1, minCount = 1L)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(fromCells == twin && twin.nonEmpty)
+    // the case rule matched the batch tokenizer: Apple+apple merged
+    assert(cells.filter($"grp" === "g1" && $"token" === "apple")
+      .select("__a").as[Long].collect().toSeq == Seq(3L))
+  }
+
   // --- D30: streaming BH-FDR ------------------------------------------------
 
   test("streamBhFdr (D30): running cutoff equals the batch rule per " +

@@ -3724,6 +3724,26 @@ object SparkEntry {
       Behavior.bhFdr(t, "tid", "p")
     }),
 
+    // E109: NFC-normalized dedup keys — the composed/decomposed
+    // Unicode trap made visible: every document gets a composed-é and
+    // a decomposed-é variant (different BYTES, same text); hashing
+    // the NfcNormalize'd text collapses each pair (plus the corpus's
+    // own planted exact dups) into one group, where raw md5 would
+    // see them all as distinct
+    "nfc_dedup_keys" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val composed = d.select(col("doc_id"),
+        concat(col("text"), lit(" caf\u00e9")).as("t"))
+      val decomposed = d.select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" cafe\u0301")).as("t"))
+      composed.unionByName(decomposed)
+        .select(col("doc_id"),
+          md5(graft.functions.NfcNormalize(col("t"))).as("k"))
+        .groupBy("k")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+        .select(col("keep_id"), col("n"))
+    }),
+
     // C138: inter-arrival burstiness per event type — CV² of per-user
     // gaps in seconds; the Poisson-vs-bursty arrival diagnostic under
     // every rate alert
@@ -9753,6 +9773,19 @@ FROM decided""",
          SELECT test_id, p_micro,
                 coalesce(p_micro <= cut, false) AS rejected
          FROM t, cut""",
+
+    // E109: utf8proc nfc_normalize is the same Unicode NFC algorithm
+    // as the JDK Normalizer — byte-for-byte oracle parity
+    "nfc_dedup_keys" ->
+      """WITH a AS (
+           SELECT doc_id, text || ' caf' || chr(233) AS t
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, text || ' cafe' || chr(769)
+           FROM documents)
+         SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT doc_id, md5(nfc_normalize(t)) AS k FROM a)
+         GROUP BY k""",
 
     // C138: same per-user lag (with the same tsec+grp tiebreak) and
     // moment floors in HUGEINT

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{concat, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Behavior, Multimodal, TextAnalysis}
@@ -119,6 +120,27 @@ class R9OpsSpec extends AnyFunSuite {
     assert(got.filter($"grp" === "g1").count() == 2L)
     assert(got.filter($"grp" === "g2")
       .select("token").as[String].collect().toSeq == Seq("z"))
+  }
+
+  test("NfcNormalize: composed and decomposed collapse; ASCII and null " +
+       "pass through; stays in codegen") {
+    val d = Seq((1L, "café"), (2L, "café"), (3L, "plain"),
+      (4L, null)).toDF("id", "t")
+    val got = d.select($"id",
+      graft.functions.NfcNormalize($"t").as("n")).orderBy("id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got(0)._2 == got(1)._2) // byte-equal after NFC
+    assert(got(0)._2 == Some("caf\u00e9"))
+    assert(got(2)._2 == Some("plain") && got(3)._2.isEmpty)
+    // a LocalTableScan constant-folds the projection away — assert
+    // codegen over a range-backed plan instead
+    val plan = spark.range(4)
+      .select(graft.functions.NfcNormalize(
+        concat(lit("café "), $"id".cast("string"))))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(plan.contains("WholeStageCodegen") &&
+      plan.contains("normalizeUtf8"), plan)
   }
 
   test("videoFrameHashes: real container split + PNG decode, dhash is " +

@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   * Shared dims (`region`, `nation`) stay single-copy — FK targets of
   * unchanged `*_nationkey` columns.
   *
-  * This is a PERFORMANCE dataset: distributions are 10 shifted clones
+  * This is a PERFORMANCE dataset: distributions are N shifted clones
   * of the sf0.1 generator output, good for measuring shuffle/memory/
-  * plan behavior at 10× volume, NOT for oracle comparison (the driver
+  * plan behavior at N× volume, NOT for oracle comparison (the driver
   * only oracles driver-generated SFs).
   *
   * `docCopies` (4th arg, default = copies) separately controls the
@@ -35,17 +35,37 @@ import org.apache.spark.sql.functions._
   * density (the r7 sf10 finding). docCopies=10 with copies=100 gives
   * the realistic split: 100× relational volume, sf1-density text.
   *
-  * Usage: `runMain graft.ScaleUp [srcDir] [outDir] [copies] [docCopies]`
-  * defaults: /root/testdata/sf0.1 → /tmp/graft_sf1, 10 copies.
+  * `docMode` (5th arg) controls HOW document copies differ:
+  *   - `clone` (default): one suffix token per copy — copies stay
+  *     NEAR-DUPS of each other, so family size ≈ docCopies (the
+  *     density axis of the r8 density-vs-volume attribution);
+  *   - `unique`: a copy-specific marker token is spliced in every 8
+  *     source tokens, breaking cross-copy shingle overlap — copies
+  *     are DISTINCT documents, so near-dup family density stays the
+  *     BASE corpus's planted density while volume scales docCopies×.
+  *     This is the realistic 1000× text corpus: at true production
+  *     scale duplication families do not grow with corpus size, the
+  *     corpus does. `n_chars` is recomputed from the rewritten text.
+  *
+  * Copies are written in CHUNKS of [[ChunkCopies]] (overwrite, then
+  * append) so a 1000× build is twenty 50-way union jobs instead of
+  * one 1000-way union plan — bounded plan size and bounded job
+  * memory at any copy count.
+  *
+  * Usage: `runMain graft.ScaleUp [srcDir] [outDir] [copies]
+  * [docCopies] [docMode]` — defaults:
+  * /root/testdata/sf0.1 → /tmp/graft_sf1, 10 copies, docMode=clone.
   */
 object ScaleUp {
   val KeyOffset = 100000000L // > any key in driver-generated data
+  val ChunkCopies = 50 // copies unioned per write job
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
     val docCopies = if (args.length > 3) args(3).toInt else copies
+    val docMode = if (args.length > 4) args(4) else "clone"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,63 +75,85 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, src, out, copies, docCopies)
+    build(spark, src, out, copies, docCopies, docMode)
     spark.stop()
   }
 
   def build(spark: SparkSession, src: String, out: String,
-            copies: Int, docCopiesArg: Int = -1): Unit = {
+            copies: Int, docCopiesArg: Int = -1,
+            docMode: String = "clone"): Unit = {
+    require(docMode == "clone" || docMode == "unique",
+      s"docMode must be clone|unique, got '$docMode'")
     val docCopies = if (docCopiesArg > 0) docCopiesArg else copies
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String, nFiles: Int): Unit = {
-      df.repartition(nFiles).write.mode("overwrite")
-        .parquet(s"$out/$t.parquet")
-      println(s"scaleup: $t written")
-    }
     // single-copy shared dims
-    write(read("region"), "region", 1)
-    write(read("nation"), "nation", 1)
+    read("region").repartition(1).write.mode("overwrite")
+      .parquet(s"$out/region.parquet")
+    read("nation").repartition(1).write.mode("overwrite")
+      .parquet(s"$out/nation.parquet")
+    println("scaleup: region, nation written")
 
-    def replicate(t: String, n: Int = copies)
-                 (perCopy: (DataFrame, Int) => DataFrame): DataFrame = {
+    // chunked replicate-and-write: `filesPer10` is the file count per
+    // 10 copies (the original tuning point), scaled to the chunk
+    def writeReplicated(t: String, filesPer10: Int, n: Int)
+                       (perCopy: (DataFrame, Int) => DataFrame): Unit = {
       val base = read(t)
-      (0 until n).map(r => perCopy(base, r)).reduce(_ unionAll _)
+      (0 until n).grouped(ChunkCopies).zipWithIndex.foreach {
+        case (chunk, ci) =>
+          val df = chunk.map(r => perCopy(base, r)).reduce(_ unionAll _)
+          val nFiles = math.max(1, filesPer10 * chunk.size / 10)
+          df.repartition(nFiles).write
+            .mode(if (ci == 0) "overwrite" else "append")
+            .parquet(s"$out/$t.parquet")
+      }
+      println(s"scaleup: $t written ($n copies)")
     }
     def shiftKeys(df: DataFrame, r: Int, keys: String*): DataFrame =
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * KeyOffset)))
 
-    write(replicate("customer")((d, r) => shiftKeys(d, r, "c_custkey")),
-      "customer", 4)
-    write(replicate("supplier")((d, r) => shiftKeys(d, r, "s_suppkey")),
-      "supplier", 1)
-    write(replicate("part")((d, r) => shiftKeys(d, r, "p_partkey")),
-      "part", 2)
-    write(replicate("orders") { (d, r) =>
+    writeReplicated("customer", 4, copies)(
+      (d, r) => shiftKeys(d, r, "c_custkey"))
+    writeReplicated("supplier", 1, copies)(
+      (d, r) => shiftKeys(d, r, "s_suppkey"))
+    writeReplicated("part", 2, copies)(
+      (d, r) => shiftKeys(d, r, "p_partkey"))
+    writeReplicated("orders", 16, copies) { (d, r) =>
       shiftKeys(d, r, "o_orderkey", "o_custkey")
         .withColumn("o_orderdate",
           col("o_orderdate") + expr(s"INTERVAL $r SECOND"))
-    }, "orders", 16)
-    write(replicate("lineitem") { (d, r) =>
+    }
+    writeReplicated("lineitem", 32, copies) { (d, r) =>
       shiftKeys(d, r, "l_orderkey", "l_partkey", "l_suppkey")
-    }, "lineitem", 32)
-    write(replicate("events") { (d, r) =>
+    }
+    writeReplicated("events", 16, copies) { (d, r) =>
       // adapt both generator timestamp layouts (see Tables.events)
       val ts = if (d.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)
         d.withColumn("ts", col("ts") + lit(r * 1000000000L))
       else d.withColumn("ts", col("ts") + expr(s"INTERVAL $r SECOND"))
       shiftKeys(ts, r, "event_id", "user_id")
-    }, "events", 16)
-    write(replicate("documents", docCopies) { (d, r) =>
-      shiftKeys(d, r, "doc_id")
-        .withColumn("text", concat(col("text"), lit(s" copytag$r")))
-        .withColumn("n_chars", col("n_chars") + lit(9L + r.toString.length))
-    }, "documents", 16)
-    write(replicate("embeddings", docCopies) { (d, r) =>
+    }
+    writeReplicated("documents", 16, docCopies) { (d, r) =>
+      val k = shiftKeys(d, r, "doc_id")
+      if (docMode == "clone")
+        k.withColumn("text", concat(col("text"), lit(s" copytag$r")))
+          .withColumn("n_chars",
+            col("n_chars") + lit(9L + r.toString.length))
+      else
+        // splice a copy marker every 3 tokens: with word-trigram
+        // shingles the cross-copy Jaccard drops to ~1/7 (one shared
+        // trigram + three marker trigrams per run), below every LSH
+        // banding knee — copies are distinct documents (base
+        // near-dup density, docCopies× volume)
+        k.withColumn("text", concat(regexp_replace(col("text"),
+            "((?:\\S+ ){3})", s"$$1u$r "), lit(s" copytag$r")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    writeReplicated("embeddings", 8, docCopies) { (d, r) =>
       shiftKeys(d, r, "vec_id")
         .withColumn("embedding", expr(
           s"transform(embedding, (v, i) -> " +
           s"CASE WHEN i = 0 THEN CAST(v + $r * 0.0001 AS FLOAT) ELSE v END)"))
-    }, "embeddings", 8)
+    }
   }
 }

@@ -2744,13 +2744,11 @@ object Behavior {
     // discipline): `maxDays` (default 5000 ≈ 13.7 years — 25M pairs)
     // rides the shared raise_error guard on the broadcast side, so a
     // caller who feeds an unaggregated or mis-grained frame fails
-    // fast instead of detonating a quadratic pair join
-    val b = withCellGuard(
-      d, maxDays,
-      s"mannKendall: day count exceeds maxDays=$maxDays — the input " +
-        "must be a daily-aggregated series (the pair join is " +
-        "calendar-quadratic); aggregate upstream or raise maxDays " +
-        "knowingly")
+    // fast instead of detonating a quadratic pair join — and the
+    // guard counts DISTINCT days, so a duplicate-day frame (the
+    // mis-grain the row count alone can't see) also fails instead of
+    // silently double-counting pairs
+    val b = withDailyGuard(d, maxDays, "mannKendall")
       .select(col("__d").as("__db"), col("__x").as("__xb"))
     // the daily frame is CALENDAR-bounded by construction, but its
     // static size estimate rides the event volume — at sf10 the
@@ -2845,9 +2843,11 @@ object Behavior {
     * RLHF/eval annotation runs with 3+ raters per item need the
     * multi-rater chance-corrected agreement number before any label
     * ships; Fleiss' generalization is the standard). Contract: one
-    * row per (item, rater), every kept item rated by EXACTLY
-    * `nRaters` raters (items with any other count DROP, stated — the
-    * statistic is undefined for ragged panels). Exact integers:
+    * VOTE per (item, rater) — duplicate (item, rater) rows collapse
+    * to the MIN label deterministically, never to two raters — and
+    * every kept item rated by EXACTLY `nRaters` raters (items with
+    * any other count DROP, stated — the statistic is undefined for
+    * ragged panels). Exact integers:
     * `A = Σ_i (Σ_j n_ij² − n)` (so P̄ = A/(N·n·(n−1))),
     * `E = Σ_j (Σ_i n_ij)²` (so P̄e = E/(N²n²)), and the closed form
     * `kappa_permyriad = strunc(10⁴·(A·N·n − E·(n−1)),
@@ -2861,9 +2861,33 @@ object Behavior {
   def fleissKappa(ratings: DataFrame, itemCol: String, raterCol: String,
                   labelCol: String, nRaters: Int): DataFrame = {
     require(nRaters >= 2, s"nRaters must be >= 2, got $nRaters")
-    val cells = ratings
-      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__l"))
+    // each (item, rater) contributes exactly ONE vote: a rater who
+    // rates an item twice collapses to the MIN label (deterministic)
+    // instead of counting as two raters — without this, a duplicated
+    // row can wrongly pass (or fail) the exact-nRaters panel filter
+    val votes = ratings
+      .groupBy(col(itemCol).as("__i"), col(raterCol).as("__r"))
+      .agg(min(col(labelCol)).as("__l"))
+    val cells = votes
+      .groupBy(col("__i"), col("__l"))
       .agg(count(lit(1)).as("__nij"))
+    fleissKappaFromCells(cells, "__i", "__l", "__nij", nRaters)
+  }
+
+  /** [[fleissKappa]]'s report tail over PRE-BUILT (item, label, n)
+    * vote cells — shared with the D33 streaming twin
+    * ([[graft.streaming.Streams.streamFleissCells]] maintains the
+    * cells; this rebuilds kappa from the latest emission whenever
+    * asked), the [[graft.operators.TextAnalysis.tokenKeynessFromCells]]
+    * split. Same exact-integer closed form and exactly-`nRaters`
+    * panel filter as the batch operator.
+    */
+  def fleissKappaFromCells(cellsIn: DataFrame, itemCol: String,
+                           labelCol: String, nCol: String,
+                           nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"nRaters must be >= 2, got $nRaters")
+    val cells = cellsIn.select(col(itemCol).as("__i"),
+      col(labelCol).as("__l"), col(nCol).as("__nij"))
     val itemTot = cells.groupBy("__i")
       .agg(sum("__nij").as("__ni"),
         sum(expr("CAST(__nij AS DECIMAL(38,0)) * __nij")).as("__sq"))
@@ -2925,11 +2949,23 @@ object Behavior {
     // VALUE is order-free, but which group OWNS it is not without
     // the tiebreak)
     val w = Window.partitionBy(col("__u")).orderBy(col("__t"), col("grp"))
-    events
+    val gaps = events
       .select(col(groupCol).as("grp"), col(userCol).as("__u"),
         col(tsSecCol).cast("long").as("__t"))
       .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
       .filter(col("__gap").isNotNull)
+    burstinessFromGaps(gaps.select(col("grp"), col("__gap")))
+  }
+
+  /** [[burstiness]]'s report tail over a PRE-DERIVED (grp, __gap)
+    * frame — shared with the D32 streaming twin
+    * ([[graft.streaming.Streams.streamUserGaps]] derives the gaps
+    * with per-user frontier state; this rebuilds the CV² report from
+    * the gap log whenever asked). Same exact DECIMAL moments and
+    * stated floors as the batch operator.
+    */
+  def burstinessFromGaps(gaps: DataFrame): DataFrame =
+    gaps
       .groupBy("grp")
       .agg(count(lit(1)).as("n_gaps"),
         sum(col("__gap").cast("decimal(38,0)")).as("__s"),
@@ -2941,7 +2977,6 @@ object Behavior {
         expr("""CASE WHEN __s > 0 THEN
             CAST((10000 * (n_gaps * __s2 - __s * __s)) div (__s * __s)
               AS BIGINT) END""").as("cv2_permyriad"))
-  }
 
   /** Single-changepoint detection by binary segmentation (C139 — the
     * OFFLINE complement of [[cusumChangepoints]]' online detector:
@@ -2958,12 +2993,20 @@ object Behavior {
     *
     * Scale shape: one daily pre-agg, one distribution fold over the
     * calendar-sized series (prefix sums + running argmax in one HOF
-    * pass — the corpus never sorts), one scalar row out.
+    * pass — the corpus never sorts), one scalar row out. The
+    * single-array fold makes the daily contract LOAD-BEARING, so it
+    * is executable: [[withDailyGuard]] (`maxDays`, default 5000 —
+    * the [[mannKendall]] bound) fails an oversized or duplicate-day
+    * frame fast instead of materializing a corpus-sized array in one
+    * task.
     */
   def changepointDetect(daily: DataFrame, dayCol: String,
-                        valueCol: String): DataFrame = {
-    val d = daily.select(col(dayCol).cast("long").as("__d"),
-      col(valueCol).cast("long").as("__x"))
+                        valueCol: String, maxDays: Long = 5000L): DataFrame = {
+    require(maxDays >= 1, s"maxDays must be >= 1, got $maxDays")
+    val d = withDailyGuard(
+      daily.select(col(dayCol).cast("long").as("__d"),
+        col(valueCol).cast("long").as("__x")),
+      maxDays, "changepointDetect")
     d.agg(array_sort(collect_list(struct(col("__d"), col("__x"))))
         .as("__a"))
       .select(expr("""aggregate(__a,
@@ -3018,5 +3061,32 @@ object Behavior {
         .as("__cellguard")))
     cells.crossJoin(ok).filter(col("__cellguard") === 1L)
       .drop("__cellguard")
+  }
+
+  /** Executable DAILY-SERIES contract shared by the calendar-fold
+    * operators ([[mannKendall]], [[changepointDetect]]): the input
+    * must be one row per day (`__d`) with at most `maxDays` days —
+    * both halves are load-bearing (the pair join is calendar-
+    * quadratic; the single-array fold is calendar-sized; a
+    * duplicate-day frame double-counts pairs / splits days without
+    * either engine noticing). One scalar agg computes (rows,
+    * distinct days); a violation raises with the contract in the
+    * message, the [[withCellGuard]] broadcast-guard device.
+    */
+  private[operators] def withDailyGuard(d: DataFrame, maxDays: Long,
+                                        op: String): DataFrame = {
+    val n = d.agg(count(lit(1)).as("__n"),
+      countDistinct(col("__d")).as("__nd"))
+    val ok = broadcast(n.select(
+      when(col("__n") <= maxDays && col("__n") === col("__nd"), lit(1L))
+        .otherwise(raise_error(concat(
+          lit(s"$op: the input must be a DAILY-AGGREGATED series " +
+            s"with at most maxDays=$maxDays distinct days and no " +
+            "duplicate days; aggregate upstream or raise maxDays " +
+            "knowingly (got "),
+          col("__n").cast("string"), lit(" rows over "),
+          col("__nd").cast("string"), lit(" days)"))))
+        .as("__dayguard")))
+    d.crossJoin(ok).filter(col("__dayguard") === 1L).drop("__dayguard")
   }
 }

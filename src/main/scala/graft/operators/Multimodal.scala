@@ -644,8 +644,8 @@ object Multimodal {
     * PNG bytes.
     */
   def isGvidPayload(p: Array[Byte]): Boolean =
-    p.length >= 6 && p(0) == 'G' && p(1) == 'V' && p(2) == 'I' &&
-      p(3) == 'D'
+    p != null && p.length >= 6 && p(0) == 'G' && p(1) == 'V' &&
+      p(2) == 'I' && p(3) == 'D'
 
   /** Planted video: one [[syntheticDHashImage]] PNG frame per pattern
     * — each frame's dHash IS its pattern bit-for-bit, so a frame-level

@@ -1247,23 +1247,48 @@ object Streams {
     * tail ([[graft.operators.TextAnalysis.tokenKeynessFromCells]])
     * rebuilds the report from the latest emission whenever asked):
     * documents tokenize map-side with the batch operator's exact
-    * `[a-z0-9']+` lowercase rule, each (group, token) key keeps one
-    * running count — state bounded by groups × vocabulary, never
-    * corpus length; Update-mode emission of changed cells only.
+    * `[a-z0-9']+` lowercase rule.
+    *
+    * STATE DISCIPLINE: state is one [[MgState]] (the D12
+    * [[mgFold]] Misra-Gries device) per GROUP, bounded at `capacity`
+    * counters FOREVER — an adversarial or noisy corpus (random
+    * strings, base64 blobs) grows distinct tokens linearly, so "one
+    * counter per (group, token)" is not a closed domain the way its
+    * siblings' p-micro grids and value histograms are. The MG
+    * guarantees carry over exactly: while a group's distinct tokens
+    * stay ≤ capacity no decrement ever fires and every cell count is
+    * EXACT (stream ≡ batch, spec-pinned); past it, low-count tokens
+    * evict jointly and surviving counts are under-estimates by at
+    * most N/(capacity+1) — the right failure mode for a keyness
+    * tail, whose `minCount` floor discards the low-count tail
+    * anyway. Canonical (token-sorted) state + deterministic fold ⇒
+    * replays rebuild identical rows. Update-mode emission: each
+    * touched group re-emits its tracked cell set (≤ capacity rows —
+    * under MG the decrement round touches EVERY tracked count, so
+    * "changed cells only" is the full set whenever it matters).
     */
-  def streamTokenCells(docs: Dataset[GDoc]): Dataset[TokCell] = {
+  def streamTokenCells(docs: Dataset[GDoc],
+                       capacity: Int = 1 << 16): Dataset[TokCell] = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     import docs.sparkSession.implicits._
     val tokRe = "[a-z0-9']+".r
     docs.flatMap(d => tokRe.findAllIn(d.text.toLowerCase)
-        .map(t => (d.grp, t)))
-      .groupByKey(identity)
-      .flatMapGroupsWithState[Long, TokCell](
+        .map(t => TokenObs(d.grp, t)))
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[MgState, TokCell](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (key: (String, String), rows: Iterator[(String, String)],
-         state: GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + rows.size
-          state.update(n)
-          Iterator.single(TokCell(key._1, key._2, n))
+        (grp: String, rows: Iterator[TokenObs],
+         state: GroupState[MgState]) =>
+          val batch = rows.map(_.token).toArray
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val st = state.getOption.getOrElse(
+              MgState(0L, 0L, Array.empty, Array.empty))
+            val next = mgFold(st, batch, capacity)
+            state.update(next)
+            next.tokens.indices.iterator
+              .map(i => TokCell(grp, next.tokens(i), next.counts(i)))
+          }
       }
   }
 
@@ -1475,4 +1500,107 @@ object Streams {
       .start()
 
   case class Point2D(x: Long, y: Long)
+
+  case class GapEvent(user: Long, grp: String, ts: Long)
+  case class GapRow(grp: String, user: Long, ts: Long, gap: Long)
+  case class UserFrontier(ts: Long)
+
+  /** Streaming per-user inter-arrival gap derivation (D32 — C138
+    * `burstiness`'s streaming half, split at the shared tail the D31
+    * way: the stream derives THE GAPS with per-user frontier state
+    * and the batch tail
+    * ([[graft.operators.Behavior.burstinessFromGaps]]) rebuilds the
+    * CV² report from the gap log whenever asked). When an event
+    * arrives past a user's frontier, one gap row `(grp of the later
+    * event, user, ts, ts − frontier)` emits and the frontier
+    * advances — the batch operator's later-event gap attribution.
+    * State: ONE long (the frontier ts) per active user, forever —
+    * bounded by the user population, never event history. Replays
+    * and out-of-order arrivals emit nothing (strict frontier). ONE
+    * STATED DIFFERENCE from batch: same-instant events cannot
+    * advance a strict frontier, so equal-ts duplicates DROP where
+    * the batch window's (ts, grp) tiebreak emits 0-gaps — stream ≡
+    * batch exactly on tie-free series (spec-pinned).
+    */
+  def streamUserGaps(events: Dataset[GapEvent]): Dataset[GapRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[UserFrontier, GapRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[GapEvent],
+         state: GroupState[UserFrontier]) =>
+          var st = state.getOption.getOrElse(UserFrontier(Long.MinValue))
+          val out = Seq.newBuilder[GapRow]
+          rows.toSeq.sortBy(r => (r.ts, r.grp)).foreach { r =>
+            if (st.ts < r.ts) {
+              if (st.ts != Long.MinValue)
+                out += GapRow(r.grp, user, r.ts, r.ts - st.ts)
+              st = UserFrontier(r.ts)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class RatingObs(item: Long, rater: String, label: String)
+  /** Canonical per-item vote state: rater-sorted parallel arrays (a
+    * pure function of the rater→label MAP). */
+  case class VoteState(raters: Array[String], labels: Array[String])
+  case class KappaCell(item: Long, label: String, n: Long)
+
+  /** Streaming (item, label) vote-cell maintenance (D33 — E105
+    * `fleiss_kappa`'s streaming half, the [[streamConfusionCells]] /
+    * D31 shape: kappa is a pure function of the vote cells, so the
+    * stream maintains THE CELLS and the batch tail
+    * ([[graft.operators.Behavior.fleissKappaFromCells]]) rebuilds
+    * the agreement report from the latest emission whenever asked —
+    * the exactly-`nRaters` panel filter included). Each item's state
+    * is its rater→label vote map — bounded by the PANEL (raters per
+    * item), never by the rating stream. A rater's FIRST vote per
+    * item wins; re-votes and replays change nothing and emit
+    * nothing (idempotent fold ⇒ replay-silent, and cell counts are
+    * MONOTONE, so the latest-cell rebuild is a max). ONE STATED
+    * DIFFERENCE from batch: conflicting duplicate (item, rater)
+    * rows collapse to the FIRST arrival here vs the MIN label in
+    * batch (a stream has an arrival order; an unordered batch frame
+    * does not) — stream ≡ batch exactly when every (item, rater)
+    * carries one distinct vote, the stated batch contract.
+    */
+  def streamFleissCells(ratings: Dataset[RatingObs]): Dataset[KappaCell] = {
+    import ratings.sparkSession.implicits._
+    ratings.groupByKey(_.item)
+      .flatMapGroupsWithState[VoteState, KappaCell](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (item: Long, rows: Iterator[RatingObs],
+         state: GroupState[VoteState]) =>
+          val m = new java.util.TreeMap[String, String]()
+          state.getOption.foreach { s =>
+            var i = 0
+            while (i < s.raters.length) {
+              m.put(s.raters(i), s.labels(i)); i += 1
+            }
+          }
+          var changed = false
+          rows.foreach { r =>
+            if (!m.containsKey(r.rater)) {
+              m.put(r.rater, r.label); changed = true
+            }
+          }
+          if (!changed) Iterator.empty
+          else {
+            val raters = new Array[String](m.size)
+            val labels = new Array[String](m.size)
+            var i = 0
+            val it = m.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              raters(i) = e.getKey; labels(i) = e.getValue; i += 1
+            }
+            state.update(VoteState(raters, labels))
+            labels.groupBy(identity).toSeq.sortBy(_._1).iterator
+              .map { case (l, v) => KappaCell(item, l, v.length.toLong) }
+          }
+      }
+  }
 }

@@ -139,8 +139,10 @@ class R9OpsSpec extends AnyFunSuite {
         concat(lit("café "), $"id".cast("string"))))
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    // NfcNormalize is an alias of NormalizeUnicodeExpr — one codegen
+    // kernel (TextStats.normalizeUnicode) serves both SQL surfaces
     assert(plan.contains("WholeStageCodegen") &&
-      plan.contains("normalizeUtf8"), plan)
+      plan.contains("normalizeUnicode"), plan)
   }
 
   test("videoFrameHashes: real container split + PNG decode, dhash is " +

@@ -70,4 +70,36 @@ class ScaleUpSpec extends AnyFunSuite {
       .select((col("d0c") - col("d0")).as("delta")).as[Float].collect()
     assert(joined.nonEmpty && joined.forall(d => math.abs(d - 1e-4f) < 1e-6f))
   }
+
+  test("docMode=unique splices a copy marker every 3 tokens — copies " +
+       "are distinct docs, not near-dups (cross-copy trigram-shingle " +
+       "overlap collapses)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scaleup_u")
+      .toFile.getAbsolutePath
+    ScaleUp.build(spark, src, dir, copies = 2, docCopiesArg = 2,
+      docMode = "unique")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val c1 = d.filter(col("doc_id") >= ScaleUp.KeyOffset)
+      .select(col("text"), col("n_chars"))
+      .as[(String, Long)].collect()
+    assert(c1.nonEmpty)
+    c1.foreach { case (t, nc) =>
+      val toks = t.split("\\s+")
+      // one marker per 3 source tokens (plus the tail suffix token)
+      val markers = toks.count(_ == "u1")
+      val srcToks = toks.length - markers - 1 // minus copytag1
+      assert(markers >= srcToks / 3 - 1 && markers <= srcToks / 3 + 1,
+        s"markers=$markers srcToks=$srcToks")
+      // any 4-token window of the rewritten text contains a marker or
+      // the suffix -> at most ONE source trigram survives per 3-run
+      assert(toks.sliding(4).forall(w =>
+        w.exists(x => x == "u1" || x == "copytag1")) || toks.length < 4)
+      assert(nc == t.length.toLong)
+    }
+    // every rewritten text is distinct from every copy-0 text
+    assert(d.select("text").distinct().count() == d.count() ||
+      d.select("text").distinct().count() ==
+        2 * spark.read.parquet(s"$src/documents.parquet")
+          .select("text").distinct().count())
+  }
 }

@@ -31,32 +31,43 @@ object ScalePlanCheck {
     // scheduling-dependent blind spots. A dedicated spark.local.dir
     // makes this tool immune to any default-/tmp cleanup.
     val localDir = s"/tmp/graft_scaleplan_local_${ProcessHandle.current().pid()}"
-    val spark = GraftSession.builder(8)
+    val spark = GraftSession.builder()
       .config("spark.local.dir", localDir).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var flips = 0
-    SparkEntry.queries
+    var done = 0
+    // sorted: deterministic order so a resumed/partial run is
+    // comparable across sessions; one line per KEY (not just per
+    // flip) so a long run — sf100 plan-time model fits take minutes
+    // for some keys — shows live progress and the artifact records
+    // the quiet keys' strategies too
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
         try {
           val a = strategies(fn(spark, dirA).queryExecution.executedPlan.toString)
           val b = strategies(fn(spark, dirB).queryExecution.executedPlan.toString)
           val danger = b.keySet.exists(k =>
             k.contains("NestedLoop") || k.contains("Cartesian"))
+          val secs = (System.nanoTime() - t0) / 1e9
+          done += 1
           if (a != b) {
             flips += 1
-            println(s"[scaleplan] FLIP $name: $dirA=$a  $dirB=$b")
+            println(f"[scaleplan] FLIP $name ($secs%.1fs): $dirA=$a  $dirB=$b")
           } else if (danger)
             // same strategy at both SFs incl. a nested-loop: usually a
             // DELIBERATE 1-row scalar broadcast (corpus totals, norms,
             // max-Z) or the documented brute-force ANN baseline —
             // triage by hand, it is not a scale flip
-            println(s"[scaleplan] note $name: stable nested-loop $b")
+            println(f"[scaleplan] note $name ($secs%.1fs): stable nested-loop $b")
+          else
+            println(f"[scaleplan] ok $name ($secs%.1fs): $b")
         } catch {
           case e: Throwable =>
             println(s"[scaleplan] SKIP $name: ${e.getClass.getSimpleName}")
         }
       }
-    println(s"[scaleplan] done, $flips strategy flips")
+    println(s"[scaleplan] done, $done keys, $flips strategy flips")
     spark.stop()
     // own-dir cleanup (safe: this JVM is the only user and is done)
     def rm(f: java.io.File): Unit = {

@@ -3779,6 +3779,55 @@ object SparkEntry {
       Behavior.fleissKappa(d, "doc_id", "rater", "label", 3)
     }),
 
+    // E110: Krippendorff's alpha over a RAGGED panel — the same three
+    // heuristic raters, but 'stop' abstains on every fifth document
+    // (doc_id % 5 = 0), so 20% of units carry 2 votes instead of 3;
+    // fleiss would drop them, alpha keeps them weighted by panel size
+    "krippendorff_alpha" -> ((s, dir) => {
+      val r = Tables(s, dir).documents.selectExpr("doc_id",
+        """stack(3,
+           'len',  CASE WHEN n_chars >= 200 THEN 'ok' ELSE 'bad' END,
+           'garb', CASE WHEN contains(text, '�') THEN 'bad'
+                   ELSE 'ok' END,
+           'stop', CASE WHEN doc_id % 5 = 0 THEN NULL
+                   WHEN contains(lower(text), ' the ') THEN 'ok'
+                   ELSE 'bad' END) AS (rater, label)""")
+        .filter(col("label").isNotNull)
+      Behavior.krippendorffAlpha(r, "doc_id", "rater", "label")
+    }),
+
+    // C140: Cochran's Q over the matched 3-treatment binary battery —
+    // per user, "produced >= 1 click / view / purchase" as the three
+    // treatments on the SAME subjects (complete blocks by
+    // construction); the k-ary generalization of mcnemar_check
+    "cochran_q" -> ((s, dir) => {
+      val flags = Tables(s, dir).events
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .groupBy(col("user_id").as("subj"))
+        .agg(
+          max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c"),
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("v"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("p"))
+      val obs = flags.selectExpr("subj",
+        "stack(3, 'click', c, 'view', v, 'purchase', p) AS (trt, ok)")
+      Behavior.cochranQ(obs, "subj", "trt", "ok", 3)
+    }),
+
+    // C141: Wald-Wolfowitz runs test over the parity of the daily
+    // purchase count — is the binary daily sequence random, or does
+    // it clump/alternate? (the cheapest autocorrelation alarm)
+    "runs_test" -> ((s, dir) => {
+      val d = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("day")
+        .agg((count(lit(1)) % 2 === 1).as("hot"))
+      Behavior.runsTest(d, "day", "hot")
+    }),
+
     // E106: χ² token keyness per source vs the rest — top-10 enriched
     // tokens (threshold ties included) with corpus tf >= 5, the
     // integer-exact corpus-diff view
@@ -9876,6 +9925,113 @@ FROM decided""",
                          // (2 * (N * N * 9 - E)) END AS BIGINT)
                 END AS kappa_permyriad
          FROM a, e""",
+
+    // E110: same ragged panel (stop abstains on doc_id % 5 = 0), the
+    // quantized per-unit disagreement + signed-floor alpha in HUGEINT
+    "krippendorff_alpha" ->
+      """WITH r AS (
+           SELECT doc_id AS item, 'len' AS rater,
+                  CASE WHEN n_chars >= 200 THEN 'ok' ELSE 'bad' END
+                    AS label FROM documents
+           UNION ALL
+           SELECT doc_id, 'garb',
+                  CASE WHEN contains(text, '�') THEN 'bad' ELSE 'ok' END
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 'stop',
+                  CASE WHEN contains(lower(text), ' the ') THEN 'ok'
+                  ELSE 'bad' END
+           FROM documents WHERE doc_id % 5 <> 0),
+         v AS (SELECT item, rater, min(label) AS label FROM r
+               GROUP BY 1, 2),
+         c AS (SELECT item, label, CAST(count(*) AS HUGEINT) AS nuc
+               FROM v GROUP BY 1, 2),
+         it AS (SELECT item, sum(nuc) AS m, sum(nuc * nuc) AS sq
+                FROM c GROUP BY 1 HAVING sum(nuc) >= 2),
+         sr AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                  CAST(coalesce(sum(m), 0) AS HUGEINT) AS n,
+                  CAST(coalesce(sum((1000000 * (m * m - sq)) // (m - 1)),
+                       0) AS HUGEINT) AS s
+                FROM it),
+         lc AS (SELECT c.label, sum(c.nuc) AS ncl FROM c
+                JOIN it USING (item) GROUP BY 1),
+         er AS (SELECT CAST(count(*) AS BIGINT) AS n_labels,
+                  CAST(coalesce(sum(ncl * ncl), 0) AS HUGEINT) AS sq2
+                FROM lc)
+         SELECT n_units, CAST(n AS BIGINT) AS n_ratings, n_labels,
+                CASE WHEN n_units > 0 AND n * n - sq2 > 0 THEN
+                  CAST(CASE WHEN 10000 * (1000000 * (n * n - sq2)
+                                          - (n - 1) * s) < 0
+                    THEN -((-(10000 * (1000000 * (n * n - sq2)
+                                       - (n - 1) * s)))
+                           // (1000000 * (n * n - sq2)))
+                    ELSE (10000 * (1000000 * (n * n - sq2)
+                                   - (n - 1) * s))
+                         // (1000000 * (n * n - sq2)) END AS BIGINT)
+                END AS alpha_permyriad
+         FROM sr, er""",
+
+    // C140: same per-user flag battery + the cleared-denominator Q in
+    // HUGEINT; significance vs the embedded chi2 critical value
+    "cochran_q" ->
+      """WITH f AS (
+           SELECT user_id AS subj,
+                  CAST(max(CASE WHEN event_type = 'click' THEN 1
+                           ELSE 0 END) AS BIGINT) AS c,
+                  CAST(max(CASE WHEN event_type = 'view' THEN 1
+                           ELSE 0 END) AS BIGINT) AS v,
+                  CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS p
+           FROM events
+           WHERE event_type IN ('click', 'view', 'purchase')
+           GROUP BY 1),
+         o AS (SELECT subj, 'click' AS trt, c AS x FROM f
+               UNION ALL SELECT subj, 'view', v FROM f
+               UNION ALL SELECT subj, 'purchase', p FROM f),
+         r AS (SELECT subj, CAST(sum(x) AS HUGEINT) AS rr FROM o
+               GROUP BY 1),
+         rs AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+                  CAST(coalesce(sum(rr), 0) AS HUGEINT) AS S,
+                  CAST(coalesce(sum(rr * rr), 0) AS HUGEINT) AS r2
+                FROM r),
+         ts AS (SELECT CAST(count(*) AS BIGINT) AS n_t,
+                  CAST(coalesce(sum(tj * tj), 0) AS HUGEINT) AS t2
+                FROM (SELECT trt, CAST(sum(x) AS HUGEINT) AS tj
+                      FROM o GROUP BY 1))
+         SELECT n_subjects, CAST(3 AS BIGINT) AS k,
+                CAST(2 AS BIGINT) AS df,
+                CASE WHEN n_subjects > 0 AND n_t = 3
+                       AND 3 * S - r2 > 0 THEN
+                  CAST((1000 * 2 * (9 * t2 - 3 * S * S))
+                       // (3 * (3 * S - r2)) AS BIGINT) END AS q_milli,
+                CASE WHEN n_subjects > 0 AND n_t = 3
+                       AND 3 * S - r2 > 0 THEN
+                  1000 * 2 * (9 * t2 - 3 * S * S)
+                    > 5991 * (3 * (3 * S - r2)) END AS significant
+         FROM rs, ts""",
+
+    // C141: lag-window runs count — an independent mechanism vs the
+    // operator's HOF fold — and the cleared-denominator z² rule
+    "runs_test" ->
+      """WITH d AS (
+           SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CASE WHEN count(*) % 2 = 1 THEN 1 ELSE 0 END AS x
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         q AS (SELECT day, x, lag(x) OVER (ORDER BY day) AS px FROM d),
+         a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(coalesce(sum(x), 0) AS HUGEINT) AS n1,
+                 CAST(count(*) - coalesce(sum(x), 0) AS HUGEINT) AS n2,
+                 CAST(coalesce(sum(CASE WHEN px IS NULL OR px <> x
+                      THEN 1 ELSE 0 END), 0) AS HUGEINT) AS runs
+               FROM q)
+         SELECT CAST(n AS BIGINT) AS n_days, CAST(n1 AS BIGINT) AS n_pos,
+                CAST(n2 AS BIGINT) AS n_neg, CAST(runs AS BIGINT) AS runs,
+                CASE WHEN n1 > 0 AND n2 > 0 AND 2 * n1 * n2 > n THEN
+                  10000 * (runs * n - n - 2 * n1 * n2)
+                        * (runs * n - n - 2 * n1 * n2) * (n - 1)
+                    > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - n)
+                END AS significant
+         FROM a""",
 
     // E106: same tokenization + 2×2 χ² algebra; the per-group top-k
     // via rank() (ties included) — an independent mechanism vs the

@@ -3042,6 +3042,195 @@ object Behavior {
         col("__r.best").as("score_micro"))
   }
 
+  /** Krippendorff's alpha, nominal data (E110 — [[fleissKappa]]'s
+    * missing-data sibling: REAL annotation runs are ragged — raters
+    * abstain, time out, get sampled — and Fleiss drops every ragged
+    * item by contract; Krippendorff's alpha is the standard
+    * agreement statistic that KEEPS them, weighting each unit's
+    * disagreement by its own panel size). Contract: one VOTE per
+    * (item, rater) — duplicates collapse to the MIN label, the
+    * [[fleissKappa]] rule — units kept iff ≥ 2 votes (alpha is
+    * undefined below). The CONTRACT is the QUANTIZED objective
+    * (stated, the [[changepointDetect]] precedent): per-unit
+    * disagreement `U_micro = strunc(10⁶·(m_u² − Σ_c n_uc²), m_u−1)`,
+    * `S = Σ_u U_micro`, expected-side `E = n² − Σ_c n_c²` over the
+    * kept units' label totals, and `alpha_permyriad =
+    * strunc(10⁴·(10⁶·E − (n−1)·S), 10⁶·E)` in DECIMAL(38,0) — both
+    * engines walk identical integers (alpha can be NEGATIVE —
+    * systematic disagreement — so the signed floor is explicit).
+    * All-one-label degenerate (E = 0) reads null.
+    *
+    * Scale shape: one (item, label) cell agg, one item agg (panel
+    * filter + disagreement), one label agg — all map-side combined,
+    * scalars broadcast. The corpus never sorts.
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+                        raterCol: String, labelCol: String): DataFrame = {
+    val votes = ratings
+      .groupBy(col(itemCol).as("__i"), col(raterCol).as("__r"))
+      .agg(min(col(labelCol)).as("__l"))
+    val cells = votes
+      .groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("__nuc"))
+    krippendorffAlphaFromCells(cells, "__i", "__l", "__nuc")
+  }
+
+  /** [[krippendorffAlpha]]'s report tail over PRE-BUILT (item, label,
+    * n) vote cells — alpha is a pure function of the SAME cells the
+    * D33 stream ([[graft.streaming.Streams.streamFleissCells]])
+    * already maintains, so one maintained cell store serves BOTH
+    * agreement reports (kappa via [[fleissKappaFromCells]], alpha
+    * via this) with no extra state.
+    */
+  def krippendorffAlphaFromCells(cellsIn: DataFrame, itemCol: String,
+                                 labelCol: String,
+                                 nCol: String): DataFrame = {
+    val cells = cellsIn.select(col(itemCol).as("__i"),
+      col(labelCol).as("__l"), col(nCol).as("__nuc"))
+    val itemTot = cells.groupBy("__i")
+      .agg(sum("__nuc").as("__m"),
+        sum(expr("CAST(__nuc AS DECIMAL(38,0)) * __nuc")).as("__sq"))
+      .filter(col("__m") >= 2)
+    val sRow = itemTot.agg(
+      count(lit(1)).as("n_units"),
+      coalesce(sum("__m"), lit(0)).cast("decimal(38,0)").as("__n"),
+      coalesce(sum(expr(
+        """(1000000 * (CAST(__m AS DECIMAL(38,0)) * __m - __sq))
+           div (__m - 1)""")), lit(0).cast("decimal(38,0)")).as("__s"))
+    val eRow = cells.join(itemTot.select("__i"), "__i")
+      .groupBy("__l").agg(sum("__nuc").as("__ncl"))
+      .agg(count(lit(1)).as("n_labels"),
+        coalesce(sum(expr("CAST(__ncl AS DECIMAL(38,0)) * __ncl")),
+          lit(0).cast("decimal(38,0)")).as("__sq2"))
+    sRow.crossJoin(broadcast(eRow))
+      .select(col("n_units"),
+        col("__n").cast("long").as("n_ratings"), col("n_labels"),
+        expr("""CASE WHEN n_units > 0
+                  AND __n * __n - __sq2 > 0 THEN
+          CAST(CASE
+            WHEN 10000 * (1000000 * (__n * __n - __sq2)
+                          - (__n - 1) * __s) < 0
+            THEN -((-(10000 * (1000000 * (__n * __n - __sq2)
+                               - (__n - 1) * __s)))
+                   div (1000000 * (__n * __n - __sq2)))
+            ELSE (10000 * (1000000 * (__n * __n - __sq2)
+                           - (__n - 1) * __s))
+                 div (1000000 * (__n * __n - __sq2))
+            END AS BIGINT) END""").as("alpha_permyriad"))
+  }
+
+  /** Cochran's Q test (C140 — the k-treatment generalization of
+    * [[mcnemarCheck]]'s paired binary test: "do these k binary
+    * treatments — model variants, gate configurations, prompt
+    * templates — have equal success rates over the SAME subjects?"
+    * is the matched-battery question the pairwise test can't answer
+    * without k² comparisons and an FDR bill). Contract: one
+    * observation per (subject, treatment) — duplicates collapse by
+    * OR (any success counts, stated) — subjects kept iff observed
+    * under EXACTLY the k distinct treatments present (incomplete
+    * blocks drop; the statistic requires complete blocks). Exact
+    * integers: with row sums R_i, column sums T_j, S = ΣR_i,
+    * `q_milli = strunc(1000·(k−1)·Σ_j(k·T_j − S)²,
+    * k·(k·S − ΣR_i²))` in DECIMAL(38,0); the degenerate
+    * all-0/all-k panel (denominator 0) reads null. Significance at
+    * 5% on the integer grid: `1000·(k−1)·Σ(kT_j−S)² >
+    * crit_milli(df)·(k·(kS − ΣR²))` with the χ²₀.₀₅ critical values
+    * embedded in MILLI for df 1..10 — no float inverse-CDF in either
+    * engine.
+    *
+    * Scale shape: one (subject, treatment) collapse, one subject
+    * agg (block filter + R moments), one treatment agg (T) — all
+    * map-side combined, scalars broadcast.
+    */
+  def cochranQ(obs: DataFrame, subjectCol: String, treatmentCol: String,
+               successCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 11, s"k in [2,11] (df 1..10), got $k")
+    // χ²₀.₀₅ critical values, milli, df 1..10
+    val critMilli = Seq(3841L, 5991L, 7815L, 9488L, 11070L, 12592L,
+      14067L, 15507L, 16919L, 18307L)(k - 2)
+    val cells = obs
+      .groupBy(col(subjectCol).as("__s"), col(treatmentCol).as("__t"))
+      .agg(max(col(successCol).cast("boolean")).cast("long").as("__x"))
+    val subj = cells.groupBy("__s")
+      .agg(count(lit(1)).as("__nt"), sum("__x").as("__r"))
+      .filter(col("__nt") === k)
+    val rRow = subj.agg(
+      count(lit(1)).as("n_subjects"),
+      coalesce(sum("__r"), lit(0)).cast("decimal(38,0)").as("__S"),
+      coalesce(sum(expr("CAST(__r AS DECIMAL(38,0)) * __r")),
+        lit(0).cast("decimal(38,0)")).as("__r2"))
+    val tRow = cells.join(subj.select("__s"), "__s")
+      .groupBy("__t").agg(sum("__x").as("__tj"))
+      .agg(count(lit(1)).as("n_treatments"),
+        coalesce(sum(expr("CAST(__tj AS DECIMAL(38,0)) * __tj")),
+          lit(0).cast("decimal(38,0)")).as("__t2"),
+        coalesce(sum("__tj"), lit(0)).cast("decimal(38,0)").as("__ts"))
+    rRow.crossJoin(broadcast(tRow))
+      .select(col("n_subjects"), lit(k.toLong).as("k"),
+        lit(k - 1L).as("df"),
+        // Σ(k·T_j − S)² = k²·ΣT² − 2kS·ΣT + k·S² ; ΣT = S over the
+        // kept blocks, so it folds to k²·ΣT² − k·S²
+        expr(s"""CASE WHEN n_subjects > 0 AND n_treatments = $k
+                   AND $k * __S - __r2 > 0 THEN
+          CAST((1000 * ${k - 1} * ($k * $k * __t2 - $k * __S * __S))
+               div ($k * ($k * __S - __r2)) AS BIGINT) END""")
+          .as("q_milli"),
+        expr(s"""CASE WHEN n_subjects > 0 AND n_treatments = $k
+                   AND $k * __S - __r2 > 0 THEN
+          1000 * ${k - 1} * ($k * $k * __t2 - $k * __S * __S)
+            > $critMilli * ($k * ($k * __S - __r2))
+          END""").as("significant"))
+  }
+
+  /** Wald-Wolfowitz runs test (C141 — the RANDOMNESS check under the
+    * time-series family: trend says "is it drifting", changepoint
+    * says "where did it shift", the runs test says "is this binary
+    * daily sequence even RANDOM, or does it clump/alternate?" — the
+    * cheapest autocorrelation alarm on a gate/flag series). Over a
+    * daily boolean series ([[withDailyGuard]], the calendar
+    * contract): `runs R = 1 + Σ 1[x_d ≠ x_prev]` from the sorted
+    * fold (the corpus never sorts — one distribution fold), n₁/n₂
+    * the positive/negative day counts, and 5% two-sided significance
+    * with NO normal inverse on the integer grid:
+    * `10⁴·(R·n − n − 2n₁n₂)²·(n−1) > 38416·2n₁n₂·(2n₁n₂ − n)`
+    * (z² > 1.96² with both sides cleared of denominators —
+    * identical integers in both engines). One-sided degenerates
+    * (n₁ = 0 or n₂ = 0) and zero-variance panels read null.
+    */
+  def runsTest(daily: DataFrame, dayCol: String, boolCol: String,
+               maxDays: Long = 5000L): DataFrame = {
+    require(maxDays >= 1, s"maxDays must be >= 1, got $maxDays")
+    val d = withDailyGuard(
+      daily.select(col(dayCol).cast("long").as("__d"),
+        col(boolCol).cast("boolean").cast("long").as("__x")),
+      maxDays, "runsTest")
+    d.agg(array_sort(collect_list(struct(col("__d"), col("__x"))))
+        .as("__a"))
+      .select(expr("""aggregate(__a,
+        struct(CAST(NULL AS BIGINT) AS prev, CAST(0 AS BIGINT) AS runs,
+               CAST(0 AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2),
+        (acc, el) -> struct(el.__x AS prev,
+          acc.runs + CASE WHEN acc.prev IS NULL
+                          OR acc.prev <> el.__x THEN 1 ELSE 0 END AS runs,
+          acc.n1 + CASE WHEN el.__x = 1 THEN 1 ELSE 0 END AS n1,
+          acc.n2 + CASE WHEN el.__x = 0 THEN 1 ELSE 0 END AS n2))""")
+        .as("__r"))
+      .select(
+        expr("__r.n1 + __r.n2").as("n_days"),
+        col("__r.n1").as("n_pos"), col("__r.n2").as("n_neg"),
+        col("__r.runs").as("runs"),
+        expr("""CASE WHEN __r.n1 > 0 AND __r.n2 > 0
+                  AND 2 * __r.n1 * __r.n2 > __r.n1 + __r.n2 THEN
+          10000 * CAST(__r.runs * (__r.n1 + __r.n2) - (__r.n1 + __r.n2)
+                       - 2 * __r.n1 * __r.n2 AS DECIMAL(38,0))
+                * (__r.runs * (__r.n1 + __r.n2) - (__r.n1 + __r.n2)
+                   - 2 * __r.n1 * __r.n2)
+                * (__r.n1 + __r.n2 - 1)
+            > CAST(38416 AS DECIMAL(38,0)) * 2 * __r.n1 * __r.n2
+                * (2 * __r.n1 * __r.n2 - (__r.n1 + __r.n2))
+          END""").as("significant"))
+  }
+
   /** Executable bounded-grid contract shared by the cell-join
     * operators ([[kendallTau]], [[Relational.skyline2d]]): the grid
     * bound becomes a 1-row `raise_error` guard crossed onto the cell

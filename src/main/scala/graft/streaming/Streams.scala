@@ -1567,6 +1567,64 @@ object Streams {
     * does not) — stream ≡ batch exactly when every (item, rater)
     * carries one distinct vote, the stated batch contract.
     */
+  case class DailyFlag(key: String, day: Long, x: Boolean)
+  case class RunsState(day: Long, prev: Boolean, runs: Long, n1: Long,
+                       n2: Long)
+  case class RunsPoint(key: String, upto_day: Long, n_days: Long,
+                       n_pos: Long, n_neg: Long, runs: Long,
+                       significant: Option[Boolean])
+
+  /** Streaming Wald-Wolfowitz runs monitor (D34 — C141 `runs_test`'s
+    * streaming half: the runs count is a PREFIX FOLD — one frontier
+    * day, the last flag, and three counters are its entire memory —
+    * so the randomness alarm maintains instead of rescanning). Days
+    * arrive ascending per key (strict frontier; replays and
+    * out-of-order arrivals emit nothing); each advancing day bumps
+    * `runs` iff the flag changed, and every emission re-evaluates the
+    * batch operator's exact cleared-denominator z² rule in BigInt —
+    * identical integers to C141 at every prefix. State: FIVE fields
+    * per key, forever.
+    */
+  def streamRunsTest(flags: Dataset[DailyFlag]): Dataset[RunsPoint] = {
+    import flags.sparkSession.implicits._
+    flags.groupByKey(_.key)
+      .flatMapGroupsWithState[RunsState, RunsPoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DailyFlag],
+         state: GroupState[RunsState]) =>
+          var st = state.getOption.getOrElse(
+            RunsState(Long.MinValue, false, 0L, 0L, 0L))
+          var advanced = false
+          rows.toSeq.sortBy(_.day).foreach { r =>
+            if (st.day < r.day) {
+              advanced = true
+              val bump = st.runs == 0L || st.prev != r.x
+              st = RunsState(r.day, r.x,
+                st.runs + (if (bump) 1L else 0L),
+                st.n1 + (if (r.x) 1L else 0L),
+                st.n2 + (if (r.x) 0L else 1L))
+            }
+          }
+          if (!advanced) Iterator.empty
+          else {
+            state.update(st)
+            val n = BigInt(st.n1 + st.n2)
+            val sig =
+              if (st.n1 > 0 && st.n2 > 0 &&
+                  BigInt(2) * st.n1 * st.n2 > n)
+                Some(BigInt(10000)
+                  * (BigInt(st.runs) * n - n - BigInt(2) * st.n1 * st.n2)
+                  * (BigInt(st.runs) * n - n - BigInt(2) * st.n1 * st.n2)
+                  * (n - 1)
+                  > BigInt(38416) * 2 * st.n1 * st.n2
+                    * (BigInt(2) * st.n1 * st.n2 - n))
+              else None
+            Iterator.single(RunsPoint(key, st.day, n.toLong, st.n1,
+              st.n2, st.runs, sig))
+          }
+      }
+  }
+
   def streamFleissCells(ratings: Dataset[RatingObs]): Dataset[KappaCell] = {
     import ratings.sparkSession.implicits._
     ratings.groupByKey(_.item)

@@ -3828,6 +3828,52 @@ object SparkEntry {
       Behavior.runsTest(d, "day", "hot")
     }),
 
+    // C142: Friedman test over the matched 3-treatment count battery —
+    // per user, click/view/purchase event COUNTS as the ordinal
+    // responses on the same subjects; complete blocks = users with
+    // all three types (the ordinal generalization of cochran_q)
+    "friedman_test" -> ((s, dir) => {
+      val obs = Tables(s, dir).events
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .groupBy(col("user_id").as("subj"), col("event_type").as("trt"))
+        .agg(count(lit(1)).as("cnt"))
+      Behavior.friedmanTest(obs, "subj", "trt", "cnt", 3)
+    }),
+
+    // C143: Ljung-Box white-noise check on the daily purchase-count
+    // series at 3 lags — "is any autocorrelation left?" (the residual
+    // diagnostics gate closing the series triage)
+    "ljung_box" -> ((s, dir) => {
+      val d = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("day").agg(count(lit(1)).as("n"))
+      Behavior.ljungBox(d, "day", "n", maxLag = 3)
+    }),
+
+    // C144: Wilcoxon signed-rank over the paired per-user (click,
+    // view) counts — the paired two-sample ordinal test (mcnemar is
+    // paired binary, mann_whitney is unpaired; this is the "same
+    // subjects, two measurements" significance check)
+    "wilcoxon_signed_rank" -> ((s, dir) => {
+      val pv = Tables(s, dir).events
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("clicks"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("views"))
+      Behavior.wilcoxonSignedRank(pv, "clicks", "views")
+    }),
+
+    // E111: within-doc duplicate trigram ratio — the Gopher-style
+    // repetition filter (loops/boilerplate INSIDE one document that
+    // corpus-level dedup can't see)
+    "dup_ngram_ratio" -> ((s, dir) =>
+      TextAnalysis.dupNgramRatio(Tables(s, dir).documents,
+        "doc_id", "text", n = 3)),
+
     // E106: χ² token keyness per source vs the rest — top-10 enriched
     // tokens (threshold ties included) with corpus tf >= 5, the
     // integer-exact corpus-diff view
@@ -10032,6 +10078,152 @@ FROM decided""",
                     > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - n)
                 END AS significant
          FROM a""",
+
+    // C142: window-rank mechanism (rank() + tie counts — independent
+    // vs the operator's in-block HOF fold) + the same cleared-
+    // denominator tie-corrected statistic in HUGEINT
+    "friedman_test" ->
+      """WITH cells AS (
+           SELECT user_id AS subj, event_type AS trt,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM events
+           WHERE event_type IN ('click', 'view', 'purchase')
+           GROUP BY 1, 2),
+         blk AS (SELECT subj FROM cells GROUP BY 1
+                 HAVING count(*) = 3),
+         r AS (SELECT c.subj, c.trt,
+                 CAST(2 * (rank() OVER (PARTITION BY c.subj ORDER BY c.v)
+                           - 1)
+                      + count(*) OVER (PARTITION BY c.subj, c.v)
+                      + 1 AS HUGEINT) AS r2
+               FROM cells c JOIN blk USING (subj)),
+         s AS (SELECT CAST(count(DISTINCT subj) AS BIGINT) AS n,
+                 CAST(coalesce(sum(r2 * r2), 0) AS HUGEINT) AS a2,
+                 CAST(count(DISTINCT trt) AS BIGINT) AS n_t
+               FROM r),
+         t AS (SELECT CAST(coalesce(sum(rr * rr), 0) AS HUGEINT) AS rr2
+               FROM (SELECT trt, CAST(sum(r2) AS HUGEINT) AS rr
+                     FROM r GROUP BY 1))
+         SELECT n AS n_subjects, CAST(3 AS BIGINT) AS k,
+                CAST(2 AS BIGINT) AS df,
+                CASE WHEN n > 0 AND n_t = 3
+                       AND a2 - CAST(n AS HUGEINT) * 48 > 0 THEN
+                  CAST((1000 * 2 * (rr2 - CAST(n AS HUGEINT) * n * 48))
+                       // (a2 - CAST(n AS HUGEINT) * 48) AS BIGINT)
+                END AS q_milli,
+                CASE WHEN n > 0 AND n_t = 3
+                       AND a2 - CAST(n AS HUGEINT) * 48 > 0 THEN
+                  1000 * 2 * (rr2 - CAST(n AS HUGEINT) * n * 48)
+                    > 5991 * (a2 - CAST(n AS HUGEINT) * 48)
+                END AS significant
+         FROM s, t""",
+
+    // C143: lag self-join on row positions (independent mechanism vs
+    // the operator's single-row HOF fold) + the same quantized
+    // rho/term/Q objective in HUGEINT
+    "ljung_box" ->
+      """WITH d AS (
+           SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         s AS (SELECT row_number() OVER (ORDER BY day) AS i, x,
+                 CAST(count(*) OVER () AS HUGEINT) AS n,
+                 CAST(sum(x) OVER () AS HUGEINT) AS S
+               FROM d),
+         c AS (SELECT i, n * x - S AS c, n FROM s),
+         dn AS (SELECT CAST(sum(c * c) AS HUGEINT) AS den, max(n) AS n
+                FROM c),
+         nm AS (SELECT h, CAST(sum(a.c * b.c) AS HUGEINT) AS num
+                FROM (SELECT unnest([1, 2, 3]) AS h) hs
+                JOIN c a ON true JOIN c b ON b.i = a.i + h
+                GROUP BY h),
+         rho AS (SELECT h, num,
+                   (1000000 * abs(num)) // den AS rho, den, n
+                 FROM nm, dn),
+         q AS (SELECT max(n) AS n,
+                 CAST(sum((1000000 * rho * rho) // (n - h)) AS HUGEINT)
+                   AS qs,
+                 max(CASE WHEN h = 1 THEN
+                   CASE WHEN num < 0 THEN -rho ELSE rho END END) AS r1,
+                 max(den) AS den
+               FROM rho)
+         SELECT CAST(n AS BIGINT) AS n_days, CAST(3 AS BIGINT) AS df,
+                CASE WHEN n > 3 AND den > 0 THEN CAST(r1 AS BIGINT)
+                END AS rho1_micro,
+                CASE WHEN n > 3 AND den > 0 THEN
+                  CAST((1000 * n * (n + 2) * qs)
+                       // CAST(1000000000000000000 AS HUGEINT)
+                       AS BIGINT) END AS q_milli,
+                CASE WHEN n > 3 AND den > 0 THEN
+                  1000 * n * (n + 2) * qs
+                    > 7815 * CAST(1000000000000000000 AS HUGEINT)
+                END AS significant
+         FROM q""",
+
+    // C144: window-rank mechanism over |d| (rank() + tie counts —
+    // independent vs the operator's value-histogram fold) + the same
+    // cleared-denominator z² rule in HUGEINT
+    "wilcoxon_signed_rank" ->
+      """WITH pv AS (
+           SELECT user_id,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                           ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                           ELSE 0 END) AS BIGINT) AS b
+           FROM events
+           WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+         p AS (SELECT a - b AS d FROM pv WHERE a <> b),
+         r AS (SELECT CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos,
+                 CAST(2 * (rank() OVER (ORDER BY abs(d)) - 1)
+                      + count(*) OVER (PARTITION BY abs(d)) + 1
+                      AS HUGEINT) AS r2
+               FROM p),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(coalesce(sum(CASE WHEN pos = 1 THEN r2 END), 0)
+                      AS HUGEINT) AS w2p
+               FROM r),
+         t AS (SELECT CAST(coalesce(sum(c * c * c - c), 0) AS HUGEINT)
+                 AS ties
+               FROM (SELECT CAST(count(*) AS HUGEINT) AS c
+                     FROM p GROUP BY abs(d)))
+         SELECT CAST(n AS BIGINT) AS n_pairs,
+                CAST(w2p AS BIGINT) AS w2_plus,
+                CASE WHEN n > 0
+                       AND 2 * n * (n + 1) * (2 * n + 1) - ties > 0 THEN
+                  CAST((3000 * (2 * w2p - n * (n + 1))
+                        * (2 * w2p - n * (n + 1)))
+                       // (2 * n * (n + 1) * (2 * n + 1) - ties)
+                       AS BIGINT) END AS z2_milli,
+                CASE WHEN n > 0
+                       AND 2 * n * (n + 1) * (2 * n + 1) - ties > 0 THEN
+                  30000 * (2 * w2p - n * (n + 1))
+                        * (2 * w2p - n * (n + 1))
+                    > 38416 * (2 * n * (n + 1) * (2 * n + 1) - ties)
+                END AS significant
+         FROM s, t""",
+
+    // E111: the same shared tokenization (the ngram_jaccard device)
+    // + list_distinct — the per-doc duplicate-trigram permyriad
+    "dup_ngram_ratio" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(
+                    coalesce(text, ''), '\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(w) >= 3 THEN
+                   list_transform(range(1, len(w) - 1),
+                     i -> array_to_string(w[i:i+2], ' '))
+                 ELSE [] END AS g
+               FROM toks)
+         SELECT doc_id, CAST(len(g) AS BIGINT) AS n_ngrams,
+                CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+                CASE WHEN len(g) > 0 THEN
+                  CAST((10000 * (len(g) - len(list_distinct(g))))
+                       // len(g) AS BIGINT)
+                END AS dup_permyriad
+         FROM g""",
 
     // E106: same tokenization + 2×2 χ² algebra; the per-group top-k
     // via rank() (ties included) — an independent mechanism vs the

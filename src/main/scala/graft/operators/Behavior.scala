@@ -3231,6 +3231,232 @@ object Behavior {
           END""").as("significant"))
   }
 
+  /** Friedman test (C142 — [[cochranQ]] grown from binary to ORDINAL
+    * responses: "do these k treatments — model variants, prompt
+    * templates, ranker configs — produce the same response
+    * DISTRIBUTION over the same subjects?" when the response is a
+    * count/score rather than pass-fail; the non-parametric repeated-
+    * measures ANOVA). Contract: one observation per (subject,
+    * treatment) — duplicates collapse to the MIN value (stated,
+    * deterministic) — subjects kept iff observed under EXACTLY the k
+    * global treatments (incomplete blocks drop). Within each block
+    * values become DOUBLED average ranks (`r2 = 2·#less + #eq + 1`,
+    * integer by construction — ties carry the standard average rank
+    * with no floats), and the TIE-CORRECTED statistic rides exact
+    * integers with denominators cleared: with `R2_j = Σ_i r2_ij`,
+    * `A2 = Σ_ij r2_ij²`,
+    * `q_milli = strunc(1000·(k−1)·(ΣR2_j² − n²k(k+1)²),
+    * A2 − nk(k+1)²)` (both sides provably ≥ 0; the all-tied panel —
+    * denominator 0 — reads null). Significance at 5% on the integer
+    * grid vs the χ²₀.₀₅(k−1) critical values embedded in MILLI — no
+    * float inverse-CDF in either engine.
+    *
+    * Scale shape: one (subject, treatment) collapse, one subject agg
+    * (block assembly — k ≤ 11 cells per block, the rank HOF is k²
+    * inside one row), one treatment agg over exploded ranks — all
+    * map-side combined, scalars broadcast; nothing event-sized
+    * shuffles twice.
+    */
+  def friedmanTest(obs: DataFrame, subjectCol: String, treatmentCol: String,
+                   valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 11, s"k in [2,11] (df 1..10), got $k")
+    val critMilli = Seq(3841L, 5991L, 7815L, 9488L, 11070L, 12592L,
+      14067L, 15507L, 16919L, 18307L)(k - 2)
+    val cells = obs
+      .groupBy(col(subjectCol).as("__s"), col(treatmentCol).as("__t"))
+      .agg(min(col(valueCol).cast("long")).as("__v"))
+    // complete blocks only; doubled average ranks inside the block:
+    // r2 = 2·(#strictly-less) + (#equal incl. self) + 1
+    val blocks = cells.groupBy("__s")
+      .agg(collect_list(struct(col("__t"), col("__v"))).as("__b"))
+      .filter(size(col("__b")) === k)
+      .withColumn("__r", expr(
+        """transform(__b, e -> struct(e.__t AS t,
+             CAST(2 * size(filter(__b, y -> y.__v < e.__v))
+                  + size(filter(__b, y -> y.__v = e.__v)) + 1
+                  AS BIGINT) AS r2))"""))
+      .withColumn("__a2", expr(
+        "aggregate(__r, CAST(0 AS BIGINT), (a, e) -> a + e.r2 * e.r2)"))
+    val sRow = blocks.agg(count(lit(1)).as("n_subjects"),
+      coalesce(sum("__a2"), lit(0)).cast("decimal(38,0)").as("__A2"))
+    val tRow = blocks.select(explode(col("__r")).as("__e"))
+      .groupBy(col("__e.t").as("__t"))
+      .agg(sum(col("__e.r2")).as("__R2"))
+      .agg(count(lit(1)).as("n_treatments"),
+        coalesce(sum(expr("CAST(__R2 AS DECIMAL(38,0)) * __R2")),
+          lit(0).cast("decimal(38,0)")).as("__rr"))
+    val kk1 = (k + 1L) * (k + 1L) // (k+1)² — clears the rank mean
+    sRow.crossJoin(broadcast(tRow))
+      .select(col("n_subjects"), lit(k.toLong).as("k"),
+        lit(k - 1L).as("df"),
+        expr(s"""CASE WHEN n_subjects > 0 AND n_treatments = $k
+                   AND __A2 - CAST(n_subjects AS DECIMAL(38,0))
+                       * $k * $kk1 > 0 THEN
+          CAST((1000 * ${k - 1}
+                * (__rr - CAST(n_subjects AS DECIMAL(38,0))
+                          * n_subjects * $k * $kk1))
+               div (__A2 - CAST(n_subjects AS DECIMAL(38,0))
+                           * $k * $kk1) AS BIGINT) END""").as("q_milli"),
+        expr(s"""CASE WHEN n_subjects > 0 AND n_treatments = $k
+                   AND __A2 - CAST(n_subjects AS DECIMAL(38,0))
+                       * $k * $kk1 > 0 THEN
+          1000 * ${k - 1} * (__rr - CAST(n_subjects AS DECIMAL(38,0))
+                                    * n_subjects * $k * $kk1)
+            > $critMilli * (__A2 - CAST(n_subjects AS DECIMAL(38,0))
+                                   * $k * $kk1) END""").as("significant"))
+  }
+
+  /** Ljung-Box portmanteau test (C143 — the WHITE-NOISE check closing
+    * the series triage: [[mannKendall]] says "is it drifting",
+    * [[changepointDetect]] says "where did it shift", [[runsTest]]
+    * says "does the binary series clump" — Ljung-Box asks the
+    * numeric series "is ANY autocorrelation left in the first m
+    * lags?", the standard residual-diagnostics gate). Over a daily
+    * series under the shared [[withDailyGuard]] calendar contract,
+    * lags are POSITIONS in the day-sorted observed series (gaps
+    * close up — stated; [[acfLags]] is the calendar-lag view). The
+    * CONTRACT is the QUANTIZED objective (the changepoint
+    * precedent): with scaled deviations `c_i = n·x_i − S` (clears
+    * the rational mean), `den = Σc²`, `num_h = Σ_i c_i·c_{i+h}`,
+    * `rho_h = strunc(10⁶·|num_h|, den)` (|num_h| ≤ den by
+    * Cauchy-Schwarz so rho ≤ 10⁶), `term_h = strunc(10⁶·rho_h²,
+    * n−h)`, and `q_milli = strunc(1000·n·(n+2)·Σterm, 10¹⁸)` —
+    * both engines walk identical integers. Significance at 5% on the
+    * same grid vs χ²₀.₀₅(m) embedded in MILLI. Series with n ≤ m or
+    * zero variance read null; `rho1_micro` carries lag-1 with its
+    * sign for direction.
+    *
+    * Scale shape: one daily fold (the guard bounds the array), all
+    * m·n lag products inside ONE row via HOFs — the corpus never
+    * sorts, nothing quadratic in events.
+    */
+  def ljungBox(daily: DataFrame, dayCol: String, valueCol: String,
+               maxLag: Int, maxDays: Long = 5000L): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 10,
+      s"maxLag in [1,10] (embedded chi-square grid), got $maxLag")
+    val critMilli = Seq(3841L, 5991L, 7815L, 9488L, 11070L, 12592L,
+      14067L, 15507L, 16919L, 18307L)(maxLag - 1)
+    val d = withDailyGuard(
+      daily.select(col(dayCol).cast("long").as("__d"),
+        col(valueCol).cast("long").as("__x")),
+      maxDays, "ljungBox")
+    d.agg(array_sort(collect_list(struct(col("__d"), col("__x"))))
+        .as("__a"))
+      .select(expr("transform(__a, e -> e.__x)").as("__v"))
+      .select(col("__v"), size(col("__v")).cast("long").as("__n"),
+        expr("aggregate(__v, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("__S"))
+      .select(col("__n"),
+        expr("transform(__v, x -> __n * x - __S)").as("__c"))
+      .select(col("__n"), col("__c"),
+        expr("""aggregate(__c, CAST(0 AS DECIMAL(38,0)),
+          (a, x) -> CAST(a + CAST(x AS DECIMAL(38,0)) * x
+                         AS DECIMAL(38,0)))""").as("__den"))
+      .select(col("__n"), col("__den"),
+        expr(s"""CASE WHEN __n > $maxLag AND __den > 0 THEN
+          transform(sequence(1, $maxLag), h ->
+            aggregate(sequence(1, CAST(__n - h AS INT)),
+              CAST(0 AS DECIMAL(38,0)),
+              (a, i) -> CAST(a + CAST(element_at(__c, i)
+                                      AS DECIMAL(38,0))
+                             * element_at(__c, i + h)
+                             AS DECIMAL(38,0)))) END""").as("__num"))
+      .select(col("__n"), col("__den"), col("__num"),
+        expr("""CASE WHEN __num IS NOT NULL THEN
+          transform(__num, v ->
+            (1000000 * abs(v)) div __den) END""").as("__rho"))
+      .select(col("__n"),
+        expr("""CASE WHEN __num IS NOT NULL THEN
+          CASE WHEN element_at(__num, 1) < 0
+               THEN -element_at(__rho, 1)
+               ELSE element_at(__rho, 1) END END""").as("rho1_micro"),
+        expr(s"""CASE WHEN __num IS NOT NULL THEN
+          aggregate(sequence(1, $maxLag), CAST(0 AS DECIMAL(38,0)),
+            (a, h) -> CAST(a + (1000000
+                * element_at(__rho, h) * element_at(__rho, h))
+                div (__n - h) AS DECIMAL(38,0))) END""").as("__qs"))
+      .select(col("__n").as("n_days"), lit(maxLag.toLong).as("df"),
+        col("rho1_micro"),
+        expr("""CASE WHEN __qs IS NOT NULL THEN
+          CAST((1000 * CAST(__n AS DECIMAL(38,0)) * (__n + 2) * __qs)
+               div CAST(1000000000000000000 AS DECIMAL(38,0))
+               AS BIGINT) END""").as("q_milli"),
+        expr(s"""CASE WHEN __qs IS NOT NULL THEN
+          1000 * CAST(__n AS DECIMAL(38,0)) * (__n + 2) * __qs
+            > $critMilli
+              * CAST(1000000000000000000 AS DECIMAL(38,0)) END""")
+          .as("significant"))
+  }
+
+  /** Wilcoxon signed-rank test (C144 — the PAIRED two-sample ordinal
+    * test completing the matched-design battery: [[mcnemarCheck]] is
+    * paired BINARY, [[friedmanTest]] is k-treatment ordinal,
+    * [[mannWhitney]]-style rank tests are UNPAIRED — "did model B
+    * score higher than model A on the SAME prompts?" needs the
+    * signed-rank test on per-subject differences, the standard
+    * paired model-eval significance check). Contract: one row per
+    * pair with both values; zero differences DROP (standard);
+    * |d| ranks are DOUBLED average ranks from the |d|-value
+    * DISTRIBUTION (`r2 = 2·#less + #eq + 1` — the [[friedmanTest]]
+    * rank device over a value histogram instead of a block), so the
+    * corpus never sorts — Θ(distinct |d|) beyond one keyed agg (the
+    * [[bhFdr]] fold class). Exact integers with denominators
+    * cleared: `W2⁺ = Σ r2·1[d>0]`, `num = 2·W2⁺ − n(n+1)` (4× the
+    * centered W⁺), tie term `T = Σ_g(c_g³ − c_g)`,
+    * `var48 = 2n(n+1)(2n+1) − T` (48× the tie-corrected variance,
+    * > 0 whenever n ≥ 1), `z2_milli = strunc(3000·num², var48)`,
+    * and 5% two-sided significance `3·10⁴·num² > 38416·var48`
+    * (z² > 1.96², identical integers both engines — no normal
+    * inverse, no continuity correction, stated). Empty panels read
+    * null.
+    *
+    * Scale shape: one map-side pair projection, one |d|-histogram
+    * agg (map-side combined), one single-row fold over the sorted
+    * distinct-|d| frame — nothing pair-sized shuffles twice, no
+    * windows.
+    */
+  def wilcoxonSignedRank(pairs: DataFrame, aCol: String,
+                         bCol: String): DataFrame = {
+    val d = pairs.select(
+      (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
+      .filter(col("__d") =!= 0)
+      .select(abs(col("__d")).as("__g"),
+        (col("__d") > 0).cast("long").as("__p"))
+    val hist = d.groupBy("__g")
+      .agg(count(lit(1)).as("__c"), sum("__p").as("__np"))
+    hist
+      .agg(array_sort(collect_list(
+        struct(col("__g"), col("__c"), col("__np")))).as("__a"))
+      .select(expr("""aggregate(__a,
+        struct(CAST(0 AS BIGINT) AS cum,
+               CAST(0 AS DECIMAL(38,0)) AS w2p,
+               CAST(0 AS DECIMAL(38,0)) AS ties),
+        (acc, el) -> struct(acc.cum + el.__c AS cum,
+          CAST(acc.w2p + CAST(2 * acc.cum + el.__c + 1
+                              AS DECIMAL(38,0)) * el.__np
+               AS DECIMAL(38,0)) AS w2p,
+          CAST(acc.ties + CAST(el.__c AS DECIMAL(38,0)) * el.__c
+                          * el.__c - el.__c
+               AS DECIMAL(38,0)) AS ties))""").as("__r"))
+      .select(col("__r.cum").as("n_pairs"),
+        expr("CAST(__r.w2p AS BIGINT)").as("w2_plus"),
+        col("__r.w2p").as("__w"), col("__r.ties").as("__t"))
+      .select(col("n_pairs"), col("w2_plus"),
+        expr("""CASE WHEN n_pairs > 0 THEN
+          2 * __w - CAST(n_pairs AS DECIMAL(38,0)) * (n_pairs + 1)
+          END""").as("__num"),
+        expr("""CASE WHEN n_pairs > 0 THEN
+          2 * CAST(n_pairs AS DECIMAL(38,0)) * (n_pairs + 1)
+            * (2 * n_pairs + 1) - __t END""").as("__v48"))
+      .select(col("n_pairs"), col("w2_plus"),
+        expr("""CASE WHEN __v48 > 0 THEN
+          CAST((3000 * __num * __num) div __v48 AS BIGINT)
+          END""").as("z2_milli"),
+        expr("""CASE WHEN __v48 > 0 THEN
+          30000 * __num * __num > 38416 * __v48 END""")
+          .as("significant"))
+  }
+
   /** Executable bounded-grid contract shared by the cell-join
     * operators ([[kendallTau]], [[Relational.skyline2d]]): the grid
     * bound becomes a 1-row `raise_error` guard crossed onto the cell

@@ -1445,6 +1445,39 @@ object TextAnalysis {
         col("__r.cum_permille").as("cum_permille"))
   }
 
+  /** Within-document duplicate n-gram ratio (E111 — the Gopher-style
+    * REPETITION quality filter: a looping generation, a scraped page
+    * with a repeated nav block, or a template-stamped listing shows
+    * up as a high fraction of duplicate n-grams INSIDE the document —
+    * the signal the corpus-level dedup family can't see because the
+    * document is only similar to ITSELF). Tokenization is the shared
+    * [[normalizeText]] + single-space split (the exact-dedup rule);
+    * per doc, the n-gram multiset is `size − n + 1` windows and
+    * `dup_permyriad = strunc(10⁴·(total − distinct), total)`; docs
+    * with fewer than n tokens read 0 n-grams and a null ratio.
+    *
+    * Scale shape: PURELY map-side — one projection per document, no
+    * shuffle, no join, embarrassingly parallel at any corpus size;
+    * the n-gram array is document-sized and never leaves its row.
+    */
+  def dupNgramRatio(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 1 && n <= 5, s"n in [1,5], got $n")
+    val toks = split(normalizeText(coalesce(col(textCol), lit(""))), " ")
+    docs.select(col(idCol), toks.as("__w"))
+      .select(col(idCol),
+        when(size(col("__w")) >= n,
+          expr(s"""transform(sequence(1, size(__w) - ${n - 1}),
+            i -> array_join(slice(__w, i, $n), ' '))"""))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")).as("__g"))
+      .select(col(idCol),
+        size(col("__g")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("__g"))).cast("long").as("n_distinct"))
+      .withColumn("dup_permyriad",
+        when(col("n_ngrams") > 0,
+          expr("(10000 * (n_ngrams - n_distinct)) div n_ngrams")))
+  }
+
   /** Vocabulary growth curve (E71, the Heaps-law observable) — how
     * fast the distinct-token vocabulary grows as the corpus grows,
     * the curve that sizes tokenizer vocabularies and predicts

@@ -1625,6 +1625,76 @@ object Streams {
       }
   }
 
+  case class LbState(day: Long, series: Map[Long, Long])
+  case class LbPoint(key: String, upto_day: Long, n_days: Long,
+                     rho1_micro: Option[Long], q_milli: Option[Long],
+                     significant: Option[Boolean])
+
+  /** Streaming Ljung-Box monitor (D35 — C143 `ljungBox`'s streaming
+    * half): the quantized objective is a pure function of the whole
+    * day-sorted series (every past deviation `c_i = n·x_i − S`
+    * rescales as n and S grow), so the state IS the daily series —
+    * one (day → value) entry per observed day, bounded by the SAME
+    * `maxDays` calendar contract the batch guard enforces (state
+    * past the bound fails fast with the batch guard's message, never
+    * grows silently — the D29 bounded-by-domain discipline, keyed by
+    * calendar rather than value domain). Every advancing batch
+    * re-evaluates the batch operator's exact BigInt objective —
+    * identical integers to C143 at every prefix. Replays and
+    * out-of-order arrivals emit nothing (strict frontier).
+    */
+  def streamLjungBox(metrics: Dataset[DailyMetric], maxLag: Int,
+                     maxDays: Long = 5000L): Dataset[LbPoint] = {
+    require(maxLag >= 1 && maxLag <= 10,
+      s"maxLag in [1,10] (embedded chi-square grid), got $maxLag")
+    val critMilli = Seq(3841L, 5991L, 7815L, 9488L, 11070L, 12592L,
+      14067L, 15507L, 16919L, 18307L)(maxLag - 1)
+    import metrics.sparkSession.implicits._
+    metrics.groupByKey(_.key)
+      .flatMapGroupsWithState[LbState, LbPoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DailyMetric],
+         state: GroupState[LbState]) =>
+          var st = state.getOption.getOrElse(
+            LbState(Long.MinValue, Map.empty))
+          var advanced = false
+          rows.toSeq.sortBy(_.day).foreach { m =>
+            if (st.day < m.day) {
+              advanced = true
+              if (st.series.size >= maxDays)
+                throw new IllegalStateException(
+                  s"ljungBox daily contract exceeded: > $maxDays days")
+              st = LbState(m.day, st.series.updated(m.day, m.x))
+            }
+          }
+          if (!advanced) Iterator.empty
+          else {
+            state.update(st)
+            val xs = st.series.toSeq.sortBy(_._1).map(_._2)
+            val n = xs.size
+            val s = xs.map(BigInt(_)).sum
+            val c = xs.map(x => BigInt(n) * x - s)
+            val den = c.map(v => v * v).sum
+            if (n <= maxLag || den == 0)
+              Iterator.single(LbPoint(key, st.day, n.toLong,
+                None, None, None))
+            else {
+              val num = (1 to maxLag).map(h =>
+                (0 until n - h).map(i => c(i) * c(i + h)).sum)
+              val rho = num.map(v => BigInt(1000000) * v.abs / den)
+              val qs = (1 to maxLag).map(h =>
+                BigInt(1000000) * rho(h - 1) * rho(h - 1) / (n - h)).sum
+              val lhs = BigInt(1000) * n * (n + 2) * qs
+              val e18 = BigInt("1000000000000000000")
+              Iterator.single(LbPoint(key, st.day, n.toLong,
+                Some((if (num.head < 0) -rho.head else rho.head).toLong),
+                Some((lhs / e18).toLong),
+                Some(lhs > BigInt(critMilli) * e18)))
+            }
+          }
+      }
+  }
+
   def streamFleissCells(ratings: Dataset[RatingObs]): Dataset[KappaCell] = {
     import ratings.sparkSession.implicits._
     ratings.groupByKey(_.item)

@@ -160,6 +160,47 @@ class R10OpsSpec extends AnyFunSuite {
     assert(got == want && got == Seq((5L, 3L, 2L, 3L, Some(false))))
   }
 
+  test("streamLjungBox (D35): emissions equal the batch ljungBox at " +
+       "each prefix (incl. the hand-computed alternating series); " +
+       "replays and out-of-order arrivals emit nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.DailyMetric]
+    val q = input.toDS()
+      .transform(ds => Streams.streamLjungBox(ds, maxLag = 1))
+      .writeStream.format("memory").queryName("lb_sink")
+      .outputMode("update").start()
+    def m(d: Long, x: Long) = Streams.DailyMetric("A", d, x)
+    val b1 = Seq(m(0, 1), m(1, 2), m(2, 1))
+    val b2 = Seq(m(3, 2), m(4, 1), m(5, 2), m(1, 9)) // day 1: stale
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val before = spark.table("lb_sink").count()
+      input.addData(b2: _*); q.processAllAvailable() // full replay
+      assert(spark.table("lb_sink").count() == before)
+    } finally q.stop()
+    // prefix at day 2 (n=3 > maxLag=1): stream vs batch on 3 days
+    val got3 = spark.table("lb_sink").filter($"upto_day" === 2L)
+      .select("n_days", "rho1_micro", "q_milli", "significant")
+      .as[(Long, Option[Long], Option[Long], Option[Boolean])]
+      .collect().toSeq
+    val want3 = Behavior.ljungBox(
+      Seq((0L, 1L), (1L, 2L), (2L, 1L)).toDF("day", "n"),
+      "day", "n", maxLag = 1)
+      .select("n_days", "rho1_micro", "q_milli", "significant")
+      .as[(Long, Option[Long], Option[Long], Option[Boolean])]
+      .collect().toSeq
+    assert(got3 == want3)
+    // full prefix = the R10 hand case: rho -5/6, q 6666, significant
+    val got6 = spark.table("lb_sink").filter($"upto_day" === 5L)
+      .select("n_days", "rho1_micro", "q_milli", "significant")
+      .as[(Long, Option[Long], Option[Long], Option[Boolean])]
+      .collect().toSeq
+    assert(got6 == Seq((6L, Some(-833333L), Some(6666L), Some(true))))
+  }
+
   // --- alpha from the D33 cell store ------------------------------------------
 
   test("krippendorffAlphaFromCells: alpha rebuilt from streamFleissCells' " +
@@ -211,5 +252,159 @@ class R10OpsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("runsTest") &&
       ex.getMessage.contains("3 rows over 2 days"))
+  }
+
+  // --- Friedman test ----------------------------------------------------------
+
+  test("friedmanTest: hand-computed 3-subject perfect ordering " +
+       "(Q = 6.0, significant at df 2 by 144000 > 143784 — the grid " +
+       "edge); duplicate observations collapse to MIN") {
+    // every block ranks t1<t2<t3: r2 = (2,4,6) per block,
+    // R2 = (6,12,18), sum R2² = 504, n²k(k+1)² = 432 -> num 144;
+    // A2 = 3·56 = 168, nk(k+1)² = 144 -> den 24; Q = 6.0
+    val o = Seq(
+      (1L, "t1", 10L), (1L, "t2", 20L), (1L, "t3", 30L),
+      (2L, "t1", 1L), (2L, "t2", 5L), (2L, "t3", 9L),
+      (3L, "t1", 100L), (3L, "t2", 200L), (3L, "t3", 300L),
+      // duplicate (3, t1) with a HIGH value — collapses to MIN 100,
+      // leaving the ordering (and Q) untouched
+      (3L, "t1", 999L))
+      .toDF("subj", "trt", "v")
+    val got = Behavior.friedmanTest(o, "subj", "trt", "v", 3)
+      .as[(Long, Long, Long, Option[Long], Option[Boolean])].collect()(0)
+    assert(got == ((3L, 3L, 2L, Some(6000L), Some(true))))
+  }
+
+  test("friedmanTest: ties carry doubled average ranks (Q = 26/7); " +
+       "incomplete blocks drop") {
+    // block 1 (5,5,9): r2 = (3,3,6); block 2 (1,2,3): r2 = (2,4,6)
+    // R2 = (5,7,12), sumR2² = 218 - 192 = 26; A2 = 110 - 96 = 14
+    // q_milli = 52000 div 14 = 3714, not significant
+    val o = Seq(
+      (1L, "t1", 5L), (1L, "t2", 5L), (1L, "t3", 9L),
+      (2L, "t1", 1L), (2L, "t2", 2L), (2L, "t3", 3L),
+      // subject 3 has only two treatments -> drops
+      (3L, "t1", 7L), (3L, "t2", 8L))
+      .toDF("subj", "trt", "v")
+    val got = Behavior.friedmanTest(o, "subj", "trt", "v", 3)
+      .as[(Long, Long, Long, Option[Long], Option[Boolean])].collect()(0)
+    assert(got == ((2L, 3L, 2L, Some(3714L), Some(false))))
+  }
+
+  test("friedmanTest: all-tied panels read null (zero rank variance)") {
+    val o = Seq(
+      (1L, "t1", 7L), (1L, "t2", 7L), (1L, "t3", 7L),
+      (2L, "t1", 2L), (2L, "t2", 2L), (2L, "t3", 2L))
+      .toDF("subj", "trt", "v")
+    val got = Behavior.friedmanTest(o, "subj", "trt", "v", 3)
+      .select("q_milli").as[Option[Long]].collect()(0)
+    assert(got.isEmpty)
+  }
+
+  // --- Ljung-Box --------------------------------------------------------------
+
+  test("ljungBox: hand-computed alternating series at lag 1 " +
+       "(rho = -5/6, Q = 6.666, significant at df 1)") {
+    // x = (1,2,1,2,1,2): c = 6x-9 = ±3, den = 54, num1 = -45,
+    // rho = 833333, term = 833333²·10⁶ div 5, q_milli = 6666
+    val d = Seq((0L, 1L), (1L, 2L), (2L, 1L), (3L, 2L), (4L, 1L),
+      (5L, 2L)).toDF("day", "n")
+    val got = Behavior.ljungBox(d, "day", "n", maxLag = 1)
+      .as[(Long, Long, Option[Long], Option[Long], Option[Boolean])]
+      .collect()(0)
+    assert(got == ((6L, 1L, Some(-833333L), Some(6666L), Some(true))))
+  }
+
+  test("ljungBox: n <= maxLag and zero-variance series read null; " +
+       "duplicate-day frames fail the daily guard") {
+    val short = Seq((0L, 1L), (1L, 5L), (2L, 2L)).toDF("day", "n")
+    val g1 = Behavior.ljungBox(short, "day", "n", maxLag = 3)
+      .select("q_milli").as[Option[Long]].collect()(0)
+    assert(g1.isEmpty)
+    val flat = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 4L))
+      .toDF("day", "n")
+    val g2 = Behavior.ljungBox(flat, "day", "n", maxLag = 2)
+      .select("q_milli").as[Option[Long]].collect()(0)
+    assert(g2.isEmpty)
+    val dup = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("day", "n")
+    val ex = intercept[Exception] {
+      Behavior.ljungBox(dup, "day", "n", maxLag = 1).collect()
+    }
+    assert(ex.getMessage.contains("ljungBox") &&
+      ex.getMessage.contains("3 rows over 2 days"))
+  }
+
+  test("ljungBox: white-noise-ish irregular series is NOT significant " +
+       "and rho1 carries its sign") {
+    // hand-irregular values; the assertion is structural (not
+    // significant, rho1 defined) — the exact integers are oracle-
+    // verified at all three SFs by the driver key
+    val d = Seq((0L, 5L), (1L, 9L), (2L, 4L), (3L, 9L), (4L, 6L),
+      (5L, 3L), (6L, 8L), (7L, 5L), (8L, 7L), (9L, 4L))
+      .toDF("day", "n")
+    val got = Behavior.ljungBox(d, "day", "n", maxLag = 3)
+      .as[(Long, Long, Option[Long], Option[Long], Option[Boolean])]
+      .collect()(0)
+    assert(got._1 == 10L && got._3.nonEmpty && got._4.nonEmpty &&
+      got._5 == Some(false))
+  }
+
+  // --- Wilcoxon signed-rank ---------------------------------------------------
+
+  test("wilcoxonSignedRank: hand-computed no-tie panel (W2+ = 16, " +
+       "z² = 1.2, not significant); zero differences drop") {
+    // d = (+1, -2, +3, +4): r2 = (2,4,6,8), W2+ = 2+6+8 = 16,
+    // num = 32-20 = 12, var48 = 2·4·5·9 = 360, z2_milli = 1200
+    val p = Seq((10L, 9L), (1L, 3L), (7L, 4L), (9L, 5L),
+      (6L, 6L)) // zero difference -> drops
+      .toDF("a", "b")
+    val got = Behavior.wilcoxonSignedRank(p, "a", "b")
+      .as[(Long, Long, Option[Long], Option[Boolean])].collect()(0)
+    assert(got == ((4L, 16L, Some(1200L), Some(false))))
+  }
+
+  test("wilcoxonSignedRank: consistent one-sided shift IS significant " +
+       "(d = 1..6 all positive, z² = 4.846)") {
+    val p = (1L to 6L).map(i => (10L + i, 10L)).toDF("a", "b")
+    val got = Behavior.wilcoxonSignedRank(p, "a", "b")
+      .as[(Long, Long, Option[Long], Option[Boolean])].collect()(0)
+    // W2+ = sum(2i) = 42, num = 42, var48 = 2·6·7·13 = 1092
+    assert(got == ((6L, 42L, Some(4846L), Some(true))))
+  }
+
+  test("wilcoxonSignedRank: tied |d| carry doubled average ranks; " +
+       "all-zero panels read null") {
+    // d = (+1, -1, +2): |d| group 1 has r2 = 3 each, group 2 r2 = 6
+    // W2+ = 9, num = 6, ties = 6, var48 = 168-6 = 162, z2 = 666
+    val p = Seq((5L, 4L), (4L, 5L), (9L, 7L)).toDF("a", "b")
+    val got = Behavior.wilcoxonSignedRank(p, "a", "b")
+      .as[(Long, Long, Option[Long], Option[Boolean])].collect()(0)
+    assert(got == ((3L, 9L, Some(666L), Some(false))))
+    val z = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+    val gz = Behavior.wilcoxonSignedRank(z, "a", "b")
+      .as[(Long, Long, Option[Long], Option[Boolean])].collect()(0)
+    assert(gz == ((0L, 0L, None, None)))
+  }
+
+  // --- dup n-gram ratio -------------------------------------------------------
+
+  test("dupNgramRatio: hand-computed looping text (4 trigrams, 2 " +
+       "distinct -> 5000 permyriad); normalization matches the " +
+       "exact-dedup rule; short and null docs read 0/null") {
+    val docs = Seq(
+      (1L, "a b a b a b"),           // trigrams: aba, bab, aba, bab
+      (2L, "A  b a\tB a B"),         // same after lower + ws collapse
+      (3L, "x y z"),                 // one trigram, no dups
+      (4L, "w x"),                   // < 3 tokens -> 0 ngrams
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .dupNgramRatio(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 4L, 2L, Some(5000L))))
+    assert(got(1) == ((2L, 4L, 2L, Some(5000L))))
+    assert(got(2) == ((3L, 1L, 1L, Some(0L))))
+    assert(got(3) == ((4L, 0L, 0L, None)))
+    assert(got(4) == ((5L, 0L, 0L, None)))
   }
 }

@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
-)
+) ++
+  // ad-hoc spark conf for scale probes (e.g. -Dspark.io.compression
+  // .codec=zstd to trade CPU for spill disk on one-box rehearsals)
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

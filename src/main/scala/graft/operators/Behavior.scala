@@ -3413,17 +3413,30 @@ object Behavior {
     * Scale shape: one map-side pair projection, one |d|-histogram
     * agg (map-side combined), one single-row fold over the sorted
     * distinct-|d| frame — nothing pair-sized shuffles twice, no
-    * windows.
+    * windows. The fold is Θ(distinct |d|), which for an UNQUANTIZED
+    * wide-domain metric approaches n_pairs, so the §6 single-array
+    * discipline applies: [[withCellGuard]] bounds the histogram at
+    * `maxDistinctDiffs` (default 2¹⁶) BEFORE the collect_list —
+    * a wide-domain caller fails fast with the quantize-upstream
+    * remediation instead of materializing a corpus-sized array in
+    * one task.
     */
   def wilcoxonSignedRank(pairs: DataFrame, aCol: String,
-                         bCol: String): DataFrame = {
+                         bCol: String,
+                         maxDistinctDiffs: Long = 1L << 16): DataFrame = {
     val d = pairs.select(
       (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
       .filter(col("__d") =!= 0)
       .select(abs(col("__d")).as("__g"),
         (col("__d") > 0).cast("long").as("__p"))
-    val hist = d.groupBy("__g")
-      .agg(count(lit(1)).as("__c"), sum("__p").as("__np"))
+    val hist = withCellGuard(
+      d.groupBy("__g")
+        .agg(count(lit(1)).as("__c"), sum("__p").as("__np")),
+      maxDistinctDiffs,
+      "wilcoxonSignedRank: the |d| magnitude histogram must hold at " +
+        s"most maxDistinctDiffs=$maxDistinctDiffs distinct magnitudes " +
+        "before the single-array rank fold; quantize the metric " +
+        "upstream or raise maxDistinctDiffs knowingly")
     hist
       .agg(array_sort(collect_list(
         struct(col("__g"), col("__c"), col("__np")))).as("__a"))

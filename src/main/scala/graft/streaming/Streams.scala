@@ -1266,6 +1266,20 @@ object Streams {
     * touched group re-emits its tracked cell set (≤ capacity rows —
     * under MG the decrement round touches EVERY tracked count, so
     * "changed cells only" is the full set whenever it matters).
+    *
+    * EVICTION / REBUILD CONTRACT: Update-mode emission never
+    * RETRACTS — an evicted token's last pre-eviction row stays in
+    * any naive latest-per-(group, token) downstream store, and a
+    * token that re-enters after eviction re-emits a RESTARTED
+    * (lower) count. Past capacity, a
+    * [[graft.operators.TextAnalysis.tokenKeynessFromCells]] rebuild
+    * must therefore use ONLY the most recent emission per group
+    * (each touch re-emits the group's FULL tracked set, so the last
+    * batch's rows per group are complete and self-consistent) —
+    * merging latest-per-token rows across batches mixes current
+    * tracked cells with stale evicted ones, a failure mode beyond
+    * the documented N/(capacity+1) under-estimate. Within capacity
+    * nothing ever evicts and the two reads coincide.
     */
   def streamTokenCells(docs: Dataset[GDoc],
                        capacity: Int = 1 << 16): Dataset[TokCell] = {
@@ -1514,32 +1528,60 @@ object Streams {
     * arrives past a user's frontier, one gap row `(grp of the later
     * event, user, ts, ts − frontier)` emits and the frontier
     * advances — the batch operator's later-event gap attribution.
-    * State: ONE long (the frontier ts) per active user, forever —
-    * bounded by the user population, never event history. Replays
-    * and out-of-order arrivals emit nothing (strict frontier). ONE
-    * STATED DIFFERENCE from batch: same-instant events cannot
-    * advance a strict frontier, so equal-ts duplicates DROP where
-    * the batch window's (ts, grp) tiebreak emits 0-gaps — stream ≡
-    * batch exactly on tie-free series (spec-pinned).
+    * State: ONE long (the frontier ts) per active user — bounded by
+    * the user population, never event history — and its LIFETIME is
+    * a knob: with `frontierTtlMs = Some(ttl)` a user whose frontier
+    * goes untouched for `ttl` of processing time EXPIRES
+    * (ProcessingTimeTimeout ⇒ state removed), so departed users'
+    * frontiers are not dead weight forever; the stated cost is that
+    * a gap LONGER than the TTL is dropped (the returning user's
+    * first event re-seeds a fresh frontier and emits nothing) —
+    * choose ttl ≥ the largest gap of interest. With the default
+    * `None` the frontier lives forever and stream ≡ batch exactly
+    * as before. OPERATIONAL NOTE: with a processing-time timeout
+    * registered, Spark schedules no-data batches unconditionally
+    * (`shouldRunAnotherBatch` is always true), so run the TTL
+    * variant under a ProcessingTime trigger (an as-fast-as-possible
+    * trigger spins empty batches) and drive tests by polling the
+    * sink — `processAllAvailable` never observes quiescence.
+    * Replays and out-of-order arrivals emit nothing
+    * (strict frontier). ONE STATED DIFFERENCE from batch:
+    * same-instant events cannot advance a strict frontier, so
+    * equal-ts duplicates DROP where the batch window's (ts, grp)
+    * tiebreak emits 0-gaps — stream ≡ batch exactly on tie-free
+    * series (spec-pinned).
     */
-  def streamUserGaps(events: Dataset[GapEvent]): Dataset[GapRow] = {
+  def streamUserGaps(events: Dataset[GapEvent],
+                     frontierTtlMs: Option[Long] = None)
+      : Dataset[GapRow] = {
     import events.sparkSession.implicits._
+    require(frontierTtlMs.forall(_ > 0),
+      s"frontierTtlMs must be positive, got $frontierTtlMs")
+    val timeoutConf =
+      if (frontierTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user)
       .flatMapGroupsWithState[UserFrontier, GapRow](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (user: Long, rows: Iterator[GapEvent],
          state: GroupState[UserFrontier]) =>
-          var st = state.getOption.getOrElse(UserFrontier(Long.MinValue))
-          val out = Seq.newBuilder[GapRow]
-          rows.toSeq.sortBy(r => (r.ts, r.grp)).foreach { r =>
-            if (st.ts < r.ts) {
-              if (st.ts != Long.MinValue)
-                out += GapRow(r.grp, user, r.ts, r.ts - st.ts)
-              st = UserFrontier(r.ts)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(UserFrontier(Long.MinValue))
+            val out = Seq.newBuilder[GapRow]
+            rows.toSeq.sortBy(r => (r.ts, r.grp)).foreach { r =>
+              if (st.ts < r.ts) {
+                if (st.ts != Long.MinValue)
+                  out += GapRow(r.grp, user, r.ts, r.ts - st.ts)
+                st = UserFrontier(r.ts)
+              }
             }
+            state.update(st)
+            frontierTtlMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 
@@ -1662,8 +1704,14 @@ object Streams {
             if (st.day < m.day) {
               advanced = true
               if (st.series.size >= maxDays)
+                // the batch guard's message verbatim (withDailyGuard's
+                // wording) — stream and batch contracts fail identically
                 throw new IllegalStateException(
-                  s"ljungBox daily contract exceeded: > $maxDays days")
+                  "ljungBox: the input must be a DAILY-AGGREGATED " +
+                    s"series with at most maxDays=$maxDays distinct " +
+                    "days and no duplicate days; aggregate upstream " +
+                    "or raise maxDays knowingly (got " +
+                    s"${st.series.size + 1} days over key '$key')")
               st = LbState(m.day, st.series.updated(m.day, m.x))
             }
           }
@@ -1694,6 +1742,181 @@ object Streams {
           }
       }
   }
+
+  case class PairObs(subject: Long, a: Long, b: Long)
+  case class DiffRow(subject: Long, d: Long)
+  case class SeenState(seen: Boolean)
+
+  /** Streaming paired-difference derivation (D36 — C144
+    * `wilcoxon_signed_rank`'s streaming half, split at the shared
+    * tail the D32 way: the signed-rank test is a pure function of
+    * the per-subject DIFFERENCES, so the stream derives THE DIFFS
+    * with per-subject first-wins state and the batch tail —
+    * [[graft.operators.Behavior.wilcoxonSignedRank]] over the diff
+    * log as `(d, 0)` pairs — rebuilds the test whenever asked,
+    * zero-diff drop and magnitude-histogram guard included). A
+    * subject's FIRST pair wins: one `DiffRow(subject, a − b)` emits
+    * and the subject is marked seen; re-observations and replays
+    * emit nothing (idempotent ⇒ replay-silent — the batch contract's
+    * one-row-per-pair precondition enforced by arrival order).
+    * State: ONE boolean per subject, bounded by the subject
+    * universe, never the observation stream — the D32 lifetime
+    * class; pass `seenTtlMs` to expire departed subjects'
+    * markers (stated cost: a replay arriving after expiry
+    * re-emits — choose ttl ≥ the replay horizon; the D32
+    * operational note applies: pair the TTL with a ProcessingTime
+    * trigger, poll sinks in tests).
+    */
+  def streamPairDiffs(pairs: Dataset[PairObs],
+                      seenTtlMs: Option[Long] = None): Dataset[DiffRow] = {
+    import pairs.sparkSession.implicits._
+    require(seenTtlMs.forall(_ > 0),
+      s"seenTtlMs must be positive, got $seenTtlMs")
+    val timeoutConf =
+      if (seenTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    pairs.groupByKey(_.subject)
+      .flatMapGroupsWithState[SeenState, DiffRow](
+        OutputMode.Update(), timeoutConf) {
+        (subject: Long, rows: Iterator[PairObs],
+         state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            seenTtlMs.foreach(state.setTimeoutDuration)
+            Iterator.empty
+          } else {
+            // deterministic first: lowest (a, b) of the batch
+            val r = rows.toSeq.minBy(p => (p.a, p.b))
+            state.update(SeenState(true))
+            seenTtlMs.foreach(state.setTimeoutDuration)
+            Iterator.single(DiffRow(subject, r.a - r.b))
+          }
+      }
+  }
+
+  case class FTObs(subject: Long, treatment: String, value: Long)
+  case class FTCell(subject: Long, treatment: String, value: Long)
+  /** Per-subject treatment→value map (rater-sorted parallel arrays,
+    * the [[VoteState]] device) with an overflow tombstone. */
+  case class BlockState(treatments: Array[String], values: Array[Long],
+                        overflowed: Boolean)
+
+  /** The treatment a block emits once when it exceeds k cells: its
+    * presence keeps the rebuilt block's size above k FOREVER, so the
+    * batch tail's exactly-k filter drops it — without the stream
+    * remembering the unbounded set of extra treatments. */
+  val FriedmanOverflowSentinel = "\u0000overflow"
+
+  /** Streaming (subject, treatment, value) block-cell maintenance
+    * (D37 — C142 `friedman_test`'s streaming half, the D33 vote-cell
+    * shape: the tie-corrected rank statistic is a pure function of
+    * the block cells, so the stream maintains THE CELLS and the
+    * batch tail — [[graft.operators.Behavior.friedmanTest]] over the
+    * latest emission per (subject, treatment) — rebuilds the battery
+    * whenever asked, complete-blocks filter included; the same cells
+    * serve [[graft.operators.Behavior.cochranQ]] when values are
+    * 0/1, one store → two matched-design reports). A treatment's
+    * FIRST value per subject wins; re-votes and replays change
+    * nothing and emit nothing (idempotent fold ⇒ replay-silent,
+    * cells MONOTONE so latest-per-cell = first). Each advancing
+    * batch re-emits the subject's full cell set (≤ k rows).
+    *
+    * STATE DISCIPLINE: a block is useful only while it holds ≤ k
+    * cells (the batch filter keeps EXACTLY-k blocks); at the
+    * (k+1)-th distinct treatment the stream emits the overflow row —
+    * the (k+1)-th cell plus [[FriedmanOverflowSentinel]] — and
+    * collapses state to a TOMBSTONE (one flag), so the rebuilt block
+    * stays above k forever and per-subject state is bounded at
+    * k cells, never the treatment vocabulary. ONE STATED DIFFERENCE
+    * from batch: duplicate (subject, treatment) values collapse to
+    * FIRST arrival here vs MIN in batch — stream ≡ batch exactly
+    * when every (subject, treatment) carries one distinct value, the
+    * stated batch contract.
+    */
+  def streamFriedmanBlocks(obs: Dataset[FTObs], k: Int)
+      : Dataset[FTCell] = {
+    require(k >= 2 && k <= 11, s"k in [2,11] (the batch grid), got $k")
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.subject)
+      .flatMapGroupsWithState[BlockState, FTCell](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (subject: Long, rows: Iterator[FTObs],
+         state: GroupState[BlockState]) =>
+          val st = state.getOption.getOrElse(
+            BlockState(Array.empty, Array.empty, overflowed = false))
+          if (st.overflowed) Iterator.empty
+          else {
+            val m = new java.util.TreeMap[String, Long]()
+            var i = 0
+            while (i < st.treatments.length) {
+              m.put(st.treatments(i), st.values(i)); i += 1
+            }
+            var changed = false
+            var overflowCell: Option[FTCell] = None
+            val it = rows
+            while (it.hasNext && overflowCell.isEmpty) {
+              val r = it.next()
+              if (!m.containsKey(r.treatment)) {
+                if (m.size == k)
+                  overflowCell = Some(FTCell(subject, r.treatment, r.value))
+                else {
+                  m.put(r.treatment, r.value); changed = true
+                }
+              }
+            }
+            overflowCell match {
+              case Some(cell) =>
+                state.update(BlockState(Array.empty, Array.empty,
+                  overflowed = true))
+                // re-emit the k tracked cells alongside the overflow
+                // row + sentinel: a same-batch overflow must not leave
+                // a small-looking block in the rebuild (k+2 distinct
+                // cells > k, so the exactly-k filter always drops it)
+                val tracked = Seq.newBuilder[FTCell]
+                val te = m.entrySet().iterator()
+                while (te.hasNext) {
+                  val en = te.next()
+                  tracked += FTCell(subject, en.getKey, en.getValue)
+                }
+                tracked.result().iterator ++ Iterator(cell,
+                  FTCell(subject, FriedmanOverflowSentinel, 0L))
+              case None if changed =>
+                val ts = new Array[String](m.size)
+                val vs = new Array[Long](m.size)
+                var j = 0
+                val e = m.entrySet().iterator()
+                while (e.hasNext) {
+                  val en = e.next()
+                  ts(j) = en.getKey; vs(j) = en.getValue; j += 1
+                }
+                state.update(BlockState(ts, vs, overflowed = false))
+                ts.indices.iterator
+                  .map(x => FTCell(subject, ts(x), vs(x)))
+              case None => Iterator.empty
+            }
+          }
+      }
+  }
+
+  case class DocObs(doc_id: Long, text: String)
+
+  /** Streaming within-document duplicate n-gram ratio (D38 — E111
+    * `dup_ngram_ratio`'s streaming half, and the degenerate case of
+    * the twin discipline: the batch operator is PURELY map-side (one
+    * projection per document, no shuffle, no state), so the
+    * streaming twin IS the batch operator applied to an unbounded
+    * frame — append output, zero state stores, stream ≡ batch row
+    * for row by construction. Replay semantics are the source's
+    * (exactly-once parquet/Kafka offsets re-emit nothing; an
+    * at-least-once source duplicates rows — dedup upstream with D4's
+    * exact-dedup stream if ids must be unique).
+    */
+  def streamDupNgramRatio(docs: Dataset[DocObs], n: Int)
+      : DataFrame =
+    graft.operators.TextAnalysis.dupNgramRatio(
+      docs.toDF, "doc_id", "text", n)
 
   def streamFleissCells(ratings: Dataset[RatingObs]): Dataset[KappaCell] = {
     import ratings.sparkSession.implicits._

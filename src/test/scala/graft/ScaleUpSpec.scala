@@ -71,15 +71,21 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(joined.nonEmpty && joined.forall(d => math.abs(d - 1e-4f) < 1e-6f))
   }
 
+  lazy val uniqueOut: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scaleup_u")
+      .toFile.getAbsolutePath
+    ScaleUp.build(spark, src, dir, copies = 3, docCopiesArg = 3,
+      docMode = "unique")
+    dir
+  }
+
   test("docMode=unique splices a copy marker every 3 tokens — copies " +
        "are distinct docs, not near-dups (cross-copy trigram-shingle " +
        "overlap collapses)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_scaleup_u")
-      .toFile.getAbsolutePath
-    ScaleUp.build(spark, src, dir, copies = 2, docCopiesArg = 2,
-      docMode = "unique")
+    val dir = uniqueOut
     val d = spark.read.parquet(s"$dir/documents.parquet")
-    val c1 = d.filter(col("doc_id") >= ScaleUp.KeyOffset)
+    val c1 = d.filter(col("doc_id") >= ScaleUp.KeyOffset &&
+        col("doc_id") < 2 * ScaleUp.KeyOffset)
       .select(col("text"), col("n_chars"))
       .as[(String, Long)].collect()
     assert(c1.nonEmpty)
@@ -99,7 +105,52 @@ class ScaleUpSpec extends AnyFunSuite {
     // every rewritten text is distinct from every copy-0 text
     assert(d.select("text").distinct().count() == d.count() ||
       d.select("text").distinct().count() ==
-        2 * spark.read.parquet(s"$src/documents.parquet")
+        3 * spark.read.parquet(s"$src/documents.parquet")
           .select("text").distinct().count())
+  }
+
+  test("docMode=unique de-clones the relational axes (r11): customer " +
+       "names land in distinct blocks per copy; embedding copies are " +
+       "norm-preserving but decorrelated (cross-copy cosine far from 1)") {
+    val dir = uniqueOut
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    // every c_name distinct across the whole 3x table
+    assert(c.select("c_name").distinct().count() == c.count())
+    // last-4-digit blocking fragment (the fuzzy_entities block key)
+    // differs across copies of the SAME base customer
+    val blk = c.select(col("c_custkey"),
+      expr("""substring(regexp_replace(c_name, '[^0-9]', ''),
+        greatest(length(regexp_replace(c_name, '[^0-9]', '')) - 3, 1), 4)
+        """).as("blk4"))
+    val b0 = blk.filter(col("c_custkey") < ScaleUp.KeyOffset)
+    val b1 = blk.filter(col("c_custkey") >= ScaleUp.KeyOffset &&
+        col("c_custkey") < 2 * ScaleUp.KeyOffset)
+      .select((col("c_custkey") - ScaleUp.KeyOffset).as("c_custkey"),
+        col("blk4").as("blk4c"))
+    val both = b0.join(b1, "c_custkey")
+    assert(both.count() > 0 &&
+      both.filter(col("blk4") === col("blk4c")).count() == 0L,
+      "copy-1 customers share a last-4-digit block with their base")
+    // embeddings: same norm, cosine well below every near-dup knee
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e0 = e.filter(col("vec_id") < ScaleUp.KeyOffset)
+      .select(col("vec_id"), col("embedding").as("a"))
+    val e1 = e.filter(col("vec_id") >= ScaleUp.KeyOffset &&
+        col("vec_id") < 2 * ScaleUp.KeyOffset)
+      .select((col("vec_id") - ScaleUp.KeyOffset).as("vec_id"),
+        col("embedding").as("b"))
+    val stats = e0.join(e1, "vec_id").select(
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x*y AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (s, v) -> s + v)").as("dot"),
+      expr("aggregate(a, CAST(0 AS DOUBLE), (s, v) -> s + v*v)").as("na"),
+      expr("aggregate(b, CAST(0 AS DOUBLE), (s, v) -> s + v*v)").as("nb"))
+      .select((col("dot") / sqrt(col("na") * col("nb"))).as("cos"),
+        (abs(col("na") - col("nb")) / col("na")).as("normdelta"))
+      .as[(Double, Double)].collect()
+    assert(stats.nonEmpty)
+    stats.foreach { case (cos, nd) =>
+      assert(math.abs(cos) < 0.9, s"cross-copy cosine $cos still near 1")
+      assert(nd < 1e-5, s"norm not preserved (delta $nd)")
+    }
   }
 }

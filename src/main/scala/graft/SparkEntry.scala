@@ -328,7 +328,17 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private[graft] def webhookPayloads(s: SparkSession, dir: String): DataFrame =
     fixtureCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-      fixturePersist(Tables(s, dir).lineitem.select(format_string(
+      // fan the under-split lineitem scan out BEFORE synthesizing the
+      // 600k-document JSON payloads (r11: the format_string pass ran
+      // 54s on ONE task and the persisted fixture inherited the
+      // single-partition layout, so every consumer parsed on 1-3
+      // cores; no-op once the scan itself is parallel)
+      val src = graft.operators.Par.fanOut(
+        Tables(s, dir).lineitem.select(col("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate")),
+        col("l_orderkey"))
+      fixturePersist(src.select(format_string(
         "{\"action\":\"ITEM\",\"event\":{\"value\":\"ITEM_UPDATED\"}," +
         "\"time\":\"2024-05-01T10:00:00Z\",\"modified_by\":\"exl\"," +
         "\"item\":{\"item_data\":{\"pid\":\"%s\",\"base_status\":{\"value\":\"%s\"}," +
@@ -1477,7 +1487,14 @@ object SparkEntry {
         shingleN = 3, k = 64, bands = 16, threshold = 0.7)
       val dropped = Dedup.connectedComponents(pairs)
         .filter(col("keep_id") =!= col("doc_id")).select("doc_id")
-      val reps = corpus.join(dropped, Seq("doc_id"), "left_anti")
+      // persist the representative corpus: containmentPairs reads its
+      // input from FIVE join sites (prefix, df-rank, index, verify ×2)
+      // and each would otherwise re-run corpus-assembly + CC-anti-join
+      // lineage; disk-backed, session-tracked, dropped by resetCaches
+      // (r11 — the triangleCounts docstring's "callers should persist"
+      // advice, applied)
+      val reps = trackPersist(s, corpus.join(dropped, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       Dedup.containmentPairs(reps, "doc_id", "text",
         shingleN = 3, threshold = 0.8, minShingles = 5)
     }),

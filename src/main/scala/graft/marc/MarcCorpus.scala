@@ -199,6 +199,15 @@ object MarcCorpus {
     val w = Window.partitionBy(col("l_orderkey"), col("l_linenumber"))
       .orderBy(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
                col("l_extendedprice"))
+    // NOT fanned out (r11, measured twice in the full-bench context):
+    // a 32-way rebalance here let the fused assemble+split+persist run
+    // fully parallel and DID win in isolation (39s → 10s), but under a
+    // loaded bench session the 32 concurrent object-building tasks
+    // quadrupled the split materialization (9s → 35s, allocation/GC
+    // contention with the session's live caches). The window's own
+    // (l_orderkey, l_linenumber) exchange keeps the corpus build at
+    // the scan's natural parallelism — which at production scale is
+    // full parallelism anyway.
     val lineitems = t.lineitem
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

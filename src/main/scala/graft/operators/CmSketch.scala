@@ -45,9 +45,20 @@ object CmSketch {
     */
   def counters(df: DataFrame, keyCol: String, w: Int = 1024): DataFrame = {
     require(w >= 2, s"w must be >= 2, got $w")
-    Hashes.map { case (j, a, b) =>
-      df.select(lit(j).as("row"), bucketExpr(keyCol, a, b, w).as("bucket"))
-    }.reduce(_ unionAll _)
+    // ONE scan emitting all d (row, bucket) pairs per input row via
+    // inline, not a d-way unionAll of full scans (r11, guide §2.3:
+    // the union re-scanned the input d times and re-ran the DECIMAL
+    // hash projection per branch; row set — and therefore the grouped
+    // count — is identical either way)
+    // fan out first: the single-scan inline serializes all d hash
+    // projections onto the scan's (often single) task — measured r11:
+    // the inline alone took cm_store 4.7s -> 8.7s; with the rebalance
+    // the one-scan plan keeps the union version's parallelism while
+    // still reading the input once
+    Par.fanOut(df.select(col(keyCol)))
+      .select(inline(array(Hashes.map { case (j, a, b) =>
+        struct(lit(j).as("row"), bucketExpr(keyCol, a, b, w).as("bucket"))
+      }: _*)))
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
@@ -110,10 +121,13 @@ object CmSketch {
     */
   def estimate(ctrs: DataFrame, queries: DataFrame, keyCol: String,
                w: Int = 1024): DataFrame = {
-    val qb = Hashes.map { case (j, a, b) =>
-      queries.select(col("*"), lit(j).as("__j"),
+    // one pass over the (possibly expensive) query subtree: inline the
+    // d (row, bucket) probes instead of unioning d re-computations of
+    // the frame (r11 — cm_store's truth side is itself an aggregate)
+    val qb = queries.select(col("*"), inline(array(Hashes.map {
+      case (j, a, b) => struct(lit(j).as("__j"),
         bucketExpr(keyCol, a, b, w).as("__bucket"))
-    }.reduce(_ unionAll _)
+    }: _*)))
     val passThrough = queries.columns.toSeq
     qb.join(
         broadcast(ctrs.select(col("row").as("__j"),

@@ -39,9 +39,14 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7): DataFrame = {
-    val withSig = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
-              shingles(col(textCol), shingleN).as("sh"))
+    // fan the signature compute out across the machine BEFORE the
+    // per-row MinHash work (Par.fanOut is a no-op once the scan itself
+    // is parallel) — only (id, text) rides the rebalance exchange
+    val withSig = Par.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        col("doc_id"))
+      .select(col("doc_id"), col("text"),
+              shingles(col("text"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("bands",
         graft.functions.MinHashBandsExpr(col("sh"), k, bands))
@@ -120,9 +125,11 @@ object Dedup {
                        shingleN: Int = 3, threshold: Double = 0.8,
                        minShingles: Int = 5,
                        dfOrderedPrefix: Boolean = true): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"),
-              array_sort(shingles(col(textCol), shingleN)).as("sh"))
+    val sh = Par.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        col("doc_id"))
+      .select(col("doc_id"),
+              array_sort(shingles(col("__text"), shingleN)).as("sh"))
       .filter(size(col("sh")) >= minShingles)
     val plen = greatest(
       size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + 1,
@@ -174,9 +181,11 @@ object Dedup {
                         shingleN: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold in (0,1], got $threshold")
-    val sh = docs
-      .select(col(idCol).as("doc_id"),
-              array_sort(shingles(col(textCol), shingleN)).as("sh"))
+    val sh = Par.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        col("doc_id"))
+      .select(col("doc_id"),
+              array_sort(shingles(col("__text"), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
     // prefixes in DOCUMENT-FREQUENCY-ascending order (the
     // containmentPairs lesson, measured again here: the lexicographic
@@ -258,8 +267,10 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     val width = 64 / nBlocks
-    val sigs = docs.select(col(idCol).as("doc_id"),
-                           simhash64(col(textCol)).as("sig"))
+    val sigs = Par.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        col("doc_id"))
+      .select(col("doc_id"), simhash64(col("__text")).as("sig"))
     val blocks = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
         b => shr(col("sig"), b * width)
@@ -397,6 +408,9 @@ object Dedup {
     val toks = array_remove(split(trim(col(textCol)), "\\s+"), "")
     val starts = sequence(lit(0),
       floor((size(col("__toks")) - spanTokens).cast("double") / stride).cast("int"))
+    // not fanned out (r11 A/B: shared_spans 1.30s -> 2.68s with the
+    // rebalance — the slice+hash window pass is cheaper than the added
+    // exchange, and dropDuplicates shuffles right after anyway)
     docs
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
       .filter(size(col("__toks")) >= spanTokens)
@@ -436,6 +450,9 @@ object Dedup {
     spanWindows(docs, idCol, textCol, spanTokens, stride)
       .withColumnRenamed("__h", "span_hash")
       .withColumn("span_pt", pmod(col("span_hash"), lit(64L)))
+      // cluster by the write-partition key (same small-files reasoning
+      // as the band index write above)
+      .repartition(col("span_pt"))
       .write.mode(mode).partitionBy("span_pt")
       .parquet(s"$indexDir/spans")
 
@@ -505,13 +522,20 @@ object Dedup {
   private def writeDedupIndex(docs: DataFrame, idCol: String, textCol: String,
                               indexDir: String, shingleN: Int, k: Int,
                               bands: Int, mode: String): Unit = {
-    val withSig = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
+    val withSig = Par.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        col("doc_id"))
+      .select(col("doc_id"), shingles(col("__text"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("bands", graft.functions.MinHashBandsExpr(col("sh"), k, bands))
     withSig.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_ix", "band_hash")))
       .withColumn("band_pt", pmod(col("band_hash"), lit(64L)))
+      // cluster by the write-partition key so each task writes whole
+      // band_pt directories (guide §6: without this, every input
+      // partition opens a file in every band_pt dir — measured r11:
+      // 32×64 small files and an 8s commit for a sub-MB index)
+      .repartition(col("band_pt"))
       .write.mode(mode).partitionBy("band_pt")
       .parquet(s"$indexDir/bands")
     withSig.select(col("doc_id"), col("sh"))
@@ -712,8 +736,10 @@ object Dedup {
                         q: Int = 24, maxDist: Int = 10): DataFrame = {
     require(q >= 2, s"q must be >= 2, got $q")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__text"),
-      length(col(textCol)).cast("long").as("__len"))
+    val base = Par.fanOut(
+      docs.select(col(idCol).as("__id"), col(textCol).as("__text"),
+        length(col(textCol)).cast("long").as("__len")),
+      col("__id"))
     val grams = base
       .filter(col("__len") >= q)
       .select(col("__id"), col("__len"),

@@ -21,6 +21,9 @@ object LangId {
     */
   def fitProfiles(train: DataFrame, textCol: String, langCol: String)
       : (DataFrame, DataFrame) = {
+    // not fanned out (r11 A/B: langid_eval 2.65s -> 4.49s with the
+    // rebalance — the tokenize pass is too light to amortize an
+    // exchange, and the profile counts groupBy parallelizes anyway)
     val toks = train.select(col(langCol).as("lang"),
         explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("word"))
       .filter(length(col("word")) > 0)

@@ -44,6 +44,9 @@ object QualityClassifier {
     val t = coalesce(col(textCol), lit(""))
     val toks = split(t, " ")
     val stats = graft.functions.RepetitionStatsExpr(toks)
+    // not fanned out (r11 A/B: quality_classifier 3.47s -> 4.62s with
+    // the rebalance — features are one native expression per row, too
+    // light to amortize an exchange on both the fit and score passes)
     docs.select(Seq(
       col(idCol),
       TextAnalysis.alphaRatioRaw(t).as("alpha_ratio"),

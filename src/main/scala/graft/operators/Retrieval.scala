@@ -15,7 +15,9 @@ object Retrieval {
     */
   private def withDl(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    Par.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        col("doc_id"))
+      .select(col("doc_id"),
         split(trim(col(textCol)), "\\s+").as("__toks"))
       .select(col("doc_id"), col("__toks"),
         size(filter(col("__toks"), w => length(w) > 0)).cast("long").as("dl"))
@@ -165,6 +167,9 @@ object Retrieval {
     docTerms(d).groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       .withColumn("term_pt",
         pmod(xxhash64(col("term")), lit(termPartitions.toLong)).cast("int"))
+      // cluster by the write-partition key so each task writes whole
+      // term_pt directories (guide §6 small-files; the dedup-index fix)
+      .repartition(col("term_pt"))
       .write.mode(mode).partitionBy("term_pt").parquet(s"$indexDir/postings")
     // batch fingerprint: order-independent XOR fold over the doc-id
     // hashes (no overflow under ANSI, unlike a sum), so a replayed

@@ -117,7 +117,12 @@ object Similarity {
     */
   def annBruteForce(corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // corpus side is the compute-dense pass (|queries| cosines per
+    // row): fan an under-split scan out first (one pass, no iteration
+    // — the Lloyd-trainer caveat of Tables.embeddings does not apply)
+    val c = Par.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      col("neighbor_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -148,7 +153,9 @@ object Similarity {
   def semanticDecontaminate(train: DataFrame, eval: DataFrame,
                             idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val t = train.select(col(idCol).as("query_id"), col(vecCol).as("__tv"))
+    val t = Par.fanOut(
+      train.select(col(idCol).as("query_id"), col(vecCol).as("__tv")),
+      col("query_id"))
     val e = eval.select(col(idCol).as("neighbor_id"), col(vecCol).as("__ev"))
     topKByCos(t.crossJoin(broadcast(e))
         .select(col("query_id"), col("neighbor_id"),
@@ -203,8 +210,8 @@ object Similarity {
       math.sqrt(s)
     }
     val bQ = spark.sparkContext.broadcast((qIds, qVecs, qNorms))
-    val partials = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
+    val partials = Par.fanOut(
+        corpus.select(col(idCol).cast("long"), col(vecCol)), col(idCol))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val (ids, vecs, norms) = bQ.value
@@ -646,9 +653,17 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     var centroids = seedCentroids(corpus, idCol, vecCol, nlist)
     val dim = centroids.head.size
-    for (_ <- 1 to iters) {
-      val assigned = corpus.select(v.as("__v"),
-        element_at(graft.functions.NearestCells(v, centroids, 1), 1).as("cell"))
+    // the training loop re-executes the corpus subtree once per
+    // iteration around a driver collect — persist the narrow vector
+    // projection once (the standard k-means discipline; guide §5:
+    // reuse + expensive lineage). Driver-coordinated loop = a sound
+    // unpersist point, unlike the lazily-returned operators.
+    val train = corpus.select(v.as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try for (_ <- 1 to iters) {
+      val assigned = train.select(col("__v"),
+        element_at(graft.functions.NearestCells(col("__v"), centroids, 1), 1)
+          .as("cell"))
       val meanCols = (0 until dim).map(i => avg(col("__v")(i)).as(s"c$i"))
       val means = assigned.groupBy(col("cell"))
         .agg(meanCols.head, meanCols.tail: _*)
@@ -658,7 +673,7 @@ object Similarity {
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq)
         .toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
-    }
+    } finally train.unpersist(blocking = false)
     centroids
   }
 
@@ -867,7 +882,13 @@ object Similarity {
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                        m: Int, ksub: Int,
                        iters: Int = 3): Seq[Seq[Seq[Double]]] = {
+    // persist the normalized training vectors once: the loop below
+    // re-executes this subtree (normalize included) per iteration
+    // around a driver collect, and the seeding/dim probes add two more
+    // passes (guide §5; same discipline as trainCentroidsLloyd)
     val unit = withUnitVec(corpus, vecCol, "__v")
+      .select(col(idCol), col("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dim = unit.select(size(col("__v"))).head().getInt(0)
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subdim = dim / m
@@ -877,7 +898,7 @@ object Similarity {
         .map(_.getSeq[Double](0).toSeq).toSeq
         .transpose.grouped(subdim).toSeq               // dim × ksub → m groups
         .map(_.transpose.map(_.toSeq))                 // each: ksub × subdim
-    for (_ <- 1 to iters) {
+    try for (_ <- 1 to iters) {
       val coded = unit.select(col("__v"),
           posexplode(graft.functions.PqEncodeExpr(col("__v"), books))
             .as(Seq("m", "code")))
@@ -894,7 +915,7 @@ object Similarity {
       books = books.zipWithIndex.map { case (book, s) =>
         book.zipWithIndex.map { case (cent, c) => means.getOrElse((s, c), cent) }
       }
-    }
+    } finally unit.unpersist(blocking = false)
     books
   }
 
@@ -1078,8 +1099,12 @@ object Similarity {
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
                        dim: Int, threshold: Double,
                        tables: Int = 6, bits: Int = 10): DataFrame = {
-    val b = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
-      posexplode(lshBuckets(col(vecCol), dim, tables, bits)).as(Seq("t", "bucket")))
+    val b = Par.fanOut(
+        vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__v")),
+        col("vec_id"))
+      .select(col("vec_id"), col("__v"),
+        posexplode(lshBuckets(col("__v"), dim, tables, bits))
+          .as(Seq("t", "bucket")))
     val l = b.alias("l")
     val r = b.alias("r")
     l.join(r,

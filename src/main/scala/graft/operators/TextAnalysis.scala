@@ -624,7 +624,9 @@ object TextAnalysis {
     require(maxSources >= 2, s"maxSources must be >= 2, got $maxSources")
     val toks = filter(split(trim(col(textCol)), "\\s+"),
       x => length(x) > 0)
-    val allGrams = docs.select(col(srcCol).as("__src"), toks.as("__t"))
+    val allGrams = Par.fanOut(
+        docs.select(col(srcCol).as("__src"), col(textCol)))
+      .select(col("__src"), toks.as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col("__src"),
         explode(transform(sequence(lit(0), size(col("__t")) - n),
@@ -680,7 +682,9 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     val toks = filter(split(trim(col(textCol)), "\\s+"),
       x => length(x) > 0)
-    val grams = docs.select(col(idCol), toks.as("__t"))
+    val grams = Par.fanOut(docs.select(col(idCol), col(textCol)),
+        col(idCol))
+      .select(col(idCol), toks.as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col(idCol), explode(array_distinct(
         transform(sequence(lit(0), size(col("__t")) - n),
@@ -907,8 +911,10 @@ object TextAnalysis {
     */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(trim(col(textCol)), "\\s+")).as("word"))
+    val toks = Par.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0) // blank docs contribute no terms
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     // tf already has one row per (doc, word) — derive df from it
@@ -1010,7 +1016,7 @@ object TextAnalysis {
     require(segTokens > 0, s"segTokens=$segTokens must be positive")
     val toks = array_remove(split(trim(col(textCol)), "\\s+"), "")
     val nSegs = ceil(size(toks).cast("double") / segTokens).cast("int")
-    docs
+    Par.fanOut(docs.select(col(idCol).as(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("doc_id"), toks.as("__toks"),
         explode(sequence(lit(0), greatest(nSegs - 1, lit(0)))).as("seg_ix"))
       .select(col("doc_id"), col("seg_ix"),
@@ -1350,7 +1356,8 @@ object TextAnalysis {
         slice(toks, lit(d + 1), greatest(size(toks) - d, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))
     }
-    docs.select(explode(flatten(array(pairCols: _*))).as("p"))
+    Par.fanOut(docs.select(col(textCol)))
+      .select(explode(flatten(array(pairCols: _*))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("pair_n"))
   }
@@ -1632,7 +1639,10 @@ object TextAnalysis {
     val t = col(textCol)
     val closed = regexp_extract_all(t, lit("[^.!?]+[.!?]+"), lit(0))
     val trailing = regexp_extract(t, "[^.!?]+$", 0)
-    docs.select(col(idCol),
+    // regex-dense map pass: fan an under-split scan out first (no-op
+    // at production scan parallelism — see Par.fanOut)
+    Par.fanOut(docs.select(col(idCol), t.as(textCol)), col(idCol))
+      .select(col(idCol),
         concat(closed,
           when(trailing =!= "", array(trailing))
             .otherwise(array().cast("array<string>"))).as("__s"))

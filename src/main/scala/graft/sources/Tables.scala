@@ -43,5 +43,10 @@ final case class Tables(spark: SparkSession, dir: String) {
     }
   }
   def documents: DataFrame  = table("documents")
+  // embeddings deliberately NOT fanned out here (r11 A/B): the vector
+  // family's iterative trainers (Lloyd, PQ) re-execute the input plan
+  // once per iteration with a driver collect between — an extra
+  // exchange per iteration tripled ann_ivfpq. One-pass consumers that
+  // profit from a rebalance do it themselves at their entry point.
   def embeddings: DataFrame = table("embeddings")
 }

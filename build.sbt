@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked app's stdout through UNDECORATED (no "[info] "
+// prefix): graft.Bench's stdout contract is bare JSON lines the
+// driver parses, and sbt's default logged-output strategy broke that
+// parse two rounds running (see tools/bench.sh)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

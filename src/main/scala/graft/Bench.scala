@@ -81,12 +81,16 @@ object Bench {
     // sidecar path is ANCHORED (env override, else the repo dir, else
     // CWD as a last resort) and logged absolute: a CWD-relative write
     // from an sbt fork / cron / probe harness would land elsewhere and
-    // cross-round regression tracking would silently read a stale copy
+    // cross-round regression tracking would silently read a stale copy.
+    // KEYED BY CORE COUNT (r12; r11 verdict item 2): the driver's
+    // low-core scaling run used to CLOBBER the 32-core map in
+    // bench_perquery.json — now each core count writes its own file.
     val sidecar = sys.env.get("SPARK_GRAFT_SIDECAR").orElse {
       val repo = new java.io.File("/root/repo")
-      if (repo.isDirectory) Some(s"${repo.getAbsolutePath}/bench_perquery.json")
+      if (repo.isDirectory)
+        Some(s"${repo.getAbsolutePath}/bench_perquery_c$cpus.json")
       else None
-    }.getOrElse("bench_perquery.json")
+    }.getOrElse(s"bench_perquery_c$cpus.json")
     try {
       val p = java.nio.file.Paths.get(sidecar).toAbsolutePath
       java.nio.file.Files.writeString(p, full + "\n")

@@ -3429,17 +3429,25 @@ object Behavior {
       .filter(col("__d") =!= 0)
       .select(abs(col("__d")).as("__g"),
         (col("__d") > 0).cast("long").as("__p"))
-    val hist = withCellGuard(
-      d.groupBy("__g")
-        .agg(count(lit(1)).as("__c"), sum("__p").as("__np")),
-      maxDistinctDiffs,
-      "wilcoxonSignedRank: the |d| magnitude histogram must hold at " +
-        s"most maxDistinctDiffs=$maxDistinctDiffs distinct magnitudes " +
-        "before the single-array rank fold; quantize the metric " +
-        "upstream or raise maxDistinctDiffs knowingly")
+    val hist = d.groupBy("__g")
+      .agg(count(lit(1)).as("__c"), sum("__p").as("__np"))
+    // the maxDistinctDiffs bound rides the SAME scalar aggregation as
+    // the rank fold (r12; r11 verdict item 9): the [[withCellGuard]]
+    // crossJoin formulation re-aggregated the histogram lineage into a
+    // second broadcast branch, tripling a sub-second key. Here the
+    // cell count is one extra agg expression and the raise_error gates
+    // the array before the fold reads it — same error contract
+    // (R11FixesSpec), one pass.
+    val msg = "wilcoxonSignedRank: the |d| magnitude histogram must " +
+      s"hold at most maxDistinctDiffs=$maxDistinctDiffs distinct " +
+      "magnitudes before the single-array rank fold; quantize the " +
+      "metric upstream or raise maxDistinctDiffs knowingly"
     hist
-      .agg(array_sort(collect_list(
-        struct(col("__g"), col("__c"), col("__np")))).as("__a"))
+      .agg(count(lit(1)).as("__ncells"), array_sort(collect_list(
+        struct(col("__g"), col("__c"), col("__np")))).as("__a0"))
+      .select(when(col("__ncells") <= maxDistinctDiffs, col("__a0"))
+        .otherwise(raise_error(concat(lit(msg + " (got "),
+          col("__ncells").cast("string"), lit(" cells)")))).as("__a"))
       .select(expr("""aggregate(__a,
         struct(CAST(0 AS BIGINT) AS cum,
                CAST(0 AS DECIMAL(38,0)) AS w2p,

@@ -72,10 +72,14 @@ object CurateCorpus {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // 1. canonicalize, then treat the NFC text as THE text
+    // 1. canonicalize, then treat the NFC text as THE text. Persisted
+    // (r12, guide §2.3 read-once): the signal pass, the unigram-LM
+    // aggregation and the cross-entropy scoring each consume `canon` —
+    // unpersisted, the corpus scan + NFC normalization ran three times.
     val canon = docs.select(col(idCol).as("doc_id"),
       col(strataCol).as("stratum"),
       graft.functions.NormalizeUnicodeExpr(col(textCol), "NFC").as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 2. signals (map-side pass + LM scoring). Token count is the
     // whitespace definition shared with tokenCounts/curationFilter
@@ -179,7 +183,7 @@ object CurateCorpus {
       max(col("seq_id")).as("max_seq_id"))
 
     val result = Result(curated, decisions, obs)
-    result.cached = Seq(featured, survivors)
+    result.cached = Seq(canon, featured, survivors)
     result
   }
 }

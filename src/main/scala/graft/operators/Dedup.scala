@@ -42,14 +42,20 @@ object Dedup {
     // fan the signature compute out across the machine BEFORE the
     // per-row MinHash work (Par.fanOut is a no-op once the scan itself
     // is parallel) — only (id, text) rides the rebalance exchange
+    // r12 (guide §5): withSig feeds FOUR sites — both aliases of the
+    // bucket self-join and both verify join-backs. As lazy lineage the
+    // shingle pass ran 4× and the MinHash signatures 2× per call; the
+    // eager checkpoint computes each once (blocks are reclaimed with
+    // the RDD, so no cache-entry leak from a lazily-returned frame)
     val withSig = Par.fanOut(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
         col("doc_id"))
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"),
               shingles(col("text"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("bands",
         graft.functions.MinHashBandsExpr(col("sh"), k, bands))
+      .localCheckpoint(true)
 
     val buckets = withSig.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_ix", "band_hash")))
@@ -125,12 +131,16 @@ object Dedup {
                        shingleN: Int = 3, threshold: Double = 0.8,
                        minShingles: Int = 5,
                        dfOrderedPrefix: Boolean = true): DataFrame = {
+    // r12 (guide §5): sh feeds up to four sites (prefix derivation,
+    // the shingle index, both verify join-backs) — checkpoint the
+    // shingle pass once instead of re-running it per site
     val sh = Par.fanOut(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
         col("doc_id"))
       .select(col("doc_id"),
               array_sort(shingles(col("__text"), shingleN)).as("sh"))
       .filter(size(col("sh")) >= minShingles)
+      .localCheckpoint(true)
     val plen = greatest(
       size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + 1,
       lit(1))
@@ -158,8 +168,16 @@ object Dedup {
     val cand = pref.join(index, "g")
       .filter(col("inner_id") =!= col("outer_id"))
       .select(col("inner_id"), col("outer_id")).distinct()
-    cand
+    // r12 (r11 verdict item 5): the exact-intersection verify is the
+    // compute-dense stage, and AQE's byte heuristic coalesced its
+    // post-distinct input to ONE task (6.6 s single-task stage at
+    // bench SF — bytes are small, the set intersections are not).
+    // Par.fanOut pins each verify join at an explicit-N keyed
+    // small-byte; at scale the pinned exchange simply replaces the
+    // join's own EnsureRequirements shuffle (see Par.pin).
+    val v1 = Par.pin(cand, col("inner_id"))
       .join(sh.select(col("doc_id").as("inner_id"), col("sh").as("sh_i")), "inner_id")
+    Par.pin(v1, col("outer_id"))
       .join(sh.select(col("doc_id").as("outer_id"), col("sh").as("sh_o")), "outer_id")
       .select(col("inner_id"), col("outer_id"),
         round(size(array_intersect(col("sh_i"), col("sh_o"))).cast("double") /
@@ -181,12 +199,16 @@ object Dedup {
                         shingleN: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold in (0,1], got $threshold")
+    // r12 (guide §5): sh feeds the prefix derivation and both verify
+    // join-backs — checkpoint the shingle pass once (see
+    // [[containmentPairs]])
     val sh = Par.fanOut(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
         col("doc_id"))
       .select(col("doc_id"),
               array_sort(shingles(col("__text"), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
     // prefixes in DOCUMENT-FREQUENCY-ascending order (the
     // containmentPairs lesson, measured again here: the lexicographic
     // prefix puts stop-words in every prefix and the candidate join
@@ -210,9 +232,12 @@ object Dedup {
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
       .distinct()
-    cand
+    // r12: pin the exact-verify joins above AQE's byte-based coalesce
+    // (the containmentPairs verify fix — same compute-dense stage)
+    val v1 = Par.pin(cand, col("left_id"))
       .join(sh.select(col("doc_id").as("left_id"), col("sh").as("sh_l")),
         "left_id")
+    Par.pin(v1, col("right_id"))
       .join(sh.select(col("doc_id").as("right_id"), col("sh").as("sh_r")),
         "right_id")
       .select(col("left_id"), col("right_id"),
@@ -300,36 +325,56 @@ object Dedup {
     * iterative algorithm; early-stops when no label moves.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    // r12 (guide §2.4, "two operations keyed the same way share one
+    // exchange"): the symmetric edge set is laid out BY src once, so
+    // every round's propagation join reads the cache co-partitioned
+    // instead of re-exchanging the edge list per round (r11 plan:
+    // one edge-sized Exchange per round on a cached-but-mislaid frame)
     val edges = pairs.select(col("left_id").as("src"), col("right_id").as("dst"))
       .unionByName(pairs.select(col("right_id").as("src"), col("left_id").as("dst")))
-      .distinct().persist()
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    // seed checkpointed eagerly: id-partitioned (distinct output), so
+    // round 1's joins are exchange-free on the label side too
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // one edge-sized exchange per round (the groupBy hop — inherent
+      // to message passing); the edges side of the join is co-located
+      // by the persist layout, the labels side by the checkpoint
       val candidate = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
-      val propagated = labels.withColumnRenamed("label", "__old")
-        .join(candidate, Seq("id"), "left")
-        .select(col("id"), col("__old"),
-          least(col("__old"), coalesce(col("nbr_label"), col("__old"))).as("label"))
-      // pointer jumping: follow the label one more step through the
-      // current mapping (label-of-label), compressing paths
-      val mapping = propagated.select(col("id").as("label"),
-        col("label").as("__parent"))
-      // localCheckpoint: iterative self-joins grow the logical plan
+      // pointer jumping through the PREVIOUS round's mapping (one
+      // round stale): r11 jumped through the CURRENT propagated frame,
+      // which — being un-materialized lineage — re-executed the whole
+      // propagation subtree a second time inside every round's plan.
+      // The stale jump reads the checkpoint instead (zero recompute,
+      // node-sized exchange), still compresses paths superlinearly,
+      // and has the identical fixpoint: least() is monotone toward the
+      // component minimum and the convergence test only fires when no
+      // label moves, i.e. at the plain hash-min fixpoint.
+      val jumped = candidate
+        .join(labels.select(col("id").as("nbr_label"),
+          col("label").as("__parent")), Seq("nbr_label"), "left")
+        .select(col("id"),
+          least(col("nbr_label"), coalesce(col("__parent"), col("nbr_label")))
+            .as("__nbr2"))
+      // localCheckpoint: iterative joins grow the logical plan
       // geometrically — truncate lineage every round (tiny label frame,
-      // eager materialization doubles as the convergence action)
-      val next = propagated.join(mapping, Seq("label"), "left")
+      // eager materialization doubles as the convergence action); the
+      // join on id leaves the checkpoint id-partitioned for round r+1
+      val next = labels.withColumnRenamed("label", "__old")
+        .join(jumped, Seq("id"), "left")
         .select(col("id"), col("__old"),
-          least(col("label"), coalesce(col("__parent"), col("label"))).as("label"))
+          least(col("__old"), coalesce(col("__nbr2"), col("__old"))).as("label"))
         .localCheckpoint(true)
       val moved =
         if (iter == 0) 1L
         else next.filter(col("label") =!= col("__old")).count()
-      labels.unpersist()
       labels = next.drop("__old")
       converged = moved == 0
       iter += 1
@@ -760,8 +805,12 @@ object Dedup {
       .filter(col("__shared") >=
         greatest(greatest(col("len_a"), col("len_b"))
           - lit((q - 1).toLong + maxDist.toLong * q), lit(1L)))
-    shared
+    // r12: the banded-levenshtein verify is the compute-dense stage —
+    // pin its joins above AQE's byte-based coalesce (the
+    // containmentPairs verify fix; fanOut no-ops on large pair frames)
+    val v1 = Par.pin(shared, col("id_a"))
       .join(base.select(col("__id").as("id_a"), col("__text").as("ta")), "id_a")
+    Par.pin(v1, col("id_b"))
       .join(base.select(col("__id").as("id_b"), col("__text").as("tb")), "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("ta"), col("tb"), maxDist).as("dist"))

@@ -45,10 +45,19 @@ object Graph {
     require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
+      .distinct()
+    // r12 (guide §2.4): attach the out-degree to the edge list ONCE
+    // and cache the result laid out BY src — r11 re-aggregated outDeg
+    // from the cache and re-exchanged both e and outDeg on src inside
+    // EVERY iteration's plan. The pre-join is associativity-neutral
+    // ((e⋈rank)⋈od ≡ (e⋈od)⋈rank — od is keyed 1:1 on src), so the
+    // per-edge integer contribution is unchanged bit for bit.
+    val eo = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
+      .repartition(col("src"))
+      .persist()
+    val nodes = eo.select(col("src").as("id"))
+      .union(eo.select(col("dst").as("id"))).distinct().persist()
     val n = nodes.count()
     require(n > 0, "empty graph")
     val init = 1000000L / n
@@ -56,9 +65,11 @@ object Graph {
 
     var rank = nodes.select(col("id"), lit(init).as("rank_micro"))
     for (i <- 1 to iterations) {
-      val sums = e
+      // per round: the rank attach reads eo co-partitioned (rank's own
+      // layout follows the id-keyed join below), and the only
+      // edge-sized exchange is the contribution groupBy hop
+      val sums = eo
         .join(rank.select(col("id").as("src"), col("rank_micro")), "src")
-        .join(outDeg, "src")
         .select(col("dst").as("id"),
           expr("rank_micro div __outdeg").as("__contrib"))
         .groupBy(col("id")).agg(sum(col("__contrib")).as("__s"))
@@ -74,7 +85,7 @@ object Graph {
       rank = if (i % 4 == 0 && i < iterations) next.localCheckpoint(true)
              else next
     }
-    e.unpersist()
+    eo.unpersist()
     nodes.unpersist()
     rank
   }
@@ -103,24 +114,30 @@ object Graph {
     * explode, not a shuffle multiplier. Deterministic: no hashing, no
     * RNG — the DuckDB oracle re-derives the identical orientation.
     *
-    * The lazy plan references `canon` from several join sites, so the
-    * edge-canonicalization SUBPLAN is re-derived per site rather than
-    * persisted — a deliberate trade: the recomputed piece is scans +
-    * one distinct (embarrassingly parallel), while a persist inside a
-    * lazily-returned frame has no sound unpersist point (the
-    * [[linkRank]] persist works because that operator drives its own
-    * iterations). Callers looping over triangle counts should persist
-    * the canonical edge frame themselves.
+    * The plan references `canon` from several join sites; it is
+    * materialized ONCE via an eager localCheckpoint (r12). A persist
+    * inside a lazily-returned frame has no sound unpersist point, but
+    * checkpoint blocks are reclaimed with the RDD itself, so the
+    * operator can own the materialization (guide §5) — the lazy
+    * re-derivation this replaced re-ran the whole upstream edge
+    * derivation per site.
     *
     * Output: `(id, tri_count)` for every node in ≥ 1 triangle.
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
+    // r12: canon is read from three join sites (degree derivation, the
+    // degree attach, the closing join) — eager localCheckpoint replaces
+    // three re-executions of the upstream edge derivation with one
+    // (guide §5; supersedes the r2-r11 "callers should persist" note:
+    // checkpoint blocks are reclaimed with the RDD, so the operator can
+    // own the materialization without leaking cache entries)
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
               greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = canon.select(col("a").as("id"))
       .unionAll(canon.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
@@ -170,17 +187,28 @@ object Graph {
     require(minPermille >= 0 && minPermille <= 1000,
       s"minPermille in [0,1000], got $minPermille")
     require(maxDegree >= 0, s"maxDegree must be >= 0, got $maxDegree")
+    // r12 (guide §5): canon / deg / centers are each consumed from
+    // MULTIPLE join sites below (adj twice, the degree attaches, the
+    // wedge self-join, the anti-join) — as lazy lineage every site
+    // re-executed the upstream edge derivation (for the co-purchase
+    // queries: a lineitem self-join + distinct, rebuilt up to 5×).
+    // Eager localCheckpoints materialize each once; edge/node-sized
+    // frames, blocks reclaimed with the RDD. The self-join then reads
+    // BOTH sides from one c-partitioned checkpoint — zero exchange.
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
               greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     val adj = canon.select(col("a").as("c"), col("b").as("x"))
       .unionAll(canon.select(col("b").as("c"), col("a").as("x")))
     val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
-    val centers =
-      if (maxDegree == 0) adj
+      .localCheckpoint(true)
+    val centers = (
+      if (maxDegree == 0) adj.repartition(col("c"))
       else adj.join(deg.filter(col("d") <= maxDegree).select("c"), "c")
+    ).localCheckpoint(true)
     val wedges = centers.join(centers.select(col("c"), col("x").as("y")), "c")
       .filter(col("x") < col("y"))
     val common = wedges.groupBy(col("x"), col("y"))
@@ -228,9 +256,12 @@ object Graph {
     val base = edges
       .select(col(srcCol).cast("long").as("c"), col(dstCol).cast("long").as("x"))
       .filter(col("c") =!= col("x"))
+    // r12 (guide §2.4): adjacency laid out BY the frontier join key —
+    // the per-round expansion join reads both sides exchange-free (the
+    // frontier is id-partitioned from its round's checkpoint)
     val adj = base
       .unionAll(base.select(col("x").as("c"), col("c").as("x")))
-      .distinct().persist()
+      .distinct().repartition(col("c")).persist()
     var settled = sources.select(col(sourceIdCol).cast("long").as("id"))
       .distinct().select(col("id"), lit(0).as("dist"))
       .localCheckpoint(true)
@@ -278,11 +309,15 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1 && maxRounds <= 64,
       s"maxRounds in [1,64], got $maxRounds")
+    // r12 (guide §2.4): lay the cached edge list out BY `a` so every
+    // round's first alive-semijoin reads it co-partitioned (the alive
+    // checkpoints are id-partitioned from their groupBy, so the alive
+    // sides of both joins are exchange-free after the rename)
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
               greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().persist()
+      .distinct().repartition(col("a")).persist()
     def degrees(alive: DataFrame): DataFrame = {
       val live = canon
         .join(alive.select(col("id").as("a")), "a")
@@ -339,14 +374,20 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+      .distinct()
+    // r12: same pre-joined, src-laid-out edge cache as [[linkRank]] —
+    // one exchange per round instead of three, zero per-round
+    // re-aggregation of the out-degrees
+    val eo = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
+      .repartition(col("src"))
+      .persist()
     val seedIds = seeds.select(col(seedIdCol).cast("long").as("id"))
       .distinct().persist()
     val nS = seedIds.count()
     require(nS > 0, "empty seed set")
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    val nodes = eo.select(col("src").as("id"))
+      .union(eo.select(col("dst").as("id"))).distinct()
       .join(seedIds.select(col("id"), lit(true).as("__seed")),
         Seq("id"), "left")
       .na.fill(false, Seq("__seed")).persist()
@@ -355,9 +396,8 @@ object Graph {
     var rank = nodes.select(col("id"), col("__seed"),
       when(col("__seed"), init).otherwise(0L).as("rank_micro"))
     for (i <- 1 to iterations) {
-      val sums = e
+      val sums = eo
         .join(rank.select(col("id").as("src"), col("rank_micro")), "src")
-        .join(outDeg, "src")
         .select(col("dst").as("id"),
           expr("rank_micro div __outdeg").as("__contrib"))
         .groupBy(col("id")).agg(sum(col("__contrib")).as("__s"))
@@ -370,7 +410,7 @@ object Graph {
              else next
     }
     val out = rank.select(col("id"), col("rank_micro"))
-    e.unpersist(); seedIds.unpersist(); nodes.unpersist()
+    eo.unpersist(); seedIds.unpersist(); nodes.unpersist()
     out
   }
 
@@ -407,9 +447,11 @@ object Graph {
       .select(col(srcCol).cast("long").as("a"),
               col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+    // r12 (guide §2.4): adjacency laid out BY the label join key `b`,
+    // so each round's label attach reads the cache co-partitioned
     val adj = base
       .unionAll(base.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist()
+      .distinct().repartition(col("b")).persist()
     var labels = adj.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("community"))
       .localCheckpoint(true)
@@ -455,6 +497,14 @@ object Graph {
                  iterations: Int = 3): DataFrame = {
     require(iterations >= 1 && iterations <= 10,
       s"iterations must be in [1,10], got $iterations")
+    // r12 NOTE — measured and REVERTED, twice: (a) per-round eager
+    // localCheckpoint of the twice-consumed auth frame (6.6 → 9.2 s
+    // full bench: one extra job per round outweighs the recompute for
+    // iterations ≤ 10; the duplicated subtree's exchanges are
+    // runtime-REUSED anyway), and (b) dual src-/dst-laid-out edge
+    // caches (6.6 → 14.8 s full bench: two cache materializations +
+    // per-round alignment to the tiny coalesced cache layout lose to
+    // the single distinct-layout cache). The r11 shape stands.
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
               col(dstCol).cast("long").as("dst"))
@@ -580,7 +630,11 @@ object Graph {
     val kept = ui.groupBy("u").agg(count(lit(1)).as("__bs"))
       .filter(col("__bs") <= maxBasket)
       .select("u")
-    val cui = ui.join(kept, "u") // u-keyed: reuses the distinct exchange
+    // u-keyed: reuses the distinct exchange. (r12: an eager checkpoint
+    // of cui was measured 2.0 → 3.4 s full bench and REVERTED — the
+    // three consumers share the u-exchange at runtime, so the
+    // materialization bought nothing.)
+    val cui = ui.join(kept, "u")
     val itemN = cui.groupBy(col("it")).agg(count(lit(1)).as("__n"))
     val pairs = cui
       .join(cui.select(col("u"), col("it").as("it2")), "u")
@@ -659,10 +713,14 @@ object Graph {
     val deg = canon.select(col("a").as("id"))
       .unionAll(canon.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
+    // r12: pairs is consumed twice by the symmetrizing union —
+    // checkpoint once (guide §5) instead of re-running the distinct +
+    // two degree joins for each orientation
     val pairs = canon
       .join(deg.select(col("id").as("a"), col("d").as("__da")), "a")
       .join(deg.select(col("id").as("b"), col("d").as("__db")), "b")
       .select(col("__da"), col("__db"))
+      .localCheckpoint(true)
     val both = pairs.unionAll(
       pairs.select(col("__db").as("__da"), col("__da").as("__db")))
     def strunc(num: String, den: String) =
@@ -712,9 +770,14 @@ object Graph {
       .distinct()
     val lab = labels.select(col(idCol).cast("long").as("__id"),
       col(communityCol).cast("long").as("__c"))
+    // r12: withC feeds THREE aggregations (m, e_c, d_c×2) — checkpoint
+    // once instead of re-running the canon + two label joins per
+    // consumer (guide §5; for jaccard_communities the labels input is
+    // itself a full LP/CC pipeline, making the re-execution dominant)
     val withC = canon
       .join(lab.select(col("__id").as("a"), col("__c").as("__ca")), "a")
       .join(lab.select(col("__id").as("b"), col("__c").as("__cb")), "b")
+      .localCheckpoint(true)
     val m = withC.agg(count(lit(1)).cast("decimal(38,0)").as("__m"))
     val ec = withC.filter(col("__ca") === col("__cb"))
       .groupBy(col("__ca").as("__c")).agg(count(lit(1)).as("__e"))
@@ -758,11 +821,16 @@ object Graph {
   def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
                  minScoreMicro: Long = 0L, maxDegree: Int = 0): DataFrame = {
     require(maxDegree >= 0, s"maxDegree must be >= 0, got $maxDegree")
+    // r12: same multi-consumer materialization as [[jaccardNeighbors]]
+    // (guide §5) — canon feeds adj twice plus the anti-join, centers
+    // feeds both sides of the wedge self-join (read back from one
+    // c-partitioned checkpoint, zero exchange)
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
               greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     val adj = canon.select(col("a").as("c"), col("b").as("x"))
       .unionAll(canon.select(col("b").as("c"), col("a").as("x")))
     val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
@@ -773,6 +841,7 @@ object Graph {
       degKept.withColumn("__w",
         round(lit(1000000.0) / log(col("d").cast("double")))
           .cast("long")).select("c", "__w"), "c")
+      .localCheckpoint(true)
     val scored = centers
       .join(centers.select(col("c"), col("x").as("y")), "c")
       .filter(col("x") < col("y"))

@@ -15,6 +15,13 @@ object Retrieval {
     */
   private def withDl(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame =
+    // r12 NOTE — an eager checkpoint here (to stop the 2-3 consumer
+    // branches re-tokenizing) was measured and REVERTED: materializing
+    // the token ARRAYS costs more than the repeated in-pipeline splits
+    // (bm25_indexed 3.1 → 3.5, rocchio_expand 2.4 → 4.5 full bench —
+    // string-array serialization is the §5 "memory pressure caching
+    // creates" case). The fanOut exchange below is runtime-reused by
+    // every consumer branch; only the post-exchange split repeats.
     Par.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)),
         col("doc_id"))
       .select(col("doc_id"),

@@ -827,10 +827,22 @@ object Similarity {
                        idCol: String, vecCol: String, k: Int,
                        dims: Seq[Int]): DataFrame = {
     require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be >= 1")
-    val exact = annBruteForce(corpus, queries, idCol, vecCol, k)
+    // r12 (r11 verdict item 6): the 1+|dims| annBruteForce passes each
+    // paid their OWN fanOut exchange over the same corpus (the slice
+    // projections differ, so the exchanges never unified for runtime
+    // reuse). Fan the corpus projection out ONCE and slice after: the
+    // inner fanOuts then see the explicit-N repartition in the lineage
+    // (the static probe walks through the slice Project) and no-op, so
+    // the whole sweep carries ONE corpus exchange. Everything stays
+    // lazy — `exact`'s six references dedupe at runtime via exchange
+    // reuse (its agg subtree is identical across frames); eager
+    // checkpoints here were MEASURED SLOWER (1.2 → 2.0 s: two extra
+    // jobs for a 3-row result) and reverted.
+    val c = Par.fanOut(corpus.select(col(idCol), col(vecCol)), col(idCol))
+    val exact = annBruteForce(c, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
     val frames = dims.map { d =>
-      val tc = corpus.select(col(idCol),
+      val tc = c.select(col(idCol),
         slice(col(vecCol), 1, d).as(vecCol))
       val tq = queries.select(col(idCol),
         slice(col(vecCol), 1, d).as(vecCol))

@@ -54,4 +54,59 @@ class ParSpec extends AnyFunSuite {
     assert(src.contains("SPARK_GRAFT_FANOUT"))
     assert(src.contains("if (off || df.isStreaming) return df"))
   }
+
+  // --- r12: the STATIC probe (no job submission at decision time) -----------
+
+  test("plannedParallelism: exchange-free lineages are counted from " +
+    "driver metadata; shuffle-bearing lineages return None") {
+    import org.scalatest.OptionValues._
+    val one = spark.range(1000).coalesce(1).toDF("id")
+    assert(Par.plannedParallelism(one).value == 1)
+    // explicit-N repartition pins the plan's parallelism (AQE-exempt)
+    val n = spark.sessionState.conf.numShufflePartitions
+    assert(Par.plannedParallelism(
+      spark.range(10).repartition(n).toDF("id")).value == n)
+    // aggregate output is runtime-sized (AQE may coalesce): unknown
+    assert(Par.plannedParallelism(
+      spark.range(10).toDF("id").groupBy("id").count()).isEmpty)
+  }
+
+  test("static probe submits NO Spark jobs at fanOut decision time " +
+    "(the r11 advice item: df.rdd under AQE ran upstream stages twice)") {
+    val sc = spark.sparkContext
+    // job-group-scoped count: robust to parallel suites on the shared
+    // context — any job submitted from THIS thread during the probe
+    // would carry the group
+    sc.setJobGroup("par-static-probe", "fanOut decision must not run jobs")
+    try {
+      // shuffle-bearing lineage: the r11 probe would materialize the
+      // aggregate's exchange here; the static path must not
+      val agg = spark.range(1000).toDF("id").groupBy("id").count()
+      Par.fanOut(agg, col("id"))
+      val jobs = sc.statusTracker.getJobIdsForGroup("par-static-probe")
+      assert(jobs.isEmpty, s"fanOut submitted ${jobs.length} job(s)")
+    } finally sc.clearJobGroup()
+  }
+
+  test("fanOut on a small shuffle-bearing input pins parallelism with " +
+    "an explicit-N keyed repartition (AQE-coalesce-exempt)") {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val agg = spark.range(1000).toDF("id").groupBy("id").count()
+    val out = Par.fanOut(agg, col("id"))
+    assert(out.rdd.getNumPartitions == n)
+    assert(out.agg(sum("count")).head.getLong(0) == 1000L)
+  }
+
+  test("pin: explicit-N keyed repartition that a same-key join reuses " +
+    "(no second exchange on the pinned side)") {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val pairs = spark.range(100).toDF("k").groupBy("k").count()
+    val dim = spark.range(100).toDF("k").withColumn("v", col("k") * 2)
+    val joined = Par.pin(pairs, col("k")).join(dim, "k")
+    // exactly ONE exchange on the pinned side: the pin itself
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(joined.count() == 100L)
+    assert(Par.pin(pairs, col("k")).rdd.getNumPartitions == n)
+    assert(plan.nonEmpty)
+  }
 }
